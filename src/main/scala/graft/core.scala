@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** A named bundle of operator queries plus their DuckDB oracle SQL.
+  *
+  * Every operator in SURVEY.md §2 registers here as a `queries` entry
+  * (Spark implementation) and, when ANSI-SQL-expressible, a matching
+  * `oracleSql` entry the driver runs in DuckDB over the same parquet
+  * tables. Column names MUST match between the two; row output must be
+  * deterministic (explicit orderBy / ORDER BY with a unique tiebreak).
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracleSql: Map[String, String]
+}
+
+/** Table loaders + determinism helpers shared by all modules. */
+object T {
+
+  /** Load one harness parquet table (TESTDATA.md). Plain
+    * `spark.read.parquet` so Catalyst pushdown / pruning apply.
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table ships with parquet TIMESTAMP(NANOS), which the
+    * vectorized Spark reader rejects. Read nanos as long (legacy conf)
+    * and truncate to a micros timestamp — same truncation DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast performs, so oracles stay aligned.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Scratch dir for sink round-trip queries — inside the repo target
+    * dir (never outside /root/repo), keyed by sf dir so concurrent
+    * scale factors don't collide.
+    */
+  def scratch(dir: String, name: String): String = {
+    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/root/repo/target/graft-scratch/$sf/$name"
+  }
+
+  /** Order-insensitive exact double sum: route through DECIMAL(18,s)
+    * and cast back. Spark and DuckDB then produce bit-identical
+    * doubles regardless of partial-aggregation order, which plain
+    * double sums do not guarantee. DuckDB mirror:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`.
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Deterministic average = exact decimal sum / count. DuckDB mirror:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(*)`.
+    */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** SQL fragment for dsum, to keep oracle strings readable. */
+  def sqlDsum(x: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  def sqlDavg(x: String, scale: Int = 2): String =
+    s"${sqlDsum(x, scale)} / COUNT(*)"
+}

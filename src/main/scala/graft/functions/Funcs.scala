@@ -1,0 +1,197 @@
+package graft.functions
+
+import graft.{QueryModule, T}
+import graft.T.{dsum, sqlDsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function surface — SURVEY.md §2.9.
+  *
+  * The reference leans on htsjdk record methods (flag-bit tests,
+  * cigar decode, tag maps — BamRecordGuesser.java:174-234); the new
+  * engine exposes the codegen'd built-in function families instead.
+  * Everything here stays inside whole-stage codegen — no UDFs.
+  */
+object Funcs extends QueryModule {
+
+  /** String family: substring/upper/length/concat/trim/lpad. */
+  def fnString(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "customer")
+      .select(
+        $"c_custkey",
+        upper($"c_mktsegment").as("seg_up"),
+        substring($"c_name", 1, 8).as("name_pfx"),
+        length($"c_name").as("name_len"),
+        concat_ws("-", $"c_mktsegment", $"c_custkey").as("tag"),
+        lpad($"c_custkey".cast(StringType), 10, "0").as("key_pad"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Flag-bitfield ops (SAMFlag.isSet → & / >> on int columns). */
+  def fnFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_linenumber".bitwiseAND(3)).as("flag_lo"),
+        shiftright($"l_orderkey", 2).as("key_shift"),
+        ($"l_linenumber".bitwiseAND(1) =!= 0).as("is_odd"))
+      .filter($"l_orderkey" % 997 === 0)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Math family; transcendentals rounded (libm vs Math ulp drift). */
+  def fnMath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        abs($"o_totalprice" - 100000.0).as("abs_dev"),
+        round($"o_totalprice", -2).as("price_100"),
+        round(log($"o_totalprice"), 6).as("ln_price"),
+        round(sqrt($"o_totalprice"), 6).as("sqrt_price"),
+        round(pow($"o_totalprice", lit(0.25)), 6).as("price_q"))
+      .filter($"o_orderkey" % 499 === 0)
+      .orderBy($"o_orderkey")
+  }
+
+  /** Date/time family (genomic intervals generalized to temporal). */
+  def fnDate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("dom"),
+        datediff($"o_orderdate", lit("1995-01-01").cast(DateType)).as("days_since"),
+        last_day($"o_orderdate").as("month_end"),
+        date_trunc("quarter", $"o_orderdate").as("qtr"))
+      .filter($"o_orderkey" % 499 === 0)
+      .orderBy($"o_orderkey")
+  }
+
+  /** Array family over tokenized text (cigar-ops analogue). */
+  def fnArray(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    T.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(toks).as("n_toks"),
+        size(array_distinct(toks)).as("n_uniq"),
+        element_at(toks, 1).as("first_tok"),
+        array_contains(toks, "spark").as("has_spark"))
+      .orderBy($"doc_id")
+  }
+
+  /** Map family (tags / INFO analogue): parse the JSON props into a
+    * MapType and extract through it.
+    */
+  def fnMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = from_json($"props", MapType(StringType, IntegerType))
+    T.events(s, dir)
+      .select(
+        $"event_id",
+        element_at(m, "k").as("k_val"),
+        size(map_keys(m)).as("n_keys"))
+      .orderBy($"event_id")
+  }
+
+  /** Conditional family: CASE WHEN / coalesce / nullif. */
+  def fnCond(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "customer")
+      .select(
+        $"c_custkey",
+        when($"c_acctbal" < 0, "neg")
+          .when($"c_acctbal" < 5000, "mid")
+          .otherwise("high").as("bal_band"),
+        coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("OTHER"))
+          .as("seg_or_other"))
+      .orderBy($"c_custkey")
+  }
+
+  /** JSON family over events.props (VCF INFO analogue). */
+  def fnJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = get_json_object($"props", "$.k").cast(IntegerType)
+    T.events(s, dir)
+      .groupBy((k % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"), dsum($"value", 6).as("sum_value"))
+      .orderBy($"k_bucket")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> (fnString(_, _)),
+    "fn_flags" -> (fnFlags(_, _)),
+    "fn_math" -> (fnMath(_, _)),
+    "fn_date" -> (fnDate(_, _)),
+    "fn_array" -> (fnArray(_, _)),
+    "fn_map" -> (fnMap(_, _)),
+    "fn_cond" -> (fnCond(_, _)),
+    "fn_json" -> (fnJson(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_up,
+        |  substring(c_name, 1, 8) AS name_pfx,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tag,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_flags" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_linenumber & 3 AS flag_lo,
+        |  l_orderkey >> 2 AS key_shift,
+        |  (l_linenumber & 1) <> 0 AS is_odd
+        |FROM lineitem WHERE l_orderkey % 997 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_math" ->
+      """SELECT o_orderkey,
+        |  abs(o_totalprice - 100000.0) AS abs_dev,
+        |  round(o_totalprice, -2) AS price_100,
+        |  round(ln(o_totalprice), 6) AS ln_price,
+        |  round(sqrt(o_totalprice), 6) AS sqrt_price,
+        |  round(pow(o_totalprice, 0.25), 6) AS price_q
+        |FROM orders WHERE o_orderkey % 499 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |    AS days_since,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr
+        |FROM orders WHERE o_orderkey % 499 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+        |  string_split(text, ' ')[1] AS first_tok,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  1 AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_cond" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS bal_band,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_json" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) % 10 AS k_bucket,
+         |  COUNT(*) AS cnt, ${sqlDsum("value", 6)} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+}

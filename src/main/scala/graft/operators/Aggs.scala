@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import graft.T.{dsum, sqlDsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation operators — SURVEY.md §2.5.
+  *
+  * The reference's only aggregation is distributed index construction:
+  * per-partition partials merged on the driver (IndexFileMerger
+  * .java:62-102) — exactly Spark's partial/final hash-aggregate split,
+  * which every groupBy below gets automatically (map-side combine, no
+  * raw-row shuffle).
+  */
+object Aggs extends QueryModule {
+
+  /** A6: record count (the reference's universal test oracle,
+    * HtsjdkReadsRddTest.java:141-156).
+    */
+  def aggCount(s: SparkSession, dir: String): DataFrame =
+    T.t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** Hash aggregate with the full accumulator set; avg expressed as
+    * exact decimal sum / count for cross-engine determinism.
+    */
+  def aggGroupby(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        dsum($"l_quantity").as("sum_qty"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"),
+        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Exact distinct counts (expand + two-phase agg under the hood). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+
+  /** HLL++ approximate distinct — no DuckDB oracle (different sketch);
+    * rows-only check + ScalaTest bounds vs exact.
+    */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+  }
+
+  /** Grouping-sets rollup; NULLS FIRST pinned on both engines. */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Full cube over the two flag columns. */
+  def aggCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** A1-A5: zone-map build — the SBI/BAI index analogue
+    * (HeaderlessBamOutputFormat.java:111-130): per-zone min/max/count
+    * over the clustering key. Zones here are deterministic key ranges
+    * so the DuckDB oracle can check exactly; the per-partition variant
+    * (spark_partition_id) is exercised in tests.
+    */
+  def aggZonemap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .groupBy(floor($"l_orderkey" / 1000L).cast(LongType).as("zone"))
+      .agg(
+        min($"l_shipdate").as("min_ship"),
+        max($"l_shipdate").as("max_ship"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"zone")
+  }
+
+  /** Moment-based stats from exact decimal sums (deterministic
+    * stddev: sqrt((n*Σx² − (Σx)²) / n²) on identical doubles).
+    */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sx = sum($"l_quantity".cast(DecimalType(18, 2))).cast(DoubleType)
+    val sx2 = sum(($"l_quantity".cast(DecimalType(18, 2)) *
+      $"l_quantity".cast(DecimalType(18, 2)))).cast(DoubleType)
+    val n = count(lit(1))
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_linestatus")
+      .agg(
+        n.as("cnt"),
+        sx.as("sum_qty"),
+        round(sqrt(sx2 / n - (sx / n) * (sx / n)), 6).as("stddev_pop_qty"))
+      .orderBy($"l_linestatus")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_count" -> (aggCount(_, _)),
+    "agg_groupby" -> (aggGroupby(_, _)),
+    "agg_distinct" -> (aggDistinct(_, _)),
+    "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
+    "agg_rollup" -> (aggRollup(_, _)),
+    "agg_cube" -> (aggCube(_, _)),
+    "agg_zonemap" -> (aggZonemap(_, _)),
+    "agg_stats" -> (aggStats(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "agg_count" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+    "agg_groupby" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  MIN(l_extendedprice) AS min_price,
+         |  MAX(l_extendedprice) AS max_price,
+         |  ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_zonemap" ->
+      """SELECT CAST(floor(l_orderkey / 1000) AS BIGINT) AS zone,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY zone""".stripMargin,
+    "agg_stats" ->
+      s"""SELECT l_linestatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  round(sqrt(
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+         |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         |    - (${sqlDsum("l_quantity")} / COUNT(*))
+         |      * (${sqlDsum("l_quantity")} / COUNT(*))), 6)
+         |    AS stddev_pop_qty
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import graft.T.{dsum, sqlDsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators — SURVEY.md §2.4.
+  *
+  * The reference implements no relational joins; its join-shaped
+  * structures are the broadcast interval-list membership test
+  * (SamSource.java:79-102 — a broadcast range join) and the read-pair
+  * colocation contract (README.md:162-167 — a self group-join on read
+  * name). Here is the full join surface a user of the resulting
+  * distributed collections relies on, Spark-native: small dims
+  * broadcast, big-big shuffles on keys, AQE free to re-plan.
+  */
+object Joins extends QueryModule {
+
+  /** Broadcast equi-join: fact⋈dim⋈dim with both dims broadcast —
+    * the header/interval-list broadcast pattern (BamSink.java:76).
+    * No shuffle of the fact side for the joins themselves.
+    */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = T.t(s, dir, "customer")
+    val n = T.t(s, dir, "nation")
+    val r = T.t(s, dir, "region")
+    c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"r_name")
+  }
+
+  /** Big-big equi-join: orders⋈lineitem shuffled on the join key;
+    * merge hint pins sort-merge (AQE may still convert to shuffled
+    * hash when profitable at scale).
+    */
+  def joinSortmerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = T.t(s, dir, "orders")
+    val l = T.t(s, dir, "lineitem")
+    o.hint("merge")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Interval/range join (the genomics overlap join,
+    * AbstractBinarySamSource.java:111-138): fact column vs a small
+    * table of [lo,hi) ranges. Small side broadcast → broadcast
+    * nested-loop, the right plan when ranges are few; §7 notes the
+    * binned-equi-join rewrite for the big-big case.
+    */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = s.createDataFrame(Seq(
+      (0L, 50000L), (50000L, 150000L), (150000L, 300000L), (300000L, 1000000L)))
+      .toDF("lo", "hi")
+    T.t(s, dir, "orders")
+      .join(broadcast(buckets),
+        $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"lo")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"lo")
+  }
+
+  /** Left-semi: customers having orders (EXISTS). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = T.t(s, dir, "customer")
+    val o = T.t(s, dir, "orders").select($"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Left-anti: customers with no orders (NOT EXISTS). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = T.t(s, dir, "customer")
+    val o = T.t(s, dir, "orders").select($"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** As-of: each order paired with the same customer's immediately
+    * preceding order — the nearest-preceding-event join, expressed as
+    * a partitioned lag (one shuffle on the partition key, no
+    * self-join materialization).
+    */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .withColumn("prev_orderkey", lag($"o_orderkey", 1).over(w))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Read-pair colocation analogue (README.md:162-167): self
+    * group-join on the shared key — all lines of an order land in one
+    * group/partition.
+    */
+  def pairsGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        min($"l_linenumber").as("first_line"),
+        max($"l_linenumber").as("last_line"),
+        dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_orderkey")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast" -> (joinBroadcast(_, _)),
+    "join_sortmerge" -> (joinSortmerge(_, _)),
+    "join_interval" -> (joinInterval(_, _)),
+    "join_semi" -> (joinSemi(_, _)),
+    "join_anti" -> (joinAnti(_, _)),
+    "join_asof" -> (joinAsof(_, _)),
+    "pairs_group" -> (pairsGroup(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "join_broadcast" ->
+      s"""SELECT r_name, COUNT(*) AS n_cust, ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_sortmerge" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_interval" ->
+      s"""SELECT CAST(lo AS BIGINT) AS lo, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN (VALUES (0, 50000), (50000, 150000), (150000, 300000),
+         |             (300000, 1000000)) AS b(lo, hi)
+         |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
+         |GROUP BY lo ORDER BY lo""".stripMargin,
+    "join_semi" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_asof" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  lag(o_orderkey, 1) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |    AS prev_orderkey
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "pairs_group" ->
+      s"""SELECT l_orderkey, COUNT(*) AS n_items,
+         |  MIN(l_linenumber) AS first_line, MAX(l_linenumber) AS last_line,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+}

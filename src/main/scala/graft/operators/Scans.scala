@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import graft.T.{dsum, sqlDsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scan / source operators — SURVEY.md §2.1-2.2 (S1-S10, P1-P4).
+  *
+  * The reference's splittable scans (BamSource.java:70-215,
+  * VcfSource.java:114-150) map to Spark's parquet source: row groups
+  * are the splittable container, footer stats replace the .sbi/.tbi
+  * index pruning, and Catalyst column pruning replaces lazy decode
+  * (AbstractSamSource.java:90). Each query here demonstrates one scan
+  * capability with a DuckDB-checkable result.
+  */
+object Scans extends QueryModule {
+
+  /** S1 flagship: scan → pushed filter → partial+final agg. The disq
+    * read path (HtsjdkReadsRddStorage.read, §3.1) in Spark-native
+    * form; also the Bench headline (TPC-H Q1 shape).
+    */
+  def scanReads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampType))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+          (lit(1) - $"l_discount").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** S4 analogue: scan rows with a nested/JSON payload column and
+    * project typed fields out (VcfSource decode, VcfSource.java:136-148
+    * — INFO/genotypes → events.props JSON).
+    */
+  def scanVariants(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select(
+        $"event_id",
+        $"user_id",
+        get_json_object($"props", "$.k").cast(IntegerType).as("k_val"))
+      .orderBy($"event_id")
+  }
+
+  /** S5: directory-of-files scan = ordered UNION ALL of same-schema
+    * files (README.md:85-95). Writes a sharded copy then re-reads the
+    * directory as one table.
+    */
+  def scanMultifileUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "multifile_lineitem")
+    T.t(s, dir, "lineitem")
+      .repartition(8)
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** S3: text scan with header skip (SamSource.java:98 filters `@`
+    * lines). CSV round-trip: write with header, read it back skipping
+    * the header via the csv source.
+    */
+  def scanTextSkipHeader(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "orders_csv")
+    T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.option("header", "true").schema(schema).csv(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** P4: column projection pruned at the scan (lazy decode,
+    * AbstractSamSource.java:90 → Catalyst SchemaPruning). The plan's
+    * ReadSchema carries only 3 of 11 lineitem columns.
+    */
+  def projectPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .filter($"l_orderkey" % 500 === 0)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** S9/S10: index-driven split pruning → parquet row-group stats
+    * pruning over data sort-clustered on the predicate column
+    * (BamSource.java:99-119 SBI chunk lookup). Writes lineitem
+    * range-clustered by l_shipdate, then reads a narrow date range:
+    * non-matching row groups are skipped via min/max stats.
+    */
+  def pruneByStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "lineitem_clustered")
+    T.t(s, dir, "lineitem")
+      .repartitionByRange(16, $"l_shipdate")
+      .sortWithinPartitions($"l_shipdate")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter($"l_shipdate".between(
+        lit("1996-01-01").cast(TimestampType),
+        lit("1996-03-31").cast(TimestampType)))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** F5: validation-stringency gate → csv mode=DROPMALFORMED. Writes
+    * good rows + injected garbage lines, reads back dropping the bad
+    * ones (HtsjdkReadsRddStorage.java:85-88 LENIENT ≈ drop).
+    */
+  def parseBadrecords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "orders_badlines")
+    val good = T.t(s, dir, "orders")
+      .select(concat_ws(",", $"o_orderkey", $"o_totalprice").as("value"))
+    val bad = s.createDataset(Seq(
+      "not,a,number,row", "garbage", ",,", "x,y", "1e309,nope"))
+      .toDF("value")
+    good.union(bad).write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).option("mode", "DROPMALFORMED").csv(out)
+      .filter($"o_orderkey".isNotNull && $"o_totalprice".isNotNull)
+      .agg(count(lit(1)).as("n_good"), dsum($"o_totalprice").as("total"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_reads" -> (scanReads(_, _)),
+    "scan_variants" -> (scanVariants(_, _)),
+    "scan_multifile_union" -> (scanMultifileUnion(_, _)),
+    "scan_text_skip_header" -> (scanTextSkipHeader(_, _)),
+    "project_prune" -> (projectPrune(_, _)),
+    "prune_by_stats" -> (pruneByStats(_, _)),
+    "parse_badrecords" -> (parseBadrecords(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "scan_reads" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_disc_price,
+         |  COUNT(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "scan_variants" ->
+      """SELECT event_id, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "scan_multifile_union" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "scan_text_skip_header" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "project_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 500 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "prune_by_stats" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "parse_badrecords" ->
+      s"""SELECT COUNT(*) AS n_good, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders""".stripMargin)
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window functions — SURVEY.md §2.6.
+  *
+  * The reference's one window-shaped semantic is the 1-row lag inside
+  * the BAI writer (HeaderlessBamOutputFormat.java:104-118); the full
+  * surface (ranking / analytic / framed aggregates) is what users of
+  * the distributed collections run.
+  */
+object Windows extends QueryModule {
+
+  /** Ranking trio. row_number gets a fully unique ordering
+    * (deterministic); rank/dense_rank run on the quantity alone so
+    * ties are visible yet results stay deterministic.
+    */
+  def winRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val full = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_quantity".desc, $"l_orderkey", $"l_linenumber")
+    val byQty = Window.partitionBy($"l_returnflag").orderBy($"l_quantity".desc)
+    T.t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
+      .withColumn("rn", row_number().over(full))
+      .withColumn("rnk", rank().over(byQty))
+      .withColumn("drnk", dense_rank().over(byQty))
+      .filter($"rn" <= 5)
+      .orderBy($"l_returnflag", $"rn")
+  }
+
+  /** Analytic lag/lead over per-user event streams (the BAI
+    * previous-record lag generalized).
+    */
+  def winLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    T.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .drop("ts")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** ROWS frame: trailing-4 running sum per user (exact decimal). */
+  def winFrameRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-3, 0)
+    T.events(s, dir)
+      .select($"user_id", $"event_id", $"value", $"ts")
+      .withColumn("run_sum",
+        sum($"value".cast(DecimalType(18, 6))).over(w).cast(DoubleType))
+      .drop("ts")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** RANGE frame over a numeric ordering: orders within 100.0 below
+    * the current total price, per priority class (partitioned so the
+    * sort distributes; an unpartitioned RANGE window would serialize
+    * onto one task at scale).
+    */
+  def winFrameRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice").rangeBetween(-100L, 0L)
+    T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .withColumn("near_cnt", count(lit(1)).over(w))
+      .withColumn("near_sum",
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .orderBy($"o_orderkey")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> (winRank(_, _)),
+    "win_lag" -> (winLag(_, _)),
+    "win_frame_rows" -> (winFrameRows(_, _)),
+    "win_frame_range" -> (winFrameRange(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn,
+        |    rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC) AS drnk
+        |  FROM lineitem) t
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
+    "win_lag" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(event_type, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  lead(event_type, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_frame_rows" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_frame_range" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  COUNT(*) OVER w AS near_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS near_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+}
