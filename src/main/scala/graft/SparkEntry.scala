@@ -17,7 +17,13 @@ object SparkEntry {
     operators.Aggs,
     operators.Windows,
     operators.SortsSets,
-    functions.Funcs)
+    operators.Sinks,
+    functions.Funcs,
+    streaming.StreamOps,
+    llm.Dedup,
+    llm.Knn,
+    llm.TextStats,
+    llm.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

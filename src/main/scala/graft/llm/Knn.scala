@@ -1,0 +1,131 @@
+package graft.llm
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (array<float>, 64-dim)
+  * — SURVEY.md §2.11 north star.
+  *
+  * Baseline: brute-force cosine top-k (broadcast queries × corpus
+  * scan — embarrassingly parallel, the right plan when the query set
+  * is small). Scale path: sign-random-projection LSH buckets so the
+  * candidate join is an equi-join on bucket ids instead of a cross
+  * product; multi-probe (1-bit flips) recovers recall.
+  */
+object Knn extends QueryModule {
+
+  private val K = 5
+  private val NQueries = 20
+
+  /** Sequential-order dot product with a double accumulator (parity
+    * with DuckDB's list accumulation over DOUBLE[]).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def base(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", norm($"v"))
+  }
+
+  /** Brute-force cosine top-k for the first NQueries vectors. */
+  def knn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = base(s, dir)
+    val q = b.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val c = b.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn"))
+    val w = Window.partitionBy($"qid")
+      .orderBy(round($"cos", 4).desc, $"nid")
+    c.crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos", dot($"qv", $"nv") / ($"qn" * $"nn"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"qid", $"nid", round($"cos", 4).as("cos_sim"), $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  private val NumPlanes = 12
+
+  /** Deterministic ±1 hyperplanes (seeded, platform-stable). */
+  private lazy val planes: IndexedSeq[Seq[Double]] = {
+    val rnd = new scala.util.Random(1234)
+    IndexedSeq.fill(NumPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private def bucketOf(v: Column): Column =
+    (0 until NumPlanes).map { p =>
+      when(dot(v, typedlit(planes(p))) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce[Column](_ + _)
+
+  /** ANN via sign-LSH buckets + 1-bit multi-probe: candidates come
+    * from an equi-join on bucket id (13 probes/query), then exact
+    * cosine ranks them. xxhash-free but plane-dependent → no SQL
+    * oracle; recall vs brute force asserted in LlmSpec.
+    */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = base(s, dir).withColumn("bucket", bucketOf($"v"))
+    val probes = array((lit(0) +: (0 until NumPlanes).map(p => lit(1 << p)))
+      .map(flip => $"bucket".bitwiseXOR(flip)): _*)
+    val q = b.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
+        explode(probes).as("bucket"))
+    val c = b.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn"),
+      $"bucket")
+    val w = Window.partitionBy($"qid")
+      .orderBy(round($"cos", 4).desc, $"nid")
+    c.join(broadcast(q), "bucket")
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid", $"qv", $"qn", $"nv", $"nn")
+      .dropDuplicates("qid", "nid")
+      .withColumn("cos", dot($"qv", $"nv") / ($"qn" * $"nn"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"qid", $"nid", round($"cos", 4).as("cos_sim"), $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** Vector norms (oracled array-numeric sanity query). */
+  def vectorNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    base(s, dir)
+      .select($"vec_id", round($"nrm", 4).as("norm"),
+        size($"v").as("dim"))
+      .orderBy($"vec_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_knn" -> (knn(_, _)),
+    "llm_knn_lsh" -> (knnLsh(_, _)),
+    "llm_vector_norm" -> (vectorNorm(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "llm_knn" ->
+      s"""SELECT qid, nid, cos_sim, rn FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                                 CAST(b.embedding AS DOUBLE[])), 4)
+         |      AS cos_sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                     CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id)
+         |      AS rn
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < $NQueries AND b.vec_id <> a.vec_id) t
+         |WHERE rn <= $K ORDER BY qid, rn""".stripMargin,
+    "llm_vector_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
+        |  CAST(len(embedding) AS INT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
+}

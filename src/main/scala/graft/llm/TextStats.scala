@@ -1,0 +1,171 @@
+package graft.llm
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Text analysis over the documents table — SURVEY.md §2.11 north
+  * star: quality scoring, language-ID heuristic, token counting,
+  * document fingerprinting. All pure column expressions (codegen'd,
+  * no UDFs) so they run at scan speed.
+  */
+object TextStats extends QueryModule {
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  private val stopwords = Seq("the", "a", "of", "in", "and")
+
+  /** Per-document stats: sizes, lexical diversity, stopword ratio. */
+  def textstats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val nToks = size(t)
+    val tokLenSum = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+    val nStop = size(filter(t, x => x.isin(stopwords: _*)))
+    T.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        nToks.as("n_toks"),
+        size(array_distinct(t)).as("n_uniq"),
+        round(tokLenSum / nToks.cast("double"), 6).as("avg_tok_len"),
+        round(nStop / nToks.cast("double"), 6).as("stop_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID heuristic: stopword-hit votes per language with a
+    * fixed priority tie-break; summarized as a confusion matrix
+    * against the labeled lang column.
+    */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    def hits(ws: Seq[String]) = size(filter(t, x => x.isin(ws: _*)))
+    val sEn = hits(Seq("the", "a", "and", "of"))
+    val sFr = hits(Seq("le", "la", "et", "de"))
+    val sEs = hits(Seq("el", "los", "y", "que"))
+    val sDe = hits(Seq("der", "die", "und", "ist"))
+    val best = greatest(sEn, sFr, sEs, sDe)
+    val pred = when(best === 0, "unk")
+      .when(sEn === best, "en")
+      .when(sFr === best, "fr")
+      .when(sEs === best, "es")
+      .otherwise("de")
+    T.t(s, dir, "documents")
+      .groupBy($"lang", pred.as("predicted"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** Token counting: whitespace tokens vs regex word extraction
+    * (the BPE-ish pre-tokenizer pattern).
+    */
+  def tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(toks($"text")).as("n_ws_toks"),
+        size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).as("n_word_toks"),
+        size(regexp_extract_all($"text", lit("[aeiou]+"), lit(0))).as("n_vowel_runs"))
+      .orderBy($"doc_id")
+  }
+
+  /** Fingerprints: raw content hash + order-insensitive canonical
+    * hash (sorted distinct token set) — the exact-dedup key and the
+    * bag-of-words dedup key.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    T.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        md5($"text").as("content_hash"),
+        md5(concat_ws(" ", array_sort(array_distinct(t)))).as("canonical_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality score: length gate + lexical-diversity/volume blend;
+    * keep flag for pipeline filtering.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val nToks = size(t)
+    val uniqRatio = size(array_distinct(t)) / nToks.cast("double")
+    val volume = least(nToks, lit(100)) / lit(100.0)
+    val score = round(uniqRatio * 0.5 + volume * 0.5, 6)
+    val lenOk = length($"text").between(50, 5000)
+    T.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        score.as("score"),
+        lenOk.as("len_ok"),
+        (lenOk && score > 0.3).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_textstats" -> (textstats(_, _)),
+    "llm_langid" -> (langid(_, _)),
+    "llm_tokens" -> (tokens(_, _)),
+    "llm_fingerprint" -> (fingerprint(_, _)),
+    "llm_quality" -> (quality(_, _)))
+
+  private def sqlHits(ws: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map("'" + _ + "'").mkString(", ")})))"
+
+  override def oracleSql: Map[String, String] = Map(
+    "llm_textstats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+         |  round(list_sum(list_transform(string_split(text, ' '), x -> len(x)))
+         |    * 1.0 / len(string_split(text, ' ')), 6) AS avg_tok_len,
+         |  round(${sqlHits(stopwords)}
+         |    * 1.0 / len(string_split(text, ' ')), 6) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_langid" ->
+      s"""WITH sc AS (
+         |  SELECT lang,
+         |    ${sqlHits(Seq("the", "a", "and", "of"))} AS s_en,
+         |    ${sqlHits(Seq("le", "la", "et", "de"))} AS s_fr,
+         |    ${sqlHits(Seq("el", "los", "y", "que"))} AS s_es,
+         |    ${sqlHits(Seq("der", "die", "und", "ist"))} AS s_de
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unk'
+         |       WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+         |       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+         |       ELSE 'de' END AS predicted,
+         |  COUNT(*) AS cnt
+         |FROM sc GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "llm_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_toks,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_toks,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(text) AS content_hash,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS canonical_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_quality" ->
+      """SELECT doc_id,
+        |  round(len(list_distinct(string_split(text, ' ')))
+        |      * 1.0 / len(string_split(text, ' ')) * 0.5
+        |    + least(len(string_split(text, ' ')), 100) / 100.0 * 0.5, 6) AS score,
+        |  length(text) BETWEEN 50 AND 5000 AS len_ok,
+        |  (length(text) BETWEEN 50 AND 5000) AND
+        |    (round(len(list_distinct(string_split(text, ' ')))
+        |        * 1.0 / len(string_split(text, ' ')) * 0.5
+        |      + least(len(string_split(text, ' ')), 100) / 100.0 * 0.5, 6) > 0.3)
+        |    AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import graft.T.{dsum, sqlDsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink operators — SURVEY.md §2.10 (K1-K6).
+  *
+  * The reference's sinks write spec-valid single files (executor parts
+  * + driver concat, BamSink.java:64-139) or sharded directories
+  * (AnySamSinkMultiple.java:62-93). Spark-native: sharded parquet is
+  * the scalable default (K4 ≡ df.write.parquet), single-file is a
+  * coalesce(1) commit step, partitioned layout adds hive-style
+  * partition pruning the reference never had. Every query writes,
+  * re-reads, and aggregates so the oracle checks the full round trip.
+  */
+object Sinks extends QueryModule {
+
+  /** K4: sharded sink — each partition a standalone file, directory
+    * readable as one table (README.md:97-115).
+    */
+  def sinkSharded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_sharded_lineitem")
+    T.t(s, dir, "lineitem")
+      .repartition(8, $"l_orderkey")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** K1: single-file sink — order-preserving coalesce(1) write (the
+    * reference's header+parts+terminator concat, BamSink.java:96-116),
+    * re-read must preserve row order, checked via row_number parity.
+    */
+  def sinkSingle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_single_orders")
+    T.t(s, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy($"o_orderkey")
+  }
+
+  /** Hive-partitioned sink: partition column becomes directory
+    * structure; the re-read filter prunes to one directory (partition
+    * pruning — beyond the reference's capabilities, free in Spark).
+    */
+  def sinkPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_part_events")
+    T.events(s, dir)
+      .select($"event_id", $"user_id", $"value", $"event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .filter($"event_type" === "purchase" || $"event_type" === "signup")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), dsum($"value", 6).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** K6: overwrite semantics — second write fully replaces the first
+    * (README.md:57 "create new or overwrite without warning").
+    */
+  def sinkOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_overwrite_cust")
+    val c = T.t(s, dir, "customer")
+    c.write.mode("overwrite").parquet(out)
+    c.filter($"c_mktsegment" === "BUILDING")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .agg(count(lit(1)).as("cnt"), dsum($"c_acctbal").as("sum_bal"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_sharded" -> (sinkSharded(_, _)),
+    "sink_single" -> (sinkSingle(_, _)),
+    "sink_partitioned" -> (sinkPartitioned(_, _)),
+    "sink_overwrite" -> (sinkOverwrite(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "sink_sharded" ->
+      s"""SELECT l_linestatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "sink_single" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    "sink_partitioned" ->
+      s"""SELECT event_type, COUNT(*) AS cnt, ${sqlDsum("value", 6)} AS sum_value
+         |FROM events WHERE event_type IN ('purchase', 'signup')
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sink_overwrite" ->
+      s"""SELECT COUNT(*) AS cnt, ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+}

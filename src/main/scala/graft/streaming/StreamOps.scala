@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.{QueryModule, T}
+import graft.T.{dsum, sqlDsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Streaming operators — SURVEY.md §2.11.
+  *
+  * Absent from the reference; first-class here via Structured
+  * Streaming primitives (`window`, `session_window`, watermarks,
+  * `dropDuplicates`). Each transform below is a pure DataFrame
+  * function, so the SAME code runs over the batch events table (for
+  * the DuckDB oracle) and over a `readStream` source (streaming smoke
+  * test in StreamingSpec) — the Structured Streaming unification.
+  */
+object StreamOps extends QueryModule {
+
+  /** Tumbling 10-minute windows per event type. Emits the window
+    * start as epoch seconds (bigint) for engine-neutral comparison.
+    */
+  def tumblingCore(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("value"), 6).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).cast(LongType).as("w_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingCore(T.events(s, dir))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Sliding windows: 10-minute length, 5-minute slide — every event
+    * lands in exactly two windows.
+    */
+  def slidingCore(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("value"), 6).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).cast(LongType).as("w_start"),
+        col("cnt"), col("sum_value"))
+
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    slidingCore(T.events(s, dir)).orderBy(col("w_start"))
+
+  /** Gap-based sessionization: 30-minute inactivity closes a session
+    * (session_window merges events whose gap is strictly under the
+    * timeout). Rolled up to per-user session/event counts.
+    */
+  def sessionCore(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  def streamSession(s: SparkSession, dir: String): DataFrame =
+    sessionCore(T.events(s, dir))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Keep-first dedup per (user_id, event_type) — the batch-checkable
+    * analogue of streaming `dropDuplicates` state (first-by-event-time
+    * with a deterministic tiebreak).
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    T.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> (streamTumbling(_, _)),
+    "stream_sliding" -> (streamSliding(_, _)),
+    "stream_session" -> (streamSession(_, _)),
+    "stream_dedup" -> (streamDedup(_, _)))
+
+  // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
+  // applies the same micros truncation as graft.T.events.
+  override def oracleSql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      s"""SELECT CAST(600 * floor(epoch(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT)
+         |    AS w_start,
+         |  event_type, COUNT(*) AS cnt, ${sqlDsum("value", 6)} AS sum_value
+         |FROM events GROUP BY 1, event_type
+         |ORDER BY w_start, event_type""".stripMargin,
+    "stream_sliding" ->
+      s"""SELECT w_start, COUNT(*) AS cnt, ${sqlDsum("value", 6)} AS sum_value
+         |FROM (
+         |  SELECT CAST(300 * floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT)
+         |    AS w_start, value FROM events
+         |  UNION ALL
+         |  SELECT CAST(300 * (floor(epoch(CAST(ts AS TIMESTAMP)) / 300) - 1) AS BIGINT)
+         |    AS w_start, value FROM events
+         |) u GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), d AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER
+        |              (PARTITION BY user_id ORDER BY ts)) >= 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e)
+        |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_dedup" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+}
