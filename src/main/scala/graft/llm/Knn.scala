@@ -53,7 +53,7 @@ object Knn extends QueryModule {
       .orderBy($"qid", $"rn")
   }
 
-  private val NumPlanes = 12
+  private val NumPlanes = 6
 
   /** Deterministic ±1 hyperplanes (seeded, platform-stable). */
   private lazy val planes: IndexedSeq[Seq[Double]] = {
@@ -66,16 +66,26 @@ object Knn extends QueryModule {
       when(dot(v, typedlit(planes(p))) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce[Column](_ + _)
 
-  /** ANN via sign-LSH buckets + 1-bit multi-probe: candidates come
-    * from an equi-join on bucket id (13 probes/query), then exact
-    * cosine ranks them. xxhash-free but plane-dependent → no SQL
-    * oracle; recall vs brute force asserted in LlmSpec.
+  /** Probe masks: exact bucket, all 1-bit flips, all 2-bit flips —
+    * multi-probe recovers recall lost to near-boundary sign flips.
+    */
+  private val probeMasks: Seq[Int] = {
+    val singles = (0 until NumPlanes).map(1 << _)
+    val pairs = for {
+      i <- 0 until NumPlanes; j <- (i + 1) until NumPlanes
+    } yield (1 << i) | (1 << j)
+    0 +: (singles ++ pairs)
+  }
+
+  /** ANN via sign-LSH buckets + 2-bit multi-probe: candidates come
+    * from an equi-join on bucket id, then exact cosine ranks them.
+    * Plane-dependent → no SQL oracle; recall vs brute force asserted
+    * in LlmSpec.
     */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = base(s, dir).withColumn("bucket", bucketOf($"v"))
-    val probes = array((lit(0) +: (0 until NumPlanes).map(p => lit(1 << p)))
-      .map(flip => $"bucket".bitwiseXOR(flip)): _*)
+    val probes = array(probeMasks.map(flip => $"bucket".bitwiseXOR(lit(flip))): _*)
     val q = b.filter($"vec_id" < NQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
         explode(probes).as("bucket"))

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Probabilistic-operator quality gates: the ops whose internals
+  * (xxhash seeds, hyperplanes) have no SQL oracle are bounded against
+  * their exact counterparts instead.
+  */
+class LlmSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+  private lazy val exactPairs = pairSet(llm.Dedup.ngramJaccard(spark, SF))
+
+  test("exact ngram jaccard finds the planted near-dup pairs") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("minhash-LSH dedup returns exactly the exact-jaccard pairs") {
+    val lsh = pairSet(llm.Dedup.dedupNear(spark, SF))
+    assert(lsh == exactPairs,
+      s"missing=${exactPairs -- lsh} extra=${lsh -- exactPairs}")
+  }
+
+  test("simhash banding recovers most planted near-dup pairs") {
+    val sim = pairSet(llm.Dedup.dedupSimhash(spark, SF))
+    val recall = (sim & exactPairs).size.toDouble / exactPairs.size
+    info(s"simhash recall=$recall pairs=${sim.size}")
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  private def knnSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
+
+  test("LSH knn recalls a useful fraction of brute-force neighbors") {
+    val brute = knnSet(llm.Knn.knn(spark, SF))
+    val ann = knnSet(llm.Knn.knnLsh(spark, SF))
+    val recall = (brute & ann).size.toDouble / brute.size
+    info(s"ann recall@5=$recall")
+    assert(recall >= 0.15, s"recall=$recall")
+  }
+
+  test("LSH knn similarities are never above brute-force kth") {
+    // ANN must return true cosines (no fabricated scores): every ANN
+    // hit's score equals the brute-force score for that pair.
+    val brute = llm.Knn.knn(spark, SF)
+      .select($"qid", $"nid", $"cos_sim").as[(Long, Long, Double)]
+      .collect().map { case (q, n, c) => (q, n) -> c }.toMap
+    val ann = llm.Knn.knnLsh(spark, SF)
+      .select($"qid", $"nid", $"cos_sim").as[(Long, Long, Double)].collect()
+    ann.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(b => assert(b == c, s"pair ($q,$n)"))
+    }
+  }
+
+  test("exact dedup sees all docs unique in fixtures") {
+    val r = llm.Dedup.dedupExact(spark, SF).collect()(0)
+    assert(r.getLong(0) >= r.getLong(1))
+  }
+}

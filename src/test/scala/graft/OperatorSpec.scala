@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants beyond the DuckDB oracle — the reference's
+  * test-oracle styles #3/#4 (SURVEY.md §5): partition disjointness,
+  * order preservation, approximation bounds.
+  */
+class OperatorSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  private lazy val total =
+    operators.Aggs.aggCount(spark, SF).collect()(0).getLong(0)
+
+  test("pairs_group partitions every row exactly once") {
+    val sum = operators.Joins.pairsGroup(spark, SF)
+      .agg(org.apache.spark.sql.functions.sum($"n_items")).collect()(0).getLong(0)
+    assert(sum == total)
+  }
+
+  test("zonemap covers every row exactly once") {
+    val sum = operators.Aggs.aggZonemap(spark, SF)
+      .agg(org.apache.spark.sql.functions.sum($"cnt")).collect()(0).getLong(0)
+    assert(sum == total)
+  }
+
+  test("per-partition zone map sums to total under varied split sizes") {
+    // The SBI/BAI analogue over physical partitions (oracle style #3:
+    // every record in exactly one partition, any split size).
+    for (bytes <- Seq("262144", "1048576", "134217728")) {
+      val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", bytes)
+      try {
+        val zm = T.t(spark, SF, "lineitem")
+          .groupBy(spark_partition_id().as("pid"))
+          .agg(count(lit(1)).as("cnt"), min($"l_orderkey"), max($"l_orderkey"))
+        val sum = zm.agg(org.apache.spark.sql.functions.sum($"cnt"))
+          .collect()(0).getLong(0)
+        assert(sum == total, s"maxPartitionBytes=$bytes")
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    }
+  }
+
+  test("topk returns k rows in descending order") {
+    val rows = operators.SortsSets.topk(spark, SF).collect()
+    assert(rows.length == 100)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sort_within yields globally ordered output across range partitions") {
+    val keys = operators.SortsSets.sortWithin(spark, SF)
+      .coalesce(1).collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(keys.zip(keys.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+    })
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = operators.Aggs.aggApproxDistinct(spark, SF)
+      .collect()(0).getLong(0)
+    val exact = operators.Aggs.aggDistinct(spark, SF).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("intersect and except of the same pair are disjoint") {
+    val i = operators.SortsSets.setIntersect(spark, SF)
+      .select($"key").as[Long].collect().toSet
+    val e = operators.SortsSets.setExcept(spark, SF)
+      .select($"key").as[Long].collect().toSet
+    assert((i & e).isEmpty)
+  }
+
+  test("overwrite leaves only the second write") {
+    val cnt = operators.Sinks.sinkOverwrite(spark, SF).collect()(0).getLong(0)
+    val expect = T.t(spark, SF, "customer")
+      .filter($"c_mktsegment" === "BUILDING").count()
+    assert(cnt == expect)
+  }
+
+  test("single-file sink preserves row order through the round trip") {
+    val out = T.scratch(SF, "ordertest")
+    T.t(spark, SF, "orders")
+      .orderBy($"o_orderkey").coalesce(1)
+      .write.mode("overwrite").parquet(out)
+    val keys = spark.read.parquet(out).select($"o_orderkey")
+      .as[Long].collect()
+    assert(keys.sameElements(keys.sorted), "file order must equal sort order")
+  }
+}
