@@ -65,12 +65,22 @@ object Dedup extends QueryModule {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
-  /** MinHash signature: per hash function i, min over shingles of
-    * xxhash64(i, shingle).
+  /** MinHash signatures: explode shingles and take 64 parallel
+    * min(xxhash64(seed, tok)) aggregates in ONE hash-aggregate pass —
+    * map-side partial mins make the shuffle 64 longs per doc. (An
+    * array_min(transform(...)) per seed builds a 64-lambda expression
+    * tree that blows up codegen; measured 10× slower.)
     */
-  def minhashSig(sh: Column): Column =
-    array((0 until NumHashes).map(i =>
-      array_min(transform(sh, t => xxhash64(lit(i), t)))): _*)
+  def minhashSigs(docShingles: DataFrame): DataFrame = {
+    val exploded = docShingles.select(col("doc_id"),
+      explode(col("sh")).as("tok"))
+    val minCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH near-dup: signatures → band hashes → bucket
     * equi-join for candidates → exact-Jaccard verification. At 0.89+
@@ -83,7 +93,7 @@ object Dedup extends QueryModule {
     val docs = T.t(s, dir, "documents")
       .select($"doc_id", shingles($"text").as("sh"))
       .filter(size($"sh") > 0)
-    val sigs = docs.select($"doc_id", minhashSig($"sh").as("sig"))
+    val sigs = minhashSigs(docs)
     val bandCols = array((0 until Bands).map { b =>
       xxhash64((lit(b) +: (0 until RowsPerBand).map(r =>
         element_at($"sig", b * RowsPerBand + r + 1))): _*)

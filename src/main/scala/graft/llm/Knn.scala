@@ -35,18 +35,22 @@ object Knn extends QueryModule {
       .withColumn("nrm", norm($"v"))
   }
 
-  /** Brute-force cosine top-k for the first NQueries vectors. */
+  /** Brute-force cosine top-k for the first NQueries vectors. The
+    * similarity is the native CosineSimilarity expression — a fused
+    * codegen loop (same sequential accumulation as the HOF version).
+    */
   def knn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = base(s, dir)
     val q = b.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
-    val c = b.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn"))
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val c = b.select($"vec_id".as("nid"), $"v".as("nv"))
     val w = Window.partitionBy($"qid")
       .orderBy(round($"cos", 4).desc, $"nid")
     c.crossJoin(broadcast(q))
       .filter($"nid" =!= $"qid")
-      .withColumn("cos", dot($"qv", $"nv") / ($"qn" * $"nn"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine_sim($"qv", $"nv"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= K)
       .select($"qid", $"nid", round($"cos", 4).as("cos_sim"), $"rn")
@@ -87,17 +91,17 @@ object Knn extends QueryModule {
     val b = base(s, dir).withColumn("bucket", bucketOf($"v"))
     val probes = array(probeMasks.map(flip => $"bucket".bitwiseXOR(lit(flip))): _*)
     val q = b.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
+      .select($"vec_id".as("qid"), $"v".as("qv"),
         explode(probes).as("bucket"))
-    val c = b.select($"vec_id".as("nid"), $"v".as("nv"), $"nrm".as("nn"),
-      $"bucket")
+    val c = b.select($"vec_id".as("nid"), $"v".as("nv"), $"bucket")
     val w = Window.partitionBy($"qid")
       .orderBy(round($"cos", 4).desc, $"nid")
     c.join(broadcast(q), "bucket")
       .filter($"nid" =!= $"qid")
-      .select($"qid", $"nid", $"qv", $"qn", $"nv", $"nn")
+      .select($"qid", $"nid", $"qv", $"nv")
       .dropDuplicates("qid", "nid")
-      .withColumn("cos", dot($"qv", $"nv") / ($"qn" * $"nn"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine_sim($"qv", $"nv"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= K)
       .select($"qid", $"nid", round($"cos", 4).as("cos_sim"), $"rn")

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, T}
 import graft.T.{dsum, sqlDsum}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,40 @@ object Joins extends QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** Binned interval join — SURVEY.md §7 stretch (a): the overlap
+    * theta-join rewritten as an equi-join on bin ids so BOTH sides can
+    * be arbitrarily large. Each [lo,hi) range explodes to the bins it
+    * covers; each fact row maps to exactly one bin; the equi-join
+    * shuffles by bin (AQE handles skewed bins) and a residual filter
+    * removes same-bin non-overlaps. This replaces the broadcast
+    * nested-loop plan when the ranges side outgrows broadcast.
+    */
+  def binnedIntervalJoin(fact: DataFrame, factCol: Column,
+      ranges: DataFrame, binWidth: Long): DataFrame = {
+    val binned = ranges.withColumn("r_bin",
+      explode(sequence(floor(col("lo") / binWidth),
+        floor((col("hi") - 1) / binWidth))))
+    fact.withColumn("f_bin", floor(factCol / binWidth))
+      .join(binned, col("f_bin") === col("r_bin") &&
+        factCol >= col("lo") && factCol < col("hi"))
+      .drop("f_bin", "r_bin")
+  }
+
+  /** join_interval semantics through the binned equi-join plan —
+    * identical results, shuffle-join physical shape (same oracle).
+    */
+  def joinIntervalBinned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = s.createDataFrame(Seq(
+      (0L, 50000L), (50000L, 150000L), (150000L, 300000L), (300000L, 1000000L)))
+      .toDF("lo", "hi")
+    binnedIntervalJoin(
+      T.t(s, dir, "orders"), $"o_totalprice", buckets, 50000L)
+      .groupBy($"lo")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"lo")
+  }
+
   /** Read-pair colocation analogue (README.md:162-167): self
     * group-join on the shared key — all lines of an order land in one
     * group/partition.
@@ -124,6 +158,7 @@ object Joins extends QueryModule {
     "join_broadcast" -> (joinBroadcast(_, _)),
     "join_sortmerge" -> (joinSortmerge(_, _)),
     "join_interval" -> (joinInterval(_, _)),
+    "join_interval_binned" -> (joinIntervalBinned(_, _)),
     "join_semi" -> (joinSemi(_, _)),
     "join_anti" -> (joinAnti(_, _)),
     "join_asof" -> (joinAsof(_, _)),
@@ -142,6 +177,14 @@ object Joins extends QueryModule {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_interval" ->
+      s"""SELECT CAST(lo AS BIGINT) AS lo, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN (VALUES (0, 50000), (50000, 150000), (150000, 300000),
+         |             (300000, 1000000)) AS b(lo, hi)
+         |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
+         |GROUP BY lo ORDER BY lo""".stripMargin,
+    "join_interval_binned" ->
       s"""SELECT CAST(lo AS BIGINT) AS lo, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders

@@ -142,8 +142,25 @@ object Scans extends QueryModule {
       .agg(count(lit(1)).as("n_good"), dsum($"o_totalprice").as("total"))
   }
 
+  /** P2: text line → typed record parse (SAMLineParser.parseLine,
+    * SamSource.java:82-103): split a formatted string column into
+    * typed fields, no UDF — pure codegen'd expressions.
+    */
+  def parseProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "customer")
+      .select(
+        $"c_custkey",
+        split($"c_name", "#").getItem(0).as("prefix"),
+        split($"c_name", "#").getItem(1).cast(LongType).as("parsed_id"),
+        (split($"c_name", "#").getItem(1).cast(LongType) === $"c_custkey")
+          .as("id_ok"))
+      .orderBy($"c_custkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_reads" -> (scanReads(_, _)),
+    "parse_project" -> (parseProject(_, _)),
     "scan_variants" -> (scanVariants(_, _)),
     "scan_multifile_union" -> (scanMultifileUnion(_, _)),
     "scan_text_skip_header" -> (scanTextSkipHeader(_, _)),
@@ -152,6 +169,12 @@ object Scans extends QueryModule {
     "parse_badrecords" -> (parseBadrecords(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "parse_project" ->
+      """SELECT c_custkey,
+        |  string_split(c_name, '#')[1] AS prefix,
+        |  CAST(string_split(c_name, '#')[2] AS BIGINT) AS parsed_id,
+        |  CAST(string_split(c_name, '#')[2] AS BIGINT) = c_custkey AS id_ok
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "scan_reads" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
