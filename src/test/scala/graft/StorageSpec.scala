@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftStorage, PartitionedBy, SingleFile, SortedBy}
+
+/** Storage-facade behavior (read/write option resolution — the
+  * reference's HtsjdkReadsRddStorage contract) plus randomized
+  * properties for interval canonicalization.
+  */
+class StorageSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  private val storage = GraftStorage(spark)
+
+  test("single-file write produces exactly one data file, overwrite replaces") {
+    val out = T.scratch(SF, "storage_single")
+    val df = T.t(spark, SF, "nation")
+    storage.write(df, out, SingleFile)
+    def dataFiles = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles == 1)
+    storage.write(df.limit(10), out, SingleFile)
+    assert(spark.read.parquet(out).count() == 10)
+  }
+
+  test("partitioned write lays out hive directories and prunes on read") {
+    val out = T.scratch(SF, "storage_part")
+    storage.write(T.t(spark, SF, "customer"), out, PartitionedBy("c_mktsegment"))
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("c_mktsegment=")))
+    val pruned = spark.read.parquet(out)
+      .filter($"c_mktsegment" === "BUILDING")
+    assert(pruned.count() ==
+      T.t(spark, SF, "customer").filter($"c_mktsegment" === "BUILDING").count())
+  }
+
+  test("sorted sharded write preserves within-file order") {
+    val out = T.scratch(SF, "storage_sorted")
+    storage.write(
+      T.t(spark, SF, "orders").repartitionByRange(4, $"o_orderkey"),
+      out, SortedBy("o_orderkey"))
+    val perFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"), $"o_orderkey")
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rows =>
+      val keys = rows.map(_.getLong(1))
+      assert(keys.sameElements(keys.sorted))
+    }
+  }
+
+  test("splitSize bounds input partition count like the reference splitSize") {
+    val small = GraftStorage(spark).splitSize(64 * 1024)
+      .read(s"$SF/lineitem.parquet").rdd.getNumPartitions
+    val big = GraftStorage(spark).splitSize(128 * 1024 * 1024)
+      .read(s"$SF/lineitem.parquet").rdd.getNumPartitions
+    assert(small > big)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
+  test("projection facade prunes columns at the scan") {
+    val df = GraftStorage(spark).select("l_orderkey", "l_quantity")
+      .read(s"$SF/lineitem.parquet")
+    assert(df.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+  }
+
+  test("interval normalize: disjoint, sorted, coverage-preserving (100 random cases)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 100) {
+      val ivs = Seq.fill(rnd.nextInt(20)) {
+        val lo = rnd.nextLong(1000)
+        (lo, lo + rnd.nextLong(50))
+      }
+      val norm = operators.Intervals.normalize(ivs)
+      norm.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1, s"$ivs -> $norm")
+        case _ => ()
+      }
+      def covered(ivSet: Seq[(Long, Long)], x: Long) =
+        ivSet.exists { case (l, h) => x >= l && x <= h }
+      (0L to 1100L by 7) ++ ivs.flatMap(iv => Seq(iv._1, iv._2)) foreach { x =>
+        assert(covered(ivs, x) == covered(norm, x), s"$ivs -> $norm @ $x")
+      }
+    }
+  }
+
+  test("interval predicate matches naive OR on real data") {
+    val ivs = Seq((100L, 200L), (150L, 300L), (301L, 400L), (900L, 950L))
+    val c = $"l_orderkey"
+    val naive = ivs.map { case (l, h) => c >= l && c <= h }.reduce(_ || _)
+    val li = T.t(spark, SF, "lineitem")
+    assert(operators.Intervals.normalize(ivs).size == 2)
+    assert(li.filter(operators.Intervals.predicate(c, ivs)).count() ==
+      li.filter(naive).count())
+  }
+}

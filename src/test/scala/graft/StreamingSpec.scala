@@ -52,6 +52,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("custom state via mapGroupsWithState matches batch per-user counts") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+    val counted = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counted.toDF("user_id", "n")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("state_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user = final count
+    val got = spark.table("state_out")
+      .groupBy($"user_id").agg(max($"n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = T.events(spark, SF).groupBy($"user_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("streaming session window counts match batch sessionization") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
