@@ -108,6 +108,24 @@ object Knn extends QueryModule {
       .orderBy($"qid", $"rn")
   }
 
+  /** Embedding-cosine near-dup: all pairs above a similarity
+    * threshold (upper triangle). Brute force here; at scale the
+    * sign-LSH bucketing above bounds the candidate set the same way
+    * MinHash banding bounds text dedup.
+    */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = base(s, dir)
+    val a = b.select($"vec_id".as("id_a"), $"v".as("va"))
+    val c = b.select($"vec_id".as("id_b"), $"v".as("vb"))
+    a.join(c, $"id_a" < $"id_b")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine_sim($"va", $"vb"))
+      .filter($"cos" >= 0.45)
+      .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Vector norms (oracled array-numeric sanity query). */
   def vectorNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -120,6 +138,7 @@ object Knn extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_knn" -> (knn(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
+    "llm_dedup_embed" -> (dedupEmbed(_, _)),
     "llm_vector_norm" -> (vectorNorm(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -136,6 +155,15 @@ object Knn extends QueryModule {
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id < $NQueries AND b.vec_id <> a.vec_id) t
          |WHERE rn <= $K ORDER BY qid, rn""".stripMargin,
+    "llm_dedup_embed" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4)
+        |    AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     "llm_vector_norm" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding,
