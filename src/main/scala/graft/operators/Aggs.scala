@@ -112,7 +112,26 @@ object Aggs extends QueryModule {
       .orderBy($"l_linestatus")
   }
 
+  /** Salted two-phase aggregation — the skew pattern: key ⊕ salt
+    * partial agg spreads a hot key over N reducers, then the final
+    * agg drops the salt. (Spark's partial/final split already does
+    * map-side combine; explicit salting additionally splits a hot
+    * key's REDUCE work, which matters when one key dominates.)
+    */
+  def aggSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salted = T.t(s, dir, "lineitem")
+      .withColumn("salt", pmod(crc32($"l_orderkey".cast("string")), lit(16)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(count(lit(1)).as("c"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).as("q"))
+    salted.groupBy($"l_returnflag")
+      .agg(sum($"c").as("cnt"), sum($"q").cast(DoubleType).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_salted" -> (aggSalted(_, _)),
     "agg_count" -> (aggCount(_, _)),
     "agg_groupby" -> (aggGroupby(_, _)),
     "agg_distinct" -> (aggDistinct(_, _)),
@@ -124,6 +143,9 @@ object Aggs extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "agg_count" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+    "agg_salted" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_groupby" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_quantity")} AS sum_qty,

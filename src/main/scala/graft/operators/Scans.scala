@@ -158,8 +158,53 @@ object Scans extends QueryModule {
       .orderBy($"c_custkey")
   }
 
+  /** S4 codec breadth: JSON-lines source round trip (the pluggable
+    * text-codec family — VcfSource's per-line codec decode becomes
+    * the built-in json datasource with an explicit schema).
+    */
+  def scanJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "events_json")
+    T.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).json(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), dsum($"value", 6).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** S4/K7 compressed-text path: gzip-compressed CSV parts — like the
+    * reference's true-gzip VCFs, each file is unsplittable (one task
+    * per file), so parallelism = file count; written sharded for that
+    * reason.
+    */
+  def scanTextGzip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "orders_csv_gz")
+    T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "gzip").csv(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).csv(out)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_reads" -> (scanReads(_, _)),
+    "scan_json" -> (scanJson(_, _)),
+    "scan_text_gzip" -> (scanTextGzip(_, _)),
     "parse_project" -> (parseProject(_, _)),
     "scan_variants" -> (scanVariants(_, _)),
     "scan_multifile_union" -> (scanMultifileUnion(_, _)),
@@ -169,6 +214,13 @@ object Scans extends QueryModule {
     "parse_badrecords" -> (parseBadrecords(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "scan_json" ->
+      s"""SELECT event_type, COUNT(*) AS cnt, ${sqlDsum("value", 6)} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_text_gzip" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "parse_project" ->
       """SELECT c_custkey,
         |  string_split(c_name, '#')[1] AS prefix,
