@@ -104,6 +104,44 @@ object Joins extends QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** Bucketed co-located join: both sides pre-bucketed on the join
+    * key into catalog tables → the sort-merge join reads bucket i of
+    * each side in the same task, NO shuffle exchange in the plan
+    * (asserted in OperatorSpec). At 100 TB this converts every
+    * recurring fact-fact join on the bucket key into a scan-local
+    * merge — the single biggest shuffle saving a warehouse layout can
+    * buy. (Requires spark.sql.warehouse.dir; bucket counts must match.)
+    */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ot = s"orders_b_$sfTag"
+    val lt = s"lineitem_b_$sfTag"
+    // A fresh session's in-memory catalog forgets prior runs' tables
+    // but their warehouse directories persist — clear both.
+    Seq(ot, lt).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(wh, true)
+    }
+    T.t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ot)
+    T.t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice")
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(lt)
+    // merge hint: at fixture scale the optimizer would broadcast; the
+    // bucket payoff being demonstrated is the SMJ-without-exchange.
+    s.table(ot).hint("merge").join(s.table(lt), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Binned interval join — SURVEY.md §7 stretch (a): the overlap
     * theta-join rewritten as an equi-join on bin ids so BOTH sides can
     * be arbitrarily large. Each [lo,hi) range explodes to the bins it
@@ -157,6 +195,7 @@ object Joins extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_broadcast" -> (joinBroadcast(_, _)),
     "join_sortmerge" -> (joinSortmerge(_, _)),
+    "join_bucketed" -> (joinBucketed(_, _)),
     "join_interval" -> (joinInterval(_, _)),
     "join_interval_binned" -> (joinIntervalBinned(_, _)),
     "join_semi" -> (joinSemi(_, _)),
@@ -184,6 +223,11 @@ object Joins extends QueryModule {
          |             (300000, 1000000)) AS b(lo, hi)
          |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
          |GROUP BY lo ORDER BY lo""".stripMargin,
+    "join_bucketed" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_interval_binned" ->
       s"""SELECT CAST(lo AS BIGINT) AS lo, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total

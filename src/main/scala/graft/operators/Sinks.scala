@@ -25,7 +25,7 @@ object Sinks extends QueryModule {
     val out = T.scratch(dir, "sink_sharded_lineitem")
     T.t(s, dir, "lineitem")
       .repartition(8, $"l_orderkey")
-      .write.mode("overwrite").parquet(out)
+      .write.mode("overwrite").option("compression", "zstd").parquet(out)
     s.read.parquet(out)
       .groupBy($"l_linestatus")
       .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))

@@ -58,6 +58,17 @@ class OperatorSpec extends AnyFunSuite {
     })
   }
 
+  test("bucketed join plans without a join-key shuffle") {
+    val df = operators.Joins.joinBucketed(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("hashpartitioning(o_orderkey"),
+      "orders side must be shuffle-free (bucket-local)")
+    assert(!plan.contains("hashpartitioning(l_orderkey"),
+      "lineitem side must be shuffle-free (bucket-local)")
+    assert(df.count() > 0)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = operators.Aggs.aggApproxDistinct(spark, SF)
       .collect()(0).getLong(0)

@@ -14,6 +14,7 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
+      .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
