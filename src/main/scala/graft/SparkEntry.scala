@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Windows,
     operators.SortsSets,
     operators.Sinks,
+    operators.TypedOps,
     functions.Funcs,
     streaming.StreamOps,
     llm.Dedup,

@@ -5,6 +5,7 @@ import graft.T.{dsum, sqlDsum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Join operators — SURVEY.md §2.4.
   *
@@ -176,6 +177,30 @@ object Joins extends QueryModule {
       .orderBy($"lo")
   }
 
+  /** Multi-way star join (TPC-H Q5 shape): fact ⋈ fact ⋈ dim ⋈ dim ⋈
+    * dim — Catalyst reorders and broadcasts the dims; the only big
+    * shuffle is lineitem⋈orders on the order key.
+    */
+  def joinMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = T.t(s, dir, "lineitem")
+    val o = T.t(s, dir, "orders")
+    val c = T.t(s, dir, "customer")
+    val n = T.t(s, dir, "nation")
+    val r = T.t(s, dir, "region")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum($"l_extendedprice".cast(DecimalType(18, 2)) *
+          (lit(1) - $"l_discount").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+      .orderBy($"r_name", $"n_name")
+  }
+
   /** Read-pair colocation analogue (README.md:162-167): self
     * group-join on the shared key — all lines of an order land in one
     * group/partition.
@@ -196,6 +221,7 @@ object Joins extends QueryModule {
     "join_broadcast" -> (joinBroadcast(_, _)),
     "join_sortmerge" -> (joinSortmerge(_, _)),
     "join_bucketed" -> (joinBucketed(_, _)),
+    "join_multi" -> (joinMulti(_, _)),
     "join_interval" -> (joinInterval(_, _)),
     "join_interval_binned" -> (joinIntervalBinned(_, _)),
     "join_semi" -> (joinSemi(_, _)),
@@ -223,6 +249,17 @@ object Joins extends QueryModule {
          |             (300000, 1000000)) AS b(lo, hi)
          |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
          |GROUP BY lo ORDER BY lo""".stripMargin,
+    "join_multi" ->
+      """SELECT r_name, n_name, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "join_bucketed" ->
       s"""SELECT o_orderpriority, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price
