@@ -12,17 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** Word 3-gram shingle set of the text column (distinct). */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    val n = size(toks)
-    when(n >= 3,
-      array_distinct(transform(sequence(lit(0), n - lit(3)), i =>
-        concat_ws("_",
-          element_at(toks, i + 1),
-          element_at(toks, i + 2),
-          element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct word-3-gram shingles in ROW form: (doc_id, tok).
+    *
+    * posexplode once + a lead() window, never array lambdas: an
+    * array-transform formulation re-evaluates split(text) inside each
+    * element access (no common-subexpression elimination across a
+    * lambda boundary), which is quadratic per document — measured 4×
+    * slower on the fixtures. Row form also feeds the inverted index
+    * and the MinHash aggregate with no re-shaping.
+    */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .select(col("doc_id"), col("tok"),
+        lead(col("tok"), 1).over(w).as("t1"),
+        lead(col("tok"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws("_", col("tok"), col("t1"), col("t2")).as("tok"))
+      .distinct()
   }
 
   /** Exact dedup: content-hash cardinality (dropDuplicates analogue,
@@ -43,10 +53,7 @@ object Dedup extends QueryModule {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = T.t(s, dir, "documents")
-    val t = docs
-      .select($"doc_id", explode(shingles($"text")).as("tok"))
-      .distinct()
+    val t = shingleRows(T.t(s, dir, "documents"))
     val sz = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = t.as("a").join(t.as("b"), "tok")
       .filter($"a.doc_id" < $"b.doc_id")
@@ -70,18 +77,16 @@ object Dedup extends QueryModule {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
-  /** MinHash signatures: explode shingles and take 64 parallel
+  /** MinHash signatures from shingle ROWS: N parallel
     * min(xxhash64(seed, tok)) aggregates in ONE hash-aggregate pass —
-    * map-side partial mins make the shuffle 64 longs per doc. (An
-    * array_min(transform(...)) per seed builds a 64-lambda expression
+    * map-side partial mins make the shuffle N longs per doc. (An
+    * array_min(transform(...)) per seed builds an N-lambda expression
     * tree that blows up codegen; measured 10× slower.)
     */
-  def minhashSigs(docShingles: DataFrame): DataFrame = {
-    val exploded = docShingles.select(col("doc_id"),
-      explode(col("sh")).as("tok"))
+  def minhashSigs(shingleRows: DataFrame): DataFrame = {
     val minCols = (0 until NumHashes).map(i =>
       min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
-    exploded.groupBy(col("doc_id"))
+    shingleRows.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -95,10 +100,8 @@ object Dedup extends QueryModule {
     */
   def dedupNear(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = T.t(s, dir, "documents")
-      .select($"doc_id", shingles($"text").as("sh"))
-      .filter(size($"sh") > 0)
-    val sigs = minhashSigs(docs)
+    val t = shingleRows(T.t(s, dir, "documents"))
+    val sigs = minhashSigs(t)
     val bandCols = array((0 until Bands).map { b =>
       xxhash64((lit(b) +: (0 until RowsPerBand).map(r =>
         element_at($"sig", b * RowsPerBand + r + 1))): _*)
@@ -109,11 +112,18 @@ object Dedup extends QueryModule {
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    candidates
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .withColumn("i", size(array_intersect($"sh_a", $"sh_b")))
-      .withColumn("j", $"i" / (size($"sh_a") + size($"sh_b") - $"i"))
+    // Exact-Jaccard verification restricted to the candidate set:
+    // intersection counts via the shingle rows (no array reshaping).
+    val sz = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(t.as("ta"), $"ta.doc_id" === $"doc_a")
+      .join(t.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.tok" === $"tb.tok")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sz.as("sb"), $"doc_b" === $"sb.doc_id")
+      .withColumn("j", $"i" / ($"sa.n" + $"sb.n" - $"i"))
       .filter($"j" >= 0.5)
       .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
