@@ -75,7 +75,32 @@ object StreamOps extends QueryModule {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Two-stream as-of join via the union trick — the scalable as-of
+    * shape (SURVEY.md §2.4): instead of joining purchases×clicks and
+    * ranking (O(pairs)), tag both streams, union, and carry the last
+    * click forward with an ignore-nulls last() window — one shuffle on
+    * the key, linear work. For each purchase: the same user's most
+    * recent click at-or-before it.
+    */
+  def joinAsofUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val tagged = ev.select(
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      when(col("event_type") === "click", col("event_id")).as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_click_id",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("last_click_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_union" -> (joinAsofUnion(_, _)),
     "stream_tumbling" -> (streamTumbling(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
     "stream_session" -> (streamSession(_, _)),
@@ -84,6 +109,18 @@ object StreamOps extends QueryModule {
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
   // applies the same micros truncation as graft.T.events.
   override def oracleSql: Map[String, String] = Map(
+    "join_asof_union" ->
+      """SELECT user_id, event_id, last_click_id FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |               IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_click_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
     "stream_tumbling" ->
       s"""SELECT CAST(600 * floor(epoch(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT)
          |    AS w_start,

@@ -8,6 +8,7 @@ object SparkTestSession {
   val SF01 = "/root/testdata/sf0.01"
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new GraftExtensions)
     .master("local[8]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "8")

@@ -87,6 +87,35 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("directory scan skips hidden and underscore-prefixed files (F6)") {
+    val out = T.scratch(SF, "storage_hidden")
+    storage.write(T.t(spark, SF, "nation"), out)
+    // Drop junk files a real pipeline leaves around; Spark's
+    // HiddenFileFilter convention must ignore them (the reference's
+    // HiddenFileFilter.java:31-37 behavior).
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(out, "_committed_junk"), "junk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(out, ".hidden_junk"), "junk")
+    assert(spark.read.parquet(out).count() == 25)
+  }
+
+  test("cosine_sim is registered as a SQL function via extensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    val emb = s"$SF/embeddings.parquet"
+    val topPair = spark.sql(
+      s"""SELECT a.vec_id, b.vec_id,
+         |  cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>),
+         |             CAST(b.embedding AS ARRAY<DOUBLE>)) AS c
+         |FROM parquet.`$emb` a JOIN parquet.`$emb` b
+         |  ON a.vec_id < b.vec_id
+         |ORDER BY c DESC, a.vec_id LIMIT 1""".stripMargin).collect()
+    assert(topPair.length == 1 && topPair(0).getDouble(2) <= 1.0)
+  }
+
   test("interval predicate matches naive OR on real data") {
     val ivs = Seq((100L, 200L), (150L, 300L), (301L, 400L), (900L, 950L))
     val c = $"l_orderkey"
