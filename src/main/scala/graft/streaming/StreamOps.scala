@@ -99,8 +99,27 @@ object StreamOps extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** The same as-of semantics through the NATIVE AsOfJoinExec
+    * operator (graft.plans.AsOfJoin): co-partitioned sorted stream
+    * merge, O(n) per partition, planned via the injected strategy.
+    * Identical results to joinAsofUnion — shared oracle.
+    */
+  def joinAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("last_click_id"), col("ts").as("c_ts"))
+    graft.plans.AsOf.join(purchases, clicks,
+      "user_id", "c_user_id", "ts", "c_ts", Seq("last_click_id"))
+      .select(col("user_id"), col("event_id"), col("last_click_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_union" -> (joinAsofUnion(_, _)),
+    "join_asof_native" -> (joinAsofNative(_, _)),
     "stream_tumbling" -> (streamTumbling(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
     "stream_session" -> (streamSession(_, _)),
@@ -108,7 +127,21 @@ object StreamOps extends QueryModule {
 
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
   // applies the same micros truncation as graft.T.events.
+  private val asofOracle =
+    """SELECT user_id, event_id, last_click_id FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |               IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_click_id
+      |  FROM events WHERE event_type IN ('click', 'purchase')) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "join_asof_native" -> asofOracle,
     "join_asof_union" ->
       """SELECT user_id, event_id, last_click_id FROM (
         |  SELECT user_id, event_id, event_type,
