@@ -2,9 +2,28 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IsNotNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{If, And}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.CosineSimilarity
+
+/** Optimizer rule: cosine_sim(x, x) ≡ 1.0 for any non-null x — folds
+  * the self-similarity a generated pipeline can produce (e.g. a knn
+  * query joined back to its own source) into a literal, skipping the
+  * O(d) loop per row.
+  */
+object FoldSelfCosine extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        if (a.nullable) {
+          If(IsNotNull(a), Literal(1.0, DoubleType), Literal(null, DoubleType))
+        } else Literal(1.0, DoubleType)
+    }
+}
 
 /** Session extensions — SURVEY.md §2.12: the engine's custom Catalyst
   * surface registered the idiomatic way, so SQL users get the native
@@ -22,5 +41,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

@@ -116,6 +116,17 @@ class StorageSpec extends AnyFunSuite {
     assert(topPair.length == 1 && topPair(0).getDouble(2) <= 1.0)
   }
 
+  test("self-cosine folds to a literal via the injected optimizer rule") {
+    import graft.functions.VectorFunctions.cosine_sim
+    val df = T.t(spark, SF, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select(cosine_sim($"v", $"v").as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosinesimilarity"),
+      s"expected fold, got: $optimized")
+    assert(df.collect().forall(_.getDouble(0) == 1.0))
+  }
+
   test("interval predicate matches naive OR on real data") {
     val ivs = Seq((100L, 200L), (150L, 300L), (301L, 400L), (900L, 950L))
     val c = $"l_orderkey"
