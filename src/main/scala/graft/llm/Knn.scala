@@ -108,6 +108,42 @@ object Knn extends QueryModule {
       .orderBy($"qid", $"rn")
   }
 
+  private val NumCells = 16
+  private val NProbe = 4
+
+  /** IVF-style ANN: corpus vectors are assigned to their
+    * nearest-centroid cell once (broadcast centroids, map-side argmax
+    * — at scale this is the "train then index" write path); a query
+    * probes only its NProbe closest cells, so the candidate join is
+    * an equi-join on cell id over ~NProbe/NumCells of the corpus.
+    * Centroids here are the first NumCells vectors (deterministic
+    * stand-in for a k-means fit; the plumbing is identical).
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = base(s, dir)
+    val cents = b.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val ranked = b.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+    val corpus = ranked.filter($"crn" === 1)
+      .select($"vec_id".as("nid"), $"v".as("nv"), $"cid")
+    val qprobe = ranked.filter($"vec_id" < NQueries && $"crn" <= NProbe)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cid")
+    val w = Window.partitionBy($"qid").orderBy(round($"cos", 4).desc, $"nid")
+    corpus.join(broadcast(qprobe), "cid")
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine_sim($"qv", $"nv"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"qid", $"nid", round($"cos", 4).as("cos_sim"), $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
   /** Embedding-cosine near-dup: all pairs above a similarity
     * threshold (upper triangle). Brute force here; at scale the
     * sign-LSH bucketing above bounds the candidate set the same way
@@ -138,6 +174,7 @@ object Knn extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_knn" -> (knn(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
+    "llm_knn_ivf" -> (knnIvf(_, _)),
     "llm_dedup_embed" -> (dedupEmbed(_, _)),
     "llm_vector_norm" -> (vectorNorm(_, _)))
 

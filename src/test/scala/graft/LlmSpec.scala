@@ -43,6 +43,14 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"recall=$recall")
   }
 
+  test("IVF knn recalls a useful fraction of brute-force neighbors") {
+    val brute = knnSet(llm.Knn.knn(spark, SF))
+    val ivf = knnSet(llm.Knn.knnIvf(spark, SF))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"ivf recall@5=$recall")
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("LSH knn similarities are never above brute-force kth") {
     // ANN must return true cosines (no fabricated scores): every ANN
     // hit's score equals the brute-force score for that pair.
