@@ -19,6 +19,7 @@ object SparkEntry {
     operators.SortsSets,
     operators.Sinks,
     operators.TypedOps,
+    operators.Composite,
     functions.Funcs,
     streaming.StreamOps,
     llm.Dedup,
