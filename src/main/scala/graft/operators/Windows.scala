@@ -77,13 +77,39 @@ object Windows extends QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** Distribution functions: ntile buckets, percent_rank, cume_dist
+    * ((rank-1)/(n-1) and rank/n are exact int ratios — identical
+    * doubles on both engines).
+    */
+  def winDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy($"o_orderkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distribution" -> (winDistribution(_, _)),
     "win_rank" -> (winRank(_, _)),
     "win_lag" -> (winLag(_, _)),
     "win_frame_rows" -> (winFrameRows(_, _)),
     "win_frame_range" -> (winFrameRange(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "win_distribution" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "win_rank" ->
       """SELECT * FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
