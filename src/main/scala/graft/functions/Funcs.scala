@@ -125,7 +125,43 @@ object Funcs extends QueryModule {
       .orderBy($"k_bucket")
   }
 
+  /** Null semantics: nullif-generated nulls through count/count(col),
+    * null-safe equality, and coalesce chains — SQL three-valued logic
+    * parity (Spark <=> ≡ DuckDB IS NOT DISTINCT FROM).
+    */
+  def fnNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seg = nullif($"c_mktsegment", lit("BUILDING"))
+    T.t(s, dir, "customer")
+      .select($"c_custkey", seg.as("seg"), $"c_nationkey")
+      .groupBy($"c_nationkey")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"seg").as("n_nonnull"),
+        count(when($"seg".isNull, 1)).as("n_null"),
+        count(when($"seg" <=> lit(null), 1)).as("n_nullsafe_eq"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Raw-SQL front door with a correlated scalar subquery — the
+    * engine's spark.sql surface over registered views (decorrelated
+    * by Catalyst into a join, not a per-row loop).
+    */
+  def sqlScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    T.t(s, dir, "orders").createOrReplaceTempView("g_orders")
+    T.t(s, dir, "customer").createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT MAX(o_totalprice) FROM g_orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM g_customer
+        |WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_nulls" -> (fnNulls(_, _)),
+    "sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
     "fn_string" -> (fnString(_, _)),
     "fn_flags" -> (fnFlags(_, _)),
     "fn_math" -> (fnMath(_, _)),
@@ -136,6 +172,20 @@ object Funcs extends QueryModule {
     "fn_json" -> (fnJson(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "fn_nulls" ->
+      """SELECT c_nationkey, COUNT(*) AS n_rows,
+        |  COUNT(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull,
+        |  COUNT(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL
+        |             THEN 1 END) AS n_null,
+        |  COUNT(CASE WHEN nullif(c_mktsegment, 'BUILDING')
+        |             IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_eq
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "sql_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT MAX(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey""".stripMargin,
     "fn_string" ->
       """SELECT c_custkey,
         |  upper(c_mktsegment) AS seg_up,

@@ -201,6 +201,38 @@ object Joins extends QueryModule {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** Left outer join: every customer, order stats where present —
+    * null aggregation semantics on the unmatched side.
+    */
+  def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = T.t(s, dir, "customer")
+    val o = T.t(s, dir, "orders")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(dsum($"o_totalprice"), lit(0.0)).as("total"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Full outer join between two disjoint-ish aggregates — both
+    * unmatched sides materialize nulls.
+    */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hi = T.t(s, dir, "lineitem").filter($"l_quantity" > 49)
+      .groupBy($"l_partkey".as("pk")).agg(count(lit(1)).as("n_hi"))
+    val lo = T.t(s, dir, "lineitem").filter($"l_quantity" < 2)
+      .groupBy($"l_partkey".as("pk2")).agg(count(lit(1)).as("n_lo"))
+    hi.join(lo, $"pk" === $"pk2", "full_outer")
+      .select(
+        coalesce($"pk", $"pk2").as("partkey"),
+        coalesce($"n_hi", lit(0L)).as("n_hi"),
+        coalesce($"n_lo", lit(0L)).as("n_lo"))
+      .orderBy($"partkey")
+  }
+
   /** Read-pair colocation analogue (README.md:162-167): self
     * group-join on the shared key — all lines of an order land in one
     * group/partition.
@@ -226,6 +258,8 @@ object Joins extends QueryModule {
     "join_interval_binned" -> (joinIntervalBinned(_, _)),
     "join_semi" -> (joinSemi(_, _)),
     "join_anti" -> (joinAnti(_, _)),
+    "join_outer" -> (joinOuter(_, _)),
+    "join_full_outer" -> (joinFullOuter(_, _)),
     "join_asof" -> (joinAsof(_, _)),
     "pairs_group" -> (pairsGroup(_, _)))
 
@@ -278,6 +312,21 @@ object Joins extends QueryModule {
          |FROM customer
          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_outer" ->
+      s"""SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+         |  coalesce(${sqlDsum("o_totalprice")}, 0.0) AS total
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(pk, pk2) AS partkey,
+        |  coalesce(n_hi, 0) AS n_hi, coalesce(n_lo, 0) AS n_lo
+        |FROM (SELECT l_partkey AS pk, COUNT(*) AS n_hi FROM lineitem
+        |      WHERE l_quantity > 49 GROUP BY 1) h
+        |FULL OUTER JOIN
+        |     (SELECT l_partkey AS pk2, COUNT(*) AS n_lo FROM lineitem
+        |      WHERE l_quantity < 2 GROUP BY 1) l
+        |  ON pk = pk2
+        |ORDER BY partkey""".stripMargin,
     "join_anti" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt
         |FROM customer
