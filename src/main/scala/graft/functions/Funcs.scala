@@ -159,7 +159,19 @@ object Funcs extends QueryModule {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Generator/UDTF family via explode: token table from the text
+    * column (one row per distinct doc token).
+    */
+  def fnExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "documents")
+      .select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("tok"))
+      .orderBy($"doc_id", $"tok")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_explode" -> (fnExplode(_, _)),
     "fn_nulls" -> (fnNulls(_, _)),
     "sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
     "fn_string" -> (fnString(_, _)),
@@ -172,6 +184,9 @@ object Funcs extends QueryModule {
     "fn_json" -> (fnJson(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "fn_explode" ->
+      """SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |FROM documents ORDER BY doc_id, tok""".stripMargin,
     "fn_nulls" ->
       """SELECT c_nationkey, COUNT(*) AS n_rows,
         |  COUNT(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull,

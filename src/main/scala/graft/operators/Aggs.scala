@@ -130,7 +130,23 @@ object Aggs extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Pivot: long→wide reshape with per-cell aggregates (explicit
+    * pivot values so the plan skips the distinct-discovery job).
+    */
+  def aggPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("F", "n_f")
+      .withColumnRenamed("O", "n_o")
+      .na.fill(0L, Seq("n_f", "n_o"))
+      .orderBy($"l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> (aggPivot(_, _)),
     "agg_salted" -> (aggSalted(_, _)),
     "agg_count" -> (aggCount(_, _)),
     "agg_groupby" -> (aggGroupby(_, _)),
@@ -146,6 +162,11 @@ object Aggs extends QueryModule {
     "agg_salted" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_groupby" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
