@@ -160,7 +160,36 @@ object Dedup extends QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Dedup clustering: connected components over the near-dup pair
+    * graph, each doc labeled with its component's minimum doc_id (the
+    * canonical survivor a dedup pipeline keeps). Distributed
+    * min-label propagation — iterate "label = min(label, neighbor
+    * labels)" joins to a fixpoint; pair components are tiny so a
+    * fixed iteration budget covers the diameter, and each iteration
+    * is one shuffle join (the GraphX-free formulation that scales).
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("lbl", $"doc_id")
+    for (_ <- 1 to 6) {
+      val viaNeighbor = edges
+        .join(labels, $"src" === $"doc_id")
+        .select($"dst".as("doc_id"), $"lbl")
+      labels = labels.union(viaNeighbor)
+        .groupBy($"doc_id")
+        .agg(min($"lbl").as("lbl"))
+    }
+    labels.select($"doc_id", $"lbl".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_clusters" -> (dedupClusters(_, _)),
     "llm_dedup_exact" -> (dedupExact(_, _)),
     "llm_ngram_jaccard" -> (ngramJaccard(_, _)),
     "llm_dedup_near" -> (dedupNear(_, _)),
@@ -192,5 +221,21 @@ object Dedup extends QueryModule {
     "llm_ngram_jaccard" -> exactPairsSql,
     // MinHash-LSH verified against exact Jaccard: same result set
     // (miss probability ~1e-7 at the observed 0.89+ similarities).
-    "llm_dedup_near" -> exactPairsSql)
+    "llm_dedup_near" -> exactPairsSql,
+    // Connected components via recursive CTE over the same pair graph.
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM ($exactPairsSql)
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS lbl FROM verts
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.lbl
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id
+         |)
+         |SELECT doc_id, MIN(lbl) AS cluster_id
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
