@@ -32,6 +32,18 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("dedup clusters give both pair endpoints the same canonical label") {
+    val labels = llm.Dedup.dedupClusters(spark, SF)
+      .as[(Long, Long)].collect().toMap
+    assert(exactPairs.nonEmpty)
+    exactPairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b)")
+      assert(labels(a) <= a && labels(a) <= b, "canonical = component min")
+    }
+    // every label is itself a member labeled by itself (root property)
+    labels.values.toSet.foreach((l: Long) => assert(labels(l) == l))
+  }
+
   private def knnSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
 
