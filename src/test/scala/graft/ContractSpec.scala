@@ -31,7 +31,8 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  for (name <- Seq("scan_reads", "llm_knn", "stream_session", "win_rank")) {
+  for (name <- Seq("scan_reads", "llm_knn", "stream_session", "win_rank",
+    "join_asof_native", "llm_dedup_clusters", "sink_nested", "agg_pivot")) {
     test(s"query $name is deterministic across runs") {
       val a = SparkEntry.queries(name)(spark, SF).collect().toSeq
       val b = SparkEntry.queries(name)(spark, SF).collect().toSeq
