@@ -16,6 +16,9 @@ case class MmAsset(doc_id: Long, payload: Array[Byte], width: Int, format: Strin
 case class MmFeatures(doc_id: Long, byte_len: Int, n_frames: Int,
     first_byte: Int, frame_checksum: Long)
 
+/** One sampled "frame" of an asset (1:N decode output). */
+case class MmFrame(doc_id: Long, frame_idx: Int, b: Int)
+
 /** Multimodal-column operators — SURVEY.md §2.11 north star.
   *
   * Decode / feature-extract runs as a typed mapPartitions over the
@@ -67,6 +70,23 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** 1:N frame extraction — each asset yields one row per sampled
+    * frame (the video-frame-table shape): a flat iterator per
+    * partition, so frame explosion never materializes per-asset
+    * collections.
+    */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .mapPartitions(_.flatMap { a =>
+        val bytes = a.payload
+        Iterator.range(0, bytes.length, 64).map(i =>
+          MmFrame(a.doc_id, i / 64, bytes(i) & 0xFF))
+      })
+      .toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** Metadata projection + grouping over the asset schema (typed
     * columns survive around the opaque payload).
     */
@@ -80,6 +100,7 @@ object Multimodal extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures(_, _)),
+    "mm_frames" -> (mmFrames(_, _)),
     "mm_meta" -> (mmMeta(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -93,6 +114,15 @@ object Multimodal extends QueryModule {
         |    FOR i IN generate_series(1, CAST(len(text) AS BIGINT), 64)]) AS BIGINT)
         |    AS frame_checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id,
+        |  unnest([CAST((i - 1) // 64 AS INT)
+        |          FOR i IN generate_series(1, CAST(len(text) AS BIGINT), 64)])
+        |    AS frame_idx,
+        |  unnest([ascii(substr(text, CAST(i AS INT), 1))
+        |          FOR i IN generate_series(1, CAST(len(text) AS BIGINT), 64)])
+        |    AS b
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_meta" ->
       """SELECT 'txt' AS format,
         |  CAST(floor(n_chars / 100) * 100 AS INT) AS width_band,
