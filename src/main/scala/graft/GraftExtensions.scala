@@ -42,5 +42,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => FoldSelfCosine)
+    e.injectOptimizerRule(_ => plans.BinnedIntervalRule)
   }
 }

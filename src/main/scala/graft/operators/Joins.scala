@@ -177,6 +177,34 @@ object Joins extends QueryModule {
       .orderBy($"lo")
   }
 
+  /** join_interval semantics as a PLAIN theta join — no broadcast
+    * hint, no manual binning — relying on the BinnedIntervalRule
+    * optimizer rewrite (plans/BinnedIntervalRule.scala) to turn it
+    * into the binned equi-join automatically. `force` stands in for
+    * the both-sides-over-broadcast-threshold stats gate that fires at
+    * real scale; width in domain units of o_totalprice.
+    */
+  def joinIntervalAuto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set(graft.plans.BinnedIntervalRule.WidthConf, "50000")
+    s.conf.set(graft.plans.BinnedIntervalRule.ForceConf, "true")
+    val buckets = s.createDataFrame(Seq(
+      (0L, 50000L), (50000L, 150000L), (150000L, 300000L), (300000L, 1000000L)))
+      .toDF("lo", "hi")
+    val df = T.t(s, dir, "orders")
+      .join(buckets, $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"lo")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"lo")
+    // materialize the physical plan NOW (queryExecution is a lazy val
+    // the later action reuses), then clear the confs so the forced
+    // rewrite can't leak into other queries' planning
+    df.queryExecution.executedPlan
+    s.conf.unset(graft.plans.BinnedIntervalRule.WidthConf)
+    s.conf.unset(graft.plans.BinnedIntervalRule.ForceConf)
+    df
+  }
+
   /** Multi-way star join (TPC-H Q5 shape): fact ⋈ fact ⋈ dim ⋈ dim ⋈
     * dim — Catalyst reorders and broadcasts the dims; the only big
     * shuffle is lineitem⋈orders on the order key.
@@ -256,6 +284,7 @@ object Joins extends QueryModule {
     "join_multi" -> (joinMulti(_, _)),
     "join_interval" -> (joinInterval(_, _)),
     "join_interval_binned" -> (joinIntervalBinned(_, _)),
+    "join_interval_auto" -> (joinIntervalAuto(_, _)),
     "join_semi" -> (joinSemi(_, _)),
     "join_anti" -> (joinAnti(_, _)),
     "join_outer" -> (joinOuter(_, _)),
@@ -300,6 +329,14 @@ object Joins extends QueryModule {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_interval_binned" ->
+      s"""SELECT CAST(lo AS BIGINT) AS lo, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN (VALUES (0, 50000), (50000, 150000), (150000, 300000),
+         |             (300000, 1000000)) AS b(lo, hi)
+         |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
+         |GROUP BY lo ORDER BY lo""".stripMargin,
+    "join_interval_auto" ->
       s"""SELECT CAST(lo AS BIGINT) AS lo, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders
