@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Sinks,
     operators.TypedOps,
     operators.Composite,
+    operators.TpchBattery,
     functions.Funcs,
     streaming.StreamOps,
     llm.Dedup,
