@@ -124,6 +124,71 @@ object Knn extends QueryModule {
     val b = base(s, dir)
     val cents = b.filter($"vec_id" < NumCells)
       .select($"vec_id".as("cid"), $"v".as("cv"))
+    knnWithCells(s, b, cents)
+  }
+
+  /** Lloyd-iteration spherical k-means, Spark-native: centroids stay
+    * a driver-side literal (k×d doubles — tiny at any corpus scale);
+    * each iteration is one distributed pass — assign every vector to
+    * its max-cosine centroid (broadcast literal, map-side argmax, no
+    * shuffle of vectors), then recompute per-cell elementwise means
+    * via posexplode + groupBy(cell, pos) (shuffles k·d tiny rows).
+    * DECIMAL(28,12) sums make the fit bit-deterministic regardless of
+    * partial-agg order. Empty cells keep their previous centroid.
+    */
+  private[graft] def trainCentroids(s: SparkSession, b: DataFrame,
+      k: Int, iters: Int): IndexedSeq[Seq[Double]] = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    var cents: IndexedSeq[Seq[Double]] = b.filter($"vec_id" < k)
+      .orderBy($"vec_id").select($"v").collect()
+      .map(_.getSeq[Double](0).toSeq).toIndexedSeq
+    for (_ <- 0 until iters) {
+      val cl = typedlit(cents)
+      val sims = transform(cl, c => dot($"v", c) / (norm(c) * $"nrm"))
+      val means = b.withColumn("sims", sims)
+        .withColumn("cell",
+          (array_position($"sims", array_max($"sims")) - 1).cast("int"))
+        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1))).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = (0 until k).map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => cents(c)
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF with a real k-means fit (3 Lloyd passes) instead of the
+    * first-k stand-in — same probe/join plan as knnIvf; the trained
+    * cells balance the corpus so probe fan-out is even. Rows-only
+    * check (training is plane-/iteration-dependent); recall vs brute
+    * force asserted in LlmSpec.
+    */
+  def knnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = base(s, dir)
+    val trained = trainCentroids(s, b, NumCells, 3)
+    val cents = s.createDataFrame(
+      trained.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("cid", "cv")
+    knnWithCells(s, b, cents)
+  }
+
+  /** Shared IVF probe plan: assign corpus rows to their top-1 cell,
+    * probe queries into their NProbe cells, equi-join on cell id,
+    * exact cosine rank.
+    */
+  private def knnWithCells(s: SparkSession, b: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
     val ranked = b.crossJoin(broadcast(cents))
       .withColumn("csim",
         graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
@@ -175,6 +240,7 @@ object Knn extends QueryModule {
     "llm_knn" -> (knn(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
     "llm_knn_ivf" -> (knnIvf(_, _)),
+    "llm_knn_ivf_trained" -> (knnIvfTrained(_, _)),
     "llm_dedup_embed" -> (dedupEmbed(_, _)),
     "llm_vector_norm" -> (vectorNorm(_, _)))
 

@@ -63,6 +63,33 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("trained-centroid IVF matches or beats the first-k heuristic") {
+    val brute = knnSet(llm.Knn.knn(spark, SF))
+    val heur = knnSet(llm.Knn.knnIvf(spark, SF))
+    val trained = knnSet(llm.Knn.knnIvfTrained(spark, SF))
+    val rHeur = (brute & heur).size.toDouble / brute.size
+    val rTrained = (brute & trained).size.toDouble / brute.size
+    info(s"ivf heuristic recall@5=$rHeur trained recall@5=$rTrained")
+    assert(rTrained >= 0.5, s"recall=$rTrained")
+    // training should not hurt at fixture scale (allow small jitter)
+    assert(rTrained >= rHeur - 0.05, s"trained=$rTrained heuristic=$rHeur")
+  }
+
+  test("k-means training is deterministic and actually moves centroids") {
+    import org.apache.spark.sql.functions._
+    val b = SparkTestSession.spark.read
+      .parquet(s"$SF/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+    val c1 = llm.Knn.trainCentroids(spark, b, 16, 3)
+    val c2 = llm.Knn.trainCentroids(spark, b, 16, 3)
+    assert(c1 == c2, "two fits over the same data must be identical")
+    val init = b.filter($"vec_id" < 16).orderBy($"vec_id")
+      .select($"v").collect().map(_.getSeq[Double](0).toSeq).toIndexedSeq
+    assert(c1 != init, "3 Lloyd passes should move the centroids")
+  }
+
   test("LSH knn similarities are never above brute-force kth") {
     // ANN must return true cosines (no fabricated scores): every ANN
     // hit's score equals the brute-force score for that pair.
