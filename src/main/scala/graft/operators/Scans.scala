@@ -121,6 +121,26 @@ object Scans extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** S9/S10 index-driven split pruning, made explicit: write lineitem
+    * through the zone-map-indexed sink (per-file min/max sidecar — the
+    * SBI analogue), read back through the index so the driver plans
+    * the scan over only the files overlapping the date range. Same
+    * answer as a full scan + filter (pruning is transparent);
+    * StorageSpec asserts the file-count reduction.
+    */
+  def pruneZonemap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "lineitem_zonemapped")
+    val st = graft.sources.GraftStorage(s)
+    st.writeIndexed(T.t(s, dir, "lineitem"), out, "l_shipdate", "l_shipdate")
+    st.readIndexed(out, "l_shipdate",
+      java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1996-03-31 00:00:00"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** F5: validation-stringency gate → csv mode=DROPMALFORMED. Writes
     * good rows + injected garbage lines, reads back dropping the bad
     * ones (HtsjdkReadsRddStorage.java:85-88 LENIENT ≈ drop).
@@ -211,6 +231,7 @@ object Scans extends QueryModule {
     "scan_text_skip_header" -> (scanTextSkipHeader(_, _)),
     "project_prune" -> (projectPrune(_, _)),
     "prune_by_stats" -> (pruneByStats(_, _)),
+    "prune_zonemap" -> (pruneZonemap(_, _)),
     "parse_badrecords" -> (parseBadrecords(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -257,6 +278,12 @@ object Scans extends QueryModule {
         |FROM lineitem WHERE l_orderkey % 500 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "prune_by_stats" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "prune_zonemap" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price
          |FROM lineitem

@@ -39,6 +39,63 @@ final case class GraftStorage(
     if (columns.nonEmpty) df.select(columns.map(col): _*) else df
   }
 
+  /** Write a table with a secondary zone-map index — the Spark-native
+    * SBI/BAI analogue (SURVEY.md §2.5 A1-A5): while parquet row-group
+    * stats already prune on sort-clustered columns, a SECONDARY column
+    * gets no pruning unless someone records per-file min/max for it.
+    * This sink range-clusters on `clusterBy`, writes sharded parquet,
+    * then builds one tiny `_zonemap` sidecar table (file → min/max per
+    * indexed column + count) — per-partition partial stats merged by a
+    * normal distributed agg, exactly the reference's per-part index +
+    * merge pattern (IndexFileMerger.java:62-102). The `_` prefix hides
+    * the sidecar from plain parquet reads of the directory, the same
+    * convention the reference exploits (HiddenFileFilter.java:31-37).
+    */
+  def writeIndexed(df: DataFrame, path: String,
+      clusterBy: String, zoneCols: String*): Unit = {
+    df.repartitionByRange(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, col(clusterBy))
+      .sortWithinPartitions(col(clusterBy))
+      .write.mode("overwrite").parquet(path)
+    val written = spark.read.parquet(path)
+    val aggs = zoneCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
+    } :+ count(lit(1)).as("cnt")
+    written
+      .select((input_file_name().as("file") +: zoneCols.map(col)): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zonemap")
+  }
+
+  /** Read with zone-map pruning on `zoneCol` ∈ [lo, hi] — the
+    * index-driven split pruning of the reference (BamSource.java:
+    * 99-119, TribbleIndexIntervalFilteringTextInputFormat.java:59-92):
+    * the driver consults the tiny sidecar (metadata-only, like the
+    * reference loading .sbi/.tbi on the driver), keeps only files
+    * whose [min,max] overlaps the query range, and plans the scan over
+    * those paths; the residual filter stays for exactness. Falls back
+    * to a full scan + filter when no sidecar exists.
+    */
+  def readIndexed(path: String, zoneCol: String,
+      lo: Any, hi: Any): DataFrame = {
+    val residual = col(zoneCol) >= lit(lo) && col(zoneCol) <= lit(hi)
+    val fs = new org.apache.hadoop.fs.Path(s"$path/_zonemap")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_zonemap")))
+      return read(path).filter(residual)
+    val files = spark.read.parquet(s"$path/_zonemap")
+      .filter(col(s"${zoneCol}__max") >= lit(lo) &&
+        col(s"${zoneCol}__min") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty) read(path).filter(residual).limit(0)
+    else {
+      val df = spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+      if (columns.nonEmpty) df.select(columns.map(col): _*) else df
+    }
+  }
+
   /** Write with disq-style option resolution
     * (HtsjdkReadsRddStorage.java:187-229): cardinality SINGLE →
     * one-file commit; MULTIPLE → sharded dir; optional partition

@@ -127,6 +127,39 @@ class StorageSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getDouble(0) == 1.0))
   }
 
+  test("zone-map index prunes files at plan time and stays exact") {
+    val out = T.scratch(SF, "zonemap_lineitem")
+    val li = T.t(spark, SF, "lineitem")
+    storage.writeIndexed(li, out, "l_shipdate", "l_shipdate")
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-03-31 00:00:00")
+    val pruned = storage.readIndexed(out, "l_shipdate", lo, hi)
+    val full = spark.read.parquet(out)
+      .filter($"l_shipdate" >= lit(lo) && $"l_shipdate" <= lit(hi))
+    // exactness: identical rows as the unpruned scan + filter
+    assert(pruned.count() == full.count())
+    assert(pruned.count() > 0)
+    // the index actually elides files from the plan
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(pruned.inputFiles.length < allFiles,
+      s"${pruned.inputFiles.length} vs $allFiles")
+    // sidecar is hidden from plain directory reads (underscore
+    // convention — the reference's HiddenFileFilter semantics)
+    assert(spark.read.parquet(out).columns.sameElements(li.columns))
+  }
+
+  test("zone-map read: empty overlap yields zero rows, missing sidecar full-scans") {
+    val out = T.scratch(SF, "zonemap_lineitem")
+    val nothing = storage.readIndexed(out, "l_shipdate",
+      java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2031-01-01 00:00:00"))
+    assert(nothing.count() == 0)
+    val plain = T.scratch(SF, "zonemap_plain")
+    T.t(spark, SF, "nation").write.mode("overwrite").parquet(plain)
+    val fb = storage.readIndexed(plain, "n_nationkey", 0, 10)
+    assert(fb.count() == 11)
+  }
+
   test("interval predicate matches naive OR on real data") {
     val ivs = Seq((100L, 200L), (150L, 300L), (301L, 400L), (900L, 950L))
     val c = $"l_orderkey"
