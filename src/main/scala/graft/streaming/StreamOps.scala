@@ -75,6 +75,57 @@ object StreamOps extends QueryModule {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Stream-static join core: each event enriched against a static
+    * dimension (the broadcast-header pattern, streaming edition —
+    * Structured Streaming re-reads the static side per micro-batch,
+    * planning it as a broadcast join under the hood). Same function
+    * runs batch (oracle) and over readStream (StreamingSpec).
+    */
+  def staticJoinCore(ev: DataFrame, cust: DataFrame): DataFrame =
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
+
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame =
+    staticJoinCore(T.events(s, dir), T.t(s, dir, "customer"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+
+  /** Stream-stream interval join core: purchases matched to the same
+    * user's clicks in the preceding hour — the event-time range
+    * condition that lets Structured Streaming bound both sides' state
+    * with watermarks (each side GC's rows older than watermark +
+    * range). Batch run is oracled; StreamingSpec runs it as a true
+    * two-stream join.
+    */
+  def intervalJoinPairs(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+
+  def intervalJoinAgg(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("p_user"), col("p_id"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("max_click_id"))
+
+  def intervalJoinCore(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    intervalJoinAgg(intervalJoinPairs(clicks, purchases))
+
+  def clicksOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+
+  def purchasesOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+    intervalJoinCore(clicksOf(ev), purchasesOf(ev))
+      .orderBy(col("p_user"), col("p_id"))
+  }
+
   /** Two-stream as-of join via the union trick — the scalable as-of
     * shape (SURVEY.md §2.4): instead of joining purchases×clicks and
     * ranking (O(pairs)), tag both streams, union, and carry the last
@@ -121,6 +172,8 @@ object StreamOps extends QueryModule {
     "join_asof_union" -> (joinAsofUnion(_, _)),
     "join_asof_native" -> (joinAsofNative(_, _)),
     "stream_tumbling" -> (streamTumbling(_, _)),
+    "stream_static_join" -> (streamStaticJoin(_, _)),
+    "stream_interval_join" -> (streamIntervalJoin(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
     "stream_session" -> (streamSession(_, _)),
     "stream_dedup" -> (streamDedup(_, _)))
@@ -154,6 +207,23 @@ object StreamOps extends QueryModule {
         |  FROM events WHERE event_type IN ('click', 'purchase')) t
         |WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
+    "stream_static_join" ->
+      s"""SELECT c_mktsegment, event_type, COUNT(*) AS cnt,
+         |  ${sqlDsum("value", 6)} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment, event_type
+         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT p.user_id AS p_user, p.event_id AS p_id,
+        |  COUNT(*) AS n_clicks, MAX(c.event_id) AS max_click_id
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY p.user_id, p.event_id
+        |ORDER BY p_user, p_id""".stripMargin,
     "stream_tumbling" ->
       s"""SELECT CAST(600 * floor(epoch(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT)
          |    AS w_start,

@@ -81,6 +81,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-static join matches the batch join") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val cust = T.t(spark, SF, "customer")
+    val q = streaming.StreamOps.staticJoinCore(stream, cust)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("static_join_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("static_join_out").collect().toSet
+    val want = streaming.StreamOps.staticJoinCore(T.events(spark, SF), cust)
+      .collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val schema = spark.read.parquet(eventsDir).schema
+    def src() = spark.readStream.schema(schema).parquet(eventsDir)
+    val clicks = streaming.StreamOps.clicksOf(src())
+      .withWatermark("c_ts", "2 hours")
+    val purchases = streaming.StreamOps.purchasesOf(src())
+      .withWatermark("p_ts", "2 hours")
+    // stream-stream joins emit in append mode only: stream the joined
+    // pairs (watermarks bound both sides' state), aggregate the sink
+    val q = streaming.StreamOps.intervalJoinPairs(clicks, purchases)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("interval_join_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = streaming.StreamOps.intervalJoinAgg(
+      spark.table("interval_join_out")).collect().toSet
+    val ev = T.events(spark, SF)
+    val want = streaming.StreamOps.intervalJoinCore(
+      streaming.StreamOps.clicksOf(ev), streaming.StreamOps.purchasesOf(ev))
+      .collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("transformWithState running count matches batch per-user counts") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(eventsDir).schema
+      val stream = spark.readStream.schema(schema).parquet(eventsDir)
+        .selectExpr("user_id", "value").as[(Long, Double)]
+      val proc = new StatefulProcessor[Long, (Long, Double), (Long, Long)] {
+        @transient private var count: ValueState[Long] = _
+        override def init(out: OutputMode, time: TimeMode): Unit =
+          count = getHandle.getValueState[Long](
+            "count", Encoders.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(key: Long,
+            rows: Iterator[(Long, Double)],
+            timers: TimerValues): Iterator[(Long, Long)] = {
+          val n = (if (count.exists()) count.get() else 0L) + rows.size
+          count.update(n)
+          Iterator.single((key, n))
+        }
+      }
+      val counted = stream.groupByKey(_._1)
+        .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+      val q = counted.toDF("user_id", "n")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("tws_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("tws_out")
+        .groupBy($"user_id").agg(max($"n").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = T.events(spark, SF).groupBy($"user_id")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming session window counts match batch sessionization") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
