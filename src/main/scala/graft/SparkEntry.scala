@@ -26,6 +26,7 @@ object SparkEntry {
     llm.Dedup,
     llm.Knn,
     llm.TextStats,
+    llm.Pipeline,
     llm.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

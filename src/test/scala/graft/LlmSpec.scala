@@ -103,6 +103,33 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("survivor selection partitions the corpus exactly") {
+    val rows = llm.Pipeline.dedupSurvivors(spark, SF).collect()
+    val total = spark.read.parquet(s"$SF/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total, "members partition the corpus")
+    // each survivor appears exactly once and clusters are disjoint
+    val survivors = rows.map(_.getLong(1))
+    assert(survivors.distinct.length == survivors.length)
+    // every multi-member cluster corresponds to a found near-dup pair
+    val multi = rows.filter(_.getLong(2) > 1)
+    assert(multi.nonEmpty, "fixtures plant near-dup pairs")
+    multi.foreach { r =>
+      assert(exactPairs.exists(p => p._1 == r.getLong(0)),
+        s"cluster ${r.getLong(0)} has no planted pair")
+    }
+  }
+
+  test("contamination flags the planted near-dups of probe docs only when overlapping") {
+    val flagged = llm.Pipeline.contamination(spark, SF)
+      .collect().map(_.getLong(0)).toSet
+    // no probe doc flags itself
+    assert(flagged.forall(_ >= 5))
+    // any doc sharing a >=0.5-jaccard pair with a probe doc must flag
+    exactPairs.filter(_._1 < 5).map(_._2).filter(_ >= 5).foreach { d =>
+      assert(flagged.contains(d), s"doc $d near-dups a probe doc")
+    }
+  }
+
   test("exact dedup sees all docs unique in fixtures") {
     val r = llm.Dedup.dedupExact(spark, SF).collect()(0)
     assert(r.getLong(0) >= r.getLong(1))
