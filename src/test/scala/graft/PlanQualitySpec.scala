@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates — the properties that decide whether a
+  * query that passes at sf0.01 still works at 100 TB: filters reaching
+  * the parquet scan, dims broadcast instead of shuffled, map-side
+  * partial aggregation, whole-stage codegen over the hot path, scans
+  * reading only the projected columns.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+
+  // formatted mode prints PushedFilters/ReadSchema untruncated
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q6: conjunctive predicate is pushed to the parquet scan") {
+    val p = plan(operators.TpchBattery.q6Forecast(spark, SF))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("q6: scan reads only the four referenced columns") {
+    val p = plan(operators.TpchBattery.q6Forecast(spark, SF))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(readSchema.contains), readSchema)
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q1: aggregation is split partial (map-side) then final") {
+    val p = plan(operators.TpchBattery.q1Pricing(spark, SF))
+    assert(p.contains("partial_sum"), s"expected map-side partial agg:\n$p")
+    val aggNodes = p.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate.*"""))
+    assert(aggNodes >= 2, s"expected partial+final HashAggregate:\n$p")
+    // the hot path compiles into whole-stage codegen spans
+    val codegen = operators.TpchBattery.q1Pricing(spark, SF)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
+  }
+
+  test("star joins broadcast their dims, never shuffle them") {
+    for (df <- Seq(operators.Joins.joinMulti(spark, SF),
+        operators.TpchBattery.q10Returns(spark, SF))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("hashpartitioning(n_nationkey"),
+        "nation dim must not shuffle")
+      assert(!p.contains("hashpartitioning(r_regionkey"),
+        "region dim must not shuffle")
+    }
+  }
+
+  test("q10: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(operators.TpchBattery.q10Returns(spark, SF))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("prune_by_stats filter reaches the scan of the clustered table") {
+    val p = plan(operators.Scans.pruneByStats(spark, SF))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("semi/anti joins keep only the join key on the probe side scan") {
+    val p = plan(operators.Joins.joinSemi(spark, SF))
+    val orderScan = p.linesIterator
+      .filter(_.contains("ReadSchema"))
+      .find(_.contains("o_custkey")).getOrElse("")
+    assert(!orderScan.contains("o_totalprice"),
+      s"semi join must prune unused order columns: $orderScan")
+  }
+}
