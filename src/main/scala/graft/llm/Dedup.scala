@@ -53,7 +53,11 @@ object Dedup extends QueryModule {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val t = shingleRows(T.t(s, dir, "documents"))
+    // the shingle table feeds three plan branches (both join sides +
+    // the size agg): materialize once (lineage truncation also keeps
+    // the per-branch codegen units small) instead of recomputing the
+    // explode+window pipeline per branch
+    val t = shingleRows(T.t(s, dir, "documents")).localCheckpoint()
     val sz = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = t.as("a").join(t.as("b"), "tok")
       .filter($"a.doc_id" < $"b.doc_id")
@@ -100,7 +104,7 @@ object Dedup extends QueryModule {
     */
   def dedupNear(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val t = shingleRows(T.t(s, dir, "documents"))
+    val t = shingleRows(T.t(s, dir, "documents")).localCheckpoint()
     val sigs = minhashSigs(t)
     val bandCols = array((0 until Bands).map { b =>
       xxhash64((lit(b) +: (0 until RowsPerBand).map(r =>

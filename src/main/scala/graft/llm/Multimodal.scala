@@ -98,9 +98,28 @@ object Multimodal extends QueryModule {
       .orderBy($"format", $"width_band")
   }
 
+  /** Binary-column sink round trip: opaque payloads written to
+    * columnar parquet and read back byte-identical (checksummed per
+    * row, summarized for the oracle) — the property that lets a
+    * 100 TB multimodal table live in the same storage/scan path as
+    * its typed metadata.
+    */
+  def mmRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "mm_assets")
+    assets(s, dir).toDF().write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"format")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length($"payload")).as("total_bytes"),
+        countDistinct(md5($"payload")).as("n_distinct"))
+      .orderBy($"format")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures(_, _)),
     "mm_frames" -> (mmFrames(_, _)),
+    "mm_roundtrip" -> (mmRoundtrip(_, _)),
     "mm_meta" -> (mmMeta(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -123,6 +142,11 @@ object Multimodal extends QueryModule {
         |          FOR i IN generate_series(1, CAST(len(text) AS BIGINT), 64)])
         |    AS b
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_roundtrip" ->
+      """SELECT 'txt' AS format, COUNT(*) AS n_assets,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
     "mm_meta" ->
       """SELECT 'txt' AS format,
         |  CAST(floor(n_chars / 100) * 100 AS INT) AS width_band,

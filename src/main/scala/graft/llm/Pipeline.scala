@@ -83,7 +83,8 @@ object Pipeline extends QueryModule {
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val shingles = Dedup.shingleRows(T.t(s, dir, "documents"))
+    // one materialization feeds both the probe set and the corpus side
+    val shingles = Dedup.shingleRows(T.t(s, dir, "documents")).localCheckpoint()
     val probe = shingles.filter($"doc_id" < 5)
       .select($"tok").distinct()
     shingles.filter($"doc_id" >= 5)
