@@ -85,6 +85,27 @@ class BinnedIntervalRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(!plan.contains("__graft_fbin"), plan)
   }
 
+  test("scale smoke: 500k facts x 20k ranges via the rewrite, checked arithmetically") {
+    // A broadcast nested loop here is 10^10 comparisons; the rewrite
+    // makes it an equi-join on ~50k bin rows. Expected match count is
+    // closed-form: fact f matches range i iff i*10 <= f < i*10+15,
+    // i.e. i in [ceil((f-14)/10), floor(f/10)] clipped to [0, 20000).
+    s.conf.set(BinnedIntervalRule.WidthConf, "64")
+    s.conf.set(BinnedIntervalRule.ForceConf, "true")
+    val facts = s.range(0, 500000).select($"id".cast("double").as("v"))
+    val ranges = s.range(0, 20000).select(
+      ($"id" * 10.0).as("lo"), ($"id" * 10.0 + 15.0).as("hi"))
+    val joined = facts.join(ranges, $"v" >= $"lo" && $"v" < $"hi")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = joined.count()
+    val expected = s.range(0, 500000).select(
+      (least(floor($"id" / 10), lit(19999L)) -
+        greatest(ceil(($"id" - 14) / lit(10.0)), lit(0L)) + 1).as("n"))
+      .agg(sum(when($"n" > 0, $"n").otherwise(0L))).collect()(0).getLong(0)
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("registry query join_interval_auto matches join_interval") {
     val auto = graft.operators.Joins
       .joinIntervalAuto(s, SparkTestSession.SF).collect().toSeq
