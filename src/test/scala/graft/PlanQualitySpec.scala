@@ -68,6 +68,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
   }
 
+  test("AQE splits a skewed join partition instead of stalling on it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1M rows on ONE hot key joined to a 100-key dim: without skew
+    // handling one task gets the whole hot partition. AQE must mark
+    // the sort-merge join skew-handled and split the hot side.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(0, 1000000)
+        .select(when($"id" < 990000, 7L).otherwise($"id" % 100).as("k"),
+          $"id".as("payload"))
+      val dim = spark.range(0, 100).select($"id".as("k2"), ($"id" * 2).as("attr"))
+      val joined = skewed.join(dim.hint("merge"), $"k" === $"k2")
+        .groupBy($"attr").agg(count(lit(1)).as("cnt"))
+      assert(joined.collect().nonEmpty)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join handling:\n$finalPlan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("semi/anti joins keep only the join key on the probe side scan") {
     val p = plan(operators.Joins.joinSemi(spark, SF))
     val orderScan = p.linesIterator

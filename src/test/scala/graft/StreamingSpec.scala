@@ -52,6 +52,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dropDuplicatesWithinWatermark dedups while bounding state by event time") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // fixture spans < 24h, so within-watermark dedup == global dedup
+    val got = spark.table("dedup_wm_out")
+      .select($"user_id", $"event_type").distinct().count()
+    val want = T.events(spark, SF)
+      .select($"user_id", $"event_type").distinct().count()
+    assert(got == want)
+    assert(spark.table("dedup_wm_out").count() == got,
+      "no (user_id, event_type) may be emitted twice inside the watermark")
+  }
+
   test("custom state via mapGroupsWithState matches batch per-user counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(eventsDir).schema
