@@ -34,7 +34,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release blocks the query pinned (localCheckpoint/cache): once
+      // its noop sink ran they are dead weight, and letting them
+      // accumulate steals executor memory from every later query —
+      // measured multi-second GC drag on the late-alphabet queries.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

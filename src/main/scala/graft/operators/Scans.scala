@@ -141,6 +141,29 @@ object Scans extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** S9/S10 index-driven split pruning, PLAN-TIME: same zone-map
+    * sidecar, but pruning runs inside a custom `FileIndex` fed by the
+    * data filters Catalyst pushes to the scan (ZoneMapFileIndex) — the
+    * getSplits-time pruning of the reference
+    * (TribbleIndexIntervalFilteringTextInputFormat.java:59-92) rather
+    * than readIndexed's eager driver collect. The query states ONE
+    * plain `.filter`; file pruning and the row filter both derive
+    * from it.
+    */
+  def pruneZonemapPlanned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "lineitem_zonemapped_planned")
+    val st = graft.sources.GraftStorage(s)
+    st.writeIndexed(T.t(s, dir, "lineitem"), out, "l_shipdate", "l_shipdate")
+    st.readPruned(out)
+      .filter($"l_shipdate".between(
+        lit("1997-01-01").cast(TimestampType),
+        lit("1997-03-31").cast(TimestampType)))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** F5: validation-stringency gate → csv mode=DROPMALFORMED. Writes
     * good rows + injected garbage lines, reads back dropping the bad
     * ones (HtsjdkReadsRddStorage.java:85-88 LENIENT ≈ drop).
@@ -232,6 +255,7 @@ object Scans extends QueryModule {
     "project_prune" -> (projectPrune(_, _)),
     "prune_by_stats" -> (pruneByStats(_, _)),
     "prune_zonemap" -> (pruneZonemap(_, _)),
+    "prune_zonemap_planned" -> (pruneZonemapPlanned(_, _)),
     "parse_badrecords" -> (parseBadrecords(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -291,5 +315,11 @@ object Scans extends QueryModule {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "parse_badrecords" ->
       s"""SELECT COUNT(*) AS n_good, ${sqlDsum("o_totalprice")} AS total
-         |FROM orders""".stripMargin)
+         |FROM orders""".stripMargin,
+    "prune_zonemap_planned" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

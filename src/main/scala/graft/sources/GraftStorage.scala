@@ -96,6 +96,42 @@ final case class GraftStorage(
     }
   }
 
+  /** Read through the zone-map sidecar with PLAN-TIME pruning — the
+    * lazy upgrade of `readIndexed`: instead of the caller handing the
+    * range to the driver up front, a `ZoneMapFileIndex` prunes files
+    * inside `listFiles` using whatever data filters Catalyst pushed to
+    * the scan. Composes with any later `.filter` / `.select` on the
+    * returned DataFrame, and needs no residual re-statement here — the
+    * user's own predicate is both the pruning key and the row filter,
+    * exactly like parquet row-group stats pruning one level up.
+    */
+  def readPruned(path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.StructType
+    val zmPath = new Path(s"$path/_zonemap")
+    val fs = zmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(zmPath)) return read(path)
+    val zm = spark.read.parquet(zmPath.toString)
+    val zoneCols = zm.schema.fieldNames
+      .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+    val zones = zm.collect().map { r =>
+      val fname = new Path(r.getAs[String]("file")).getName
+      fname -> zoneCols.map(c =>
+        c -> ((r.getAs[Any](s"${c}__min"), r.getAs[Any](s"${c}__max")))).toMap
+    }.toMap
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val dataSchema = spark.read.parquet(path).schema
+    val index = new ZoneMapFileIndex(classic, new Path(path),
+      Some(dataSchema), zones)
+    val rel = HadoopFsRelation(index, new StructType(), dataSchema, None,
+      new ParquetFileFormat(), Map.empty)(classic)
+    val df = Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+    if (columns.nonEmpty) df.select(columns.map(col): _*) else df
+  }
+
   /** Write with disq-style option resolution
     * (HtsjdkReadsRddStorage.java:187-229): cardinality SINGLE →
     * one-file commit; MULTIPLE → sharded dir; optional partition

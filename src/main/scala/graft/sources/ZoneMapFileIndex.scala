@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** Plan-time zone-map pruning — the reference's index-driven split
+  * elision (BamSource.java:99-119 SBI chunk lookup,
+  * TribbleIndexIntervalFilteringTextInputFormat.java:59-92 tabix split
+  * pruning) as a Catalyst-native `FileIndex`.
+  *
+  * `GraftStorage.readIndexed` prunes eagerly: the caller hands it the
+  * range and the driver collects the surviving file list before the
+  * plan exists. This class moves the same decision inside the
+  * planner: `listFiles` receives the data filters Catalyst pushed to
+  * the scan, evaluates them against the `_zonemap` sidecar's per-file
+  * [min,max], and drops files no predicate can match — so pruning
+  * composes with ANY later `.filter` on the DataFrame, exactly like
+  * the reference's getSplits pruning responds to whatever traversal
+  * intervals the query carries. The sidecar is loaded once,
+  * driver-side (it is metadata, same as loading a .sbi/.tbi on the
+  * driver); at 100 TB it stays tiny — one row per data file.
+  *
+  * Filter evaluation is three-valued-conservative: a file is kept
+  * unless the predicate PROVABLY matches no row, the same contract as
+  * parquet row-group stats pruning; unsupported shapes keep the file.
+  */
+final class ZoneMapFileIndex(
+    session: org.apache.spark.sql.classic.SparkSession,
+    root: Path,
+    dataSchema: Option[StructType],
+    /** file name → zone column → (min, max) as EXTERNAL row values. */
+    zones: Map[String, Map[String, (Any, Any)]])
+  extends InMemoryFileIndex(session, Seq(root), Map.empty, dataSchema) {
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    if (dataFilters.isEmpty || zones.isEmpty) base
+    else base.map { pd =>
+      PartitionDirectory(pd.values, pd.files.filter { f =>
+        zones.get(f.getPath.getName) match {
+          case Some(stats) => dataFilters.forall(mayMatch(stats, _))
+          case None => true // file unknown to the sidecar: never prune
+        }
+      })
+    }
+  }
+
+  /** Could `e` be true for some row of a file with these stats? */
+  private def mayMatch(stats: Map[String, (Any, Any)], e: Expression): Boolean =
+    e match {
+      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+      case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
+      case EqualTo(a: AttributeReference, l: Literal) => contains(stats, a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => contains(stats, a, l)
+      case GreaterThan(a: AttributeReference, l: Literal) => maxAbove(stats, a, l, strict = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => maxAbove(stats, a, l, strict = false)
+      case LessThan(a: AttributeReference, l: Literal) => minBelow(stats, a, l, strict = true)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => minBelow(stats, a, l, strict = false)
+      // literal-first comparisons mirror to the attr-first form
+      case GreaterThan(l: Literal, a: AttributeReference) => minBelow(stats, a, l, strict = true)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => minBelow(stats, a, l, strict = false)
+      case LessThan(l: Literal, a: AttributeReference) => maxAbove(stats, a, l, strict = true)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => maxAbove(stats, a, l, strict = false)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => contains(stats, a, v.asInstanceOf[Literal]))
+      case IsNotNull(a: AttributeReference) =>
+        // min==null for an indexed column ⇒ the file has no non-null
+        // values there, so IsNotNull matches nothing
+        stats.get(a.name).forall { case (mn, _) => mn != null }
+      case _ => true
+    }
+
+  /** (ordering, internal min, internal max, internal literal) when the
+    * column is indexed with non-null bounds and the literal is
+    * non-null; None keeps the file except for null literals, which
+    * can never satisfy a comparison.
+    */
+  private def bounds(stats: Map[String, (Any, Any)],
+      a: AttributeReference, l: Literal): Option[(Ordering[Any], Any, Any, Any)] =
+    stats.get(a.name) match {
+      case Some((mn, mx)) if mn != null && mx != null && l.value != null =>
+        val conv = CatalystTypeConverters.createToCatalystConverter(a.dataType)
+        val ord = TypeUtils.getInterpretedOrdering(a.dataType)
+          .asInstanceOf[Ordering[Any]]
+        Some((ord, conv(mn), conv(mx), l.value))
+      case _ => None
+    }
+
+  /** `attr <cmp> null` is NULL, never true — prune unconditionally. */
+  private def nullLit(l: Literal): Boolean = l.value == null
+
+  private def contains(stats: Map[String, (Any, Any)],
+      a: AttributeReference, l: Literal): Boolean =
+    bounds(stats, a, l) match {
+      case Some((ord, mn, mx, v)) =>
+        ord.compare(v, mn) >= 0 && ord.compare(v, mx) <= 0
+      case None => !nullLit(l)
+    }
+
+  private def maxAbove(stats: Map[String, (Any, Any)],
+      a: AttributeReference, l: Literal, strict: Boolean): Boolean =
+    bounds(stats, a, l) match {
+      case Some((ord, _, mx, v)) =>
+        if (strict) ord.compare(mx, v) > 0 else ord.compare(mx, v) >= 0
+      case None => !nullLit(l)
+    }
+
+  private def minBelow(stats: Map[String, (Any, Any)],
+      a: AttributeReference, l: Literal, strict: Boolean): Boolean =
+    bounds(stats, a, l) match {
+      case Some((ord, mn, _, v)) =>
+        if (strict) ord.compare(mn, v) < 0 else ord.compare(mn, v) <= 0
+      case None => !nullLit(l)
+    }
+}

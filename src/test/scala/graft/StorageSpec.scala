@@ -148,6 +148,37 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).columns.sameElements(li.columns))
   }
 
+  test("plan-time zone-map index prunes from Catalyst-pushed filters") {
+    val out = T.scratch(SF, "zonemap_lineitem_planned")
+    val li = T.t(spark, SF, "lineitem")
+    storage.writeIndexed(li, out, "l_shipdate", "l_shipdate")
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-03-31 00:00:00")
+    // the filter arrives AFTER the read, through a projection — the
+    // FileIndex must still see it via the scan's pushed data filters
+    val pruned = storage.readPruned(out)
+      .select($"l_shipdate", $"l_orderkey", $"l_quantity")
+      .filter($"l_shipdate" >= lit(lo) && $"l_shipdate" <= lit(hi))
+    val full = spark.read.parquet(out)
+      .filter($"l_shipdate" >= lit(lo) && $"l_shipdate" <= lit(hi))
+    assert(pruned.count() == full.count())
+    assert(pruned.count() > 0)
+    // fewer files in the executed scan than the directory holds
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"${scan.metrics("numFiles").value} vs $allFiles")
+    // no filter → full scan, exact row count
+    assert(storage.readPruned(out).count() == li.count())
+    // disjoint range → zero files, zero rows, no error
+    assert(storage.readPruned(out)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("2031-01-01 00:00:00")))
+      .count() == 0)
+  }
+
   test("zone-map read: empty overlap yields zero rows, missing sidecar full-scans") {
     val out = T.scratch(SF, "zonemap_lineitem")
     val nothing = storage.readIndexed(out, "l_shipdate",
