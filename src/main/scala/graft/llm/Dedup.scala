@@ -96,32 +96,26 @@ object Dedup extends QueryModule {
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** MinHash + LSH near-dup: signatures → band hashes → bucket
-    * equi-join for candidates → exact-Jaccard verification. At 0.89+
-    * true similarity the 16×4 banding misses a pair with p≈1e-7, so
-    * the exact-pairs oracle applies. This is the shape that scales:
-    * the only join is on (band, hash) buckets.
-    */
-  def dedupNear(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val t = shingleRows(T.t(s, dir, "documents")).localCheckpoint()
-    val sigs = minhashSigs(t)
+  /** (doc_id, band, bh) rows: one LSH bucket key per band per doc. */
+  def bandRows(sigs: DataFrame): DataFrame = {
     val bandCols = array((0 until Bands).map { b =>
       xxhash64((lit(b) +: (0 until RowsPerBand).map(r =>
-        element_at($"sig", b * RowsPerBand + r + 1))): _*)
+        element_at(col("sig"), b * RowsPerBand + r + 1))): _*)
     }: _*)
-    val bands = sigs.select($"doc_id", posexplode(bandCols).as(Seq("band", "bh")))
-    val candidates = bands.as("a")
-      .join(bands.as("b"), Seq("band", "bh"))
-      .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    // Exact-Jaccard verification restricted to the candidate set:
-    // intersection counts via the shingle rows (no array reshaping).
-    val sz = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    sigs.select(col("doc_id"), posexplode(bandCols).as(Seq("band", "bh")))
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set via the
+    * shingle rows (no array reshaping) — shared by the batch and
+    * streaming candidate generators.
+    */
+  private def verifyPairs(s: SparkSession, candidates: DataFrame,
+      shingles: DataFrame): DataFrame = {
+    import s.implicits._
+    val sz = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = candidates
-      .join(t.as("ta"), $"ta.doc_id" === $"doc_a")
-      .join(t.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.tok" === $"tb.tok")
+      .join(shingles.as("ta"), $"ta.doc_id" === $"doc_a")
+      .join(shingles.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.tok" === $"tb.tok")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("i"))
     inter
@@ -131,6 +125,79 @@ object Dedup extends QueryModule {
       .filter($"j" >= 0.5)
       .select($"doc_a", $"doc_b", round($"j", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash + LSH near-dup: signatures → band hashes → bucket
+    * equi-join for candidates → exact-Jaccard verification. At 0.89+
+    * true similarity the 16×4 banding misses a pair with p≈1e-7, so
+    * the exact-pairs oracle applies. This is the shape that scales:
+    * the only join is on (band, hash) buckets.
+    */
+  def dedupNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = shingleRows(T.t(s, dir, "documents")).localCheckpoint()
+    val bands = bandRows(minhashSigs(t))
+    val candidates = bands.as("a")
+      .join(bands.as("b"), Seq("band", "bh"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    verifyPairs(s, candidates, t)
+  }
+
+  /** Row type for the stateful LSH bucket stream. */
+  case class BandRow(band: Int, bh: Long, doc_id: Long)
+
+  /** STREAMING near-dup candidate generation — SURVEY.md §8 round-2
+    * candidate "streaming llm dedup". Band rows keyed by (band, bh)
+    * flow through `flatMapGroupsWithState`, which keeps each bucket's
+    * member doc_ids as state and, for every arriving doc, emits a
+    * candidate pair against each earlier member — the incremental
+    * form of the batch bucket self-join: over any prefix of the
+    * stream, emitted pairs == batch candidates on the same docs.
+    * State is per-bucket and append-only (real deployments bound it
+    * with a watermark + timeout; the core is timeout-agnostic).
+    *
+    * The SAME function runs in batch (one invocation per group,
+    * empty state) — that run, verified against exact Jaccard, is the
+    * `llm_dedup_stream` oracle query; StreamingSpec replays it as a
+    * true multi-micro-batch file stream and asserts pair-set
+    * equality with batch.
+    */
+  def lshCandidatesCore(bands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = bands.sparkSession
+    import s.implicits._
+    bands.select($"band".cast("int"), $"bh", $"doc_id").as[BandRow]
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long)]
+          // sort within the invocation: deterministic emission no
+          // matter how rows landed in this micro-batch
+          rows.map(_.doc_id).toSeq.sorted.foreach { d =>
+            members.foreach { m =>
+              if (m != d) out += ((math.min(m, d), math.max(m, d)))
+            }
+            members ::= d
+          }
+          state.update(members)
+          out.result().iterator
+      }
+      .toDF("doc_a", "doc_b")
+  }
+
+  /** Batch run of the streaming candidate core + exact verification —
+    * identical result contract to llm_dedup_near (the candidate sets
+    * coincide), so it shares the exact-pairs oracle.
+    */
+  def dedupStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = shingleRows(T.t(s, dir, "documents")).localCheckpoint()
+    val candidates = lshCandidatesCore(bandRows(minhashSigs(t))).distinct()
+    verifyPairs(s, candidates, t)
   }
 
   /** SimHash: 64-bit signature from token-hash bit votes; candidate
@@ -211,6 +278,7 @@ object Dedup extends QueryModule {
     "llm_dedup_exact" -> (dedupExact(_, _)),
     "llm_ngram_jaccard" -> (ngramJaccard(_, _)),
     "llm_dedup_near" -> (dedupNear(_, _)),
+    "llm_dedup_stream" -> (dedupStream(_, _)),
     "llm_dedup_simhash" -> (dedupSimhash(_, _)))
 
   private val exactPairsSql =
@@ -240,6 +308,9 @@ object Dedup extends QueryModule {
     // MinHash-LSH verified against exact Jaccard: same result set
     // (miss probability ~1e-7 at the observed 0.89+ similarities).
     "llm_dedup_near" -> exactPairsSql,
+    // Streaming-core candidates == batch LSH candidates (same buckets),
+    // then the same exact-Jaccard verify → same oracle.
+    "llm_dedup_stream" -> exactPairsSql,
     // Connected components via recursive CTE over the same pair graph.
     "llm_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (

@@ -72,6 +72,34 @@ class StreamingSpec extends AnyFunSuite {
       "no (user_id, event_type) may be emitted twice inside the watermark")
   }
 
+  test("streaming LSH dedup: stateful candidate pairs match the batch bucket join") {
+    // band rows written as 4 files, replayed one file per micro-batch:
+    // bucket members arrive SPLIT across batches, so pair emission
+    // exercises the cross-batch state path, not just the batch path.
+    val bands = llm.Dedup.bandRows(
+      llm.Dedup.minhashSigs(llm.Dedup.shingleRows(T.t(spark, SF, "documents"))))
+    val src = T.scratch(SF, "stream_lsh_bands")
+    bands.repartition(4).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = llm.Dedup.lshCandidatesCore(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsh_pairs_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("lsh_pairs_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bands.as("a")
+      .join(bands.as("b"), Seq("band", "bh"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("custom state via mapGroupsWithState matches batch per-user counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(eventsDir).schema
