@@ -96,6 +96,33 @@ final case class GraftStorage(
     }
   }
 
+  /** Bounded-traversal read — 1:1 facade parity with
+    * `HtsjdkReadsRddStorage.read(path, traversalParameters)`
+    * (HtsjdkReadsTraversalParameters.java:38-55): a canonicalized
+    * interval list over an orderable key column, plus the
+    * unplaced-unmapped flag that unions null-key rows onto the
+    * interval hits (TraversalOverlapDetector.overlapsAny:48-58).
+    * `intervals = None` means unbounded (the reference throws there
+    * unless unplaced-only, AbstractBinarySamSource.java:75-79; this
+    * engine supports the full scan trivially). The predicate is one
+    * pushed OR-of-ranges filter — Catalyst + parquet stats do the
+    * index work the reference does with BAI span intersection.
+    */
+  def readTraversal(path: String, keyCol: String,
+      intervals: Option[Seq[(Long, Long)]],
+      traverseUnplaced: Boolean = false): DataFrame = {
+    val df = read(path)
+    val c = col(keyCol)
+    (intervals, traverseUnplaced) match {
+      case (None, false) => df
+      case (None, true) => df.filter(c.isNull)
+      case (Some(ivs), false) =>
+        df.filter(graft.operators.Intervals.predicate(c, ivs))
+      case (Some(ivs), true) =>
+        df.filter(graft.operators.Intervals.predicate(c, ivs) || c.isNull)
+    }
+  }
+
   /** Read through the zone-map sidecar with PLAN-TIME pruning — the
     * lazy upgrade of `readIndexed`: instead of the caller handing the
     * range to the driver up front, a `ZoneMapFileIndex` prunes files

@@ -106,6 +106,40 @@ class BinnedIntervalRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("hot bin composes with AQE skew split: rewrite + skew=true in one plan") {
+    // 990k of 1M facts land in bin 0 (width 64): after the rewrite the
+    // equi-join on __graft_fbin has one giant shuffle partition. The
+    // whole point of rewriting theta→equi is that AQE can then split
+    // that partition — assert both mechanisms appear in the same
+    // executed plan (the 100 TB skew story, end to end).
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    s.conf.set(BinnedIntervalRule.WidthConf, "64")
+    s.conf.set(BinnedIntervalRule.ForceConf, "true")
+    try {
+      val facts = s.range(0, 1000000).select(
+        when($"id" < 990000, ($"id" % 60).cast("double"))
+          .otherwise($"id".cast("double")).as("v"))
+      val ranges = s.range(0, 2000).select(
+        (lit(100000.0) + $"id" * 10.0).as("lo"),
+        (lit(100000.0) + $"id" * 10.0 + 5.0).as("hi"))
+      val joined = facts.join(ranges, $"v" >= $"lo" && $"v" < $"hi")
+        .agg(count(lit(1)).as("cnt"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_fbin"), plan)
+      assert(plan.contains("skew=true"), plan)
+    } finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("registry query join_interval_auto matches join_interval") {
     val auto = graft.operators.Joins
       .joinIntervalAuto(s, SparkTestSession.SF).collect().toSeq

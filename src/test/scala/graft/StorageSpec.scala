@@ -191,6 +191,34 @@ class StorageSpec extends AnyFunSuite {
     assert(fb.count() == 11)
   }
 
+  test("traversal read: intervals + unplaced flag mirror the reference contract") {
+    // null-key rows exist only in a scratch copy: orders has no nulls,
+    // so plant some (the unplaced-unmapped analogue)
+    val out = T.scratch(SF, "traversal_orders")
+    val o = T.t(spark, SF, "orders")
+    o.withColumn("o_orderkey",
+      when($"o_custkey" % 97 === 0, lit(null).cast("long"))
+        .otherwise($"o_orderkey"))
+      .write.mode("overwrite").parquet(out)
+    val planted = spark.read.parquet(out)
+    val nNull = planted.filter($"o_orderkey".isNull).count()
+    assert(nNull > 0)
+    val ivs = Seq((100L, 500L), (400L, 900L), (5000L, 6000L))
+    val hits = planted.filter(
+      ($"o_orderkey" >= 100 && $"o_orderkey" <= 900) ||
+        ($"o_orderkey" >= 5000 && $"o_orderkey" <= 6000)).count()
+    // intervals only
+    assert(storage.readTraversal(out, "o_orderkey", Some(ivs)).count() == hits)
+    // intervals + unplaced: union of hits and null keys (disjoint)
+    assert(storage.readTraversal(out, "o_orderkey", Some(ivs),
+      traverseUnplaced = true).count() == hits + nNull)
+    // unplaced only (the reference's null-intervals+flag path)
+    assert(storage.readTraversal(out, "o_orderkey", None,
+      traverseUnplaced = true).count() == nNull)
+    // unbounded (reference throws; we full-scan)
+    assert(storage.readTraversal(out, "o_orderkey", None).count() == o.count())
+  }
+
   test("interval predicate matches naive OR on real data") {
     val ivs = Seq((100L, 200L), (150L, 300L), (301L, 400L), (900L, 950L))
     val c = $"l_orderkey"
