@@ -53,20 +53,230 @@ final case class GraftStorage(
     */
   def writeIndexed(df: DataFrame, path: String,
       clusterBy: String, zoneCols: String*): Unit = {
-    df.repartitionByRange(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt, col(clusterBy))
-      .sortWithinPartitions(col(clusterBy))
-      .write.mode("overwrite").parquet(path)
-    val written = spark.read.parquet(path)
-    val aggs = zoneCols.flatMap { c =>
-      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
-    } :+ count(lit(1)).as("cnt")
-    written
-      .select((input_file_name().as("file") +: zoneCols.map(col)): _*)
-      .groupBy(col("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_zonemap")
+    // micros timestamps so footer stats stay readable (INT96 carries
+    // no usable statistics)
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsConf)
+    spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+    try {
+      df.repartitionByRange(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col(clusterBy))
+        .sortWithinPartitions(col(clusterBy))
+        .write.mode("overwrite").parquet(path)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsConf, v)
+      case None => spark.conf.unset(tsConf)
+    }
+    buildZoneMap(path, zoneCols)
+  }
+
+  /** Build the `_zonemap` sidecar for an existing parquet directory.
+    *
+    * Fast path: METADATA-ONLY — per-file min/max/count aggregated from
+    * parquet footers on the driver with a fixed 8-thread pool, the
+    * same shape as the reference's driver-side part-index merge
+    * (IndexFileMerger.java:62-102, pool at :83). No data is scanned;
+    * at 100 TB this reads a few KiB per file instead of re-scanning
+    * the zone columns. Falls back to a distributed column-pruned scan
+    * when any footer lacks usable stats for a zone column (foreign
+    * writers, exotic types) — truncated binary stats remain sound
+    * (they widen, never narrow, the [min,max]).
+    */
+  def buildZoneMap(path: String, zoneCols: Seq[String]): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val dataSchema = spark.read.parquet(path).schema
+    val fieldType = dataSchema.fields.map(f => f.name -> f.dataType).toMap
+    val sidecarSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      zoneCols.flatMap(c => Seq(
+        org.apache.spark.sql.types.StructField(s"${c}__min", fieldType(c)),
+        org.apache.spark.sql.types.StructField(s"${c}__max", fieldType(c)))) :+
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = footerZoneRows(path, zoneCols, fieldType)
+    rows match {
+      case Some(rs) =>
+        spark.createDataFrame(
+          java.util.Arrays.asList(rs: _*), sidecarSchema)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/_zonemap")
+        true
+      case None =>
+        val written = spark.read.parquet(path)
+        val aggs = zoneCols.flatMap { c =>
+          Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
+        } :+ count(lit(1)).as("cnt")
+        written
+          .select((input_file_name().as("file") +: zoneCols.map(col)): _*)
+          .groupBy(col("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/_zonemap")
+        false
+    }
+  }
+
+  /** Footer-stat rows for every data file, or None when any column's
+    * stats are unusable (→ caller falls back to the scan build).
+    */
+  private def footerZoneRows(path: String, zoneCols: Seq[String],
+      fieldType: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[Seq[org.apache.spark.sql.Row]] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    // 8 driver threads, the reference's index-merge parallelism
+    // (IndexFileMerger.java:83)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Option[Row]] {
+          override def call(): Option[Row] = fileZoneRow(f.getPath, zoneCols, fieldType, conf)
+        })
+      }
+      val rows = futs.map(_.get())
+      if (rows.forall(_.isDefined)) Some(rows.map(_.get)) else None
+    } finally pool.shutdown()
+  }
+
+  /** One sidecar row from one file's footer; None if stats unusable. */
+  private def fileZoneRow(p: org.apache.hadoop.fs.Path, zoneCols: Seq[String],
+      fieldType: Map[String, org.apache.spark.sql.types.DataType],
+      conf: org.apache.hadoop.conf.Configuration): Option[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(conf, p)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val cnt = blocks.map(_.getRowCount).sum
+      val perCol: Seq[Option[(Any, Any)]] = zoneCols.map { c =>
+        val dt = fieldType(c)
+        val chunks = blocks.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == c).orNull)
+        if (chunks.exists(_ == null)) None
+        else {
+          // decode each block's (min, max); a block that is all-null
+          // contributes nothing; unusable stats poison the column
+          val decoded = chunks.map { ch =>
+            val st = ch.getStatistics
+            if (st == null || st.isEmpty) null // unusable
+            else if (!st.hasNonNullValue) Some(None) // all-null block
+            else decodeStat(st, ch.getPrimitiveType, dt)
+              .map(mm => Some(Some(mm))).getOrElse(null)
+          }
+          if (decoded.contains(null)) None
+          else {
+            val present = decoded.collect { case Some(Some(mm)) => mm }
+            if (present.isEmpty) Some((null, null)) // whole file null
+            else {
+              implicit val ord: Ordering[Any] = externalOrdering(dt)
+              Some((present.map(_._1).min, present.map(_._2).max))
+            }
+          }
+        }
+      }
+      if (perCol.exists(_.isEmpty)) None
+      else Some(org.apache.spark.sql.Row.fromSeq(
+        p.toString +: perCol.flatMap { case Some((mn, mx)) => Seq(mn, mx) }
+          :+ cnt))
+    } finally reader.close()
+  }
+
+  /** (min, max) of one row group decoded to Spark EXTERNAL values;
+    * None when the physical/logical type combination is unsupported.
+    */
+  private def decodeStat(st: org.apache.parquet.column.statistics.Statistics[_],
+      pt: org.apache.parquet.schema.PrimitiveType,
+      dt: org.apache.spark.sql.types.DataType): Option[(Any, Any)] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    def micros(v: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(Math.floorDiv(v, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(v, 1000000L) * 1000L).toInt)
+      ts
+    }
+    def tsUnit: Option[Long => Long] = pt.getLogicalTypeAnnotation match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => Some(identity)
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(_ * 1000L)
+          case LogicalTypeAnnotation.TimeUnit.NANOS => Some(Math.floorDiv(_, 1000L))
+        }
+      case _ => None
+    }
+    def num(v: Any): Any = v match {
+      case n: java.lang.Number => n
+      case _ => null
+    }
+    val (mn, mx) = (st.genericGetMin, st.genericGetMax)
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType =>
+        val (a, b) = (num(mn), num(mx))
+        if (a == null || b == null) None else Some((a, b))
+      case StringType => (mn, mx) match {
+        case (a: org.apache.parquet.io.api.Binary,
+              b: org.apache.parquet.io.api.Binary) =>
+          Some((a.toStringUsingUTF8, b.toStringUsingUTF8))
+        case _ => None
+      }
+      case TimestampType => tsUnit.flatMap { toMicros =>
+        (mn, mx) match {
+          case (a: java.lang.Long, b: java.lang.Long) =>
+            Some((micros(toMicros(a)), micros(toMicros(b))))
+          case _ => None
+        }
+      }
+      case TimestampNTZType => tsUnit.flatMap { toMicros =>
+        def ldt(v: Long): java.time.LocalDateTime =
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(toMicros(v), 1000000L),
+            (Math.floorMod(toMicros(v), 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        (mn, mx) match {
+          case (a: java.lang.Long, b: java.lang.Long) =>
+            Some((ldt(a), ldt(b)))
+          case _ => None
+        }
+      }
+      case DateType => (mn, mx) match {
+        case (a: java.lang.Integer, b: java.lang.Integer) =>
+          Some((java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(a.toLong)),
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(b.toLong))))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Natural ordering for decoded external stat values. */
+  private def externalOrdering(
+      dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    val o: Ordering[_] = dt match {
+      case LongType => Ordering.Long.on[java.lang.Number](_.longValue())
+      case IntegerType | ShortType | ByteType =>
+        Ordering.Int.on[java.lang.Number](_.intValue())
+      case DoubleType | FloatType =>
+        Ordering.Double.TotalOrdering.on[java.lang.Number](_.doubleValue())
+      case StringType => Ordering.String.on[String](identity)
+      case TimestampType =>
+        Ordering.fromLessThan[java.sql.Timestamp]((a, b) => a.before(b))
+      case TimestampNTZType =>
+        Ordering.fromLessThan[java.time.LocalDateTime]((a, b) => a.isBefore(b))
+      case DateType =>
+        Ordering.fromLessThan[java.sql.Date]((a, b) => a.before(b))
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+    o.asInstanceOf[Ordering[Any]]
   }
 
   /** Read with zone-map pruning on `zoneCol` ∈ [lo, hi] — the

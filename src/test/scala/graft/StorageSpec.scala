@@ -191,6 +191,30 @@ class StorageSpec extends AnyFunSuite {
     assert(fb.count() == 11)
   }
 
+  test("footer-built zone map == full-scan zone map (values and counts)") {
+    val out = T.scratch(SF, "zonemap_footer")
+    // two zone columns: timestamp + long exercise both decoders
+    storage.writeIndexed(T.t(spark, SF, "lineitem"), out,
+      "l_shipdate", "l_shipdate", "l_orderkey")
+    val sidecar = spark.read.parquet(s"$out/_zonemap").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getAs[String]("file")).getName ->
+        (r.getAs[Any]("l_shipdate__min"), r.getAs[Any]("l_shipdate__max"),
+          r.getAs[Long]("l_orderkey__min"), r.getAs[Long]("l_orderkey__max"),
+          r.getAs[Long]("cnt"))).toMap
+    val expected = spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"l_shipdate"), max($"l_shipdate"),
+        min($"l_orderkey"), max($"l_orderkey"), count(lit(1)))
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName ->
+        (r.get(1), r.get(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(sidecar == expected)
+    assert(sidecar.nonEmpty)
+    // and it was the metadata-only path that produced it
+    assert(storage.buildZoneMap(out, Seq("l_shipdate", "l_orderkey")),
+      "expected the footer fast path, got the scan fallback")
+  }
+
   test("traversal read: intervals + unplaced flag mirror the reference contract") {
     // null-key rows exist only in a scratch copy: orders has no nulls,
     // so plant some (the unplaced-unmapped analogue)
