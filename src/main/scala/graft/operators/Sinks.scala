@@ -48,6 +48,30 @@ object Sinks extends QueryModule {
     s.read.parquet(out).orderBy($"o_orderkey")
   }
 
+  /** K1 parallel edition: parts written by all executors, driver
+    * splices header + parts into ONE csv file in part order
+    * (GraftStorage.writeSingleCsv — the BamSink.save shape). Input is
+    * range-partitioned and sorted, so the merged file is globally
+    * ordered without any coalesce(1) serialization.
+    */
+  def sinkSingleMerged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val out = T.scratch(dir, "sink_single_merged") + "/orders.csv"
+    val df = T.t(s, dir, "orders")
+      .filter($"o_orderstatus" === "O")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .repartitionByRange(4, $"o_orderkey")
+      .sortWithinPartitions($"o_orderkey")
+    graft.sources.GraftStorage(s).writeSingleCsv(df, out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.option("header", "true").schema(schema).csv(out)
+      .orderBy($"o_orderkey")
+  }
+
   /** Hive-partitioned sink: partition column becomes directory
     * structure; the re-read filter prunes to one directory (partition
     * pruning — beyond the reference's capabilities, free in Spark).
@@ -82,6 +106,7 @@ object Sinks extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
+    "sink_single_merged" -> (sinkSingleMerged(_, _)),
     "sink_partitioned" -> (sinkPartitioned(_, _)),
     "sink_overwrite" -> (sinkOverwrite(_, _)))
 
@@ -93,6 +118,9 @@ object Sinks extends QueryModule {
     "sink_single" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    "sink_single_merged" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
     "sink_partitioned" ->
       s"""SELECT event_type, COUNT(*) AS cnt, ${sqlDsum("value", 6)} AS sum_value
          |FROM events WHERE event_type IN ('purchase', 'signup')

@@ -369,6 +369,46 @@ final case class GraftStorage(
     if (columns.nonEmpty) df.select(columns.map(col): _*) else df
   }
 
+  /** K1 literal: one spec-valid CSV FILE via parallel part writes +
+    * driver byte-splice — the reference's single-file sink shape
+    * (BamSink.java:64-139) rather than coalesce(1), which funnels the
+    * whole write through one task. Executors write headerless parts
+    * with full parallelism; the driver then writes the header
+    * (BamSink.java:96-99), splices parts in lexicographic name order
+    * (Merger.java:41-63) skipping hidden/zero-length parts
+    * (HiddenFileFilter.java:31-37, Merger.java:44-48) with the serial
+    * copy fallback of HadoopFileSystemWrapper.concat:155-166, and
+    * deletes the `path + ".parts"` temp dir
+    * (HtsjdkReadsRddStorage.java:224-229). Partition order = part
+    * order, so a range-partitioned, within-partition-sorted input
+    * yields a globally ordered file (README.md:148-161 contract).
+    */
+  def writeSingleCsv(df: DataFrame, path: String,
+      withHeader: Boolean = true): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = path + ".parts"
+    df.write.mode("overwrite").csv(tmp)
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(tmp)).toSeq
+      .filter(f => f.isFile && f.getLen > 0 &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    val out = fs.create(new Path(path), true)
+    try {
+      if (withHeader)
+        out.write((df.columns.mkString(",") + "\n").getBytes("UTF-8"))
+      val buf = new Array[Byte](1 << 20)
+      parts.foreach { part =>
+        val in = fs.open(part.getPath)
+        try {
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    } finally out.close()
+    fs.delete(new Path(tmp), true)
+  }
+
   /** Write with disq-style option resolution
     * (HtsjdkReadsRddStorage.java:187-229): cardinality SINGLE →
     * one-file commit; MULTIPLE → sharded dir; optional partition

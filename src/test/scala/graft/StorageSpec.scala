@@ -191,6 +191,24 @@ class StorageSpec extends AnyFunSuite {
     assert(fb.count() == 11)
   }
 
+  test("parallel single-file csv sink: one ordered file, header first, temp cleaned") {
+    val out = T.scratch(SF, "single_merged_nation") + "/nation.csv"
+    val df = T.t(spark, SF, "nation")
+      .select($"n_nationkey", $"n_name")
+      .repartitionByRange(4, $"n_nationkey")
+      .sortWithinPartitions($"n_nationkey")
+    storage.writeSingleCsv(df, out)
+    val f = new java.io.File(out)
+    assert(f.isFile, "must be a single FILE, not a directory")
+    assert(!new java.io.File(out + ".parts").exists(), "temp dir must be deleted")
+    val lines = scala.io.Source.fromFile(f).getLines().toSeq
+    assert(lines.head == "n_nationkey,n_name")
+    // global order falls out of part order — no re-sort on read
+    val keys = lines.tail.map(_.split(",")(0).toLong)
+    assert(keys == keys.sorted)
+    assert(keys.size == 25)
+  }
+
   test("footer-built zone map == full-scan zone map (values and counts)") {
     val out = T.scratch(SF, "zonemap_footer")
     // two zone columns: timestamp + long exercise both decoders
