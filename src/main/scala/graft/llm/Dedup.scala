@@ -239,9 +239,53 @@ object Dedup extends QueryModule {
     * fixed iteration budget covers the diameter, and each iteration
     * is one shuffle join (the GraphX-free formulation that scales).
     */
+  /** Edge-count gate below which the component computation moves to
+    * the driver (same size-gated strategy choice as the broadcast-join
+    * threshold, and the reference's driver-side index merge): the
+    * near-dup pair graph is tiny relative to the corpus — O(dup pairs),
+    * not O(docs) — so at any realistic threshold a driver union-find
+    * replaces ~2 Spark jobs × graph-diameter iterations with one
+    * collect. The distributed min-label loop remains the >threshold
+    * path.
+    */
+  val LocalEdgesConf = "spark.graft.dedup.localClusterEdges"
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
+      .localCheckpoint()
+    val threshold = s.conf.get(LocalEdgesConf, "100000").toLong
+    if (pairs.count() <= threshold) {
+      // driver union-find with path compression; canonical label =
+      // component minimum (same contract as the distributed path)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      s.createDataFrame(rows).toDF("doc_id", "cluster_id")
+        .orderBy($"doc_id")
+    } else dedupClustersDistributed(s, pairs)
+  }
+
+  /** Distributed min-label propagation to a fixpoint — one shuffle
+    * join per iteration, the GraphX-free formulation that scales to
+    * graphs too big to collect.
+    */
+  private def dedupClustersDistributed(s: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    import s.implicits._
     // Materialize and truncate lineage before iterating: without the
     // checkpoint every iteration re-executes the whole pair pipeline
     // in each branch and the plan grows exponentially (measured 32s →

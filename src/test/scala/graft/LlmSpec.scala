@@ -44,6 +44,18 @@ class LlmSpec extends AnyFunSuite {
     labels.values.toSet.foreach((l: Long) => assert(labels(l) == l))
   }
 
+  test("driver union-find and distributed label propagation agree exactly") {
+    val local = llm.Dedup.dedupClusters(spark, SF)
+      .as[(Long, Long)].collect().toSeq
+    spark.conf.set(llm.Dedup.LocalEdgesConf, "0") // force distributed
+    try {
+      val dist = llm.Dedup.dedupClusters(spark, SF)
+        .as[(Long, Long)].collect().toSeq
+      assert(local == dist)
+      assert(local.nonEmpty)
+    } finally spark.conf.unset(llm.Dedup.LocalEdgesConf)
+  }
+
   private def knnSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
 
