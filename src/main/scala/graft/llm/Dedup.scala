@@ -210,14 +210,13 @@ object Dedup extends QueryModule {
     val th = T.t(s, dir, "documents")
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
       .withColumn("h", xxhash64($"tok"))
-    val voteCols = (0 until 64).map(k =>
-      sum(when(shiftright($"h", k).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$k"))
-    val votes = th.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val sim = (0 until 64)
-      .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-      .reduce[Column](_ bitwiseOR _)
-    val sh = votes.select($"doc_id", sim.as("simhash"))
+    // one imperative 64-counter buffer per doc (SimHashAgg) — the
+    // 64-column sum(when) formulation compiles past the JIT huge-method
+    // limit and runs interpreted; materialized because the chunk
+    // self-join would otherwise recompute the explode+agg per branch
+    val sh = th.groupBy($"doc_id")
+      .agg(graft.functions.SimHashAgg.simhash_agg($"h").as("simhash"))
+      .localCheckpoint()
     val chunks = sh.select($"doc_id", $"simhash", posexplode(
       array((0 until 4).map(c =>
         shiftright($"simhash", c * 16).bitwiseAND(0xFFFFL)): _*))
