@@ -121,7 +121,8 @@ object Knn extends QueryModule {
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val b = base(s, dir)
+    // materialized: feeds the centroid pick + both probe-plan branches
+    val b = base(s, dir).localCheckpoint()
     val cents = b.filter($"vec_id" < NumCells)
       .select($"vec_id".as("cid"), $"v".as("cv"))
     knnWithCells(s, b, cents)
@@ -174,7 +175,9 @@ object Knn extends QueryModule {
     */
   def knnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val b = base(s, dir)
+    // materialized: each Lloyd pass re-reads it, then the probe plan
+    // uses it twice more
+    val b = base(s, dir).localCheckpoint()
     val trained = trainCentroids(s, b, NumCells, 3)
     val cents = s.createDataFrame(
       trained.zipWithIndex.map { case (v, i) => (i.toLong, v) })
@@ -189,11 +192,16 @@ object Knn extends QueryModule {
   private def knnWithCells(s: SparkSession, b: DataFrame,
       cents: DataFrame): DataFrame = {
     import s.implicits._
+    // assignment computed ONCE (materialized pruned to crn<=NProbe):
+    // the corpus and probe branches would otherwise each re-run the
+    // crossJoin + window over the full corpus
     val ranked = b.crossJoin(broadcast(cents))
       .withColumn("csim",
         graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
       .withColumn("crn", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+      .filter($"crn" <= NProbe)
+      .localCheckpoint()
     val corpus = ranked.filter($"crn" === 1)
       .select($"vec_id".as("nid"), $"v".as("nv"), $"cid")
     val qprobe = ranked.filter($"vec_id" < NQueries && $"crn" <= NProbe)
