@@ -19,12 +19,22 @@ import org.apache.spark.sql.functions._
 final case class GraftStorage(
     spark: SparkSession,
     splitSize: Option[Long] = None,
-    columns: Seq[String] = Nil) {
+    columns: Seq[String] = Nil,
+    rowGroupBytes: Option[Long] = None) {
 
   /** splitSize(n) ≈ HtsjdkReadsRddStorage.splitSize — bounds bytes
     * per input partition.
     */
   def splitSize(bytes: Long): GraftStorage = copy(splitSize = Some(bytes))
+
+  /** indexGranularity(n) ≈ HtsjdkReadsRddStorage.sbiIndexGranularity
+    * (HtsjdkReadsRddStorage.java:113-116): how fine the index can
+    * prune. Here granularity is the parquet row-group size of indexed
+    * writes — smaller row groups mean finer row-group-stats pruning
+    * inside each file (the engine-side half of the zone-map story).
+    */
+  def indexGranularity(bytes: Long): GraftStorage =
+    copy(rowGroupBytes = Some(bytes))
 
   /** Projection pushed to the scan (lazy-decode analogue). */
   def select(cols: String*): GraftStorage = copy(columns = cols)
@@ -59,10 +69,12 @@ final case class GraftStorage(
     val prevTs = spark.conf.getOption(tsConf)
     spark.conf.set(tsConf, "TIMESTAMP_MICROS")
     try {
-      df.repartitionByRange(df.sparkSession.conf
+      val writer = df.repartitionByRange(df.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt, col(clusterBy))
         .sortWithinPartitions(col(clusterBy))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite")
+      rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
+      writer.parquet(path)
     } finally prevTs match {
       case Some(v) => spark.conf.set(tsConf, v)
       case None => spark.conf.unset(tsConf)

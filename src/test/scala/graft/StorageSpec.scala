@@ -209,6 +209,32 @@ class StorageSpec extends AnyFunSuite {
     assert(keys.size == 25)
   }
 
+  test("indexGranularity shrinks row groups => more zone-map entries per file") {
+    // needs enough rows that a file exceeds the fine block size
+    val sf01 = SparkTestSession.SF01
+    val coarse = T.scratch(sf01, "zonemap_coarse")
+    val fine = T.scratch(sf01, "zonemap_fine")
+    val li = T.t(spark, sf01, "lineitem")
+    GraftStorage(spark)
+      .writeIndexed(li, coarse, "l_shipdate", "l_shipdate")
+    GraftStorage(spark).indexGranularity(64 * 1024)
+      .writeIndexed(li, fine, "l_shipdate", "l_shipdate")
+    def rowGroups(dir: String): Int = {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            conf, new org.apache.hadoop.fs.Path(f.getPath))
+          try r.getFooter.getBlocks.size() finally r.close()
+        }.sum
+    }
+    assert(rowGroups(fine) > rowGroups(coarse),
+      s"fine=${rowGroups(fine)} coarse=${rowGroups(coarse)}")
+    // same data either way
+    assert(spark.read.parquet(fine).count() == li.count())
+  }
+
   test("footer-built zone map == full-scan zone map (values and counts)") {
     val out = T.scratch(SF, "zonemap_footer")
     // two zone columns: timestamp + long exercise both decoders
