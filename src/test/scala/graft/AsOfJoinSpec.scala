@@ -43,6 +43,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Set((10L, -1L), (11L, 91L), (12L, 91L), (13L, -1L), (14L, 94L)))
   }
 
+  test("scale smoke: 1M x 100k as-of via the merge exec, checked arithmetically") {
+    // left (k = id % 1000, ts = id); right ts for key k = {k, k+1000,
+    // ..., k+99000}. The as-of match for left id is therefore
+    // min(id, k + 99000) — a closed-form oracle, no reference join.
+    // A pairwise join+rank here is ~10^8 candidate pairs; the merge
+    // exec streams both sides once per partition.
+    val left = spark.range(0, 1000000).select(
+      ($"id" % 1000).as("k"), $"id".as("lts"))
+    val right = spark.range(0, 100000).select(
+      ($"id" % 1000).as("rk"), $"id".as("rts"))
+    val joined = plans.AsOf.join(left.toDF(), right.toDF(), "k", "rk", "lts", "rts")
+    assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+    val got = joined.agg(sum($"rts")).collect()(0).getLong(0)
+    val expected = spark.range(0, 1000000)
+      .select(least($"id", $"id" % 1000 + 99000).as("m"))
+      .agg(sum($"m")).collect()(0).getLong(0)
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("as-of on empty right side yields all-null matches") {
     val left = Seq((1L, 10L, 1L)).toDF("k", "ts", "lid")
     val right = Seq.empty[(Long, Long, Long)].toDF("rk", "rts", "rid")
