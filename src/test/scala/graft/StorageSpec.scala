@@ -209,6 +209,33 @@ class StorageSpec extends AnyFunSuite {
     assert(keys.size == 25)
   }
 
+  test("zone map at 200 files: footer build covers all, narrow range plans few") {
+    val sf01 = SparkTestSession.SF01
+    val out = T.scratch(sf01, "zonemap_manyfiles")
+    val li = T.t(spark, sf01, "lineitem")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try GraftStorage(spark).writeIndexed(li, out, "l_shipdate", "l_shipdate")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val sidecar = spark.read.parquet(s"$out/_zonemap")
+    assert(sidecar.count() >= 190, "one sidecar row per data file")
+    assert(sidecar.agg(sum($"cnt")).collect()(0).getLong(0) == li.count())
+    // ~1 week of ~7 years of data → ≲2% of range-clustered files
+    val pruned = storage.readPruned(out)
+      .filter($"l_shipdate".between(
+        lit("1996-06-01").cast("timestamp"), lit("1996-06-08").cast("timestamp")))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    val nFiles = scan.metrics("numFiles").value
+    assert(nFiles <= 10, s"expected heavy pruning, scanned $nFiles files")
+    assert(pruned.count() ==
+      spark.read.parquet(out).filter($"l_shipdate".between(
+        lit("1996-06-01").cast("timestamp"), lit("1996-06-08").cast("timestamp")))
+        .count())
+  }
+
   test("indexGranularity shrinks row groups => more zone-map entries per file") {
     // needs enough rows that a file exceeds the fine block size
     val sf01 = SparkTestSession.SF01
