@@ -314,6 +314,22 @@ class StorageSpec extends AnyFunSuite {
     assert(storage.readTraversal(out, "o_orderkey", None).count() == o.count())
   }
 
+  test("directory read with evolved schemas merges (undefined in the reference)") {
+    // reference: multi-file reads assume identical headers, behavior
+    // undefined otherwise (README.md:92-93); here two batches with an
+    // added column read as one table with nulls backfilled
+    val out = T.scratch(SF, "schema_evolution")
+    val n = T.t(spark, SF, "nation")
+    n.select($"n_nationkey", $"n_name")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    n.select($"n_nationkey", $"n_name", lit(7).as("extra"))
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("n_nationkey", "n_name", "extra", "batch"))
+    assert(merged.count() == 50)
+    assert(merged.filter($"extra".isNull).count() == 25)
+  }
+
   test("interval predicate matches naive OR on real data") {
     val ivs = Seq((100L, 200L), (150L, 300L), (301L, 400L), (900L, 950L))
     val c = $"l_orderkey"
