@@ -177,6 +177,48 @@ object Joins extends QueryModule {
       .orderBy($"lo")
   }
 
+  /** Data-adaptive bin width for the binned interval join — the last
+    * SURVEY §8 round-2 item. An optimizer rule cannot see value
+    * distributions, so the width is chosen the way Spark's own
+    * RangePartitioner plans a range exchange: a cheap driver-side
+    * sampling pass over the (small relative to the fact side) ranges
+    * table. width = p90 range length → ~90% of ranges explode into
+    * ≤2-3 bins while a bin never spans more than ~1/p90-quantile of
+    * range lengths; skewed bins are AQE's job downstream. One
+    * single-pass approxQuantile job; `sampleFraction < 1` bounds even
+    * that for huge range tables.
+    */
+  def adaptiveBinWidth(ranges: DataFrame, lo: Column, hi: Column,
+      sampleFraction: Double = 1.0): Long = {
+    val lens = ranges.select((hi - lo).cast("double").as("len"))
+    val sampled =
+      if (sampleFraction < 1.0) lens.sample(withReplacement = false, sampleFraction, 42L)
+      else lens
+    val q = sampled.stat.approxQuantile("len", Array(0.9), 0.01)
+    math.max(1L, q.headOption.getOrElse(1.0).toLong)
+  }
+
+  /** binnedIntervalJoin with the width fitted from the data. */
+  def autoBinnedIntervalJoin(fact: DataFrame, factCol: Column,
+      ranges: DataFrame): DataFrame =
+    binnedIntervalJoin(fact, factCol, ranges,
+      adaptiveBinWidth(ranges, col("lo"), col("hi")))
+
+  /** join_interval semantics through the adaptively-fitted binned
+    * plan — identical results to the manual-width variant (same
+    * oracle); the width itself is asserted sane in the rule spec.
+    */
+  def joinIntervalAdaptive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = s.createDataFrame(Seq(
+      (0L, 50000L), (50000L, 150000L), (150000L, 300000L), (300000L, 1000000L)))
+      .toDF("lo", "hi")
+    autoBinnedIntervalJoin(T.t(s, dir, "orders"), $"o_totalprice", buckets)
+      .groupBy($"lo")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"lo")
+  }
+
   /** join_interval semantics as a PLAIN theta join — no broadcast
     * hint, no manual binning — relying on the BinnedIntervalRule
     * optimizer rewrite (plans/BinnedIntervalRule.scala) to turn it
@@ -284,6 +326,7 @@ object Joins extends QueryModule {
     "join_multi" -> (joinMulti(_, _)),
     "join_interval" -> (joinInterval(_, _)),
     "join_interval_binned" -> (joinIntervalBinned(_, _)),
+    "join_interval_adaptive" -> (joinIntervalAdaptive(_, _)),
     "join_interval_auto" -> (joinIntervalAuto(_, _)),
     "join_semi" -> (joinSemi(_, _)),
     "join_anti" -> (joinAnti(_, _)),
@@ -329,6 +372,14 @@ object Joins extends QueryModule {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_interval_binned" ->
+      s"""SELECT CAST(lo AS BIGINT) AS lo, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN (VALUES (0, 50000), (50000, 150000), (150000, 300000),
+         |             (300000, 1000000)) AS b(lo, hi)
+         |  ON o_totalprice >= b.lo AND o_totalprice < b.hi
+         |GROUP BY lo ORDER BY lo""".stripMargin,
+    "join_interval_adaptive" ->
       s"""SELECT CAST(lo AS BIGINT) AS lo, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders

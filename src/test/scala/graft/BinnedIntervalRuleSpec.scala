@@ -140,6 +140,25 @@ class BinnedIntervalRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("adaptive width lands near p90 range length; join results unchanged") {
+    // 1000 ranges of length 10, plus 10 outliers of length 10000:
+    // p90 must pick ~10, not be dragged to the outlier scale
+    val ranges = s.range(0, 1000)
+      .select(($"id" * 20.0).as("lo"), ($"id" * 20.0 + 10.0).as("hi"))
+      .union(s.range(0, 10)
+        .select(($"id" * 20000.0).as("lo"), ($"id" * 20000.0 + 10000.0).as("hi")))
+    val w = graft.operators.Joins.adaptiveBinWidth(ranges, $"lo", $"hi")
+    assert(w >= 10 && w <= 100, s"width=$w")
+    // identical join results to a manual-width run
+    val fact = s.range(0, 20000).select($"id".cast("double").as("v"))
+    val auto = graft.operators.Joins
+      .autoBinnedIntervalJoin(fact, $"v", ranges).collect().toSet
+    val manual = graft.operators.Joins
+      .binnedIntervalJoin(fact, $"v", ranges, 64L).collect().toSet
+    assert(auto == manual)
+    assert(auto.nonEmpty)
+  }
+
   test("registry query join_interval_auto matches join_interval") {
     val auto = graft.operators.Joins
       .joinIntervalAuto(s, SparkTestSession.SF).collect().toSeq
