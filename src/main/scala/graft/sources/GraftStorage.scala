@@ -20,7 +20,8 @@ final case class GraftStorage(
     spark: SparkSession,
     splitSize: Option[Long] = None,
     columns: Seq[String] = Nil,
-    rowGroupBytes: Option[Long] = None) {
+    rowGroupBytes: Option[Long] = None,
+    failOnSchemaMismatch: Boolean = false) {
 
   /** splitSize(n) ≈ HtsjdkReadsRddStorage.splitSize — bounds bytes
     * per input partition.
@@ -39,14 +40,74 @@ final case class GraftStorage(
   /** Projection pushed to the scan (lazy-decode analogue). */
   def select(cols: String*): GraftStorage = copy(columns = cols)
 
+  /** Refuse (rather than silently merge) directory reads whose files
+    * disagree on schema — the engine-side analogue of the reference
+    * erroring on mixed formats in one directory
+    * (HtsjdkReadsRddStorage.java:154-158) and its documented
+    * undefined behavior for differing headers (README.md:92-93).
+    * Default stays permissive: plain reads union whatever parquet is
+    * present (StorageSpec pins the mergeSchema behavior).
+    */
+  def strictSchema(): GraftStorage = copy(failOnSchemaMismatch = true)
+
   /** Read a file or directory-of-files as one table
     * (HtsjdkReadsRddStorage.read; directory semantics README.md:85-95).
     */
   def read(path: String): DataFrame = {
     splitSize.foreach(b =>
       spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
+    if (failOnSchemaMismatch) checkUniformSchema(path)
     val df = spark.read.parquet(path)
     if (columns.nonEmpty) df.select(columns.map(col): _*) else df
+  }
+
+  /** Footer-only schema uniformity check for strictSchema reads: every
+    * data file in the directory (recursively, so hive layouts are
+    * covered) must carry the SAME parquet schema; the first differing
+    * file fails the read with both schemas named, mirroring the
+    * reference's "directory contains mixed formats" error
+    * (HtsjdkReadsRddStorage.java:154-158). Metadata-only — a few KiB
+    * per file, same footprint as buildZoneMap's footer pass.
+    */
+  private def checkUniformSchema(path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val rootUri = fs.makeQualified(dir).toUri
+    // hidden check applies to every path component BELOW the read
+    // root (sidecar dirs like _zonemap), never to the root itself
+    def hiddenBelowRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+      val rel = rootUri.relativize(p.toUri).getPath
+      rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+    }
+    val it = fs.listFiles(dir, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+        !hiddenBelowRoot(f.getPath) && f.getLen > 0)
+      .toSeq.sortBy(_.getPath.toString)
+    if (files.size <= 1) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[(String, String)] {
+          override def call(): (String, String) = {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(conf, f.getPath)
+            try (f.getPath.toString,
+              r.getFooter.getFileMetaData.getSchema.toString)
+            finally r.close()
+          }
+        })
+      }
+      val schemas = futs.map(_.get())
+      val (refFile, refSchema) = schemas.head
+      schemas.find(_._2 != refSchema).foreach { case (badFile, badSchema) =>
+        throw new IllegalArgumentException(
+          s"strictSchema read of $path found incompatible file schemas:\n" +
+            s"  $refFile:\n$refSchema\n  $badFile:\n$badSchema")
+      }
+    } finally pool.shutdown()
   }
 
   /** Write a table with a secondary zone-map index — the Spark-native
@@ -151,7 +212,13 @@ final case class GraftStorage(
     try {
       val futs = files.map { f =>
         pool.submit(new java.util.concurrent.Callable[Option[Row]] {
-          override def call(): Option[Row] = fileZoneRow(f.getPath, zoneCols, fieldType, conf)
+          // a corrupt/foreign footer or transient IO failure on ONE
+          // file must degrade to the distributed-scan fallback, not
+          // abort the whole sidecar build — same contract as
+          // unusable-but-readable stats
+          override def call(): Option[Row] =
+            try fileZoneRow(f.getPath, zoneCols, fieldType, conf)
+            catch { case scala.util.control.NonFatal(_) => None }
         })
       }
       val rows = futs.map(_.get())
@@ -215,15 +282,24 @@ final case class GraftStorage(
       ts.setNanos((Math.floorMod(v, 1000000L) * 1000L).toInt)
       ts
     }
-    def tsUnit: Option[Long => Long] = pt.getLogicalTypeAnnotation match {
-      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-        t.getUnit match {
-          case LogicalTypeAnnotation.TimeUnit.MICROS => Some(identity)
-          case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(_ * 1000L)
-          case LogicalTypeAnnotation.TimeUnit.NANOS => Some(Math.floorDiv(_, 1000L))
-        }
-      case _ => None
-    }
+    // (minConv, maxConv): NANOS floors the min but CEILS the max so
+    // sub-micro truncation only ever WIDENS the [min,max] bound —
+    // flooring both would narrow the max and could wrongly prune
+    // boundary rows
+    def tsUnit: Option[(Long => Long, Long => Long)] =
+      pt.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS =>
+              Some((identity, identity))
+            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              Some((_ * 1000L, _ * 1000L))
+            case LogicalTypeAnnotation.TimeUnit.NANOS =>
+              Some((Math.floorDiv(_, 1000L),
+                v => -Math.floorDiv(-v, 1000L)))
+          }
+        case _ => None
+      }
     def num(v: Any): Any = v match {
       case n: java.lang.Number => n
       case _ => null
@@ -240,22 +316,22 @@ final case class GraftStorage(
           Some((a.toStringUsingUTF8, b.toStringUsingUTF8))
         case _ => None
       }
-      case TimestampType => tsUnit.flatMap { toMicros =>
+      case TimestampType => tsUnit.flatMap { case (minConv, maxConv) =>
         (mn, mx) match {
           case (a: java.lang.Long, b: java.lang.Long) =>
-            Some((micros(toMicros(a)), micros(toMicros(b))))
+            Some((micros(minConv(a)), micros(maxConv(b))))
           case _ => None
         }
       }
-      case TimestampNTZType => tsUnit.flatMap { toMicros =>
+      case TimestampNTZType => tsUnit.flatMap { case (minConv, maxConv) =>
         def ldt(v: Long): java.time.LocalDateTime =
           java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(toMicros(v), 1000000L),
-            (Math.floorMod(toMicros(v), 1000000L) * 1000L).toInt,
+            Math.floorDiv(v, 1000000L),
+            (Math.floorMod(v, 1000000L) * 1000L).toInt,
             java.time.ZoneOffset.UTC)
         (mn, mx) match {
           case (a: java.lang.Long, b: java.lang.Long) =>
-            Some((ldt(a), ldt(b)))
+            Some((ldt(minConv(a)), ldt(maxConv(b))))
           case _ => None
         }
       }

@@ -330,6 +330,46 @@ class StorageSpec extends AnyFunSuite {
     assert(merged.filter($"extra".isNull).count() == 25)
   }
 
+  test("strictSchema read refuses mixed file schemas, accepts uniform") {
+    // reference errors on mixed content in one directory
+    // (HtsjdkReadsRddStorage.java:154-158); default read stays
+    // permissive (the schema-evolution test above), strictSchema opts
+    // into the refusal
+    val out = T.scratch(SF, "schema_strict")
+    val n = T.t(spark, SF, "nation")
+    n.select($"n_nationkey", $"n_name")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    n.select($"n_nationkey", $"n_name", lit(7).as("extra"))
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    val ex = intercept[IllegalArgumentException] {
+      GraftStorage(spark).strictSchema().read(out)
+    }
+    assert(ex.getMessage.contains("incompatible file schemas"))
+    // uniform directory passes the same gate
+    val uniform = T.scratch(SF, "schema_strict_uniform")
+    n.repartition(4).write.mode("overwrite").parquet(uniform)
+    assert(GraftStorage(spark).strictSchema().read(uniform).count() == n.count())
+  }
+
+  test("corrupt footer degrades zone-map build to the scan fallback") {
+    val out = T.scratch(SF, "zonemap_corrupt")
+    T.t(spark, SF, "nation").repartition(2)
+      .write.mode("overwrite").parquet(out)
+    // a garbage ".parquet" file: footer read fails → that file yields
+    // None → metadata path reports unusable → scan fallback (rather
+    // than the whole build aborting on the exception)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-junk.parquet"),
+      "not a parquet file".getBytes)
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val usedFooterPath = storage.buildZoneMap(out, Seq("n_nationkey"))
+      assert(!usedFooterPath, "corrupt footer must route to the scan fallback")
+      val sidecar = spark.read.parquet(s"$out/_zonemap")
+      assert(sidecar.agg(sum($"cnt")).collect()(0).getLong(0) == 25)
+    } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+  }
+
   test("interval predicate matches naive OR on real data") {
     val ivs = Seq((100L, 200L), (150L, 300L), (301L, 400L), (900L, 950L))
     val c = $"l_orderkey"
