@@ -219,32 +219,62 @@ object Joins extends QueryModule {
       .orderBy($"lo")
   }
 
+  /** Scope a bin width to ONE interval join: applies the theta→binned
+    * equi rewrite DIRECTLY to the topmost inner join of `joined`'s
+    * analyzed plan (skipping BinnedIntervalRule's size gate — calling
+    * this is the explicit opt-in) and returns the rewritten
+    * DataFrame. No session confs are read or written, so the rewrite
+    * is pinned to this join for every later action on the returned
+    * DataFrame, nothing leaks into other queries' planning, and two
+    * joins with DIFFERENT widths coexist race-free in one session —
+    * the fix for the set-conf/plan/unset-conf pattern, which leaked a
+    * forced width into concurrent queries and stopped applying the
+    * moment the query was re-planned after the unset. A join the
+    * rewrite cannot handle (no range bounds, user strategy hint,
+    * existing equi key) is returned unchanged.
+    */
+  def withBinWidth(joined: DataFrame, width: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val analyzed = Bridge.analyzed(joined)
+    if (!analyzed.exists(_.isInstanceOf[LJoin]))
+      throw new IllegalArgumentException(
+        "withBinWidth: no join found in plan:\n" + analyzed)
+    var done = false
+    val rewritten = analyzed.transformDown {
+      case j @ LJoin(left, right, Inner, Some(cond), hint)
+          if !done && graft.plans.BinnedIntervalRewrite.noStrategyHint(hint) =>
+        graft.plans.BinnedIntervalRewrite
+          .rewrite(j, left, right, cond, width.toDouble) match {
+            case Some(p) => done = true; p
+            case None => j
+          }
+    }
+    Bridge.ofRows(joined.sparkSession, rewritten)
+  }
+
   /** join_interval semantics as a PLAIN theta join — no broadcast
     * hint, no manual binning — relying on the BinnedIntervalRule
     * optimizer rewrite (plans/BinnedIntervalRule.scala) to turn it
-    * into the binned equi-join automatically. `force` stands in for
-    * the both-sides-over-broadcast-threshold stats gate that fires at
+    * into the binned equi-join automatically. The width rides on a
+    * per-join tag (`withBinWidth`), which also stands in for the
+    * both-sides-over-broadcast-threshold stats gate that fires at
     * real scale; width in domain units of o_totalprice.
     */
   def joinIntervalAuto(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set(graft.plans.BinnedIntervalRule.WidthConf, "50000")
-    s.conf.set(graft.plans.BinnedIntervalRule.ForceConf, "true")
     val buckets = s.createDataFrame(Seq(
       (0L, 50000L), (50000L, 150000L), (150000L, 300000L), (300000L, 1000000L)))
       .toDF("lo", "hi")
-    val df = T.t(s, dir, "orders")
-      .join(buckets, $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+    val joined = withBinWidth(
+      T.t(s, dir, "orders")
+        .join(buckets, $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi"),
+      50000L)
+    joined
       .groupBy($"lo")
       .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
       .orderBy($"lo")
-    // materialize the physical plan NOW (queryExecution is a lazy val
-    // the later action reuses), then clear the confs so the forced
-    // rewrite can't leak into other queries' planning
-    df.queryExecution.executedPlan
-    s.conf.unset(graft.plans.BinnedIntervalRule.WidthConf)
-    s.conf.unset(graft.plans.BinnedIntervalRule.ForceConf)
-    df
   }
 
   /** Multi-way star join (TPC-H Q5 shape): fact ⋈ fact ⋈ dim ⋈ dim ⋈

@@ -37,12 +37,15 @@ class BinnedIntervalRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     s.conf.set(BinnedIntervalRule.WidthConf, "16")
     s.conf.set(BinnedIntervalRule.ForceConf, "true")
     val plan = thetaJoin.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // equi keys now exist: planner picks a hash/merge EQUI join on the
     // bin ids (broadcast-hash here only because the exploded ranges
-    // side is tiny; at scale it shuffles both sides by bin)
+    // side is tiny; at scale it shuffles both sides by bin). For these
+    // LITERAL ranges the optimizer even proves the guarded overflow
+    // union branch empty and removes it statically — no nested loop
+    // anywhere in the plan.
     assert(plan.contains("HashJoin [__graft_fbin") ||
       plan.contains("SortMergeJoin [__graft_fbin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("rewritten results == naive theta-join results (boundaries incl.)") {
@@ -97,7 +100,7 @@ class BinnedIntervalRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
       ($"id" * 10.0).as("lo"), ($"id" * 10.0 + 15.0).as("hi"))
     val joined = facts.join(ranges, $"v" >= $"lo" && $"v" < $"hi")
     val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__graft_fbin"), plan)
     val got = joined.count()
     val expected = s.range(0, 500000).select(
       (least(floor($"id" / 10), lit(19999L)) -
@@ -157,6 +160,64 @@ class BinnedIntervalRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
       .binnedIntervalJoin(fact, $"v", ranges, 64L).collect().toSet
     assert(auto == manual)
     assert(auto.nonEmpty)
+  }
+
+  test("per-join tag: two widths coexist in one session, no confs set") {
+    // the de-raced scoping: neither WidthConf nor ForceConf is set;
+    // each join carries its own width on the logical node and both
+    // rewrites fire independently with their own bin size
+    val a = graft.operators.Joins.withBinWidth(
+      fact.join(ranges, $"v" >= $"lo" && $"v" < $"hi"), 16L)
+    val b = graft.operators.Joins.withBinWidth(
+      fact.join(ranges, $"v" >= $"lo" && $"v" < $"hi"), 64L)
+    val expected = thetaJoin.collect().toSeq
+    def planOf(df: DataFrame) = df.queryExecution.executedPlan.toString
+    assert(planOf(a).contains("__graft_fbin"), planOf(a))
+    assert(planOf(b).contains("__graft_fbin"), planOf(b))
+    // width reaches the plan: /16 vs /64 literals differ per join
+    assert(planOf(a).contains("/ 16.0") && planOf(b).contains("/ 64.0"),
+      planOf(a) + planOf(b))
+    assert(a.orderBy($"fid", $"lo").collect().toSeq == expected)
+    assert(b.orderBy($"fid", $"lo").collect().toSeq == expected)
+    // the tag survives RE-planning of the same DataFrame (fresh
+    // action → fresh QueryExecution), unlike the old conf dance
+    assert(a.count() == expected.size)
+  }
+
+  test("SQL-ordered bounds (lo <= f AND f < hi) fire the rewrite too") {
+    s.conf.set(BinnedIntervalRule.WidthConf, "16")
+    s.conf.set(BinnedIntervalRule.ForceConf, "true")
+    val df = fact.join(ranges, $"lo" <= $"v" && $"v" < $"hi")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_fbin"), plan)
+    assert(df.orderBy($"fid", $"lo").collect().toSeq ==
+      thetaJoin.collect().toSeq)
+  }
+
+  test("pathologically inverted range: zero bins generated, fast and exact") {
+    // lo=1e9 > hi=0: the old unguarded Sequence would DESCEND through
+    // ~62M bins (array-length error / OOM); now unsatisfiable rows are
+    // dropped before the Generate
+    val withInverted = ranges
+      .union(s.createDataFrame(Seq((1000000000.0, 0.0))).toDF("lo", "hi"))
+    val df = graft.operators.Joins.withBinWidth(
+      fact.join(withInverted, $"v" >= $"lo" && $"v" < $"hi"), 16L)
+    assert(df.collect().toSeq.size == thetaJoin.collect().size)
+  }
+
+  test("range wider than maxBinsPerRange routes to the exact overflow branch") {
+    // one range spans 1e9/width=16 ≈ 6e7 bins — over the 1024 cap the
+    // row keeps its theta join in a union branch instead of erroring;
+    // results stay exact (every fact matches the wide range once)
+    val withWide = ranges
+      .union(s.createDataFrame(Seq((-1.0, 1000000000.0))).toDF("lo", "hi"))
+    val df = graft.operators.Joins.withBinWidth(
+      fact.join(withWide, $"v" >= $"lo" && $"v" < $"hi"), 16L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), plan)
+    assert(plan.contains("__graft_fbin"), plan)
+    val expected = thetaJoin.collect().size + 500 // wide range matches all
+    assert(df.collect().size == expected)
   }
 
   test("registry query join_interval_auto matches join_interval") {
