@@ -251,10 +251,21 @@ object Dedup extends QueryModule {
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = ngramJaccard(s, dir).select($"doc_a", $"doc_b")
+    // Pairs come from the LSH-BOUNDED near-dup path (banded MinHash
+    // candidates + exact-Jaccard verify), NOT from ngramJaccard's
+    // all-shared-shingle self-join: the exact pair join is the oracle
+    // generator only — its candidate count is unbounded on frequent
+    // shingles at corpus scale, while the banded path stays
+    // O(docs·bands). Same verified pair set at the asserted recall
+    // (LlmSpec), so the clustering result is unchanged.
+    val pairs = dedupNear(s, dir).select($"doc_a", $"doc_b")
       .localCheckpoint()
-    val threshold = s.conf.get(LocalEdgesConf, "100000").toLong
-    if (pairs.count() <= threshold) {
+    val threshold = s.conf.get(LocalEdgesConf, "100000").toInt
+    // ONE job decides the strategy AND fetches the edges when small:
+    // take(threshold+1) returns everything iff the graph fits the
+    // driver gate (vs a count() job followed by a collect() job)
+    val head = pairs.take(threshold + 1)
+    if (head.length <= threshold) {
       // driver union-find with path compression; canonical label =
       // component minimum (same contract as the distributed path)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -265,7 +276,7 @@ object Dedup extends QueryModule {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.collect().foreach { row =>
+      head.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         parent.getOrElseUpdate(a, a)
         parent.getOrElseUpdate(b, b)

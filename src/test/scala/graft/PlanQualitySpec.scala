@@ -98,6 +98,34 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup composites: no nested-loop/cartesian joins anywhere in their plans") {
+    // the 100 TB gate for the LLM dedup family: clusters and
+    // survivors consume the LSH-BOUNDED pair path, and the exact
+    // embedding pair join runs as a block-grid EQUI join
+    // (1-Bucket-Theta), so none of the three may plan a
+    // BroadcastNestedLoopJoin or CartesianProduct at any scale
+    for (q <- Seq("llm_dedup_embed", "llm_dedup_clusters", "llm_dedup_survivors")) {
+      val df = SparkEntry.queries(q)(spark, SF)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("dedup_embed grid join: cell equi-join with per-cell bounded inputs") {
+    val df = llm.Knn.dedupEmbed(spark, SF)
+    val p = df.queryExecution.executedPlan.toString
+    // the pair join is an EQUI join on the (ba, bb) cell id — hash or
+    // merge, never nested-loop — and the tiny cell table broadcasts
+    assert(p.contains("ba#") && p.contains("bb#"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val equiOnCells = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) &&
+        l.contains("ba#") && l.contains("bb#"))
+    assert(equiOnCells, p)
+  }
+
   test("semi/anti joins keep only the join key on the probe side scan") {
     val p = plan(operators.Joins.joinSemi(spark, SF))
     val orderScan = p.linesIterator
