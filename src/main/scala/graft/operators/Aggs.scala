@@ -48,15 +48,33 @@ object Aggs extends QueryModule {
         countDistinct($"l_orderkey").as("n_orders"))
   }
 
-  /** HLL++ approximate distinct — no DuckDB oracle (different sketch);
-    * rows-only check + ScalaTest bounds vs exact.
+  /** HLL++ relative standard deviation used by aggApproxDistinct. */
+  val ApproxRsd = 0.02
+
+  /** HLL++ approximate distinct, ORACLE-GATED: DuckDB's
+    * approx_count_distinct is a different sketch, so the raw
+    * estimates can never hash-match — instead the query emits the
+    * EXACT distinct counts (cross-checked against DuckDB's
+    * COUNT(DISTINCT)) plus booleans asserting the HLL estimate lands
+    * within 2·rsd of exact. The oracle expects `true`: an
+    * out-of-bound sketch flips the boolean and fails the hash
+    * compare, so the error bound itself is driver-gated (the
+    * reference's count-oracle discipline,
+    * HtsjdkReadsRddTest.java:141-156, applied to a sketch).
     */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     T.t(s, dir, "lineitem")
       .agg(
-        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+        approx_count_distinct($"l_partkey", ApproxRsd).as("ap"),
+        approx_count_distinct($"l_orderkey", ApproxRsd).as("ao"),
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .select($"n_parts", $"n_orders",
+        (abs($"ap" - $"n_parts") <= $"n_parts" * (2 * ApproxRsd))
+          .as("parts_within_2rsd"),
+        (abs($"ao" - $"n_orders") <= $"n_orders" * (2 * ApproxRsd))
+          .as("orders_within_2rsd"))
   }
 
   /** Grouping-sets rollup; NULLS FIRST pinned on both engines. */
@@ -159,6 +177,11 @@ object Aggs extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "agg_count" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+    "agg_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  true AS parts_within_2rsd, true AS orders_within_2rsd
+        |FROM lineitem""".stripMargin,
     "agg_salted" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -72,6 +72,24 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** K1 parallel edition for PARQUET: parts written by all executors,
+    * driver merges row groups into ONE parquet file in part order
+    * (GraftStorage.writeSingleParquet — BamSink parts+concat for the
+    * columnar format). Range-partitioned + sorted input → globally
+    * ordered single file, no coalesce(1) anywhere in the plan.
+    */
+  def sinkSingleParquet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_single_parquet") + "/orders.parquet"
+    val df = T.t(s, dir, "orders")
+      .filter($"o_orderstatus" === "P")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .repartitionByRange(4, $"o_orderkey")
+      .sortWithinPartitions($"o_orderkey")
+    graft.sources.GraftStorage(s).writeSingleParquet(df, out)
+    s.read.parquet(out).orderBy($"o_orderkey")
+  }
+
   /** Hive-partitioned sink: partition column becomes directory
     * structure; the re-read filter prunes to one directory (partition
     * pruning — beyond the reference's capabilities, free in Spark).
@@ -107,6 +125,7 @@ object Sinks extends QueryModule {
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
     "sink_single_merged" -> (sinkSingleMerged(_, _)),
+    "sink_single_parquet" -> (sinkSingleParquet(_, _)),
     "sink_partitioned" -> (sinkPartitioned(_, _)),
     "sink_overwrite" -> (sinkOverwrite(_, _)))
 
@@ -121,6 +140,9 @@ object Sinks extends QueryModule {
     "sink_single_merged" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
+    "sink_single_parquet" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'P' ORDER BY o_orderkey""".stripMargin,
     "sink_partitioned" ->
       s"""SELECT event_type, COUNT(*) AS cnt, ${sqlDsum("value", 6)} AS sum_value
          |FROM events WHERE event_type IN ('purchase', 'signup')

@@ -74,19 +74,22 @@ final case class GraftStorage(
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val rootUri = fs.makeQualified(dir).toUri
-    // hidden check applies to every path component BELOW the read
-    // root (sidecar dirs like _zonemap), never to the root itself
-    def hiddenBelowRoot(p: org.apache.hadoop.fs.Path): Boolean = {
-      val rel = rootUri.relativize(p.toUri).getPath
-      rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
-    }
-    val it = fs.listFiles(dir, true)
-    val files = Iterator.continually(it)
-      .takeWhile(_.hasNext).map(_.next())
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
-        !hiddenBelowRoot(f.getPath) && f.getLen > 0)
-      .toSeq.sortBy(_.getPath.toString)
+    // manual recursion via listStatus (portable across FileSystem
+    // implementations — listFiles(recursive) takes block-location
+    // paths some schemes don't support); hidden check applies to
+    // every component BELOW the read root (sidecar dirs like
+    // _zonemap), never to the root itself
+    def hidden(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filterNot(st => hidden(st.getPath.getName))
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+            Seq(st)
+          else Nil
+        }
+    val files = walk(dir).sortBy(_.getPath.toString)
     if (files.size <= 1) return
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
@@ -494,6 +497,48 @@ final case class GraftStorage(
         } finally in.close()
       }
     } finally out.close()
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** K1 for the COLUMNAR format: one parquet FILE via parallel part
+    * writes + a driver ROW-GROUP-LEVEL merge — the BamSink
+    * parts+concat shape (BamSink.java:64-139) for parquet, where a
+    * byte splice is impossible (single footer). Executors write parts
+    * with full parallelism; the driver then re-emits each part's row
+    * groups into one file with `ParquetFileWriter.appendFile` — a
+    * metadata-aware raw copy of column chunks (no decode/re-encode),
+    * in lexicographic part-name order = partition order, so a
+    * range-partitioned, within-partition-sorted input yields a
+    * globally ordered single file. Key-value footer metadata (Spark's
+    * schema blob) is carried over from the first part. This replaces
+    * `coalesce(1)`, which serializes the whole encode through one
+    * task.
+    */
+  def writeSingleParquet(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+    val tmp = path + ".parts"
+    df.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tmp).getFileSystem(conf)
+    val parts = fs.listStatus(new Path(tmp)).toSeq
+      .filter(f => f.isFile && f.getLen > 0 &&
+        f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    require(parts.nonEmpty, s"no parquet parts written under $tmp")
+    val (schema, kv) = {
+      val r = ParquetFileReader.open(conf, parts.head.getPath)
+      try {
+        val md = r.getFooter.getFileMetaData
+        (md.getSchema, md.getKeyValueMetaData)
+      } finally r.close()
+    }
+    val writer = new ParquetFileWriter(
+      conf, schema, new Path(path), ParquetFileWriter.Mode.OVERWRITE)
+    writer.start()
+    parts.foreach(p => writer.appendFile(conf, p.getPath))
+    writer.end(kv)
     fs.delete(new Path(tmp), true)
   }
 

@@ -330,6 +330,30 @@ class StorageSpec extends AnyFunSuite {
     assert(merged.filter($"extra".isNull).count() == 25)
   }
 
+  test("parallel single-file parquet sink: one ordered file, parallel row groups") {
+    val out = T.scratch(SF, "storage_single_parquet") + "/orders.parquet"
+    val src = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .repartitionByRange(4, $"o_orderkey")
+      .sortWithinPartitions($"o_orderkey")
+    storage.writeSingleParquet(src, out)
+    // exactly one FILE (not a directory), temp parts cleaned
+    val f = new java.io.File(out)
+    assert(f.isFile, s"$out must be a single parquet file")
+    assert(!new java.io.File(out + ".parts").exists, "temp parts not cleaned")
+    // full order round-trip: file order == global key order
+    val keys = spark.read.parquet(out).select($"o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted && keys.size == T.t(spark, SF, "orders").count())
+    // the merge preserved the PARALLEL parts as row groups — the
+    // whole point vs coalesce(1)'s single encode task
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      spark.sparkContext.hadoopConfiguration, new org.apache.hadoop.fs.Path(out))
+    try assert(reader.getFooter.getBlocks.size >= 4,
+      s"expected >=4 row groups, got ${reader.getFooter.getBlocks.size}")
+    finally reader.close()
+  }
+
   test("strictSchema read refuses mixed file schemas, accepts uniform") {
     // reference errors on mixed content in one directory
     // (HtsjdkReadsRddStorage.java:154-158); default read stays
