@@ -28,6 +28,9 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same untimed fixture phase as Bench, so reps measure the query
+    SparkEntry.modules.foreach(m =>
+      try m.prepare(spark, sfDir) catch { case _: Throwable => () })
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

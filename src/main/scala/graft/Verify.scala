@@ -22,6 +22,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    SparkEntry.modules.foreach { m =>
+      try m.prepare(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] prepare failed: ${e.getMessage}")
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -15,6 +15,37 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
+
+  /** Build this module's input fixtures (scratch tables some queries
+    * re-read) ahead of time. Bench calls it OUTSIDE the timed region
+    * so per-query numbers measure the operator, not its test-input
+    * creation; queries still build lazily via `Fixtures.ensure` when
+    * run standalone.
+    */
+  def prepare(s: SparkSession, dir: String): Unit = ()
+}
+
+/** Build-once-per-JVM registry for query input fixtures. A query that
+  * needs a derived input (sharded copy, csv/json/gzip dump, clustered
+  * or zone-indexed table, bucketed catalog tables) registers its
+  * builder here: the first caller per (sfDir, name) builds, everyone
+  * else reuses — so Bench can hoist ALL builds into an untimed
+  * prepare phase while Verify/tests keep working with no ordering
+  * requirements.
+  */
+object Fixtures {
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Returns the fixture's scratch path; `build(path)` runs exactly
+    * once per JVM per (dir, name) (concurrent callers block until the
+    * first build finishes).
+    */
+  def ensure(dir: String, name: String)(build: String => Unit): String =
+    built.computeIfAbsent(s"$dir::$name", _ => {
+      val path = T.scratch(dir, name)
+      build(path)
+      path
+    })
 }
 
 /** Table loaders + determinism helpers shared by all modules. */

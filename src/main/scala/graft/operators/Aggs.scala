@@ -64,12 +64,19 @@ object Aggs extends QueryModule {
     */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    T.t(s, dir, "lineitem")
+    // two single-pass aggregates + a 1x1 cross join: mixing
+    // countDistinct with the HLL aggregates in ONE agg makes the
+    // planner expand every input row per distinct group (measured
+    // ~5x slower than the two clean passes)
+    val approx = T.t(s, dir, "lineitem")
       .agg(
         approx_count_distinct($"l_partkey", ApproxRsd).as("ap"),
-        approx_count_distinct($"l_orderkey", ApproxRsd).as("ao"),
+        approx_count_distinct($"l_orderkey", ApproxRsd).as("ao"))
+    val exact = T.t(s, dir, "lineitem")
+      .agg(
         countDistinct($"l_partkey").as("n_parts"),
         countDistinct($"l_orderkey").as("n_orders"))
+    exact.crossJoin(approx)
       .select($"n_parts", $"n_orders",
         (abs($"ap" - $"n_parts") <= $"n_parts" * (2 * ApproxRsd))
           .as("parts_within_2rsd"),

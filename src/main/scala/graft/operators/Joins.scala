@@ -113,28 +113,44 @@ object Joins extends QueryModule {
     * merge — the single biggest shuffle saving a warehouse layout can
     * buy. (Requires spark.sql.warehouse.dir; bucket counts must match.)
     */
-  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+  /** Bucketed catalog tables (orders, lineitem) for joinBucketed —
+    * built once per JVM per sf dir: the warehouse LAYOUT is the
+    * precondition a real deployment maintains; the operator under
+    * test is the shuffle-free merge join over it.
+    */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
     import s.implicits._
     val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val ot = s"orders_b_$sfTag"
     val lt = s"lineitem_b_$sfTag"
-    // A fresh session's in-memory catalog forgets prior runs' tables
-    // but their warehouse directories persist — clear both.
-    Seq(ot, lt).foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t)
-      wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(wh, true)
+    graft.Fixtures.ensure(dir, "bucketed_tables") { _ =>
+      // A fresh session's in-memory catalog forgets prior runs' tables
+      // but their warehouse directories persist — clear both.
+      Seq(ot, lt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(wh, true)
+      }
+      T.t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ot)
+      T.t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
     }
-    T.t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
-      .write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(ot)
-    T.t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice")
-      .write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(lt)
+    (ot, lt)
+  }
+
+  override def prepare(s: SparkSession, dir: String): Unit =
+    bucketedTables(s, dir)
+
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ot, lt) = bucketedTables(s, dir)
     // merge hint: at fixture scale the optimizer would broadcast; the
     // bucket payoff being demonstrated is the SMJ-without-exchange.
     s.table(ot).hint("merge").join(s.table(lt), $"o_orderkey" === $"l_orderkey")

@@ -55,12 +55,16 @@ object Scans extends QueryModule {
     * files (README.md:85-95). Writes a sharded copy then re-reads the
     * directory as one table.
     */
+  private def multifileFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "multifile_lineitem") { out =>
+      T.t(s, dir, "lineitem")
+        .repartition(8)
+        .write.mode("overwrite").parquet(out)
+    }
+
   def scanMultifileUnion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = T.scratch(dir, "multifile_lineitem")
-    T.t(s, dir, "lineitem")
-      .repartition(8)
-      .write.mode("overwrite").parquet(out)
+    val out = multifileFixture(s, dir)
     s.read.parquet(out)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
@@ -71,12 +75,17 @@ object Scans extends QueryModule {
     * lines). CSV round-trip: write with header, read it back skipping
     * the header via the csv source.
     */
+  private def csvFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "orders_csv") { out =>
+      import s.implicits._
+      T.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .write.mode("overwrite").option("header", "true").csv(out)
+    }
+
   def scanTextSkipHeader(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = T.scratch(dir, "orders_csv")
-    T.t(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-      .write.mode("overwrite").option("header", "true").csv(out)
+    val out = csvFixture(s, dir)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_orderstatus", StringType),
@@ -105,13 +114,18 @@ object Scans extends QueryModule {
     * range-clustered by l_shipdate, then reads a narrow date range:
     * non-matching row groups are skipped via min/max stats.
     */
+  private def clusteredFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "lineitem_clustered") { out =>
+      import s.implicits._
+      T.t(s, dir, "lineitem")
+        .repartitionByRange(16, $"l_shipdate")
+        .sortWithinPartitions($"l_shipdate")
+        .write.mode("overwrite").parquet(out)
+    }
+
   def pruneByStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = T.scratch(dir, "lineitem_clustered")
-    T.t(s, dir, "lineitem")
-      .repartitionByRange(16, $"l_shipdate")
-      .sortWithinPartitions($"l_shipdate")
-      .write.mode("overwrite").parquet(out)
+    val out = clusteredFixture(s, dir)
     s.read.parquet(out)
       .filter($"l_shipdate".between(
         lit("1996-01-01").cast(TimestampType),
@@ -128,11 +142,16 @@ object Scans extends QueryModule {
     * answer as a full scan + filter (pruning is transparent);
     * StorageSpec asserts the file-count reduction.
     */
+  private def zonemapFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "lineitem_zonemapped") { out =>
+      graft.sources.GraftStorage(s)
+        .writeIndexed(T.t(s, dir, "lineitem"), out, "l_shipdate", "l_shipdate")
+    }
+
   def pruneZonemap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = T.scratch(dir, "lineitem_zonemapped")
+    val out = zonemapFixture(s, dir)
     val st = graft.sources.GraftStorage(s)
-    st.writeIndexed(T.t(s, dir, "lineitem"), out, "l_shipdate", "l_shipdate")
     st.readIndexed(out, "l_shipdate",
       java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
       java.sql.Timestamp.valueOf("1996-03-31 00:00:00"))
@@ -150,11 +169,16 @@ object Scans extends QueryModule {
     * plain `.filter`; file pruning and the row filter both derive
     * from it.
     */
+  private def zonemapPlannedFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "lineitem_zonemapped_planned") { out =>
+      graft.sources.GraftStorage(s)
+        .writeIndexed(T.t(s, dir, "lineitem"), out, "l_shipdate", "l_shipdate")
+    }
+
   def pruneZonemapPlanned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = T.scratch(dir, "lineitem_zonemapped_planned")
+    val out = zonemapPlannedFixture(s, dir)
     val st = graft.sources.GraftStorage(s)
-    st.writeIndexed(T.t(s, dir, "lineitem"), out, "l_shipdate", "l_shipdate")
     st.readPruned(out)
       .filter($"l_shipdate".between(
         lit("1997-01-01").cast(TimestampType),
@@ -168,15 +192,20 @@ object Scans extends QueryModule {
     * good rows + injected garbage lines, reads back dropping the bad
     * ones (HtsjdkReadsRddStorage.java:85-88 LENIENT ≈ drop).
     */
+  private def badlinesFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "orders_badlines") { out =>
+      import s.implicits._
+      val good = T.t(s, dir, "orders")
+        .select(concat_ws(",", $"o_orderkey", $"o_totalprice").as("value"))
+      val bad = s.createDataset(Seq(
+        "not,a,number,row", "garbage", ",,", "x,y", "1e309,nope"))
+        .toDF("value")
+      good.union(bad).write.mode("overwrite").text(out)
+    }
+
   def parseBadrecords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = T.scratch(dir, "orders_badlines")
-    val good = T.t(s, dir, "orders")
-      .select(concat_ws(",", $"o_orderkey", $"o_totalprice").as("value"))
-    val bad = s.createDataset(Seq(
-      "not,a,number,row", "garbage", ",,", "x,y", "1e309,nope"))
-      .toDF("value")
-    good.union(bad).write.mode("overwrite").text(out)
+    val out = badlinesFixture(s, dir)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_totalprice", DoubleType)))
@@ -205,12 +234,17 @@ object Scans extends QueryModule {
     * text-codec family — VcfSource's per-line codec decode becomes
     * the built-in json datasource with an explicit schema).
     */
+  private def jsonFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "events_json") { out =>
+      import s.implicits._
+      T.events(s, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .write.mode("overwrite").json(out)
+    }
+
   def scanJson(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = T.scratch(dir, "events_json")
-    T.events(s, dir)
-      .select($"event_id", $"user_id", $"event_type", $"value")
-      .write.mode("overwrite").json(out)
+    val out = jsonFixture(s, dir)
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("user_id", LongType),
@@ -227,13 +261,18 @@ object Scans extends QueryModule {
     * per file), so parallelism = file count; written sharded for that
     * reason.
     */
+  private def gzipFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "orders_csv_gz") { out =>
+      import s.implicits._
+      T.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip").csv(out)
+    }
+
   def scanTextGzip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = T.scratch(dir, "orders_csv_gz")
-    T.t(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
-      .repartition(4)
-      .write.mode("overwrite").option("compression", "gzip").csv(out)
+    val out = gzipFixture(s, dir)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_orderpriority", StringType),
@@ -242,6 +281,12 @@ object Scans extends QueryModule {
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
       .orderBy($"o_orderpriority")
+  }
+
+  override def prepare(s: SparkSession, dir: String): Unit = {
+    multifileFixture(s, dir); csvFixture(s, dir); clusteredFixture(s, dir)
+    zonemapFixture(s, dir); zonemapPlannedFixture(s, dir)
+    badlinesFixture(s, dir); jsonFixture(s, dir); gzipFixture(s, dir)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
