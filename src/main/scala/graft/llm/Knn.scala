@@ -285,6 +285,33 @@ object Knn extends QueryModule {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Int8 symmetric quantization of the embedding column — the
+    * storage-side compression a 100 TB embedding table runs before
+    * ANN indexing (4× smaller than float32, SIMD-friendly dot
+    * products downstream). Per-vector scale = 127/max|x|; elements
+    * quantize as floor(x·scale + 0.5) — spelled with floor, not
+    * round(), so both engines share one rounding rule. Emits exact
+    * integer invariants (quantized norm, sum) plus the max absolute
+    * dequantization error, all DuckDB-checkable. Pure codegen'd
+    * column expressions, scan-speed, no shuffle.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("mx", array_max(transform($"v", x => abs(x))))
+      .withColumn("scale", lit(127.0) / $"mx")
+      .withColumn("q", transform($"v",
+        x => floor(x * $"scale" + 0.5).cast("long")))
+      .select($"vec_id",
+        aggregate($"q", lit(0L), (a, x) => a + x * x).as("qnorm"),
+        aggregate($"q", lit(0L), (a, x) => a + x).as("qsum"),
+        round(array_max(transform($"v",
+          x => abs(x - floor(x * $"scale" + 0.5) / $"scale"))), 6)
+          .as("max_abs_err"))
+      .orderBy($"vec_id")
+  }
+
   /** Vector norms (oracled array-numeric sanity query). */
   def vectorNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -300,6 +327,7 @@ object Knn extends QueryModule {
     "llm_knn_ivf" -> (knnIvf(_, _)),
     "llm_knn_ivf_trained" -> (knnIvfTrained(_, _)),
     "llm_dedup_embed" -> (dedupEmbed(_, _)),
+    "llm_embed_quantize" -> (embedQuantize(_, _)),
     "llm_vector_norm" -> (vectorNorm(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -325,6 +353,22 @@ object Knn extends QueryModule {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "llm_embed_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                    x -> abs(x))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+        |  FROM b)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  round(list_max(list_transform(v,
+        |    x -> abs(x - floor(x * scale + 0.5) / scale))), 6) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "llm_vector_norm" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding,

@@ -87,6 +87,36 @@ object TextStats extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Intra-document repetition score — the Gopher-style quality rule
+    * (most-repeated n-gram fraction): word 5-grams per document WITH
+    * duplicates, the ratio of the most frequent 5-gram's count to the
+    * total. Row-form 5-grams (posexplode + window leads, the
+    * shingleRows pattern — an array-lambda formulation re-evaluates
+    * split() per element and goes quadratic per doc); the aggregation
+    * is two hash aggs, map-side combined. Docs under 5 tokens have no
+    * grams and drop out (both engines agree).
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tokRows = T.t(s, dir, "documents").select($"doc_id",
+      posexplode(toks($"text")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = tokRows
+      .select($"doc_id", $"tok",
+        lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"),
+        lead($"tok", 3).over(w).as("t3"), lead($"tok", 4).over(w).as("t4"))
+      .filter($"t4".isNotNull)
+      .select($"doc_id",
+        concat_ws("_", $"tok", $"t1", $"t2", $"t3", $"t4").as("gram"))
+    grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_grams"), max($"c").as("max_rep"))
+      .select($"doc_id", $"n_grams", $"max_rep",
+        round($"max_rep" / $"n_grams", 6).as("rep_ratio"))
+      .orderBy($"doc_id")
+  }
+
   /** Quality score: length gate + lexical-diversity/volume blend;
     * keep flag for pipeline filtering.
     */
@@ -112,6 +142,7 @@ object TextStats extends QueryModule {
     "llm_langid" -> (langid(_, _)),
     "llm_tokens" -> (tokens(_, _)),
     "llm_fingerprint" -> (fingerprint(_, _)),
+    "llm_repetition" -> (repetition(_, _)),
     "llm_quality" -> (quality(_, _)))
 
   private def sqlHits(ws: Seq[String]): String =
@@ -156,6 +187,17 @@ object TextStats extends QueryModule {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
         |    AS canonical_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest([toks[i] || '_' || toks[i+1] || '_' || toks[i+2] || '_' ||
+        |            toks[i+3] || '_' || toks[i+4]
+        |      FOR i IN generate_series(1, len(toks)-4)]) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS max_rep,
+        |  round(MAX(c) * 1.0 / SUM(c), 6) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_quality" ->
       """SELECT doc_id,
         |  round(len(list_distinct(string_split(text, ' ')))

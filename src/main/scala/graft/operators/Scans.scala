@@ -188,6 +188,33 @@ object Scans extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  private def zorderFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "lineitem_zordered") { out =>
+      graft.sources.GraftStorage(s).writeZOrdered(
+        T.t(s, dir, "lineitem"), out, Seq("l_shipdate", "l_orderkey"))
+    }
+
+  /** S9/S10 pruning in TWO dimensions: lineitem clustered on the
+    * z-curve over (l_shipdate, l_orderkey) via
+    * `GraftStorage.writeZOrdered`, then read through the plan-time
+    * zone-map index with a filter on BOTH columns — either predicate
+    * alone already prunes files (StorageSpec asserts the per-
+    * dimension file counts), which single-column range clustering
+    * cannot do. Same answer as a full scan + filter.
+    */
+  def pruneZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = zorderFixture(s, dir)
+    graft.sources.GraftStorage(s).readPruned(out)
+      .filter($"l_shipdate".between(
+        lit("1996-01-01").cast(TimestampType),
+        lit("1996-06-30").cast(TimestampType)) &&
+        $"l_orderkey" < 2000)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** F5: validation-stringency gate → csv mode=DROPMALFORMED. Writes
     * good rows + injected garbage lines, reads back dropping the bad
     * ones (HtsjdkReadsRddStorage.java:85-88 LENIENT ≈ drop).
@@ -287,6 +314,7 @@ object Scans extends QueryModule {
     multifileFixture(s, dir); csvFixture(s, dir); clusteredFixture(s, dir)
     zonemapFixture(s, dir); zonemapPlannedFixture(s, dir)
     badlinesFixture(s, dir); jsonFixture(s, dir); gzipFixture(s, dir)
+    zorderFixture(s, dir)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -300,6 +328,7 @@ object Scans extends QueryModule {
     "project_prune" -> (projectPrune(_, _)),
     "prune_by_stats" -> (pruneByStats(_, _)),
     "prune_zonemap" -> (pruneZonemap(_, _)),
+    "prune_zorder" -> (pruneZorder(_, _)),
     "prune_zonemap_planned" -> (pruneZonemapPlanned(_, _)),
     "parse_badrecords" -> (parseBadrecords(_, _)))
 
@@ -361,6 +390,13 @@ object Scans extends QueryModule {
     "parse_badrecords" ->
       s"""SELECT COUNT(*) AS n_good, ${sqlDsum("o_totalprice")} AS total
          |FROM orders""".stripMargin,
+    "prune_zorder" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
+         |  AND l_orderkey < 2000
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "prune_zonemap_planned" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price

@@ -500,6 +500,72 @@ final case class GraftStorage(
     fs.delete(new Path(tmp), true)
   }
 
+  /** MULTI-dimension clustered write — the Z-ORDER analogue of
+    * `writeIndexed`'s single-column range clustering (what Delta /
+    * Iceberg expose as OPTIMIZE ZORDER BY): each clustering column is
+    * linearly scaled to a 16-bit integer over its [min, max] (one
+    * metadata-size aggregation job), the bits are interleaved
+    * round-robin into one z-value, and the data is range-partitioned
+    * + sorted by it, then zone-mapped on ALL the source columns.
+    * Locality on the z-curve gives every file a narrow [min,max] in
+    * EVERY dimension, so the `_zonemap` sidecar (and parquet
+    * row-group stats) prune on whichever column a query filters —
+    * where plain range clustering only ever prunes its single sort
+    * key. Columns must be numeric/timestamp (anything castable to
+    * double monotonically); rows with a null clustering value sort
+    * into the low partitions and are never pruned incorrectly (zone
+    * bounds ignore nulls, the residual filter handles them).
+    */
+  def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String]): Unit = {
+    require(zcols.nonEmpty, "writeZOrdered needs at least one column")
+    val bits = 16
+    import org.apache.spark.sql.types._
+    // monotonic numeric image of each clustering column (timestamps
+    // via epoch micros — a straight double cast is rejected for NTZ)
+    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def numeric(c: String): org.apache.spark.sql.Column = fieldType(c) match {
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val statAggs = zcols.flatMap(c => Seq(
+      min(numeric(c)).as(s"${c}__mn"),
+      max(numeric(c)).as(s"${c}__mx")))
+    val r = df.agg(statAggs.head, statAggs.tail: _*).head()
+    val zExpr = zcols.zipWithIndex.map { case (c, j) =>
+      val mn = r.getDouble(2 * j)
+      val mx = r.getDouble(2 * j + 1)
+      val range = if (mx > mn) mx - mn else 1.0
+      val maxCode = (1L << bits) - 1
+      val scaled = least(greatest(
+        ((numeric(c) - mn) / range * maxCode).cast("long"),
+        lit(0L)), lit(maxCode))
+      (0 until bits).map(b =>
+        shiftleft(shiftright(scaled, b).bitwiseAND(lit(1L)),
+          b * zcols.size + j))
+        .reduce((a, b) => a.bitwiseOR(b))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsConf)
+    spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.withColumn("__graft_z", zExpr)
+        .repartitionByRange(df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z")
+        .write.mode("overwrite")
+      rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
+      writer.parquet(path)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsConf, v)
+      case None => spark.conf.unset(tsConf)
+    }
+    buildZoneMap(path, zcols)
+  }
+
   /** K1 for the COLUMNAR format: one parquet FILE via parallel part
     * writes + a driver ROW-GROUP-LEVEL merge — the BamSink
     * parts+concat shape (BamSink.java:64-139) for parquet, where a

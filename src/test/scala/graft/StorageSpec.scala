@@ -330,6 +330,43 @@ class StorageSpec extends AnyFunSuite {
     assert(merged.filter($"extra".isNull).count() == 25)
   }
 
+  test("z-order clustering prunes files on EITHER dimension") {
+    val sf01 = SparkTestSession.SF01
+    val out = T.scratch(sf01, "zorder_prune")
+    val li = T.t(spark, sf01, "lineitem")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try GraftStorage(spark)
+      .writeZOrdered(li, out, Seq("l_shipdate", "l_orderkey"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val total = spark.read.parquet(s"$out/_zonemap").count()
+    assert(total >= 60, s"expected ~64 files, got $total")
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .get.metrics("numFiles").value
+    }
+    // a narrow filter on EACH dimension alone must prune — the
+    // property single-column range clustering cannot provide
+    val byDate = storage.readPruned(out).filter($"l_shipdate".between(
+      lit("1996-06-01").cast("timestamp"), lit("1996-08-31").cast("timestamp")))
+    val byKey = storage.readPruned(out).filter($"l_orderkey" < 2000)
+    val nDate = filesScanned(byDate)
+    val nKey = filesScanned(byKey)
+    assert(nDate < total / 2, s"date filter scanned $nDate of $total files")
+    assert(nKey < total / 2, s"key filter scanned $nKey of $total files")
+    // exactness on a combined filter
+    val both = storage.readPruned(out).filter($"l_orderkey" < 2000 &&
+      $"l_shipdate".between(
+        lit("1996-06-01").cast("timestamp"), lit("1996-08-31").cast("timestamp")))
+    val expected = li.filter($"l_orderkey" < 2000 &&
+      $"l_shipdate".between(
+        lit("1996-06-01").cast("timestamp"), lit("1996-08-31").cast("timestamp")))
+      .count()
+    assert(both.count() == expected && expected > 0)
+  }
+
   test("parallel single-file parquet sink: one ordered file, parallel row groups") {
     val out = T.scratch(SF, "storage_single_parquet") + "/orders.parquet"
     val src = T.t(spark, SF, "orders")
