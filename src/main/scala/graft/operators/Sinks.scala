@@ -90,6 +90,28 @@ object Sinks extends QueryModule {
     s.read.parquet(out).orderBy($"o_orderkey")
   }
 
+  /** Table-maintenance compaction as a checkable round trip: a
+    * 16-file sharded write compacted into a few target-size files
+    * (GraftStorage.compact — the OPTIMIZE pass), re-read and
+    * aggregated so the oracle verifies no rows were lost or
+    * duplicated by the rewrite+swap.
+    */
+  def sinkCompacted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_compacted_orders")
+    T.t(s, dir, "orders")
+      .repartition(16, $"o_orderkey")
+      .write.mode("overwrite").parquet(out)
+    val bytes = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(out)).getLength
+    graft.sources.GraftStorage(s).compact(out, bytes / 2 + 1)
+    s.read.parquet(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Hive-partitioned sink: partition column becomes directory
     * structure; the re-read filter prunes to one directory (partition
     * pruning — beyond the reference's capabilities, free in Spark).
@@ -126,6 +148,7 @@ object Sinks extends QueryModule {
     "sink_single" -> (sinkSingle(_, _)),
     "sink_single_merged" -> (sinkSingleMerged(_, _)),
     "sink_single_parquet" -> (sinkSingleParquet(_, _)),
+    "sink_compacted" -> (sinkCompacted(_, _)),
     "sink_partitioned" -> (sinkPartitioned(_, _)),
     "sink_overwrite" -> (sinkOverwrite(_, _)))
 
@@ -143,6 +166,10 @@ object Sinks extends QueryModule {
     "sink_single_parquet" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |WHERE o_orderstatus = 'P' ORDER BY o_orderkey""".stripMargin,
+    "sink_compacted" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sink_partitioned" ->
       s"""SELECT event_type, COUNT(*) AS cnt, ${sqlDsum("value", 6)} AS sum_value
          |FROM events WHERE event_type IN ('purchase', 'signup')

@@ -24,12 +24,19 @@ object Windows extends QueryModule {
     val full = Window.partitionBy($"l_returnflag")
       .orderBy($"l_quantity".desc, $"l_orderkey", $"l_linenumber")
     val byQty = Window.partitionBy($"l_returnflag").orderBy($"l_quantity".desc)
+    // row_number + filter FIRST: Spark's WindowGroupLimit pushes the
+    // top-5-per-group limit below the shuffle (per-partition partial
+    // limit), so the full table never sorts inside the 3 low-
+    // cardinality group partitions. rank/dense_rank over the
+    // survivors are IDENTICAL to ranking the full table for these
+    // rows: every row with strictly greater quantity precedes a
+    // survivor in the row_number order and therefore also survives.
     T.t(s, dir, "lineitem")
       .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
       .withColumn("rn", row_number().over(full))
+      .filter($"rn" <= 5)
       .withColumn("rnk", rank().over(byQty))
       .withColumn("drnk", dense_rank().over(byQty))
-      .filter($"rn" <= 5)
       .orderBy($"l_returnflag", $"rn")
   }
 

@@ -500,6 +500,109 @@ final case class GraftStorage(
     fs.delete(new Path(tmp), true)
   }
 
+  /** Small-file COMPACTION — the table-maintenance pass (Delta/
+    * Iceberg OPTIMIZE analogue) a long-lived 100 TB table needs after
+    * many small appends: rewrites the directory into
+    * ceil(totalBytes / targetBytes) files. With `clusterBy` the
+    * rewrite re-establishes range clustering (repartitionByRange +
+    * sort — so row-group/zone-map pruning stays sharp after the
+    * compaction); without it a shuffle-free coalesce just glues small
+    * files. The rewrite goes to `path + ".compact"` and swaps in only
+    * after success (write-temp-then-rename, the same last-step
+    * atomicity as the reference's single-file commit), and an
+    * existing `_zonemap` sidecar is rebuilt over the new files.
+    */
+  def compact(path: String, targetBytes: Long,
+      clusterBy: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val dataFiles = fs.listStatus(dir).toSeq.filter(f => f.isFile &&
+      f.getPath.getName.endsWith(".parquet") &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val hadZoneMap = fs.exists(new Path(dir, "_zonemap"))
+    val zoneCols: Seq[String] =
+      if (!hadZoneMap) Nil
+      else spark.read.parquet(s"$path/_zonemap").schema.fieldNames
+        .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+    val df = spark.read.parquet(path)
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsConf)
+    spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+    val tmp = new Path(path + ".compact")
+    try {
+      val rewritten = clusterBy match {
+        case Some(c) =>
+          df.repartitionByRange(n, col(c)).sortWithinPartitions(col(c))
+        case None => df.coalesce(n)
+      }
+      rewritten.write.mode("overwrite").parquet(tmp.toString)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsConf, v)
+      case None => spark.conf.unset(tsConf)
+    }
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+    if (hadZoneMap && zoneCols.nonEmpty) buildZoneMap(path, zoneCols)
+  }
+
+  /** INCREMENTAL indexed append — the reference's per-part index +
+    * driver merge pattern (IndexFileMerger.java:62-102) applied to
+    * the zone-map sidecar: append `df` as new range-clustered files,
+    * then extend `_zonemap` by reading ONLY the new files' footers
+    * (existing rows are reused verbatim). At 100 TB an append of a
+    * daily batch touches a handful of footers instead of re-scanning
+    * the table's metadata. Falls back to a full `buildZoneMap` when
+    * any new footer lacks usable stats.
+    */
+  def appendIndexed(df: DataFrame, path: String, clusterBy: String,
+      zoneCols: String*): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val zmPath = new Path(dir, "_zonemap")
+    require(fs.exists(zmPath),
+      s"appendIndexed requires an existing indexed table at $path")
+    val existing = spark.read.parquet(zmPath.toString)
+    val known = existing.select("file").collect().map(_.getString(0)).toSet
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsConf)
+    spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.repartitionByRange(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col(clusterBy))
+        .sortWithinPartitions(col(clusterBy))
+        .write.mode("append")
+      rowGroupBytes.foreach(b => writer.option("parquet.block.size", b.toString))
+      writer.parquet(path)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsConf, v)
+      case None => spark.conf.unset(tsConf)
+    }
+    val dataSchema = spark.read.parquet(path).schema
+    val fieldType = dataSchema.fields.map(f => f.name -> f.dataType).toMap
+    val newFiles = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".") &&
+        !known.contains(f.getPath.toString))
+      .sortBy(_.getPath.getName)
+    val newRows = newFiles.map { f =>
+      try fileZoneRow(f.getPath, zoneCols, fieldType, conf)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    if (newRows.forall(_.isDefined)) {
+      val merged = existing.collect().toSeq ++ newRows.map(_.get)
+      spark.createDataFrame(
+        java.util.Arrays.asList(merged: _*), existing.schema)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(zmPath.toString)
+    } else buildZoneMap(path, zoneCols)
+  }
+
   /** MULTI-dimension clustered write — the Z-ORDER analogue of
     * `writeIndexed`'s single-column range clustering (what Delta /
     * Iceberg expose as OPTIMIZE ZORDER BY): each clustering column is

@@ -367,6 +367,59 @@ class StorageSpec extends AnyFunSuite {
     assert(both.count() == expected && expected > 0)
   }
 
+  test("compact bin-packs small files and keeps the zone map pruning") {
+    val out = T.scratch(SF, "storage_compact")
+    val li = T.t(spark, SF, "lineitem")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try storage.writeIndexed(li, out, "l_shipdate", "l_shipdate")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    def dataFiles = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = dataFiles
+    assert(before >= 60, s"expected ~64 small files, got $before")
+    val totalBytes = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    storage.compact(out, totalBytes / 8 + 1, clusterBy = Some("l_shipdate"))
+    val after = dataFiles
+    assert(after <= 12 && after >= 4, s"compacted to $after files")
+    assert(spark.read.parquet(out).count() == li.count())
+    // sidecar rebuilt over the new files and still prunes
+    val sidecar = spark.read.parquet(s"$out/_zonemap")
+    assert(sidecar.count() == after)
+    val pruned = storage.readPruned(out).filter($"l_shipdate".between(
+      lit("1996-06-01").cast("timestamp"), lit("1996-06-30").cast("timestamp")))
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get.metrics("numFiles").value
+    assert(scanned < after, s"scanned $scanned of $after files")
+    assert(pruned.count() == li.filter($"l_shipdate".between(
+      lit("1996-06-01").cast("timestamp"), lit("1996-06-30").cast("timestamp")))
+      .count())
+  }
+
+  test("appendIndexed extends the sidecar from only the new files' footers") {
+    val out = T.scratch(SF, "storage_append_indexed")
+    val o = T.t(spark, SF, "orders")
+    val half1 = o.filter($"o_orderkey" % 2 === 0)
+    val half2 = o.filter($"o_orderkey" % 2 === 1)
+    storage.writeIndexed(half1, out, "o_orderkey", "o_orderkey")
+    val filesBefore = spark.read.parquet(s"$out/_zonemap").count()
+    storage.appendIndexed(half2, out, "o_orderkey", "o_orderkey")
+    val sidecar = spark.read.parquet(s"$out/_zonemap")
+    val nData = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(sidecar.count() == nData && sidecar.count() > filesBefore)
+    // full content present and pruned reads stay exact after the merge
+    assert(spark.read.parquet(out).count() == o.count())
+    assert(sidecar.agg(sum($"cnt")).collect()(0).getLong(0) == o.count())
+    val lo = 100L; val hi = 400L
+    val pruned = storage.readIndexed(out, "o_orderkey", lo, hi)
+    assert(pruned.count() ==
+      o.filter($"o_orderkey".between(lo, hi)).count())
+  }
+
   test("parallel single-file parquet sink: one ordered file, parallel row groups") {
     val out = T.scratch(SF, "storage_single_parquet") + "/orders.parquet"
     val src = T.t(spark, SF, "orders")
