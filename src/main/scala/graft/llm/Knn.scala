@@ -256,12 +256,19 @@ object Knn extends QueryModule {
     * thresholds (≥0.8) the sign-LSH bucketing in knnLsh is the
     * sub-quadratic path.
     */
-  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame =
+    dedupEmbedOn(s, s"$dir/embeddings.parquet")
+
+  /** dedupEmbed over an arbitrary embeddings parquet path (used by the
+    * scale smoke on a replicated corpus).
+    */
+  private[graft] def dedupEmbedOn(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
     val cells = s.createDataFrame(
       for { i <- 0 until GridBlocks; j <- i until GridBlocks } yield (i, j))
       .toDF("ba", "bb")
-    val b = base(s, dir)
+    val b = s.read.parquet(path)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val left = b.select($"vec_id".as("id_a"), $"v".as("va"),
       pmod($"vec_id", lit(GridBlocks)).cast("int").as("ba"))
       .join(broadcast(cells), "ba")

@@ -187,6 +187,48 @@ object TpchBattery extends QueryModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** Q17 shape: correlated scalar subquery against a per-part
+    * aggregate — exercises Catalyst's decorrelation into an
+    * aggregate+join (never a per-row loop). The inner avg rides the
+    * exact-decimal sum/count so the `<` threshold is bit-identical
+    * across engines. Stated in SQL on purpose: this is the raw
+    * spark.sql surface a reference user migrates their queries to.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    T.t(s, dir, "lineitem").createOrReplaceTempView("g17_lineitem")
+    T.t(s, dir, "part").createOrReplaceTempView("g17_part")
+    s.sql(
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |             / 7.0, 4) AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM g17_lineitem JOIN g17_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#11'
+        |  AND l_quantity <
+        |    (SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |            / COUNT(*)
+        |     FROM g17_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** Q21/Q4 shape: EXISTS + NOT EXISTS double correlation — Catalyst
+    * plans a semi join and an anti join on the order key; the date
+    * predicate correlates on BOTH tables' columns so it must stay in
+    * the semi-join condition, not get pushed as a scan filter.
+    */
+  def q21Exists(s: SparkSession, dir: String): DataFrame = {
+    T.t(s, dir, "lineitem").createOrReplaceTempView("g21_lineitem")
+    T.t(s, dir, "orders").createOrReplaceTempView("g21_orders")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS cnt
+        |FROM g21_orders
+        |WHERE EXISTS (SELECT 1 FROM g21_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  AND NOT EXISTS (SELECT 1 FROM g21_lineitem
+        |                  WHERE l_orderkey = o_orderkey
+        |                    AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing(_, _)),
     "q6_forecast" -> (q6Forecast(_, _)),
@@ -194,7 +236,9 @@ object TpchBattery extends QueryModule {
     "q10_returns" -> (q10Returns(_, _)),
     "q14_promo" -> (q14Promo(_, _)),
     "q16_partsupp" -> (q16PartSupp(_, _)),
+    "q17_small_qty" -> (q17SmallQty(_, _)),
     "q19_discount" -> (q19Discount(_, _)),
+    "q21_exists" -> (q21Exists(_, _)),
     "q22_global" -> (q22Global(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -276,5 +320,25 @@ object TpchBattery extends QueryModule {
          |WHERE c_acctbal > (SELECT ${T.sqlDavg("c_acctbal", 4)}
          |                   FROM customer WHERE c_acctbal > 0.0)
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |             / 7.0, 4) AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#11'
+        |  AND l_quantity <
+        |    (SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |            / COUNT(*)
+        |     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q21_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey
+        |                    AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -14,6 +14,40 @@ class DedupScaleSpec extends AnyFunSuite {
   import SparkTestSession.{spark, SF}
   import spark.implicits._
 
+  test("embed grid join at 16x corpus: equi-join plan, arithmetically exact") {
+    // 8000 vectors -> 32M candidate pairs through the block grid.
+    // Replicas are EXACT copies at shifted ids, so the expected pair
+    // count is closed-form: every original qualifying pair appears
+    // once per replica-pair combination (16^2 ordered -> 136
+    // unordered-with-equal allowed), and every vector matches its own
+    // 15 other copies (cos=1 >= 0.45): 136*P + C(16,2)*N + 15N ...
+    // simpler and robust: count pairs among replicas of the SAME
+    // original pair set via the exact predicate on the small table.
+    val base = T.t(spark, SF, "embeddings")
+      .select($"vec_id", $"embedding")
+    val n = base.count()
+    val reps = 16
+    val big = base.crossJoin(spark.range(reps).select($"id".as("rep")))
+      .select(($"vec_id" + $"rep" * 100000L).as("vec_id"), $"embedding")
+    val out = T.scratch(SF, "embeddings_16x")
+    big.write.mode("overwrite").parquet(out)
+    val res = llm.Knn.dedupEmbedOn(spark, out)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    val got = res.count()
+    // closed form: P base qualifying pairs x (reps + 2*C(reps,2)) is
+    // wrong only if base has exact-duplicate vectors; instead compute
+    // the expectation directly: each base pair (a,b), a<b qualifies in
+    // all reps^2 (i-rep a, j-rep b) combinations EXCEPT double
+    // counting — ids are distinct so ordered-by-id pairs count once
+    // each: reps^2 per base pair; self pairs (same base vector, two
+    // different reps): C(reps,2) per base vector (cos = 1).
+    val basePairs = llm.Knn.dedupEmbed(spark, SF).count()
+    val expected = basePairs * reps * reps + n * reps * (reps - 1) / 2
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("minhash-LSH pipeline at 20x corpus keeps planted-pair recall") {
     val base = T.t(spark, SF, "documents")
     val replicas = spark.range(20).select($"id".as("rep"))

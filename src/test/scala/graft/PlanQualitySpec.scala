@@ -126,6 +126,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(equiOnCells, p)
   }
 
+  test("correlated subqueries decorrelate into joins, never per-row loops") {
+    // q17: correlated scalar agg subquery -> aggregate + join
+    val q17 = operators.TpchBattery.q17SmallQty(spark, SF)
+    val p17 = q17.queryExecution.optimizedPlan.toString
+    assert(!p17.contains("scalar-subquery"), p17)
+    assert(p17.contains("Join"), p17)
+    // q21: EXISTS/NOT EXISTS -> semi + anti joins
+    val q21 = operators.TpchBattery.q21Exists(spark, SF)
+    val p21 = q21.queryExecution.optimizedPlan.toString
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+  }
+
   test("semi/anti joins keep only the join key on the probe side scan") {
     val p = plan(operators.Joins.joinSemi(spark, SF))
     val orderScan = p.linesIterator
