@@ -200,6 +200,32 @@ object Dedup extends QueryModule {
     verifyPairs(s, candidates, t)
   }
 
+  /** INCREMENTAL near-dup: a NEW batch of documents deduped against
+    * the EXISTING corpus — the shape a production ingest runs daily,
+    * where re-checking corpus×corpus is impossible and only
+    * new×corpus candidates matter. Band hashes are computed for both
+    * sides; candidates come from the band-bucket equi-join of the
+    * (small) new side against the corpus side, so the work is
+    * O(new·bands + matches), independent of corpus-internal pairs;
+    * exact-Jaccard verify keeps the result oracle-checkable. Here
+    * the "new batch" is the upper half of doc_ids, standing in for
+    * the daily delta.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T.t(s, dir, "documents")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2
+    val t = shingleRows(docs).localCheckpoint()
+    val bands = bandRows(minhashSigs(t))
+    val corpusBands = bands.filter($"doc_id" <= cut)
+    val newBands = bands.filter($"doc_id" > cut)
+    val candidates = corpusBands.as("a")
+      .join(newBands.as("b"), Seq("band", "bh"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    verifyPairs(s, candidates, t)
+  }
+
   /** SimHash: 64-bit signature from token-hash bit votes; candidate
     * pairs via 16-bit chunk banding (any pair within hamming 3 shares
     * a chunk), verified by bit_count hamming ≤ 8. xxhash64-dependent →
@@ -332,6 +358,7 @@ object Dedup extends QueryModule {
     "llm_dedup_exact" -> (dedupExact(_, _)),
     "llm_ngram_jaccard" -> (ngramJaccard(_, _)),
     "llm_dedup_near" -> (dedupNear(_, _)),
+    "llm_dedup_incremental" -> (dedupIncremental(_, _)),
     "llm_dedup_stream" -> (dedupStream(_, _)),
     "llm_dedup_simhash" -> (dedupSimhash(_, _)))
 
@@ -365,6 +392,13 @@ object Dedup extends QueryModule {
     // Streaming-core candidates == batch LSH candidates (same buckets),
     // then the same exact-Jaccard verify → same oracle.
     "llm_dedup_stream" -> exactPairsSql,
+    // Incremental = the exact pair set restricted to corpus-side ×
+    // new-side (doc_a ≤ cut < doc_b); same banding recall argument.
+    "llm_dedup_incremental" ->
+      s"""SELECT * FROM ($exactPairsSql)
+         |WHERE doc_a <= (SELECT MAX(doc_id) // 2 FROM documents)
+         |  AND doc_b >  (SELECT MAX(doc_id) // 2 FROM documents)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Connected components via recursive CTE over the same pair graph.
     "llm_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (

@@ -267,8 +267,8 @@ final case class GraftStorage(
       }
       if (perCol.exists(_.isEmpty)) None
       else Some(org.apache.spark.sql.Row.fromSeq(
-        p.toString +: perCol.flatMap { case Some((mn, mx)) => Seq(mn, mx) }
-          :+ cnt))
+        p.toString +: perCol.flatMap(_.toSeq.flatMap {
+          case (mn, mx) => Seq(mn, mx) }) :+ cnt))
     } finally reader.close()
   }
 
