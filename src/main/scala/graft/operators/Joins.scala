@@ -50,6 +50,32 @@ object Joins extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** SALTED equi-join — the explicit hot-key mitigation for when AQE
+    * skew splitting isn't enough (one key so hot a single split still
+    * stalls, or a pre-AQE engine): the fact side gets a deterministic
+    * salt (row-content hash mod S), the build side replicates each
+    * row S times via a broadcast range, and the join key becomes
+    * (key, salt) — one hot key's rows spread over S reducers. The
+    * merge hint forces the shuffle path (at fixture scale the
+    * optimizer would broadcast and hide the pattern); salting leaves
+    * results identical to the plain join, which is exactly what the
+    * oracle checks.
+    */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 16
+    val l = T.t(s, dir, "lineitem")
+      .withColumn("salt",
+        pmod(crc32(concat_ws("|", $"l_orderkey", $"l_linenumber")), lit(S)))
+    val o = T.t(s, dir, "orders")
+      .crossJoin(broadcast(s.range(S).select($"id".cast("int").as("salt"))))
+    o.hint("merge")
+      .join(l, $"o_orderkey" === $"l_orderkey" && o("salt") === l("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Interval/range join (the genomics overlap join,
     * AbstractBinarySamSource.java:111-138): fact column vs a small
     * table of [lo,hi) ranges. Small side broadcast → broadcast
@@ -368,6 +394,7 @@ object Joins extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_broadcast" -> (joinBroadcast(_, _)),
     "join_sortmerge" -> (joinSortmerge(_, _)),
+    "join_salted" -> (joinSalted(_, _)),
     "join_bucketed" -> (joinBucketed(_, _)),
     "join_multi" -> (joinMulti(_, _)),
     "join_interval" -> (joinInterval(_, _)),
@@ -389,6 +416,13 @@ object Joins extends QueryModule {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "join_sortmerge" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // salting must not change the join result — same oracle as the
+    // plain equi-join
+    "join_salted" ->
       s"""SELECT o_orderpriority, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
