@@ -21,6 +21,7 @@ object SparkEntry {
     operators.TypedOps,
     operators.Composite,
     operators.TpchBattery,
+    operators.TpchBattery2,
     functions.Funcs,
     streaming.StreamOps,
     llm.Dedup,
