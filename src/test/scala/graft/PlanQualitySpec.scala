@@ -139,6 +139,48 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p21.contains("LeftAnti"), p21)
   }
 
+  test("q18: HAVING pre-aggregation runs BEFORE the joins, shrinking the fact") {
+    // aggregate-then-join: the per-orderkey quantity agg must sit below
+    // the orders join in the plan, so only qualifying keys are joined
+    val p = plan(operators.TpchBattery2.q18Volume(spark, SF))
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(aggIdx >= 0 && joinIdx >= 0, p)
+    // in the formatted tree listing, children print below their parent:
+    // the agg node must appear under the join header line
+    assert(aggIdx > joinIdx, s"agg must feed the join, not follow it:\n$p")
+  }
+
+  test("q3/q18: top-k plans as TakeOrderedAndProject, not a global sort") {
+    for (df <- Seq(operators.TpchBattery2.q3Shipping(spark, SF),
+        operators.TpchBattery2.q18Volume(spark, SF))) {
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"), p)
+    }
+  }
+
+  test("q20: IN-subquery plans as a semi join; q13 keeps the outer join's predicate in the condition") {
+    val p20 = operators.TpchBattery2.q20Promotion(spark, SF)
+      .queryExecution.optimizedPlan.toString
+    assert(p20.contains("LeftSemi"), p20)
+    // q13: customers with zero qualifying orders must survive (outer
+    // join with the priority predicate in the JOIN condition) — every
+    // customer is regrouped, not just those with orders
+    val q13 = operators.TpchBattery2.q13CustDist(spark, SF)
+    import org.apache.spark.sql.functions._
+    val total = q13.agg(sum("custdist")).collect()(0).getLong(0)
+    val nCust = T.t(spark, SF, "customer").count()
+    assert(total == nCust, s"outer-join histogram must cover all $nCust customers: $total")
+  }
+
+  test("q5: same-nation predicate rides the join, dims broadcast") {
+    val p = plan(operators.TpchBattery2.q5Local(spark, SF))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("hashpartitioning(n_nationkey"), p)
+    assert(!p.contains("hashpartitioning(r_regionkey"), p)
+  }
+
   test("semi/anti joins keep only the join key on the probe side scan") {
     val p = plan(operators.Joins.joinSemi(spark, SF))
     val orderScan = p.linesIterator
