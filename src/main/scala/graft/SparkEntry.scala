@@ -25,6 +25,7 @@ object SparkEntry {
     functions.Funcs,
     streaming.StreamOps,
     llm.Dedup,
+    llm.Curate,
     llm.Knn,
     llm.TextStats,
     llm.Pipeline,

@@ -1,0 +1,285 @@
+package graft.llm
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a 100 TB training-data run needs beyond
+  * Dedup/TextStats/Pipeline: sketch-prefiltered decontamination and
+  * heavy-hitter mining (Bloom / Count-Min — one tiny driver-side
+  * sketch broadcast back as a MAP-SIDE prefilter so the big table's
+  * shuffle only carries candidate rows), sequence packing into
+  * fixed-token context windows, consistent (engine-reproducible)
+  * per-stratum sampling, and PII scrubbing.
+  *
+  * Exactness contract for the sketch-bounded ops: both sketches are
+  * one-sided (a Bloom filter has no false negatives; Count-Min never
+  * under-estimates), so the sketch pass can only ADMIT too much, and
+  * the exact verify step that follows trims the result to precisely
+  * the plain-join / plain-HAVING answer. The DuckDB oracles therefore
+  * state the sketch-free semantics and still hash-match.
+  *
+  * Reference analogue: broadcast index-membership prefilters before
+  * the record scan (interval-list membership, SamSource.java:79-102;
+  * index-bounded splits, BamSource.java:99-119) — the same
+  * "cheap bound first, exact work on survivors" shape.
+  */
+object Curate extends QueryModule {
+
+  /** Word-bigram rows WITH duplicates: (doc_id, tok). Same
+    * posexplode + lead() shape as Dedup.shingleRows (array-lambda
+    * forms are quadratic per doc — see that scaladoc), minus the
+    * distinct: frequency ops need multiplicity.
+    */
+  private def bigramRows(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .select(col("doc_id"), col("tok"),
+        lead(col("tok"), 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws("_", col("tok"), col("t1")).as("tok"))
+  }
+
+  /** Benchmark decontamination, Bloom-bounded: docs sharing ANY
+    * 3-gram shingle with the benchmark set (docs 0-4 stand in) are
+    * dropped; the query returns the surviving clean corpus.
+    *
+    * Scale shape: the benchmark shingle set is sketched into a Bloom
+    * filter on the driver and broadcast; the corpus shingle stream is
+    * filtered map-side BEFORE any shuffle, so only
+    * possibly-contaminated rows reach the exact verify join (at fpp
+    * 0.01 that is ~1% of clean traffic plus true hits). The verify
+    * join against the broadcast probe set removes Bloom false
+    * positives — no false negatives exist, so the result equals the
+    * sketch-free anti-join the oracle states.
+    *
+    * The sketch probe is a UDF by necessity (a broadcast
+    * BloomFilter.mightContain has no Column-expression equivalent);
+    * it runs pre-shuffle on the scan side.
+    */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingleRows(T.t(s, dir, "documents")).localCheckpoint()
+    val probe = sh.filter($"doc_id" < 5).select($"tok").distinct()
+    val bloom = probe.stat.bloomFilter("tok", 200000L, 0.01)
+    val b = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((t: String) => b.value.mightContain(t))
+    val flagged = sh.filter($"doc_id" >= 5)
+      .filter(mightContain($"tok"))
+      .join(broadcast(probe), "tok") // exact verify: trims Bloom false positives
+      .select($"doc_id").distinct()
+    T.t(s, dir, "documents").select($"doc_id").filter($"doc_id" >= 5)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
+  }
+
+  /** Heavy-hitter mining, Count-Min-bounded: word bigrams whose
+    * frequency is at least 1/1000 of all bigram occurrences.
+    *
+    * Scale shape: one pass builds a mergeable Count-Min sketch
+    * (driver holds ~100 KB regardless of corpus size; partial
+    * sketches merge associatively) whose totalCount also fixes the
+    * threshold without a separate agg job. The broadcast sketch then
+    * filters the stream map-side: only tokens whose ESTIMATE reaches
+    * the threshold are shuffled for exact counting. Count-Min only
+    * over-estimates, so every true heavy hitter survives the
+    * prefilter; the exact count + HAVING trims the over-admitted
+    * tail — the result is exactly the oracle's GROUP BY/HAVING.
+    * (Cormode & Muthukrishnan, J.Alg 55(1), 2005.)
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = bigramRows(T.t(s, dir, "documents")).localCheckpoint()
+    val cms = grams.stat.countMinSketch(col("tok"), 0.0002, 0.99, 42)
+    val thr = cms.totalCount() / 1000.0
+    val b = s.sparkContext.broadcast(cms)
+    val maybeHeavy = udf((t: String) => b.value.estimateCount(t) >= thr)
+    grams.filter(maybeHeavy($"tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= thr)
+      .orderBy($"n".desc, $"tok")
+  }
+
+  /** Sequence packing: concatenate documents in deterministic order
+    * and chunk into fixed 512-token context windows — each doc is
+    * assigned to the pack where it STARTS (the concat-and-chunk
+    * packing LLM pretraining actually uses; docs may straddle pack
+    * boundaries). Packing runs independently inside 8 salt groups,
+    * the local[·] stand-in for per-partition packing at cluster
+    * scale: one narrow shuffle on the group key, then a window
+    * cumulative sum — no global sort, no driver state.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = T.t(s, dir, "documents").select(
+      $"doc_id",
+      pmod($"doc_id", lit(8)).as("grp"),
+      size(split($"text", " ")).cast("long").as("n"))
+    val w = Window.partitionBy($"grp").orderBy($"doc_id")
+    d.withColumn("start", sum($"n").over(w) - $"n")
+      .withColumn("pack", floor($"start" / lit(512.0)))
+      .groupBy($"grp", $"pack")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("tok_sum"))
+      .orderBy($"grp", $"pack")
+  }
+
+  /** Consistent per-stratum sampling: keep the k=5 docs with the
+    * smallest md5(doc_id) per language — a deterministic uniform
+    * sample that is reproducible run-to-run, engine-to-engine, and
+    * STABLE UNDER CORPUS GROWTH (a doc's keep/drop flips only when a
+    * smaller-hash doc enters its stratum), which seeded RNG sampling
+    * is not. The rank-≤-k filter compiles to WindowGroupLimit, so
+    * each map task forwards only its local top-k per stratum.
+    */
+  def sampleConsistent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    T.t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"lang", $"doc_id")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  /** PII scrubbing: redact emails and phone numbers via codegen'd
+    * regexp_replace — pure column expressions, scan-speed, no UDFs.
+    * The fixture corpus contains no PII, so a contact line is
+    * synthesized per doc first (same expression both engines);
+    * the scrubbed-text hash proves byte-identical redaction.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9][0-9-]{5,}"
+    val contact = concat(
+      $"text", lit(" contact user"), $"doc_id".cast("string"),
+      lit("@mail.example.com or call +1-555-"),
+      lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"))
+    T.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(regexp_extract_all(contact, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(contact, lit(phoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(contact, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("scrub_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Top distinctive terms per doc, TF-IDF shape with integer-exact
+    * ordering (tf desc, document-frequency asc, term asc — the
+    * float-free rank of tf·idf): per-doc term counts, a tiny global
+    * document-frequency dim joined back BROADCAST, and a rank-≤-3
+    * window that compiles to WindowGroupLimit. Two partial-agged
+    * shuffles on (doc_id, tok) / (tok); the df table is vocabulary-
+    * sized, never corpus-sized.
+    */
+  def topTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = T.t(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"tok".asc)
+    tf.join(broadcast(df), "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"tok", $"tf", $"df")
+      .orderBy($"doc_id", $"tok")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_decontam_bloom" -> (decontamBloom(_, _)),
+    "llm_heavy_hitters" -> (heavyHitters(_, _)),
+    "llm_pack_sequences" -> (packSequences(_, _)),
+    "llm_sample_consistent" -> (sampleConsistent(_, _)),
+    "llm_pii_scrub" -> (piiScrub(_, _)),
+    "llm_top_terms" -> (topTerms(_, _)))
+
+  // shared DuckDB fragment: distinct word-3-gram shingles (the
+  // Dedup/Pipeline oracle CTE)
+  private val shingleCte =
+    """s AS (
+      |  SELECT doc_id, unnest([toks[i] || '_' || toks[i+1] || '_' || toks[i+2]
+      |      FOR i IN generate_series(1, len(toks)-2)]) AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |t AS (SELECT DISTINCT doc_id, tok FROM s)""".stripMargin
+
+  // single-line: a multi-line fragment would put the SQL || operator at
+  // line start, where the enclosing oracle's stripMargin eats one bar
+  private val contactSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com or call +1-555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  override def oracleSql: Map[String, String] = Map(
+    "llm_decontam_bloom" ->
+      s"""WITH $shingleCte,
+         |probe AS (SELECT DISTINCT tok FROM t WHERE doc_id < 5),
+         |flagged AS (
+         |  SELECT DISTINCT doc_id FROM t JOIN probe USING (tok)
+         |  WHERE doc_id >= 5)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id >= 5
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY d.doc_id""".stripMargin,
+    "llm_heavy_hitters" ->
+      """WITH g AS (
+        |  SELECT unnest([toks[i] || '_' || toks[i+1]
+        |      FOR i IN generate_series(1, len(toks)-1)]) AS tok
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+        |c AS (SELECT tok, COUNT(*) AS n FROM g GROUP BY tok)
+        |SELECT tok, n FROM c
+        |WHERE n >= (SELECT COUNT(*) FROM g) / 1000.0
+        |ORDER BY n DESC, tok""".stripMargin,
+    "llm_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS grp,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT grp, doc_id, n,
+        |    SUM(n) OVER (PARTITION BY grp ORDER BY doc_id) - n AS start
+        |  FROM d)
+        |SELECT grp, CAST(floor(start / 512.0) AS BIGINT) AS pack,
+        |  COUNT(*) AS n_docs, SUM(n) AS tok_sum
+        |FROM c GROUP BY grp, pack ORDER BY grp, pack""".stripMargin,
+    "llm_sample_consistent" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
+    "llm_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all($contactSql,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all($contactSql,
+         |    '\\+[0-9][0-9-]{5,}')) AS INT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace($contactSql,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\+[0-9][0-9-]{5,}', '<PHONE>', 'g')) AS scrub_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_top_terms" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |r AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df, tok) AS rn
+        |  FROM tf JOIN df USING (tok))
+        |SELECT doc_id, tok, tf, df FROM r WHERE rn <= 3
+        |ORDER BY doc_id, tok""".stripMargin)
+}

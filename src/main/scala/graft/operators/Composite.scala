@@ -4,7 +4,6 @@ import graft.{QueryModule, T}
 import graft.T.{dsum, sqlDsum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Composite / nested-data queries: multi-operator pipelines in one
   * plan (the workloads users actually run on the distributed
@@ -12,21 +11,6 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * cigar/tags/genotypes data model implies (SURVEY.md §1.2).
   */
 object Composite extends QueryModule {
-
-  /** TPC-H Q3 shape: selective join + agg + top-k by revenue. */
-  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cutoff = lit("1997-06-30").cast("timestamp")
-    val o = T.t(s, dir, "orders").filter($"o_orderdate" < cutoff)
-    val l = T.t(s, dir, "lineitem").filter($"l_shipdate" > cutoff)
-    l.join(o, $"l_orderkey" === $"o_orderkey")
-      .groupBy($"l_orderkey", $"o_orderdate")
-      .agg(sum($"l_extendedprice".cast(DecimalType(18, 2)) *
-        (lit(1) - $"l_discount").cast(DecimalType(18, 2)))
-        .cast(DoubleType).as("revenue"))
-      .orderBy($"revenue".desc, $"l_orderkey")
-      .limit(10)
-  }
 
   /** TPC-H Q18 shape: having-filtered aggregate joined back to dims. */
   def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
@@ -86,22 +70,11 @@ object Composite extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q3_shipping" -> (q3Shipping(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "sink_nested" -> (sinkNested(_, _)),
     "agg_percentile" -> (aggPercentile(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
-    "q3_shipping" ->
-      """SELECT l_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderdate < TIMESTAMP '1997-06-30'
-        |  AND l_shipdate > TIMESTAMP '1997-06-30'
-        |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q18_large_orders" ->
       s"""SELECT c_name, o_orderkey, o_orderdate, sum_qty FROM (
          |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty

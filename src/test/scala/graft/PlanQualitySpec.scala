@@ -189,4 +189,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!orderScan.contains("o_totalprice"),
       s"semi join must prune unused order columns: $orderScan")
   }
+
+  test("curation rank-≤-k filters compile to WindowGroupLimit") {
+    for (df <- Seq(llm.Curate.sampleConsistent(spark, SF),
+        llm.Curate.topTerms(spark, SF))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"rank filter should push a per-partition group limit:\n${p.take(2000)}")
+    }
+  }
+
+  test("sketch-bounded curation ops keep equi-join plans (no BNLJ/cartesian)") {
+    for (df <- Seq(llm.Curate.decontamBloom(spark, SF),
+        llm.Curate.heavyHitters(spark, SF),
+        llm.Curate.topTerms(spark, SF))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p.take(2000))
+    }
+    // the exact-verify join and the df dim join ride broadcast
+    val pb = llm.Curate.decontamBloom(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(pb.contains("BroadcastHashJoin"), pb.take(2000))
+  }
+
+  test("sequence packing shuffles once on the group key, not per stage") {
+    val p = llm.Curate.packSequences(spark, SF)
+      .queryExecution.executedPlan.toString
+    // window on grp, then groupBy(grp, pack): hashpartitioning(grp)
+    // already clusters (grp, pack), so the agg must reuse it
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected a single hash exchange on grp:\n${p.take(2000)}")
+  }
 }
