@@ -60,9 +60,12 @@ object Curate extends QueryModule {
     * BloomFilter.mightContain has no Column-expression equivalent);
     * it runs pre-shuffle on the scan side.
     */
-  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+  def decontamBloom(s: SparkSession, dir: String): DataFrame =
+    decontamBloomDocs(s, T.t(s, dir, "documents"))
+
+  private[graft] def decontamBloomDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val sh = Dedup.shingleRows(T.t(s, dir, "documents")).localCheckpoint()
+    val sh = Dedup.shingleRows(docs).localCheckpoint()
     val probe = sh.filter($"doc_id" < 5).select($"tok").distinct()
     val bloom = probe.stat.bloomFilter("tok", 200000L, 0.01)
     val b = s.sparkContext.broadcast(bloom)
@@ -71,7 +74,7 @@ object Curate extends QueryModule {
       .filter(mightContain($"tok"))
       .join(broadcast(probe), "tok") // exact verify: trims Bloom false positives
       .select($"doc_id").distinct()
-    T.t(s, dir, "documents").select($"doc_id").filter($"doc_id" >= 5)
+    docs.select($"doc_id").filter($"doc_id" >= 5)
       .join(flagged, Seq("doc_id"), "left_anti")
       .orderBy($"doc_id")
   }
@@ -90,9 +93,12 @@ object Curate extends QueryModule {
     * tail — the result is exactly the oracle's GROUP BY/HAVING.
     * (Cormode & Muthukrishnan, J.Alg 55(1), 2005.)
     */
-  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersDocs(s, T.t(s, dir, "documents"))
+
+  private[graft] def heavyHittersDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val grams = bigramRows(T.t(s, dir, "documents")).localCheckpoint()
+    val grams = bigramRows(docs).localCheckpoint()
     val cms = grams.stat.countMinSketch(col("tok"), 0.0002, 0.99, 42)
     val thr = cms.totalCount() / 1000.0
     val b = s.sparkContext.broadcast(cms)
@@ -115,10 +121,15 @@ object Curate extends QueryModule {
     */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = T.t(s, dir, "documents").select(
+    packCounts(s, T.t(s, dir, "documents").select(
       $"doc_id",
       pmod($"doc_id", lit(8)).as("grp"),
-      size(split($"text", " ")).cast("long").as("n"))
+      size(split($"text", " ")).cast("long").as("n")))
+  }
+
+  /** Packing core over pre-computed (doc_id, grp, n) token counts. */
+  private[graft] def packCounts(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"grp").orderBy($"doc_id")
     d.withColumn("start", sum($"n").over(w) - $"n")
       .withColumn("pack", floor($"start" / lit(512.0)))

@@ -310,16 +310,40 @@ object Scans extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** S4 columnar breadth: ORC source round trip — the second
+    * stats-indexed columnar container Spark ships (stripe/row-group
+    * min-max indexes play the parquet-footer role). Pushdown +
+    * pruning semantics carry over unchanged, which is the point: the
+    * engine's operators are container-agnostic the way the
+    * reference's are format-dispatched (AnySamSource.java:55-76).
+    */
+  private def orcFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "supplier_orc") { out =>
+      import s.implicits._
+      T.t(s, dir, "supplier").write.mode("overwrite").orc(out)
+    }
+
+  def scanOrc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = orcFixture(s, dir)
+    s.read.orc(out)
+      .filter($"s_acctbal" > 0)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("cnt"), dsum($"s_acctbal").as("sum_bal"))
+      .orderBy($"s_nationkey")
+  }
+
   override def prepare(s: SparkSession, dir: String): Unit = {
     multifileFixture(s, dir); csvFixture(s, dir); clusteredFixture(s, dir)
     zonemapFixture(s, dir); zonemapPlannedFixture(s, dir)
     badlinesFixture(s, dir); jsonFixture(s, dir); gzipFixture(s, dir)
-    zorderFixture(s, dir)
+    zorderFixture(s, dir); orcFixture(s, dir)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_reads" -> (scanReads(_, _)),
     "scan_json" -> (scanJson(_, _)),
+    "scan_orc" -> (scanOrc(_, _)),
     "scan_text_gzip" -> (scanTextGzip(_, _)),
     "parse_project" -> (parseProject(_, _)),
     "scan_variants" -> (scanVariants(_, _)),
@@ -340,6 +364,11 @@ object Scans extends QueryModule {
       s"""SELECT o_orderpriority, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scan_orc" ->
+      s"""SELECT s_nationkey, COUNT(*) AS cnt,
+         |  ${sqlDsum("s_acctbal")} AS sum_bal
+         |FROM supplier WHERE s_acctbal > 0
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "parse_project" ->
       """SELECT c_custkey,
         |  string_split(c_name, '#')[1] AS prefix,
