@@ -93,6 +93,27 @@ object Aggs extends QueryModule {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** Explicit GROUPING SETS (the general form rollup/cube sugar
+    * over): an asymmetric set list — both keys, each key alone, and
+    * the grand total — with grouping() flags disambiguating real
+    * NULL keys from collapsed ones. Plans as a single Expand + hash
+    * agg (one pass over the fact table, not one scan per set).
+    */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    T.t(s, dir, "lineitem").createOrReplaceTempView("ga_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM ga_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
   /** Full cube over the two flag columns. */
   def aggCube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -178,11 +199,23 @@ object Aggs extends QueryModule {
     "agg_distinct" -> (aggDistinct(_, _)),
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
     "agg_rollup" -> (aggRollup(_, _)),
+    "agg_grouping_sets" -> (aggGroupingSets(_, _)),
     "agg_cube" -> (aggCube(_, _)),
     "agg_zonemap" -> (aggZonemap(_, _)),
     "agg_stats" -> (aggStats(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "agg_count" -> "SELECT COUNT(*) AS cnt FROM lineitem",
     "agg_approx_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts,

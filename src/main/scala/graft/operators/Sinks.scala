@@ -143,7 +143,37 @@ object Sinks extends QueryModule {
       .agg(count(lit(1)).as("cnt"), dsum($"c_acctbal").as("sum_bal"))
   }
 
+  /** CDC upsert (MERGE INTO analogue without a table format): updates
+    * win on key collision, inserts append — one shuffle-on-key anti
+    * join plus a union, then an overwrite. At scale the anti join
+    * co-locates with bucketing on the key (join_bucketed shows the
+    * shuffle-free layout); the updates side is the small one and
+    * broadcasts. Update set: every 7th order re-priced, plus new
+    * synthetic keys past the domain.
+    */
+  def sinkUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_upsert_orders")
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val updates = base.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", lit("X").as("o_orderstatus"),
+        ($"o_totalprice" * 2).as("o_totalprice"))
+      .union(base.filter($"o_orderkey" % 97 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+    val merged = updates.union(
+      base.join(broadcast(updates.select($"o_orderkey")),
+        Seq("o_orderkey"), "left_anti"))
+    merged.write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_upsert" -> (sinkUpsert(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
     "sink_single_merged" -> (sinkSingleMerged(_, _)),
@@ -153,6 +183,24 @@ object Sinks extends QueryModule {
     "sink_overwrite" -> (sinkOverwrite(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "sink_upsert" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |upd AS (
+         |  SELECT o_orderkey, 'X' AS o_orderstatus,
+         |    o_totalprice * 2 AS o_totalprice
+         |  FROM base WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, 'N', 1.0
+         |  FROM base WHERE o_orderkey % 97 = 0),
+         |merged AS (
+         |  SELECT * FROM upd
+         |  UNION ALL
+         |  SELECT * FROM base
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sink_sharded" ->
       s"""SELECT l_linestatus, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price

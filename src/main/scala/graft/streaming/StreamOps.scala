@@ -168,6 +168,82 @@ object StreamOps extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Stream-compatible shingle rows: a typed flatMap (linear per doc,
+    * one sliding pass) instead of Dedup.shingleRows' posexplode +
+    * window — window functions don't run on unbounded streams, a
+    * per-row flatMap does. Distinct-per-doc matches the batch
+    * semantics.
+    */
+  def shingleStream(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ").iterator.sliding(3).withPartial(false)
+          .map(_.mkString("_")).toSet[String].iterator.map(t => (id, t))
+      }.toDF("doc_id", "tok")
+  }
+
+  /** Streaming decontamination core: corpus docs joined against a
+    * STATIC benchmark shingle set (broadcast — Structured Streaming
+    * replans the static side per micro-batch), overlap counted per
+    * doc. Stateless except the final agg, so state is O(flagged
+    * docs), not O(stream). Batch run is the oracle; StreamingSpec
+    * replays it as a true file stream.
+    */
+  def decontamCore(docs: DataFrame, probe: DataFrame): DataFrame =
+    shingleStream(docs)
+      .join(broadcast(probe), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+
+  def streamDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = T.t(s, dir, "documents")
+    val probe = graft.llm.Dedup.shingleRows(docs.filter(col("doc_id") < 5))
+      .select(col("tok")).distinct()
+    decontamCore(docs.filter(col("doc_id") >= 5), probe)
+      .filter(col("n_overlap") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stateful streaming sequence packing: per-group running token
+    * offset carried in flatMapGroupsWithState; each doc is assigned
+    * the 512-token context window where it starts (Curate
+    * .packSequences semantics, incremental edition — the state is one
+    * Long per group, so a 1000-executor ingest keeps O(groups) state
+    * total). Docs are processed in doc_id order within each
+    * micro-batch; ordered file replay extends that across batches
+    * (StreamingSpec).
+    */
+  def packStreamCore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val counted = docs
+      .select(col("doc_id").cast(LongType), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("grp"),
+        size(col("toks")).cast(LongType).as("n"))
+      .as[(Long, Long, Long)]
+    counted.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (grp: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, n) =>
+            val pack = off / 512
+            off += n
+            (grp, id, pack)
+          }
+          state.update(off)
+          out.iterator
+      }.toDF("grp", "doc_id", "pack")
+  }
+
+  def streamPack(s: SparkSession, dir: String): DataFrame =
+    packStreamCore(T.t(s, dir, "documents"))
+      .orderBy(col("grp"), col("doc_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_union" -> (joinAsofUnion(_, _)),
     "join_asof_native" -> (joinAsofNative(_, _)),
@@ -176,6 +252,8 @@ object StreamOps extends QueryModule {
     "stream_interval_join" -> (streamIntervalJoin(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
     "stream_session" -> (streamSession(_, _)),
+    "stream_decontam" -> (streamDecontam(_, _)),
+    "stream_pack" -> (streamPack(_, _)),
     "stream_dedup" -> (streamDedup(_, _)))
 
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
@@ -194,6 +272,29 @@ object StreamOps extends QueryModule {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "stream_decontam" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest([toks[i] || '_' || toks[i+1] || '_' || toks[i+2]
+        |      FOR i IN generate_series(1, len(toks)-2)]) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |t AS (SELECT DISTINCT doc_id, tok FROM s),
+        |probe AS (SELECT DISTINCT tok FROM t WHERE doc_id < 5)
+        |SELECT doc_id, COUNT(*) AS n_overlap
+        |FROM t JOIN probe USING (tok)
+        |WHERE doc_id >= 5
+        |GROUP BY doc_id HAVING COUNT(*) >= 3
+        |ORDER BY doc_id""".stripMargin,
+    "stream_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS grp,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT grp, doc_id, n,
+        |    SUM(n) OVER (PARTITION BY grp ORDER BY doc_id) - n AS start
+        |  FROM d)
+        |SELECT grp, doc_id, CAST(floor(start / 512.0) AS BIGINT) AS pack
+        |FROM c ORDER BY grp, doc_id""".stripMargin,
     "join_asof_native" -> asofOracle,
     "join_asof_union" ->
       """SELECT user_id, event_id, last_click_id FROM (

@@ -214,6 +214,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination matches the batch broadcast-probe join") {
+    val docsDir = T.scratch(SF, "stream_docs_src")
+    T.t(spark, SF, "documents").filter($"doc_id" >= 5)
+      .write.mode("overwrite").parquet(docsDir)
+    val probe = llm.Dedup.shingleRows(
+      T.t(spark, SF, "documents").filter($"doc_id" < 5))
+      .select($"tok").distinct().localCheckpoint()
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q = streaming.StreamOps.decontamCore(stream, probe)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("decontam_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("decontam_out")
+      .filter($"n_overlap" >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = streaming.StreamOps.streamDecontam(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("stateful streaming packing matches batch packing across micro-batches") {
+    // four files, ascending doc_id ranges, ascending mtimes: the file
+    // source replays them oldest-first one per trigger, so each
+    // group's docs arrive in doc_id order across batches and the
+    // running-offset state must reproduce the batch assignment
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val streamDir = T.scratch(SF, "stream_pack_src")
+    val dirFile = new java.io.File(streamDir)
+    if (dirFile.exists()) dirFile.listFiles().foreach(_.delete())
+    dirFile.mkdirs()
+    val docs = T.t(spark, SF, "documents")
+    val maxId = docs.agg(max($"doc_id")).collect()(0).getLong(0)
+    val quart = (maxId + 4) / 4 max 1L
+    (0 until 4).foreach { i =>
+      val tmp = T.scratch(SF, s"stream_pack_tmp_$i")
+      docs.filter($"doc_id" >= i * quart && $"doc_id" < (i + 1) * quart)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(streamDir, f"batch_$i%02d.parquet")
+      Files.copy(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = streaming.StreamOps.packStreamCore(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("pack_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = streaming.StreamOps.streamPack(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("streaming session window counts match batch sessionization") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
