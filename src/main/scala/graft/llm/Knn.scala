@@ -4,6 +4,7 @@ import graft.{QueryModule, T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Similarity search over the embeddings table (array<float>, 64-dim)
   * — SURVEY.md §2.11 north star.
@@ -328,7 +329,28 @@ object Knn extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Per-label centroids in component form: (label, pos, n, sum_v) —
+    * the class-prototype computation an IVF/classifier pipeline seeds
+    * from. posexplode + one hash agg on (label, pos): map-side
+    * partial sums make this a single narrow shuffle of label×dim
+    * cells regardless of corpus size. Sums ride the DECIMAL
+    * round-trip (T.dsum pattern) so both engines produce bit-equal
+    * doubles; the division into a mean is left to the consumer (a
+    * decimal/int division would pin engine-specific scale rules).
+    */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast(DoubleType).cast(DecimalType(20, 7)))
+          .cast(DoubleType).as("sum_v"))
+      .orderBy($"label", $"pos")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_embed_centroids" -> (embedCentroids(_, _)),
     "llm_knn" -> (knn(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
     "llm_knn_ivf" -> (knnIvf(_, _)),
@@ -338,6 +360,16 @@ object Knn extends QueryModule {
     "llm_vector_norm" -> (vectorNorm(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_embed_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    unnest([{'p': i - 1, 'v': embedding[i]}
+        |      FOR i IN generate_series(1, len(embedding))]) AS c
+        |  FROM embeddings)
+        |SELECT label, CAST(c.p AS INT) AS pos, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(c.v AS DOUBLE) AS DECIMAL(20,7))) AS DOUBLE)
+        |    AS sum_v
+        |FROM e GROUP BY label, c.p ORDER BY label, pos""".stripMargin,
     "llm_knn" ->
       s"""SELECT qid, nid, cos_sim, rn FROM (
          |  SELECT a.vec_id AS qid, b.vec_id AS nid,

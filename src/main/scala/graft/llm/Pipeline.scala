@@ -95,10 +95,79 @@ object Pipeline extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Domain mixture planning (the DoReMi/Pile-style reweighting
+    * step): given target corpus shares per source, derive each
+    * source's deterministic keep rate and resulting document yield.
+    * One vocabulary-sized agg + a window over the 20-row summary —
+    * driver never sees row data.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = when($"source" === "src0", 0.30)
+      .when($"source" === "src1", 0.15)
+      .when($"source" === "src2", 0.10)
+      .otherwise(0.02)
+    T.t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total",
+        sum($"n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select($"source", $"n",
+        round(least(lit(1.0), w * $"total" / $"n"), 6).as("keep_rate"))
+      .withColumn("n_kept", floor($"n" * $"keep_rate").cast("long"))
+      .orderBy($"source")
+  }
+
+  /** Quality deciles: ntile(10) over the quality score — the corpus
+    * report a curation run publishes before choosing a cut. The
+    * global order is inherent to exact deciles; at 100 TB the same
+    * report runs on approx_percentile cuts (agg_percentile shows the
+    * primitive) — exact form kept here for the oracle.
+    */
+  def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = TextStats.quality(s, dir).select($"doc_id", $"score")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    q.withColumn("bucket", ntile(10).over(w))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min($"score"), 6).as("min_score"),
+        round(max($"score"), 6).as("max_score"))
+      .orderBy($"bucket")
+  }
+
+  /** The flagship end-to-end curation pipeline in ONE declarative
+    * plan: quality gate → near-dup survivor selection → benchmark
+    * decontamination → sequence packing. Catalyst sees the whole
+    * chain (semi joins for the keep/survivor sets, an anti join for
+    * the flagged set, then the packing window+agg), so filters fold
+    * into the shared document scan and the small id-sets broadcast —
+    * the composition is what a real 100 TB curation run submits as a
+    * single job DAG.
+    */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = TextStats.quality(s, dir).filter($"keep").select($"doc_id")
+    val surv = dedupSurvivors(s, dir).select($"survivor_id".as("doc_id"))
+    val flagged = contamination(s, dir).select($"doc_id")
+    val fin = T.t(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .join(kept, "doc_id")
+      .join(surv, "doc_id")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .filter($"doc_id" >= 5)
+      .select($"doc_id", pmod($"doc_id", lit(8)).as("grp"), $"n")
+    Curate.packCounts(s, fin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_survivors" -> (dedupSurvivors(_, _)),
     "llm_sample_stratified" -> (sampleStratified(_, _)),
     "llm_token_hist" -> (tokenHist(_, _)),
+    "llm_domain_mix" -> (domainMix(_, _)),
+    "llm_quality_buckets" -> (qualityBuckets(_, _)),
+    "llm_pipeline_e2e" -> (pipelineE2e(_, _)),
     "llm_contamination" -> (contamination(_, _)))
 
   // shared DuckDB fragments: distinct word-3-gram shingles (same CTE
@@ -170,5 +239,83 @@ object Pipeline extends QueryModule {
          |FROM t JOIN probe USING (tok)
          |WHERE doc_id >= 5
          |GROUP BY doc_id HAVING COUNT(*) >= 5
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "llm_domain_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |k AS (
+        |  SELECT source, n,
+        |    round(least(1.0,
+        |      CASE WHEN source = 'src0' THEN 0.30
+        |           WHEN source = 'src1' THEN 0.15
+        |           WHEN source = 'src2' THEN 0.10
+        |           ELSE 0.02 END
+        |      * (SUM(n) OVER ()) / n), 6) AS keep_rate
+        |  FROM c)
+        |SELECT source, n, keep_rate,
+        |  CAST(floor(n * keep_rate) AS BIGINT) AS n_kept
+        |FROM k ORDER BY source""".stripMargin,
+    "llm_quality_buckets" ->
+      s"""WITH q AS (SELECT doc_id, $scoreSql AS score FROM documents),
+         |b AS (SELECT doc_id, score,
+         |  ntile(10) OVER (ORDER BY score DESC, doc_id) AS bucket FROM q)
+         |SELECT bucket, COUNT(*) AS n,
+         |  round(MIN(score), 6) AS min_score,
+         |  round(MAX(score), 6) AS max_score
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "llm_pipeline_e2e" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM t a JOIN t b USING (tok) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src AS doc_id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.lbl
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |lbl AS (SELECT doc_id, MIN(lbl) AS cluster_id
+         |        FROM reach GROUP BY doc_id),
+         |alldocs AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |    $scoreSql AS score
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         |ranked AS (
+         |  SELECT cluster_id, doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC, doc_id) AS rn
+         |  FROM alldocs),
+         |surv AS (SELECT MIN(CASE WHEN rn = 1 THEN doc_id END) AS doc_id
+         |         FROM ranked GROUP BY cluster_id),
+         |keepq AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE length(text) BETWEEN 50 AND 5000 AND $scoreSql > 0.3),
+         |probe AS (SELECT DISTINCT tok FROM t WHERE doc_id < 5),
+         |flagged AS (
+         |  SELECT doc_id FROM t JOIN probe USING (tok)
+         |  WHERE doc_id >= 5
+         |  GROUP BY doc_id HAVING COUNT(*) >= 5),
+         |fin AS (
+         |  SELECT d.doc_id, d.doc_id % 8 AS grp,
+         |    len(string_split(d.text, ' ')) AS n
+         |  FROM documents d
+         |  JOIN keepq USING (doc_id)
+         |  JOIN surv ON surv.doc_id = d.doc_id
+         |  WHERE d.doc_id >= 5
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |c AS (
+         |  SELECT grp, doc_id, n,
+         |    SUM(n) OVER (PARTITION BY grp ORDER BY doc_id) - n AS start
+         |  FROM fin)
+         |SELECT grp, CAST(floor(start / 512.0) AS BIGINT) AS pack,
+         |  COUNT(*) AS n_docs, SUM(n) AS tok_sum
+         |FROM c GROUP BY grp, pack ORDER BY grp, pack""".stripMargin)
 }

@@ -213,6 +213,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pb.contains("BroadcastHashJoin"), pb.take(2000))
   }
 
+  test("upsert anti join broadcasts the updates side") {
+    val p = operators.Sinks.sinkUpsert(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("grouping sets plan as one Expand + hash agg, not one scan per set") {
+    val p = plan(operators.Aggs.aggGroupingSets(spark, SF))
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Expand.*""")) == 1, p)
+    // formatted mode lists each node once in the tree and once in the
+    // detail section — count the numbered detail entries
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"expected a single fact scan, got $scans:\n$p")
+  }
+
+  test("streaming decontam keeps the probe broadcast (stream side never shuffles for the join)") {
+    val p = streaming.StreamOps.streamDecontam(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("sequence packing shuffles once on the group key, not per stage") {
     val p = llm.Curate.packSequences(spark, SF)
       .queryExecution.executedPlan.toString
