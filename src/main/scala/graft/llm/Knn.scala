@@ -60,16 +60,30 @@ object Knn extends QueryModule {
 
   private val NumPlanes = 6
 
-  /** Deterministic ±1 hyperplanes (seeded, platform-stable). */
-  private lazy val planes: IndexedSeq[Seq[Double]] = {
-    val rnd = new scala.util.Random(1234)
-    IndexedSeq.fill(NumPlanes)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
+  /** ±1 hyperplane entry for (plane, dim) from closed-form integer
+    * arithmetic — pseudo-random enough for sign-LSH, and (unlike a
+    * seeded PRNG stream) expressible in ANSI SQL, which is what lets
+    * llm_knn_lsh carry a full DuckDB oracle.
+    */
+  private def planeSign(p: Int, d: Column): Column =
+    when(((lit(p * 131) + d * 17) % 7) % 2 === 0, lit(1L)).otherwise(lit(-1L))
 
-  private def bucketOf(v: Column): Column =
+  /** Sign-LSH bucket over INTEGER-quantized components: bit p is the
+    * sign of Σ_d ±⌊v_d·1000⌋. All-integer accumulation is
+    * order-independent, so Spark and the SQL oracle compute identical
+    * buckets — a float dot's near-zero signs would hang on summation
+    * order. Quantization at 1e-3 moves recall imperceptibly
+    * (LlmSpec's floor holds).
+    */
+  private def bucketOf(v: Column): Column = {
+    val qv = transform(v, x => floor(x * 1000).cast("long"))
     (0 until NumPlanes).map { p =>
-      when(dot(v, typedlit(planes(p))) > 0, lit(1 << p)).otherwise(lit(0))
+      val dotp = aggregate(
+        transform(qv, (x, d) => x * planeSign(p, d)),
+        lit(0L), (acc, x) => acc + x)
+      when(dotp > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce[Column](_ + _)
+  }
 
   /** Probe masks: exact bucket, all 1-bit flips, all 2-bit flips —
     * multi-probe recovers recall lost to near-boundary sign flips.
@@ -83,9 +97,12 @@ object Knn extends QueryModule {
   }
 
   /** ANN via sign-LSH buckets + 2-bit multi-probe: candidates come
-    * from an equi-join on bucket id, then exact cosine ranks them.
-    * Plane-dependent → no SQL oracle; recall vs brute force asserted
-    * in LlmSpec.
+    * from an equi-join on bucket id (probe side exploded over all
+    * masks of hamming weight ≤ 2 — exactly the hamming-≤-2 candidate
+    * set), then exact cosine ranks them. The integer-quantized
+    * closed-form planes make the whole pipeline SQL-expressible, so
+    * this carries a full DuckDB oracle; recall vs brute force is
+    * additionally asserted in LlmSpec.
     */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -359,7 +376,63 @@ object Knn extends QueryModule {
     "llm_embed_quantize" -> (embedQuantize(_, _)),
     "llm_vector_norm" -> (vectorNorm(_, _)))
 
+  // SQL mirror of bucketOf: per-plane integer dot sign over the
+  // 1e-3-quantized components, same closed-form ±1 plane entries
+  // (DuckDB i is 1-based, Spark's transform index 0-based → i-1)
+  private val bucketSql: String = (0 until NumPlanes).map { p =>
+    s"""(CASE WHEN list_sum([q[i] *
+       |    (CASE WHEN ((${p * 131} + (i-1)*17) % 7) % 2 = 0 THEN 1 ELSE -1 END)
+       |    FOR i IN generate_series(1, len(q))]) > 0
+       |  THEN ${1 << p} ELSE 0 END)""".stripMargin
+  }.mkString(" + ")
+
+  private val popcount6 =
+    "((h) & 1) + ((h >> 1) & 1) + ((h >> 2) & 1) + " +
+      "((h >> 3) & 1) + ((h >> 4) & 1) + ((h >> 5) & 1)"
+
   override def oracleSql: Map[String, String] = Map(
+    "llm_knn_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+         |      FOR i IN generate_series(1, len(embedding))] AS q
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v),
+         |pairs AS (
+         |  SELECT qb.vec_id AS qid, cb.vec_id AS nid,
+         |    round(list_cosine_similarity(qb.e, cb.e), 4) AS cos_sim
+         |  FROM b qb JOIN b cb
+         |    ON (${popcount6.replace("h", "xor(qb.bucket, cb.bucket)")}) <= 2
+         |   AND cb.vec_id != qb.vec_id
+         |  WHERE qb.vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT qid, nid, cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, nid) AS rn
+         |  FROM pairs)
+         |SELECT qid, nid, cos_sim, rn FROM ranked WHERE rn <= $K
+         |ORDER BY qid, rn""".stripMargin,
+    "llm_knn_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $NumCells),
+         |ranked AS (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS crn
+         |  FROM v, cents c),
+         |corpus AS (SELECT vec_id AS nid, e AS ne, cid
+         |           FROM ranked WHERE crn = 1),
+         |qprobe AS (SELECT vec_id AS qid, e AS qe, cid
+         |           FROM ranked WHERE vec_id < $NQueries AND crn <= $NProbe),
+         |cand AS (
+         |  SELECT qid, nid,
+         |    round(list_cosine_similarity(qe, ne), 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(list_cosine_similarity(qe, ne), 4) DESC, nid) AS rn
+         |  FROM corpus JOIN qprobe USING (cid) WHERE nid != qid)
+         |SELECT qid, nid, cos_sim, rn FROM cand WHERE rn <= $K
+         |ORDER BY qid, rn""".stripMargin,
     "llm_embed_centroids" ->
       """WITH e AS (
         |  SELECT label,
