@@ -228,14 +228,22 @@ object Dedup extends QueryModule {
 
   /** SimHash: 64-bit signature from token-hash bit votes; candidate
     * pairs via 16-bit chunk banding (any pair within hamming 3 shares
-    * a chunk), verified by bit_count hamming ≤ 8. xxhash64-dependent →
-    * no SQL oracle; recall vs ngram pairs asserted in LlmSpec.
+    * a chunk), verified by bit_count hamming ≤ 8. The md5-derived
+    * token hash is engine-portable, so the full vote→pack→band→verify
+    * pipeline carries a DuckDB oracle; recall vs ngram pairs is
+    * additionally asserted in LlmSpec.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // 64-bit token hash from md5 (hi/lo 32-bit hex halves recombined
+    // two's-complement) — engine-portable, unlike xxhash64, which is
+    // what lets this query carry a full DuckDB oracle; md5 parity
+    // itself is proven by llm_fingerprint
+    val hi = conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5($"tok"), 9, 8), 16, 10).cast("long")
     val th = T.t(s, dir, "documents")
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
-      .withColumn("h", xxhash64($"tok"))
+      .withColumn("h", shiftleft(hi, 32).bitwiseOR(lo))
     // one imperative 64-counter buffer per doc (SimHashAgg) — the
     // 64-column sum(when) formulation compiles past the JIT huge-method
     // limit and runs interpreted; materialized because the chunk
@@ -382,6 +390,42 @@ object Dedup extends QueryModule {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |hx AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hi,
+        |    CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS lo
+        |  FROM tok),
+        |hh AS (
+        |  SELECT doc_id,
+        |    (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+        |      * 4294967296 + lo AS h
+        |  FROM hx),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN ((h >> k) & 1) = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM hh, (SELECT unnest(generate_series(0, 63)) AS k) ks
+        |  GROUP BY doc_id, k),
+        |sh AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN votes > 0 THEN
+        |      CASE WHEN k = 63 THEN -9223372036854775808
+        |           ELSE (CAST(1 AS BIGINT) << k) END
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c AS chunk_idx,
+        |    (simhash >> (c * 16)) & 65535 AS chunk
+        |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c) cs),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |  FROM chunks a JOIN chunks b USING (chunk_idx, chunk)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
         |FROM documents""".stripMargin,

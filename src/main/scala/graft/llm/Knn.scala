@@ -194,9 +194,9 @@ object Knn extends QueryModule {
     * cells balance the corpus so probe fan-out is even. Two passes
     * already move every centroid and hit the same recall floor as
     * three (LlmSpec) at 2/3 the training cost — each extra pass is a
-    * full corpus scan. Rows-only check (training is
-    * plane-/iteration-dependent); recall vs brute force asserted in
-    * LlmSpec.
+    * full corpus scan. The whole fit is deterministic (first-k init,
+    * first-max ties, DECIMAL-exact means), so the oracle replays both
+    * Lloyd passes in SQL; recall vs brute force asserted in LlmSpec.
     */
   def knnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -390,7 +390,58 @@ object Knn extends QueryModule {
     "((h) & 1) + ((h >> 1) & 1) + ((h >> 2) & 1) + " +
       "((h >> 3) & 1) + ((h >> 4) & 1) + ((h >> 5) & 1)"
 
+  /** One Lloyd pass as SQL: assign every vector to its max-cosine
+    * centroid from `cin` (first-max tie-break = ORDER BY sim DESC,
+    * cid), then per-cell elementwise means through the same
+    * DECIMAL(28,12) round-trip trainCentroids uses; empty cells keep
+    * their previous centroid via the LEFT JOIN coalesce.
+    */
+  private def lloydPassSql(cin: String, cout: String): String =
+    s"""a_$cout AS (
+       |  SELECT v.vec_id, v.e, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
+       |  FROM v, $cin c),
+       |s_$cout AS (SELECT vec_id, e, cid AS cell FROM a_$cout WHERE rn = 1),
+       |m_$cout AS (
+       |  SELECT cell, c.p AS pos,
+       |    CAST(SUM(CAST(c.v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT cell,
+       |          unnest([{'p': i, 'v': e[i]}
+       |            FOR i IN generate_series(1, len(e))]) AS c
+       |        FROM s_$cout)
+       |  GROUP BY cell, c.p),
+       |$cout AS (
+       |  SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+       |  FROM $cin p LEFT JOIN (
+       |    SELECT cell AS cid, list(m ORDER BY pos) AS ce
+       |    FROM m_$cout GROUP BY cell) n
+       |  USING (cid))""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "llm_knn_ivf_trained" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $NumCells),
+         |${lloydPassSql("c0", "c1")},
+         |${lloydPassSql("c1", "c2")},
+         |ranked AS (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS crn
+         |  FROM v, c2 c),
+         |corpus AS (SELECT vec_id AS nid, e AS ne, cid
+         |           FROM ranked WHERE crn = 1),
+         |qprobe AS (SELECT vec_id AS qid, e AS qe, cid
+         |           FROM ranked WHERE vec_id < $NQueries AND crn <= $NProbe),
+         |cand AS (
+         |  SELECT qid, nid,
+         |    round(list_cosine_similarity(qe, ne), 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(list_cosine_similarity(qe, ne), 4) DESC, nid) AS rn
+         |  FROM corpus JOIN qprobe USING (cid) WHERE nid != qid)
+         |SELECT qid, nid, cos_sim, rn FROM cand WHERE rn <= $K
+         |ORDER BY qid, rn""".stripMargin,
     "llm_knn_lsh" ->
       s"""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
