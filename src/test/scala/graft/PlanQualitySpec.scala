@@ -213,6 +213,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pb.contains("BroadcastHashJoin"), pb.take(2000))
   }
 
+  test("partitioned-table reads prune at the partition level, not per row") {
+    val p = plan(operators.Sinks.sinkPartitioned(spark, SF))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"),
+      s"partition-column predicate must reach PartitionFilters: $pf\n${p.take(1500)}")
+    // the predicate must NOT degrade to a row-level pushed filter on
+    // the data scan — partition pruning skips whole directories
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(!pushed.contains("event_type"), pushed)
+  }
+
   test("upsert anti join broadcasts the updates side") {
     val p = operators.Sinks.sinkUpsert(spark, SF)
       .queryExecution.executedPlan.toString
