@@ -205,7 +205,39 @@ object Curate extends QueryModule {
       .orderBy($"doc_id", $"tok")
   }
 
+  /** Overlapping text chunking (RAG/window prep): 128-token windows
+    * with stride 96 (32-token overlap), every token covered, last
+    * chunk short. One explode per doc — row count is Σ ceil(n/96),
+    * no shuffle at all until the output sort; at cluster scale this
+    * is a pure map stage. Chunk content hashes prove byte-identical
+    * slicing across engines.
+    */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    chunkOverlapDocs(s, T.t(s, dir, "documents"))
+
+  private[graft] def chunkOverlapDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val W = 128
+    val S = 96
+    docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("n"))
+      .withColumn("nc", greatest(lit(1L),
+        ceil(($"n" - (W - S)).cast("double") / S).cast("long")))
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0L), $"nc" - 1)).as("chunk_id"))
+      .select(
+        $"doc_id", $"chunk_id",
+        ($"chunk_id" * S).as("start"),
+        least(lit(W.toLong), $"n" - $"chunk_id" * S).as("len"),
+        md5(concat_ws(" ",
+          slice($"toks", ($"chunk_id" * S + 1).cast("int"), lit(W))))
+          .as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_chunk_overlap" -> (chunkOverlap(_, _)),
     "llm_decontam_bloom" -> (decontamBloom(_, _)),
     "llm_heavy_hitters" -> (heavyHitters(_, _)),
     "llm_pack_sequences" -> (packSequences(_, _)),
@@ -230,6 +262,22 @@ object Curate extends QueryModule {
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0,
+        |      greatest(1, CAST(ceil((n - 32) / 96.0) AS BIGINT)) - 1)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id, chunk_id * 96 AS start,
+        |  least(128, n - chunk_id * 96) AS len,
+        |  md5(array_to_string(
+        |    toks[CAST(chunk_id * 96 + 1 AS BIGINT) :
+        |         CAST(chunk_id * 96 + 128 AS BIGINT)], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "llm_decontam_bloom" ->
       s"""WITH $shingleCte,
          |probe AS (SELECT DISTINCT tok FROM t WHERE doc_id < 5),

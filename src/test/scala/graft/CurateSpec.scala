@@ -125,6 +125,58 @@ class CurateSpec extends AnyFunSuite {
     assert(counts._1 >= 1 && counts._2 >= 1, counts.toString)
   }
 
+  test("overlapping chunks cover every token exactly, stride 96") {
+    val got = llm.Curate.chunkOverlap(spark, SF01)
+      .select($"doc_id", $"chunk_id", $"start", $"len")
+      .as[(Long, Long, Long, Long)].collect()
+    val nToks = T.t(spark, SF01, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (id, chunks) =>
+      val n = nToks(id)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $id must start at 0")
+      // chained coverage: each chunk starts inside the previous one
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + 96 && a._3 + a._4 > b._3, s"doc $id gap")
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 == n, s"doc $id tail uncovered")
+      assert(chunks.forall(c => c._4 >= 1 && c._4 <= 128), s"doc $id len")
+    }
+  }
+
+  test("chunker on long synthetic docs: grid, overlap, and content hashes") {
+    // fixture docs are all <= 99 tokens (single-chunk); drive the
+    // multi-chunk path with 300/1000-token synthetic docs and check
+    // against a driver-side recompute including md5 of each slice
+    val docs = spark.range(20).select(
+      $"id".as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0),
+        when($"id" % 2 === 0, 299).otherwise(999)),
+        i => concat(lit("w"), $"id", lit("_"), i))).as("text"))
+    val got = llm.Curate.chunkOverlapDocs(spark, docs)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val texts = docs.as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = texts.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val n = toks.length
+      val nc = math.max(1L, math.ceil((n - 32) / 96.0).toLong)
+      (0L until nc).map { k =>
+        val s0 = (k * 96).toInt
+        val sliceStr = toks.slice(s0, s0 + 128).mkString(" ")
+        val hash = md.digest(sliceStr.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (id, k, k * 96, math.min(128L, n - k * 96), hash)
+      }
+    }.toSet
+    assert(got == expected)
+    assert(expected.exists(_._2 >= 2), "multi-chunk path not exercised")
+  }
+
   test("top terms: exactly min(3, distinct toks) rows per doc, tf dominant") {
     val got = llm.Curate.topTerms(spark, SF01)
     val perDoc = got.groupBy($"doc_id").count()
