@@ -117,6 +117,44 @@ object TextStats extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS scheme): 64-bit rolling hashes of word 3-grams, then
+    * the minimum hash of every 4-gram-hash window, distinct per doc.
+    * Guarantees any shared run of ≥6 words between two docs shares a
+    * fingerprint, at ~2/(w+1) the storage of all grams. The window
+    * min is a least() over three lead()s (no frame re-scan); the
+    * md5-derived hash is engine-portable, so the full pipeline is
+    * hash-oracled. Same row-form gram build as shingleRows.
+    */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    winnowDocs(s, T.t(s, dir, "documents"))
+
+  private[graft] def winnowDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tokRows = docs.select($"doc_id",
+      posexplode(toks($"text")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = tokRows
+      .select($"doc_id", $"pos", $"tok",
+        lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", $"pos",
+        concat_ws("_", $"tok", $"t1", $"t2").as("gram"))
+    val hi = conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5($"gram"), 9, 8), 16, 10).cast("long")
+    val hashed = grams.withColumn("gh", shiftleft(hi, 32).bitwiseOR(lo))
+    hashed
+      .select($"doc_id", $"gh",
+        lead($"gh", 1).over(w).as("g1"),
+        lead($"gh", 2).over(w).as("g2"),
+        lead($"gh", 3).over(w).as("g3"))
+      .filter($"g3".isNotNull)
+      .select($"doc_id", least($"gh", $"g1", $"g2", $"g3").as("fp"))
+      .distinct()
+      .orderBy($"doc_id", $"fp")
+  }
+
   /** Quality score: length gate + lexical-diversity/volume blend;
     * keep flag for pipeline filtering.
     */
@@ -142,6 +180,7 @@ object TextStats extends QueryModule {
     "llm_langid" -> (langid(_, _)),
     "llm_tokens" -> (tokens(_, _)),
     "llm_fingerprint" -> (fingerprint(_, _)),
+    "llm_winnow" -> (winnow(_, _)),
     "llm_repetition" -> (repetition(_, _)),
     "llm_quality" -> (quality(_, _)))
 
@@ -187,6 +226,30 @@ object TextStats extends QueryModule {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
         |    AS canonical_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, s.i AS pos, s.g AS gram FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i, 'g': toks[i] || '_' || toks[i+1] || '_' || toks[i+2]}
+        |        FOR i IN generate_series(1, len(toks)-2)]) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents))),
+        |h AS (
+        |  SELECT doc_id, pos,
+        |    (CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
+        |     - CASE WHEN CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
+        |         >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296
+        |    + CAST(('0x' || substring(md5(gram), 9, 8)) AS BIGINT) AS gh
+        |  FROM g),
+        |wnd AS (
+        |  SELECT doc_id, gh,
+        |    lead(gh, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g1,
+        |    lead(gh, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g2,
+        |    lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS g3
+        |  FROM h)
+        |SELECT DISTINCT doc_id, least(gh, g1, g2, g3) AS fp
+        |FROM wnd WHERE g3 IS NOT NULL
+        |ORDER BY doc_id, fp""".stripMargin,
     "llm_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,

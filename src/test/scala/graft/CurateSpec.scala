@@ -177,6 +177,24 @@ class CurateSpec extends AnyFunSuite {
     assert(expected.exists(_._2 >= 2), "multi-chunk path not exercised")
   }
 
+  test("winnowing guarantee: docs sharing a >=6-word run share a fingerprint") {
+    // the scheme's contract (SIGMOD'03): a shared run of t = w+k-1 = 6
+    // words yields >= 1 shared (3-gram-hash, window-4) fingerprint.
+    // Two otherwise-disjoint docs share a planted 10-word run.
+    val shared = (0 until 10).map(i => s"run$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (0L, s"alpha beta gamma delta $shared eps zeta"),
+      (1L, s"uno dos tres $shared quatro cinco seis siete"),
+      (2L, "completely different words only here nothing shared at all")
+    )).toDF("doc_id", "text")
+    val fps = llm.TextStats.winnowDocs(spark, docs)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty, "planted shared run missed")
+    assert((fps(0L) & fps(2L)).isEmpty && (fps(1L) & fps(2L)).isEmpty,
+      "disjoint docs must not collide at this scale")
+  }
+
   test("top terms: exactly min(3, distinct toks) rows per doc, tf dominant") {
     val got = llm.Curate.topTerms(spark, SF01)
     val perDoc = got.groupBy($"doc_id").count()
