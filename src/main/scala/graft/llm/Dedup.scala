@@ -133,9 +133,15 @@ object Dedup extends QueryModule {
     * the exact-pairs oracle applies. This is the shape that scales:
     * the only join is on (band, hash) buckets.
     */
-  def dedupNear(s: SparkSession, dir: String): DataFrame = {
+  def dedupNear(s: SparkSession, dir: String): DataFrame =
+    dedupNearOn(s, shingleRows(T.t(s, dir, "documents")).localCheckpoint())
+
+  /** Same pipeline over a pre-built (and pre-materialized) shingle
+    * table — lets composites like pipelineE2e build shingles ONCE
+    * and feed every stage.
+    */
+  private[graft] def dedupNearOn(s: SparkSession, t: DataFrame): DataFrame = {
     import s.implicits._
-    val t = shingleRows(T.t(s, dir, "documents")).localCheckpoint()
     val bands = bandRows(minhashSigs(t))
     val candidates = bands.as("a")
       .join(bands.as("b"), Seq("band", "bh"))
@@ -283,7 +289,11 @@ object Dedup extends QueryModule {
     */
   val LocalEdgesConf = "spark.graft.dedup.localClusterEdges"
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersOn(s,
+      shingleRows(T.t(s, dir, "documents")).localCheckpoint())
+
+  private[graft] def dedupClustersOn(s: SparkSession, t: DataFrame): DataFrame = {
     import s.implicits._
     // Pairs come from the LSH-BOUNDED near-dup path (banded MinHash
     // candidates + exact-Jaccard verify), NOT from ngramJaccard's
@@ -292,7 +302,7 @@ object Dedup extends QueryModule {
     // shingles at corpus scale, while the banded path stays
     // O(docs·bands). Same verified pair set at the asserted recall
     // (LlmSpec), so the clustering result is unchanged.
-    val pairs = dedupNear(s, dir).select($"doc_a", $"doc_b")
+    val pairs = dedupNearOn(s, t).select($"doc_a", $"doc_b")
       .localCheckpoint()
     val threshold = s.conf.get(LocalEdgesConf, "100000").toInt
     // ONE job decides the strategy AND fetches the edges when small:

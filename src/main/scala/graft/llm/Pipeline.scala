@@ -21,9 +21,14 @@ object Pipeline extends QueryModule {
     * scale: one left join against the (tiny) pair-cluster labels + one
     * window argmax partitioned by cluster.
     */
-  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame =
+    dedupSurvivorsOn(s, dir,
+      Dedup.shingleRows(T.t(s, dir, "documents")).localCheckpoint())
+
+  private[graft] def dedupSurvivorsOn(s: SparkSession, dir: String,
+      shingles: DataFrame): DataFrame = {
     import s.implicits._
-    val labels = Dedup.dedupClusters(s, dir) // (doc_id, cluster_id), paired docs only
+    val labels = Dedup.dedupClustersOn(s, shingles) // (doc_id, cluster_id), paired docs only
     val q = TextStats.quality(s, dir).select($"doc_id", $"score")
     val all = T.t(s, dir, "documents").select($"doc_id")
       .join(labels, Seq("doc_id"), "left")
@@ -81,10 +86,13 @@ object Pipeline extends QueryModule {
     * so the corpus is touched once, no shuffle of corpus rows; a doc
     * with ≥5 shared shingles is flagged contaminated.
     */
-  def contamination(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def contamination(s: SparkSession, dir: String): DataFrame =
     // one materialization feeds both the probe set and the corpus side
-    val shingles = Dedup.shingleRows(T.t(s, dir, "documents")).localCheckpoint()
+    contaminationOn(s,
+      Dedup.shingleRows(T.t(s, dir, "documents")).localCheckpoint())
+
+  private[graft] def contaminationOn(s: SparkSession, shingles: DataFrame): DataFrame = {
+    import s.implicits._
     val probe = shingles.filter($"doc_id" < 5)
       .select($"tok").distinct()
     shingles.filter($"doc_id" >= 5)
@@ -148,9 +156,12 @@ object Pipeline extends QueryModule {
     */
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ONE shingle build feeds the dedup chain AND the contamination
+    // probe (each would otherwise rebuild + re-checkpoint it)
+    val sh = Dedup.shingleRows(T.t(s, dir, "documents")).localCheckpoint()
     val kept = TextStats.quality(s, dir).filter($"keep").select($"doc_id")
-    val surv = dedupSurvivors(s, dir).select($"survivor_id".as("doc_id"))
-    val flagged = contamination(s, dir).select($"doc_id")
+    val surv = dedupSurvivorsOn(s, dir, sh).select($"survivor_id".as("doc_id"))
+    val flagged = contaminationOn(s, sh).select($"doc_id")
     val fin = T.t(s, dir, "documents")
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
       .join(kept, "doc_id")

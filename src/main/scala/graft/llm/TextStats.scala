@@ -155,6 +155,30 @@ object TextStats extends QueryModule {
       .orderBy($"doc_id", $"fp")
   }
 
+  /** Near-dup candidate pairs from winnowing fingerprints: inverted
+    * fingerprint index self-join, pairs sharing ≥3 fingerprints. The
+    * fingerprint density is ~2/(w+1) of the gram count, so the index
+    * is ~40% the size of the full shingle index, and a document-
+    * frequency cap (fingerprints in >100 docs dropped — the stopword-
+    * gram guard) bounds the join fan-out the way banding bounds
+    * MinHash: no fingerprint bucket exceeds the cap, so candidate
+    * emission is linear in docs at any corpus size.
+    */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // feeds the df cap + both join sides
+    val fp = winnow(s, dir).localCheckpoint()
+    val rare = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 100).select($"fp")
+    val pruned = fp.join(broadcast(rare), "fp")
+    pruned.as("a").join(pruned.as("b"), "fp")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Quality score: length gate + lexical-diversity/volume blend;
     * keep flag for pipeline filtering.
     */
@@ -181,8 +205,35 @@ object TextStats extends QueryModule {
     "llm_tokens" -> (tokens(_, _)),
     "llm_fingerprint" -> (fingerprint(_, _)),
     "llm_winnow" -> (winnow(_, _)),
+    "llm_winnow_pairs" -> (winnowPairs(_, _)),
     "llm_repetition" -> (repetition(_, _)),
     "llm_quality" -> (quality(_, _)))
+
+  // shared winnowing CTE chain ending in fps(doc_id, fp)
+  private val winnowCte =
+    """g AS (
+      |  SELECT doc_id, s.i AS pos, s.g AS gram FROM (
+      |    SELECT doc_id,
+      |      unnest([{'i': i, 'g': toks[i] || '_' || toks[i+1] || '_' || toks[i+2]}
+      |        FOR i IN generate_series(1, len(toks)-2)]) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents))),
+      |h AS (
+      |  SELECT doc_id, pos,
+      |    (CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
+      |     - CASE WHEN CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
+      |         >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296
+      |    + CAST(('0x' || substring(md5(gram), 9, 8)) AS BIGINT) AS gh
+      |  FROM g),
+      |wnd AS (
+      |  SELECT doc_id, gh,
+      |    lead(gh, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g1,
+      |    lead(gh, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g2,
+      |    lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS g3
+      |  FROM h),
+      |fps AS (
+      |  SELECT DISTINCT doc_id, least(gh, g1, g2, g3) AS fp
+      |  FROM wnd WHERE g3 IS NOT NULL)""".stripMargin
 
   private def sqlHits(ws: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map("'" + _ + "'").mkString(", ")})))"
@@ -227,29 +278,19 @@ object TextStats extends QueryModule {
         |    AS canonical_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_winnow" ->
-      """WITH g AS (
-        |  SELECT doc_id, s.i AS pos, s.g AS gram FROM (
-        |    SELECT doc_id,
-        |      unnest([{'i': i, 'g': toks[i] || '_' || toks[i+1] || '_' || toks[i+2]}
-        |        FOR i IN generate_series(1, len(toks)-2)]) AS s
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |          FROM documents))),
-        |h AS (
-        |  SELECT doc_id, pos,
-        |    (CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
-        |     - CASE WHEN CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
-        |         >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296
-        |    + CAST(('0x' || substring(md5(gram), 9, 8)) AS BIGINT) AS gh
-        |  FROM g),
-        |wnd AS (
-        |  SELECT doc_id, gh,
-        |    lead(gh, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g1,
-        |    lead(gh, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g2,
-        |    lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS g3
-        |  FROM h)
-        |SELECT DISTINCT doc_id, least(gh, g1, g2, g3) AS fp
-        |FROM wnd WHERE g3 IS NOT NULL
-        |ORDER BY doc_id, fp""".stripMargin,
+      s"""WITH $winnowCte
+         |SELECT doc_id, fp FROM fps
+         |ORDER BY doc_id, fp""".stripMargin,
+    "llm_winnow_pairs" ->
+      s"""WITH $winnowCte,
+         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100),
+         |pruned AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS n_shared
+         |FROM pruned a JOIN pruned b USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b HAVING COUNT(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,
