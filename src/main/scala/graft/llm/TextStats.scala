@@ -129,7 +129,13 @@ object TextStats extends QueryModule {
   def winnow(s: SparkSession, dir: String): DataFrame =
     winnowDocs(s, T.t(s, dir, "documents"))
 
-  private[graft] def winnowDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def winnowDocs(s: SparkSession, docs: DataFrame): DataFrame =
+    fpRows(s, docs).orderBy(col("doc_id"), col("fp"))
+
+  /** Unordered fingerprint rows — consumers that re-aggregate (the
+    * pair join) skip the output sort winnow's contract adds.
+    */
+  private def fpRows(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val tokRows = docs.select($"doc_id",
@@ -152,7 +158,6 @@ object TextStats extends QueryModule {
       .filter($"g3".isNotNull)
       .select($"doc_id", least($"gh", $"g1", $"g2", $"g3").as("fp"))
       .distinct()
-      .orderBy($"doc_id", $"fp")
   }
 
   /** Near-dup candidate pairs from winnowing fingerprints: inverted
@@ -166,8 +171,9 @@ object TextStats extends QueryModule {
     */
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // feeds the df cap + both join sides
-    val fp = winnow(s, dir).localCheckpoint()
+    // feeds the df cap + both join sides; UNORDERED rows — the global
+    // sort in winnow's public contract would be wasted work here
+    val fp = fpRows(s, T.t(s, dir, "documents")).localCheckpoint()
     val rare = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" <= 100).select($"fp")
     val pruned = fp.join(broadcast(rare), "fp")

@@ -19,6 +19,17 @@ class LlmSpec extends AnyFunSuite {
     assert(exactPairs.nonEmpty)
   }
 
+  test("winnowing pairs overlap the jaccard near-dup family") {
+    // different similarity notion (shared fingerprinted runs vs
+    // set-jaccard), same planted near-dups: the families must agree
+    // on a substantial core
+    val wp = pairSet(llm.TextStats.winnowPairs(spark, SF))
+    assert(wp.nonEmpty)
+    val overlap = (wp & exactPairs).size.toDouble / exactPairs.size
+    info(s"winnow∩jaccard coverage=$overlap winnow=${wp.size}")
+    assert(overlap >= 0.5, s"coverage=$overlap")
+  }
+
   test("minhash-LSH dedup returns exactly the exact-jaccard pairs") {
     val lsh = pairSet(llm.Dedup.dedupNear(spark, SF))
     assert(lsh == exactPairs,
