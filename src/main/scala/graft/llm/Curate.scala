@@ -307,7 +307,7 @@ object Curate extends QueryModule {
         |    SUM(n) OVER (PARTITION BY grp ORDER BY doc_id) - n AS start
         |  FROM d)
         |SELECT grp, CAST(floor(start / 512.0) AS BIGINT) AS pack,
-        |  COUNT(*) AS n_docs, SUM(n) AS tok_sum
+        |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tok_sum
         |FROM c GROUP BY grp, pack ORDER BY grp, pack""".stripMargin,
     "llm_sample_consistent" ->
       """WITH r AS (

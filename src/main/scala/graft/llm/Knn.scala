@@ -346,6 +346,62 @@ object Knn extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  private val PqM = 8      // subspaces
+  private val PqCodes = 16 // codebook entries per subspace
+
+  /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI'11): 64-dim
+    * vectors split into 8 subspaces of 8 dims; per-subspace codebooks
+    * are the first-16 vectors' subvectors (the knnIvf first-k trick —
+    * a per-subspace Lloyd fit is the trained upgrade); every corpus
+    * vector is encoded as 8 small codes; queries stay unquantized and
+    * rank by asymmetric distance (sum over subspaces of the
+    * query-to-codeword distance LUT).
+    *
+    * Spark-first shape: encode is joins + aggregations over the
+    * posexploded components — (vec_id, m, d, x) ⋈ broadcast codebook
+    * on (m, d) → per-(vec, subspace, codeword) squared-distance agg →
+    * WindowGroupLimit argmin. No UDFs, no per-row codebook loops, so
+    * the encode is one shuffle over n·64·16 skinny rows at any scale,
+    * and the ADC probe joins the n·8 code rows against a broadcast
+    * 20×8×16 LUT. All squared terms ride DECIMAL(30,15), making every
+    * distance EXACT — argmin and ranking cannot hang on float
+    * summation order, which is what lets the full pipeline hash-match
+    * the SQL oracle.
+    */
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = base(s, dir)
+    val expl = b.select($"vec_id", posexplode($"v").as(Seq("pos", "x")))
+      .select($"vec_id", ($"pos" / PqM).cast("int").as("m"),
+        pmod($"pos", lit(PqM)).as("d"), $"x")
+      .localCheckpoint() // feeds the codebook AND both distance scans
+    val cb = expl.filter($"vec_id" < PqCodes)
+      .select($"vec_id".as("c"), $"m", $"d", $"x".as("cv"))
+    val dists = expl
+      .join(broadcast(cb), Seq("m", "d"))
+      .withColumn("sq",
+        (($"x" - $"cv") * ($"x" - $"cv")).cast(DecimalType(30, 15)))
+      .groupBy($"vec_id", $"m", $"c")
+      .agg(sum($"sq").as("dist"))
+      .localCheckpoint() // reused as encode input and query LUT
+    val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
+    val codes = dists
+      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+      .select($"vec_id".as("nid"), $"m", $"c".as("code"))
+    val lut = dists.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"m", $"c".as("code"), $"dist")
+    val wTop = Window.partitionBy($"qid").orderBy($"adc", $"nid")
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter($"nid" =!= $"qid")
+      .groupBy($"qid", $"nid")
+      .agg(sum($"dist").as("adc"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= K)
+      .select($"qid", $"nid",
+        round($"adc".cast(DoubleType), 4).as("adc_dist"), $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
   /** Per-label centroids in component form: (label, pos, n, sum_v) —
     * the class-prototype computation an IVF/classifier pipeline seeds
     * from. posexplode + one hash agg on (label, pos): map-side
@@ -368,6 +424,7 @@ object Knn extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_embed_centroids" -> (embedCentroids(_, _)),
+    "llm_knn_pq" -> (knnPq(_, _)),
     "llm_knn" -> (knn(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
     "llm_knn_ivf" -> (knnIvf(_, _)),
@@ -419,6 +476,44 @@ object Knn extends QueryModule {
        |  USING (cid))""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_knn_pq" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |expl AS (
+         |  SELECT vec_id, CAST((s.p - 1) // $PqM AS INT) AS m,
+         |    (s.p - 1) % $PqM AS d, s.x AS x
+         |  FROM (SELECT vec_id,
+         |          unnest([{'p': i, 'x': e[i]}
+         |            FOR i IN generate_series(1, len(e))]) AS s
+         |        FROM v)),
+         |cb AS (SELECT vec_id AS c, m, d, x AS cv
+         |       FROM expl WHERE vec_id < $PqCodes),
+         |dists AS (
+         |  SELECT ex.vec_id, ex.m, cb.c,
+         |    SUM(CAST((ex.x - cb.cv) * (ex.x - cb.cv)
+         |        AS DECIMAL(30,15))) AS dist
+         |  FROM expl ex JOIN cb USING (m, d)
+         |  GROUP BY ex.vec_id, ex.m, cb.c),
+         |codes AS (
+         |  SELECT vec_id AS nid, m, c AS code FROM (
+         |    SELECT vec_id, m, c,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY dist, c) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1),
+         |lut AS (SELECT vec_id AS qid, m, c AS code, dist
+         |        FROM dists WHERE vec_id < $NQueries),
+         |adc AS (
+         |  SELECT l.qid, co.nid, SUM(l.dist) AS adc
+         |  FROM codes co JOIN lut l USING (m, code)
+         |  WHERE co.nid != l.qid
+         |  GROUP BY l.qid, co.nid),
+         |ranked AS (
+         |  SELECT qid, nid, round(CAST(adc AS DOUBLE), 4) AS adc_dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+         |  FROM adc)
+         |SELECT qid, nid, adc_dist, rn FROM ranked WHERE rn <= $K
+         |ORDER BY qid, rn""".stripMargin,
     "llm_knn_ivf_trained" ->
       s"""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -145,6 +145,34 @@ object Pipeline extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** Token-budget corpus selection: fill a fixed training-token
+    * budget with the highest-quality documents (greedy by score,
+    * deterministic tie-break) — "give me the best 20k tokens" — a doc
+    * is kept if it STARTS inside the budget (same convention as
+    * packSequences). Exact global greedy needs the total order, like
+    * exact deciles; the 100 TB path replaces the sort with an
+    * approx-percentile score cut (the primitive agg_percentile
+    * demonstrates) and spends the budget within partitions. Summary
+    * output: kept/total counts and token mass per language.
+    */
+  def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 20000L
+    val q = TextStats.quality(s, dir).select($"doc_id", $"score")
+    val d = T.t(s, dir, "documents")
+      .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n"))
+      .join(q, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    d.withColumn("cum", sum($"n").over(w))
+      .withColumn("keep", $"cum" - $"n" < budget)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when($"keep", 1)).as("n_kept"),
+        sum(when($"keep", $"n")).as("toks_kept"))
+      .orderBy($"lang")
+  }
+
   /** The flagship end-to-end curation pipeline in ONE declarative
     * plan: quality gate → near-dup survivor selection → benchmark
     * decontamination → sequence packing. Catalyst sees the whole
@@ -177,6 +205,7 @@ object Pipeline extends QueryModule {
     "llm_sample_stratified" -> (sampleStratified(_, _)),
     "llm_token_hist" -> (tokenHist(_, _)),
     "llm_domain_mix" -> (domainMix(_, _)),
+    "llm_budget_select" -> (budgetSelect(_, _)),
     "llm_quality_buckets" -> (qualityBuckets(_, _)),
     "llm_pipeline_e2e" -> (pipelineE2e(_, _)),
     "llm_contamination" -> (contamination(_, _)))
@@ -265,6 +294,19 @@ object Pipeline extends QueryModule {
         |SELECT source, n, keep_rate,
         |  CAST(floor(n * keep_rate) AS BIGINT) AS n_kept
         |FROM k ORDER BY source""".stripMargin,
+    "llm_budget_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n,
+         |    $scoreSql AS score
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n,
+         |    SUM(n) OVER (ORDER BY score DESC, doc_id) AS cum
+         |  FROM d)
+         |SELECT lang, COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN cum - n < 20000 THEN 1 END) AS n_kept,
+         |  SUM(CASE WHEN cum - n < 20000 THEN n END) AS toks_kept
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_quality_buckets" ->
       s"""WITH q AS (SELECT doc_id, $scoreSql AS score FROM documents),
          |b AS (SELECT doc_id, score,
@@ -327,6 +369,6 @@ object Pipeline extends QueryModule {
          |    SUM(n) OVER (PARTITION BY grp ORDER BY doc_id) - n AS start
          |  FROM fin)
          |SELECT grp, CAST(floor(start / 512.0) AS BIGINT) AS pack,
-         |  COUNT(*) AS n_docs, SUM(n) AS tok_sum
+         |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tok_sum
          |FROM c GROUP BY grp, pack ORDER BY grp, pack""".stripMargin)
 }

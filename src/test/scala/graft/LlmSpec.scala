@@ -70,6 +70,14 @@ class LlmSpec extends AnyFunSuite {
   private def knnSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select($"qid", $"nid").as[(Long, Long)].collect().toSet
 
+  test("PQ knn recalls a useful fraction of brute-force neighbors") {
+    val brute = knnSet(llm.Knn.knn(spark, SF))
+    val pq = knnSet(llm.Knn.knnPq(spark, SF))
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(s"pq recall@5=$recall")
+    assert(recall >= 0.15, s"recall=$recall")
+  }
+
   test("LSH knn recalls a useful fraction of brute-force neighbors") {
     val brute = knnSet(llm.Knn.knn(spark, SF))
     val ann = knnSet(llm.Knn.knnLsh(spark, SF))

@@ -248,6 +248,14 @@ class PlanQualitySpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("PQ encode/probe: broadcast joins, argmin via WindowGroupLimit, no BNLJ") {
+    val p = llm.Knn.knnPq(spark, SF).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("sequence packing shuffles once on the group key, not per stage") {
     val p = llm.Curate.packSequences(spark, SF)
       .queryExecution.executedPlan.toString
