@@ -370,20 +370,70 @@ object Knn extends QueryModule {
     */
   def knnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val b = base(s, dir)
-    val expl = b.select($"vec_id", posexplode($"v").as(Seq("pos", "x")))
+    val expl = pqExpl(s, dir)
+    pqProbe(s, pqDists(s, expl, pqCb0(s, expl)))
+  }
+
+  /** PQ with REFIT codebooks: one declarative per-subspace Lloyd pass
+    * (assign via the untrained codes, recompute each codeword as the
+    * DECIMAL-exact member mean, keep the old word for empty cells),
+    * then re-encode + probe — the "train then index" write path, all
+    * joins/aggs, zero driver collects. The refit means are
+    * double-deterministic (exact decimal sum ÷ count), so the whole
+    * trained pipeline still hash-matches its SQL oracle.
+    */
+  def knnPqTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val expl = pqExpl(s, dir)
+    val cb0 = pqCb0(s, expl)
+    val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
+    val codes0 = pqDists(s, expl, cb0)
+      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+      .select($"vec_id", $"m", $"c")
+    val refit = codes0.join(expl, Seq("vec_id", "m"))
+      .groupBy($"m", $"c", $"d")
+      .agg((sum($"x".cast(DecimalType(30, 15))).cast(DoubleType) /
+        count(lit(1))).as("ncv"))
+    val cb1 = cb0.join(refit, Seq("m", "c", "d"), "left")
+      .select($"c", $"m", $"d", coalesce($"ncv", $"cv").as("cv"))
+    pqProbe(s, pqDists(s, expl, cb1))
+  }
+
+  /** (vec_id, subspace m, intra-dim d, component x) rows — feeds the
+    * codebook pick and every distance scan, so materialized once.
+    */
+  private def pqExpl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    base(s, dir).select($"vec_id", posexplode($"v").as(Seq("pos", "x")))
       .select($"vec_id", ($"pos" / PqM).cast("int").as("m"),
         pmod($"pos", lit(PqM)).as("d"), $"x")
-      .localCheckpoint() // feeds the codebook AND both distance scans
-    val cb = expl.filter($"vec_id" < PqCodes)
+      .localCheckpoint()
+  }
+
+  private def pqCb0(s: SparkSession, expl: DataFrame): DataFrame = {
+    import s.implicits._
+    expl.filter($"vec_id" < PqCodes)
       .select($"vec_id".as("c"), $"m", $"d", $"x".as("cv"))
-    val dists = expl
+  }
+
+  /** Squared distance of every vector's every subvector to every
+    * codeword: components ⋈ broadcast codebook → DECIMAL-exact agg.
+    */
+  private def pqDists(s: SparkSession, expl: DataFrame,
+      cb: DataFrame): DataFrame = {
+    import s.implicits._
+    expl
       .join(broadcast(cb), Seq("m", "d"))
       .withColumn("sq",
         (($"x" - $"cv") * ($"x" - $"cv")).cast(DecimalType(30, 15)))
       .groupBy($"vec_id", $"m", $"c")
       .agg(sum($"sq").as("dist"))
       .localCheckpoint() // reused as encode input and query LUT
+  }
+
+  /** Encode (WindowGroupLimit argmin) + asymmetric-distance top-k. */
+  private def pqProbe(s: SparkSession, dists: DataFrame): DataFrame = {
+    import s.implicits._
     val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
     val codes = dists
       .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
@@ -425,6 +475,7 @@ object Knn extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_embed_centroids" -> (embedCentroids(_, _)),
     "llm_knn_pq" -> (knnPq(_, _)),
+    "llm_knn_pq_trained" -> (knnPqTrained(_, _)),
     "llm_knn" -> (knn(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
     "llm_knn_ivf" -> (knnIvf(_, _)),
@@ -475,45 +526,79 @@ object Knn extends QueryModule {
        |    FROM m_$cout GROUP BY cell) n
        |  USING (cid))""".stripMargin
 
+  // shared PQ oracle stages: component explode + initial codebook
+  private val pqBaseCte =
+    s"""v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |expl AS (
+       |  SELECT vec_id, CAST((s.p - 1) // $PqM AS INT) AS m,
+       |    (s.p - 1) % $PqM AS d, s.x AS x
+       |  FROM (SELECT vec_id,
+       |          unnest([{'p': i, 'x': e[i]}
+       |            FOR i IN generate_series(1, len(e))]) AS s
+       |        FROM v)),
+       |cb0 AS (SELECT vec_id AS c, m, d, x AS cv
+       |        FROM expl WHERE vec_id < $PqCodes)""".stripMargin
+
+  /** Squared-distance table of every (vector, subspace, codeword). */
+  private def pqDistsSql(cb: String, out: String): String =
+    s"""$out AS (
+       |  SELECT ex.vec_id, ex.m, $cb.c,
+       |    SUM(CAST((ex.x - $cb.cv) * (ex.x - $cb.cv)
+       |        AS DECIMAL(30,15))) AS dist
+       |  FROM expl ex JOIN $cb USING (m, d)
+       |  GROUP BY ex.vec_id, ex.m, $cb.c)""".stripMargin
+
+  /** Encode (argmin) + ADC top-k over a dists table. */
+  private def pqProbeSql(dists: String): String =
+    s"""codes AS (
+       |  SELECT vec_id AS nid, m, c AS code FROM (
+       |    SELECT vec_id, m, c,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist, c) AS rn
+       |    FROM $dists)
+       |  WHERE rn = 1),
+       |lut AS (SELECT vec_id AS qid, m, c AS code, dist
+       |        FROM $dists WHERE vec_id < $NQueries),
+       |adc AS (
+       |  SELECT l.qid, co.nid, SUM(l.dist) AS adc
+       |  FROM codes co JOIN lut l USING (m, code)
+       |  WHERE co.nid != l.qid
+       |  GROUP BY l.qid, co.nid),
+       |ranked AS (
+       |  SELECT qid, nid, round(CAST(adc AS DOUBLE), 4) AS adc_dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+       |  FROM adc)
+       |SELECT qid, nid, adc_dist, rn FROM ranked WHERE rn <= $K
+       |ORDER BY qid, rn""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "llm_knn_pq" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |expl AS (
-         |  SELECT vec_id, CAST((s.p - 1) // $PqM AS INT) AS m,
-         |    (s.p - 1) % $PqM AS d, s.x AS x
-         |  FROM (SELECT vec_id,
-         |          unnest([{'p': i, 'x': e[i]}
-         |            FOR i IN generate_series(1, len(e))]) AS s
-         |        FROM v)),
-         |cb AS (SELECT vec_id AS c, m, d, x AS cv
-         |       FROM expl WHERE vec_id < $PqCodes),
-         |dists AS (
-         |  SELECT ex.vec_id, ex.m, cb.c,
-         |    SUM(CAST((ex.x - cb.cv) * (ex.x - cb.cv)
-         |        AS DECIMAL(30,15))) AS dist
-         |  FROM expl ex JOIN cb USING (m, d)
-         |  GROUP BY ex.vec_id, ex.m, cb.c),
-         |codes AS (
-         |  SELECT vec_id AS nid, m, c AS code FROM (
+      s"""WITH $pqBaseCte,
+         |${pqDistsSql("cb0", "dists")},
+         |${pqProbeSql("dists")}""".stripMargin,
+    "llm_knn_pq_trained" ->
+      s"""WITH $pqBaseCte,
+         |${pqDistsSql("cb0", "d0")},
+         |codes0 AS (
+         |  SELECT vec_id, m, c FROM (
          |    SELECT vec_id, m, c,
          |      row_number() OVER (PARTITION BY vec_id, m
          |        ORDER BY dist, c) AS rn
-         |    FROM dists)
+         |    FROM d0)
          |  WHERE rn = 1),
-         |lut AS (SELECT vec_id AS qid, m, c AS code, dist
-         |        FROM dists WHERE vec_id < $NQueries),
-         |adc AS (
-         |  SELECT l.qid, co.nid, SUM(l.dist) AS adc
-         |  FROM codes co JOIN lut l USING (m, code)
-         |  WHERE co.nid != l.qid
-         |  GROUP BY l.qid, co.nid),
-         |ranked AS (
-         |  SELECT qid, nid, round(CAST(adc AS DOUBLE), 4) AS adc_dist,
-         |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
-         |  FROM adc)
-         |SELECT qid, nid, adc_dist, rn FROM ranked WHERE rn <= $K
-         |ORDER BY qid, rn""".stripMargin,
+         |refit AS (
+         |  SELECT ex.m, c0.c, ex.d,
+         |    CAST(SUM(CAST(ex.x AS DECIMAL(30,15))) AS DOUBLE)
+         |      / COUNT(*) AS ncv
+         |  FROM codes0 c0 JOIN expl ex USING (vec_id, m)
+         |  GROUP BY ex.m, c0.c, ex.d),
+         |cb1 AS (
+         |  SELECT cb0.c, cb0.m, cb0.d, coalesce(refit.ncv, cb0.cv) AS cv
+         |  FROM cb0 LEFT JOIN refit
+         |    ON refit.m = cb0.m AND refit.c = cb0.c AND refit.d = cb0.d),
+         |${pqDistsSql("cb1", "dists")},
+         |${pqProbeSql("dists")}""".stripMargin,
     "llm_knn_ivf_trained" ->
       s"""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

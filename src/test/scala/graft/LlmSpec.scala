@@ -74,8 +74,11 @@ class LlmSpec extends AnyFunSuite {
     val brute = knnSet(llm.Knn.knn(spark, SF))
     val pq = knnSet(llm.Knn.knnPq(spark, SF))
     val recall = (brute & pq).size.toDouble / brute.size
-    info(s"pq recall@5=$recall")
+    val trained = knnSet(llm.Knn.knnPqTrained(spark, SF))
+    val tRecall = (brute & trained).size.toDouble / brute.size
+    info(s"pq recall@5=$recall trained recall@5=$tRecall")
     assert(recall >= 0.15, s"recall=$recall")
+    assert(tRecall >= 0.15, s"trained recall=$tRecall")
   }
 
   test("LSH knn recalls a useful fraction of brute-force neighbors") {
