@@ -206,6 +206,91 @@ object Dedup extends QueryModule {
     verifyPairs(s, candidates, t)
   }
 
+  /** Ingest-order dedup window for the TTL-bounded stream: a doc only
+    * pairs against bucket members at most this many doc_ids older
+    * (doc_id is the ingest clock of the fixture). The bound that makes
+    * streaming dedup state finite — the reference's bounded-index
+    * ethos applied to stream state.
+    */
+  val TtlWindow = 150L
+
+  /** TTL-BOUNDED streaming LSH candidates (SURVEY §8d #4) — the
+    * `transformWithState` edition of `lshCandidatesCore` whose state
+    * does NOT grow with the stream: each band bucket keeps its members
+    * in a `ListState` declared with a processing-time `TTLConfig`, so
+    * the state store itself ages out entries no batch touches (RocksDB
+    * cleans them without any user code), and the SEMANTIC bound is the
+    * explicit ingest-order window — a doc pairs only against members
+    * within `window` of its own doc_id, which makes the result
+    * deterministic in batch, in replay, and under TTL eviction alike:
+    * whatever TTL removes is provably outside the window anyway when
+    * the TTL duration covers the window's ingest span.
+    *
+    * Batch executes the same processor (Spark runs transformWithState
+    * over a batch Dataset with empty initial state) — that run is the
+    * DuckDB-oracled query; StreamingSpec replays it as a true stream
+    * with the RocksDB state store and asserts pair-set parity.
+    */
+  class LshWindowProcessor(window: Long, ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), BandRow, (Long, Long)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // element-level TTL needs the processing-time mode; the batch
+      // run (TimeMode.None) carries no TTL — harmless, since batch
+      // state lives for exactly one invocation
+      members = getHandle.getListState[Long]("members",
+        org.apache.spark.sql.Encoders.scalaLong,
+        if (timeMode == TimeMode.ProcessingTime()) TTLConfig(ttl)
+        else TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      // sort within the invocation: deterministic no matter how rows
+      // landed in this micro-batch (same contract as lshCandidatesCore)
+      val arriving = rows.map(_.doc_id).toArray.sorted
+      var cur = members.get().toArray
+      val out = List.newBuilder[(Long, Long)]
+      arriving.foreach { d =>
+        cur.foreach { m =>
+          if (m != d && math.abs(m - d) <= window)
+            out += ((math.min(m, d), math.max(m, d)))
+        }
+        cur :+= d
+      }
+      members.appendList(arriving)
+      out.result().iterator
+    }
+  }
+
+  def lshWindowCandidatesCore(bands: DataFrame, window: Long,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = bands.sparkSession
+    import s.implicits._
+    bands.select($"band".cast("int"), $"bh", $"doc_id").as[BandRow]
+      .groupByKey(r => (r.band, r.bh))
+      .transformWithState(
+        new LshWindowProcessor(window, java.time.Duration.ofHours(1)),
+        timeMode, OutputMode.Append())
+      .toDF("doc_a", "doc_b")
+  }
+
+  /** Batch run of the TTL-bounded core + exact verification: the
+    * near-dup pairs whose members arrived within the dedup window —
+    * oracled as the exact pair set restricted to doc_b − doc_a ≤ W.
+    */
+  def dedupStreamTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val t = shingleRows(T.t(s, dir, "documents")).localCheckpoint()
+    val candidates = lshWindowCandidatesCore(
+      bandRows(minhashSigs(t)), TtlWindow, TimeMode.None()).distinct()
+    verifyPairs(s, candidates, t)
+  }
+
   /** INCREMENTAL near-dup: a NEW batch of documents deduped against
     * the EXISTING corpus — the shape a production ingest runs daily,
     * where re-checking corpus×corpus is impossible and only

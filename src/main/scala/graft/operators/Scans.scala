@@ -215,6 +215,53 @@ object Scans extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** S9/S10 pruning for POINT lookups: lineitem hash-partitioned on
+    * l_partkey (each key lives in exactly one file) with a per-file
+    * Bloom-filter sidecar (`GraftStorage.buildBloomIndex`) — the
+    * key→files index zone maps can't provide on a column the layout
+    * isn't range-clustered on. The plan-time FileIndex drops every
+    * file whose Bloom rejects the looked-up keys (no false negatives
+    * ⇒ still exact); StorageSpec asserts the file-count reduction.
+    */
+  private def bloomFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "lineitem_bloomed") { out =>
+      import s.implicits._
+      T.t(s, dir, "lineitem")
+        .repartition(16, $"l_partkey")
+        .write.mode("overwrite").parquet(out)
+      graft.sources.GraftStorage(s).buildBloomIndex(out, Seq("l_partkey"))
+    }
+
+  def pruneBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = bloomFixture(s, dir)
+    graft.sources.GraftStorage(s).readPruned(out)
+      .filter($"l_partkey".isin(100, 500, 900))
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_partkey")
+  }
+
+  /** The registered-source front door: `spark.read.format("graft")`
+    * resolves the SAME plan as `GraftStorage.readPruned` — vectorized
+    * parquet scan under the zone-map FileIndex — through Spark's own
+    * source registry (GraftSource via DataSourceRegister), the API
+    * shape of the reference's storage builder. Same oracle family as
+    * prune_zonemap_planned over a different date range; PlanQualitySpec
+    * asserts the file pruning survives the format() indirection.
+    */
+  def scanGraftFormat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = zonemapPlannedFixture(s, dir)
+    s.read.format("graft").load(out)
+      .filter($"l_shipdate".between(
+        lit("1997-07-01").cast(TimestampType),
+        lit("1997-09-30").cast(TimestampType)))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** F5: validation-stringency gate → csv mode=DROPMALFORMED. Writes
     * good rows + injected garbage lines, reads back dropping the bad
     * ones (HtsjdkReadsRddStorage.java:85-88 LENIENT ≈ drop).
@@ -337,11 +384,12 @@ object Scans extends QueryModule {
     multifileFixture(s, dir); csvFixture(s, dir); clusteredFixture(s, dir)
     zonemapFixture(s, dir); zonemapPlannedFixture(s, dir)
     badlinesFixture(s, dir); jsonFixture(s, dir); gzipFixture(s, dir)
-    zorderFixture(s, dir); orcFixture(s, dir)
+    zorderFixture(s, dir); orcFixture(s, dir); bloomFixture(s, dir)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_reads" -> (scanReads(_, _)),
+    "scan_graft_format" -> (scanGraftFormat(_, _)),
     "scan_json" -> (scanJson(_, _)),
     "scan_orc" -> (scanOrc(_, _)),
     "scan_text_gzip" -> (scanTextGzip(_, _)),
@@ -352,6 +400,7 @@ object Scans extends QueryModule {
     "project_prune" -> (projectPrune(_, _)),
     "prune_by_stats" -> (pruneByStats(_, _)),
     "prune_zonemap" -> (pruneZonemap(_, _)),
+    "prune_bloom" -> (pruneBloom(_, _)),
     "prune_zorder" -> (pruneZorder(_, _)),
     "prune_zonemap_planned" -> (pruneZonemapPlanned(_, _)),
     "parse_badrecords" -> (parseBadrecords(_, _)))
@@ -425,6 +474,17 @@ object Scans extends QueryModule {
          |FROM lineitem
          |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'
          |  AND l_orderkey < 2000
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "prune_bloom" ->
+      s"""SELECT l_partkey, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem WHERE l_partkey IN (100, 500, 900)
+         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "scan_graft_format" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-07-01' AND TIMESTAMP '1997-09-30'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "prune_zonemap_planned" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,

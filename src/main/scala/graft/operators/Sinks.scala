@@ -172,7 +172,31 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** The registered-sink front door: `df.write.format("graft")` with
+    * clusterBy/zone options resolves to `GraftStorage.writeIndexed`
+    * (range-clustered files + `_zonemap` sidecar), and the re-read
+    * goes back through `format("graft")` so the round trip exercises
+    * both halves of the GraftSource registration. The re-read filter
+    * prunes files through the sidecar (StorageSpec gates the plan).
+    */
+  def sinkGraftFormat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_graft_format_orders")
+    T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .write.format("graft").mode("overwrite")
+      .option("clusterBy", "o_orderkey")
+      .option("zone", "o_orderkey")
+      .save(out)
+    s.read.format("graft").load(out)
+      .filter($"o_orderkey".between(1000, 3000))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_graft_format" -> (sinkGraftFormat(_, _)),
     "sink_upsert" -> (sinkUpsert(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
@@ -183,6 +207,11 @@ object Sinks extends QueryModule {
     "sink_overwrite" -> (sinkOverwrite(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "sink_graft_format" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sink_upsert" ->
       s"""WITH base AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

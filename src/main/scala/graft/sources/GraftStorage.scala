@@ -370,6 +370,60 @@ final case class GraftStorage(
     o.asInstanceOf[Ordering[Any]]
   }
 
+  /** Build a per-file BLOOM-FILTER sidecar (`_bloom`) for point-lookup
+    * file pruning — the complement of the zone map: min/max stats only
+    * prune columns the file layout is clustered on, while a Bloom
+    * filter prunes equality/IN lookups on ANY column (no false
+    * negatives, so dropping a file the filter rejects is always
+    * sound). The reference's ethos one level up: .sbi/.tbi answer
+    * "which splits can hold this interval"; the Bloom sidecar answers
+    * "which files can hold this key".
+    *
+    * Built DISTRIBUTED: one pass over the data, per-(file, column)
+    * Bloom aggregation (a typed Aggregator — partial Blooms merge
+    * associatively like any sketch), collected only as the final
+    * KB-sized filters. `expectedPerFile` sizes each filter (~1.2 bytes
+    * × expected items at fpp=0.01); at 100 TB with 1 GB files that is
+    * ~a few hundred KB of sidecar per data file column — metadata, not
+    * data. Supported column types: integral (hashed as long) and
+    * string.
+    */
+  def buildBloomIndex(path: String, bloomCols: Seq[String],
+      expectedPerFile: Long = 100000, fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val df = spark.read.parquet(path)
+    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val perCol: Seq[DataFrame] = bloomCols.map { c =>
+      val isLong = fieldType(c) match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case StringType => false
+        case other => throw new IllegalArgumentException(
+          s"bloom index on $c: unsupported type $other")
+      }
+      val s = spark
+      import s.implicits._
+      val bloomed =
+        if (isLong)
+          df.filter(col(c).isNotNull)
+            .select(input_file_name().as("file"), col(c).cast(LongType).as("v"))
+            .as[(String, Long)]
+            .groupByKey(_._1)
+            .agg(new BloomLongAgg(expectedPerFile, fpp).toColumn.name("bloom"))
+        else
+          df.filter(col(c).isNotNull)
+            .select(input_file_name().as("file"), col(c).cast(StringType).as("v"))
+            .as[(String, String)]
+            .groupByKey(_._1)
+            .agg(new BloomStringAgg(expectedPerFile, fpp).toColumn.name("bloom"))
+      bloomed.toDF("file", "bloom").withColumn("col", lit(c))
+    }
+    perCol.reduce(_.unionAll(_))
+      .select(col("file"), col("col"), col("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_bloom")
+  }
+
   /** Read with zone-map pruning on `zoneCol` ∈ [lo, hi] — the
     * index-driven split pruning of the reference (BamSource.java:
     * 99-119, TribbleIndexIntervalFilteringTextInputFormat.java:59-92):
@@ -440,20 +494,36 @@ final case class GraftStorage(
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.StructType
     val zmPath = new Path(s"$path/_zonemap")
+    val blPath = new Path(s"$path/_bloom")
     val fs = zmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(zmPath)) return read(path)
-    val zm = spark.read.parquet(zmPath.toString)
-    val zoneCols = zm.schema.fieldNames
-      .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
-    val zones = zm.collect().map { r =>
-      val fname = new Path(r.getAs[String]("file")).getName
-      fname -> zoneCols.map(c =>
-        c -> ((r.getAs[Any](s"${c}__min"), r.getAs[Any](s"${c}__max")))).toMap
-    }.toMap
+    val hasZm = fs.exists(zmPath)
+    val hasBl = fs.exists(blPath)
+    if (!hasZm && !hasBl) return read(path)
+    val zones: Map[String, Map[String, (Any, Any)]] = if (!hasZm) Map.empty else {
+      val zm = spark.read.parquet(zmPath.toString)
+      val zoneCols = zm.schema.fieldNames
+        .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+      zm.collect().map { r =>
+        val fname = new Path(r.getAs[String]("file")).getName
+        fname -> zoneCols.map(c =>
+          c -> ((r.getAs[Any](s"${c}__min"), r.getAs[Any](s"${c}__max")))).toMap
+      }.toMap
+    }
+    val blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      if (!hasBl) Map.empty
+      else spark.read.parquet(blPath.toString).collect()
+        .groupBy(r => new Path(r.getAs[String]("file")).getName)
+        .map { case (fname, rs) =>
+          fname -> rs.map { r =>
+            r.getAs[String]("col") ->
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          }.toMap
+        }
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val dataSchema = spark.read.parquet(path).schema
     val index = new ZoneMapFileIndex(classic, new Path(path),
-      Some(dataSchema), zones)
+      Some(dataSchema), zones, blooms)
     val rel = HadoopFsRelation(index, new StructType(), dataSchema, None,
       new ParquetFileFormat(), Map.empty)(classic)
     val df = Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
@@ -729,6 +799,49 @@ final case class GraftStorage(
       case None => writer.parquet(path)
     }
   }
+}
+
+/** Distributed per-file Bloom aggregation for `buildBloomIndex`:
+  * partial filters built map-side merge associatively (bitwise OR)
+  * like any sketch — the per-part-index → merged-index pattern
+  * (IndexFileMerger.java:62-102) as a typed Aggregator.
+  */
+private[sources] final class BloomLongAgg(expected: Long, fpp: Double)
+  extends org.apache.spark.sql.expressions.Aggregator[
+    (String, Long), org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+  import org.apache.spark.util.sketch.BloomFilter
+  override def zero: BloomFilter = BloomFilter.create(expected, fpp)
+  override def reduce(b: BloomFilter, a: (String, Long)): BloomFilter = {
+    b.putLong(a._2); b
+  }
+  override def merge(x: BloomFilter, y: BloomFilter): BloomFilter =
+    x.mergeInPlace(y)
+  override def finish(b: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos); bos.toByteArray
+  }
+  override def bufferEncoder =
+    org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+  override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+}
+
+private[sources] final class BloomStringAgg(expected: Long, fpp: Double)
+  extends org.apache.spark.sql.expressions.Aggregator[
+    (String, String), org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+  import org.apache.spark.util.sketch.BloomFilter
+  override def zero: BloomFilter = BloomFilter.create(expected, fpp)
+  override def reduce(b: BloomFilter, a: (String, String)): BloomFilter = {
+    b.putString(a._2); b
+  }
+  override def merge(x: BloomFilter, y: BloomFilter): BloomFilter =
+    x.mergeInPlace(y)
+  override def finish(b: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos); bos.toByteArray
+  }
+  override def bufferEncoder =
+    org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+  override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
 }
 
 sealed trait WriteOption

@@ -33,31 +33,44 @@ final class ZoneMapFileIndex(
     root: Path,
     dataSchema: Option[StructType],
     /** file name → zone column → (min, max) as EXTERNAL row values. */
-    zones: Map[String, Map[String, (Any, Any)]])
+    zones: Map[String, Map[String, (Any, Any)]],
+    /** file name → bloom column → per-file Bloom filter (point-lookup
+      * pruning on columns the clustering order can't serve — no false
+      * negatives, so dropping a non-matching file is always sound).
+      */
+    blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      Map.empty)
   extends InMemoryFileIndex(session, Seq(root), Map.empty, dataSchema) {
 
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    if (dataFilters.isEmpty || zones.isEmpty) base
+    if (dataFilters.isEmpty || (zones.isEmpty && blooms.isEmpty)) base
     else base.map { pd =>
       PartitionDirectory(pd.values, pd.files.filter { f =>
-        zones.get(f.getPath.getName) match {
-          case Some(stats) => dataFilters.forall(mayMatch(stats, _))
-          case None => true // file unknown to the sidecar: never prune
-        }
+        val name = f.getPath.getName
+        val stats = zones.getOrElse(name, Map.empty)
+        val bl = blooms.getOrElse(name, Map.empty)
+        // file unknown to both sidecars: never prune
+        if (stats.isEmpty && bl.isEmpty) true
+        else dataFilters.forall(mayMatch(stats, bl, _))
       })
     }
   }
 
+  private type Blooms = Map[String, org.apache.spark.util.sketch.BloomFilter]
+
   /** Could `e` be true for some row of a file with these stats? */
-  private def mayMatch(stats: Map[String, (Any, Any)], e: Expression): Boolean =
+  private def mayMatch(stats: Map[String, (Any, Any)], bl: Blooms,
+      e: Expression): Boolean =
     e match {
-      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
-      case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
-      case EqualTo(a: AttributeReference, l: Literal) => contains(stats, a, l)
-      case EqualTo(l: Literal, a: AttributeReference) => contains(stats, a, l)
+      case And(l, r) => mayMatch(stats, bl, l) && mayMatch(stats, bl, r)
+      case Or(l, r) => mayMatch(stats, bl, l) || mayMatch(stats, bl, r)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        contains(stats, a, l) && bloomMayContain(bl, a, l)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        contains(stats, a, l) && bloomMayContain(bl, a, l)
       case GreaterThan(a: AttributeReference, l: Literal) => maxAbove(stats, a, l, strict = true)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) => maxAbove(stats, a, l, strict = false)
       case LessThan(a: AttributeReference, l: Literal) => minBelow(stats, a, l, strict = true)
@@ -68,7 +81,10 @@ final class ZoneMapFileIndex(
       case LessThan(l: Literal, a: AttributeReference) => maxAbove(stats, a, l, strict = true)
       case LessThanOrEqual(l: Literal, a: AttributeReference) => maxAbove(stats, a, l, strict = false)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(v => contains(stats, a, v.asInstanceOf[Literal]))
+        vs.exists { v =>
+          val l = v.asInstanceOf[Literal]
+          contains(stats, a, l) && bloomMayContain(bl, a, l)
+        }
       case IsNotNull(a: AttributeReference) =>
         // min==null for an indexed column ⇒ the file has no non-null
         // values there, so IsNotNull matches nothing
@@ -90,6 +106,26 @@ final class ZoneMapFileIndex(
           .asInstanceOf[Ordering[Any]]
         Some((ord, conv(mn), conv(mx), l.value))
       case _ => None
+    }
+
+  /** Bloom check for an equality literal: false ONLY when the file's
+    * Bloom filter proves the value absent (no false negatives). Columns
+    * without a Bloom, null literals (handled by nullLit upstream), and
+    * types the build side doesn't hash keep the file.
+    */
+  private def bloomMayContain(bl: Blooms,
+      a: AttributeReference, l: Literal): Boolean =
+    bl.get(a.name) match {
+      case Some(bloom) if l.value != null =>
+        import org.apache.spark.sql.types._
+        a.dataType match {
+          // integral types are put as putLong on the build side
+          case LongType | IntegerType | ShortType | ByteType =>
+            bloom.mightContainLong(l.value.asInstanceOf[Number].longValue())
+          case StringType => bloom.mightContainString(l.value.toString)
+          case _ => true
+        }
+      case _ => true
     }
 
   /** `attr <cmp> null` is NULL, never true — prune unconditionally. */

@@ -484,6 +484,94 @@ class StorageSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
   }
 
+  test("bloom sidecar prunes point lookups on a non-clustered column") {
+    val out = T.scratch(SF, "bloom_lineitem")
+    val li = T.t(spark, SF, "lineitem")
+    // hash-partitioned on l_partkey: each key lives in exactly one file
+    li.repartition(16, $"l_partkey").write.mode("overwrite").parquet(out)
+    storage.buildBloomIndex(out, Seq("l_partkey"))
+    assert(new java.io.File(s"$out/_bloom").exists())
+    // exact result through the pruned read
+    val pruned = storage.readPruned(out).filter($"l_partkey" === 100)
+    assert(pruned.count() == li.filter($"l_partkey" === 100).count())
+    assert(pruned.count() > 0)
+    // the plan scans strictly fewer files than the directory holds
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"${scan.metrics("numFiles").value} vs $allFiles")
+    // IN-list prunes too, and a key absent from the data reads ~0 files
+    val in = storage.readPruned(out).filter($"l_partkey".isin(100, 500))
+    assert(in.count() == li.filter($"l_partkey".isin(100, 500)).count())
+    assert(storage.readPruned(out).filter($"l_partkey" === -12345).count() == 0)
+    // a column without a bloom is untouched (kept conservative)
+    assert(storage.readPruned(out).filter($"l_orderkey" === 1).count() ==
+      li.filter($"l_orderkey" === 1).count())
+  }
+
+  test("format(\"graft\") read resolves the zone-map-pruned parquet plan") {
+    val out = T.scratch(SF, "graft_format_read")
+    val li = T.t(spark, SF, "lineitem")
+    storage.writeIndexed(li, out, "l_shipdate", "l_shipdate")
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-03-31 00:00:00")
+    val viaFormat = spark.read.format("graft").load(out)
+      .filter($"l_shipdate" >= lit(lo) && $"l_shipdate" <= lit(hi))
+    assert(viaFormat.count() ==
+      spark.read.parquet(out)
+        .filter($"l_shipdate" >= lit(lo) && $"l_shipdate" <= lit(hi)).count())
+    viaFormat.collect()
+    val scan = viaFormat.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      "format(\"graft\") must keep plan-time zone-map file pruning")
+    // zonemap=false bypasses the sidecar (plain parquet relation)
+    assert(spark.read.format("graft").option("zonemap", "false").load(out)
+      .count() == li.count())
+  }
+
+  test("format(\"graft\") write options resolve like the storage facade") {
+    val n = T.t(spark, SF, "nation")
+    // clusterBy+zone → writeIndexed with sidecar
+    val idx = T.scratch(SF, "graft_format_indexed")
+    n.write.format("graft").mode("overwrite")
+      .option("clusterBy", "n_nationkey").option("zone", "n_nationkey")
+      .save(idx)
+    assert(new java.io.File(s"$idx/_zonemap").exists())
+    assert(spark.read.format("graft").load(idx).count() == 25)
+    // layout=single → exactly one parquet FILE, globally ordered
+    val single = T.scratch(SF, "graft_format_single") + "/nation.parquet"
+    n.select($"n_nationkey", $"n_name")
+      .repartitionByRange(4, $"n_nationkey")
+      .sortWithinPartitions($"n_nationkey")
+      .write.format("graft").mode("overwrite")
+      .option("layout", "single").save(single)
+    assert(new java.io.File(single).isFile)
+    val keys = spark.read.parquet(single)
+      .select($"n_nationkey").collect().map(_.getAs[Number](0).longValue())
+    assert(keys.sameElements(keys.sorted))
+    // strictSchema read option refuses a mixed directory
+    val mixed = T.scratch(SF, "graft_format_mixed")
+    n.write.mode("overwrite").parquet(s"$mixed/batch=1")
+    n.withColumn("extra", lit(1)).write.mode("overwrite")
+      .parquet(s"$mixed/batch=2")
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("strictSchema", "true").load(mixed)
+    }
+    assert(ex.getMessage.contains("incompatible file schemas"))
+    // append onto an indexed layout is refused (appendIndexed is the API)
+    val ex2 = intercept[IllegalArgumentException] {
+      n.write.format("graft").mode("append")
+        .option("clusterBy", "n_nationkey").save(idx)
+    }
+    assert(ex2.getMessage.contains("Append"))
+  }
+
   test("interval predicate matches naive OR on real data") {
     val ivs = Seq((100L, 200L), (150L, 300L), (301L, 400L), (900L, 950L))
     val c = $"l_orderkey"
