@@ -87,6 +87,30 @@ object Funcs extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Higher-order lambda functions — the codegen-friendly array
+    * pipeline surface (filter/transform/aggregate/exists/zip_with)
+    * that replaces per-row UDFs: every lambda stays inside Catalyst,
+    * so the whole projection is one whole-stage-codegen span over the
+    * scan. (The engine's own operators lean on these — sign-LSH
+    * bucketing, int8 quantization — this query pins the user-facing
+    * surface.)
+    */
+  def fnLambda(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    T.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(filter(toks, t => length(t) > 4)).as("n_long"),
+        aggregate(transform(toks, t => length(t).cast(LongType)),
+          lit(0L), (a, x) => a + x).as("len_sum"),
+        exists(toks, t => t === "the").as("has_the"),
+        forall(toks, t => length(t) < 30).as("all_short"),
+        array_max(zip_with(toks, reverse(toks),
+          (a, b) => length(a) + length(b))).as("max_pairlen"))
+      .orderBy($"doc_id")
+  }
+
   /** Map family (tags / INFO analogue): parse the JSON props into a
     * MapType and extract through it.
     */
@@ -179,6 +203,7 @@ object Funcs extends QueryModule {
     "fn_math" -> (fnMath(_, _)),
     "fn_date" -> (fnDate(_, _)),
     "fn_array" -> (fnArray(_, _)),
+    "fn_lambda" -> (fnLambda(_, _)),
     "fn_map" -> (fnMap(_, _)),
     "fn_cond" -> (fnCond(_, _)),
     "fn_json" -> (fnJson(_, _)))
@@ -243,6 +268,18 @@ object Funcs extends QueryModule {
         |  string_split(text, ' ')[1] AS first_tok,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_lambda" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> len(x) > 4)) AS INT) AS n_long,
+        |  CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+        |    AS len_sum,
+        |  list_contains(toks, 'the') AS has_the,
+        |  len(list_filter(toks, x -> len(x) >= 30)) = 0 AS all_short,
+        |  CAST(list_max([len(toks[i]) + len(toks[len(toks) + 1 - i])
+        |    FOR i IN generate_series(1, len(toks))]) AS INT) AS max_pairlen
+        |FROM t ORDER BY doc_id""".stripMargin,
     "fn_map" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,

@@ -24,4 +24,13 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Materialize the driver's StateStoreCoordinator RPC endpoint —
+    * batch transformWithState runs on RocksDB, whose snapshot
+    * reporter resolves this endpoint by URI; a streaming query
+    * creates it as a side effect, a pure-batch session must ask.
+    */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .streams.stateStoreCoordinator
 }

@@ -230,6 +230,13 @@ object Dedup extends QueryModule {
     * over a batch Dataset with empty initial state) — that run is the
     * DuckDB-oracled query; StreamingSpec replays it as a true stream
     * with the RocksDB state store and asserts pair-set parity.
+    *
+    * Mode note: a production deployment runs TimeMode.ProcessingTime
+    * with a periodic trigger so the TTL actually GCs; under
+    * Trigger.AvailableNow that mode schedules state-expiry wake-up
+    * batches forever and the query never quiesces, so finite replays
+    * (and the batch oracle run) use TimeMode.None — identical output
+    * by the window argument above.
     */
   class LshWindowProcessor(window: Long, ttl: java.time.Duration)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -270,6 +277,11 @@ object Dedup extends QueryModule {
     import org.apache.spark.sql.streaming.OutputMode
     val s = bands.sparkSession
     import s.implicits._
+    // materialize the driver's StateStoreCoordinator endpoint: batch
+    // transformWithState runs on RocksDB, whose snapshot reporter
+    // looks the endpoint up by URI — a streaming query would have
+    // created it, a pure-batch session has not
+    org.apache.spark.sql.graftbridge.Bridge.ensureStateStoreCoordinator(s)
     bands.select($"band".cast("int"), $"bh", $"doc_id").as[BandRow]
       .groupByKey(r => (r.band, r.bh))
       .transformWithState(
@@ -463,6 +475,7 @@ object Dedup extends QueryModule {
     "llm_dedup_near" -> (dedupNear(_, _)),
     "llm_dedup_incremental" -> (dedupIncremental(_, _)),
     "llm_dedup_stream" -> (dedupStream(_, _)),
+    "llm_dedup_stream_ttl" -> (dedupStreamTtl(_, _)),
     "llm_dedup_simhash" -> (dedupSimhash(_, _)))
 
   private val exactPairsSql =
@@ -531,6 +544,12 @@ object Dedup extends QueryModule {
     // Streaming-core candidates == batch LSH candidates (same buckets),
     // then the same exact-Jaccard verify → same oracle.
     "llm_dedup_stream" -> exactPairsSql,
+    // TTL/window-bounded stream: the exact pair set restricted to the
+    // ingest-order dedup window (banding recall argument unchanged).
+    "llm_dedup_stream_ttl" ->
+      s"""SELECT * FROM ($exactPairsSql)
+         |WHERE doc_b - doc_a <= ${Dedup.TtlWindow}
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Incremental = the exact pair set restricted to corpus-side ×
     // new-side (doc_a ≤ cut < doc_b); same banding recall argument.
     "llm_dedup_incremental" ->

@@ -242,6 +242,73 @@ object Knn extends QueryModule {
       .orderBy($"qid", $"rn")
   }
 
+  private val StoredQueries = 5
+
+  /** PERSISTED IVF index: the assignment (vector → nearest-centroid
+    * cell) is written ONCE, cell-clustered with a zone-map sidecar
+    * (`GraftStorage.writeIndexed(clusterBy = cell, zone = cell)`) —
+    * the reference's build-index-at-write path (.sbi construction)
+    * applied to an ANN index. A probe then reads back through the
+    * plan-time zone-map FileIndex with `cell IN (probed cells)`
+    * pushed down, so the scan touches ONLY the files holding probed
+    * cells — at 100 TB the probe's disk I/O is NProbe/NumCells of the
+    * corpus, not a full scan that discards rows after reading them
+    * (the knnIvf/knnIvfTrained queries bound candidate JOIN work; this
+    * variant bounds the READ itself). The probed-cell list is a
+    * driver-side collect of ≤ NumCells ints — metadata, like the
+    * reference loading an index header. Same ranking contract as
+    * knnIvf, restricted to the first `StoredQueries` query vectors;
+    * StorageSpec asserts the file-count cut at probe time.
+    */
+  private def ivfStoredFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "ivf_stored") { out =>
+      import s.implicits._
+      val b = base(s, dir).localCheckpoint()
+      val cents = b.filter($"vec_id" < NumCells)
+        .select($"vec_id".as("cid"), $"v".as("cv"))
+      val assigned = b.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+        .filter($"crn" === 1)
+        .select($"vec_id", $"v", $"cid".cast("int").as("cell"))
+      graft.sources.GraftStorage(s).writeIndexed(assigned, out, "cell", "cell")
+    }
+
+  def knnIvfStored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = ivfStoredFixture(s, dir)
+    val b = base(s, dir)
+    val cents = b.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    // probe ranking for the query vectors only — corpus assignment
+    // comes from DISK, not recomputation
+    val qprobe = b.filter($"vec_id" < StoredQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+      .filter($"crn" <= NProbe)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"cid".cast("int").as("cell"))
+      .localCheckpoint()
+    val probedCells = qprobe.select($"cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val corpus = graft.sources.GraftStorage(s).readPruned(out)
+      .filter($"cell".isin(probedCells: _*))
+      .select($"vec_id".as("nid"), $"v".as("nv"), $"cell")
+    val w = Window.partitionBy($"qid").orderBy(round($"cos", 4).desc, $"nid")
+    corpus.join(broadcast(qprobe), "cell")
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine_sim($"qv", $"nv"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= K)
+      .select($"qid", $"nid", round($"cos", 4).as("cos_sim"), $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
   /** Grid blocks per side for the exact pair join — at real scale
     * pick B ≈ sqrt(corpusBytes / targetTaskBytes) so two blocks fit
     * one task's memory.
@@ -472,6 +539,10 @@ object Knn extends QueryModule {
       .orderBy($"label", $"pos")
   }
 
+  override def prepare(s: SparkSession, dir: String): Unit = {
+    ivfStoredFixture(s, dir); ()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_embed_centroids" -> (embedCentroids(_, _)),
     "llm_knn_pq" -> (knnPq(_, _)),
@@ -479,6 +550,7 @@ object Knn extends QueryModule {
     "llm_knn" -> (knn(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
     "llm_knn_ivf" -> (knnIvf(_, _)),
+    "llm_knn_ivf_stored" -> (knnIvfStored(_, _)),
     "llm_knn_ivf_trained" -> (knnIvfTrained(_, _)),
     "llm_dedup_embed" -> (dedupEmbed(_, _)),
     "llm_embed_quantize" -> (embedQuantize(_, _)),
@@ -642,6 +714,30 @@ object Knn extends QueryModule {
          |      ORDER BY cos_sim DESC, nid) AS rn
          |  FROM pairs)
          |SELECT qid, nid, cos_sim, rn FROM ranked WHERE rn <= $K
+         |ORDER BY qid, rn""".stripMargin,
+    // same contract as llm_knn_ivf, restricted to the StoredQueries
+    // probes — the stored variant changes WHERE the corpus assignment
+    // comes from (disk, file-pruned), not what it computes
+    "llm_knn_ivf_stored" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $NumCells),
+         |ranked AS (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS crn
+         |  FROM v, cents c),
+         |corpus AS (SELECT vec_id AS nid, e AS ne, cid
+         |           FROM ranked WHERE crn = 1),
+         |qprobe AS (SELECT vec_id AS qid, e AS qe, cid
+         |           FROM ranked WHERE vec_id < $StoredQueries AND crn <= $NProbe),
+         |cand AS (
+         |  SELECT qid, nid,
+         |    round(list_cosine_similarity(qe, ne), 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(list_cosine_similarity(qe, ne), 4) DESC, nid) AS rn
+         |  FROM corpus JOIN qprobe USING (cid) WHERE nid != qid)
+         |SELECT qid, nid, cos_sim, rn FROM cand WHERE rn <= $K
          |ORDER BY qid, rn""".stripMargin,
     "llm_knn_ivf" ->
       s"""WITH v AS (

@@ -185,6 +185,51 @@ object TextStats extends QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Corpus-trained bigram language-model score — the CCNet-style
+    * perplexity filter of LLM curation pipelines, with the corpus as
+    * its own training set: P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)
+    * (add-one smoothing over the bigram-left context, a proper
+    * conditional distribution), doc score = mean log-probability of
+    * its bigrams. Docs built from rare constructions score low —
+    * the perplexity signal without an external model artifact.
+    *
+    * All declarative: one bigram build (shingleRows pattern), two
+    * count aggregations (vocab²-bounded, map-side combined), one
+    * shuffle join of doc-bigrams against the counts — hot function
+    * words skew that join and AQE skew-split absorbs it. Log-probs
+    * are rounded then DECIMAL-summed (the transcendental-rounding
+    * determinism contract), so the score hash-matches DuckDB.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val tokRows = T.t(s, dir, "documents").select($"doc_id",
+      posexplode(toks($"text")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    // feeds the two count aggs AND the scoring join: materialize once
+    val bigrams = tokRows
+      .select($"doc_id", $"tok".as("w1"), lead($"tok", 1).over(w).as("w2"))
+      .filter($"w2".isNotNull)
+      .localCheckpoint()
+    val c2 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = T.t(s, dir, "documents")
+      .select(explode(toks($"text")).as("tok"))
+      .agg(countDistinct($"tok").as("v"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        round(log(($"c2" + 1).cast(DoubleType) / ($"c1" + $"v")), 9))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"logp".cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1)), 6).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
   /** Quality score: length gate + lexical-diversity/volume blend;
     * keep flag for pipeline filtering.
     */
@@ -213,6 +258,7 @@ object TextStats extends QueryModule {
     "llm_winnow" -> (winnow(_, _)),
     "llm_winnow_pairs" -> (winnowPairs(_, _)),
     "llm_repetition" -> (repetition(_, _)),
+    "llm_lm_score" -> (lmScore(_, _)),
     "llm_quality" -> (quality(_, _)))
 
   // shared winnowing CTE chain ending in fps(doc_id, fp)
@@ -245,6 +291,27 @@ object TextStats extends QueryModule {
     s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map("'" + _ + "'").mkString(", ")})))"
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_lm_score" ->
+      """WITH big AS (
+        |  SELECT doc_id, s.a AS w1, s.b AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest([{'a': toks[i], 'b': toks[i+1]}
+        |        FOR i IN generate_series(1, len(toks)-1)]) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents))),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        |v AS (
+        |  SELECT COUNT(DISTINCT tok) AS v FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.v)), 9) AS logp
+        |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(CAST(SUM(CAST(logp AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*), 6) AS lm_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_textstats" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS INT) AS n_chars,

@@ -84,6 +84,67 @@ object Aggs extends QueryModule {
           .as("orders_within_2rsd"))
   }
 
+  /** EXACT distinct count via bitmap partial aggregation — the
+    * roaring-bitmap-style two-level distinct that scales where
+    * `COUNT(DISTINCT)`'s expand does not: keys map to (bucket, bit
+    * position), each (group, bucket) aggregates a fixed-size bitmap
+    * map-side (bitmap_construct_agg), and the per-bucket popcounts
+    * sum — every shuffle row is one bitmap, not one key occurrence.
+    * Same answer as COUNT(DISTINCT), which is the oracle.
+    */
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.events(s, dir)
+      .select($"event_type",
+        expr("bitmap_bucket_number(user_id)").as("bkt"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy($"event_type", $"bkt")
+      .agg(expr("bitmap_count(bitmap_construct_agg(pos))").as("c"))
+      .groupBy($"event_type")
+      .agg(sum($"c").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** MERGEABLE distinct-count sketches — Apache DataSketches HLL via
+    * hll_sketch_agg/hll_union_agg: per-shard sketches built
+    * independently (the per-part partial index), unioned WITHOUT
+    * touching the data again (the driver-merge pattern,
+    * IndexFileMerger.java:62-102, as an algebraic aggregate), then
+    * estimated. Like agg_approx_distinct, the emitted row is the
+    * EXACT count plus an in-bound boolean (default lgK=12 ⇒ rsd
+    * ≈1.6%; 3·rsd bound), so the sketch's error is itself
+    * driver-gated against DuckDB's exact count.
+    */
+  def aggHllUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = T.t(s, dir, "lineitem")
+    val est = li.withColumn("shard", pmod($"l_orderkey", lit(4)))
+      .groupBy($"shard")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = li.agg(countDistinct($"l_partkey").as("n_parts"))
+    exact.crossJoin(est)
+      .select($"n_parts",
+        (abs($"est" - $"n_parts") <= $"n_parts" * 0.05).as("within_5pct"))
+  }
+
+  /** UNPIVOT/melt — wide measures to long (variable, value) rows,
+    * the inverse of agg_pivot: a zero-shuffle Expand over the
+    * aggregated table (each input row emits one row per measure).
+    */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        dsum($"l_quantity").as("qty"),
+        dsum($"l_extendedprice").as("price"),
+        dsum($"l_discount", 4).as("disc"))
+      .unpivot(Array($"l_returnflag"),
+        Array($"qty", $"price", $"disc"), "measure", "val")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
   /** Grouping-sets rollup; NULLS FIRST pinned on both engines. */
   def aggRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -198,6 +259,9 @@ object Aggs extends QueryModule {
     "agg_groupby" -> (aggGroupby(_, _)),
     "agg_distinct" -> (aggDistinct(_, _)),
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
+    "agg_bitmap_distinct" -> (aggBitmapDistinct(_, _)),
+    "agg_unpivot" -> (aggUnpivot(_, _)),
+    "agg_hll_union" -> (aggHllUnion(_, _)),
     "agg_rollup" -> (aggRollup(_, _)),
     "agg_grouping_sets" -> (aggGroupingSets(_, _)),
     "agg_cube" -> (aggCube(_, _)),
@@ -221,6 +285,26 @@ object Aggs extends QueryModule {
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
         |  true AS parts_within_2rsd, true AS orders_within_2rsd
+        |FROM lineitem""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_unpivot" ->
+      s"""WITH w AS (
+         |  SELECT l_returnflag,
+         |    ${sqlDsum("l_quantity")} AS qty,
+         |    ${sqlDsum("l_extendedprice")} AS price,
+         |    ${sqlDsum("l_discount", 4)} AS disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, val FROM (
+         |  SELECT l_returnflag, 'qty' AS measure, qty AS val FROM w
+         |  UNION ALL
+         |  SELECT l_returnflag, 'price', price FROM w
+         |  UNION ALL
+         |  SELECT l_returnflag, 'disc', disc FROM w)
+         |ORDER BY l_returnflag, measure""".stripMargin,
+    "agg_hll_union" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts, true AS within_5pct
         |FROM lineitem""".stripMargin,
     "agg_salted" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty

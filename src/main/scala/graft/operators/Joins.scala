@@ -391,7 +391,52 @@ object Joins extends QueryModule {
       .orderBy($"l_orderkey")
   }
 
+  /** NULL-SAFE equi join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * match EACH OTHER instead of dropping out — the semantics ETL
+    * needs when the join key itself carries "unknown" as a value.
+    * Still a hash-partitionable equality, so the physical plan is the
+    * same shuffle/broadcast equi-join as `=` (null-safe equality is a
+    * valid partitioning key), not a theta join. Nation 5 is nulled on
+    * BOTH sides to exercise the null-matches-null row.
+    */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = T.t(s, dir, "customer")
+      .select(nullif($"c_nationkey", lit(5)).as("nk"), $"c_acctbal")
+    val n = T.t(s, dir, "nation")
+      .select(nullif($"n_nationkey", lit(5)).as("nk"), $"n_name")
+    c.join(n, c("nk") <=> n("nk"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("cnt"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"n_name")
+  }
+
+  /** LATERAL correlated subquery — top-2 orders PER customer stated
+    * as the user would write it (a per-row dependent subquery with
+    * ORDER BY + LIMIT), decorrelated by Catalyst into a window
+    * rank over one join rather than a per-row re-execution. The
+    * per-group-top-k operator surface through SQL, complementing the
+    * DataFrame topk/WindowGroupLimit forms.
+    */
+  def joinLateral(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    T.t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer_v c
+      JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders_v o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2) o
+      WHERE c.c_custkey <= 100
+      ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> (joinNullSafe(_, _)),
+    "join_lateral" -> (joinLateral(_, _)),
     "join_broadcast" -> (joinBroadcast(_, _)),
     "join_sortmerge" -> (joinSortmerge(_, _)),
     "join_salted" -> (joinSalted(_, _)),
@@ -409,6 +454,23 @@ object Joins extends QueryModule {
     "pairs_group" -> (pairsGroup(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "join_null_safe" ->
+      s"""WITH c AS (SELECT nullif(c_nationkey, 5) AS nk, c_acctbal
+         |           FROM customer),
+         |n AS (SELECT nullif(n_nationkey, 5) AS nk, n_name FROM nation)
+         |SELECT n_name, COUNT(*) AS cnt, ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) o ON true
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "join_broadcast" ->
       s"""SELECT r_name, COUNT(*) AS n_cust, ${sqlDsum("c_acctbal")} AS sum_bal
          |FROM customer

@@ -598,6 +598,15 @@ final case class GraftStorage(
       if (!hadZoneMap) Nil
       else spark.read.parquet(s"$path/_zonemap").schema.fieldNames
         .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+    // a Bloom sidecar indexes the OLD files — record its columns so
+    // the rewrite can rebuild it over the new ones (silently dropping
+    // an index the reader relies on would be a correctness-adjacent
+    // surprise: readPruned would stop pruning)
+    val hadBloom = fs.exists(new Path(dir, "_bloom"))
+    val bloomCols: Seq[String] =
+      if (!hadBloom) Nil
+      else spark.read.parquet(s"$path/_bloom").select("col")
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
     val df = spark.read.parquet(path)
     val tsConf = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsConf)
@@ -617,6 +626,7 @@ final case class GraftStorage(
     fs.delete(dir, true)
     fs.rename(tmp, dir)
     if (hadZoneMap && zoneCols.nonEmpty) buildZoneMap(path, zoneCols)
+    if (hadBloom && bloomCols.nonEmpty) buildBloomIndex(path, bloomCols)
   }
 
   /** INCREMENTAL indexed append — the reference's per-part index +

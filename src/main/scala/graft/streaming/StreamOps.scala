@@ -150,6 +150,35 @@ object StreamOps extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof's
+    * `tolerance`): the most recent click at-or-before each purchase,
+    * but only if it happened within the last hour — staler matches
+    * null out. Same union+last() shape as joinAsofUnion (one shuffle,
+    * linear), carrying the click timestamp alongside its id so the
+    * staleness test is a post-window projection, not a second join.
+    */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val tagged = ev.select(
+      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      when(col("event_type") === "click", col("event_id")).as("click_id"),
+      when(col("event_type") === "click", col("ts")).as("click_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fresh = col("last_click_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+    tagged
+      .withColumn("last_click_id",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        when(fresh, col("last_click_id")).as("last_click_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** The same as-of semantics through the NATIVE AsOfJoinExec
     * operator (graft.plans.AsOfJoin): co-partitioned sorted stream
     * merge, O(n) per partition, planned via the injected strategy.
@@ -246,6 +275,7 @@ object StreamOps extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_union" -> (joinAsofUnion(_, _)),
+    "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
     "join_asof_native" -> (joinAsofNative(_, _)),
     "stream_tumbling" -> (streamTumbling(_, _)),
     "stream_static_join" -> (streamStaticJoin(_, _)),
@@ -272,6 +302,24 @@ object StreamOps extends QueryModule {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "join_asof_tolerance" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN last_click_ts >= ts - INTERVAL 1 HOUR
+        |       THEN last_click_id END AS last_click_id
+        |FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |               IGNORE NULLS) OVER w AS last_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END
+        |               IGNORE NULLS) OVER w AS last_click_ts
+        |  FROM (SELECT user_id, event_id, event_type,
+        |          CAST(ts AS TIMESTAMP) AS ts FROM events
+        |        WHERE event_type IN ('click', 'purchase'))
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
     "stream_decontam" ->
       """WITH s AS (
         |  SELECT doc_id, unnest([toks[i] || '_' || toks[i+1] || '_' || toks[i+2]

@@ -256,6 +256,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("bitmap distinct aggregates bitmaps, not expanded key rows") {
+    val p = operators.Aggs.aggBitmapDistinct(spark, SF)
+      .queryExecution.executedPlan.toString
+    // COUNT(DISTINCT) plans an Expand (one input row per distinct
+    // group); the bitmap formulation must not — its shuffle rows are
+    // fixed-size bitmaps
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(p.contains("bitmap_construct_agg") || p.contains("HashAggregate"),
+      p.take(2000))
+    // lambda HOF projection stays inside whole-stage codegen
+    val codegen = graft.functions.Funcs.fnLambda(spark, SF)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
+  }
+
+  test("lateral top-2 decorrelates to a window rank, not a per-row rescan") {
+    val p = operators.Joins.joinLateral(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("sequence packing shuffles once on the group key, not per stage") {
     val p = llm.Curate.packSequences(spark, SF)
       .queryExecution.executedPlan.toString

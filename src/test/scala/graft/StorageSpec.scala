@@ -510,6 +510,16 @@ class StorageSpec extends AnyFunSuite {
     // a column without a bloom is untouched (kept conservative)
     assert(storage.readPruned(out).filter($"l_orderkey" === 1).count() ==
       li.filter($"l_orderkey" === 1).count())
+    // compaction rebuilds the Bloom sidecar over the new files and
+    // the pruned read stays exact
+    val bytes = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(out)).getLength
+    storage.compact(out, bytes / 4 + 1)
+    assert(new java.io.File(s"$out/_bloom").exists(),
+      "compact must rebuild the bloom sidecar")
+    assert(storage.readPruned(out).filter($"l_partkey" === 100).count() ==
+      li.filter($"l_partkey" === 100).count())
   }
 
   test("format(\"graft\") read resolves the zone-map-pruned parquet plan") {
@@ -570,6 +580,39 @@ class StorageSpec extends AnyFunSuite {
         .option("clusterBy", "n_nationkey").save(idx)
     }
     assert(ex2.getMessage.contains("Append"))
+  }
+
+  test("stored IVF index: probe reads only the probed cells' files") {
+    import graft.functions.VectorFunctions.cosine_sim
+    import org.apache.spark.sql.expressions.Window
+    val out = T.scratch(SF, "ivf_stored_gate")
+    val b = T.t(spark, SF, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .localCheckpoint()
+    val cents = b.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val assigned = b.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine_sim($"v", $"cv"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+      .filter($"crn" === 1)
+      .select($"vec_id", $"v", $"cid".cast("int").as("cell"))
+    storage.writeIndexed(assigned, out, "cell", "cell")
+    // ONE query's probe set (4 of 16 cells): the scan must touch a
+    // strict subset of the index's files
+    val probe = Seq(0, 1, 2, 3)
+    val pruned = storage.readPruned(out).filter($"cell".isin(probe: _*))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"${scan.metrics("numFiles").value} vs $allFiles")
+    // the pruned read is exact
+    assert(pruned.count() ==
+      spark.read.parquet(out).filter($"cell".isin(probe: _*)).count())
+    assert(pruned.count() > 0)
   }
 
   test("interval predicate matches naive OR on real data") {

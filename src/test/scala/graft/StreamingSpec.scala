@@ -100,6 +100,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("TTL-bounded streaming LSH dedup: windowed pairs match batch, subset of unbounded") {
+    import org.apache.spark.sql.streaming.TimeMode
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bands = llm.Dedup.bandRows(
+        llm.Dedup.minhashSigs(llm.Dedup.shingleRows(T.t(spark, SF, "documents"))))
+      val src = T.scratch(SF, "stream_lsh_ttl_bands")
+      bands.repartition(4).write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      // TimeMode.None in the replay: ProcessingTime (the production
+      // TTL-GC config, paired with a periodic trigger) schedules
+      // state-expiry wake-up batches indefinitely, so an AvailableNow
+      // replay never quiesces — measured 6000+ empty micro-batches.
+      // The window bound is semantic and holds in any mode; TTL only
+      // changes when the store GCs provably-outside-window entries.
+      val q = llm.Dedup.lshWindowCandidatesCore(
+          stream, llm.Dedup.TtlWindow, TimeMode.None())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("lsh_ttl_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("lsh_ttl_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch run of the same processor (TimeMode.None, empty state)
+      val want = llm.Dedup.lshWindowCandidatesCore(
+          bands, llm.Dedup.TtlWindow, TimeMode.None())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+      // every emitted pair respects the ingest-order window, and the
+      // windowed set is a strict subset of the unbounded candidates
+      assert(got.forall { case (a, b) => b - a <= llm.Dedup.TtlWindow })
+      val unbounded = bands.as("a")
+        .join(bands.as("b"), Seq("band", "bh"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(unbounded) && got.size < unbounded.size)
+    } finally spark.conf.unset(providerKey)
+  }
+
+  test("checkpointed file-sink stream restarts exactly-once (no re-reads, no dupes)") {
+    val srcDir = T.scratch(SF, "restart_src")
+    val outDir = T.scratch(SF, "restart_out")
+    val ckpt = T.scratch(SF, "restart_ckpt")
+    Seq(srcDir, outDir, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val ev = T.events(spark, SF)
+      .select($"event_id", $"user_id", $"value")
+    val firstHalf = ev.filter($"event_id" % 2 === 0)
+    val secondHalf = ev.filter($"event_id" % 2 === 1)
+    firstHalf.repartition(2).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("doubled", $"value" * 2)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst == firstHalf.count())
+    // new files arrive; a RESTARTED query resumes from the checkpoint:
+    // only the new files are processed, nothing is emitted twice
+    secondHalf.repartition(2).write.mode("append").parquet(srcDir)
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == ev.count(), "exactly-once: no dupes, no gaps")
+    assert(out.select($"event_id").distinct().count() == ev.count())
+  }
+
   test("custom state via mapGroupsWithState matches batch per-user counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(eventsDir).schema
