@@ -145,6 +145,34 @@ object Pipeline extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** Epoch-aware data mixing: quality deciles map to repetition
+    * factors (top buckets trained 3 epochs, middle 2, lower 1,
+    * bottom decile dropped) — the "repeat your best data" recipe of
+    * LLM pretraining mixes, stated as one declarative plan: ntile →
+    * factor → explode(sequence) multiplies rows WITHOUT copying the
+    * corpus (the explode is a zero-shuffle Generate; at 100 TB the
+    * epoch column rides into the training shuffle as metadata).
+    * Summary per epoch: docs and token mass a trainer would consume.
+    */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = TextStats.quality(s, dir).select($"doc_id", $"score")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    val toks = T.t(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
+    q.withColumn("bucket", ntile(10).over(w))
+      .withColumn("epochs",
+        when($"bucket" <= 2, 3).when($"bucket" <= 6, 2)
+          .when($"bucket" <= 9, 1).otherwise(0))
+      .filter($"epochs" > 0)
+      .select($"doc_id", explode(sequence(lit(1), $"epochs")).as("epoch"))
+      .join(toks, "doc_id")
+      .groupBy($"epoch")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_toks"))
+      .orderBy($"epoch")
+  }
+
   /** Token-budget corpus selection: fill a fixed training-token
     * budget with the highest-quality documents (greedy by score,
     * deterministic tie-break) — "give me the best 20k tokens" — a doc
@@ -205,6 +233,7 @@ object Pipeline extends QueryModule {
     "llm_sample_stratified" -> (sampleStratified(_, _)),
     "llm_token_hist" -> (tokenHist(_, _)),
     "llm_domain_mix" -> (domainMix(_, _)),
+    "llm_mix_epochs" -> (mixEpochs(_, _)),
     "llm_budget_select" -> (budgetSelect(_, _)),
     "llm_quality_buckets" -> (qualityBuckets(_, _)),
     "llm_pipeline_e2e" -> (pipelineE2e(_, _)),
@@ -307,6 +336,21 @@ object Pipeline extends QueryModule {
          |  COUNT(CASE WHEN cum - n < 20000 THEN 1 END) AS n_kept,
          |  SUM(CASE WHEN cum - n < 20000 THEN n END) AS toks_kept
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_mix_epochs" ->
+      s"""WITH q AS (SELECT doc_id, $scoreSql AS score FROM documents),
+         |b AS (SELECT doc_id,
+         |  ntile(10) OVER (ORDER BY score DESC, doc_id) AS bucket FROM q),
+         |f AS (SELECT doc_id,
+         |  CASE WHEN bucket <= 2 THEN 3 WHEN bucket <= 6 THEN 2
+         |       WHEN bucket <= 9 THEN 1 ELSE 0 END AS epochs FROM b),
+         |e AS (SELECT doc_id, unnest(generate_series(1, epochs)) AS epoch
+         |      FROM f WHERE epochs > 0),
+         |tk AS (SELECT doc_id, len(string_split(text, ' ')) AS toks
+         |       FROM documents)
+         |SELECT CAST(epoch AS INT) AS epoch, COUNT(*) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_toks
+         |FROM e JOIN tk USING (doc_id)
+         |GROUP BY epoch ORDER BY epoch""".stripMargin,
     "llm_quality_buckets" ->
       s"""WITH q AS (SELECT doc_id, $scoreSql AS score FROM documents),
          |b AS (SELECT doc_id, score,

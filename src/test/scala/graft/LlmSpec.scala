@@ -168,4 +168,42 @@ class LlmSpec extends AnyFunSuite {
     val r = llm.Dedup.dedupExact(spark, SF).collect()(0)
     assert(r.getLong(0) >= r.getLong(1))
   }
+
+  test("bigram LM score: every multi-token doc scored, probabilities proper") {
+    import spark.implicits._
+    val scored = llm.TextStats.lmScore(spark, SF)
+      .select($"doc_id", $"n_bigrams", $"lm_score").collect()
+    val docsWithBigrams = T.t(spark, SF, "documents")
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")) >= 2).count()
+    assert(scored.length == docsWithBigrams)
+    // log-probs of a proper (smoothed) distribution are strictly negative
+    assert(scored.forall(_.getDouble(2) < 0.0))
+    // a near-dup pair is built from the same constructions — their
+    // mean log-probs should sit close together (planted pairs ≥0.89
+    // jaccard; 0.35 nats is a loose band that still catches a broken
+    // count join, which moves scores by whole nats)
+    val byId = scored.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pairs = llm.Dedup.ngramJaccard(spark, SF)
+      .filter($"jaccard" >= 0.89)
+      .select($"doc_a", $"doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      val (a, b) = (byId(p.getLong(0)), byId(p.getLong(1)))
+      assert(math.abs(a - b) < 0.35, s"pair $p scores $a vs $b")
+    }
+  }
+
+  test("windowed TTL dedup pairs are the windowed subset of the stream pairs") {
+    import spark.implicits._
+    val all = llm.Dedup.dedupStream(spark, SF)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val windowed = llm.Dedup.dedupStreamTtl(spark, SF)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(windowed ==
+      all.filter { case (a, b) => b - a <= llm.Dedup.TtlWindow })
+    assert(windowed.nonEmpty && windowed.size < all.size)
+  }
 }

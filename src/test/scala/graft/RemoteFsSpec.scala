@@ -90,6 +90,30 @@ class RemoteFsSpec extends AnyFunSuite {
     assert(keys.size == T.t(spark, SF, "orders").count())
   }
 
+  test("bloom sidecar build + pruned point lookup work on graftfs://") {
+    val out = remote("remote_bloom")
+    val li = T.t(spark, SF, "lineitem")
+    li.repartition(8, $"l_partkey").write.mode("overwrite").parquet(out)
+    storage.buildBloomIndex(out, Seq("l_partkey"))
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$out/_bloom")))
+    val pruned = storage.readPruned(out).filter($"l_partkey" === 100)
+    assert(pruned.count() == li.filter($"l_partkey" === 100).count())
+    assert(pruned.count() > 0)
+  }
+
+  test("format(\"graft\") round trip works on graftfs://") {
+    val out = remote("remote_format")
+    T.t(spark, SF, "nation")
+      .write.format("graft").mode("overwrite")
+      .option("clusterBy", "n_nationkey").option("zone", "n_nationkey")
+      .save(out)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$out/_zonemap")))
+    assert(spark.read.format("graft").load(out)
+      .filter($"n_nationkey" < 10).count() == 10)
+  }
+
   test("strictSchema footer check works on graftfs://") {
     val out = remote("remote_strict")
     val n = T.t(spark, SF, "nation")
