@@ -116,13 +116,42 @@ object Multimodal extends QueryModule {
       .orderBy($"format")
   }
 
+  /** Exact binary dedup over the payload column: content-hash groupBy
+    * with min-id survivor — the asset-level pass a multimodal corpus
+    * runs before any expensive decode (hashing bytes is scan-speed;
+    * decode is not). Every 50th asset is re-ingested under a new id
+    * to plant true duplicates; the query reports each duplicate
+    * group's keeper and copy count.
+    */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = assets(s, dir).toDF()
+    val reingested = a.filter($"doc_id" % 50 === 0)
+      .withColumn("doc_id", $"doc_id" + 10000)
+    a.union(reingested)
+      .groupBy(md5($"payload").as("h"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .filter($"n_copies" >= 2)
+      .select($"keeper", $"n_copies")
+      .orderBy($"keeper")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup" -> (mmDedup(_, _)),
     "mm_features" -> (mmFeatures(_, _)),
     "mm_frames" -> (mmFrames(_, _)),
     "mm_roundtrip" -> (mmRoundtrip(_, _)),
     "mm_meta" -> (mmMeta(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "mm_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM a GROUP BY md5(text) HAVING COUNT(*) >= 2
+        |ORDER BY keeper""".stripMargin,
     "mm_features" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS byte_len,

@@ -145,6 +145,30 @@ object Pipeline extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** The 100 TB replacement for exact deciles (SURVEY §8c #1), gated:
+    * `approx_percentile` computes quantile cuts in one distributed
+    * pass with NO global sort — where `ntile` is a single-partition
+    * reduction. Emits the EXACT interpolated quartile cuts (DuckDB
+    * mirrors them with quantile_cont) plus booleans asserting the
+    * sketch cut lands within 0.02 of exact — out-of-bound sketches
+    * flip a boolean and fail the hash compare, the same driver-gated
+    * error-bound discipline as agg_approx_distinct.
+    */
+  def qualityCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = TextStats.quality(s, dir).select($"score")
+    q.agg(
+        expr("percentile(score, array(0.25, 0.5, 0.75))").as("ex"),
+        expr("approx_percentile(score, array(0.25, 0.5, 0.75), 10000)").as("ap"))
+      .select(
+        round(element_at($"ex", 1), 6).as("p25"),
+        round(element_at($"ex", 2), 6).as("p50"),
+        round(element_at($"ex", 3), 6).as("p75"),
+        (abs(element_at($"ap", 1) - element_at($"ex", 1)) <= 0.02).as("p25_close"),
+        (abs(element_at($"ap", 2) - element_at($"ex", 2)) <= 0.02).as("p50_close"),
+        (abs(element_at($"ap", 3) - element_at($"ex", 3)) <= 0.02).as("p75_close"))
+  }
+
   /** Epoch-aware data mixing: quality deciles map to repetition
     * factors (top buckets trained 3 epochs, middle 2, lower 1,
     * bottom decile dropped) — the "repeat your best data" recipe of
@@ -234,6 +258,7 @@ object Pipeline extends QueryModule {
     "llm_token_hist" -> (tokenHist(_, _)),
     "llm_domain_mix" -> (domainMix(_, _)),
     "llm_mix_epochs" -> (mixEpochs(_, _)),
+    "llm_quality_cuts" -> (qualityCuts(_, _)),
     "llm_budget_select" -> (budgetSelect(_, _)),
     "llm_quality_buckets" -> (qualityBuckets(_, _)),
     "llm_pipeline_e2e" -> (pipelineE2e(_, _)),
@@ -336,6 +361,13 @@ object Pipeline extends QueryModule {
          |  COUNT(CASE WHEN cum - n < 20000 THEN 1 END) AS n_kept,
          |  SUM(CASE WHEN cum - n < 20000 THEN n END) AS toks_kept
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_quality_cuts" ->
+      s"""WITH q AS (SELECT $scoreSql AS score FROM documents)
+         |SELECT round(quantile_cont(score, 0.25), 6) AS p25,
+         |  round(quantile_cont(score, 0.50), 6) AS p50,
+         |  round(quantile_cont(score, 0.75), 6) AS p75,
+         |  true AS p25_close, true AS p50_close, true AS p75_close
+         |FROM q""".stripMargin,
     "llm_mix_epochs" ->
       s"""WITH q AS (SELECT doc_id, $scoreSql AS score FROM documents),
          |b AS (SELECT doc_id,

@@ -424,6 +424,69 @@ final case class GraftStorage(
       .write.mode("overwrite").parquet(s"$path/_bloom")
   }
 
+  /** INCREMENTAL Bloom maintenance — `appendIndexed`'s contract for
+    * the `_bloom` sidecar: append `df` as new files, build Blooms for
+    * ONLY the new files (the data pass is filtered to them, so an
+    * append of a daily batch scans the batch, not the table), and
+    * union the existing sidecar rows verbatim — the reference's
+    * per-part index + driver merge (IndexFileMerger.java:62-102).
+    */
+  def appendBloomIndexed(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val blPath = new Path(dir, "_bloom")
+    require(fs.exists(blPath),
+      s"appendBloomIndexed requires an existing _bloom sidecar at $path")
+    val existing = spark.read.parquet(blPath.toString).localCheckpoint()
+    val bloomCols = existing.select("col").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    // normalize to the URI path component: input_file_name() (sidecar
+    // rows) and FileStatus.getPath render the same file as
+    // file:///x vs file:/x
+    def pathKey(p: String): String = new Path(p).toUri.getPath
+    val known = existing.select("file").collect()
+      .map(r => pathKey(r.getString(0))).toSet
+    df.write.mode("append").parquet(path)
+    val newFiles = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".") &&
+        !known.contains(pathKey(f.getPath.toString)))
+      .map(_.getPath.toString)
+    if (newFiles.isEmpty) return
+    // one pass over ONLY the new files per column
+    val newData = spark.read.parquet(newFiles: _*)
+    import org.apache.spark.sql.types._
+    val fieldType = newData.schema.fields.map(f => f.name -> f.dataType).toMap
+    val s = spark
+    import s.implicits._
+    val fresh: Seq[DataFrame] = bloomCols.map { c =>
+      val isLong = fieldType(c) match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      val bloomed =
+        if (isLong)
+          newData.filter(col(c).isNotNull)
+            .select(input_file_name().as("file"), col(c).cast(LongType).as("v"))
+            .as[(String, Long)]
+            .groupByKey(_._1)
+            .agg(new BloomLongAgg(100000, 0.01).toColumn.name("bloom"))
+        else
+          newData.filter(col(c).isNotNull)
+            .select(input_file_name().as("file"), col(c).cast(StringType).as("v"))
+            .as[(String, String)]
+            .groupByKey(_._1)
+            .agg(new BloomStringAgg(100000, 0.01).toColumn.name("bloom"))
+      bloomed.toDF("file", "bloom").withColumn("col", lit(c))
+    }
+    existing.select("file", "col", "bloom")
+      .unionAll(fresh.reduce(_.unionAll(_)).select("file", "col", "bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(blPath.toString)
+  }
+
   /** Read with zone-map pruning on `zoneCol` ∈ [lo, hi] — the
     * index-driven split pruning of the reference (BamSource.java:
     * 99-119, TribbleIndexIntervalFilteringTextInputFormat.java:59-92):

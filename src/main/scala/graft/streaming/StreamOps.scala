@@ -61,6 +61,26 @@ object StreamOps extends QueryModule {
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Sessionization with a DYNAMIC gap — session_window's expression
+    * form: the inactivity timeout depends on the row (purchases close
+    * after 60 minutes, everything else after 10), which fixed-gap
+    * sessionization cannot express. Sessions form per (user, type);
+    * summary per type.
+    */
+  def sessionDynamicCore(ev: DataFrame): DataFrame = {
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("10 minutes"))
+    ev.groupBy(session_window(col("ts"), gap),
+        col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def streamSessionDynamic(s: SparkSession, dir: String): DataFrame =
+    sessionDynamicCore(T.events(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Keep-first dedup per (user_id, event_type) — the batch-checkable
     * analogue of streaming `dropDuplicates` state (first-by-event-time
     * with a deterministic tiebreak).
@@ -282,6 +302,7 @@ object StreamOps extends QueryModule {
     "stream_interval_join" -> (streamIntervalJoin(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
     "stream_session" -> (streamSession(_, _)),
+    "stream_session_dynamic" -> (streamSessionDynamic(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_pack" -> (streamPack(_, _)),
     "stream_dedup" -> (streamDedup(_, _)))
@@ -401,6 +422,21 @@ object StreamOps extends QueryModule {
         |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_session_dynamic" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER w) >=
+        |            CASE WHEN event_type = 'purchase' THEN 3600 ELSE 600 END
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts))
+        |SELECT event_type, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_dedup" ->
       """SELECT user_id, event_type, event_id FROM (
         |  SELECT user_id, event_type, event_id,

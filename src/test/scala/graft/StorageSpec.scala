@@ -582,6 +582,25 @@ class StorageSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("Append"))
   }
 
+  test("appendBloomIndexed extends the sidecar with only the new files' blooms") {
+    val out = T.scratch(SF, "bloom_append")
+    val li = T.t(spark, SF, "lineitem")
+    val half1 = li.filter($"l_orderkey" % 2 === 0)
+    val half2 = li.filter($"l_orderkey" % 2 === 1)
+    half1.repartition(4, $"l_partkey").write.mode("overwrite").parquet(out)
+    storage.buildBloomIndex(out, Seq("l_partkey"))
+    val before = spark.read.parquet(s"$out/_bloom").count()
+    storage.appendBloomIndexed(half2.repartition(4, $"l_partkey"), out)
+    val sidecar = spark.read.parquet(s"$out/_bloom")
+    // one row per (file, col), no duplicate entries for the old files
+    assert(sidecar.count() == sidecar.select("file").distinct().count())
+    assert(sidecar.count() > before)
+    // pruned point lookup stays exact over old + new data
+    val pruned = storage.readPruned(out).filter($"l_partkey" === 100)
+    assert(pruned.count() == li.filter($"l_partkey" === 100).count())
+    assert(pruned.count() > 0)
+  }
+
   test("stored IVF index: probe reads only the probed cells' files") {
     import graft.functions.VectorFunctions.cosine_sim
     import org.apache.spark.sql.expressions.Window
