@@ -879,7 +879,7 @@ final case class GraftStorage(
   * like any sketch — the per-part-index → merged-index pattern
   * (IndexFileMerger.java:62-102) as a typed Aggregator.
   */
-private[sources] final class BloomLongAgg(expected: Long, fpp: Double)
+private[graft] final class BloomLongAgg(expected: Long, fpp: Double)
   extends org.apache.spark.sql.expressions.Aggregator[
     (String, Long), org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
   import org.apache.spark.util.sketch.BloomFilter
@@ -898,7 +898,7 @@ private[sources] final class BloomLongAgg(expected: Long, fpp: Double)
   override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
 }
 
-private[sources] final class BloomStringAgg(expected: Long, fpp: Double)
+private[graft] final class BloomStringAgg(expected: Long, fpp: Double)
   extends org.apache.spark.sql.expressions.Aggregator[
     (String, String), org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
   import org.apache.spark.util.sketch.BloomFilter

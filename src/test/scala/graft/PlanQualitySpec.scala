@@ -256,6 +256,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("format(\"graft\") resolves to the pushdown-capable parquet scan") {
+    val p = plan(operators.Scans.scanGraftFormat(spark, SF))
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") &&
+      readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
   test("bitmap distinct aggregates bitmaps, not expanded key rows") {
     val p = operators.Aggs.aggBitmapDistinct(spark, SF)
       .queryExecution.executedPlan.toString

@@ -75,6 +75,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BloomLongAgg: no false negatives under any partial/merge split") {
+    // the pruning soundness contract: however rows are partitioned
+    // into partial aggregates, the merged Bloom must contain every
+    // inserted key — a false negative would make the FileIndex prune
+    // a file that holds the looked-up value (wrong results, not just
+    // a slow plan)
+    val gen = for {
+      keys <- Gen.listOf(Gen.chooseNum(-100000L, 100000L))
+      cut <- Gen.chooseNum(0, 100)
+    } yield (keys, cut)
+    check(Prop.forAll(gen) { case (keys, cutPct) =>
+      val agg = new graft.sources.BloomLongAgg(1000, 0.01)
+      val cut = keys.size * cutPct / 100
+      val (a, b) = keys.splitAt(cut)
+      val bufA = a.foldLeft(agg.zero)((buf, k) => agg.reduce(buf, ("f", k)))
+      val bufB = b.foldLeft(agg.zero)((buf, k) => agg.reduce(buf, ("f", k)))
+      val bytes = agg.finish(agg.merge(bufA, bufB))
+      val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      keys.forall(bloom.mightContainLong)
+    })
+  }
+
   test("partition-count invariance: row count independent of split size") {
     val spark = SparkTestSession.spark
     val path = s"${SparkTestSession.SF}/lineitem.parquet"
