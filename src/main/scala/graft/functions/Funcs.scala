@@ -111,6 +111,26 @@ object Funcs extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Error-safe arithmetic/cast family (`try_*`) — the expression-
+    * level counterpart of the source-level stringency modes (F5):
+    * divide-by-zero, numeric overflow, and unparseable casts yield
+    * NULL instead of failing the job — on a 100 TB input, one bad
+    * row must never kill the query. Oracle mirrors each null rule
+    * with explicit CASE/TRY_CAST.
+    */
+  def fnTry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "orders")
+      .filter($"o_orderkey" % 499 === 0)
+      .select(
+        $"o_orderkey",
+        expr("try_divide(o_totalprice, o_orderkey % 3)").as("div3"),
+        expr("try_cast(o_orderpriority AS INT)").as("prio_num"),
+        expr("try_add(9223372036854775807L, o_orderkey)").as("ovf"),
+        expr("try_multiply(4611686018427387904L, o_orderkey % 3)").as("mul_ovf"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Map family (tags / INFO analogue): parse the JSON props into a
     * MapType and extract through it.
     */
@@ -204,6 +224,7 @@ object Funcs extends QueryModule {
     "fn_date" -> (fnDate(_, _)),
     "fn_array" -> (fnArray(_, _)),
     "fn_lambda" -> (fnLambda(_, _)),
+    "fn_try" -> (fnTry(_, _)),
     "fn_map" -> (fnMap(_, _)),
     "fn_cond" -> (fnCond(_, _)),
     "fn_json" -> (fnJson(_, _)))
@@ -268,6 +289,17 @@ object Funcs extends QueryModule {
         |  string_split(text, ' ')[1] AS first_tok,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_try" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE o_totalprice / (o_orderkey % 3) END AS div3,
+        |  TRY_CAST(o_orderpriority AS INT) AS prio_num,
+        |  CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+        |       ELSE CAST(NULL AS BIGINT) END AS ovf,
+        |  CASE o_orderkey % 3 WHEN 0 THEN 0
+        |       WHEN 1 THEN 4611686018427387904 ELSE NULL END AS mul_ovf
+        |FROM orders WHERE o_orderkey % 499 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "fn_lambda" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents)

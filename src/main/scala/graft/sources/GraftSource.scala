@@ -46,6 +46,10 @@ final class GraftSource extends RelationProvider
       ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = ctx.sparkSession
+    // single-path contract (load(a, b, ...) is a FileFormat-source
+    // feature the V1 RelationProvider API never sees; a directory
+    // union has no single sidecar to consult anyway — read the parent
+    // directory instead)
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft source requires a path"))
     var st = GraftStorage(spark)
@@ -122,6 +126,12 @@ final class GraftSource extends RelationProvider
         }
       case other =>
         throw new IllegalArgumentException(s"unsupported graft layout: $other")
+    }
+    // `bloom`: comma-separated columns to point-index after the write
+    // — composes with any sharded layout (zone maps answer ranges on
+    // the clustering key, Blooms answer equality on these)
+    parameters.get("bloom").filter(_ => layout == "sharded").foreach { cols =>
+      st.buildBloomIndex(path, cols.split(",").toSeq)
     }
     readBack()
   }

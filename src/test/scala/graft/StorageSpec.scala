@@ -236,6 +236,34 @@ class StorageSpec extends AnyFunSuite {
         .count())
   }
 
+  test("bloom index at 100 files: point lookup scans one file, appends stay linear") {
+    val sf01 = SparkTestSession.SF01
+    val out = T.scratch(sf01, "bloom_manyfiles")
+    val li = T.t(spark, sf01, "lineitem")
+    // 100 hash-partitioned files: any l_partkey lives in exactly one
+    li.repartition(100, $"l_partkey").write.mode("overwrite").parquet(out)
+    storage.buildBloomIndex(out, Seq("l_partkey"))
+    val sidecar = spark.read.parquet(s"$out/_bloom")
+    assert(sidecar.count() == 100, "one sidecar row per data file")
+    val pruned = storage.readPruned(out).filter($"l_partkey" === 777)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    // 1 true file + ~1% fpp over 99 others → a couple at most
+    val nFiles = scan.metrics("numFiles").value
+    assert(nFiles <= 4, s"expected ~1 file at fpp=0.01, scanned $nFiles")
+    assert(pruned.count() == li.filter($"l_partkey" === 777).count())
+    // three daily appends: sidecar stays one row per file, lookups exact
+    (0 until 3).foreach { day =>
+      storage.appendBloomIndexed(
+        li.filter($"l_orderkey" % 100 === day).repartition(2, $"l_partkey"), out)
+    }
+    val after = spark.read.parquet(s"$out/_bloom")
+    assert(after.count() == after.select("file").distinct().count())
+    assert(after.count() == 106, s"100 + 3x2 appended files, got ${after.count()}")
+  }
+
   test("indexGranularity shrinks row groups => more zone-map entries per file") {
     // needs enough rows that a file exceeds the fine block size
     val sf01 = SparkTestSession.SF01
@@ -574,6 +602,15 @@ class StorageSpec extends AnyFunSuite {
       spark.read.format("graft").option("strictSchema", "true").load(mixed)
     }
     assert(ex.getMessage.contains("incompatible file schemas"))
+    // bloom write option builds the point-lookup sidecar
+    val bl = T.scratch(SF, "graft_format_bloom")
+    T.t(spark, SF, "lineitem").repartition(8, $"l_partkey")
+      .write.format("graft").mode("overwrite")
+      .option("bloom", "l_partkey").save(bl)
+    assert(new java.io.File(s"$bl/_bloom").exists())
+    assert(spark.read.format("graft").load(bl)
+      .filter($"l_partkey" === 100).count() ==
+      T.t(spark, SF, "lineitem").filter($"l_partkey" === 100).count())
     // append onto an indexed layout is refused (appendIndexed is the API)
     val ex2 = intercept[IllegalArgumentException] {
       n.write.format("graft").mode("append")

@@ -146,6 +146,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(providerKey)
   }
 
+  test("watermark drops late rows on restart and reports the drop") {
+    val srcDir = T.scratch(SF, "late_src")
+    val outDir = T.scratch(SF, "late_out")
+    val ckpt = T.scratch(SF, "late_ckpt")
+    Seq(srcDir, outDir, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val ev = T.events(spark, SF).select($"ts", $"event_type", $"value")
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3 * 3600 * 1000L)
+    val lateCut = new java.sql.Timestamp(maxTs.getTime - 5 * 3600 * 1000L)
+    ev.filter($"ts" >= lit(cutoff)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Long = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "10 minutes"), $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"window.start".as("w"), $"event_type", $"cnt")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.processAllAvailable()
+        q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsDroppedByWatermark).sum
+      } finally q.stop()
+    }
+    val dropped1 = run()
+    assert(dropped1 == 0, "phase 1 rows are all on time")
+    val count1 = spark.read.parquet(outDir).count()
+    assert(count1 > 0, "watermark must have finalized some windows")
+    // rows hours older than the persisted watermark arrive late —
+    // the restarted query must DROP them (bounded state means never
+    // reopening closed windows) and say so in its metrics
+    ev.filter($"ts" < lit(lateCut)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val dropped2 = run()
+    assert(dropped2 > 0, "late rows must be counted as dropped")
+    assert(spark.read.parquet(outDir).count() == count1,
+      "late rows must not reopen finalized windows")
+  }
+
   test("checkpointed file-sink stream restarts exactly-once (no re-reads, no dupes)") {
     val srcDir = T.scratch(SF, "restart_src")
     val outDir = T.scratch(SF, "restart_out")
