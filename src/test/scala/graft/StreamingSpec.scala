@@ -146,6 +146,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(providerKey)
   }
 
+  test("event-time timers fire session-close notifications at the watermark") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = T.scratch(SF, "timer_src")
+      T.events(spark, SF).select($"user_id", $"ts")
+        .coalesce(1).write.mode("overwrite").parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "1 hour")
+        .as[(Long, java.sql.Timestamp)]
+      // per-user inactivity close: every arrival re-arms a timer at
+      // last_event + 30 min; when the WATERMARK passes it, the expiry
+      // callback emits (user, n_events) and clears the state — the
+      // push-based session close that session_window's pull-based agg
+      // can't express
+      val proc = new StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long)] {
+        @transient private var cnt: ValueState[Long] = _
+        @transient private var lastTs: ValueState[Long] = _
+        override def init(out: OutputMode, time: TimeMode): Unit = {
+          cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+          lastTs = getHandle.getValueState[Long]("lastTs", Encoders.scalaLong, TTLConfig.NONE)
+        }
+        override def handleInputRows(key: Long,
+            rows: Iterator[(Long, java.sql.Timestamp)],
+            timers: TimerValues): Iterator[(Long, Long)] = {
+          var n = if (cnt.exists()) cnt.get() else 0L
+          var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+          rows.foreach { r => n += 1; last = math.max(last, r._2.getTime) }
+          cnt.update(n); lastTs.update(last)
+          getHandle.listTimers().foreach(t =>
+            getHandle.deleteTimer(t.asInstanceOf[Long]))
+          getHandle.registerTimer(last + 30 * 60 * 1000L)
+          Iterator.empty
+        }
+        override def handleExpiredTimer(key: Long, timers: TimerValues,
+            expired: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+          val n = if (cnt.exists()) cnt.get() else 0L
+          cnt.clear(); lastTs.clear()
+          Iterator.single((key, n))
+        }
+      }
+      val q = stream.groupByKey(_._1)
+        .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "n_events")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("timer_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("timer_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // deterministic expectation: all data arrives in ONE batch, the
+      // closing no-data batch advances the watermark to max - 1h, so
+      // exactly the users idle ≥ 30 min before that close
+      val ev = T.events(spark, SF)
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0).getTime
+      val want = ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), max($"ts").as("mx"))
+        .collect()
+        .filter(_.getTimestamp(2).getTime + 30 * 60 * 1000L <=
+          maxTs - 3600 * 1000L)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally spark.conf.unset(providerKey)
+  }
+
   test("watermark drops late rows on restart and reports the drop") {
     val srcDir = T.scratch(SF, "late_src")
     val outDir = T.scratch(SF, "late_out")
