@@ -128,6 +128,66 @@ object Aggs extends QueryModule {
         (abs($"est" - $"n_parts") <= $"n_parts" * 0.05).as("within_5pct"))
   }
 
+  /** Aggregate PUSHDOWN to the parquet footers: COUNT/MIN/MAX
+    * answered from file METADATA — zero data pages read, cost
+    * O(files) not O(rows) — the reference's "the index answers the
+    * count" discipline (count oracles against .sbi record counts,
+    * HtsjdkReadsRddTest.java:141-156) as a Catalyst capability. Needs
+    * the V2 parquet source (`useV1SourceList` cleared for parquet)
+    * plus `parquet.aggregatePushdown`; both are scoped to the read
+    * resolution and restored. PlanQualitySpec asserts the plan
+    * carries PushedAggregation and no row-level scan.
+    */
+  /** Scoped V2-parquet + aggregate-pushdown confs. Session-global
+    * V2-parquet would change every scan in the suite (and lose
+    * bucketed-scan support), so the scope is narrow — and because
+    * pushdown is decided at OPTIMIZATION time, anything that must see
+    * it has to PLAN (or run) inside `body`, not after (the
+    * fresh-QueryExecution trap ADVICE.md flagged on the interval
+    * confs).
+    */
+  private[graft] def withV2ParquetPushdown[A](s: SparkSession)(body: => A): A = {
+    val pushKey = "spark.sql.parquet.aggregatePushdown"
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val prevPush = s.conf.getOption(pushKey)
+    val prevV1 = s.conf.getOption(v1Key)
+    s.conf.set(pushKey, "true")
+    s.conf.set(v1Key,
+      prevV1.getOrElse("avro,csv,json,kafka,orc,parquet,text")
+        .split(",").filterNot(_.trim == "parquet").mkString(","))
+    try body finally {
+      prevPush match {
+        case Some(v) => s.conf.set(pushKey, v); case None => s.conf.unset(pushKey)
+      }
+      prevV1 match {
+        case Some(v) => s.conf.set(v1Key, v); case None => s.conf.unset(v1Key)
+      }
+    }
+  }
+
+  /** The whole-table stats query, unresolved — planned by the caller
+    * inside (query/gate) or outside (never pushes) the conf scope.
+    */
+  private[graft] def pushdownAggDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .agg(
+        expr("count(*)").as("cnt"),
+        min($"l_orderkey").as("min_key"),
+        max($"l_orderkey").as("max_key"))
+  }
+
+  def aggPushdownStats(s: SparkSession, dir: String): DataFrame = {
+    // the metadata lookup EXECUTES inside the scope (one row, one
+    // collect — the operator IS a footer read); the returned local
+    // DataFrame re-plans safely anywhere
+    val (rows, schema) = withV2ParquetPushdown(s) {
+      val df = pushdownAggDf(s, dir)
+      (df.collect(), df.schema)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** UNPIVOT/melt — wide measures to long (variable, value) rows,
     * the inverse of agg_pivot: a zero-shuffle Expand over the
     * aggregated table (each input row emits one row per measure).
@@ -261,6 +321,7 @@ object Aggs extends QueryModule {
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
     "agg_bitmap_distinct" -> (aggBitmapDistinct(_, _)),
     "agg_unpivot" -> (aggUnpivot(_, _)),
+    "agg_pushdown_stats" -> (aggPushdownStats(_, _)),
     "agg_hll_union" -> (aggHllUnion(_, _)),
     "agg_rollup" -> (aggRollup(_, _)),
     "agg_grouping_sets" -> (aggGroupingSets(_, _)),
@@ -289,6 +350,10 @@ object Aggs extends QueryModule {
     "agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_pushdown_stats" ->
+      """SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_key,
+        |  MAX(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin,
     "agg_unpivot" ->
       s"""WITH w AS (
          |  SELECT l_returnflag,

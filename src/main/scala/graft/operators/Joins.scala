@@ -171,8 +171,9 @@ object Joins extends QueryModule {
     (ot, lt)
   }
 
-  override def prepare(s: SparkSession, dir: String): Unit =
-    bucketedTables(s, dir)
+  override def prepare(s: SparkSession, dir: String): Unit = {
+    bucketedTables(s, dir); dppFixture(s, dir)
+  }
 
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -391,6 +392,43 @@ object Joins extends QueryModule {
       .orderBy($"l_orderkey")
   }
 
+  /** DYNAMIC PARTITION PRUNING: the fact side is a hive-partitioned
+    * layout and the join key IS the partition column — Catalyst
+    * injects the dim side's build keys as a plan-time partition
+    * filter (`dynamicpruning` subquery), so fact partitions no dim
+    * row references are never READ, not just filtered after the scan.
+    * At 100 TB this is the difference between scanning two partition
+    * directories and scanning the table. PlanQualitySpec asserts the
+    * scan's PartitionFilters carry the dynamicpruning subquery.
+    */
+  private def dppFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "events_dpp") { out =>
+      import s.implicits._
+      T.events(s, dir)
+        .select($"event_id", $"user_id", $"value", $"event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(s"$out/fact")
+      // the dim must be a SOURCE-backed relation: a literal local dim
+      // gets its filter constant-folded away (ConvertToLocalRelation)
+      // before the PartitionPruning rule looks for the selective
+      // predicate that arms DPP
+      s.createDataFrame(Seq(("click", 1), ("purchase", 5), ("view", -1)))
+        .toDF("event_type", "weight")
+        .write.mode("overwrite").parquet(s"$out/dim")
+    }
+
+  def joinDpp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = dppFixture(s, dir)
+    val fact = s.read.parquet(s"$out/fact")
+    // the selective dim-side predicate is what arms the DPP rule
+    // (an unfiltered dim is assumed to reference every partition)
+    val dim = s.read.parquet(s"$out/dim").filter($"weight" > 0)
+    fact.join(dim, "event_type")
+      .groupBy($"event_type", $"weight")
+      .agg(count(lit(1)).as("cnt"), dsum($"value" * $"weight", 6).as("wsum"))
+      .orderBy($"event_type")
+  }
+
   /** NULL-SAFE equi join (`<=>` / IS NOT DISTINCT FROM): null keys
     * match EACH OTHER instead of dropping out — the semantics ETL
     * needs when the join key itself carries "unknown" as a value.
@@ -436,6 +474,7 @@ object Joins extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_null_safe" -> (joinNullSafe(_, _)),
+    "join_dpp" -> (joinDpp(_, _)),
     "join_lateral" -> (joinLateral(_, _)),
     "join_broadcast" -> (joinBroadcast(_, _)),
     "join_sortmerge" -> (joinSortmerge(_, _)),
@@ -454,6 +493,12 @@ object Joins extends QueryModule {
     "pairs_group" -> (pairsGroup(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "join_dpp" ->
+      s"""WITH dim(event_type, weight) AS (VALUES ('click', 1), ('purchase', 5))
+         |SELECT event_type, weight, COUNT(*) AS cnt,
+         |  ${sqlDsum("value * weight", 6)} AS wsum
+         |FROM events JOIN dim USING (event_type)
+         |GROUP BY event_type, weight ORDER BY event_type""".stripMargin,
     "join_null_safe" ->
       s"""WITH c AS (SELECT nullif(c_nationkey, 5) AS nk, c_acctbal
          |           FROM customer),

@@ -256,6 +256,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("whole-table stats agg is answered from parquet footers (PushedAggregation)") {
+    // plan INSIDE the conf scope — pushdown resolves at optimization
+    val p = operators.Aggs.withV2ParquetPushdown(spark) {
+      plan(operators.Aggs.pushdownAggDf(spark, SF))
+    }
+    assert(p.contains("PushedAggregation"), p.take(3000))
+    assert(p.contains("COUNT(*)") || p.contains("MIN(l_orderkey)"),
+      p.take(3000))
+    // and the registered query returns the same row as a plain agg
+    val got = operators.Aggs.aggPushdownStats(spark, SF).collect()(0)
+    val want = operators.Aggs.pushdownAggDf(spark, SF).collect()(0)
+    assert(got == want)
+  }
+
+  test("partition-keyed join prunes fact partitions dynamically (DPP)") {
+    val p = plan(operators.Joins.joinDpp(spark, SF))
+    // the fact scan's PartitionFilters must carry the injected
+    // dynamicpruning subquery over the dim side's build keys
+    assert(p.contains("dynamicpruning"), p.take(3000))
+    assert(p.contains("events_dpp"), p.take(3000))
+  }
+
   test("format(\"graft\") resolves to the pushdown-capable parquet scan") {
     val p = plan(operators.Scans.scanGraftFormat(spark, SF))
     assert(p.contains("PushedFilters:"), p.take(2000))
