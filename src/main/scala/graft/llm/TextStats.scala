@@ -230,6 +230,31 @@ object TextStats extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** BPE-style pair statistics: the most frequent adjacent character
+    * pairs within words — exactly the statistic one byte-pair-encoding
+    * training iteration computes before merging its top pair
+    * (Sennrich et al., ACL'16). Pure generate-and-count: explode words,
+    * explode character offsets, substring the 2-gram, one hash agg —
+    * scan-speed, map-side combined, no windows. Top 20 with a
+    * deterministic (count desc, pair asc) cut.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "documents")
+      .select(explode(toks($"text")).as("word"))
+      // single-char words carry no pair — and Spark's sequence(1, 0)
+      // would run DESCENDING rather than empty, silently emitting
+      // bogus offsets, so the guard is correctness, not just cost
+      .filter(length($"word") >= 2)
+      .select(explode(expr("sequence(1, length(word) - 1)")).as("i"),
+        $"word")
+      .select(expr("substring(word, i, 2)").as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(20)
+  }
+
   /** Quality score: length gate + lexical-diversity/volume blend;
     * keep flag for pipeline filtering.
     */
@@ -259,6 +284,7 @@ object TextStats extends QueryModule {
     "llm_winnow_pairs" -> (winnowPairs(_, _)),
     "llm_repetition" -> (repetition(_, _)),
     "llm_lm_score" -> (lmScore(_, _)),
+    "llm_bpe_pairs" -> (bpePairs(_, _)),
     "llm_quality" -> (quality(_, _)))
 
   // shared winnowing CTE chain ending in fps(doc_id, fp)
@@ -291,6 +317,16 @@ object TextStats extends QueryModule {
     s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map("'" + _ + "'").mkString(", ")})))"
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 2),
+        |p AS (
+        |  SELECT substr(word, CAST(i.i AS INT), 2) AS pair
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) i)
+        |SELECT pair, COUNT(*) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "llm_lm_score" ->
       """WITH big AS (
         |  SELECT doc_id, s.a AS w1, s.b AS w2 FROM (

@@ -278,6 +278,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("events_dpp"), p.take(3000))
   }
 
+  test("runtime bloom filter reduces the big side of a selective shuffle join") {
+    // thresholds are sized for TB-scale tables; scope them down so the
+    // sf-scale fixture demonstrates the same injection — planned
+    // INSIDE the scope (optimizer-time decision, like agg pushdown)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val orders = T.t(spark, SF, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val li = T.t(spark, SF, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice")
+      val joined = li.join(orders, $"l_orderkey" === $"o_orderkey")
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        p.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("format(\"graft\") resolves to the pushdown-capable parquet scan") {
     val p = plan(operators.Scans.scanGraftFormat(spark, SF))
     assert(p.contains("PushedFilters:"), p.take(2000))
