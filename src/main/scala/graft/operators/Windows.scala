@@ -100,7 +100,31 @@ object Windows extends QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** Positional value functions: first/last/nth over an explicit
+    * full-partition frame, plus the IGNORE NULLS variant (last
+    * non-null click per user — the gap-fill primitive) — the frame
+    * must be stated UNBOUNDED..UNBOUNDED: last_value over the default
+    * frame is the current row on both engines, a classic silent-wrong
+    * default this query pins instead of tripping over.
+    */
+  def winNth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("first_ev", first($"event_type").over(w))
+      .withColumn("last_ev", last($"event_type").over(w))
+      .withColumn("third_ev", nth_value($"event_type", 3).over(w))
+      .withColumn("last_click",
+        last(when($"event_type" === "click", $"event_id"),
+          ignoreNulls = true).over(w))
+      .drop("ts")
+      .orderBy($"user_id", $"event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_nth" -> (winNth(_, _)),
     "win_distribution" -> (winDistribution(_, _)),
     "win_rank" -> (winRank(_, _)),
     "win_lag" -> (winLag(_, _)),
@@ -108,6 +132,18 @@ object Windows extends QueryModule {
     "win_frame_range" -> (winFrameRange(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "win_nth" ->
+      """SELECT user_id, event_id, event_type,
+        |  first_value(event_type) OVER w AS first_ev,
+        |  last_value(event_type) OVER w AS last_ev,
+        |  nth_value(event_type, 3) OVER w AS third_ev,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |             IGNORE NULLS) OVER w AS last_click
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_distribution" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  ntile(4) OVER w AS quartile,
