@@ -205,17 +205,23 @@ object Pipeline extends QueryModule {
     * exact deciles; the 100 TB path replaces the sort with an
     * approx-percentile score cut (the primitive agg_percentile
     * demonstrates) and spends the budget within partitions. Summary
-    * output: kept/total counts and token mass per language.
+    * output: kept/total counts and token mass per language. The
+    * ordering key is the quality score in integer millionths
+    * (`distinct*500000 div n + least(n,100)*5000`) — pure integer
+    * arithmetic on both engines, so the greedy cut point can never
+    * drift on a round(double) tie the way a double score order can.
     */
   def budgetSelect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val budget = 20000L
-    val q = TextStats.quality(s, dir).select($"doc_id", $"score")
     val d = T.t(s, dir, "documents")
-      .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n"))
-      .join(q, "doc_id")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n"),
+        expr("size(array_distinct(split(text, ' '))) * 500000L" +
+          " div size(split(text, ' '))" +
+          " + least(size(split(text, ' ')), 100) * 5000L").as("score_u"))
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"score".desc, $"doc_id")
+      .orderBy($"score_u".desc, $"doc_id")
     d.withColumn("cum", sum($"n").over(w))
       .withColumn("keep", $"cum" - $"n" < budget)
       .groupBy($"lang")
@@ -351,15 +357,18 @@ object Pipeline extends QueryModule {
     "llm_budget_select" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n,
-         |    $scoreSql AS score
+         |    (len(list_distinct(string_split(text, ' '))) * 500000)
+         |        // len(string_split(text, ' '))
+         |      + least(len(string_split(text, ' ')), 100) * 5000 AS score_u
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, lang, n,
-         |    SUM(n) OVER (ORDER BY score DESC, doc_id) AS cum
+         |    SUM(n) OVER (ORDER BY score_u DESC, doc_id) AS cum
          |  FROM d)
          |SELECT lang, COUNT(*) AS n_total,
          |  COUNT(CASE WHEN cum - n < 20000 THEN 1 END) AS n_kept,
-         |  SUM(CASE WHEN cum - n < 20000 THEN n END) AS toks_kept
+         |  CAST(SUM(CASE WHEN cum - n < 20000 THEN n END) AS BIGINT)
+         |    AS toks_kept
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_quality_cuts" ->
       s"""WITH q AS (SELECT $scoreSql AS score FROM documents)

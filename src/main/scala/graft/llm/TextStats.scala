@@ -94,7 +94,12 @@ object TextStats extends QueryModule {
     * shingleRows pattern — an array-lambda formulation re-evaluates
     * split() per element and goes quadratic per doc); the aggregation
     * is two hash aggs, map-side combined. Docs under 5 tokens have no
-    * grams and drop out (both engines agree).
+    * grams and drop out (both engines agree). The ratio ships as
+    * integer parts-per-million (`max_rep * 1e6 div n_grams`) — pure
+    * integer arithmetic on both engines, immune to the round(double)
+    * half-up/half-even drift double ratios carry across engine
+    * versions (the raw counts are in the output, so the exact
+    * rational stays recoverable).
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -113,7 +118,7 @@ object TextStats extends QueryModule {
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_grams"), max($"c").as("max_rep"))
       .select($"doc_id", $"n_grams", $"max_rep",
-        round($"max_rep" / $"n_grams", 6).as("rep_ratio"))
+        expr("max_rep * 1000000L div n_grams").as("rep_ppm"))
       .orderBy($"doc_id")
   }
 
@@ -408,8 +413,8 @@ object TextStats extends QueryModule {
         |      FOR i IN generate_series(1, len(toks)-4)]) AS gram
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
         |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
-        |SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS max_rep,
-        |  round(MAX(c) * 1.0 / SUM(c), 6) AS rep_ratio
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, MAX(c) AS max_rep,
+        |  CAST((MAX(c) * 1000000) // SUM(c) AS BIGINT) AS rep_ppm
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_quality" ->
       """SELECT doc_id,

@@ -209,6 +209,27 @@ object TpchBattery extends QueryModule {
         |     FROM g17_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
   }
 
+  /** Q4: order-priority checking — orders placed in one quarter with
+    * at least one late-shipped line (adapted: the fixture has no
+    * l_commitdate/l_receiptdate, so "late" = shipped after the order
+    * date). Catalyst decorrelates the EXISTS into a left-semi join on
+    * the order key; the quarter window pushes to the orders scan, so
+    * the semi join probes only that quarter's keys.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    T.t(s, dir, "lineitem").createOrReplaceTempView("g4_lineitem")
+    T.t(s, dir, "orders").createOrReplaceTempView("g4_orders")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM g4_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM g4_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Q21/Q4 shape: EXISTS + NOT EXISTS double correlation — Catalyst
     * plans a semi join and an anti join on the order key; the date
     * predicate correlates on BOTH tables' columns so it must stay in
@@ -231,6 +252,7 @@ object TpchBattery extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing(_, _)),
+    "q4_order_priority" -> (q4OrderPriority(_, _)),
     "q6_forecast" -> (q6Forecast(_, _)),
     "q7_volume" -> (q7Volume(_, _)),
     "q10_returns" -> (q10Returns(_, _)),
@@ -254,6 +276,15 @@ object TpchBattery extends QueryModule {
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q6_forecast" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
