@@ -56,9 +56,10 @@ object Curate extends QueryModule {
     * positives — no false negatives exist, so the result equals the
     * sketch-free anti-join the oracle states.
     *
-    * The sketch probe is a UDF by necessity (a broadcast
-    * BloomFilter.mightContain has no Column-expression equivalent);
-    * it runs pre-shuffle on the scan side.
+    * The sketch probe is the codegen'd `BloomMightContain` expression
+    * (SketchFunctions.scala) — it probes the broadcast filter on raw
+    * UTF8String bytes inside WholeStageCodegen, pre-shuffle on the
+    * scan side; no Scala UDF anywhere in the plan.
     */
   def decontamBloom(s: SparkSession, dir: String): DataFrame =
     decontamBloomDocs(s, T.t(s, dir, "documents"))
@@ -69,9 +70,8 @@ object Curate extends QueryModule {
     val probe = sh.filter($"doc_id" < 5).select($"tok").distinct()
     val bloom = probe.stat.bloomFilter("tok", 200000L, 0.01)
     val b = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((t: String) => b.value.mightContain(t))
     val flagged = sh.filter($"doc_id" >= 5)
-      .filter(mightContain($"tok"))
+      .filter(graft.functions.SketchFunctions.bloom_might_contain($"tok", b))
       .join(broadcast(probe), "tok") // exact verify: trims Bloom false positives
       .select($"doc_id").distinct()
     docs.select($"doc_id").filter($"doc_id" >= 5)
@@ -91,7 +91,9 @@ object Curate extends QueryModule {
     * over-estimates, so every true heavy hitter survives the
     * prefilter; the exact count + HAVING trims the over-admitted
     * tail — the result is exactly the oracle's GROUP BY/HAVING.
-    * (Cormode & Muthukrishnan, J.Alg 55(1), 2005.)
+    * (Cormode & Muthukrishnan, J.Alg 55(1), 2005.) The estimate
+    * probe is the codegen'd `CmsEstimateCount` expression — no
+    * Scala UDF in the plan.
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame =
     heavyHittersDocs(s, T.t(s, dir, "documents"))
@@ -102,8 +104,8 @@ object Curate extends QueryModule {
     val cms = grams.stat.countMinSketch(col("tok"), 0.0002, 0.99, 42)
     val thr = cms.totalCount() / 1000.0
     val b = s.sparkContext.broadcast(cms)
-    val maybeHeavy = udf((t: String) => b.value.estimateCount(t) >= thr)
-    grams.filter(maybeHeavy($"tok"))
+    grams.filter(
+      graft.functions.SketchFunctions.cms_estimate($"tok", b) >= thr)
       .groupBy($"tok")
       .agg(count(lit(1)).as("n"))
       .filter($"n" >= thr)

@@ -342,6 +342,23 @@ class PlanQualitySpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("sketch probes are codegen expressions, not Scala UDFs") {
+    // the Bloom decontam prefilter and the CMS heavy-hitter prefilter
+    // run in the hottest map stage — they must stay inside
+    // WholeStageCodegen (a ScalaUDF fences the span and pays per-row
+    // boxing + closure dispatch)
+    for (df <- Seq(llm.Curate.decontamBloom(spark, SF),
+        llm.Curate.heavyHitters(spark, SF))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
+        s"sketch probe must not be a UDF:\n${p.take(2000)}")
+    }
+    val p = llm.Curate.heavyHitters(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("cmsestimatecount") || p.contains("CmsEstimateCount"),
+      p.take(2000))
+  }
+
   test("sequence packing shuffles once on the group key, not per stage") {
     val p = llm.Curate.packSequences(spark, SF)
       .queryExecution.executedPlan.toString
