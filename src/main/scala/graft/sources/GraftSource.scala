@@ -26,8 +26,12 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   *   - `splitSize`: bytes per input partition
   *     (HtsjdkReadsRddStorage.splitSize).
   *
-  * Write options (SaveMode.Overwrite; Append only for the default
-  * sharded layout, matching the reference's one-shot write contract):
+  * Write options (SaveMode defaults to Spark's ErrorIfExists — pass
+  * `.mode("overwrite")` for the reference's always-overwrite contract
+  * (README.md:57). Append is supported for the sharded layout: a
+  * table with on-disk `_zonemap`/`_bloom` sidecars routes through the
+  * incremental index maintenance paths so appended files stay
+  * covered; appending clustered data needs `clusterBy` restated):
   *   - `layout`: `sharded` (default) | `single` (one parquet file via
   *     parallel parts + row-group append merge) | `singleCsv`.
   *   - `clusterBy` [+ `zone`, comma-separated]: range-clustered write
@@ -46,12 +50,26 @@ final class GraftSource extends RelationProvider
       ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = ctx.sparkSession
-    // single-path contract (load(a, b, ...) is a FileFormat-source
-    // feature the V1 RelationProvider API never sees; a directory
-    // union has no single sidecar to consult anyway — read the parent
-    // directory instead)
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft source requires a path"))
+    // single-path contract: a directory of shards IS one table (the
+    // sidecar lives at its root), but a multi-path union has no single
+    // sidecar to consult — reject it with guidance instead of silently
+    // reading without pruning. Spark hands load(a, b, ...) to a V1
+    // RelationProvider as a JSON-encoded "paths" option.
+    val multi: Seq[String] = parameters.get("paths").map { js =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
+    }.getOrElse(Nil)
+    if (multi.size > 1) throw new IllegalArgumentException(
+      s"graft reads take ONE path (a file or a directory of shards); " +
+        s"got ${multi.size}. Read the common parent directory, or union " +
+        "per-path format(\"graft\") reads explicitly.")
+    // multi-path load(a, b, ...) reaches a V1 RelationProvider with NO
+    // path option at all — the missing-path error carries the guidance
+    val path = parameters.get("path").orElse(multi.headOption).getOrElse(
+      throw new IllegalArgumentException(
+        "graft source requires exactly ONE path (a file or a directory " +
+          "of shards); multi-path loads are not supported — read the " +
+          "common parent directory, or union per-path reads explicitly"))
     var st = GraftStorage(spark)
     if (parameters.get("strictSchema").exists(_.toBoolean)) st = st.strictSchema()
     parameters.get("splitSize").foreach(b => st = st.splitSize(b.toLong))
@@ -102,11 +120,38 @@ final class GraftSource extends RelationProvider
         throw new IllegalArgumentException(s"path already exists: $path")
       case SaveMode.Ignore if exists => return readBack()
       case SaveMode.Append =>
-        if (layout != "sharded" || clusterBy.nonEmpty || zorder.nonEmpty)
+        if (layout != "sharded" || zorder.nonEmpty)
           throw new IllegalArgumentException(
-            "graft sink supports Append only for the plain sharded layout; " +
-              "use GraftStorage.appendIndexed for indexed tables")
-        data.write.mode("append").parquet(path)
+            "graft sink supports Append only for the sharded layout; " +
+              "z-ordered tables need a rewrite (compact) to stay clustered")
+        // inspect ON-DISK state, not just this call's options: a table
+        // written earlier with clusterBy/bloom has sidecars that a
+        // plain parquet append would silently leave stale (new files
+        // never pruned — correct results, decaying pruning power)
+        val hasZm = exists &&
+          fs.exists(new org.apache.hadoop.fs.Path(path, "_zonemap"))
+        val hasBl = exists &&
+          fs.exists(new org.apache.hadoop.fs.Path(path, "_bloom"))
+        (hasZm, clusterBy) match {
+          case (true, Some(c)) =>
+            val zoneCols = spark.read.parquet(s"$path/_zonemap")
+              .schema.fieldNames.filter(_.endsWith("__min"))
+              .map(_.stripSuffix("__min")).toSeq
+            st.appendIndexed(data, path, c, zoneCols: _*)
+            if (hasBl) st.refreshBloomIndex(path)
+          case (true, None) =>
+            throw new IllegalArgumentException(
+              s"$path has a _zonemap sidecar: appends must restate " +
+                "clusterBy=<col> so new files stay range-clustered and " +
+                "indexed (or use GraftStorage.appendIndexed)")
+          case (false, Some(_)) =>
+            throw new IllegalArgumentException(
+              "clusterBy on Append requires an existing indexed table " +
+                "(write with clusterBy + mode overwrite first)")
+          case (false, None) =>
+            if (hasBl) st.appendBloomIndexed(data, path)
+            else data.write.mode("append").parquet(path)
+        }
         return readBack()
       case _ => () // Overwrite (default) and first-time writes fall through
     }

@@ -418,11 +418,24 @@ final case class GraftStorage(
             .agg(new BloomStringAgg(expectedPerFile, fpp).toColumn.name("bloom"))
       bloomed.toDF("file", "bloom").withColumn("col", lit(c))
     }
+    // sizing rides the sidecar so appends/compactions reuse it — an
+    // appended file bloomed with smaller `expected` would silently
+    // degrade its false-positive rate (pruning power, not correctness)
     perCol.reduce(_.unionAll(_))
-      .select(col("file"), col("col"), col("bloom"))
+      .select(col("file"), col("col"), col("bloom"),
+        lit(expectedPerFile).as("expected"), lit(fpp).as("fpp"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_bloom")
   }
+
+  /** The (expectedPerFile, fpp) a `_bloom` sidecar was built with;
+    * defaults for sidecars predating the sizing columns.
+    */
+  private def bloomSizing(existing: DataFrame): (Long, Double) =
+    if (existing.columns.contains("expected")) {
+      val r = existing.agg(max(col("expected")), min(col("fpp"))).head()
+      (r.getLong(0), r.getDouble(1))
+    } else (100000L, 0.01)
 
   /** INCREMENTAL Bloom maintenance — `appendIndexed`'s contract for
     * the `_bloom` sidecar: append `df` as new files, build Blooms for
@@ -433,22 +446,40 @@ final case class GraftStorage(
     */
   def appendBloomIndexed(df: DataFrame, path: String): Unit = {
     import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(new Path(path), "_bloom")),
+      s"appendBloomIndexed requires an existing _bloom sidecar at $path")
+    df.write.mode("append").parquet(path)
+    refreshBloomIndex(path)
+  }
+
+  /** Extend an existing `_bloom` sidecar over data files it does not
+    * cover yet (appendBloomIndexed's index half, also usable after a
+    * plain parquet append): blooms ONLY the uncovered files with the
+    * SIZING THE SIDECAR WAS BUILT WITH (persisted `expected`/`fpp`
+    * columns — appended files bloomed with a smaller default would
+    * silently degrade the false-positive rate), and unions the
+    * existing rows verbatim — the reference's per-part index + driver
+    * merge (IndexFileMerger.java:62-102).
+    */
+  def refreshBloomIndex(path: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val blPath = new Path(dir, "_bloom")
     require(fs.exists(blPath),
-      s"appendBloomIndexed requires an existing _bloom sidecar at $path")
+      s"refreshBloomIndex requires an existing _bloom sidecar at $path")
     val existing = spark.read.parquet(blPath.toString).localCheckpoint()
     val bloomCols = existing.select("col").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+    val (expected, fpp) = bloomSizing(existing)
     // normalize to the URI path component: input_file_name() (sidecar
     // rows) and FileStatus.getPath render the same file as
     // file:///x vs file:/x
     def pathKey(p: String): String = new Path(p).toUri.getPath
     val known = existing.select("file").collect()
       .map(r => pathKey(r.getString(0))).toSet
-    df.write.mode("append").parquet(path)
     val newFiles = fs.listStatus(dir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".") &&
@@ -472,17 +503,24 @@ final case class GraftStorage(
             .select(input_file_name().as("file"), col(c).cast(LongType).as("v"))
             .as[(String, Long)]
             .groupByKey(_._1)
-            .agg(new BloomLongAgg(100000, 0.01).toColumn.name("bloom"))
+            .agg(new BloomLongAgg(expected, fpp).toColumn.name("bloom"))
         else
           newData.filter(col(c).isNotNull)
             .select(input_file_name().as("file"), col(c).cast(StringType).as("v"))
             .as[(String, String)]
             .groupByKey(_._1)
-            .agg(new BloomStringAgg(100000, 0.01).toColumn.name("bloom"))
+            .agg(new BloomStringAgg(expected, fpp).toColumn.name("bloom"))
       bloomed.toDF("file", "bloom").withColumn("col", lit(c))
     }
-    existing.select("file", "col", "bloom")
-      .unionAll(fresh.reduce(_.unionAll(_)).select("file", "col", "bloom"))
+    val existingNorm =
+      if (existing.columns.contains("expected"))
+        existing.select("file", "col", "bloom", "expected", "fpp")
+      else existing.select(col("file"), col("col"), col("bloom"),
+        lit(expected).as("expected"), lit(fpp).as("fpp"))
+    existingNorm
+      .unionAll(fresh.reduce(_.unionAll(_))
+        .select(col("file"), col("col"), col("bloom"),
+          lit(expected).as("expected"), lit(fpp).as("fpp")))
       .coalesce(1)
       .write.mode("overwrite").parquet(blPath.toString)
   }
@@ -556,38 +594,68 @@ final case class GraftStorage(
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.types.StructType
+    // the facade's read options apply on EVERY route, sidecar or not
+    splitSize.foreach(b =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
+    if (failOnSchemaMismatch) checkUniformSchema(path)
     val zmPath = new Path(s"$path/_zonemap")
     val blPath = new Path(s"$path/_bloom")
     val fs = zmPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasZm = fs.exists(zmPath)
     val hasBl = fs.exists(blPath)
     if (!hasZm && !hasBl) return read(path)
+    // sidecar rows key by the NORMALIZED FULL path (URI path component
+    // — input_file_name() and FileStatus render file:///x vs file:/x),
+    // never the bare file name: a hive partitionBy write reuses the
+    // same part-file NAME in every partition directory, so name keys
+    // collide across partitions and point lookups would wrongly prune
     val zones: Map[String, Map[String, (Any, Any)]] = if (!hasZm) Map.empty else {
       val zm = spark.read.parquet(zmPath.toString)
       val zoneCols = zm.schema.fieldNames
         .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
       zm.collect().map { r =>
-        val fname = new Path(r.getAs[String]("file")).getName
-        fname -> zoneCols.map(c =>
+        val fkey = new Path(r.getAs[String]("file")).toUri.getPath
+        fkey -> zoneCols.map(c =>
           c -> ((r.getAs[Any](s"${c}__min"), r.getAs[Any](s"${c}__max")))).toMap
       }.toMap
     }
-    val blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
-      if (!hasBl) Map.empty
-      else spark.read.parquet(blPath.toString).collect()
-        .groupBy(r => new Path(r.getAs[String]("file")).getName)
-        .map { case (fname, rs) =>
-          fname -> rs.map { r =>
-            r.getAs[String]("col") ->
-              org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-          }.toMap
-        }
+    // Bloom sidecar: record WHICH columns are indexed (one tiny agg),
+    // defer the KB-per-(file,col) filters to a lazy, column-scoped
+    // loader the FileIndex calls with exactly the filtered columns.
+    // toLocalIterator streams the rows — driver memory is the final
+    // map, never a collect() buffer of the whole sidecar.
+    val bloomCols: Set[String] =
+      if (!hasBl) Set.empty
+      else spark.read.parquet(blPath.toString).select("col").distinct()
+        .collect().map(_.getString(0)).toSet
+    def loadBlooms(cols: Set[String])
+        : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+      val it = spark.read.parquet(blPath.toString)
+        .filter(col("col").isin(cols.toSeq: _*))
+        .select("file", "col", "bloom")
+        .toLocalIterator()
+      val out = scala.collection.mutable.Map
+        .empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+      while (it.hasNext) {
+        val r = it.next()
+        val fkey = new Path(r.getString(0)).toUri.getPath
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+        out(fkey) = out.getOrElse(fkey, Map.empty) + (r.getString(1) -> bf)
+      }
+      out.toMap
+    }
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val dataSchema = spark.read.parquet(path).schema
+    val fullSchema = spark.read.parquet(path).schema
     val index = new ZoneMapFileIndex(classic, new Path(path),
-      Some(dataSchema), zones, blooms)
-    val rel = HadoopFsRelation(index, new StructType(), dataSchema, None,
+      Some(fullSchema), zones, bloomCols, loadBlooms)
+    // hive-partitioned layouts: the inferred partition columns must go
+    // in the relation's PARTITION schema — leaving them in dataSchema
+    // with an empty partition schema reads them back as all-NULL
+    val partSchema = index.partitionSchema
+    val fileSchema = StructType(fullSchema.fields
+      .filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val rel = HadoopFsRelation(index, partSchema, fileSchema, None,
       new ParquetFileFormat(), Map.empty)(classic)
     val df = Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
     if (columns.nonEmpty) df.select(columns.map(col): _*) else df
@@ -670,6 +738,9 @@ final case class GraftStorage(
       if (!hadBloom) Nil
       else spark.read.parquet(s"$path/_bloom").select("col")
         .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val (bloomExpected, bloomFpp) =
+      if (!hadBloom) (100000L, 0.01)
+      else bloomSizing(spark.read.parquet(s"$path/_bloom"))
     val df = spark.read.parquet(path)
     val tsConf = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsConf)
@@ -689,7 +760,8 @@ final case class GraftStorage(
     fs.delete(dir, true)
     fs.rename(tmp, dir)
     if (hadZoneMap && zoneCols.nonEmpty) buildZoneMap(path, zoneCols)
-    if (hadBloom && bloomCols.nonEmpty) buildBloomIndex(path, bloomCols)
+    if (hadBloom && bloomCols.nonEmpty)
+      buildBloomIndex(path, bloomCols, bloomExpected, bloomFpp)
   }
 
   /** INCREMENTAL indexed append — the reference's per-part index +

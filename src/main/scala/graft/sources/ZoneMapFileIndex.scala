@@ -20,9 +20,18 @@ import org.apache.spark.sql.types.StructType
   * [min,max], and drops files no predicate can match — so pruning
   * composes with ANY later `.filter` on the DataFrame, exactly like
   * the reference's getSplits pruning responds to whatever traversal
-  * intervals the query carries. The sidecar is loaded once,
+  * intervals the query carries. The zone sidecar is loaded once,
   * driver-side (it is metadata, same as loading a .sbi/.tbi on the
   * driver); at 100 TB it stays tiny — one row per data file.
+  *
+  * Bloom sidecar rows are NOT loaded up front: filters are KB-sized
+  * per (file, column), so a 100k-file table with several indexed
+  * columns would pin GBs of driver memory for columns the query never
+  * touches. Instead `bloomLoader` is consulted LAZILY inside
+  * `listFiles`, scoped to exactly the columns the pushed data filters
+  * reference, and cached per column — driver memory is bounded by
+  * (files × FILTERED columns), and a query that filters no
+  * Bloom-indexed column never reads the sidecar at all.
   *
   * Filter evaluation is three-valued-conservative: a file is kept
   * unless the predicate PROVABLY matches no row, the same contract as
@@ -32,30 +41,65 @@ final class ZoneMapFileIndex(
     session: org.apache.spark.sql.classic.SparkSession,
     root: Path,
     dataSchema: Option[StructType],
-    /** file name → zone column → (min, max) as EXTERNAL row values. */
-    zones: Map[String, Map[String, (Any, Any)]],
-    /** file name → bloom column → per-file Bloom filter (point-lookup
-      * pruning on columns the clustering order can't serve — no false
-      * negatives, so dropping a non-matching file is always sound).
+    /** normalized file path → zone column → (min, max) as EXTERNAL
+      * row values.
       */
-    blooms: Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
-      Map.empty)
+    zones: Map[String, Map[String, (Any, Any)]],
+    /** columns with a `_bloom` sidecar entry, and the lazy per-column
+      * loader: cols → normalized file path → col → Bloom filter
+      * (point-lookup pruning on columns the clustering order can't
+      * serve — no false negatives, so dropping a non-matching file is
+      * always sound).
+      */
+    bloomCols: Set[String] = Set.empty,
+    bloomLoader: Set[String] =>
+      Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      _ => Map.empty)
   extends InMemoryFileIndex(session, Seq(root), Map.empty, dataSchema) {
+
+  /** Bloom rows materialized so far (column-scoped; grows only when a
+    * query filters a not-yet-loaded indexed column).
+    */
+  private var loadedBloomCols: Set[String] = Set.empty
+  private var blooms: Map[String, Blooms] = Map.empty
+
+  /** Test hook: which Bloom columns have been materialized so far. */
+  private[graft] def loadedBloomColumns: Set[String] = loadedBloomCols
+
+  private def bloomsFor(dataFilters: Seq[Expression]): Map[String, Blooms] = {
+    val wanted = dataFilters.flatMap(_.references.map(_.name)).toSet
+      .intersect(bloomCols)
+    val missing = wanted.diff(loadedBloomCols)
+    if (missing.nonEmpty) synchronized {
+      val fresh = bloomLoader(missing)
+      blooms = (blooms.keySet ++ fresh.keySet).map { f =>
+        f -> (blooms.getOrElse(f, Map.empty) ++ fresh.getOrElse(f, Map.empty))
+      }.toMap
+      loadedBloomCols ++= missing
+    }
+    blooms
+  }
 
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    if (dataFilters.isEmpty || (zones.isEmpty && blooms.isEmpty)) base
-    else base.map { pd =>
-      PartitionDirectory(pd.values, pd.files.filter { f =>
-        val name = f.getPath.getName
-        val stats = zones.getOrElse(name, Map.empty)
-        val bl = blooms.getOrElse(name, Map.empty)
-        // file unknown to both sidecars: never prune
-        if (stats.isEmpty && bl.isEmpty) true
-        else dataFilters.forall(mayMatch(stats, bl, _))
-      })
+    if (dataFilters.isEmpty || (zones.isEmpty && bloomCols.isEmpty)) base
+    else {
+      val bloomed = bloomsFor(dataFilters)
+      base.map { pd =>
+        PartitionDirectory(pd.values, pd.files.filter { f =>
+          // sidecar maps key by the normalized FULL path — bare names
+          // collide across hive partition dirs (same part-file name
+          // per partition) and would prune the wrong files
+          val key = f.getPath.toUri.getPath
+          val stats = zones.getOrElse(key, Map.empty)
+          val bl = bloomed.getOrElse(key, Map.empty)
+          // file unknown to both sidecars: never prune
+          if (stats.isEmpty && bl.isEmpty) true
+          else dataFilters.forall(mayMatch(stats, bl, _))
+        })
+      }
     }
   }
 

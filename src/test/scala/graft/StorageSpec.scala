@@ -611,12 +611,25 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(bl)
       .filter($"l_partkey" === 100).count() ==
       T.t(spark, SF, "lineitem").filter($"l_partkey" === 100).count())
-    // append onto an indexed layout is refused (appendIndexed is the API)
+    // append onto an indexed layout WITHOUT clusterBy is refused — a
+    // plain parquet append would leave the sidecar stale
     val ex2 = intercept[IllegalArgumentException] {
-      n.write.format("graft").mode("append")
-        .option("clusterBy", "n_nationkey").save(idx)
+      n.write.format("graft").mode("append").save(idx)
     }
-    assert(ex2.getMessage.contains("Append"))
+    assert(ex2.getMessage.contains("clusterBy"))
+    // with clusterBy restated the append routes through appendIndexed:
+    // data doubles AND the sidecar covers the new files
+    val zmBefore = spark.read.parquet(s"$idx/_zonemap").count()
+    n.write.format("graft").mode("append")
+      .option("clusterBy", "n_nationkey").save(idx)
+    assert(spark.read.format("graft").load(idx).count() == 50)
+    assert(spark.read.parquet(s"$idx/_zonemap").count() > zmBefore,
+      "append must extend the zone-map sidecar over the new files")
+    // multi-path loads are rejected with guidance, not silently unioned
+    val ex3 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(idx, bl)
+    }
+    assert(ex3.getMessage.contains("ONE path"))
   }
 
   test("appendBloomIndexed extends the sidecar with only the new files' blooms") {
@@ -679,5 +692,132 @@ class StorageSpec extends AnyFunSuite {
     assert(operators.Intervals.normalize(ivs).size == 2)
     assert(li.filter(operators.Intervals.predicate(c, ivs)).count() ==
       li.filter(naive).count())
+  }
+
+  test("hive-partitioned + bloom: format(\"graft\") reads real partition values") {
+    // ADVICE round 2: readPruned built the relation with an empty
+    // partition schema, so a partitionBy+bloom table read every
+    // partition column back as NULL — silent wrong results
+    val out = T.scratch(SF, "graft_part_bloom")
+    val o = T.t(spark, SF, "orders")
+    o.write.format("graft").mode("overwrite")
+      .option("partitionBy", "o_orderstatus").option("bloom", "o_orderkey")
+      .save(out)
+    assert(new java.io.File(s"$out/_bloom").exists())
+    val back = spark.read.format("graft").load(out)
+    assert(back.filter($"o_orderstatus".isNull).count() == 0,
+      "partition column must carry real values, not NULLs")
+    val want = o.groupBy($"o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = back.groupBy($"o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // bloom point-lookup pruning is live on the same read
+    val key = o.select($"o_orderkey").orderBy($"o_orderkey").head().getLong(0)
+    assert(back.filter($"o_orderkey" === key).count() ==
+      o.filter($"o_orderkey" === key).count())
+  }
+
+  test("readPruned honors strictSchema and splitSize on sidecar-bearing dirs") {
+    // ADVICE round 2: both options were silently ignored whenever a
+    // _zonemap/_bloom sidecar routed the read through readPruned
+    val out = T.scratch(SF, "pruned_strict")
+    val n = T.t(spark, SF, "nation")
+    storage.writeIndexed(n, out, "n_nationkey", "n_nationkey")
+    // plant a schema-divergent file next to the indexed ones
+    n.withColumn("extra", lit(1)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$out.tmp")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out.tmp"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).head
+    fs.rename(stray.getPath,
+      new org.apache.hadoop.fs.Path(out, "zz-stray.parquet"))
+    val ex = intercept[IllegalArgumentException] {
+      GraftStorage(spark).strictSchema().readPruned(out)
+    }
+    assert(ex.getMessage.contains("incompatible file schemas"))
+    fs.delete(new org.apache.hadoop.fs.Path(out, "zz-stray.parquet"), false)
+    // splitSize bounds input partitions through the pruned route too —
+    // one ~MB-scale indexed file must split under a small splitSize
+    val big = T.scratch(SF, "pruned_splitsize")
+    T.t(spark, SF, "lineitem").coalesce(1).write.mode("overwrite").parquet(big)
+    storage.buildZoneMap(big, Seq("l_orderkey"))
+    val before = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      val wide = GraftStorage(spark).splitSize(128L * 1024 * 1024)
+        .readPruned(big).rdd.getNumPartitions
+      val narrow = GraftStorage(spark).splitSize(64L * 1024)
+        .readPruned(big).rdd.getNumPartitions
+      assert(narrow > wide, s"splitSize must split the scan: $narrow vs $wide")
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
+  test("bloom sidecar persists sizing; appends reuse it instead of defaults") {
+    // ADVICE round 2: appendBloomIndexed hardcoded expected=100000 —
+    // a table built with a larger expectedPerFile got undersized
+    // (fpp-degraded) filters on every appended file
+    val out = T.scratch(SF, "bloom_sizing")
+    val li = T.t(spark, SF, "lineitem")
+    val half1 = li.filter($"l_orderkey" % 2 === 0)
+    val half2 = li.filter($"l_orderkey" % 2 === 1)
+    half1.repartition(4, $"l_partkey").write.mode("overwrite").parquet(out)
+    storage.buildBloomIndex(out, Seq("l_partkey"),
+      expectedPerFile = 250000, fpp = 0.002)
+    storage.appendBloomIndexed(half2.repartition(4, $"l_partkey"), out)
+    val sidecar = spark.read.parquet(s"$out/_bloom")
+    assert(sidecar.columns.contains("expected") && sidecar.columns.contains("fpp"))
+    val sizes = sidecar.select("expected", "fpp").distinct().collect()
+    assert(sizes.length == 1 && sizes(0).getLong(0) == 250000 &&
+      sizes(0).getDouble(1) == 0.002,
+      s"appended files must reuse the build sizing: ${sizes.mkString(",")}")
+    // and the filters really are the big ones: serialized size scales
+    // with expected items, so every row's bloom is the large variant
+    val minLen = sidecar.select(min(length($"bloom"))).head().getInt(0)
+    assert(minLen > 100000,
+      s"a 250k/0.002 bloom is ~hundreds of KB serialized, got $minLen B")
+  }
+
+  test("bloom loading is lazy and scoped to the filtered columns (1k files)") {
+    // the round-2 ceiling: readPruned collected the WHOLE _bloom
+    // sidecar driver-side (~GBs at 100k files × all columns). Now the
+    // index materializes per-column on first use, so driver memory is
+    // bounded by files × FILTERED columns
+    val sf01 = "/root/testdata/sf0.1"
+    val out = T.scratch(sf01, "bloom_lazy_1k")
+    val li = T.t(spark, sf01, "lineitem")
+    li.repartition(1000, $"l_partkey").write.mode("overwrite").parquet(out)
+    assert(spark.read.parquet(out).inputFiles.length >= 1000)
+    GraftStorage(spark).buildBloomIndex(out, Seq("l_partkey", "l_suppkey"),
+      expectedPerFile = 2000, fpp = 0.03)
+    def indexOf(df: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.sql.graftbridge.Bridge.analyzed(df)
+        .collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.asInstanceOf[sources.ZoneMapFileIndex]
+        }.head
+    // no filter → the sidecar's filters are never materialized
+    val plain = storage.readPruned(out)
+    assert(plain.count() == li.count())
+    assert(indexOf(plain).loadedBloomColumns.isEmpty,
+      "an unfiltered read must not load any bloom rows")
+    // filter on ONE column → exactly that column's rows load
+    val onekey = storage.readPruned(out).filter($"l_partkey" === 100)
+    assert(onekey.count() == li.filter($"l_partkey" === 100).count())
+    assert(indexOf(onekey).loadedBloomColumns == Set("l_partkey"),
+      s"got ${indexOf(onekey).loadedBloomColumns}")
+    // pruning is live at 1k files: the point lookup scans few files
+    onekey.collect()
+    val scan = onekey.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.metrics("numFiles").value < 100,
+      s"expected <100 of 1000 files after bloom pruning, " +
+        s"got ${scan.metrics("numFiles").value}")
   }
 }
