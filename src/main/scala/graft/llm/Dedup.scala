@@ -430,12 +430,22 @@ object Dedup extends QueryModule {
     } else dedupClustersDistributed(s, pairs)
   }
 
-  /** Distributed min-label propagation to a fixpoint — one shuffle
-    * join per iteration, the GraphX-free formulation that scales to
+  /** Distributed min-label propagation to a fixpoint — two shuffle
+    * joins per iteration, the GraphX-free formulation that scales to
     * graphs too big to collect.
+    *
+    * Each round takes the min over (a) the node's own label, (b)
+    * neighbors' labels (one hop along edges), and (c) POINTER
+    * JUMPING — the label of the node's current label. (b) alone
+    * moves the component minimum one edge per round, O(diameter)
+    * rounds on a chain; (c) doubles the reach each round the way
+    * Shiloach–Vishkin / hash-to-min do, so convergence is
+    * O(log diameter) and a 20-round cap covers million-node chains.
+    * Non-convergence THROWS rather than returning a silently
+    * half-merged clustering.
     */
-  private def dedupClustersDistributed(s: SparkSession,
-      pairs: DataFrame): DataFrame = {
+  private[graft] def dedupClustersDistributed(s: SparkSession,
+      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import s.implicits._
     // Materialize and truncate lineage before iterating: without the
     // checkpoint every iteration re-executes the whole pair pipeline
@@ -450,10 +460,13 @@ object Dedup extends QueryModule {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
-      val next = labels
-        .union(edges.join(labels, $"src" === $"doc_id")
-          .select($"dst".as("doc_id"), $"lbl"))
+    while (!converged && iter < maxIters) {
+      val viaEdges = edges.join(labels, $"src" === $"doc_id")
+        .select($"dst".as("doc_id"), $"lbl")
+      val viaJump = labels.as("a")
+        .join(labels.as("b"), $"a.lbl" === $"b.doc_id")
+        .select($"a.doc_id", $"b.lbl".as("lbl"))
+      val next = labels.union(viaEdges).union(viaJump)
         .groupBy($"doc_id")
         .agg(min($"lbl").as("lbl"))
         .localCheckpoint()
@@ -464,6 +477,8 @@ object Dedup extends QueryModule {
       labels = next
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dedup clustering did not converge in $maxIters rounds")
     labels.select($"doc_id", $"lbl".as("cluster_id"))
       .orderBy($"doc_id")
   }

@@ -205,11 +205,14 @@ object TextStats extends QueryModule {
     * are rounded then DECIMAL-summed (the transcendental-rounding
     * determinism contract), so the score hash-matches DuckDB.
     */
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreDocs(s, T.t(s, dir, "documents"))
+
+  private[graft] def lmScoreDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val tokRows = T.t(s, dir, "documents").select($"doc_id",
+    val tokRows = docs.select($"doc_id",
       posexplode(toks($"text")).as(Seq("pos", "tok")))
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     // feeds the two count aggs AND the scoring join: materialize once
@@ -217,9 +220,17 @@ object TextStats extends QueryModule {
       .select($"doc_id", $"tok".as("w1"), lead($"tok", 1).over(w).as("w2"))
       .filter($"w2".isNotNull)
       .localCheckpoint()
+    // checkpoint the vocab²-bounded count tables: beyond truncating
+    // lineage, this leaves BARE shuffle stages under the scoring
+    // joins — AQE's OptimizeSkewedJoin only splits a sort-merge join
+    // whose children are plain shuffle reads, so with the aggregate
+    // inlined a Zipfian hot bigram (w1='the') could never be
+    // skew-split; with the checkpoint it is (gated in DedupScaleSpec)
     val c2 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val c1 = bigrams.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val vocab = T.t(s, dir, "documents")
+      .localCheckpoint()
+    val vocab = docs
       .select(explode(toks($"text")).as("tok"))
       .agg(countDistinct($"tok").as("v"))
     bigrams

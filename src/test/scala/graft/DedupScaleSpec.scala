@@ -84,4 +84,72 @@ class DedupScaleSpec extends AnyFunSuite {
     // all-pairs explosion (10k docs → ~50M possible pairs)
     assert(pairs.size < 500000, s"candidate blowup: ${pairs.size}")
   }
+
+  test("distributed clustering at 150k edges: converges ≤20 rounds, exact components") {
+    // the PAST-the-driver-gate path (LocalEdgesConf = 100k): 1500
+    // chains of 100 edges each — diameter 100, the worst case plain
+    // min-label propagation needs 100 rounds for; pointer jumping must
+    // close it in O(log d). Closed-form oracle: every node's cluster
+    // is its chain's base id. maxIters=20 doubles as the assertion —
+    // non-convergence throws.
+    val chains = 1500L
+    val len = 101L // nodes per chain -> 100 edges
+    val pairs = spark.range(chains * (len - 1)).select(
+      (($"id" / (len - 1)).cast("long") * 1000L + ($"id" % (len - 1)))
+        .as("doc_a"),
+      (($"id" / (len - 1)).cast("long") * 1000L + ($"id" % (len - 1)) + 1L)
+        .as("doc_b"))
+    assert(pairs.count() == 150000)
+    val got = llm.Dedup.dedupClustersDistributed(spark, pairs, maxIters = 20)
+    val bad = got.filter($"cluster_id" =!= ($"doc_id" / 1000L).cast("long") * 1000L)
+    assert(bad.isEmpty, s"wrong labels: ${bad.take(5).mkString(",")}")
+    assert(got.count() == chains * len)
+    // agreement with the driver union-find on a collectable subgraph:
+    // same pairs, first 20 chains, both paths produce identical maps
+    val small = pairs.filter($"doc_a" < 20000L)
+    val viaDriver = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      small.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(d => d -> find(d)).toMap
+    }
+    val viaDist = llm.Dedup.dedupClustersDistributed(spark, small, maxIters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDist == viaDriver)
+  }
+
+  test("lm_score absorbs a planted Zipfian hot bigram via AQE skew-split") {
+    // SURVEY §8c#8's claim, now gated: 300k docs all sharing ONE hot
+    // bigram skew the bigram⋈counts shuffle join onto a single key;
+    // with broadcast off (vocab² can exceed the threshold at corpus
+    // scale) AQE must mark the join skew-handled, not stall one task
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val docs = spark.range(300000).select($"id".as("doc_id"),
+        concat(lit("the cat w"), pmod($"id", lit(97)).cast("string"),
+          lit(" the cat")).as("text"))
+      val scored = llm.TextStats.lmScoreDocs(spark, docs)
+      // materialize THIS QueryExecution so AQE finalizes its plan
+      assert(scored.collect().length == 300000)
+      val finalPlan = scored.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join on the hot bigram:\n${finalPlan.take(3000)}")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
