@@ -926,6 +926,34 @@ final case class GraftStorage(
     fs.delete(new Path(tmp), true)
   }
 
+  /** Splittable-ingestion recipe for raw compressed text landing at
+    * scale: plain `.gz` is an unsplittable container — one task per
+    * FILE, so a directory of fat gzip shards caps parallelism at the
+    * shard count no matter how many executors exist. The reference
+    * lifts that limit with BGZF block framing inside the gzip stream
+    * (BGZFEnhancedGzipCodec.java:63-102, BGZFCodec.java:54-101); the
+    * columnar-engine answer is DECOMPRESS ONCE: read the .gz shards
+    * with whatever per-file parallelism they allow, parse with an
+    * explicit schema, and rewrite into sharded parquet — after which
+    * every downstream read is splittable (`splitSize`-bounded),
+    * columnar-pruned, and stats-indexed, and the gzip wall is paid
+    * exactly once instead of on every query. The one-time cost
+    * parallelizes across files; `coalesceTo` (0 = keep) bounds output
+    * shard count for small ingests.
+    */
+  def ingestGzipText(src: String, dst: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = false, delimiter: String = ",",
+      coalesceTo: Int = 0): DataFrame = {
+    val parsed = spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .csv(src)
+    val sized = if (coalesceTo > 0) parsed.coalesce(coalesceTo) else parsed
+    sized.write.mode("overwrite").parquet(dst)
+    read(dst)
+  }
+
   /** Write with disq-style option resolution
     * (HtsjdkReadsRddStorage.java:187-229): cardinality SINGLE →
     * one-file commit; MULTIPLE → sharded dir; optional partition

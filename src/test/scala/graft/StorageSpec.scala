@@ -694,6 +694,44 @@ class StorageSpec extends AnyFunSuite {
       li.filter(naive).count())
   }
 
+  test("gzip ingest recipe: unsplittable .gz becomes a splittable parquet table") {
+    import org.apache.spark.sql.types._
+    val sf01 = "/root/testdata/sf0.1"
+    val gz = T.scratch(sf01, "ingest_gz_src")
+    T.t(spark, sf01, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "gzip").csv(gz)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    val before = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (8 * 1024).toString)
+      // the gzip wall: parallelism stays at the FILE count no matter
+      // how small the requested splits are
+      val gzParts = spark.read.schema(schema).csv(gz).rdd.getNumPartitions
+      assert(gzParts == 4, s"gz reads are one task per file: $gzParts")
+      // decompress-once: the ingested parquet honors the split size
+      val dst = T.scratch(sf01, "ingest_gz_parquet")
+      val ingested = GraftStorage(spark).ingestGzipText(gz, dst, schema)
+      assert(ingested.rdd.getNumPartitions > gzParts,
+        s"ingested table must split: ${ingested.rdd.getNumPartitions}")
+      // values survive the round trip exactly
+      assert(ingested.count() == T.t(spark, sf01, "orders").count())
+      // and the rewritten table serves pushdown the text path can't
+      val plan = ingested.filter($"o_orderkey" === 42L)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
+        plan.take(2000))
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
   test("hive-partitioned + bloom: format(\"graft\") reads real partition values") {
     // ADVICE round 2: readPruned built the relation with an empty
     // partition schema, so a partitionBy+bloom table read every
