@@ -238,7 +238,55 @@ object Curate extends QueryModule {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Text normalization — the first stage of every curation pipeline
+    * (C4/CCNet shape): lowercase, strip non-alphanumerics, collapse
+    * whitespace, trim. Pure codegen'd column expressions at scan
+    * speed. The fixture corpus is pre-clean, so a deterministic mess
+    * is synthesized first (case flip + punctuation + ragged spacing —
+    * same expression both engines, the piiScrub pattern); the
+    * normalized-text hash proves byte-identical cleaning.
+    */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val messy = concat(upper($"text"), lit("  !! "),
+      $"lang", lit(".  The,  End?? "))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(messy), "[^a-z0-9 ]", ""), " +", " "))
+    T.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        length(messy).as("n_raw"),
+        length(norm).as("n_norm"),
+        md5(norm).as("norm_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** N-gram novelty vs the growing corpus: the fraction of a doc's
+    * distinct 3-gram shingles whose FIRST owner (min doc_id) is the
+    * doc itself — the streaming-ingest "how much of this batch is
+    * new text" statistic (near-1 = fresh, near-0 = rehash of earlier
+    * docs). Two partial-agged shuffles (gram → first owner, join
+    * back → per-doc ratio), both keyed on the gram/doc — no windows,
+    * no driver state; the ratio ships as integer ppm (pure integer
+    * arithmetic, the llm_repetition drift contract).
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Dedup.shingleRows(T.t(s, dir, "documents"))
+      .localCheckpoint() // feeds the first-owner agg AND the ratio join
+    val first = grams.groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+    grams.join(first, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        expr("n_novel * 1000000L div n_grams").as("novelty_ppm"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_normalize" -> (normalizeText(_, _)),
+    "llm_ngram_novelty" -> (ngramNovelty(_, _)),
     "llm_chunk_overlap" -> (chunkOverlap(_, _)),
     "llm_decontam_bloom" -> (decontamBloom(_, _)),
     "llm_heavy_hitters" -> (heavyHitters(_, _)),
@@ -264,6 +312,31 @@ object Curate extends QueryModule {
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    upper(text) || '  !! ' || lang || '.  The,  End?? ' AS messy
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, messy,
+        |    trim(regexp_replace(regexp_replace(lower(messy),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(length(messy) AS INT) AS n_raw,
+        |  CAST(length(norm) AS INT) AS n_norm,
+        |  md5(norm) AS norm_hash
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "llm_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |first AS (SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok)
+         |SELECT t.doc_id,
+         |  COUNT(*) AS n_grams,
+         |  COUNT(CASE WHEN first_doc = t.doc_id THEN 1 END) AS n_novel,
+         |  CAST((COUNT(CASE WHEN first_doc = t.doc_id THEN 1 END) * 1000000)
+         |      // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM t JOIN first USING (tok)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "llm_chunk_overlap" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

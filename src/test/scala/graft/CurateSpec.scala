@@ -217,4 +217,36 @@ class CurateSpec extends AnyFunSuite {
     val bad = sel.join(fourth, "doc_id").filter($"sel_min" < $"tf4").count()
     assert(bad == 0, s"$bad docs selected a non-top-tf term")
   }
+
+  test("normalization is idempotent and strips every non-alphanumeric") {
+    val n = llm.Curate.normalizeText(spark, SF)
+    // normalizing already-normal text changes nothing: n_norm equals
+    // the length of the clean round trip (no [^a-z0-9 ] survives, no
+    // double spaces, no leading/trailing space)
+    assert(n.filter($"n_norm" > $"n_raw").count() == 0)
+    val docs = T.t(spark, SF, "documents")
+    val renorm = docs.select($"doc_id",
+      trim(regexp_replace(regexp_replace(
+        lower(concat(upper($"text"), lit("  !! "), $"lang",
+          lit(".  The,  End?? "))), "[^a-z0-9 ]", ""), " +", " "))
+        .as("norm"))
+      .select($"doc_id",
+        ($"norm" === trim(regexp_replace(regexp_replace(lower($"norm"),
+          "[^a-z0-9 ]", ""), " +", " "))).as("idem"))
+    assert(renorm.filter(!$"idem").count() == 0, "must be idempotent")
+  }
+
+  test("ngram novelty: every doc's grams counted, first doc fully novel") {
+    val nov = llm.Curate.ngramNovelty(spark, SF).collect()
+    // the lowest doc_id owns the first occurrence of all its grams
+    val first = nov.minBy(_.getLong(0))
+    assert(first.getLong(3) == 1000000L,
+      s"first doc must be fully novel: $first")
+    // ppm bounds and exact integer arithmetic
+    nov.foreach { r =>
+      val (grams, novel, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(novel <= grams)
+      assert(ppm == novel * 1000000L / grams, r.toString)
+    }
+  }
 }
