@@ -123,7 +123,38 @@ object Windows extends QueryModule {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Batch sessionization — the gap-based session assignment every
+    * clickstream/telemetry pipeline runs (the batch twin of
+    * stream_session's session_window): a session break is a gap of
+    * more than 8 hours since the user's previous event; the break
+    * flags' running sum IS the session index (the classic
+    * lag → flag → cumulative-sum idiom, two windows over ONE
+    * per-user shuffle — Catalyst reuses the partitioning, no second
+    * exchange). Durations in whole seconds (both engines floor to
+    * the second before differencing, per the T.events truncation
+    * contract).
+    */
+  def winSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    T.events(s, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("brk",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 28800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum($"brk").over(w))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min($"event_id").as("first_event"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts")))
+          .as("dur_sec"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sessionize" -> (winSessionize(_, _)),
     "win_nth" -> (winNth(_, _)),
     "win_distribution" -> (winDistribution(_, _)),
     "win_rank" -> (winRank(_, _)),
@@ -132,6 +163,26 @@ object Windows extends QueryModule {
     "win_frame_range" -> (winFrameRange(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "win_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 28800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_sec
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "win_nth" ->
       """SELECT user_id, event_id, event_type,
         |  first_value(event_type) OVER w AS first_ev,

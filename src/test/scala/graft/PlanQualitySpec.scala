@@ -369,4 +369,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashExchanges == 1,
       s"expected a single hash exchange on grp:\n${p.take(2000)}")
   }
+
+  test("sessionization: lag, cumsum, and the session agg share ONE user shuffle") {
+    val p = operators.Windows.winSessionize(spark, SF)
+      .queryExecution.executedPlan.toString
+    // both windows and the groupBy(user_id, session_idx) are served by
+    // hashpartitioning(user_id) — a second exchange would shuffle the
+    // whole event stream again at scale
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected a single hash exchange on user_id:\n${p.take(2500)}")
+  }
 }
