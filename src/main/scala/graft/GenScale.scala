@@ -68,7 +68,24 @@ object GenScale {
     write(shift(t("supplier"), "s_suppkey" -> S), "supplier")
     write(t("nation"), "nation")
     write(t("region"), "region")
-    write(shift(t("documents"), "doc_id" -> D), "documents")
+    // Documents get a per-replica token prefix ("r3_the r3_cat ...")
+    // on replicas ≥ 1: VERBATIM replication would hand every near-dup
+    // operator a corpus of 10-way exact clones, whose C(reps,2) pair
+    // emission is quadratic BY CONSTRUCTION (any correct dedup must
+    // report all true duplicate pairs) — that measures the fixture,
+    // not the operator. Prefixing makes replica shingle spaces
+    // disjoint, so each replica reproduces the source corpus's
+    // near-dup structure and pair counts scale linearly, which is
+    // what a real 10× corpus looks like. Replica 0 stays verbatim.
+    val docs = rep(t("documents"))
+      .withColumn("doc_id", col("doc_id") + col("__rep") * D)
+      .withColumn("text",
+        when(col("__rep") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(^| )"),
+            concat(lit("$1r"), col("__rep").cast("string"), lit("_")))))
+      .drop("__rep")
+      .select(t("documents").columns.map(col): _*)
+    write(docs, "documents")
     write(shift(t("embeddings"), "vec_id" -> V), "embeddings")
     // events.ts reads as LONG nanos (nanosAsLong) and is written back
     // as BIGINT — T.events handles both encodings identically

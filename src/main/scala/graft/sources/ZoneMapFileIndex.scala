@@ -58,10 +58,12 @@ final class ZoneMapFileIndex(
   extends InMemoryFileIndex(session, Seq(root), Map.empty, dataSchema) {
 
   /** Bloom rows materialized so far (column-scoped; grows only when a
-    * query filters a not-yet-loaded indexed column).
+    * query filters a not-yet-loaded indexed column). Volatile: planner
+    * threads race benignly — a stale read only skips pruning for one
+    * plan (files kept conservatively), never prunes wrongly.
     */
-  private var loadedBloomCols: Set[String] = Set.empty
-  private var blooms: Map[String, Blooms] = Map.empty
+  @volatile private var loadedBloomCols: Set[String] = Set.empty
+  @volatile private var blooms: Map[String, Blooms] = Map.empty
 
   /** Test hook: which Bloom columns have been materialized so far. */
   private[graft] def loadedBloomColumns: Set[String] = loadedBloomCols
