@@ -619,19 +619,19 @@ final case class GraftStorage(
           c -> ((r.getAs[Any](s"${c}__min"), r.getAs[Any](s"${c}__max")))).toMap
       }.toMap
     }
-    // Bloom sidecar: record WHICH columns are indexed (one tiny agg),
-    // defer the KB-per-(file,col) filters to a lazy, column-scoped
-    // loader the FileIndex calls with exactly the filtered columns.
-    // toLocalIterator streams the rows — driver memory is the final
-    // map, never a collect() buffer of the whole sidecar.
-    val bloomCols: Set[String] =
-      if (!hasBl) Set.empty
-      else spark.read.parquet(blPath.toString).select("col").distinct()
-        .collect().map(_.getString(0)).toSet
-    def loadBlooms(cols: Set[String])
+    // Bloom sidecar: filters are KB-sized per (file, column), so they
+    // load LAZILY — the FileIndex consults the thunks only when a
+    // query actually filters. Two regimes, gated on the sidecar's
+    // on-disk byte size: a small sidecar loads WHOLE in one pass (one
+    // driver job, the round-2 fast path); past the threshold the load
+    // is column-scoped to exactly the filtered columns, streamed via
+    // toLocalIterator — driver memory bounded by files × FILTERED
+    // columns instead of the whole table's metadata (§8c#7 ceiling).
+    def streamBlooms(scoped: Option[Set[String]])
         : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
-      val it = spark.read.parquet(blPath.toString)
-        .filter(col("col").isin(cols.toSeq: _*))
+      val base = spark.read.parquet(blPath.toString)
+      val it = scoped.fold(base)(cols =>
+          base.filter(col("col").isin(cols.toSeq: _*)))
         .select("file", "col", "bloom")
         .toLocalIterator()
       val out = scala.collection.mutable.Map
@@ -645,10 +645,25 @@ final case class GraftStorage(
       }
       out.toMap
     }
+    val scopedThreshold = spark.conf
+      .get("spark.graft.bloomSidecar.scopedLoadBytes", (64L * 1024 * 1024).toString)
+      .toLong
+    val smallSidecar = hasBl &&
+      fs.getContentSummary(blPath).getLength <= scopedThreshold
+    lazy val allBlooms = streamBlooms(None) // small path: ONE job, cached
+    val bloomMeta: () => Set[String] =
+      if (!hasBl) () => Set.empty
+      else if (smallSidecar) () => allBlooms.valuesIterator.flatMap(_.keys).toSet
+      else () => spark.read.parquet(blPath.toString).select("col").distinct()
+        .collect().map(_.getString(0)).toSet
+    val bloomLoader: Set[String] =>
+        Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      if (smallSidecar) _ => allBlooms
+      else cols => streamBlooms(Some(cols))
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val fullSchema = spark.read.parquet(path).schema
     val index = new ZoneMapFileIndex(classic, new Path(path),
-      Some(fullSchema), zones, bloomCols, loadBlooms)
+      Some(fullSchema), zones, hasBl, bloomMeta, bloomLoader)
     // hive-partitioned layouts: the inferred partition columns must go
     // in the relation's PARTITION schema — leaving them in dataSchema
     // with an empty partition schema reads them back as all-NULL

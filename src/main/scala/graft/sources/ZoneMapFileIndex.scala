@@ -45,17 +45,23 @@ final class ZoneMapFileIndex(
       * row values.
       */
     zones: Map[String, Map[String, (Any, Any)]],
-    /** columns with a `_bloom` sidecar entry, and the lazy per-column
-      * loader: cols → normalized file path → col → Bloom filter
-      * (point-lookup pruning on columns the clustering order can't
-      * serve — no false negatives, so dropping a non-matching file is
-      * always sound).
+    /** whether a `_bloom` sidecar exists, the lazy column-list thunk,
+      * and the lazy per-column loader: cols → normalized file path →
+      * col → Bloom filter (point-lookup pruning on columns the
+      * clustering order can't serve — no false negatives, so dropping
+      * a non-matching file is always sound). Both thunks fire only
+      * when a query actually filters — an unfiltered read touches the
+      * sidecar zero times.
       */
-    bloomCols: Set[String] = Set.empty,
+    hasBlooms: Boolean = false,
+    bloomMeta: () => Set[String] = () => Set.empty,
     bloomLoader: Set[String] =>
       Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
       _ => Map.empty)
   extends InMemoryFileIndex(session, Seq(root), Map.empty, dataSchema) {
+
+  /** Indexed columns, resolved on first filtered consult. */
+  private lazy val bloomCols: Set[String] = bloomMeta()
 
   /** Bloom rows materialized so far (column-scoped; grows only when a
     * query filters a not-yet-loaded indexed column). Volatile: planner
@@ -86,7 +92,7 @@ final class ZoneMapFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    if (dataFilters.isEmpty || (zones.isEmpty && bloomCols.isEmpty)) base
+    if (dataFilters.isEmpty || (zones.isEmpty && !hasBlooms)) base
     else {
       val bloomed = bloomsFor(dataFilters)
       base.map { pd =>

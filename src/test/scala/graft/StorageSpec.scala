@@ -831,6 +831,10 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).inputFiles.length >= 1000)
     GraftStorage(spark).buildBloomIndex(out, Seq("l_partkey", "l_suppkey"),
       expectedPerFile = 2000, fpp = 0.03)
+    // force the column-scoped regime (the fixture sidecar is small
+    // enough for the one-job whole-load fast path otherwise)
+    spark.conf.set("spark.graft.bloomSidecar.scopedLoadBytes", "0")
+    try {
     def indexOf(df: org.apache.spark.sql.DataFrame) =
       org.apache.spark.sql.graftbridge.Bridge.analyzed(df)
         .collect {
@@ -857,5 +861,6 @@ class StorageSpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value < 100,
       s"expected <100 of 1000 files after bloom pruning, " +
         s"got ${scan.metrics("numFiles").value}")
+    } finally spark.conf.unset("spark.graft.bloomSidecar.scopedLoadBytes")
   }
 }
