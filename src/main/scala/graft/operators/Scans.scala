@@ -382,6 +382,38 @@ object Scans extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** S7/S8/K7 — SPLITTABLE compressed text: the same orders lines as
+    * the gzip fixture, but framed as BGZF (blocked gzip,
+    * `GraftStorage.writeBgzfText`), read back split-parallel through
+    * the distributed block-chain index + exactly-once line semantics
+    * (`readBgzfLines`) — the reference's defining capability
+    * (BGZFCodec.java:54-101, BgzfBlockGuesser) rebuilt Spark-first:
+    * one fat shard fans out to as many tasks as the split target
+    * allows, where plain .gz pins it to one. 4 KiB blocks so even the
+    * sf0.001 fixture demonstrably splits.
+    */
+  private def bgzfFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "orders_csv_bgzf") { out =>
+      import s.implicits._
+      graft.sources.GraftStorage(s).writeBgzfText(
+        T.t(s, dir, "orders")
+          .select(concat_ws(",", $"o_orderkey", $"o_orderpriority",
+            $"o_totalprice").as("value"))
+          .repartition(4),
+        out, blockInput = 4 * 1024)
+    }
+
+  def scanTextBgzf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = bgzfFixture(s, dir)
+    val lines = graft.sources.GraftStorage(s)
+      .readBgzfLines(out, targetSplitBytes = 16 * 1024)
+    s.read.schema(gzOrdersSchema).csv(lines)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** S4 columnar breadth: ORC source round trip — the second
     * stats-indexed columnar container Spark ships (stripe/row-group
     * min-max indexes play the parquet-footer role). Pushdown +
@@ -410,7 +442,7 @@ object Scans extends QueryModule {
     zonemapFixture(s, dir); zonemapPlannedFixture(s, dir)
     badlinesFixture(s, dir); jsonFixture(s, dir); gzipFixture(s, dir)
     zorderFixture(s, dir); orcFixture(s, dir); bloomFixture(s, dir)
-    gzipIngestFixture(s, dir)
+    gzipIngestFixture(s, dir); bgzfFixture(s, dir)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -420,6 +452,7 @@ object Scans extends QueryModule {
     "scan_orc" -> (scanOrc(_, _)),
     "scan_text_gzip" -> (scanTextGzip(_, _)),
     "ingest_gzip_parquet" -> (ingestGzipParquet(_, _)),
+    "scan_text_bgzf" -> (scanTextBgzf(_, _)),
     "parse_project" -> (parseProject(_, _)),
     "scan_variants" -> (scanVariants(_, _)),
     "scan_multifile_union" -> (scanMultifileUnion(_, _)),
@@ -441,6 +474,10 @@ object Scans extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "ingest_gzip_parquet" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scan_text_bgzf" ->
       s"""SELECT o_orderpriority, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
