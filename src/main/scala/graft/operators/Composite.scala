@@ -69,9 +69,41 @@ object Composite extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Ordered funnel analysis — the clickstream staple: how far does
+    * each user get through view → click-AFTER-view →
+    * purchase-AFTER-click (event ORDER matters, so this is not three
+    * independent EXISTS). Stated as a cascade of per-user min-ts
+    * aggregates, each stage joining the previous stage's timestamp
+    * and keeping only later events — three user-keyed partial-agged
+    * shuffles, no per-user array materialization, no window over the
+    * raw stream; every join key is user_id so at cluster scale the
+    * cascade is three co-partitioned narrow stages.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = T.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    ev.select($"user_id").distinct()
+      .join(v.select($"user_id", lit(1).as("s1")), Seq("user_id"), "left")
+      .join(c.select($"user_id", lit(1).as("s2")), Seq("user_id"), "left")
+      .join(p.select($"user_id", lit(1).as("s3")), Seq("user_id"), "left")
+      .select($"user_id",
+        (coalesce($"s1", lit(0)) + coalesce($"s2", lit(0)) +
+          coalesce($"s3", lit(0))).cast("int").as("stage"))
+      .orderBy($"user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "sink_nested" -> (sinkNested(_, _)),
+    "events_funnel" -> (eventsFunnel(_, _)),
     "agg_percentile" -> (aggPercentile(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -87,6 +119,27 @@ object Composite extends QueryModule {
          |  CAST(COUNT(*) AS INT) AS n_ids,
          |  MIN(event_id) AS first_id, MAX(event_id) AS last_id
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4)
