@@ -100,10 +100,33 @@ object Composite extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** Cohort retention — the activation/retention matrix: users
+    * grouped by their FIRST active week (cohort), counted per later
+    * active week. Weeks are integer day-offsets div 7 from the
+    * corpus epoch (pure integer arithmetic on both engines). Two
+    * user-keyed aggregates + one broadcast-size join back — the
+    * distinct (user, week) set is the only wide shuffle, partial-
+    * agged map-side.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = expr(
+      "datediff(cast(ts as date), date '2024-01-01') div 7").cast("long")
+    val uw = T.events(s, dir)
+      .select($"user_id", wk.as("week"))
+      .distinct()
+    val cohort = uw.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy($"cohort_week", $"week")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_week", $"week")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "sink_nested" -> (sinkNested(_, _)),
     "events_funnel" -> (eventsFunnel(_, _)),
+    "events_retention" -> (eventsRetention(_, _)),
     "agg_percentile" -> (aggPercentile(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -140,6 +163,17 @@ object Composite extends QueryModule {
         |LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week
+        |      FROM uw GROUP BY user_id)
+        |SELECT cohort_week, week, COUNT(DISTINCT uw.user_id) AS n_active
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY cohort_week, week
+        |ORDER BY cohort_week, week""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4)

@@ -117,6 +117,28 @@ object Joins extends QueryModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** NULL-AWARE anti join — SQL `NOT IN` with its three-valued edge:
+    * a NULL probe key compares UNKNOWN to everything, so `NOT IN`
+    * drops it (where NOT EXISTS keeps it) — the classic silent
+    * semantic fork between the two anti-join spellings. Stated as raw
+    * SQL so Catalyst plans its dedicated single-column
+    * null-aware-anti BroadcastHashJoin instead of a nested loop
+    * (plan-gated in PlanQualitySpec). Probe nulls are synthesized
+    * with NULLIF (the fixture has none); the build side is null-free,
+    * or every row would vanish.
+    */
+  def joinAntiNullAware(s: SparkSession, dir: String): DataFrame = {
+    T.t(s, dir, "customer").createOrReplaceTempView("gna_customer")
+    T.t(s, dir, "supplier").createOrReplaceTempView("gna_supplier")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS cnt
+        |FROM (SELECT c_mktsegment, NULLIF(c_nationkey, 3) AS k
+        |      FROM gna_customer)
+        |WHERE k NOT IN (SELECT s_nationkey FROM gna_supplier
+        |                WHERE s_nationkey >= 10)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** As-of: each order paired with the same customer's immediately
     * preceding order — the nearest-preceding-event join, expressed as
     * a partitioned lag (one shuffle on the partition key, no
@@ -487,6 +509,7 @@ object Joins extends QueryModule {
     "join_interval_auto" -> (joinIntervalAuto(_, _)),
     "join_semi" -> (joinSemi(_, _)),
     "join_anti" -> (joinAnti(_, _)),
+    "join_anti_null_aware" -> (joinAntiNullAware(_, _)),
     "join_outer" -> (joinOuter(_, _)),
     "join_full_outer" -> (joinFullOuter(_, _)),
     "join_asof" -> (joinAsof(_, _)),
@@ -606,6 +629,13 @@ object Joins extends QueryModule {
       """SELECT c_mktsegment, COUNT(*) AS cnt
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_anti_null_aware" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt
+        |FROM (SELECT c_mktsegment, NULLIF(c_nationkey, 3) AS k
+        |      FROM customer)
+        |WHERE k NOT IN (SELECT s_nationkey FROM supplier
+        |                WHERE s_nationkey >= 10)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_asof" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,

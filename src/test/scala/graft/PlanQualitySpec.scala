@@ -370,6 +370,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected a single hash exchange on grp:\n${p.take(2000)}")
   }
 
+  test("NOT IN plans the dedicated null-aware anti join, not a nested loop") {
+    val df = operators.Joins.joinAntiNullAware(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // BroadcastHashJoin's toString renders isNullAwareAntiJoin as the
+    // bare trailing flag: "..., LeftAnti, BuildRight, true"
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"expected the single-column null-aware BroadcastHashJoin:\n${p.take(2500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
   test("sessionization: lag, cumsum, and the session agg share ONE user shuffle") {
     val p = operators.Windows.winSessionize(spark, SF)
       .queryExecution.executedPlan.toString
