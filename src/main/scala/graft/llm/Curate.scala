@@ -27,21 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Curate extends QueryModule {
 
-  /** Word-bigram rows WITH duplicates: (doc_id, tok). Same
-    * posexplode + lead() shape as Dedup.shingleRows (array-lambda
-    * forms are quadratic per doc — see that scaladoc), minus the
-    * distinct: frequency ops need multiplicity.
+  /** Word-bigram rows WITH duplicates: (doc_id, tok). Same native
+    * `ngrams` map-stage build as Dedup.shingleRows (see that scaladoc
+    * for the rejected window/lambda forms), minus the distinct:
+    * frequency ops need multiplicity.
     */
-  private def bigramRows(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks
-      .select(col("doc_id"), col("tok"),
-        lead(col("tok"), 1).over(w).as("t1"))
-      .filter(col("t1").isNotNull)
-      .select(col("doc_id"), concat_ws("_", col("tok"), col("t1")).as("tok"))
-  }
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.NgramFunctions.ngrams(col("text"), 2)).as("tok"))
 
   /** Benchmark decontamination, Bloom-bounded: docs sharing ANY
     * 3-gram shingle with the benchmark set (docs 0-4 stand in) are

@@ -14,26 +14,20 @@ object Dedup extends QueryModule {
 
   /** Distinct word-3-gram shingles in ROW form: (doc_id, tok).
     *
-    * posexplode once + a lead() window, never array lambdas: an
-    * array-transform formulation re-evaluates split(text) inside each
-    * element access (no common-subexpression elimination across a
-    * lambda boundary), which is quadratic per document — measured 4×
-    * slower on the fixtures. Row form also feeds the inverted index
-    * and the MinHash aggregate with no re-shaping.
+    * Built by the native `ngrams` expression + explode — a pure MAP
+    * stage: no exchange exists until the consumer's own aggregation.
+    * The two rejected formulations, for the record: an array-lambda
+    * re-evaluates split(text) per element (Catalyst inlines
+    * single-use aliases into lambdas — quadratic per doc, measured
+    * 4× slower), and the earlier posexplode + lead()-window build
+    * SHUFFLED the whole token stream on doc_id and ran two window
+    * passes before the first gram existed. Row form feeds the
+    * inverted index and the MinHash aggregate with no re-shaping.
     */
-  def shingleRows(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks
-      .select(col("doc_id"), col("tok"),
-        lead(col("tok"), 1).over(w).as("t1"),
-        lead(col("tok"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws("_", col("tok"), col("t1"), col("t2")).as("tok"))
+  def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.NgramFunctions.ngrams(col("text"), 3)).as("tok"))
       .distinct()
-  }
 
   /** Exact dedup: content-hash cardinality (dropDuplicates analogue,
     * reduced to a checkable summary).

@@ -90,9 +90,9 @@ object TextStats extends QueryModule {
   /** Intra-document repetition score — the Gopher-style quality rule
     * (most-repeated n-gram fraction): word 5-grams per document WITH
     * duplicates, the ratio of the most frequent 5-gram's count to the
-    * total. Row-form 5-grams (posexplode + window leads, the
-    * shingleRows pattern — an array-lambda formulation re-evaluates
-    * split() per element and goes quadratic per doc); the aggregation
+    * total. Row-form 5-grams from the native `ngrams` expression (a
+    * pure map stage — Dedup.shingleRows records the rejected
+    * window/lambda forms); the aggregation
     * is two hash aggs, map-side combined. Docs under 5 tokens have no
     * grams and drop out (both engines agree). The ratio ships as
     * integer parts-per-million (`max_rep * 1e6 div n_grams`) — pure
@@ -103,17 +103,8 @@ object TextStats extends QueryModule {
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val tokRows = T.t(s, dir, "documents").select($"doc_id",
-      posexplode(toks($"text")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val grams = tokRows
-      .select($"doc_id", $"tok",
-        lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"),
-        lead($"tok", 3).over(w).as("t3"), lead($"tok", 4).over(w).as("t4"))
-      .filter($"t4".isNotNull)
-      .select($"doc_id",
-        concat_ws("_", $"tok", $"t1", $"t2", $"t3", $"t4").as("gram"))
+    val grams = T.t(s, dir, "documents").select($"doc_id",
+      explode(graft.functions.NgramFunctions.ngrams($"text", 5)).as("gram"))
     grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_grams"), max($"c").as("max_rep"))
@@ -143,18 +134,16 @@ object TextStats extends QueryModule {
   private def fpRows(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tokRows = docs.select($"doc_id",
-      posexplode(toks($"text")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val grams = tokRows
-      .select($"doc_id", $"pos", $"tok",
-        lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"))
-      .filter($"t2".isNotNull)
-      .select($"doc_id", $"pos",
-        concat_ws("_", $"tok", $"t1", $"t2").as("gram"))
+    // positional 3-grams straight from the native ngrams expression —
+    // posexplode supplies the pos the winnowing window orders by, so
+    // the ONLY shuffle left is the window's own doc partitioning
+    val grams = docs.select($"doc_id",
+      posexplode(graft.functions.NgramFunctions.ngrams($"text", 3))
+        .as(Seq("pos", "gram")))
     val hi = conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long")
     val lo = conv(substring(md5($"gram"), 9, 8), 16, 10).cast("long")
     val hashed = grams.withColumn("gh", shiftleft(hi, 32).bitwiseOR(lo))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
     hashed
       .select($"doc_id", $"gh",
         lead($"gh", 1).over(w).as("g1"),
