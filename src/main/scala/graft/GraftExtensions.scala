@@ -43,5 +43,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => FoldSelfCosine)
     e.injectOptimizerRule(_ => plans.BinnedIntervalRule)
+    e.injectOptimizerRule(_ => plans.MaterializedViewRule)
   }
 }

@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Sinks,
     operators.TypedOps,
     operators.Composite,
+    operators.Mv,
     operators.TpchBattery,
     operators.TpchBattery2,
     functions.Funcs,

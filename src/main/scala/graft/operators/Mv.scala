@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{Fixtures, QueryModule, T}
+import graft.T.{dsum, sqlDsum}
+import graft.plans.{MaterializedViewRewrite, MvCatalog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.DecimalType
+
+/** Materialized-view queries — the summary-table rewrite exercised
+  * end to end (plans/MaterializedView.scala). One MV over lineitem
+  * grouped by (l_returnflag, l_linestatus) answers:
+  *
+  *   - `mv_rollup`        — rollup to a SUBSET of the MV's grouping
+  *     columns (group by l_returnflag alone): partial sums re-summed,
+  *     counts re-counted; the oracle computes from the BASE table, so
+  *     the rewrite must be value-exact.
+  *   - `mv_rollup_filter` — a grouping-column filter applied to MV
+  *     rows instead of the fact scan.
+  *   - `mv_fallback`      — an aggregate the MV cannot answer
+  *     (SUM(l_tax) is not a stored measure): the rewrite must NOT
+  *     fire and the query falls back to the fact table, still
+  *     correct. Guards against false-positive matches.
+  *
+  * MvSpec pins the plan side: the first two scan the MV parquet (not
+  * lineitem), the third scans lineitem; plus the session-conf route.
+  */
+object Mv extends QueryModule {
+
+  val MvName = "mv_lineitem_rfls"
+  private val SumCast = DecimalType(18, 2)
+
+  /** Build the summary parquet once per (dir) and (re-)register it in
+    * the catalog with the CALLER's session, so captured plans never
+    * go stale across sessions.
+    */
+  def ensureMv(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = Fixtures.ensure(dir, MvName) { p =>
+      T.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast(SumCast)).as("sum_qty"),
+          sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+          count(lit(1)).as("cnt"),
+          min($"l_shipdate").as("min_ship"),
+          max($"l_shipdate").as("max_ship"))
+        .write.mode("overwrite").parquet(p)
+    }
+    MvCatalog.register(
+      s"$dir/lineitem.parquet",
+      MvCatalog.MvDef(
+        name = MvName,
+        plan = Bridge.analyzed(s.read.parquet(path)),
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        sums = Map(
+          "l_quantity" -> MvCatalog.SumSpec("sum_qty", Some(SumCast)),
+          "l_extendedprice" -> MvCatalog.SumSpec("sum_price", Some(SumCast))),
+        countCol = Some("cnt"),
+        mins = Map("l_shipdate" -> "min_ship"),
+        maxs = Map("l_shipdate" -> "max_ship")))
+    path
+  }
+
+  /** Apply the MV rewrite to one DataFrame's analyzed plan — the
+    * race-free per-query route (same scoping philosophy as
+    * `Joins.withBinWidth`).
+    */
+  def withMvRewrite(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    Bridge.ofRows(spark, MaterializedViewRewrite(Bridge.analyzed(df)))
+  }
+
+  /** Rollup to one of the MV's two grouping columns. */
+  def mvRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureMv(s, dir)
+    withMvRewrite(
+      T.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    ).orderBy($"l_returnflag")
+  }
+
+  /** Grouping-column filter answered from MV rows. */
+  def mvRollupFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureMv(s, dir)
+    withMvRewrite(
+      T.t(s, dir, "lineitem")
+        .filter($"l_linestatus" === "F")
+        .groupBy($"l_returnflag")
+        .agg(
+          dsum($"l_extendedprice").as("sum_price"),
+          min($"l_shipdate").as("min_ship"),
+          max($"l_shipdate").as("max_ship"))
+    ).orderBy($"l_returnflag")
+  }
+
+  /** SUM(l_tax) is not a stored measure — the rewrite must decline
+    * and the plan must keep the fact-table scan.
+    */
+  def mvFallback(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureMv(s, dir)
+    withMvRewrite(
+      T.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(dsum($"l_tax", 4).as("sum_tax"))
+    ).orderBy($"l_returnflag")
+  }
+
+  override def prepare(s: SparkSession, dir: String): Unit = {
+    ensureMv(s, dir)
+    ()
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_rollup" -> (mvRollup(_, _)),
+    "mv_rollup_filter" -> (mvRollupFilter(_, _)),
+    "mv_fallback" -> (mvFallback(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "mv_rollup" ->
+      s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "mv_rollup_filter" ->
+      s"""SELECT l_returnflag, ${sqlDsum("l_extendedprice")} AS sum_price,
+         |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+         |FROM lineitem WHERE l_linestatus = 'F'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "mv_fallback" ->
+      s"""SELECT l_returnflag, ${sqlDsum("l_tax", 4)} AS sum_tax
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized-view rewrite gates (plans/MaterializedView.scala):
+  * values must match the base-table computation exactly, AND the plan
+  * must actually read the summary parquet — a rewrite that silently
+  * declines would still pass the value check via the fact scan.
+  */
+class MvSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def scannedPaths(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect() // finalize AQE before reading the executed plan
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+  }
+
+  test("mv_rollup reads the MV parquet, not lineitem, and matches base") {
+    val df = operators.Mv.mvRollup(spark, SF)
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains(operators.Mv.MvName)),
+      s"expected only MV scans, got: $paths")
+    val base = T.t(spark, SF, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(T.dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag")
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
+  test("mv_rollup_filter applies the grouping-column filter on MV rows") {
+    val df = operators.Mv.mvRollupFilter(spark, SF)
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains(operators.Mv.MvName)),
+      s"expected only MV scans, got: $paths")
+    val base = T.t(spark, SF, "lineitem")
+      .filter($"l_linestatus" === "F")
+      .groupBy($"l_returnflag")
+      .agg(T.dsum($"l_extendedprice").as("sum_price"),
+        min($"l_shipdate").as("min_ship"), max($"l_shipdate").as("max_ship"))
+      .orderBy($"l_returnflag")
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
+  test("mv_fallback declines: unmapped measure keeps the fact scan") {
+    val df = operators.Mv.mvFallback(spark, SF)
+    val paths = scannedPaths(df)
+    assert(paths.exists(_.contains("lineitem.parquet")),
+      s"expected fact-table scan, got: $paths")
+    assert(!paths.exists(_.contains(operators.Mv.MvName)), paths.toString)
+  }
+
+  test("unrelated aggregate shapes never rewrite (avg of non-measure, " +
+      "non-group filter)") {
+    operators.Mv.ensureMv(spark, SF)
+    // filter on a NON-grouping column must block the rewrite
+    val filtered = T.t(spark, SF, "lineitem")
+      .filter($"l_quantity" > 10)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+    val p = scannedPaths(operators.Mv.withMvRewrite(filtered))
+    assert(p.exists(_.contains("lineitem.parquet")), p.toString)
+  }
+
+  test("session-conf route: spark.graft.mv.enabled rewrites a plain query") {
+    operators.Mv.ensureMv(spark, SF)
+    spark.conf.set(plans.MaterializedViewRule.EnabledConf, "true")
+    try {
+      val df = T.t(spark, SF, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(T.dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+      val paths = scannedPaths(df)
+      assert(paths.nonEmpty && paths.forall(_.contains(operators.Mv.MvName)),
+        s"optimizer rule should have rewritten to the MV: $paths")
+    } finally spark.conf.set(plans.MaterializedViewRule.EnabledConf, "false")
+  }
+
+  test("count rewrite is exact over group subsets (sum of partial counts)") {
+    operators.Mv.ensureMv(spark, SF)
+    val df = operators.Mv.withMvRewrite(
+      T.t(spark, SF, "lineitem").groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("cnt"))).orderBy($"l_linestatus")
+    val base = T.t(spark, SF, "lineitem").groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("cnt")).orderBy($"l_linestatus")
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+}
