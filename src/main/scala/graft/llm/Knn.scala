@@ -539,6 +539,27 @@ object Knn extends QueryModule {
       .orderBy($"label", $"pos")
   }
 
+  /** Recall@K of the IVF index vs exact brute force — the quality
+    * instrumentation every ANN deployment needs next to the index
+    * itself: per query, how many of the true top-K the probe plan
+    * recovered. Integer ppm (drift contract) rather than a float
+    * ratio. Both sides are the library's own oracled operators, so
+    * this composes two verified plans; the DuckDB oracle composes the
+    * same two SQL bodies.
+    */
+  def knnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = knn(s, dir).select($"qid", $"nid")
+    val approx = knnIvf(s, dir)
+      .select($"qid".as("aqid"), $"nid".as("anid"))
+    brute.join(approx, $"qid" === $"aqid" && $"nid" === $"anid", "left_outer")
+      .groupBy($"qid")
+      .agg(count($"anid").as("n_match"))
+      .select($"qid", $"n_match",
+        expr(s"n_match * 1000000L div $K").as("recall_ppm"))
+      .orderBy($"qid")
+  }
+
   override def prepare(s: SparkSession, dir: String): Unit = {
     ivfStoredFixture(s, dir); ()
   }
@@ -548,6 +569,7 @@ object Knn extends QueryModule {
     "llm_knn_pq" -> (knnPq(_, _)),
     "llm_knn_pq_trained" -> (knnPqTrained(_, _)),
     "llm_knn" -> (knn(_, _)),
+    "llm_knn_recall" -> (knnRecall(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
     "llm_knn_ivf" -> (knnIvf(_, _)),
     "llm_knn_ivf_stored" -> (knnIvfStored(_, _)),
@@ -642,6 +664,44 @@ object Knn extends QueryModule {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
        |  FROM adc)
        |SELECT qid, nid, adc_dist, rn FROM ranked WHERE rn <= $K
+       |ORDER BY qid, rn""".stripMargin
+
+  // brute-force and IVF top-K as standalone SQL bodies: each is an
+  // oracle entry on its own AND a CTE inside llm_knn_recall's oracle
+  private val knnBruteSql: String =
+    s"""SELECT qid, nid, cos_sim, rn FROM (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                 CAST(b.embedding AS DOUBLE[])), 4)
+       |      AS cos_sim,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                     CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id)
+       |      AS rn
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < $NQueries AND b.vec_id <> a.vec_id) t
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  private val knnIvfSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $NumCells),
+       |ranked AS (
+       |  SELECT v.vec_id, v.e, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS crn
+       |  FROM v, cents c),
+       |corpus AS (SELECT vec_id AS nid, e AS ne, cid
+       |           FROM ranked WHERE crn = 1),
+       |qprobe AS (SELECT vec_id AS qid, e AS qe, cid
+       |           FROM ranked WHERE vec_id < $NQueries AND crn <= $NProbe),
+       |cand AS (
+       |  SELECT qid, nid,
+       |    round(list_cosine_similarity(qe, ne), 4) AS cos_sim,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(list_cosine_similarity(qe, ne), 4) DESC, nid) AS rn
+       |  FROM corpus JOIN qprobe USING (cid) WHERE nid != qid)
+       |SELECT qid, nid, cos_sim, rn FROM cand WHERE rn <= $K
        |ORDER BY qid, rn""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
@@ -739,27 +799,14 @@ object Knn extends QueryModule {
          |  FROM corpus JOIN qprobe USING (cid) WHERE nid != qid)
          |SELECT qid, nid, cos_sim, rn FROM cand WHERE rn <= $K
          |ORDER BY qid, rn""".stripMargin,
-    "llm_knn_ivf" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $NumCells),
-         |ranked AS (
-         |  SELECT v.vec_id, v.e, c.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS crn
-         |  FROM v, cents c),
-         |corpus AS (SELECT vec_id AS nid, e AS ne, cid
-         |           FROM ranked WHERE crn = 1),
-         |qprobe AS (SELECT vec_id AS qid, e AS qe, cid
-         |           FROM ranked WHERE vec_id < $NQueries AND crn <= $NProbe),
-         |cand AS (
-         |  SELECT qid, nid,
-         |    round(list_cosine_similarity(qe, ne), 4) AS cos_sim,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY round(list_cosine_similarity(qe, ne), 4) DESC, nid) AS rn
-         |  FROM corpus JOIN qprobe USING (cid) WHERE nid != qid)
-         |SELECT qid, nid, cos_sim, rn FROM cand WHERE rn <= $K
-         |ORDER BY qid, rn""".stripMargin,
+    "llm_knn_ivf" -> knnIvfSql,
+    "llm_knn_recall" ->
+      s"""WITH brute AS ($knnBruteSql),
+         |ivf AS ($knnIvfSql)
+         |SELECT b.qid, CAST(COUNT(i.nid) AS BIGINT) AS n_match,
+         |  CAST(COUNT(i.nid) AS BIGINT) * 1000000 // $K AS recall_ppm
+         |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
     "llm_embed_centroids" ->
       """WITH e AS (
         |  SELECT label,
@@ -770,19 +817,7 @@ object Knn extends QueryModule {
         |  CAST(SUM(CAST(CAST(c.v AS DOUBLE) AS DECIMAL(20,7))) AS DOUBLE)
         |    AS sum_v
         |FROM e GROUP BY label, c.p ORDER BY label, pos""".stripMargin,
-    "llm_knn" ->
-      s"""SELECT qid, nid, cos_sim, rn FROM (
-         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-         |                                 CAST(b.embedding AS DOUBLE[])), 4)
-         |      AS cos_sim,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-         |                     CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id)
-         |      AS rn
-         |  FROM embeddings a, embeddings b
-         |  WHERE a.vec_id < $NQueries AND b.vec_id <> a.vec_id) t
-         |WHERE rn <= $K ORDER BY qid, rn""".stripMargin,
+    "llm_knn" -> knnBruteSql,
     "llm_dedup_embed" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -260,6 +260,159 @@ object TextStats extends QueryModule {
       .limit(20)
   }
 
+  private val BpeMerges = 5
+
+  /** BPE merge training — the real tokenizer-training dataflow,
+    * distributed the way it actually scales: the ONLY corpus-sized
+    * work is the word-count aggregation (one shuffle); the k merge
+    * rounds then iterate over the VOCABULARY table (distinct words ×
+    * evolving symbol strings — millions of rows at worst, independent
+    * of corpus size). Each round is: pair-frequency aggregate over
+    * vocab (weighted by word count, pairs via the native `ngrams`
+    * expression), a 1-row argmax collect (freq desc, pair asc — the
+    * canonical greedy rule with a deterministic tie-break), and a
+    * leftmost-nonoverlapping merge applied as a plain string replace
+    * on space-padded symbols (both engines' `replace` scans
+    * left-to-right past each substitution, which IS BPE's greedy
+    * merge order). Returns (step, pair, merged, freq) rules.
+    */
+  private[graft] def bpeTrainRules(
+      s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    import s.implicits._
+    // vocab: word -> count, symbols = chars spaced ("hello" -> "h e l l o")
+    var vocab = T.t(s, dir, "documents")
+      .select(explode(toks($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .select(concat_ws(" ", split($"word", "(?!^)")).as("symbols"), $"cnt")
+      .localCheckpoint()
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeMerges && !exhausted) {
+      val top = vocab
+        .select(explode(
+          graft.functions.NgramFunctions.ngrams($"symbols", 2)).as("pair"),
+          $"cnt")
+        .groupBy($"pair").agg(sum($"cnt").as("freq"))
+        .orderBy($"freq".desc, $"pair")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val freq = top(0).getLong(1)
+        val merged = pair.replace("_", "")
+        val spaced = pair.replace('_', ' ')
+        rules += ((step, pair, merged, freq))
+        // symbol chains are pure map stages over the vocab table —
+        // round i re-evaluates i replaces, trivially cheap vs any
+        // corpus scan
+        vocab = vocab.select(
+          expr(s"trim(replace(concat(' ', symbols, ' '), ' $spaced ', ' $merged '))")
+            .as("symbols"),
+          $"cnt")
+        step += 1
+      }
+    }
+    rules.result()
+  }
+
+  /** The learned merge table as a query result (the trained artifact
+    * a tokenizer ships): step, '_'-joined pair, merged symbol, and
+    * the weighted pair frequency that won the round.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrainRules(s, dir)
+      .toDF("step", "pair", "merged", "freq")
+      .orderBy($"step")
+  }
+
+  /** Encode the corpus with the trained merges — one pure codegen map
+    * stage over documents, NO shuffle before the output sort: the
+    * whole text becomes spaced symbols with a '|' word-boundary
+    * marker (never a corpus character, so no merge can cross a word
+    * boundary), the k merge rules apply as chained string replaces,
+    * and the BPE token count falls out of the symbol count. This is
+    * the tokenize step a 100 TB pipeline runs per document; it must
+    * not shuffle, and here it does not.
+    */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = bpeTrainRules(s, dir)
+    // "ab cd" -> " a b | c d " (chars spaced, words fenced by '|')
+    val base = "concat(' ', regexp_replace(regexp_replace(text, ' ', ' | '), " +
+      "'([^ ])(?=[^ ])', '$1 '), ' ')"
+    val applied = rules.foldLeft(base) { case (acc, (_, pair, merged, _)) =>
+      val spaced = pair.replace('_', ' ')
+      s"replace($acc, ' $spaced ', ' $merged ')"
+    }
+    T.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens"),
+        (size(split(trim(expr(applied)), " ")).cast("long")
+          - (size(toks($"text")).cast("long") - 1L)).as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+
+  // unrolled k-round BPE training chain: w0 = vocab symbols, then per
+  // round i: p_i pair counts, m_i winning merge, w_i merged symbols.
+  // A round with no pairs left yields an empty m_i; the chr(1)
+  // sentinel keeps w_i intact instead of NULLing every word.
+  private def bpeCtes: String = {
+    val sb = new StringBuilder
+    sb ++= """w0 AS (
+      |  SELECT array_to_string([word[i] FOR i IN
+      |           generate_series(1, length(word))], ' ') AS symbols, cnt
+      |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |              FROM documents)
+      |        GROUP BY word))""".stripMargin
+    for (i <- 1 to BpeMerges) {
+      sb ++= s""",
+      |p$i AS (
+      |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+      |    SELECT cnt, unnest([toks[j] || '_' || toks[j+1]
+      |      FOR j IN generate_series(1, len(toks)-1)]) AS pair
+      |    FROM (SELECT string_split(symbols, ' ') AS toks, cnt FROM w${i - 1}))
+      |  GROUP BY pair),
+      |m$i AS (SELECT $i AS step, pair, replace(pair, '_', '') AS merged, freq
+      |        FROM p$i ORDER BY freq DESC, pair LIMIT 1),
+      |w$i AS (
+      |  SELECT trim(replace(' ' || symbols || ' ',
+      |    ' ' || replace(coalesce((SELECT pair FROM m$i), chr(1)), '_', ' ') || ' ',
+      |    ' ' || coalesce((SELECT merged FROM m$i), chr(1)) || ' ')) AS symbols,
+      |    cnt
+      |  FROM w${i - 1})""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def bpeTrainOracle: String =
+    s"""WITH $bpeCtes
+       |SELECT CAST(step AS INT) AS step, pair, merged, freq
+       |FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin
+
+  private def bpeApplyOracle: String = {
+    // per doc: spaced symbols with '|' fences, the same k replaces
+    // (scalar subqueries against m_i), then count symbols
+    val base = "' ' || array_to_string([array_to_string([w[i] FOR i IN " +
+      "generate_series(1, length(w))], ' ') FOR w IN string_split(text, ' ')]" +
+      ", ' | ') || ' '"
+    val applied = (1 to BpeMerges).foldLeft(base) { (acc, i) =>
+      s"""replace($acc,
+         | ' ' || replace(coalesce((SELECT pair FROM m$i), chr(1)), '_', ' ') || ' ',
+         | ' ' || coalesce((SELECT merged FROM m$i), chr(1)) || ' ')""".stripMargin
+    }
+    s"""WITH $bpeCtes
+       |SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(string_split(trim($applied), ' '))
+       |    - (len(string_split(text, ' ')) - 1) AS BIGINT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Quality score: length gate + lexical-diversity/volume blend;
     * keep flag for pipeline filtering.
     */
@@ -290,6 +443,8 @@ object TextStats extends QueryModule {
     "llm_repetition" -> (repetition(_, _)),
     "llm_lm_score" -> (lmScore(_, _)),
     "llm_bpe_pairs" -> (bpePairs(_, _)),
+    "llm_bpe_train" -> (bpeTrain(_, _)),
+    "llm_bpe_apply" -> (bpeApply(_, _)),
     "llm_quality" -> (quality(_, _)))
 
   // shared winnowing CTE chain ending in fps(doc_id, fp)
@@ -322,6 +477,8 @@ object TextStats extends QueryModule {
     s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map("'" + _ + "'").mkString(", ")})))"
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_bpe_train" -> bpeTrainOracle,
+    "llm_bpe_apply" -> bpeApplyOracle,
     "llm_bpe_pairs" ->
       """WITH w AS (
         |  SELECT word FROM (

@@ -206,4 +206,52 @@ class LlmSpec extends AnyFunSuite {
       all.filter { case (a, b) => b - a <= llm.Dedup.TtlWindow })
     assert(windowed.nonEmpty && windowed.size < all.size)
   }
+
+  test("BPE training matches the closed form and stops when pairs run out") {
+    import spark.implicits._
+    // vocab {aaab×3}: round 1 merges a_a (freq 6: overlapping pairs
+    // count per position, as in canonical BPE), round 2 ties a_b vs
+    // aa_a and '_'<'a' breaks toward a_b, round 3 merges the whole
+    // word — round 4 has no pairs left and training must stop early.
+    val dir = T.scratch(SF, "bpe_closed_form")
+    Seq((0L, "aaab aaab"), (1L, "aaab"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rules = llm.TextStats.bpeTrainRules(spark, dir)
+    assert(rules == Seq(
+      (1, "a_a", "aa", 6L),
+      (2, "a_b", "ab", 3L),
+      (3, "aa_ab", "aaab", 3L)))
+    val applied = llm.TextStats.bpeApply(spark, dir)
+      .select($"doc_id", $"n_tokens", $"n_bpe")
+      .as[(Long, Long, Long)].collect().toSeq
+    // every word collapses to one symbol after full-word merges
+    assert(applied == Seq((0L, 2L, 2L), (1L, 1L, 1L)))
+  }
+
+  test("BPE apply never shuffles before the output sort (pure map encode)") {
+    val df = llm.TextStats.bpeApply(spark, SF)
+    val p = df.queryExecution.optimizedPlan.toString()
+    // the encode itself is one projection over the scan; the only
+    // exchange in the executed plan must be the final orderBy's range
+    // partitioning
+    val exchanges = df.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the sort exchange:\n$p")
+  }
+
+  test("IVF recall instrumentation agrees with the set arithmetic") {
+    import spark.implicits._
+    val rec = llm.Knn.knnRecall(spark, SF)
+      .select($"qid", $"n_match", $"recall_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(rec.length > 0)
+    assert(rec.forall { case (_, m, ppm) =>
+      m >= 0 && m <= 5 && ppm == m * 1000000L / 5 })
+    // the measured mean recall must clear the same floor the PQ/LSH
+    // suites assert for the underlying IVF index
+    val mean = rec.map(_._2).sum.toDouble / (rec.length * 5)
+    info(s"ivf recall@5=$mean")
+    assert(mean >= 0.15, s"mean recall=$mean")
+  }
 }
