@@ -276,7 +276,18 @@ object TextStats extends QueryModule {
     * left-to-right past each substitution, which IS BPE's greedy
     * merge order). Returns (step, pair, merged, freq) rules.
     */
+  private val bpeRuleCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(Int, String, String, Long)]]()
+
   private[graft] def bpeTrainRules(
+      s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    // training is deterministic per corpus — one JVM learns it once,
+    // so bpeApply doesn't re-run the merge rounds (same contract as
+    // Fixtures.ensure)
+    bpeRuleCache.computeIfAbsent(dir, _ => bpeTrainRulesUncached(s, dir))
+
+  private def bpeTrainRulesUncached(
       s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
     import s.implicits._
     // vocab: word -> count, symbols = chars spaced ("hello" -> "h e l l o")

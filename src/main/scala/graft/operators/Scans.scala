@@ -242,6 +242,42 @@ object Scans extends QueryModule {
       .orderBy($"l_partkey")
   }
 
+  /** Full-text point lookup through a TOKENIZED Bloom sidecar — the
+    * inverted-index-lite: `buildTokenBloomIndex` blooms each file's
+    * token set; a rare-token search
+    * (`array_contains(split(text,' '), w)`) then reads only the files
+    * whose Bloom admits `w` (no false negatives ⇒ exact). At 100 TB
+    * this is the difference between a full-corpus scan and a handful
+    * of files for needle queries; StorageSpec pins the file-count
+    * reduction and the lazy sidecar consult.
+    */
+  private val RareToken = "zzzgraftrarezzz"
+  private val RareDoc = (9000001L, s"the $RareToken marker doc")
+
+  private def tokenBloomFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "documents_token_bloomed") { out =>
+      import s.implicits._
+      T.t(s, dir, "documents")
+        .repartition(8)
+        .write.mode("overwrite").parquet(out)
+      // one extra file carrying the needle — 8 haystack files + 1 hit
+      Seq(RareDoc).toDF("doc_id", "text")
+        .select($"doc_id", $"text", lit("en").as("lang"),
+          lit("planted").as("source"),
+          length($"text").cast("long").as("n_chars"))
+        .write.mode("append").parquet(out)
+      graft.sources.GraftStorage(s).buildTokenBloomIndex(out, Seq("text"))
+    }
+
+  def pruneTextTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = tokenBloomFixture(s, dir)
+    graft.sources.GraftStorage(s).readPruned(out)
+      .filter(array_contains(split($"text", " "), RareToken))
+      .select($"doc_id", $"text", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** The registered-source front door: `spark.read.format("graft")`
     * resolves the SAME plan as `GraftStorage.readPruned` — vectorized
     * parquet scan under the zone-map FileIndex — through Spark's own
@@ -461,6 +497,7 @@ object Scans extends QueryModule {
     "prune_by_stats" -> (pruneByStats(_, _)),
     "prune_zonemap" -> (pruneZonemap(_, _)),
     "prune_bloom" -> (pruneBloom(_, _)),
+    "prune_text_tokens" -> (pruneTextTokens(_, _)),
     "prune_zorder" -> (pruneZorder(_, _)),
     "prune_zonemap_planned" -> (pruneZonemapPlanned(_, _)),
     "parse_badrecords" -> (parseBadrecords(_, _)))
@@ -548,6 +585,17 @@ object Scans extends QueryModule {
          |  ${sqlDsum("l_extendedprice")} AS sum_price
          |FROM lineitem WHERE l_partkey IN (100, 500, 900)
          |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    // the needle lives only in the planted row (base docs can't
+    // contain it), so the fixture-independent oracle is the union of
+    // the base-table search (provably empty) and the literal plant
+    "prune_text_tokens" ->
+      s"""SELECT doc_id, text, source FROM (
+         |  SELECT doc_id, text, source FROM documents
+         |  WHERE list_contains(string_split(text, ' '), '${RareToken}')
+         |  UNION ALL
+         |  SELECT CAST(${RareDoc._1} AS BIGINT) AS doc_id,
+         |    '${RareDoc._2}' AS text, 'planted' AS source)
+         |ORDER BY doc_id""".stripMargin,
     "scan_graft_format" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price

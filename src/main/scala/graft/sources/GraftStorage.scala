@@ -390,34 +390,9 @@ final case class GraftStorage(
     */
   def buildBloomIndex(path: String, bloomCols: Seq[String],
       expectedPerFile: Long = 100000, fpp: Double = 0.01): Unit = {
-    import org.apache.spark.sql.types._
-    import org.apache.spark.sql.{Encoders, Row}
     val df = spark.read.parquet(path)
-    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val perCol: Seq[DataFrame] = bloomCols.map { c =>
-      val isLong = fieldType(c) match {
-        case LongType | IntegerType | ShortType | ByteType => true
-        case StringType => false
-        case other => throw new IllegalArgumentException(
-          s"bloom index on $c: unsupported type $other")
-      }
-      val s = spark
-      import s.implicits._
-      val bloomed =
-        if (isLong)
-          df.filter(col(c).isNotNull)
-            .select(input_file_name().as("file"), col(c).cast(LongType).as("v"))
-            .as[(String, Long)]
-            .groupByKey(_._1)
-            .agg(new BloomLongAgg(expectedPerFile, fpp).toColumn.name("bloom"))
-        else
-          df.filter(col(c).isNotNull)
-            .select(input_file_name().as("file"), col(c).cast(StringType).as("v"))
-            .as[(String, String)]
-            .groupByKey(_._1)
-            .agg(new BloomStringAgg(expectedPerFile, fpp).toColumn.name("bloom"))
-      bloomed.toDF("file", "bloom").withColumn("col", lit(c))
-    }
+    val perCol: Seq[DataFrame] =
+      bloomCols.map(c => bloomRowsFor(df, c, expectedPerFile, fpp))
     // sizing rides the sidecar so appends/compactions reuse it — an
     // appended file bloomed with smaller `expected` would silently
     // degrade its false-positive rate (pruning power, not correctness)
@@ -427,6 +402,61 @@ final case class GraftStorage(
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_bloom")
   }
+
+  /** One sidecar row group for one indexed "column": a plain data
+    * column (long/string Bloom over its values) or a TOKENIZED text
+    * column (`tokens:<col>` — Bloom over the DISTINCT-per-row
+    * space-separated tokens of a string column). The token flavor is
+    * the inverted-index-lite for full-text point lookups: at 100 TB a
+    * rare-token search (`array_contains(split(text,' '), w)`) prunes
+    * to the files whose token Bloom admits `w` — metadata-rate, no
+    * posting lists, no false negatives.
+    */
+  private def bloomRowsFor(df: DataFrame, c: String,
+      expectedPerFile: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bloomed =
+      if (c.startsWith(GraftStorage.TokenBloomPrefix)) {
+        val src = c.stripPrefix(GraftStorage.TokenBloomPrefix)
+        require(fieldType.get(src).contains(StringType),
+          s"token bloom index on $src: string column required, " +
+            s"got ${fieldType.get(src)}")
+        df.filter(col(src).isNotNull)
+          .select(input_file_name().as("file"),
+            explode(split(col(src), " ")).as("v"))
+          .as[(String, String)]
+          .groupByKey(_._1)
+          .agg(new BloomStringAgg(expectedPerFile, fpp).toColumn.name("bloom"))
+      } else fieldType(c) match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          df.filter(col(c).isNotNull)
+            .select(input_file_name().as("file"), col(c).cast(LongType).as("v"))
+            .as[(String, Long)]
+            .groupByKey(_._1)
+            .agg(new BloomLongAgg(expectedPerFile, fpp).toColumn.name("bloom"))
+        case StringType =>
+          df.filter(col(c).isNotNull)
+            .select(input_file_name().as("file"), col(c).cast(StringType).as("v"))
+            .as[(String, String)]
+            .groupByKey(_._1)
+            .agg(new BloomStringAgg(expectedPerFile, fpp).toColumn.name("bloom"))
+        case other => throw new IllegalArgumentException(
+          s"bloom index on $c: unsupported type $other")
+      }
+    bloomed.toDF("file", "bloom").withColumn("col", lit(c))
+  }
+
+  /** Token-Bloom sidecar over text columns — `buildBloomIndex` with
+    * `tokens:`-prefixed sidecar entries. Size `expectedPerFile` for
+    * DISTINCT TOKENS per file, not rows.
+    */
+  def buildTokenBloomIndex(path: String, textCols: Seq[String],
+      expectedPerFile: Long = 1000000, fpp: Double = 0.01): Unit =
+    buildBloomIndex(path,
+      textCols.map(GraftStorage.TokenBloomPrefix + _), expectedPerFile, fpp)
 
   /** The (expectedPerFile, fpp) a `_bloom` sidecar was built with;
     * defaults for sidecars predating the sizing columns.
@@ -486,32 +516,11 @@ final case class GraftStorage(
         !known.contains(pathKey(f.getPath.toString)))
       .map(_.getPath.toString)
     if (newFiles.isEmpty) return
-    // one pass over ONLY the new files per column
+    // one pass over ONLY the new files per column (token entries
+    // rebuild through the same shared builder)
     val newData = spark.read.parquet(newFiles: _*)
-    import org.apache.spark.sql.types._
-    val fieldType = newData.schema.fields.map(f => f.name -> f.dataType).toMap
-    val s = spark
-    import s.implicits._
-    val fresh: Seq[DataFrame] = bloomCols.map { c =>
-      val isLong = fieldType(c) match {
-        case LongType | IntegerType | ShortType | ByteType => true
-        case _ => false
-      }
-      val bloomed =
-        if (isLong)
-          newData.filter(col(c).isNotNull)
-            .select(input_file_name().as("file"), col(c).cast(LongType).as("v"))
-            .as[(String, Long)]
-            .groupByKey(_._1)
-            .agg(new BloomLongAgg(expected, fpp).toColumn.name("bloom"))
-        else
-          newData.filter(col(c).isNotNull)
-            .select(input_file_name().as("file"), col(c).cast(StringType).as("v"))
-            .as[(String, String)]
-            .groupByKey(_._1)
-            .agg(new BloomStringAgg(expected, fpp).toColumn.name("bloom"))
-      bloomed.toDF("file", "bloom").withColumn("col", lit(c))
-    }
+    val fresh: Seq[DataFrame] =
+      bloomCols.map(c => bloomRowsFor(newData, c, expected, fpp))
     val existingNorm =
       if (existing.columns.contains("expected"))
         existing.select("file", "col", "bloom", "expected", "fpp")
@@ -1139,6 +1148,15 @@ private[graft] final class BloomStringAgg(expected: Long, fpp: Double)
   override def bufferEncoder =
     org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
   override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+}
+
+object GraftStorage {
+  /** Sidecar `col` prefix marking a TOKENIZED text Bloom (filter over
+    * the space-separated tokens of `<col>`, not its whole values).
+    * The FileIndex consults these for
+    * `array_contains(split(col, ' '), w)` predicates.
+    */
+  val TokenBloomPrefix = "tokens:"
 }
 
 sealed trait WriteOption

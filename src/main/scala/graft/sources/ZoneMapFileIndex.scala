@@ -75,7 +75,11 @@ final class ZoneMapFileIndex(
   private[graft] def loadedBloomColumns: Set[String] = loadedBloomCols
 
   private def bloomsFor(dataFilters: Seq[Expression]): Map[String, Blooms] = {
+    // a filtered column may be indexed as plain values, as tokenized
+    // text (`tokens:<col>` sidecar entries), or both — load whichever
+    // flavors exist for the referenced columns
     val wanted = dataFilters.flatMap(_.references.map(_.name)).toSet
+      .flatMap((n: String) => Seq(n, GraftStorage.TokenBloomPrefix + n))
       .intersect(bloomCols)
     val missing = wanted.diff(loadedBloomCols)
     if (missing.nonEmpty) synchronized {
@@ -136,6 +140,18 @@ final class ZoneMapFileIndex(
         vs.exists { v =>
           val l = v.asInstanceOf[Literal]
           contains(stats, a, l) && bloomMayContain(bl, a, l)
+        }
+      // full-text token lookup against a `tokens:<col>` sidecar: the
+      // predicate's token set membership maps 1:1 onto the per-file
+      // token Bloom (built over the same space-split), so a reject is
+      // proof the token occurs in no row of the file
+      case ArrayContains(StringSplit(a: AttributeReference, sep: Literal, _),
+          tok: Literal)
+          if sep.value != null && sep.value.toString == " " &&
+            tok.value != null =>
+        bl.get(GraftStorage.TokenBloomPrefix + a.name) match {
+          case Some(bloom) => bloom.mightContainString(tok.value.toString)
+          case None => true
         }
       case IsNotNull(a: AttributeReference) =>
         // min==null for an indexed column ⇒ the file has no non-null

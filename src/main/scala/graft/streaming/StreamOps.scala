@@ -293,6 +293,60 @@ object StreamOps extends QueryModule {
     packStreamCore(T.t(s, dir, "documents"))
       .orderBy(col("grp"), col("doc_id"))
 
+  /** INCREMENTAL materialized-view maintenance — the streaming half of
+    * plans/MaterializedView.scala: a readStream over the fact data
+    * keeps a summary parquet fresh via update-mode aggregation +
+    * foreachBatch upsert. Each micro-batch emits ONLY the groups it
+    * changed, carrying their full re-aggregated totals (streaming agg
+    * state persists across batches), so the upsert is
+    * last-writer-wins per key and the MV equals the batch aggregate
+    * after every batch — no full recompute, which at 100 TB is the
+    * difference between touching a day's delta and rescanning the
+    * fact table per refresh. The query RUNS the stream (AvailableNow,
+    * one file per micro-batch over a re-sharded fixture = a real
+    * multi-batch incremental run) and returns the refreshed MV;
+    * the DuckDB oracle is the batch aggregate over the same events.
+    */
+  def streamMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = graft.Fixtures.ensure(dir, "mv_refresh_events") { p =>
+      T.events(s, dir).repartition(4).write.mode("overwrite").parquet(p)
+    }
+    val mvPath = T.scratch(dir, "mv_refresh_state")
+    val ckpt = mvPath + "_ckpt"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(mvPath).getFileSystem(hconf)
+    // a refresh run starts from empty state — delete MV + checkpoint
+    fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    def upsert(batch: DataFrame): Unit = {
+      val p = new org.apache.hadoop.fs.Path(mvPath)
+      if (!fs.exists(p)) batch.write.parquet(mvPath)
+      else {
+        val cur = s.read.parquet(mvPath)
+        // keys the batch re-aggregated are replaced; others carry over.
+        // localCheckpoint materializes the merge before the overwrite
+        // clobbers the files it read.
+        val merged = batch.unionByName(
+          cur.join(batch.select(col("event_type")),
+            Seq("event_type"), "left_anti")).localCheckpoint()
+        merged.write.mode("overwrite").parquet(mvPath)
+      }
+    }
+    val schema = s.read.parquet(src).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: DataFrame, _: Long) => upsert(b))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(mvPath).orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_union" -> (joinAsofUnion(_, _)),
     "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
@@ -305,6 +359,7 @@ object StreamOps extends QueryModule {
     "stream_session_dynamic" -> (streamSessionDynamic(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_pack" -> (streamPack(_, _)),
+    "stream_mv_refresh" -> (streamMvRefresh(_, _)),
     "stream_dedup" -> (streamDedup(_, _)))
 
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
@@ -323,6 +378,10 @@ object StreamOps extends QueryModule {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "stream_mv_refresh" ->
+      s"""SELECT event_type, COUNT(*) AS cnt,
+         |  ${sqlDsum("value", 6)} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_asof_tolerance" ->
       """SELECT user_id, event_id,
         |  CASE WHEN last_click_ts >= ts - INTERVAL 1 HOUR

@@ -863,4 +863,41 @@ class StorageSpec extends AnyFunSuite {
         s"got ${scan.metrics("numFiles").value}")
     } finally spark.conf.unset("spark.graft.bloomSidecar.scopedLoadBytes")
   }
+
+  test("token bloom: rare-token full-text lookup reads ~1 of 9 files, " +
+      "common token keeps all") {
+    val sf01 = SparkTestSession.SF01
+    val out = T.scratch(sf01, "documents_token_spec")
+    T.t(spark, sf01, "documents").repartition(8)
+      .write.mode("overwrite").parquet(out)
+    Seq((9100001L, "needle qqqtokenspecqqq here")).toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("planted").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("append").parquet(out)
+    storage.buildTokenBloomIndex(out, Seq("text"))
+    val sidecar = spark.read.parquet(s"$out/_bloom")
+    assert(sidecar.select("col").distinct().collect()
+      .map(_.getString(0)).toSet == Set("tokens:text"))
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .get.metrics("numFiles").value
+    }
+    // rare token: only the planted file survives the token blooms
+    val rare = storage.readPruned(out)
+      .filter(array_contains(split($"text", " "), "qqqtokenspecqqq"))
+    assert(scanFiles(rare) <= 2, "rare token must prune to ~1 file")
+    assert(rare.count() == 1)
+    // common corpus token: blooms admit every haystack file — the
+    // filter is conservative, never wrong
+    val common = storage.readPruned(out)
+      .filter(array_contains(split($"text", " "), "table"))
+    assert(scanFiles(common) >= 8, "common token keeps the haystack")
+    assert(common.count() ==
+      spark.read.parquet(out)
+        .filter(array_contains(split($"text", " "), "table")).count())
+  }
 }

@@ -491,4 +491,25 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
   }
+
+  test("incremental MV refresh: multi-batch upserts converge to the " +
+      "batch aggregate") {
+    val got = streaming.StreamOps.streamMvRefresh(spark, SF)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val want = T.events(spark, SF)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), T.dsum($"value", 6).as("sum_value"))
+      .orderBy($"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == want)
+    // the run must have been genuinely incremental: one offset commit
+    // per micro-batch, and the 4-shard fixture with
+    // maxFilesPerTrigger=1 yields at least 4 of them
+    val ckpt = new java.io.File(
+      T.scratch(SF, "mv_refresh_state") + "_ckpt/offsets")
+    val batches = ckpt.listFiles().count(_.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected >=4 micro-batches, got $batches")
+  }
 }
