@@ -45,7 +45,8 @@ object Mv extends QueryModule {
           sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
           count(lit(1)).as("cnt"),
           min($"l_shipdate").as("min_ship"),
-          max($"l_shipdate").as("max_ship"))
+          max($"l_shipdate").as("max_ship"),
+          hll_sketch_agg($"l_suppkey").as("hll_supp"))
         .write.mode("overwrite").parquet(p)
     }
     MvCatalog.register(
@@ -59,9 +60,17 @@ object Mv extends QueryModule {
           "l_extendedprice" -> MvCatalog.SumSpec("sum_price", Some(SumCast))),
         countCol = Some("cnt"),
         mins = Map("l_shipdate" -> "min_ship"),
-        maxs = Map("l_shipdate" -> "max_ship")))
+        maxs = Map("l_shipdate" -> "max_ship"),
+        hlls = Map("l_suppkey" -> ("hll_supp", DefaultLgK))))
     path
   }
+
+  /** Spark's default lgConfigK, read off the expression itself so a
+    * version bump can't silently diverge the registration.
+    */
+  private lazy val DefaultLgK =
+    new org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L)).lgConfigK
 
   /** Apply the MV rewrite to one DataFrame's analyzed plan — the
     * race-free per-query route (same scoping philosophy as
@@ -100,6 +109,24 @@ object Mv extends QueryModule {
     ).orderBy($"l_returnflag")
   }
 
+  /** Distinct-count rollup from MV sketch partials: the per-(rf, ls)
+    * HLL sketches union into per-rf sketches — register-wise max is
+    * lossless, so the estimate equals the direct base-table sketch
+    * bit-for-bit (and, at this cardinality, the EXACT distinct count,
+    * which is what the DuckDB oracle checks).
+    */
+  def mvDistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureMv(s, dir)
+    withMvRewrite(
+      T.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg($"l_suppkey")).as("n_supp"),
+          count(lit(1)).as("cnt"))
+    ).orderBy($"l_returnflag")
+  }
+
   /** SUM(l_tax) is not a stored measure — the rewrite must decline
     * and the plan must keep the fact-table scan.
     */
@@ -121,6 +148,7 @@ object Mv extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_rollup" -> (mvRollup(_, _)),
     "mv_rollup_filter" -> (mvRollupFilter(_, _)),
+    "mv_distinct_rollup" -> (mvDistinctRollup(_, _)),
     "mv_fallback" -> (mvFallback(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -133,6 +161,13 @@ object Mv extends QueryModule {
          |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
          |FROM lineitem WHERE l_linestatus = 'F'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the sketch stays in its exact (coupon) regime at fixture
+    // cardinalities, so the estimate IS the exact distinct count
+    "mv_distinct_rollup" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "mv_fallback" ->
       s"""SELECT l_returnflag, ${sqlDsum("l_tax", 4)} AS sum_tax
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)

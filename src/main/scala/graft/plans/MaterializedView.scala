@@ -61,7 +61,11 @@ object MvCatalog {
 
   /** A registered summary table: the captured analyzed scan of the MV
     * parquet plus the mapping from source-table aggregates to MV
-    * columns.
+    * columns. `hlls` maps a source column to a stored HLL-sketch
+    * measure (mv column, lgConfigK): distinct-count rollups then
+    * answer from the MV via `hll_union_agg` — the register-wise max
+    * merge is lossless, so the rolled-up estimate is IDENTICAL to
+    * running the sketch over the base table.
     */
   final case class MvDef(
       name: String,
@@ -70,7 +74,8 @@ object MvCatalog {
       sums: Map[String, SumSpec],
       countCol: Option[String],
       mins: Map[String, String],
-      maxs: Map[String, String])
+      maxs: Map[String, String],
+      hlls: Map[String, (String, Int)] = Map.empty)
 
   private val bySource = new ConcurrentHashMap[String, MvDef]()
 
@@ -168,6 +173,17 @@ object MaterializedViewRewrite {
         case Max(a: AttributeReference) =>
           for (c <- mv.maxs.get(a.name); m <- mvAttr.get(c)) yield
             Max(m).toAggregateExpression()
+        // hll_sketch_agg(col) -> hll_union_agg(mv sketch): exact
+        // sketch-merge associativity, but ONLY when the lgConfigK the
+        // MV was built with matches the query's
+        case h: HllSketchAgg => h.left match {
+          case a: AttributeReference =>
+            for {
+              (mvCol, lgk) <- mv.hlls.get(a.name) if lgk == h.lgConfigK
+              m <- mvAttr.get(mvCol)
+            } yield new HllUnionAgg(m).toAggregateExpression()
+          case _ => None
+        }
         case _ => None
       }
       case _ => None

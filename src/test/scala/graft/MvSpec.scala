@@ -88,6 +88,25 @@ class MvSpec extends AnyFunSuite {
     } finally spark.conf.set(plans.MaterializedViewRule.EnabledConf, "false")
   }
 
+  test("HLL sketch rollup: union of MV partials equals the direct " +
+      "sketch AND the exact distinct count") {
+    val df = operators.Mv.mvDistinctRollup(spark, SF)
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains(operators.Mv.MvName)),
+      s"expected only MV scans, got: $paths")
+    val direct = T.t(spark, SF, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"l_suppkey")).as("n_supp"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag")
+    assert(df.collect().toSeq == direct.collect().toSeq)
+    val exact = T.t(spark, SF, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey").as("n_supp"), count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag")
+    assert(df.collect().toSeq == exact.collect().toSeq)
+  }
+
   test("count rewrite is exact over group subsets (sum of partial counts)") {
     operators.Mv.ensureMv(spark, SF)
     val df = operators.Mv.withMvRewrite(
