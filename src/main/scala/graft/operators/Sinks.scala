@@ -172,6 +172,32 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** K-series, versioned: manifest-based snapshot commits with time
+    * travel (`GraftStorage.writeVersioned`/`readVersioned`). Commit
+    * v0 = full orders, commit v1 = APPEND of the key%10 slice; the
+    * query then time-travels to BOTH versions and proves snapshot
+    * isolation — v0's numbers, read AFTER v1 committed, are
+    * untouched by it (the v0 manifest never sees v1's files).
+    */
+  def sinkVersioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_orders")
+    val st = graft.sources.GraftStorage(s)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    st.writeVersioned(base, out)
+    st.writeVersioned(base.filter($"o_orderkey" % 10 === 0), out,
+      append = true)
+    def snap(v: Long): DataFrame =
+      st.readVersioned(out, Some(v))
+        .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+        .select(lit(v).as("version"), $"cnt", $"total")
+    snap(0).unionByName(snap(1)).orderBy($"version")
+  }
+
   /** The registered-sink front door: `df.write.format("graft")` with
     * clusterBy/zone options resolves to `GraftStorage.writeIndexed`
     * (range-clustered files + `_zonemap` sidecar), and the re-read
@@ -198,6 +224,7 @@ object Sinks extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_graft_format" -> (sinkGraftFormat(_, _)),
     "sink_upsert" -> (sinkUpsert(_, _)),
+    "sink_versioned" -> (sinkVersioned(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
     "sink_single_merged" -> (sinkSingleMerged(_, _)),
@@ -212,6 +239,19 @@ object Sinks extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // v0 = orders, v1 = orders + the key%10 slice appended
+    "sink_versioned" ->
+      s"""SELECT version, cnt, total FROM (
+         |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), COUNT(*),
+         |    ${sqlDsum("o_totalprice")}
+         |  FROM (SELECT o_totalprice FROM orders
+         |        UNION ALL
+         |        SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 0))
+         |ORDER BY version""".stripMargin,
     "sink_upsert" ->
       s"""WITH base AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

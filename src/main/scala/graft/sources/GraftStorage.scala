@@ -699,6 +699,90 @@ final case class GraftStorage(
     * order, so a range-partitioned, within-partition-sorted input
     * yields a globally ordered file (README.md:148-161 contract).
     */
+  /** VERSIONED table commits — manifest-based snapshots (the
+    * lakehouse contract, engine-minimal): every commit writes its
+    * part files into an immutable `data/c<N>/` directory and then
+    * publishes `_manifest/v<N>` — the COMPLETE file list of version N
+    * (append = previous list + new files; overwrite = new files
+    * only). Readers resolve a manifest, never list the data dirs, so
+    * a reader of version N is untouched by any later commit — time
+    * travel, snapshot isolation for free, and no
+    * rewrite-amplification: an append at 100 TB writes the delta and
+    * a few KB of manifest. The manifest publish is a temp-file rename
+    * (atomic on a real object-store commit protocol's rename/put-if-
+    * absent primitive).
+    *
+    * Returns the committed version number (0-based).
+    */
+  def writeVersioned(df: DataFrame, path: String,
+      append: Boolean = false): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val vs = listVersions(path)
+    require(!append || vs.nonEmpty,
+      s"append to $path requires an existing version")
+    val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
+    val commitDir = new Path(dir, s"data/c$n")
+    df.write.mode("overwrite").parquet(commitDir.toString)
+    val fresh = fs.listStatus(commitDir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath)
+    val carried =
+      if (append) manifestFiles(path, n - 1) else Seq.empty[String]
+    val manifestDir = new Path(dir, "_manifest")
+    fs.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".v$n.tmp")
+    val out = fs.create(tmp, true)
+    out.write((carried ++ fresh).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, new Path(manifestDir, s"v$n"))
+    n
+  }
+
+  /** Committed versions of a versioned table, ascending. */
+  def listVersions(path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val manifestDir = new Path(new Path(path), "_manifest")
+    val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestDir)) Seq.empty
+    else fs.listStatus(manifestDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong }
+      .sorted
+  }
+
+  private def manifestFiles(path: String, version: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val mf = new Path(new Path(path), s"_manifest/v$version")
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(mf), s"version $version does not exist under $path")
+    val in = fs.open(mf)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+    new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Time-travel read: the file set of `version` (default: latest).
+    * Resolves ONLY the manifest — later commits never perturb the
+    * snapshot.
+    */
+  def readVersioned(path: String, version: Option[Long] = None): DataFrame = {
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val v = version.getOrElse(vs.last)
+    val files = manifestFiles(path, v)
+    if (files.isEmpty) spark.read.parquet(path + "/data/c0").limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
   def writeSingleCsv(df: DataFrame, path: String,
       withHeader: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path

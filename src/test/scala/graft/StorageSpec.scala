@@ -864,6 +864,33 @@ class StorageSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bloomSidecar.scopedLoadBytes")
   }
 
+  test("versioned commits: time travel is stable under later appends " +
+      "and overwrites") {
+    val out = T.scratch(SparkTestSession.SF01, "versioned_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    assert(storage.writeVersioned(o, out) == 0L)
+    val v0count = storage.readVersioned(out, Some(0)).count()
+    assert(v0count == o.count())
+    // append commits only the delta; v0 is untouched
+    assert(storage.writeVersioned(
+      o.filter($"o_orderkey" % 5 === 0), out, append = true) == 1L)
+    assert(storage.readVersioned(out, Some(0)).count() == v0count)
+    assert(storage.readVersioned(out, Some(1)).count() ==
+      v0count + o.filter($"o_orderkey" % 5 === 0).count())
+    // overwrite commit replaces the file set; history still resolves
+    assert(storage.writeVersioned(o.limit(10), out) == 2L)
+    assert(storage.listVersions(out) == Seq(0L, 1L, 2L))
+    assert(storage.readVersioned(out).count() == 10)
+    assert(storage.readVersioned(out, Some(0)).count() == v0count)
+    // append after overwrite builds on the overwritten snapshot
+    assert(storage.writeVersioned(o.limit(3), out, append = true) == 3L)
+    assert(storage.readVersioned(out, Some(3)).count() == 13)
+  }
+
   test("token bloom: rare-token full-text lookup reads ~1 of 9 files, " +
       "common token keeps all") {
     val sf01 = SparkTestSession.SF01
