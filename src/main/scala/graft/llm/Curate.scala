@@ -263,6 +263,47 @@ object Curate extends QueryModule {
     * no driver state; the ratio ships as integer ppm (pure integer
     * arithmetic, the llm_repetition drift contract).
     */
+  /** Temperature-resampled domain mixture — the training-mix op:
+    * per-source sampling probability ∝ n^α (α=0.5 here), so
+    * low-resource domains are UP-weighted relative to proportional
+    * sampling, under a global budget of half the corpus. Everything
+    * that could drift between engines is pinned: √n quantizes through
+    * DECIMAL(18,6) before the order-independent sum, the rate is a
+    * floor'd integer ppm from one fixed-shape double expression, and
+    * the per-doc keep decision is the md5-prefix uniform — a
+    * deterministic coin any engine can replay. Corpus-scale work is
+    * one scan + one broadcast join; the stats/rate table is
+    * sources-sized.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val docs = T.t(s, dir, "documents")
+    val stats = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt($"n_docs").cast(DecimalType(18, 6))
+        .cast(DoubleType))
+    val global = stats.agg(
+      sum(sqrt($"n_docs").cast(DecimalType(18, 6))).cast(DoubleType)
+        .as("sumw"),
+      sum($"n_docs").as("total"))
+    val rates = stats.crossJoin(broadcast(global))
+      .withColumn("rate_ppm",
+        expr("least(1000000, cast(floor(((total div 2) * 1000000.0) * w" +
+          " / sumw / n_docs) as bigint))"))
+      .select($"source", $"n_docs", $"rate_ppm")
+    val u = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)" +
+        " as bigint) % 1000000")
+    val kept = docs.join(broadcast(rates), "source")
+      .filter(u < $"rate_ppm")
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select($"source", $"n_docs", $"rate_ppm",
+        coalesce($"n_kept", lit(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = Dedup.shingleRows(T.t(s, dir, "documents"))
@@ -285,6 +326,7 @@ object Curate extends QueryModule {
     "llm_heavy_hitters" -> (heavyHitters(_, _)),
     "llm_pack_sequences" -> (packSequences(_, _)),
     "llm_sample_consistent" -> (sampleConsistent(_, _)),
+    "llm_mix_temperature" -> (mixTemperature(_, _)),
     "llm_pii_scrub" -> (piiScrub(_, _)),
     "llm_top_terms" -> (topTerms(_, _)))
 
@@ -385,6 +427,33 @@ object Curate extends QueryModule {
         |  FROM documents)
         |SELECT lang, doc_id FROM r WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
+    // mirrors mixTemperature expression-for-expression: DECIMAL-
+    // quantized sqrt weights, fixed-shape double rate, md5 coin
+    "llm_mix_temperature" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(CAST(sqrt(COUNT(*)) AS DECIMAL(18,6)) AS DOUBLE) AS w
+        |  FROM documents GROUP BY source),
+        |g AS (
+        |  SELECT CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS sumw,
+        |    SUM(n_docs) AS total
+        |  FROM s),
+        |r AS (
+        |  SELECT source, n_docs,
+        |    LEAST(1000000, CAST(floor(((total // 2) * 1000000.0) * w
+        |      / sumw / n_docs) AS BIGINT)) AS rate_ppm
+        |  FROM s, g),
+        |k AS (
+        |  SELECT d.source, COUNT(*) AS n_kept
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+        |          AS BIGINT) % 1000000 < r.rate_ppm
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.rate_ppm,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM r LEFT JOIN k USING (source)
+        |ORDER BY r.source""".stripMargin,
     "llm_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all($contactSql,

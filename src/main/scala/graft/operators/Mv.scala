@@ -127,6 +127,24 @@ object Mv extends QueryModule {
     ).orderBy($"l_returnflag")
   }
 
+  /** HAVING + ORDER BY built BEFORE the rewrite: the whole
+    * Filter(Sort(Aggregate)) tree goes through `withMvRewrite`, so
+    * the parents' references against the original aggregate output
+    * must survive — this is the end-to-end proof of the exprId
+    * preservation contract.
+    */
+  def mvRollupHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureMv(s, dir)
+    withMvRewrite(
+      T.t(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(dsum($"l_extendedprice").as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .filter($"sum_price" > 5e7)
+        .orderBy($"l_linestatus"))
+  }
+
   /** SUM(l_tax) is not a stored measure — the rewrite must decline
     * and the plan must keep the fact-table scan.
     */
@@ -149,6 +167,7 @@ object Mv extends QueryModule {
     "mv_rollup" -> (mvRollup(_, _)),
     "mv_rollup_filter" -> (mvRollupFilter(_, _)),
     "mv_distinct_rollup" -> (mvDistinctRollup(_, _)),
+    "mv_rollup_having" -> (mvRollupHaving(_, _)),
     "mv_fallback" -> (mvFallback(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -161,6 +180,12 @@ object Mv extends QueryModule {
          |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
          |FROM lineitem WHERE l_linestatus = 'F'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "mv_rollup_having" ->
+      s"""SELECT l_linestatus, sum_price, cnt FROM (
+         |  SELECT l_linestatus, ${sqlDsum("l_extendedprice")} AS sum_price,
+         |    COUNT(*) AS cnt
+         |  FROM lineitem GROUP BY l_linestatus)
+         |WHERE sum_price > 50000000 ORDER BY l_linestatus""".stripMargin,
     // the sketch stays in its exact (coupon) regime at fixture
     // cardinalities, so the estimate IS the exact distinct count
     "mv_distinct_rollup" ->

@@ -240,6 +240,23 @@ class LlmSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected only the sort exchange:\n$p")
   }
 
+  test("temperature mixing up-weights low-resource domains") {
+    import spark.implicits._
+    val r = llm.Curate.mixTemperature(spark, SF)
+      .select($"n_docs", $"rate_ppm", $"n_kept")
+      .as[(Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    // α<1 ⇒ sampling RATE decreases with domain size (up to ties)
+    val bySize = r.sortBy(_._1)
+    assert(bySize.zip(bySize.tail).forall { case ((n1, p1, _), (n2, p2, _)) =>
+      n1 > n2 || p1 >= p2 }, bySize.mkString(", "))
+    // the budget is roughly half the corpus, and the md5 coin lands
+    // near its expectation at fixture scale
+    val total = r.map(_._1).sum.toDouble
+    val kept = r.map(_._3).sum.toDouble
+    assert(kept / total > 0.3 && kept / total < 0.7, s"kept=$kept/$total")
+  }
+
   test("IVF recall instrumentation agrees with the set arithmetic") {
     import spark.implicits._
     val rec = llm.Knn.knnRecall(spark, SF)

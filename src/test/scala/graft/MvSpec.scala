@@ -107,6 +107,21 @@ class MvSpec extends AnyFunSuite {
     assert(df.collect().toSeq == exact.collect().toSeq)
   }
 
+  test("HAVING + sort built before the rewrite still resolve " +
+      "(exprId preservation) and read the MV") {
+    val df = operators.Mv.mvRollupHaving(spark, SF)
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains(operators.Mv.MvName)),
+      s"expected only MV scans, got: $paths")
+    val base = T.t(spark, SF, "lineitem")
+      .groupBy($"l_linestatus")
+      .agg(T.dsum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .filter($"sum_price" > 5e7)
+      .orderBy($"l_linestatus")
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
   test("count rewrite is exact over group subsets (sum of partial counts)") {
     operators.Mv.ensureMv(spark, SF)
     val df = operators.Mv.withMvRewrite(
