@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.DecimalType
 object Mv extends QueryModule {
 
   val MvName = "mv_lineitem_rfls"
+  val CoarseMvName = "mv_lineitem_rf_only"
   private val SumCast = DecimalType(18, 2)
 
   /** Build the summary parquet once per (dir) and (re-)register it in
@@ -49,8 +50,10 @@ object Mv extends QueryModule {
           hll_sketch_agg($"l_suppkey").as("hll_supp"))
         .write.mode("overwrite").parquet(p)
     }
+    val src = s"$dir/lineitem.parquet"
+    val srcFp = MvCatalog.fingerprint(src)
     MvCatalog.register(
-      s"$dir/lineitem.parquet",
+      src,
       MvCatalog.MvDef(
         name = MvName,
         plan = Bridge.analyzed(s.read.parquet(path)),
@@ -61,7 +64,34 @@ object Mv extends QueryModule {
         countCol = Some("cnt"),
         mins = Map("l_shipdate" -> "min_ship"),
         maxs = Map("l_shipdate" -> "max_ship"),
-        hlls = Map("l_suppkey" -> ("hll_supp", DefaultLgK))))
+        hlls = Map("l_suppkey" -> ("hll_supp", DefaultLgK)),
+        sourceFingerprint = Some(srcFp)))
+    // a COARSER summary over the same source: returnflag-only rollup.
+    // The selector prefers it (fewest grouping columns = smallest
+    // summary) whenever a query doesn't need l_linestatus, and falls
+    // back to the fine MV when it does.
+    val coarse = Fixtures.ensure(dir, CoarseMvName) { p =>
+      T.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum($"l_quantity".cast(SumCast)).as("sum_qty"),
+          sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(p)
+    }
+    MvCatalog.register(
+      src,
+      MvCatalog.MvDef(
+        name = CoarseMvName,
+        plan = Bridge.analyzed(s.read.parquet(coarse)),
+        groupCols = Set("l_returnflag"),
+        sums = Map(
+          "l_quantity" -> MvCatalog.SumSpec("sum_qty", Some(SumCast)),
+          "l_extendedprice" -> MvCatalog.SumSpec("sum_price", Some(SumCast))),
+        countCol = Some("cnt"),
+        mins = Map.empty,
+        maxs = Map.empty,
+        sourceFingerprint = Some(srcFp)))
     path
   }
 

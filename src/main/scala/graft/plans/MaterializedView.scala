@@ -75,22 +75,48 @@ object MvCatalog {
       countCol: Option[String],
       mins: Map[String, String],
       maxs: Map[String, String],
-      hlls: Map[String, (String, Int)] = Map.empty)
+      hlls: Map[String, (String, Int)] = Map.empty,
+      /** (file count, total bytes, max mtime) of the SOURCE table at
+        * MV build time — the staleness guard: the rewrite declines
+        * when the fact table has changed since, so an out-of-date
+        * summary can never silently answer (None = no guard).
+        */
+      sourceFingerprint: Option[(Long, Long, Long)] = None)
 
-  private val bySource = new ConcurrentHashMap[String, MvDef]()
+  private val bySource = new ConcurrentHashMap[String, List[MvDef]]()
 
   def normalize(path: String): String =
     path.stripPrefix("file:").replaceAll("/+$", "")
 
-  /** Register (or refresh) the MV for `sourcePath`. `plan` must be the
+  /** Cheap change-detection fingerprint of a table directory:
+    * (data-file count, total bytes, max modification time).
+    */
+  def fingerprint(path: String): (Long, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(normalize(path))
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val files = fs.listStatus(p).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    (files.length.toLong,
+      files.map(_.getLen).sum,
+      if (files.isEmpty) 0L else files.map(_.getModificationTime).max)
+  }
+
+  /** Register (or refresh) an MV for `sourcePath` — a source may
+    * carry SEVERAL summaries at different granularities; the rewrite
+    * picks the coarsest (fewest grouping columns) that can answer a
+    * query. Re-registering a name replaces it. `plan` must be the
     * analyzed logical plan of a read of the MV table, captured from a
     * live session (`spark.read.parquet(mvPath)`).
     */
   def register(sourcePath: String, mv: MvDef): Unit =
-    bySource.put(normalize(sourcePath), mv)
+    bySource.compute(normalize(sourcePath), (_, cur) =>
+      mv :: Option(cur).getOrElse(Nil).filterNot(_.name == mv.name))
 
-  def lookup(sourcePath: String): Option[MvDef] =
-    Option(bySource.get(normalize(sourcePath)))
+  /** Candidate MVs for a source, coarsest (cheapest summary) first. */
+  def lookup(sourcePath: String): List[MvDef] =
+    Option(bySource.get(normalize(sourcePath))).getOrElse(Nil)
+      .sortBy(_.groupCols.size)
 
   def clear(): Unit = bySource.clear()
 }
@@ -130,8 +156,12 @@ object MaterializedViewRewrite {
     for {
       (filters, scan) <- stripToScan(agg.child)
       path <- scanPath(scan)
-      mv <- lookup(path)
-      plan <- build(agg, filters, mv)
+      // coarsest matching summary wins; a stale one (source changed
+      // since build) is skipped rather than answering wrongly
+      plan <- lookup(path).iterator
+        .filter(_.sourceFingerprint.forall(_ == fingerprint(path)))
+        .flatMap(mv => build(agg, filters, mv))
+        .nextOption()
     } yield plan
   }
 

@@ -28,11 +28,14 @@ class MvSpec extends AnyFunSuite {
       .flatMap(_.relation.location.rootPaths.map(_.toString))
   }
 
-  test("mv_rollup reads the MV parquet, not lineitem, and matches base") {
+  test("mv_rollup reads the COARSEST matching summary, and matches base") {
     val df = operators.Mv.mvRollup(spark, SF)
     val paths = scannedPaths(df)
-    assert(paths.nonEmpty && paths.forall(_.contains(operators.Mv.MvName)),
-      s"expected only MV scans, got: $paths")
+    // returnflag-only grouping: both summaries can answer; the
+    // selector must pick the smaller returnflag-only one
+    assert(paths.nonEmpty &&
+      paths.forall(_.contains(operators.Mv.CoarseMvName)),
+      s"expected the coarse MV scan, got: $paths")
     val base = T.t(spark, SF, "lineitem")
       .groupBy($"l_returnflag")
       .agg(T.dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
@@ -40,7 +43,8 @@ class MvSpec extends AnyFunSuite {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
-  test("mv_rollup_filter applies the grouping-column filter on MV rows") {
+  test("mv_rollup_filter applies the grouping-column filter on MV rows " +
+      "(fine MV — the filter needs l_linestatus)") {
     val df = operators.Mv.mvRollupFilter(spark, SF)
     val paths = scannedPaths(df)
     assert(paths.nonEmpty && paths.forall(_.contains(operators.Mv.MvName)),
@@ -130,5 +134,37 @@ class MvSpec extends AnyFunSuite {
     val base = T.t(spark, SF, "lineitem").groupBy($"l_linestatus")
       .agg(count(lit(1)).as("cnt")).orderBy($"l_linestatus")
     assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
+  test("staleness guard: a changed source declines the rewrite instead " +
+      "of answering from an out-of-date summary") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val src = T.scratch(SF, "mv_stale_source")
+    T.t(spark, SF, "lineitem").limit(1000)
+      .write.mode("overwrite").parquet(src)
+    val mvp = T.scratch(SF, "mv_stale_summary")
+    spark.read.parquet(src).groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(mvp)
+    plans.MvCatalog.register(src, plans.MvCatalog.MvDef(
+      name = "mv_stale_summary",
+      plan = Bridge.analyzed(spark.read.parquet(mvp)),
+      groupCols = Set("l_returnflag"),
+      sums = Map.empty, countCol = Some("cnt"),
+      mins = Map.empty, maxs = Map.empty,
+      sourceFingerprint = Some(plans.MvCatalog.fingerprint(src))))
+    def q = operators.Mv.withMvRewrite(
+      spark.read.parquet(src).groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("cnt"))).orderBy($"l_returnflag")
+    assert(scannedPaths(q).forall(_.contains("mv_stale_summary")),
+      "fresh source must rewrite")
+    // the fact table changes: rewrite must fall back to the base scan
+    // and the answer must reflect the NEW data
+    T.t(spark, SF, "lineitem").limit(10)
+      .write.mode("append").parquet(src)
+    val after = q
+    assert(scannedPaths(after).forall(_.contains("mv_stale_source")),
+      "stale summary must not answer")
+    assert(after.agg(sum($"cnt")).collect()(0).getLong(0) == 1010L)
   }
 }
