@@ -102,6 +102,37 @@ object Mv extends QueryModule {
     new org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(0L)).lgConfigK
 
+  /** REFRESH MATERIALIZED VIEW: rebuild both summaries from the
+    * current source and re-register with the fresh fingerprint — the
+    * recovery path after the staleness guard starts declining.
+    * (Fixtures caches per JVM, so force the rebuild by writing
+    * directly.)
+    */
+  def refreshMv(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val fine = T.scratch(dir, MvName)
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast(SumCast)).as("sum_qty"),
+        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+        count(lit(1)).as("cnt"),
+        min($"l_shipdate").as("min_ship"),
+        max($"l_shipdate").as("max_ship"),
+        hll_sketch_agg($"l_suppkey").as("hll_supp"))
+      .write.mode("overwrite").parquet(fine)
+    val coarse = T.scratch(dir, CoarseMvName)
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_quantity".cast(SumCast)).as("sum_qty"),
+        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(coarse)
+    ensureMv(s, dir)
+    ()
+  }
+
   /** Apply the MV rewrite to one DataFrame's analyzed plan — the
     * race-free per-query route (same scoping philosophy as
     * `Joins.withBinWidth`).

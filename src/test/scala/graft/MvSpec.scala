@@ -136,6 +136,14 @@ class MvSpec extends AnyFunSuite {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
+  test("refreshMv rebuilds both summaries and re-arms the rewrite") {
+    operators.Mv.refreshMv(spark, SF)
+    val df = operators.Mv.mvRollup(spark, SF)
+    assert(scannedPaths(df).forall(_.contains(operators.Mv.CoarseMvName)))
+    val fine = operators.Mv.mvRollupFilter(spark, SF)
+    assert(scannedPaths(fine).forall(_.contains(operators.Mv.MvName)))
+  }
+
   test("staleness guard: a changed source declines the rewrite instead " +
       "of answering from an out-of-date summary") {
     import org.apache.spark.sql.graftbridge.Bridge
