@@ -206,6 +206,27 @@ object Mv extends QueryModule {
         .orderBy($"l_linestatus"))
   }
 
+  /** CUBE through the MV — the Aggregate(Expand) rewrite: all four
+    * grouping sets of (rf, ls) answer from the fine summary's partial
+    * rows replicated per set, with grouping() flags disambiguating
+    * collapsed keys. One scan of a KB summary instead of four logical
+    * passes over the fact table.
+    */
+  def mvRollupSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureMv(s, dir)
+    withMvRewrite(
+      T.t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          grouping($"l_returnflag").cast("int").as("g_rf"),
+          grouping($"l_linestatus").cast("int").as("g_ls"))
+        .orderBy($"l_returnflag".asc_nulls_first,
+          $"l_linestatus".asc_nulls_first))
+  }
+
   /** SUM(l_tax) is not a stored measure — the rewrite must decline
     * and the plan must keep the fact-table scan.
     */
@@ -229,6 +250,7 @@ object Mv extends QueryModule {
     "mv_rollup_filter" -> (mvRollupFilter(_, _)),
     "mv_distinct_rollup" -> (mvDistinctRollup(_, _)),
     "mv_rollup_having" -> (mvRollupHaving(_, _)),
+    "mv_rollup_sets" -> (mvRollupSets(_, _)),
     "mv_fallback" -> (mvFallback(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -241,6 +263,14 @@ object Mv extends QueryModule {
          |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
          |FROM lineitem WHERE l_linestatus = 'F'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "mv_rollup_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS cnt,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST,
+         |  l_linestatus ASC NULLS FIRST""".stripMargin,
     "mv_rollup_having" ->
       s"""SELECT l_linestatus, sum_price, cnt FROM (
          |  SELECT l_linestatus, ${sqlDsum("l_extendedprice")} AS sum_price,

@@ -139,8 +139,15 @@ object MaterializedViewRewrite {
       case l: LogicalRelation => Some((Nil, l))
       case Filter(cond, child) =>
         stripToScan(child).map { case (cs, l) => (cond +: cs, l) }
-      case Project(list, child)
-          if list.forall(_.isInstanceOf[AttributeReference]) =>
+      case Project(list, child) if list.forall {
+            case _: AttributeReference => true
+            // the grouping analyzer duplicates group columns as
+            // same-name aliases under fresh ids — a pure rename-free
+            // duplication is safe to see through (name-keyed mapping
+            // stays sound)
+            case Alias(a: AttributeReference, n) => a.name == n
+            case _ => false
+          } =>
         stripToScan(child)
       case _ => None
     }
@@ -153,16 +160,205 @@ object MaterializedViewRewrite {
     }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val stripped = agg.child match {
+      case e: Expand => stripToScan(e.child).map { case (fs, s) => (Some(e), fs, s) }
+      case other => stripToScan(other).map { case (fs, s) => (None, fs, s) }
+    }
     for {
-      (filters, scan) <- stripToScan(agg.child)
+      (expand, filters, scan) <- stripped
       path <- scanPath(scan)
       // coarsest matching summary wins; a stale one (source changed
       // since build) is skipped rather than answering wrongly
       plan <- lookup(path).iterator
         .filter(_.sourceFingerprint.forall(_ == fingerprint(path)))
-        .flatMap(mv => build(agg, filters, mv))
+        .flatMap { mv =>
+          expand match {
+            case Some(e) => buildExpand(agg, e, filters, mv)
+            case None => build(agg, filters, mv)
+          }
+        }
         .nextOption()
     } yield plan
+  }
+
+  /** ROLLUP / CUBE / GROUPING SETS through the MV: the plan is
+    * Aggregate(Expand(scan)). Expand replicates each input row once
+    * per grouping set (nulling the grouped-out columns and tagging a
+    * grouping id) — replicating MV PARTIAL rows instead of raw rows
+    * is semantics-preserving because every partial belongs to exactly
+    * one full-granularity group and re-aggregation of partials is
+    * associative. Grouping-column and grouping-id slots keep their
+    * original output attributes (the aggregate above references them
+    * — nothing to re-resolve); measure slots are REPLACED by fresh
+    * attributes carrying the MV partials, appended uniformly to every
+    * projection row, and the aggregate functions are re-pointed at
+    * them exactly like the flat rewrite.
+    */
+  private def buildExpand(
+      agg: Aggregate, ex: Expand, filters: Seq[Expression],
+      mv: MvDef): Option[LogicalPlan] = {
+    val fresh = mv.plan match {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
+    val mvAttr: Map[String, AttributeReference] =
+      fresh.output.collect { case a: AttributeReference => a.name -> a }.toMap
+
+    // slot classification by how the AGGREGATE uses each Expand output
+    val groupingAttrs = agg.groupingExpressions
+      .collect { case a: Attribute => a.exprId }.toSet
+    // grouping expressions must all be bare Expand outputs
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[Attribute])) return None
+
+    sealed trait Slot
+    case object GroupSlot extends Slot
+    case object MeasureSlot extends Slot
+    val slots: Seq[(Attribute, Slot)] = ex.output.map { a =>
+      a -> (if (groupingAttrs.contains(a.exprId)) GroupSlot else MeasureSlot)
+    }
+    val measureIds = slots.collect { case (a, MeasureSlot) => a.exprId }.toSet
+
+    // group/gid slots: map each projection entry; source attr refs go
+    // to the MV's grouping columns, literals (nulls, grouping ids)
+    // pass through, anything else declines
+    def mapEntry(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference =>
+        if (mv.groupCols.contains(a.name)) mvAttr.get(a.name) else None
+      case l: Literal => Some(l)
+      case Cast(inner, t, tz, m) =>
+        mapEntry(inner).map(Cast(_, t, tz, m))
+      case _ => None
+    }
+
+    val keptIdx = slots.zipWithIndex.collect {
+      case ((_, GroupSlot), i) => i }
+    val keptOutput = keptIdx.map(ex.output)
+
+    // measures the aggregate actually needs, keyed (sourceCol, kind)
+    sealed trait Kind
+    case object KSum extends Kind
+    case object KCnt extends Kind
+    case object KMin extends Kind
+    case object KMax extends Kind
+    val needed = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Kind), AttributeReference]
+
+    def measureSrc(e: Expression): Option[String] = e match {
+      case a: AttributeReference if measureIds.contains(a.exprId) =>
+        Some(a.name)
+      case Cast(a: AttributeReference, _, _, _)
+          if measureIds.contains(a.exprId) => Some(a.name)
+      case _ => None
+    }
+    def castOf(e: Expression): Option[DataType] = e match {
+      case Cast(_, t, _, _) => Some(t)
+      case _ => None
+    }
+
+    def mvMeasure(col: String, kind: Kind): Option[AttributeReference] = {
+      val mvCol = kind match {
+        case KSum => mv.sums.get(col).map(_.mvCol)
+        case KCnt => mv.countCol
+        case KMin => mv.mins.get(col)
+        case KMax => mv.maxs.get(col)
+      }
+      mvCol.flatMap(mvAttr.get).map { src =>
+        needed.getOrElseUpdate((col, kind),
+          AttributeReference(s"__mv_${kind}_$col", src.dataType,
+            nullable = true)())
+      }
+    }
+
+    def mapAgg(ae: AggregateExpression): Option[Expression] = ae match {
+      case AggregateExpression(af, _, false, None, _) => af match {
+        case Sum(child, _) =>
+          for {
+            c <- measureSrc(child)
+            spec <- mv.sums.get(c) if spec.castTo == castOf(child)
+            a <- mvMeasure(c, KSum)
+          } yield Cast(Sum(a).toAggregateExpression(), ae.dataType)
+        case Count(Seq(l: Literal)) if l.value != null =>
+          for (a <- mvMeasure("", KCnt)) yield
+            Coalesce(Seq(
+              Cast(Sum(a).toAggregateExpression(), LongType), Literal(0L)))
+        case Min(child) =>
+          for (c <- measureSrc(child) if castOf(child).isEmpty;
+               a <- mvMeasure(c, KMin)) yield
+            Min(a).toAggregateExpression()
+        case Max(child) =>
+          for (c <- measureSrc(child) if castOf(child).isEmpty;
+               a <- mvMeasure(c, KMax)) yield
+            Max(a).toAggregateExpression()
+        case _ => None
+      }
+      case _ => None
+    }
+
+    // aggregate output: AggregateExpressions re-pointed at the fresh
+    // measure attrs; everything else may reference ONLY kept slots
+    def rex(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mapAgg(ae)
+      case a: AttributeReference =>
+        if (measureIds.contains(a.exprId)) None else Some(a)
+      case other if other.children.isEmpty => Some(other)
+      case other =>
+        val kids = other.children.map(rex)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    val newAggs: Option[Seq[NamedExpression]] =
+      traverse(agg.aggregateExpressions.map { ne =>
+        rex(ne).map {
+          case kept: NamedExpression if kept.exprId == ne.exprId => kept
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
+      })
+
+    val newFilters: Option[Seq[Expression]] =
+      traverse(filters.map { cond =>
+        if (cond.references.forall(r => mv.groupCols.contains(r.name))) {
+          def f(e: Expression): Option[Expression] = e match {
+            case a: AttributeReference => mvAttr.get(a.name)
+            case other if other.children.isEmpty => Some(other)
+            case other =>
+              val kids = other.children.map(f)
+              if (kids.forall(_.isDefined))
+                Some(other.withNewChildren(kids.map(_.get)))
+              else None
+          }
+          f(cond)
+        } else None
+      })
+
+    val newRows: Option[Seq[Seq[Expression]]] =
+      traverse(ex.projections.map { row =>
+        traverse(keptIdx.map(i => mapEntry(row(i))))
+      })
+
+    for {
+      aggs <- newAggs
+      fs <- newFilters
+      rows <- newRows
+    } yield {
+      val measureAttrs = needed.values.toSeq
+      val measureEntries: Seq[Expression] = needed.keysIterator.map {
+        case (col, kind) =>
+          val mvCol = kind match {
+            case KSum => mv.sums(col).mvCol
+            case KCnt => mv.countCol.get
+            case KMin => mv.mins(col)
+            case KMax => mv.maxs(col)
+          }
+          mvAttr(mvCol)
+      }.toSeq
+      val filtered = fs.foldRight(fresh)((c, p) => Filter(c, p))
+      val newExpand = Expand(
+        rows.map(_ ++ measureEntries),
+        keptOutput ++ measureAttrs,
+        filtered)
+      Aggregate(agg.groupingExpressions, aggs, newExpand)
+    }
   }
 
   private def build(

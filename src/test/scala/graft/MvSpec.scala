@@ -136,6 +136,22 @@ class MvSpec extends AnyFunSuite {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
+  test("CUBE rewrites through the MV: Expand over partial rows, " +
+      "grouping flags intact") {
+    val df = operators.Mv.mvRollupSets(spark, SF)
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty && paths.forall(_.contains(operators.Mv.MvName)),
+      s"expected only MV scans, got: $paths")
+    val base = T.t(spark, SF, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(T.dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"),
+        grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"))
+      .orderBy($"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
   test("refreshMv rebuilds both summaries and re-arms the rewrite") {
     operators.Mv.refreshMv(spark, SF)
     val df = operators.Mv.mvRollup(spark, SF)
