@@ -477,7 +477,39 @@ object Dedup extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Repeated-SPAN detection — the exact-substring statistic behind
+    * "dedup the spans, not just the docs" (memorized boilerplate
+    * shows up as long n-grams occurring more than once in the
+    * corpus): per document, how many of its 8-token spans also occur
+    * elsewhere (anywhere — another doc or a self-repeat), as integer
+    * ppm. One gram-keyed shuffle (the frequency table) + one join
+    * back — both bounded by corpus token count; the duplicated-gram
+    * side is filtered BEFORE the join so unique grams (the vast
+    * majority at scale) never travel twice.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = T.t(s, dir, "documents")
+      .select($"doc_id",
+        explode(graft.functions.NgramFunctions.ngrams($"text", 8)).as("g"))
+      .localCheckpoint() // feeds the freq build AND the join back
+    val dup = grams.groupBy($"g")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"g")
+    grams.join(dup.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+      .join(
+        grams.groupBy($"doc_id").agg(count(lit(1)).as("n_spans")),
+        Seq("doc_id"), "right_outer")
+      .select($"doc_id", $"n_spans",
+        coalesce($"n_dup", lit(0L)).as("n_dup"),
+        expr("coalesce(n_dup, 0L) * 1000000L div n_spans").as("dup_ppm"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dup_spans" -> (dupSpans(_, _)),
     "llm_dedup_clusters" -> (dedupClusters(_, _)),
     "llm_dedup_exact" -> (dedupExact(_, _)),
     "llm_ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -547,6 +579,24 @@ object Dedup extends QueryModule {
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
         |FROM documents""".stripMargin,
     "llm_ngram_jaccard" -> exactPairsSql,
+    "llm_dup_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest([list_aggregate(toks[i:i+7], 'string_agg', '_')
+        |      FOR i IN generate_series(1, len(toks) - 7)]) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |dup AS (SELECT g FROM (SELECT g, COUNT(*) AS n FROM g GROUP BY g)
+        |        WHERE n > 1),
+        |per AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(COUNT(CASE WHEN g IN (SELECT g FROM dup) THEN 1 END)
+        |      AS BIGINT) AS n_dup
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_spans, n_dup,
+        |  n_dup * 1000000 // n_spans AS dup_ppm
+        |FROM per ORDER BY doc_id""".stripMargin,
     // MinHash-LSH verified against exact Jaccard: same result set
     // (miss probability ~1e-7 at the observed 0.89+ similarities).
     "llm_dedup_near" -> exactPairsSql,

@@ -198,6 +198,31 @@ object Sinks extends QueryModule {
     snap(0).unionByName(snap(1)).orderBy($"version")
   }
 
+  /** Compaction commit on a versioned table: v0 = 8-file write, v1 =
+    * append, v2 = OPTIMIZE (2 files). The query reads v1 and v2 —
+    * identical aggregates prove the rewrite lossless; StorageSpec
+    * pins the file-count drop and v0/v1 history intactness.
+    */
+  def sinkVersionedCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_compact")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    st.writeVersioned(base.repartition(8), out)
+    st.writeVersioned(base.filter($"o_orderkey" % 10 === 0), out,
+      append = true)
+    st.compactVersioned(out, targetFiles = 2)
+    def snap(v: Long): DataFrame =
+      st.readVersioned(out, Some(v))
+        .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+        .select(lit(v).as("version"), $"cnt", $"total")
+    snap(1).unionByName(snap(2)).orderBy($"version")
+  }
+
   /** The registered-sink front door: `df.write.format("graft")` with
     * clusterBy/zone options resolves to `GraftStorage.writeIndexed`
     * (range-clustered files + `_zonemap` sidecar), and the re-read
@@ -225,6 +250,7 @@ object Sinks extends QueryModule {
     "sink_graft_format" -> (sinkGraftFormat(_, _)),
     "sink_upsert" -> (sinkUpsert(_, _)),
     "sink_versioned" -> (sinkVersioned(_, _)),
+    "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
     "sink_single_merged" -> (sinkSingleMerged(_, _)),
@@ -239,6 +265,22 @@ object Sinks extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // v1 (= orders + key%10 slice) and its compacted rewrite v2 must
+    // aggregate identically
+    "sink_versioned_compact" ->
+      s"""SELECT version, cnt, total FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM (SELECT o_totalprice FROM orders
+         |        UNION ALL
+         |        SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 0)
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), COUNT(*),
+         |    ${sqlDsum("o_totalprice")}
+         |  FROM (SELECT o_totalprice FROM orders
+         |        UNION ALL
+         |        SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 0))
+         |ORDER BY version""".stripMargin,
     // v0 = orders, v1 = orders + the key%10 slice appended
     "sink_versioned" ->
       s"""SELECT version, cnt, total FROM (

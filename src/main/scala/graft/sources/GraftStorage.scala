@@ -770,6 +770,15 @@ final case class GraftStorage(
     new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
   }
 
+  /** OPTIMIZE for versioned tables: rewrite the latest snapshot into
+    * `targetFiles` files as a NEW overwrite commit — readers of every
+    * historical version are untouched (their manifests still point at
+    * the old files), and the small-file problem appends create is
+    * fixed without breaking time travel. Returns the new version.
+    */
+  def compactVersioned(path: String, targetFiles: Int = 1): Long =
+    writeVersioned(readVersioned(path).coalesce(targetFiles), path)
+
   /** Time-travel read: the file set of `version` (default: latest).
     * Resolves ONLY the manifest — later commits never perturb the
     * snapshot.

@@ -146,6 +146,38 @@ object StreamOps extends QueryModule {
       .orderBy(col("p_user"), col("p_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join core: every click, with
+    * its same-user purchases in the following hour — or nulls if none
+    * ever arrive. In streaming, the outer (unmatched) rows are the
+    * hard part: they may only emit once the purchase-side watermark
+    * has passed the click's join window, so state stays bounded AND
+    * results are complete. Batch run is the oracle; StreamingSpec
+    * replays it as a true two-stream outer join with watermarks and a
+    * window-flushing sentinel.
+    */
+  def intervalJoinOuterPairs(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+
+  def intervalJoinOuterAgg(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("c_user"), col("c_id"))
+      .agg(count(col("p_id")).as("n_purchases"),
+        max(col("p_id")).as("max_purchase_id"))
+
+  def intervalJoinOuterCore(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    intervalJoinOuterAgg(intervalJoinOuterPairs(clicks, purchases))
+
+  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+    intervalJoinOuterCore(clicksOf(ev), purchasesOf(ev))
+      .orderBy(col("c_user"), col("c_id"))
+  }
+
   /** Two-stream as-of join via the union trick — the scalable as-of
     * shape (SURVEY.md §2.4): instead of joining purchases×clicks and
     * ranking (O(pairs)), tag both streams, union, and carry the last
@@ -360,6 +392,7 @@ object StreamOps extends QueryModule {
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_pack" -> (streamPack(_, _)),
     "stream_mv_refresh" -> (streamMvRefresh(_, _)),
+    "stream_join_outer" -> (streamJoinOuter(_, _)),
     "stream_dedup" -> (streamDedup(_, _)))
 
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
@@ -382,6 +415,22 @@ object StreamOps extends QueryModule {
       s"""SELECT event_type, COUNT(*) AS cnt,
          |  ${sqlDsum("value", 6)} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_join_outer" ->
+      """WITH c AS (
+        |  SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts,
+        |    event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts,
+        |    event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c_user, c_id,
+        |  CAST(COUNT(p_id) AS BIGINT) AS n_purchases,
+        |  MAX(p_id) AS max_purchase_id
+        |FROM c LEFT JOIN p
+        |  ON c_user = p_user AND p_ts >= c_ts
+        |    AND p_ts <= c_ts + INTERVAL 1 HOUR
+        |GROUP BY c_user, c_id ORDER BY c_user, c_id""".stripMargin,
     "join_asof_tolerance" ->
       """SELECT user_id, event_id,
         |  CASE WHEN last_click_ts >= ts - INTERVAL 1 HOUR

@@ -891,6 +891,26 @@ class StorageSpec extends AnyFunSuite {
     assert(storage.readVersioned(out, Some(3)).count() == 13)
   }
 
+  test("compactVersioned shrinks the live file set, history intact") {
+    val out = T.scratch(SparkTestSession.SF01, "versioned_compact_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    storage.writeVersioned(o.repartition(8), out)
+    storage.writeVersioned(o.limit(100), out, append = true)
+    val before = storage.readVersioned(out).inputFiles.length
+    assert(before >= 9)
+    val v = storage.compactVersioned(out, targetFiles = 2)
+    assert(v == 2L)
+    assert(storage.readVersioned(out).inputFiles.length <= 2)
+    assert(storage.readVersioned(out).count() == o.count() + 100)
+    // history untouched: v1 still resolves its ORIGINAL small files
+    assert(storage.readVersioned(out, Some(1)).inputFiles.length == before)
+    assert(storage.readVersioned(out, Some(0)).count() == o.count())
+  }
+
   test("token bloom: rare-token full-text lookup reads ~1 of 9 files, " +
       "common token keeps all") {
     val sf01 = SparkTestSession.SF01

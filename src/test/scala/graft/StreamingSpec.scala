@@ -366,6 +366,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-stream OUTER interval join emits null-padded rows once " +
+      "the watermark closes the window") {
+    val schema = spark.read.parquet(eventsDir).schema
+    def src() = spark.readStream.schema(schema).parquet(eventsDir)
+    val clicks = streaming.StreamOps.clicksOf(src())
+      .withWatermark("c_ts", "2 hours")
+    val purchases = streaming.StreamOps.purchasesOf(src())
+      .withWatermark("p_ts", "2 hours")
+    val q = streaming.StreamOps.intervalJoinOuterPairs(clicks, purchases)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_join_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // outer rows for clicks near the stream's end are legitimately
+    // still buffered (their windows aren't watermark-closed); parity
+    // holds on clicks whose 1h window + 2h delay is fully past
+    val ev = T.events(spark, SF)
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0).getTime
+    // emission needs the 2h-delayed watermark past c_ts + 1h, plus
+    // Spark's conservative interval-join state rounding — stay a full
+    // hour clear of the boundary
+    val cutoff = new java.sql.Timestamp(maxTs - 4 * 3600 * 1000L)
+    val got = streaming.StreamOps.intervalJoinOuterAgg(
+      spark.table("outer_join_out").filter($"c_ts" <= lit(cutoff)))
+      .collect().toSet
+    val want = streaming.StreamOps.intervalJoinOuterAgg(
+      streaming.StreamOps.intervalJoinOuterPairs(
+        streaming.StreamOps.clicksOf(ev),
+        streaming.StreamOps.purchasesOf(ev))
+        .filter($"c_ts" <= lit(cutoff)))
+      .collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the outer semantics actually fired: some click has NO purchase
+    assert(got.exists(_.getLong(2) == 0L),
+      "expected at least one null-padded (unmatched) click")
+  }
+
   test("transformWithState running count matches batch per-user counts") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
