@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("ngrams"),
+      new ExpressionInfo(
+        classOf[graft.functions.NgramsExpr].getName, "ngrams"),
+      (exprs: Seq[Expression]) => graft.functions.NgramsExpr(exprs(0),
+        exprs(1) match {
+          case Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"ngrams(text, n): n must be an integer literal, got $other")
+        })))
     e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => FoldSelfCosine)
     e.injectOptimizerRule(_ => plans.BinnedIntervalRule)

@@ -25,6 +25,8 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   *     HtsjdkReadsRddStorage.java:154-158).
   *   - `splitSize`: bytes per input partition
   *     (HtsjdkReadsRddStorage.splitSize).
+  *   - `versionAsOf`: time-travel to a committed version of a
+  *     versioned table; `versioned=true` reads the latest manifest.
   *
   * Write options (SaveMode defaults to Spark's ErrorIfExists — pass
   * `.mode("overwrite")` for the reference's always-overwrite contract
@@ -73,8 +75,14 @@ final class GraftSource extends RelationProvider
     var st = GraftStorage(spark)
     if (parameters.get("strictSchema").exists(_.toBoolean)) st = st.strictSchema()
     parameters.get("splitSize").foreach(b => st = st.splitSize(b.toLong))
+    val asOf = parameters.get("versionAsOf").map(_.toLong)
+    val versioned = asOf.isDefined ||
+      parameters.get("versioned").exists(_.toBoolean)
     val useZoneMap = parameters.get("zonemap").forall(_.toBoolean)
-    val df = if (useZoneMap) st.readPruned(path) else st.read(path)
+    val df =
+      if (versioned) st.readVersioned(path, asOf)
+      else if (useZoneMap) st.readPruned(path)
+      else st.read(path)
     relationOf(df)
   }
 
@@ -110,6 +118,17 @@ final class GraftSource extends RelationProvider
         spark.read.option("header", "true").schema(data.schema).csv(path))
       case "single" => relationOf(spark.read.parquet(path))
       case _ => createRelation(ctx, parameters)
+    }
+
+    // `versioned=true`: manifest-snapshot commits with time travel —
+    // Overwrite commits a fresh file set, Append commits a delta on
+    // the previous manifest; history stays readable via versionAsOf
+    if (parameters.get("versioned").exists(_.toBoolean)) {
+      if (layout != "sharded" || clusterBy.nonEmpty || zorder.nonEmpty)
+        throw new IllegalArgumentException(
+          "versioned graft writes support the plain sharded layout only")
+      st.writeVersioned(data, path, append = mode == SaveMode.Append)
+      return relationOf(st.readVersioned(path))
     }
 
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -177,6 +196,11 @@ final class GraftSource extends RelationProvider
     // the clustering key, Blooms answer equality on these)
     parameters.get("bloom").filter(_ => layout == "sharded").foreach { cols =>
       st.buildBloomIndex(path, cols.split(",").toSeq)
+    }
+    // `tokenBloom`: text columns to token-index (full-text needle
+    // pruning through tokens:<col> sidecar entries)
+    parameters.get("tokenBloom").filter(_ => layout == "sharded").foreach {
+      cols => st.buildTokenBloomIndex(path, cols.split(",").toSeq)
     }
     readBack()
   }

@@ -891,6 +891,28 @@ class StorageSpec extends AnyFunSuite {
     assert(storage.readVersioned(out, Some(3)).count() == 13)
   }
 
+  test("format(\"graft\") versioned write + versionAsOf time travel; " +
+      "SQL ngrams registered") {
+    val out = T.scratch(SparkTestSession.SF01, "versioned_format_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    o.write.format("graft").option("versioned", "true")
+      .mode("overwrite").save(out)
+    o.limit(50).write.format("graft").option("versioned", "true")
+      .mode("append").save(out)
+    assert(spark.read.format("graft")
+      .option("versionAsOf", "0").load(out).count() == o.count())
+    assert(spark.read.format("graft")
+      .option("versioned", "true").load(out).count() == o.count() + 50)
+    // SQL surface: the native ngrams expression resolves by name
+    val g = spark.sql("SELECT ngrams('a b c', 2) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(g == Seq("a_b", "b_c"))
+  }
+
   test("compactVersioned shrinks the live file set, history intact") {
     val out = T.scratch(SparkTestSession.SF01, "versioned_compact_spec")
     val fs = new org.apache.hadoop.fs.Path(out)
