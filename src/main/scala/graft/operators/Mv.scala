@@ -30,6 +30,7 @@ object Mv extends QueryModule {
 
   val MvName = "mv_lineitem_rfls"
   val CoarseMvName = "mv_lineitem_rf_only"
+  val JoinMvName = "mv_lineitem_by_okey"
   private val SumCast = DecimalType(18, 2)
 
   /** Build the summary parquet once per (dir) and (re-)register it in
@@ -92,6 +93,28 @@ object Mv extends QueryModule {
         mins = Map.empty,
         maxs = Map.empty,
         sourceFingerprint = Some(srcFp)))
+    // a JOIN-KEY granularity summary (per l_orderkey) — the rollup
+    // that answers fact⋈dim aggregates through the join rewrite
+    val okey = Fixtures.ensure(dir, JoinMvName) { p =>
+      T.t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(
+          sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(p)
+    }
+    MvCatalog.register(
+      src,
+      MvCatalog.MvDef(
+        name = JoinMvName,
+        plan = Bridge.analyzed(s.read.parquet(okey)),
+        groupCols = Set("l_orderkey"),
+        sums = Map(
+          "l_extendedprice" -> MvCatalog.SumSpec("sum_price", Some(SumCast))),
+        countCol = Some("cnt"),
+        mins = Map.empty,
+        maxs = Map.empty,
+        sourceFingerprint = Some(srcFp)))
     path
   }
 
@@ -129,6 +152,13 @@ object Mv extends QueryModule {
         sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
         count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(coarse)
+    val okey = T.scratch(dir, JoinMvName)
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(
+        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(okey)
     ensureMv(s, dir)
     ()
   }
@@ -227,6 +257,24 @@ object Mv extends QueryModule {
           $"l_linestatus".asc_nulls_first))
   }
 
+  /** Aggregate pushdown through a join: lineitem⋈orders grouped by a
+    * DIM attribute answers from the per-orderkey summary joined to
+    * orders — the fact table never scans; at scale the join input
+    * shrinks by the rollup factor (rows per order).
+    */
+  def mvJoinRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureMv(s, dir)
+    withMvRewrite(
+      T.t(s, dir, "lineitem")
+        .join(T.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          dsum($"l_extendedprice").as("sum_price"),
+          count(lit(1)).as("cnt"))
+    ).orderBy($"o_orderpriority")
+  }
+
   /** SUM(l_tax) is not a stored measure — the rewrite must decline
     * and the plan must keep the fact-table scan.
     */
@@ -251,6 +299,7 @@ object Mv extends QueryModule {
     "mv_distinct_rollup" -> (mvDistinctRollup(_, _)),
     "mv_rollup_having" -> (mvRollupHaving(_, _)),
     "mv_rollup_sets" -> (mvRollupSets(_, _)),
+    "mv_join_rollup" -> (mvJoinRollup(_, _)),
     "mv_fallback" -> (mvFallback(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -263,6 +312,11 @@ object Mv extends QueryModule {
          |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
          |FROM lineitem WHERE l_linestatus = 'F'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "mv_join_rollup" ->
+      s"""SELECT o_orderpriority, ${sqlDsum("l_extendedprice")} AS sum_price,
+         |  COUNT(*) AS cnt
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "mv_rollup_sets" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS cnt,

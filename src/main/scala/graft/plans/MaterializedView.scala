@@ -5,6 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -160,6 +161,11 @@ object MaterializedViewRewrite {
     }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    agg.child match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        return tryRewriteJoin(agg, j)
+      case _ => ()
+    }
     val stripped = agg.child match {
       case e: Expand => stripToScan(e.child).map { case (fs, s) => (Some(e), fs, s) }
       case other => stripToScan(other).map { case (fs, s) => (None, fs, s) }
@@ -179,6 +185,142 @@ object MaterializedViewRewrite {
         }
         .nextOption()
     } yield plan
+  }
+
+  /** Aggregate pushdown THROUGH a join: `Aggregate(Join(fact, dim))`
+    * where the equi-join key is one of the MV's grouping columns
+    * rewrites to `Aggregate(Join(MV, dim))`. Multiplicities are
+    * preserved without any uniqueness assumption on the dim side:
+    * every fact row of a group carries the same join key, so the
+    * group's MV partial row meets EXACTLY the dim rows each fact row
+    * met — COUNT(*) becomes SUM(cnt) per match, SUM(fact measure)
+    * becomes SUM(partial) per match, both summing to the original.
+    * Aggregates referencing DIM columns decline (a partial row stands
+    * for n fact rows, which would undercount dim-valued sums).
+    */
+  private def tryRewriteJoin(agg: Aggregate, j: Join): Option[LogicalPlan] = {
+    def oneSide(fact: LogicalPlan, dim: LogicalPlan,
+        factLeft: Boolean): Option[LogicalPlan] =
+      for {
+        (filters, scan) <- stripToScan(fact)
+        path <- scanPath(scan)
+        plan <- lookup(path).iterator
+          .filter(_.sourceFingerprint.forall(_ == fingerprint(path)))
+          .flatMap(mv =>
+            buildJoin(agg, j, fact, dim, factLeft, filters, mv))
+          .nextOption()
+      } yield plan
+    oneSide(j.left, j.right, factLeft = true)
+      .orElse(oneSide(j.right, j.left, factLeft = false))
+  }
+
+  private def buildJoin(
+      agg: Aggregate, j: Join, fact: LogicalPlan, dim: LogicalPlan,
+      factLeft: Boolean, filters: Seq[Expression],
+      mv: MvDef): Option[LogicalPlan] = {
+    val factIds = fact.outputSet
+    val fresh = mv.plan match {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
+    val mvAttr: Map[String, AttributeReference] =
+      fresh.output.collect { case a: AttributeReference => a.name -> a }.toMap
+
+    // any fact-side attribute outside an aggregate must be one of the
+    // MV's grouping columns; dim-side attributes pass through
+    def mapAttr(a: AttributeReference): Option[Expression] =
+      if (factIds.contains(a)) {
+        if (mv.groupCols.contains(a.name)) mvAttr.get(a.name) else None
+      } else Some(a)
+
+    def rewriteScalar(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference => mapAttr(a)
+      case other if other.children.isEmpty => Some(other)
+      case other =>
+        val kids = other.children.map(rewriteScalar)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    def mapAgg(ae: AggregateExpression): Option[Expression] = ae match {
+      case AggregateExpression(af, _, false, None, _) => af match {
+        case Sum(child, _) =>
+          val keyed = child match {
+            case a: AttributeReference if factIds.contains(a) =>
+              Some((a.name, None))
+            case Cast(a: AttributeReference, t, _, _)
+                if factIds.contains(a) => Some((a.name, Some(t)))
+            case _ => None
+          }
+          for {
+            (col, castTo) <- keyed
+            spec <- mv.sums.get(col) if spec.castTo == castTo
+            a <- mvAttr.get(spec.mvCol)
+          } yield Cast(Sum(a).toAggregateExpression(), ae.dataType)
+        case Count(Seq(l: Literal)) if l.value != null =>
+          for (c <- mv.countCol; a <- mvAttr.get(c)) yield
+            Coalesce(Seq(
+              Cast(Sum(a).toAggregateExpression(), LongType), Literal(0L)))
+        case Min(a: AttributeReference) if factIds.contains(a) =>
+          for (c <- mv.mins.get(a.name); m <- mvAttr.get(c)) yield
+            Min(m).toAggregateExpression()
+        case Max(a: AttributeReference) if factIds.contains(a) =>
+          for (c <- mv.maxs.get(a.name); m <- mvAttr.get(c)) yield
+            Max(m).toAggregateExpression()
+        // dim-side aggregates decline: the MV row stands for n fact
+        // rows and would undercount them
+        case _ => None
+      }
+      case _ => None
+    }
+
+    def rex(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mapAgg(ae)
+      case a: AttributeReference => mapAttr(a)
+      case other if other.children.isEmpty => Some(other)
+      case other =>
+        val kids = other.children.map(rex)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    // the join condition must survive attr mapping AND actually use a
+    // grouping column as the fact-side key (else the rollup changes
+    // the join semantics)
+    val usesGroupKey = j.condition.get.exists {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (factIds.contains(a) && mv.groupCols.contains(a.name)) ||
+          (factIds.contains(b) && mv.groupCols.contains(b.name))
+      case _ => false
+    }
+    if (!usesGroupKey) return None
+
+    val newCond = rewriteScalar(j.condition.get)
+    val newGroups = traverse(agg.groupingExpressions.map {
+      case a: AttributeReference => mapAttr(a)
+      case _ => None
+    })
+    val newFilters = traverse(filters.map { cond =>
+      if (cond.references.forall(r =>
+          !factIds.contains(r) || mv.groupCols.contains(r.name)))
+        rewriteScalar(cond)
+      else None
+    })
+    val newAggs = traverse(agg.aggregateExpressions.map { ne =>
+      rex(ne).map {
+        case kept: NamedExpression if kept.exprId == ne.exprId => kept
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    })
+
+    for (c <- newCond; gs <- newGroups; fs <- newFilters; as <- newAggs)
+      yield {
+        val factSide = fs.foldRight(fresh)((f, p) => Filter(f, p))
+        val newJoin =
+          if (factLeft) Join(factSide, dim, Inner, Some(c), j.hint)
+          else Join(dim, factSide, Inner, Some(c), j.hint)
+        Aggregate(gs, as, newJoin)
+      }
   }
 
   /** ROLLUP / CUBE / GROUPING SETS through the MV: the plan is

@@ -152,6 +152,43 @@ class MvSpec extends AnyFunSuite {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
+  test("join rollup: fact side of lineitem JOIN orders answers from " +
+      "the per-orderkey summary") {
+    val df = operators.Mv.mvJoinRollup(spark, SF)
+    val paths = scannedPaths(df)
+    assert(paths.exists(_.contains(operators.Mv.JoinMvName)),
+      s"expected the join-key MV scan, got: $paths")
+    assert(!paths.exists(_.contains("lineitem.parquet")),
+      s"fact table must not scan: $paths")
+    val base = T.t(spark, SF, "lineitem")
+      .join(T.t(spark, SF, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(T.dsum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"o_orderpriority")
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
+  test("join rollup declines dim-side aggregates (partial rows would " +
+      "undercount them)") {
+    operators.Mv.ensureMv(spark, SF)
+    val df = operators.Mv.withMvRewrite(
+      T.t(spark, SF, "lineitem")
+        .join(T.t(spark, SF, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(T.dsum($"o_totalprice").as("sum_total")))
+      .orderBy($"o_orderpriority")
+    val paths = scannedPaths(df)
+    assert(paths.exists(_.contains("lineitem.parquet")),
+      s"dim aggregate must keep the fact scan: $paths")
+    val base = T.t(spark, SF, "lineitem")
+      .join(T.t(spark, SF, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(T.dsum($"o_totalprice").as("sum_total"))
+      .orderBy($"o_orderpriority")
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
   test("refreshMv rebuilds both summaries and re-arms the rewrite") {
     operators.Mv.refreshMv(spark, SF)
     val df = operators.Mv.mvRollup(spark, SF)
