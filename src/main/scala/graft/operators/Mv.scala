@@ -31,6 +31,7 @@ object Mv extends QueryModule {
   val MvName = "mv_lineitem_rfls"
   val CoarseMvName = "mv_lineitem_rf_only"
   val JoinMvName = "mv_lineitem_by_okey"
+  val MonthMvName = "mv_lineitem_month"
   private val SumCast = DecimalType(18, 2)
 
   /** Build the summary parquet once per (dir) and (re-)register it in
@@ -115,6 +116,40 @@ object Mv extends QueryModule {
         mins = Map.empty,
         maxs = Map.empty,
         sourceFingerprint = Some(srcFp)))
+    // TIME-ROLLUP summary: month(l_shipdate) is a DERIVED grouping
+    // column, matched by the canonical SQL of the expression
+    val monthMv = Fixtures.ensure(dir, MonthMvName) { p =>
+      val li = T.t(s, dir, "lineitem")
+      li.groupBy(month(li("l_shipdate")).as("ship_month"))
+        .agg(
+          sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(p)
+    }
+    // the key must be the ANALYZED expression's SQL — resolution
+    // inserts implicit casts (month(CAST(ts AS DATE))) that the raw
+    // Column doesn't carry
+    val monthKey = {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      Bridge.analyzed(
+        T.t(s, dir, "lineitem").select(month($"l_shipdate").as("__k")))
+        .asInstanceOf[Project].projectList.head
+        .asInstanceOf[Alias].child.sql
+    }
+    MvCatalog.register(
+      src,
+      MvCatalog.MvDef(
+        name = MonthMvName,
+        plan = Bridge.analyzed(s.read.parquet(monthMv)),
+        groupCols = Set.empty,
+        sums = Map(
+          "l_extendedprice" -> MvCatalog.SumSpec("sum_price", Some(SumCast))),
+        countCol = Some("cnt"),
+        mins = Map.empty,
+        maxs = Map.empty,
+        sourceFingerprint = Some(srcFp),
+        derived = Map(monthKey -> "ship_month")))
     path
   }
 
@@ -275,6 +310,22 @@ object Mv extends QueryModule {
     ).orderBy($"o_orderpriority")
   }
 
+  /** Time rollup from the month-grained summary: grouping by the
+    * DERIVED expression month(l_shipdate) — the dashboard shape every
+    * warehouse materializes first.
+    */
+  def mvTimeRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureMv(s, dir)
+    withMvRewrite(
+      T.t(s, dir, "lineitem")
+        .groupBy(month($"l_shipdate").as("ship_month"))
+        .agg(
+          dsum($"l_extendedprice").as("sum_price"),
+          count(lit(1)).as("cnt"))
+    ).orderBy($"ship_month")
+  }
+
   /** SUM(l_tax) is not a stored measure — the rewrite must decline
     * and the plan must keep the fact-table scan.
     */
@@ -300,6 +351,7 @@ object Mv extends QueryModule {
     "mv_rollup_having" -> (mvRollupHaving(_, _)),
     "mv_rollup_sets" -> (mvRollupSets(_, _)),
     "mv_join_rollup" -> (mvJoinRollup(_, _)),
+    "mv_time_rollup" -> (mvTimeRollup(_, _)),
     "mv_fallback" -> (mvFallback(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -312,6 +364,10 @@ object Mv extends QueryModule {
          |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
          |FROM lineitem WHERE l_linestatus = 'F'
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "mv_time_rollup" ->
+      s"""SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price, COUNT(*) AS cnt
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "mv_join_rollup" ->
       s"""SELECT o_orderpriority, ${sqlDsum("l_extendedprice")} AS sum_price,
          |  COUNT(*) AS cnt

@@ -82,7 +82,15 @@ object MvCatalog {
         * when the fact table has changed since, so an out-of-date
         * summary can never silently answer (None = no guard).
         */
-      sourceFingerprint: Option[(Long, Long, Long)] = None)
+      sourceFingerprint: Option[(Long, Long, Long)] = None,
+      /** DERIVED grouping columns — `canonical SQL of the expression
+        * over source columns` -> MV column, e.g.
+        * `"month(l_shipdate)" -> "ship_month"`. This is what makes
+        * time-rollup MVs (the most common summary shape) match:
+        * a query grouping or filtering by the same expression maps
+        * onto the stored column. Flat rewrites only.
+        */
+      derived: Map[String, String] = Map.empty)
 
   private val bySource = new ConcurrentHashMap[String, List[MvDef]]()
 
@@ -558,31 +566,38 @@ object MaterializedViewRewrite {
     }
 
     // expression rewrite: aggregates via mapAgg (no recursion below
-    // them), bare attributes must be grouping columns, everything
-    // else rebuilds over rewritten children. Any unmappable piece
-    // aborts the whole rewrite.
+    // them), DERIVED grouping expressions map whole (matched by their
+    // canonical SQL), bare attributes must be grouping columns,
+    // everything else rebuilds over rewritten children. Any
+    // unmappable piece aborts the whole rewrite.
+    def derivedAttr(e: Expression): Option[AttributeReference] =
+      if (mv.derived.isEmpty) None
+      else mv.derived.get(e.sql).flatMap(mvAttr.get)
     def rex(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression => mapAgg(ae)
-      case a: AttributeReference => groupAttr(a.name)
-      case other if other.children.isEmpty => Some(other)
-      case other =>
-        val kids = other.children.map(rex)
-        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
-        else None
+      case other => derivedAttr(other).orElse(other match {
+        case a: AttributeReference => groupAttr(a.name)
+        case o if o.children.isEmpty => Some(o)
+        case o =>
+          val kids = o.children.map(rex)
+          if (kids.forall(_.isDefined)) Some(o.withNewChildren(kids.map(_.get)))
+          else None
+      })
     }
 
     val newGroups: Option[Seq[Expression]] =
-      traverse(agg.groupingExpressions.map {
-        case a: AttributeReference => groupAttr(a.name)
-        case _ => None
+      traverse(agg.groupingExpressions.map { g =>
+        val e = g match { case Alias(c, _) => c; case x => x }
+        e match {
+          case a: AttributeReference => groupAttr(a.name)
+          case other => derivedAttr(other)
+        }
       })
 
+    // rex itself is the applicability check: every attr must be a
+    // grouping column or consumed inside a derived expression
     val newFilters: Option[Seq[Expression]] =
-      traverse(filters.map { cond =>
-        if (cond.references.forall(r => mv.groupCols.contains(r.name)))
-          rex(cond)
-        else None
-      })
+      traverse(filters.map(rex))
 
     val newAggs: Option[Seq[NamedExpression]] =
       traverse(agg.aggregateExpressions.map { ne =>

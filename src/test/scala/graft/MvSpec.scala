@@ -189,6 +189,34 @@ class MvSpec extends AnyFunSuite {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
+  test("derived grouping: month(l_shipdate) rollup answers from the " +
+      "time-grained summary, filter on the derived expr applies") {
+    val df = operators.Mv.mvTimeRollup(spark, SF)
+    val paths = scannedPaths(df)
+    assert(paths.nonEmpty &&
+      paths.forall(_.contains(operators.Mv.MonthMvName)),
+      s"expected the month MV scan, got: $paths")
+    val base = T.t(spark, SF, "lineitem")
+      .groupBy(month($"l_shipdate").as("ship_month"))
+      .agg(T.dsum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"ship_month")
+    assert(df.collect().toSeq == base.collect().toSeq)
+    // a filter on the SAME derived expression maps onto MV rows
+    val filtered = operators.Mv.withMvRewrite(
+      T.t(spark, SF, "lineitem")
+        .filter(month($"l_shipdate") === 6)
+        .groupBy(month($"l_shipdate").as("ship_month"))
+        .agg(count(lit(1)).as("cnt")))
+    assert(scannedPaths(filtered)
+      .forall(_.contains(operators.Mv.MonthMvName)))
+    val baseF = T.t(spark, SF, "lineitem")
+      .filter(month($"l_shipdate") === 6)
+      .groupBy(month($"l_shipdate").as("ship_month"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(filtered.collect().toSeq == baseF.collect().toSeq)
+  }
+
   test("refreshMv rebuilds both summaries and re-arms the rewrite") {
     operators.Mv.refreshMv(spark, SF)
     val df = operators.Mv.mvRollup(spark, SF)
