@@ -223,6 +223,85 @@ object Sinks extends QueryModule {
     snap(1).unionByName(snap(2)).orderBy($"version")
   }
 
+  /** Row-level DELETE on a versioned table (copy-on-write commit,
+    * `GraftStorage.deleteVersioned`). v0 = orders range-clustered into
+    * 8 files; the delete predicate (`o_orderkey < 1000`) lives in 1–2
+    * of them, so only those are rewritten — the other files carry
+    * into v1's manifest verbatim (StorageSpec pins the carried-file
+    * count). The query reads BOTH versions: v0 still shows the
+    * deleted rows (time travel), v1 shows the survivors.
+    */
+  def sinkVersionedDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_delete")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out)
+    st.deleteVersioned(out, $"o_orderkey" < 1000)
+    def snap(v: Long): DataFrame =
+      st.readVersioned(out, Some(v))
+        .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+        .select(lit(v).as("version"), $"cnt", $"total")
+    snap(0).unionByName(snap(1)).orderBy($"version")
+  }
+
+  /** Row-level UPDATE, same copy-on-write machinery: matching rows get
+    * `o_orderstatus = 'X'` and doubled price inside rewritten files;
+    * non-matching rows in those files and all untouched files are
+    * byte-identical carries. The aggregate over v1 proves exactly the
+    * matched slice changed.
+    */
+  def sinkVersionedUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_update")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out)
+    st.updateVersioned(out, $"o_orderkey" < 1000,
+      Map("o_orderstatus" -> lit("X"),
+        "o_totalprice" -> $"o_totalprice" * 2))
+    st.readVersioned(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Schema evolution across versioned commits: v1 appends files
+    * carrying a column v0 never had (`o_orderpriority`); a mergeSchema
+    * time-travel read resolves the union schema with NULLs for the
+    * old files — additive evolution with zero rewrites of existing
+    * data.
+    */
+  def sinkSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_schema_evolve")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+    st.writeVersioned(
+      base.select($"o_orderkey", $"o_totalprice"), out)
+    st.writeVersioned(
+      base.filter($"o_orderkey" % 10 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          $"o_totalprice", $"o_orderpriority"),
+      out, append = true)
+    st.readVersioned(out, mergeSchema = true)
+      .groupBy(coalesce($"o_orderpriority", lit("-")).as("prio_bucket"))
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"prio_bucket")
+      .limit(20)
+  }
+
   /** The registered-sink front door: `df.write.format("graft")` with
     * clusterBy/zone options resolves to `GraftStorage.writeIndexed`
     * (range-clustered files + `_zonemap` sidecar), and the re-read
@@ -251,6 +330,9 @@ object Sinks extends QueryModule {
     "sink_upsert" -> (sinkUpsert(_, _)),
     "sink_versioned" -> (sinkVersioned(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
+    "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
+    "sink_versioned_update" -> (sinkVersionedUpdate(_, _)),
+    "sink_schema_evolve" -> (sinkSchemaEvolve(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
     "sink_single_merged" -> (sinkSingleMerged(_, _)),
@@ -281,6 +363,42 @@ object Sinks extends QueryModule {
          |        UNION ALL
          |        SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 0))
          |ORDER BY version""".stripMargin,
+    // v0 = full orders; v1 = copy-on-write delete of o_orderkey < 1000
+    "sink_versioned_delete" ->
+      s"""SELECT version, cnt, total FROM (
+         |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), COUNT(*),
+         |    ${sqlDsum("o_totalprice")}
+         |  FROM orders WHERE NOT (o_orderkey < 1000))
+         |ORDER BY version""".stripMargin,
+    // copy-on-write update: matched rows get status X and doubled price
+    "sink_versioned_update" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM (
+         |  SELECT CASE WHEN o_orderkey < 1000 THEN 'X'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // v0 = (key, price); v1 appends files that also carry o_orderpriority —
+    // mergeSchema read NULLs the old files' missing column
+    "sink_schema_evolve" ->
+      s"""SELECT prio_bucket, cnt, total FROM (
+         |  SELECT COALESCE(o_orderpriority, '-') AS prio_bucket,
+         |    COUNT(*) AS cnt, ${sqlDsum("o_totalprice")} AS total
+         |  FROM (
+         |    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+         |    FROM orders
+         |    UNION ALL
+         |    SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+         |    FROM orders WHERE o_orderkey % 10 = 0)
+         |  GROUP BY 1)
+         |ORDER BY prio_bucket LIMIT 20""".stripMargin,
     // v0 = orders, v1 = orders + the key%10 slice appended
     "sink_versioned" ->
       s"""SELECT version, cnt, total FROM (

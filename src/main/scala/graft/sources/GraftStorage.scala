@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** User-facing storage facade — the Spark-native counterpart of the
@@ -779,17 +779,96 @@ final case class GraftStorage(
   def compactVersioned(path: String, targetFiles: Int = 1): Long =
     writeVersioned(readVersioned(path).coalesce(targetFiles), path)
 
+  /** Row-level DELETE as a COPY-ON-WRITE commit: only the files that
+    * actually contain matching rows are rewritten (their surviving
+    * rows land in a fresh `data/c<N>` dir); every untouched file is
+    * carried into the new manifest verbatim. At 100 TB a 0.1% delete
+    * rewrites the handful of files holding those rows — write cost is
+    * proportional to AFFECTED data, not table size — and every prior
+    * version still time-travels to the pre-delete rows because its
+    * manifest pins the old immutable files. The affected-file listing
+    * is metadata-scale (distinct input_file_name of matching rows,
+    * bounded by file count). Returns the new version.
+    */
+  def deleteVersioned(path: String, predicate: Column): Long =
+    rewriteVersioned(path, predicate, df => df.filter(!predicate))
+
+  /** Row-level UPDATE, same copy-on-write machinery as
+    * [[deleteVersioned]]: files containing matching rows are
+    * rewritten with `set` applied to the matching rows and the rest
+    * kept as-is; untouched files carry over. `set` maps column name →
+    * replacement expression (evaluated only on rows matching
+    * `predicate`).
+    */
+  def updateVersioned(path: String, predicate: Column,
+      set: Map[String, Column]): Long =
+    rewriteVersioned(path, predicate, { affected =>
+      val cols = affected.columns.map { c =>
+        set.get(c) match {
+          case Some(e) => when(predicate, e).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }
+      affected.select(cols.toIndexedSeq: _*)
+    })
+
+  /** Shared copy-on-write core: split the latest snapshot's file list
+    * into affected (contain rows matching `predicate`) and untouched;
+    * rewrite only the affected files via `rewrite`; publish a new
+    * manifest of untouched ++ fresh files.
+    */
+  private def rewriteVersioned(path: String, predicate: Column,
+      rewrite: DataFrame => DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val files = manifestFiles(path, vs.last)
+    def key(p: String): String = new Path(p).toUri.getPath
+    val cur = spark.read.parquet(files: _*)
+    // metadata-scale: one distinct file name per file holding a match
+    val affectedKeys = cur.filter(predicate)
+      .select(input_file_name()).distinct()
+      .collect().map(r => key(r.getString(0))).toSet
+    val n: Long = vs.last + 1
+    val commitDir = new Path(dir, s"data/c$n")
+    val (affected, untouched) = files.partition(f => affectedKeys(key(f)))
+    val fresh: Seq[String] =
+      if (affected.isEmpty) Seq.empty
+      else {
+        rewrite(spark.read.parquet(affected: _*))
+          .write.mode("overwrite").parquet(commitDir.toString)
+        fs.listStatus(commitDir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toUri.getPath)
+      }
+    val manifestDir = new Path(dir, "_manifest")
+    fs.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".v$n.tmp")
+    val out = fs.create(tmp, true)
+    out.write((untouched ++ fresh).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, new Path(manifestDir, s"v$n"))
+    n
+  }
+
   /** Time-travel read: the file set of `version` (default: latest).
     * Resolves ONLY the manifest — later commits never perturb the
     * snapshot.
     */
-  def readVersioned(path: String, version: Option[Long] = None): DataFrame = {
+  def readVersioned(path: String, version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
     val v = version.getOrElse(vs.last)
     val files = manifestFiles(path, v)
-    if (files.isEmpty) spark.read.parquet(path + "/data/c0").limit(0)
-    else spark.read.parquet(files: _*)
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    if (files.isEmpty) reader.parquet(path + "/data/c0").limit(0)
+    else reader.parquet(files: _*)
   }
 
   def writeSingleCsv(df: DataFrame, path: String,

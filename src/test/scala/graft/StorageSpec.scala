@@ -933,6 +933,70 @@ class StorageSpec extends AnyFunSuite {
     assert(storage.readVersioned(out, Some(0)).count() == o.count())
   }
 
+  test("deleteVersioned is copy-on-write: untouched files carry into " +
+      "the new manifest verbatim; history keeps deleted rows") {
+    val out = T.scratch(SparkTestSession.SF01, "versioned_delete_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    // range-clustered: the delete predicate lives in a prefix of files
+    storage.writeVersioned(o.repartitionByRange(8, $"o_orderkey"), out)
+    val v0files = storage.readVersioned(out, Some(0)).inputFiles.toSet
+    assert(v0files.size == 8)
+    val matches = o.filter($"o_orderkey" < 1000).count()
+    assert(matches > 0)
+    assert(storage.deleteVersioned(out, $"o_orderkey" < 1000) == 1L)
+    val v1files = storage.readVersioned(out, Some(1)).inputFiles.toSet
+    // copy-on-write: most of v0's files are carried, not rewritten
+    val carried = v0files.intersect(v1files)
+    assert(carried.size >= 6,
+      s"expected >=6 of 8 files carried verbatim, got ${carried.size}")
+    assert(v0files.size - carried.size <= 2,
+      "delete of a key-range prefix must rewrite at most the files " +
+        "holding it")
+    // values: survivors only at v1, time travel keeps the deleted rows
+    assert(storage.readVersioned(out).count() == o.count() - matches)
+    assert(storage.readVersioned(out, Some(0)).count() == o.count())
+    assert(storage.readVersioned(out)
+      .filter($"o_orderkey" < 1000).count() == 0)
+    // a no-match delete commits a no-op version with the same file set
+    assert(storage.deleteVersioned(out, $"o_orderkey" < 0) == 2L)
+    assert(storage.readVersioned(out, Some(2)).inputFiles.toSet == v1files)
+    // update: matched rows rewritten in place, untouched files carried
+    assert(storage.updateVersioned(out, $"o_orderkey".between(1000, 2000),
+      Map("o_orderstatus" -> lit("X"))) == 3L)
+    val v3 = storage.readVersioned(out)
+    assert(v3.filter($"o_orderkey".between(1000, 2000) &&
+      $"o_orderstatus" =!= "X").count() == 0)
+    assert(v3.count() == o.count() - matches)
+    assert(storage.readVersioned(out, Some(1))
+      .filter($"o_orderstatus" === "X").count() == 0)
+  }
+
+  test("schema evolution: mergeSchema time-travel read NULLs columns " +
+      "absent from old commits") {
+    val out = T.scratch(SparkTestSession.SF01, "versioned_evolve_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+    storage.writeVersioned(o.select($"o_orderkey", $"o_totalprice"), out)
+    storage.writeVersioned(
+      o.limit(100).select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+        $"o_totalprice", $"o_orderpriority"),
+      out, append = true)
+    val merged = storage.readVersioned(out, mergeSchema = true)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderpriority"))
+    assert(merged.filter($"o_orderpriority".isNull).count() == o.count())
+    assert(merged.filter($"o_orderpriority".isNotNull).count() == 100)
+    // v0 read without mergeSchema keeps the original narrow schema
+    assert(storage.readVersioned(out, Some(0)).columns.toSet ==
+      Set("o_orderkey", "o_totalprice"))
+  }
+
   test("token bloom: rare-token full-text lookup reads ~1 of 9 files, " +
       "common token keeps all") {
     val sf01 = SparkTestSession.SF01
