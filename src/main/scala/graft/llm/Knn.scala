@@ -466,6 +466,76 @@ object Knn extends QueryModule {
     pqProbe(s, pqDists(s, expl, cb1))
   }
 
+  /** IVF-PQ composite (FAISS's IVFADC shape, no-residual variant):
+    * the coarse quantizer bounds WHICH vectors are compared (a query
+    * touches only its NProbe cells' members — disk/candidate I/O is
+    * NProbe/NumCells of the corpus), and PQ bounds HOW MUCH each
+    * comparison costs (8 code bytes + a broadcast LUT lookup instead
+    * of a 64-dim dot product). This is the composition that serves
+    * billion-vector corpora: neither ingredient alone bounds both
+    * axes. Plan shape: candidate (qid, nid) pairs from the cell
+    * equi-join (each corpus vector lives in exactly one cell → no
+    * dup pairs), ADC = join candidates to corpus codes, then to the
+    * broadcast NQueries×8×16 LUT on (qid, m, code), DECIMAL-exact
+    * sum, WindowGroupLimit top-k. Zero full-corpus distance scans.
+    */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = ivfCandidates(s, dir)
+    val expl = pqExpl(s, dir)
+    val dists = pqDists(s, expl, pqCb0(s, expl))
+    val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
+    val codes = dists
+      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+      .select($"vec_id".as("nid"), $"m", $"c".as("code"))
+    val lut = dists.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"m", $"c".as("code"), $"dist")
+    val wTop = Window.partitionBy($"qid").orderBy($"adc", $"nid")
+    cand.join(codes, "nid")
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy($"qid", $"nid")
+      .agg(sum($"dist").as("adc"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= K)
+      .select($"qid", $"nid",
+        round($"adc".cast(DoubleType), 4).as("adc_dist"), $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** The coarse quantizer's (qid, nid) candidate pairs: corpus
+    * vectors whose single home cell is among the query's NProbe
+    * probed cells. Shared by knnIvfPq and the LlmSpec containment
+    * gate (PQ may only re-rank inside this set, never add to it).
+    */
+  private def ivfCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = base(s, dir).localCheckpoint()
+    val cents = b.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val rankedc = b.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+      .filter($"crn" <= NProbe)
+      .select($"vec_id", $"cid", $"crn")
+      .localCheckpoint()
+    val cellOf = rankedc.filter($"crn" === 1)
+      .select($"vec_id".as("nid"), $"cid")
+    val qcells = rankedc.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"cid")
+    cellOf.join(broadcast(qcells), "cid")
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid")
+  }
+
+  /** Spec hook: the candidate set as (qid, nid) pairs. */
+  private[graft] def ivfCandidatePairs(s: SparkSession,
+      dir: String): Set[(Long, Long)] = {
+    import s.implicits._
+    ivfCandidates(s, dir).as[(Long, Long)].collect().toSet
+  }
+
   /** (vec_id, subspace m, intra-dim d, component x) rows — feeds the
     * codebook pick and every distance scan, so materialized once.
     */
@@ -568,6 +638,7 @@ object Knn extends QueryModule {
     "llm_embed_centroids" -> (embedCentroids(_, _)),
     "llm_knn_pq" -> (knnPq(_, _)),
     "llm_knn_pq_trained" -> (knnPqTrained(_, _)),
+    "llm_knn_ivfpq" -> (knnIvfPq(_, _)),
     "llm_knn" -> (knn(_, _)),
     "llm_knn_recall" -> (knnRecall(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
@@ -705,6 +776,44 @@ object Knn extends QueryModule {
        |ORDER BY qid, rn""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_knn_ivfpq" ->
+      s"""WITH $pqBaseCte,
+         |${pqDistsSql("cb0", "dists")},
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+         |          WHERE vec_id < $NumCells),
+         |rankedc AS (
+         |  SELECT v.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid)
+         |      AS crn
+         |  FROM v, cents c),
+         |cellof AS (SELECT vec_id AS nid, cid FROM rankedc WHERE crn = 1),
+         |qcells AS (SELECT vec_id AS qid, cid FROM rankedc
+         |           WHERE vec_id < $NQueries AND crn <= $NProbe),
+         |cand AS (
+         |  SELECT qid, nid FROM cellof JOIN qcells USING (cid)
+         |  WHERE nid != qid),
+         |codes AS (
+         |  SELECT vec_id AS nid, m, c AS code FROM (
+         |    SELECT vec_id, m, c,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY dist, c) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1),
+         |lut AS (SELECT vec_id AS qid, m, c AS code, dist
+         |        FROM dists WHERE vec_id < $NQueries),
+         |adc AS (
+         |  SELECT ca.qid, ca.nid, SUM(l.dist) AS adc
+         |  FROM cand ca
+         |  JOIN codes co ON co.nid = ca.nid
+         |  JOIN lut l ON l.qid = ca.qid AND l.m = co.m AND l.code = co.code
+         |  GROUP BY ca.qid, ca.nid),
+         |rankedq AS (
+         |  SELECT qid, nid, round(CAST(adc AS DOUBLE), 4) AS adc_dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+         |  FROM adc)
+         |SELECT qid, nid, adc_dist, rn FROM rankedq WHERE rn <= $K
+         |ORDER BY qid, rn""".stripMargin,
     "llm_knn_pq" ->
       s"""WITH $pqBaseCte,
          |${pqDistsSql("cb0", "dists")},

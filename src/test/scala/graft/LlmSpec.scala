@@ -81,6 +81,23 @@ class LlmSpec extends AnyFunSuite {
     assert(tRecall >= 0.15, s"trained recall=$tRecall")
   }
 
+  test("IVF-PQ composite: results come only from probed cells and " +
+      "recall a useful fraction of the IVF candidate ceiling") {
+    val brute = knnSet(llm.Knn.knn(spark, SF))
+    val ivf = knnSet(llm.Knn.knnIvf(spark, SF))
+    val ivfpq = knnSet(llm.Knn.knnIvfPq(spark, SF))
+    // the coarse quantizer bounds the candidate set: every IVF-PQ
+    // neighbor must be reachable by the plain-IVF candidate plan
+    // (same cells, same probes) — PQ only re-ranks inside it
+    val ivfCand = llm.Knn.ivfCandidatePairs(spark, SF)
+    assert(ivfpq.subsetOf(ivfCand),
+      s"${(ivfpq -- ivfCand).take(5)} outside probed cells")
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    val ceiling = (brute & ivf).size.toDouble / brute.size
+    info(s"ivfpq recall@5=$recall ivf ceiling=$ceiling")
+    assert(recall >= 0.10, s"recall=$recall")
+  }
+
   test("LSH knn recalls a useful fraction of brute-force neighbors") {
     val brute = knnSet(llm.Knn.knn(spark, SF))
     val ann = knnSet(llm.Knn.knnLsh(spark, SF))
