@@ -508,8 +508,57 @@ object Dedup extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Repeated-span REMOVAL — the curation step dupSpans only
+    * measures: every token covered by a corpus-duplicated 8-gram is
+    * cut, the survivors re-join into the cleaned text (the
+    * "deduplicate the substrings, not the documents" operation that
+    * measurably reduces memorization). Position algebra, all
+    * relational: duplicated gram start positions explode to their 8
+    * covered token indices, DISTINCT bounds that at one row per
+    * covered token, and an anti join keeps the uncovered tokens. The
+    * rebuild is a per-doc sort of kept (idx, tok) structs — one
+    * shuffle keyed by doc, the same bound as any per-doc aggregation;
+    * the duplicated-gram table is filtered before anything joins it,
+    * so unique grams (the overwhelming majority at scale) never
+    * travel twice. Docs shorter than the gram width pass through
+    * untouched; a fully-boilerplate doc survives as an empty string,
+    * NOT a dropped row — downstream filters decide its fate.
+    */
+  def dupSpanRemove(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T.t(s, dir, "documents").select($"doc_id", $"text")
+    val grams = docs
+      .select($"doc_id",
+        posexplode(graft.functions.NgramFunctions.ngrams($"text", 8))
+          .as(Seq("p", "g")))
+      .localCheckpoint() // feeds the freq build AND the join back
+    val dup = grams.groupBy($"g")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .select($"g")
+    val covered = grams
+      .join(dup.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .select($"doc_id", explode(sequence($"p", $"p" + 7)).as("idx"))
+      .distinct()
+    val toks = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("idx", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct($"idx", $"tok"))),
+            x => x("tok"))).as("clean_text"))
+    toks.groupBy($"doc_id").agg(count(lit(1)).as("n_toks"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_toks",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dup_spans" -> (dupSpans(_, _)),
+    "llm_dup_span_remove" -> (dupSpanRemove(_, _)),
     "llm_dedup_clusters" -> (dedupClusters(_, _)),
     "llm_dedup_exact" -> (dedupExact(_, _)),
     "llm_ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -597,6 +646,40 @@ object Dedup extends QueryModule {
         |SELECT doc_id, n_spans, n_dup,
         |  n_dup * 1000000 // n_spans AS dup_ppm
         |FROM per ORDER BY doc_id""".stripMargin,
+    // span removal: duplicated 8-gram start positions cover token
+    // indices p..p+7 (1-based in DuckDB, 0-based in Spark — offsets
+    // cancel in the anti join); survivors re-join in token order
+    "llm_dup_span_remove" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS p,
+        |    list_aggregate(toks[i:i+7], 'string_agg', '_') AS g
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1,
+        |    len(toks) - 7)) AS i)),
+        |dup AS (SELECT g FROM (SELECT g, COUNT(*) AS n FROM g GROUP BY g)
+        |        WHERE n > 1),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, p + o AS idx
+        |  FROM (SELECT doc_id, p FROM g WHERE g IN (SELECT g FROM dup)),
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS o)),
+        |pos AS (
+        |  SELECT doc_id, i AS idx, toks[i] AS tok
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks)))
+        |    AS i)),
+        |kept AS (
+        |  SELECT pos.doc_id, pos.idx, pos.tok
+        |  FROM pos ANTI JOIN covered
+        |    ON pos.doc_id = covered.doc_id AND pos.idx = covered.idx),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // MinHash-LSH verified against exact Jaccard: same result set
     // (miss probability ~1e-7 at the observed 0.89+ similarities).
     "llm_dedup_near" -> exactPairsSql,

@@ -81,6 +81,30 @@ class LlmSpec extends AnyFunSuite {
     assert(tRecall >= 0.15, s"trained recall=$tRecall")
   }
 
+  test("span removal: clean docs pass through verbatim, dup coverage " +
+      "only ever removes") {
+    val spans = llm.Dedup.dupSpans(spark, SF)
+      .select($"doc_id", $"dup_ppm").as[(Long, Long)].collect().toMap
+    val removed = llm.Dedup.dupSpanRemove(spark, SF)
+      .select($"doc_id", $"n_toks", $"n_kept", $"clean_text")
+      .collect()
+    val original = T.t(spark, SF, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(removed.nonEmpty)
+    var anyRemoved = false
+    removed.foreach { r =>
+      val (id, nToks, nKept) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nKept <= nToks, s"doc $id grew")
+      if (spans.getOrElse(id, 0L) == 0L) {
+        // no duplicated span anywhere in the doc → untouched
+        assert(nKept == nToks, s"doc $id lost tokens with dup_ppm=0")
+        assert(r.getString(3) == original(id), s"doc $id text changed")
+      }
+      if (nKept < nToks) anyRemoved = true
+    }
+    assert(anyRemoved, "corpus has dup spans; something must be cut")
+  }
+
   test("IVF-PQ composite: results come only from probed cells and " +
       "recall a useful fraction of the IVF candidate ceiling") {
     val brute = knnSet(llm.Knn.knn(spark, SF))
