@@ -21,6 +21,7 @@ object SparkEntry {
     operators.TypedOps,
     operators.Composite,
     operators.Mv,
+    operators.Graph,
     operators.TpchBattery,
     operators.TpchBattery2,
     functions.Funcs,

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics — the power-iteration family a curation
+  * pipeline uses to rank domains/sources by link authority before
+  * sampling. The representative operator is PageRank over an entity
+  * graph derived from the warehouse tables.
+  *
+  * Scale shape: the edge list is built ONCE (one distinct shuffle) and
+  * checkpointed; every iteration is exactly one join (edges ⋈ ranks,
+  * both keyed by src — at scale both pre-partitioned on the same key
+  * so iterations reuse the partitioning) plus one aggregation on dst.
+  * Ranks live in PPB (parts-per-billion) BIGINTs and every step is
+  * integer arithmetic (`div`), so the fixpoint trajectory is
+  * bit-identical on any engine — the drift contract applied to an
+  * iterative algorithm, with the DuckDB oracle replaying the same
+  * unrolled iterations. Dangling mass (nodes with no out-edges) is
+  * redistributed uniformly each round, computed distributively via a
+  * one-row cross join (no driver collect in the loop).
+  */
+object Graph extends QueryModule {
+
+  private val Iters = 5
+  private val Scale = 1000000000L // rank unit: parts-per-billion
+
+  /** Power iteration over (src, dst) BIGINT edges. Returns
+    * (node, rank_ppb) for every node appearing as a source or target.
+    * rank' = base + 0.85·(inflow + dangling/N), all in integer ppb:
+    * base = 0.15·Scale div N, per-edge contribution = rank div outdeg.
+    */
+  private[graft] def pagerankEdges(s: SparkSession, edgesIn: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    import s.implicits._
+    val edges = edgesIn.select($"src", $"dst").distinct().localCheckpoint()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
+    val n = nodes.count() // driver scalar: graph order, sets the base
+    val base = (Scale * 15 / 100) / n
+    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = nodes.select($"node", lit(Scale / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.join(deg, "node").withColumnRenamed("node", "src"),
+          "src")
+        .select($"dst".as("node"), expr("rank div deg").as("c"))
+        .groupBy($"node").agg(sum($"c").as("inflow"))
+      // dangling nodes hold rank with nowhere to go: redistribute
+      // uniformly (one-row aggregate, cross-joined — no collect)
+      val dang = ranks.join(deg, Seq("node"), "left_anti")
+        .agg(coalesce(sum($"rank"), lit(0L)).as("dsum"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left_outer")
+        .crossJoin(dang)
+        .select($"node",
+          (lit(base) + expr(
+            s"(850 * (coalesce(inflow, 0L) + (dsum div $n))) div 1000"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select($"node", $"rank".as("rank_ppb"))
+  }
+
+  /** PageRank over the supplier↔part supply graph (both directions of
+    * every lineitem supplier-part pair; node ids disambiguated by
+    * parity). Top-100 authority ranking — the "which sources matter"
+    * query a domain-mix curation step starts from.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = T.t(s, dir, "lineitem")
+      .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
+    val edges = li.select($"s".as("src"), $"p".as("dst"))
+      .union(li.select($"p".as("src"), $"s".as("dst")))
+    pagerankEdges(s, edges)
+      .orderBy($"rank_ppb".desc, $"node")
+      .limit(100)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("graph_pagerank" -> (pagerank(_, _)))
+
+  /** One unrolled power-iteration step in DuckDB SQL, mirroring the
+    * integer-ppb arithmetic exactly.
+    */
+  private def iterSql(k: Int): String =
+    s"""c$k AS (
+       |  SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+       |  FROM e JOIN r${k - 1} r ON r.node = e.src
+       |  JOIN deg d ON d.node = e.src
+       |  GROUP BY e.dst),
+       |dg$k AS (
+       |  SELECT COALESCE(SUM(r.rank), 0) AS dsum
+       |  FROM r${k - 1} r ANTI JOIN deg d ON d.node = r.node),
+       |r$k AS (
+       |  SELECT n.node,
+       |    (SELECT base FROM params) +
+       |      (850 * (COALESCE(c.inflow, 0) +
+       |              dg.dsum // (SELECT n FROM params))) // 1000 AS rank
+       |  FROM nodes n LEFT JOIN c$k c ON c.node = n.node
+       |  CROSS JOIN dg$k dg)""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      (s"""WITH pairs AS (
+          |  SELECT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p
+          |  FROM lineitem),
+          |e AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT s AS src, p AS dst FROM pairs
+          |    UNION ALL
+          |    SELECT p AS src, s AS dst FROM pairs)),
+          |nodes AS (
+          |  SELECT DISTINCT node FROM (
+          |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |params AS (
+          |  SELECT COUNT(*) AS n,
+          |    ((CAST(1000000000 AS BIGINT) * 15) // 100) // COUNT(*) AS base
+          |  FROM nodes),
+          |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+          |r0 AS (
+          |  SELECT node, 1000000000 // (SELECT n FROM params) AS rank
+          |  FROM nodes),
+          |""" +
+        (1 to Iters).map(iterSql).mkString(",\n") +
+        s"""
+          |SELECT node, rank AS rank_ppb FROM r$Iters
+          |ORDER BY rank_ppb DESC, node LIMIT 100""").stripMargin)
+}

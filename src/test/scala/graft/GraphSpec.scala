@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iterative graph operators: integer-ppb PageRank fixpoint algebra. */
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  test("pagerank: closed-form one-step trajectory incl. dangling " +
+      "redistribution") {
+    // 1 → {2, 3}; nodes 2 and 3 dangle. N=3, r0 = 333333333 each,
+    // base = 50000000. Dangling mass 666666666 → share 222222222.
+    // r1(1) = base + 850·222222222 div 1000            = 238888888
+    // r1(2) = base + 850·(166666666+222222222) div 1000 = 380555554
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r1 = operators.Graph.pagerankEdges(spark, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 238888888L, 2L -> 380555554L,
+      3L -> 380555554L))
+  }
+
+  test("pagerank: rank mass is conserved up to integer truncation " +
+      "and authority orders hubs first") {
+    // star: hub 0 ↔ leaves 1..20 (both directions, no dangling)
+    val leaves = (1L to 20L)
+    val edges = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L)))
+      .toDF("src", "dst")
+    val r = operators.Graph.pagerankEdges(spark, edges, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val total = r.values.sum
+    assert(total <= 1000000000L && total > 990000000L,
+      s"mass off: $total")
+    val hub = r(0L)
+    leaves.foreach(l => assert(hub > r(l), s"hub must outrank leaf $l"))
+    assert(leaves.map(r).toSet.size == 1, "symmetric leaves rank equal")
+  }
+
+  test("pagerank over the supply graph: top-100 is deterministic and " +
+      "well-formed") {
+    val top = operators.Graph.pagerank(spark, SF).collect()
+    assert(top.length == 100)
+    val ranks = top.map(_.getLong(1))
+    assert(ranks.sameElements(ranks.sorted.reverse), "descending")
+    assert(ranks.forall(_ > 0))
+    // re-run is bit-identical (integer fixpoint, no float drift)
+    val again = operators.Graph.pagerank(spark, SF).collect()
+    assert(top.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+}
