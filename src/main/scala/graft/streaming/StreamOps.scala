@@ -95,6 +95,51 @@ object StreamOps extends QueryModule {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Watermark-window dedup width (1 hour, micros) — the batch
+    * contract behind `dropDuplicatesWithinWatermark`.
+    */
+  val DedupWindowMicros: Long = 3600L * 1000000L
+
+  /** `dropDuplicatesWithinWatermark` semantics, batch-checkable: per
+    * (user, type), a kept event suppresses duplicates for the next
+    * window width; the first event PAST the window is kept again and
+    * restarts it (the greedy chain the streaming state store walks —
+    * keyed state holding first-seen ts, evicted once the watermark
+    * passes ts + delay). flatMapGroups does exactly the per-key
+    * linear scan the state store does, one group in memory at a time
+    * — per-key event counts bound memory the same way streaming state
+    * TTL does. The DuckDB oracle replays the chain as a recursive
+    * CTE; StreamingSpec runs the true streaming operator and asserts
+    * its one-sided contract (no within-window duplicate is ever
+    * emitted, every key's first event survives).
+    */
+  def dedupWatermarkCore(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toVector.sortBy(r => (r._4, r._3))
+        val out = Vector.newBuilder[(Long, String, Long, Long)]
+        var last = Long.MinValue
+        sorted.foreach { r =>
+          if (last == Long.MinValue || r._4 > last + DedupWindowMicros) {
+            out += r
+            last = r._4
+          }
+        }
+        out.result()
+      }
+      .toDF("user_id", "event_type", "event_id", "tsu")
+  }
+
+  def streamDedupWatermark(s: SparkSession, dir: String): DataFrame =
+    dedupWatermarkCore(T.events(s, dir))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"), col("event_id"))
+
   /** Stream-static join core: each event enriched against a static
     * dimension (the broadcast-header pattern, streaming edition —
     * Structured Streaming re-reads the static side per micro-batch,
@@ -393,7 +438,8 @@ object StreamOps extends QueryModule {
     "stream_pack" -> (streamPack(_, _)),
     "stream_mv_refresh" -> (streamMvRefresh(_, _)),
     "stream_join_outer" -> (streamJoinOuter(_, _)),
-    "stream_dedup" -> (streamDedup(_, _)))
+    "stream_dedup" -> (streamDedup(_, _)),
+    "stream_dedup_watermark" -> (streamDedupWatermark(_, _)))
 
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
   // applies the same micros truncation as graft.T.events.
@@ -551,5 +597,30 @@ object StreamOps extends QueryModule {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // greedy per-key chain: first event kept, duplicates suppressed
+    // for DedupWindowMicros, first event past the window restarts it
+    "stream_dedup_watermark" ->
+      s"""WITH RECURSIVE seqd AS (
+         |  SELECT user_id, event_type, event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+         |  FROM events),
+         |kept AS (
+         |  SELECT user_id, event_type, event_id, tsu, seq
+         |  FROM seqd WHERE seq = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.event_type, e.event_id, e.tsu, e.seq
+         |  FROM kept k JOIN seqd e
+         |    ON e.user_id = k.user_id AND e.event_type = k.event_type
+         |   AND e.tsu > k.tsu + ${DedupWindowMicros}
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM seqd e2
+         |    WHERE e2.user_id = k.user_id
+         |      AND e2.event_type = k.event_type
+         |      AND e2.tsu > k.tsu + ${DedupWindowMicros}
+         |      AND e2.seq < e.seq))
+         |SELECT user_id, event_type, event_id FROM kept
+         |ORDER BY user_id, event_type, event_id""".stripMargin)
 }

@@ -72,6 +72,56 @@ class StreamingSpec extends AnyFunSuite {
       "no (user_id, event_type) may be emitted twice inside the watermark")
   }
 
+  test("dropDuplicatesWithinWatermark re-admits keys past the window " +
+      "and never emits a within-window duplicate") {
+    val D = streaming.StreamOps.DedupWindowMicros
+    // ordered replay: time-sorted files, one file per trigger, so
+    // arrival order tracks event time and the watermark advances
+    // the file source orders batches by file MTIME, so the 8 time
+    // slices are written sequentially (parallel range-partition tasks
+    // finish in arbitrary order and would replay the stream shuffled)
+    val srcDir = T.scratch(SF, "stream_dedup_wm_src")
+    val sliced = T.events(spark, SF).withColumn("bucket",
+      ntile(8).over(org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")))
+    for (i <- 1 to 8) {
+      sliced.filter($"bucket" === i).drop("bucket")
+        .sort($"ts", $"event_id").coalesce(1)
+        .write.mode(if (i == 1) "overwrite" else "append").parquet(srcDir)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_chain_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("dedup_wm_chain_out")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tsu"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sorted).toMap
+    // (1) every key's first event survives
+    val firsts = T.events(spark, SF)
+      .groupBy($"user_id", $"event_type")
+      .agg(min(unix_micros($"ts")).as("t0"))
+      .as[(Long, String, Long)].collect()
+    firsts.foreach { case (u, t, t0) =>
+      assert(kept((u, t)).head == t0, s"first event of ($u,$t) lost")
+    }
+    // (2) the dedup guarantee: no two same-key emissions within D
+    kept.values.foreach { ts =>
+      ts.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1) - w(0) > D, s"duplicate within window: ${w(0)},${w(1)}")
+      }
+    }
+    // (3) re-admission actually happened (keys span > 1 hour)
+    assert(kept.values.exists(_.length >= 2),
+      "no key was ever re-admitted — window semantics untested")
+  }
+
   test("streaming LSH dedup: stateful candidate pairs match the batch bucket join") {
     // band rows written as 4 files, replayed one file per micro-batch:
     // bucket members arrive SPLIT across batches, so pair emission
