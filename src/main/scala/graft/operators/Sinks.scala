@@ -274,6 +274,35 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** MERGE INTO on a versioned table: one copy-on-write commit applies
+    * updates (matched keys replaced) and inserts (new keys appended)
+    * — the sink_upsert workload, but with snapshot isolation: v0
+    * still reads the pre-merge rows, and only files holding matched
+    * keys were rewritten.
+    */
+  def sinkVersionedMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_merge")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out)
+    val updates = base.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", lit("X").as("o_orderstatus"),
+        ($"o_totalprice" * 2).as("o_totalprice"))
+      .union(base.filter($"o_orderkey" % 97 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+    st.mergeVersioned(out, updates, "o_orderkey")
+    st.readVersioned(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Schema evolution across versioned commits: v1 appends files
     * carrying a column v0 never had (`o_orderpriority`); a mergeSchema
     * time-travel read resolves the union schema with NULLs for the
@@ -332,6 +361,7 @@ object Sinks extends QueryModule {
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
     "sink_versioned_update" -> (sinkVersionedUpdate(_, _)),
+    "sink_versioned_merge" -> (sinkVersionedMerge(_, _)),
     "sink_schema_evolve" -> (sinkSchemaEvolve(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
@@ -363,6 +393,26 @@ object Sinks extends QueryModule {
          |        UNION ALL
          |        SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 0))
          |ORDER BY version""".stripMargin,
+    // MERGE = the upsert workload through one copy-on-write commit;
+    // the merged state is identical to sink_upsert's
+    "sink_versioned_merge" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |upd AS (
+         |  SELECT o_orderkey, 'X' AS o_orderstatus,
+         |    o_totalprice * 2 AS o_totalprice
+         |  FROM base WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, 'N', 1.0
+         |  FROM base WHERE o_orderkey % 97 = 0),
+         |merged AS (
+         |  SELECT * FROM upd
+         |  UNION ALL
+         |  SELECT * FROM base
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // v0 = full orders; v1 = copy-on-write delete of o_orderkey < 1000
     "sink_versioned_delete" ->
       s"""SELECT version, cnt, total FROM (

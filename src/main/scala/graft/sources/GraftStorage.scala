@@ -812,6 +812,65 @@ final case class GraftStorage(
       affected.select(cols.toIndexedSeq: _*)
     })
 
+  /** MERGE INTO for versioned tables — the upsert as ONE copy-on-write
+    * commit: rows of `updates` whose `key` exists in the snapshot
+    * replace the stored row (matched ⇒ update-all), the rest append
+    * (not-matched ⇒ insert). Only files containing matched keys are
+    * rewritten; inserts land in the fresh commit dir next to the
+    * rewrites; untouched files carry into the new manifest verbatim.
+    * Write cost = affected files + insert delta — the Delta/Iceberg
+    * MERGE contract on the manifest format. Schemas must align by
+    * name (positional differences are a caller bug surfaced by the
+    * require).
+    */
+  def mergeVersioned(path: String, updates: DataFrame,
+      key: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val files = manifestFiles(path, vs.last)
+    val cur = spark.read.parquet(files: _*)
+    require(cur.columns.toSet == updates.columns.toSet,
+      s"merge schema mismatch: table ${cur.columns.toSeq} vs " +
+        s"updates ${updates.columns.toSeq}")
+    val upd = updates.select(cur.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint() // read twice: matched split + insert anti
+    def keyOf(p: String): String = new Path(p).toUri.getPath
+    // files holding matched keys (metadata-scale distinct-file list)
+    val affectedKeys = cur.join(upd.select(col(key)), Seq(key), "left_semi")
+      .select(input_file_name()).distinct()
+      .collect().map(r => keyOf(r.getString(0))).toSet
+    val n: Long = vs.last + 1
+    val commitDir = new Path(dir, s"data/c$n")
+    val (affected, untouched) = files.partition(f => affectedKeys(keyOf(f)))
+    // rewritten affected files: updates win on key, others carried;
+    // plus the pure inserts (keys unseen anywhere in the snapshot)
+    val affectedDf =
+      if (affected.isEmpty) cur.limit(0) else spark.read.parquet(affected: _*)
+    val survivors = affectedDf.join(broadcast(upd.select(col(key))),
+      Seq(key), "left_anti")
+    val matched = upd.join(cur.select(col(key)), Seq(key), "left_semi")
+      .select(cur.columns.map(col).toIndexedSeq: _*)
+    val inserts = upd.join(cur.select(col(key)), Seq(key), "left_anti")
+      .select(cur.columns.map(col).toIndexedSeq: _*)
+    survivors.unionByName(matched).unionByName(inserts)
+      .write.mode("overwrite").parquet(commitDir.toString)
+    val fresh = fs.listStatus(commitDir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath)
+    val manifestDir = new Path(dir, "_manifest")
+    fs.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".v$n.tmp")
+    val out = fs.create(tmp, true)
+    out.write((untouched ++ fresh).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, new Path(manifestDir, s"v$n"))
+    n
+  }
+
   /** Shared copy-on-write core: split the latest snapshot's file list
     * into affected (contain rows matching `predicate`) and untouched;
     * rewrite only the affected files via `rewrite`; publish a new

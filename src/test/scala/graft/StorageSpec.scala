@@ -975,6 +975,43 @@ class StorageSpec extends AnyFunSuite {
       .filter($"o_orderstatus" === "X").count() == 0)
   }
 
+  test("mergeVersioned: matched keys replaced, inserts appended, " +
+      "untouched files carried, history isolated") {
+    val out = T.scratch(SparkTestSession.SF01, "versioned_merge_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    storage.writeVersioned(o.repartitionByRange(8, $"o_orderkey"), out)
+    val v0files = storage.readVersioned(out, Some(0)).inputFiles.toSet
+    // matched keys confined to a range prefix + pure inserts
+    val updates = o.filter($"o_orderkey" < 500)
+      .select($"o_orderkey", lit("X").as("o_orderstatus"),
+        lit(9.99).as("o_totalprice"))
+      .union(Seq((20000001L, "N", 1.0), (20000002L, "N", 1.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val nMatched = o.filter($"o_orderkey" < 500).count()
+    assert(storage.mergeVersioned(out, updates, "o_orderkey") == 1L)
+    val v1 = storage.readVersioned(out)
+    assert(v1.count() == o.count() + 2)
+    assert(v1.filter($"o_orderstatus" === "X").count() == nMatched)
+    assert(v1.filter($"o_orderkey" >= 20000001L).count() == 2)
+    // copy-on-write: the non-matched range's files carried verbatim
+    val carried = v0files.intersect(v1.inputFiles.toSet)
+    assert(carried.size >= 6,
+      s"expected >=6 of 8 files carried, got ${carried.size}")
+    // history: v0 has no X rows and no synthetic keys
+    val v0 = storage.readVersioned(out, Some(0))
+    assert(v0.filter($"o_orderstatus" === "X").count() == 0)
+    assert(v0.count() == o.count())
+    // schema mismatch is refused
+    intercept[IllegalArgumentException] {
+      storage.mergeVersioned(out,
+        updates.withColumnRenamed("o_totalprice", "price"), "o_orderkey")
+    }
+  }
+
   test("schema evolution: mergeSchema time-travel read NULLs columns " +
       "absent from old commits") {
     val out = T.scratch(SparkTestSession.SF01, "versioned_evolve_spec")
