@@ -303,6 +303,58 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** CDC over a versioned table: v0 = base orders, v1 = copy-on-write
+    * UPDATE (keys < 1000 restatused + repriced), v2 = copy-on-write
+    * DELETE (every 50th key). `changesVersioned(0, 2)` reads ONLY the
+    * churned files yet equals the global snapshot diff: updates show
+    * as delete pre-image + insert post-image, deletes as deletes. The
+    * query aggregates the change feed by (change type, status).
+    */
+  def sinkVersionedChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_changes")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out)
+    st.updateVersioned(out, $"o_orderkey" < 1000,
+      Map("o_orderstatus" -> lit("X"),
+        "o_totalprice" -> $"o_totalprice" * 2))
+    st.deleteVersioned(out, $"o_orderkey" % 50 === 0)
+    st.changesVersioned(out, 0, 2)
+      .groupBy($"_change_type", $"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"_change_type", $"o_orderstatus")
+  }
+
+  /** VACUUM on a versioned table: after a delete (v1) and a compaction
+    * (v2), `vacuumVersioned(keepLast = 1)` physically drops every file
+    * only v0/v1 referenced — history is gone, the live snapshot reads
+    * byte-identically. The query proves the post-vacuum read intact;
+    * StorageSpec pins the file deletions and the failed time travel.
+    */
+  def sinkVersionedVacuum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_vacuum")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out)
+    st.deleteVersioned(out, $"o_orderkey" < 1000)
+    st.compactVersioned(out, targetFiles = 2)
+    st.vacuumVersioned(out, keepLast = 1)
+    st.readVersioned(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Schema evolution across versioned commits: v1 appends files
     * carrying a column v0 never had (`o_orderpriority`); a mergeSchema
     * time-travel read resolves the union schema with NULLs for the
@@ -362,6 +414,8 @@ object Sinks extends QueryModule {
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
     "sink_versioned_update" -> (sinkVersionedUpdate(_, _)),
     "sink_versioned_merge" -> (sinkVersionedMerge(_, _)),
+    "sink_versioned_changes" -> (sinkVersionedChanges(_, _)),
+    "sink_versioned_vacuum" -> (sinkVersionedVacuum(_, _)),
     "sink_schema_evolve" -> (sinkSchemaEvolve(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
@@ -413,6 +467,34 @@ object Sinks extends QueryModule {
          |SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // change feed = global multiset diff of the v0 and v2 snapshots
+    // (updates appear as delete pre-image + insert post-image)
+    "sink_versioned_changes" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey < 1000 THEN 'X'
+         |         ELSE o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM base WHERE o_orderkey % 50 <> 0),
+         |chg AS (
+         |  SELECT *, 'insert' AS _change_type
+         |  FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM base)
+         |  UNION ALL
+         |  SELECT *, 'delete' AS _change_type
+         |  FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v2))
+         |SELECT _change_type, o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM chg GROUP BY _change_type, o_orderstatus
+         |ORDER BY _change_type, o_orderstatus""".stripMargin,
+    // post-vacuum live snapshot = the delete survivors
+    "sink_versioned_vacuum" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey >= 1000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // v0 = full orders; v1 = copy-on-write delete of o_orderkey < 1000
     "sink_versioned_delete" ->
       s"""SELECT version, cnt, total FROM (

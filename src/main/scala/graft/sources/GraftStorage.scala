@@ -871,6 +871,86 @@ final case class GraftStorage(
     n
   }
 
+  /** CDC — row-level changes between two committed versions, computed
+    * from the MANIFEST file diff: files present in both manifests are
+    * skipped entirely (immutable parts ⇒ identical rows), and the
+    * row-level multiset difference runs only over churned files.
+    * `insert` rows exist in `to` but not `from`; `delete` the reverse;
+    * an UPDATE surfaces as delete pre-image + insert post-image (the
+    * change-data-feed contract, reconstructed from snapshots). Rows a
+    * copy-on-write rewrite merely CARRIED into fresh files appear on
+    * both sides of the file diff and cancel in the multiset except —
+    * the result equals the global snapshot diff while reading only
+    * the churned files, so cost scales with churn, not table size.
+    */
+  def changesVersioned(path: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def key(p: String): String = new Path(p).toUri.getPath
+    val before = manifestFiles(path, fromVersion)
+    val after = manifestFiles(path, toVersion)
+    val beforeKeys = before.map(key).toSet
+    val afterKeys = after.map(key).toSet
+    val removed = before.filterNot(f => afterKeys(key(f)))
+    val added = after.filterNot(f => beforeKeys(key(f)))
+    lazy val empty = readVersioned(path, Some(toVersion)).limit(0)
+    def rows(fls: Seq[String]): DataFrame =
+      if (fls.isEmpty) empty else spark.read.parquet(fls: _*)
+    rows(added).exceptAll(rows(removed))
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(rows(removed).exceptAll(rows(added))
+        .withColumn("_change_type", lit("delete")))
+  }
+
+  /** VACUUM — drop history: keep the latest `keepLast` manifests,
+    * delete older manifests and every data file ONLY they reference.
+    * Live files (referenced by any kept manifest) are never touched,
+    * so the kept versions read byte-identically afterwards; vacuumed
+    * versions fail fast at manifest resolution instead of returning
+    * partial data. Returns the number of data files deleted. All
+    * bookkeeping is metadata-scale (manifest lists, no data reads).
+    */
+  def vacuumVersioned(path: String, keepLast: Int = 1): Long = {
+    import org.apache.hadoop.fs.Path
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    if (drop.isEmpty) return 0L
+    def key(p: String): String = new Path(p).toUri.getPath
+    val live = keep.flatMap(manifestFiles(path, _)).map(key).toSet
+    val dead = drop.flatMap(manifestFiles(path, _)).map(key)
+      .distinct.filterNot(live)
+    dead.foreach(f => fs.delete(new Path(f), false))
+    drop.foreach(v => fs.delete(new Path(dir, s"_manifest/v$v"), false))
+    // sweep commit dirs the deletes emptied (cosmetic, metadata-scale)
+    val dataDir = new Path(dir, "data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { d =>
+        if (d.isDirectory && fs.listStatus(d.getPath)
+            .forall(f => f.getPath.getName.startsWith("_")))
+          fs.delete(d.getPath, true)
+      }
+    dead.size.toLong
+  }
+
+  /** Streaming source over a versioned table's commit log: each new
+    * commit's part files surface as micro-batches via a file-glob
+    * readStream over `data/c<N>/`, so a consumer with a checkpoint
+    * processes exactly the delta each run — the "stream a lakehouse
+    * table" pattern. Contract: APPEND-ONLY histories (append=true
+    * commits); a copy-on-write rewrite would re-surface carried rows,
+    * exactly as file-based CDC consumers behave on rewritten parts.
+    */
+  def streamVersioned(path: String): DataFrame = {
+    val schema = readVersioned(path).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path + "/data/*/*.parquet")
+  }
+
   /** Shared copy-on-write core: split the latest snapshot's file list
     * into affected (contain rows matching `predicate`) and untouched;
     * rewrite only the affected files via `rewrite`; publish a new

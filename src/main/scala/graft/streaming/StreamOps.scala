@@ -424,6 +424,48 @@ object StreamOps extends QueryModule {
     s.read.parquet(mvPath).orderBy(col("event_type"))
   }
 
+  /** Stream a VERSIONED table's commit log (`GraftStorage
+    * .streamVersioned`): three append commits land as distinct
+    * micro-batches through a checkpointed file-stream over the
+    * immutable `data/c<N>` part dirs — the "subscribe to a lakehouse
+    * table" pattern, where a consumer with a checkpoint processes
+    * exactly each commit's delta (StorageSpec pins the
+    * incremental-second-run contract). The query drains the full
+    * history (AvailableNow) into an append parquet sink and
+    * aggregates it; the oracle is the same aggregate over the batch
+    * union of the three commit slices = all of orders.
+    */
+  def streamVersionedSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val st = graft.sources.GraftStorage(s)
+    val src = T.scratch(dir, "stream_versioned_src")
+    val outP = T.scratch(dir, "stream_versioned_out")
+    val ckpt = outP + "_ckpt"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(hconf)
+    Seq(src, outP, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val base = T.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    st.writeVersioned(base.filter(col("o_orderkey") % 3 === 0)
+      .repartition(2), src)
+    st.writeVersioned(base.filter(col("o_orderkey") % 3 === 1)
+      .repartition(2), src, append = true)
+    st.writeVersioned(base.filter(col("o_orderkey") % 3 === 2)
+      .repartition(2), src, append = true)
+    val q = st.streamVersioned(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outP)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outP)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_union" -> (joinAsofUnion(_, _)),
     "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
@@ -439,7 +481,8 @@ object StreamOps extends QueryModule {
     "stream_mv_refresh" -> (streamMvRefresh(_, _)),
     "stream_join_outer" -> (streamJoinOuter(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
-    "stream_dedup_watermark" -> (streamDedupWatermark(_, _)))
+    "stream_dedup_watermark" -> (streamDedupWatermark(_, _)),
+    "stream_versioned_source" -> (streamVersionedSource(_, _)))
 
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
   // applies the same micros truncation as graft.T.events.
@@ -457,6 +500,11 @@ object StreamOps extends QueryModule {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "stream_versioned_source" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     "stream_mv_refresh" ->
       s"""SELECT event_type, COUNT(*) AS cnt,
          |  ${sqlDsum("value", 6)} AS sum_value

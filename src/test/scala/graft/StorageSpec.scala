@@ -1012,6 +1012,106 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("changesVersioned: update surfaces as delete+insert pair, " +
+      "append as pure inserts, carried files never read") {
+    val out = T.scratch(SparkTestSession.SF01, "versioned_changes_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    storage.writeVersioned(o.repartitionByRange(8, $"o_orderkey"), out)
+    val v0files = storage.readVersioned(out, Some(0)).inputFiles.toSet
+    storage.updateVersioned(out, $"o_orderkey" < 500,
+      Map("o_orderstatus" -> lit("X")))
+    val nMatched = o.filter($"o_orderkey" < 500).count()
+    val chg = storage.changesVersioned(out, 0, 1)
+    // update = symmetric pair: pre-image deletes + post-image inserts
+    assert(chg.filter($"_change_type" === "insert").count() == nMatched)
+    assert(chg.filter($"_change_type" === "delete").count() == nMatched)
+    assert(chg.filter($"_change_type" === "insert" &&
+      $"o_orderstatus" =!= "X").count() == 0)
+    // file economy: carried (unchurned) files are not in the plan
+    val carried = v0files.intersect(
+      storage.readVersioned(out, Some(1)).inputFiles.toSet)
+    assert(carried.nonEmpty)
+    val read = chg.inputFiles.toSet
+    assert(read.intersect(carried).isEmpty,
+      s"changes read ${read.intersect(carried).size} carried files")
+    // append commit = pure inserts
+    storage.writeVersioned(o.filter($"o_orderkey" % 997 === 0), out,
+      append = true)
+    val chg2 = storage.changesVersioned(out, 1, 2)
+    assert(chg2.filter($"_change_type" === "delete").count() == 0)
+    assert(chg2.count() == o.filter($"o_orderkey" % 997 === 0).count())
+  }
+
+  test("vacuumVersioned: dead files and manifests dropped, live " +
+      "snapshot intact, vacuumed version unreachable") {
+    val out = T.scratch(SparkTestSession.SF01, "versioned_vacuum_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    storage.writeVersioned(o.repartitionByRange(8, $"o_orderkey"), out)
+    storage.deleteVersioned(out, $"o_orderkey" < 1000)
+    storage.compactVersioned(out, targetFiles = 2)
+    val v0files = storage.readVersioned(out, Some(0)).inputFiles.toSet
+    val keepCnt = storage.readVersioned(out, Some(2)).count()
+    // keepLast covering everything deletes nothing
+    assert(storage.vacuumVersioned(out, keepLast = 3) == 0L)
+    val n = storage.vacuumVersioned(out, keepLast = 1)
+    assert(n > 0L, "expected dead files to be deleted")
+    assert(storage.listVersions(out) == Seq(2L))
+    // v2 (compaction output, fresh files) shares nothing with v0
+    v0files.foreach { f =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        new java.net.URI(f).getPath)), s"dead file survived: $f")
+    }
+    assert(storage.readVersioned(out).count() == keepCnt)
+    intercept[IllegalArgumentException] {
+      storage.readVersioned(out, Some(0)).count()
+    }
+  }
+
+  test("streamVersioned: checkpointed consumer processes exactly " +
+      "each commit's delta across runs") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = T.scratch(SparkTestSession.SF01, "versioned_stream_spec")
+    val outP = src + "_out"
+    val ckpt = src + "_ckpt"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(src, outP, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    storage.writeVersioned(o.filter($"o_orderkey" % 3 === 0)
+      .repartition(2), src)
+    storage.writeVersioned(o.filter($"o_orderkey" % 3 === 1)
+      .repartition(2), src, append = true)
+    def drain(): Unit = {
+      val q = storage.streamVersioned(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outP)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val after2 = o.filter($"o_orderkey" % 3 < 2).count()
+    assert(spark.read.parquet(outP).count() == after2)
+    // a third commit lands AFTER the first run; the checkpointed
+    // second run appends exactly that delta, nothing replayed
+    storage.writeVersioned(o.filter($"o_orderkey" % 3 === 2)
+      .repartition(2), src, append = true)
+    drain()
+    val got = spark.read.parquet(outP)
+    assert(got.count() == o.count())
+    assert(got.select($"o_orderkey").distinct().count() == o.count())
+  }
+
   test("schema evolution: mergeSchema time-travel read NULLs columns " +
       "absent from old commits") {
     val out = T.scratch(SparkTestSession.SF01, "versioned_evolve_spec")
