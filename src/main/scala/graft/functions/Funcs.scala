@@ -203,6 +203,28 @@ object Funcs extends QueryModule {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's native WITH RECURSIVE, executed as a
+    * UnionLoop): every customer key walks the implicit decimal-trim
+    * tree parent(k) = k DIV 10 up to root 0 — an iterative hierarchy
+    * traversal expressed declaratively, each recursion step a
+    * distributed join-free map over the previous frontier. Depth is
+    * data-dependent (digit count), which a fixed self-join chain
+    * cannot express. The aggregate pins the full closure.
+    */
+  def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    T.t(s, dir, "customer").createOrReplaceTempView("g_customer")
+    s.sql(
+      """WITH RECURSIVE walk(c_custkey, node, depth) AS (
+        |  SELECT c_custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+        |  FROM g_customer
+        |  UNION ALL
+        |  SELECT c_custkey, node DIV 10, depth + 1 FROM walk WHERE node > 0)
+        |SELECT CAST(depth AS INT) AS depth, COUNT(*) AS cnt,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM walk WHERE node = 0
+        |GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   /** Generator/UDTF family via explode: token table from the text
     * column (one row per distinct doc token).
     */
@@ -218,6 +240,7 @@ object Funcs extends QueryModule {
     "fn_explode" -> (fnExplode(_, _)),
     "fn_nulls" -> (fnNulls(_, _)),
     "sql_scalar_subquery" -> (sqlScalarSubquery(_, _)),
+    "sql_recursive_cte" -> (sqlRecursiveCte(_, _)),
     "fn_string" -> (fnString(_, _)),
     "fn_flags" -> (fnFlags(_, _)),
     "fn_math" -> (fnMath(_, _)),
@@ -241,6 +264,16 @@ object Funcs extends QueryModule {
         |  COUNT(CASE WHEN nullif(c_mktsegment, 'BUILDING')
         |             IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_eq
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE walk(c_custkey, node, depth) AS (
+        |  SELECT c_custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, node // 10, depth + 1 FROM walk WHERE node > 0)
+        |SELECT CAST(depth AS INT) AS depth, COUNT(*) AS cnt,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM walk WHERE node = 0
+        |GROUP BY depth ORDER BY depth""".stripMargin,
     "sql_scalar_subquery" ->
       """SELECT c_custkey,
         |  (SELECT MAX(o_totalprice) FROM orders

@@ -298,6 +298,28 @@ object Scans extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** SQL DDL front door: `CREATE TABLE … USING graft` registers the
+    * zonemap-sidecar'd table in the catalog, and plain `spark.sql`
+    * SELECTs run against it — the format plugs into Spark's DDL
+    * surface via DataSourceRegister (shortName "graft"), so a SQL-only
+    * user gets sidecar pruning with no Scala API in sight. ScanSpec
+    * gates that the pruned file count through the DDL route matches
+    * the programmatic readPruned route.
+    */
+  def sqlDdlGraft(s: SparkSession, dir: String): DataFrame = {
+    val out = zonemapPlannedFixture(s, dir)
+    s.sql("DROP TABLE IF EXISTS g_lineitem_ddl")
+    s.sql(s"CREATE TABLE g_lineitem_ddl USING graft OPTIONS (path '$out')")
+    s.sql(
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_price
+        |FROM g_lineitem_ddl
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |  AND TIMESTAMP '1996-03-31'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** F5: validation-stringency gate → csv mode=DROPMALFORMED. Writes
     * good rows + injected garbage lines, reads back dropping the bad
     * ones (HtsjdkReadsRddStorage.java:85-88 LENIENT ≈ drop).
@@ -484,6 +506,7 @@ object Scans extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_reads" -> (scanReads(_, _)),
     "scan_graft_format" -> (scanGraftFormat(_, _)),
+    "sql_ddl_graft" -> (sqlDdlGraft(_, _)),
     "scan_json" -> (scanJson(_, _)),
     "scan_orc" -> (scanOrc(_, _)),
     "scan_text_gzip" -> (scanTextGzip(_, _)),
@@ -596,6 +619,12 @@ object Scans extends QueryModule {
          |  SELECT CAST(${RareDoc._1} AS BIGINT) AS doc_id,
          |    '${RareDoc._2}' AS text, 'planted' AS source)
          |ORDER BY doc_id""".stripMargin,
+    "sql_ddl_graft" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "scan_graft_format" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price

@@ -317,6 +317,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!readSchema.contains("l_partkey"), readSchema)
   }
 
+  test("WITH RECURSIVE plans Spark's native UnionLoop, not a manual " +
+      "unrolled union") {
+    val df = functions.Funcs.sqlRecursiveCte(spark, SF)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("UnionLoop"), logical.take(2000))
+    // closure is exact: one terminal row per customer
+    val total = df.agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+    assert(total == T.t(spark, SF, "customer").count())
+  }
+
   test("bitmap distinct aggregates bitmaps, not expanded key rows") {
     val p = operators.Aggs.aggBitmapDistinct(spark, SF)
       .queryExecution.executedPlan.toString

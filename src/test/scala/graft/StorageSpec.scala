@@ -1012,6 +1012,25 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE USING graft: SQL DDL route prunes through the " +
+      "zone-map sidecar like readPruned") {
+    val res = operators.Scans.sqlDdlGraft(spark, SparkTestSession.SF)
+    assert(res.count() > 0)
+    // rerun the DDL table's filtered scan and read the file metric
+    val q = spark.sql(
+      """SELECT l_orderkey FROM g_lineitem_ddl
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |  AND TIMESTAMP '1996-03-31'""".stripMargin)
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    val allFiles = spark.sql("SELECT * FROM g_lineitem_ddl")
+      .inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"${scan.metrics("numFiles").value} vs $allFiles")
+  }
+
   test("changesVersioned: update surfaces as delete+insert pair, " +
       "append as pure inserts, carried files never read") {
     val out = T.scratch(SparkTestSession.SF01, "versioned_changes_spec")
