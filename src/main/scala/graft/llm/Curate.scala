@@ -72,6 +72,39 @@ object Curate extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** NEAR-duplicate decontamination (n-gram CONTAINMENT): a corpus doc
+    * is flagged against a benchmark doc when it holds ≥ 15% of that
+    * benchmark's distinct 3-gram shingles — the asymmetric measure
+    * benchmark-leak scanning needs (a long doc QUOTING a short
+    * benchmark item has low Jaccard but high containment, exactly the
+    * case symmetric near-dup joins miss).
+    *
+    * Scale shape: the benchmark side is small by definition (eval sets
+    * are KBs–MBs), so both the gram join and the size join BROADCAST —
+    * the corpus gram stream is filtered map-side against the broadcast
+    * benchmark gram set before any shuffle, and the only wide exchange
+    * is the (doc, bench) count aggregation over actual matches.
+    * Containment ships as floor'd integer ppm (drift contract — no
+    * round(double) in hashed output).
+    */
+  def decontamNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingleRows(T.t(s, dir, "documents")).localCheckpoint()
+    val bench = sh.filter($"doc_id" < 25)
+      .withColumnRenamed("doc_id", "bench_id")
+    val benchSize = bench.groupBy($"bench_id")
+      .agg(count(lit(1)).as("n_bench"))
+    sh.filter($"doc_id" >= 25)
+      .join(broadcast(bench), "tok")
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(benchSize), "bench_id")
+      .withColumn("cont_ppm", expr("n_shared * 1000000L div n_bench"))
+      .filter($"cont_ppm" >= 150000L)
+      .select($"doc_id", $"bench_id", $"cont_ppm")
+      .orderBy($"doc_id", $"bench_id")
+  }
+
   /** Heavy-hitter mining, Count-Min-bounded: word bigrams whose
     * frequency is at least 1/1000 of all bigram occurrences.
     *
@@ -323,6 +356,7 @@ object Curate extends QueryModule {
     "llm_ngram_novelty" -> (ngramNovelty(_, _)),
     "llm_chunk_overlap" -> (chunkOverlap(_, _)),
     "llm_decontam_bloom" -> (decontamBloom(_, _)),
+    "llm_decontam_near" -> (decontamNear(_, _)),
     "llm_heavy_hitters" -> (heavyHitters(_, _)),
     "llm_pack_sequences" -> (packSequences(_, _)),
     "llm_sample_consistent" -> (sampleConsistent(_, _)),
@@ -398,6 +432,20 @@ object Curate extends QueryModule {
          |WHERE d.doc_id >= 5
          |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
          |ORDER BY d.doc_id""".stripMargin,
+    "llm_decontam_near" ->
+      s"""WITH $shingleCte,
+         |bench AS (SELECT doc_id AS bench_id, tok FROM t WHERE doc_id < 25),
+         |bsz AS (SELECT bench_id, COUNT(*) AS n_bench
+         |        FROM bench GROUP BY bench_id),
+         |inter AS (
+         |  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+         |  FROM t c JOIN bench b USING (tok) WHERE c.doc_id >= 25
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, bench_id,
+         |  n_shared * 1000000 // n_bench AS cont_ppm
+         |FROM inter JOIN bsz USING (bench_id)
+         |WHERE n_shared * 1000000 // n_bench >= 150000
+         |ORDER BY doc_id, bench_id""".stripMargin,
     "llm_heavy_hitters" ->
       """WITH g AS (
         |  SELECT unnest([toks[i] || '_' || toks[i+1]
