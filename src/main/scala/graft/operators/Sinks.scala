@@ -355,6 +355,30 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** OPTIMIZE ZORDER on a versioned table: v0 lands orders in a
+    * random 8-file layout; `optimizeVersioned` republishes the live
+    * snapshot clustered on the interleaved (o_custkey, o_totalprice)
+    * z-value. The query reads the optimized snapshot under a 2-D
+    * filter — lossless rewrite, and StorageSpec pins that every file
+    * now spans a narrow range in BOTH dimensions (the property that
+    * makes multi-column pruning work at 100 TB).
+    */
+  def sinkVersionedZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_zorder")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    st.writeVersioned(base.repartition(8), out)
+    st.optimizeVersioned(out, Seq("o_custkey", "o_totalprice"))
+    st.readVersioned(out)
+      .filter($"o_custkey" < 300 && $"o_totalprice" < 100000.0)
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+  }
+
   /** Schema evolution across versioned commits: v1 appends files
     * carrying a column v0 never had (`o_orderpriority`); a mergeSchema
     * time-travel read resolves the union schema with NULLs for the
@@ -416,6 +440,7 @@ object Sinks extends QueryModule {
     "sink_versioned_merge" -> (sinkVersionedMerge(_, _)),
     "sink_versioned_changes" -> (sinkVersionedChanges(_, _)),
     "sink_versioned_vacuum" -> (sinkVersionedVacuum(_, _)),
+    "sink_versioned_zorder" -> (sinkVersionedZorder(_, _)),
     "sink_schema_evolve" -> (sinkSchemaEvolve(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
@@ -489,6 +514,11 @@ object Sinks extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM chg GROUP BY _change_type, o_orderstatus
          |ORDER BY _change_type, o_orderstatus""".stripMargin,
+    // z-order optimize is a lossless rewrite: filtered agg unchanged
+    "sink_versioned_zorder" ->
+      s"""SELECT COUNT(*) AS cnt, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_custkey < 300 AND o_totalprice < 100000.0""".stripMargin,
     // post-vacuum live snapshot = the delete survivors
     "sink_versioned_vacuum" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

@@ -1153,6 +1153,65 @@ final case class GraftStorage(
     } else buildZoneMap(path, zoneCols)
   }
 
+  /** The interleaved z-value for `zcols` of `df`: each column is
+    * linearly scaled to a `bits`-bit integer over its [min, max] (one
+    * metadata-size aggregation job) and the bits interleave
+    * round-robin into one long. Shared by [[writeZOrdered]] and
+    * [[optimizeVersioned]].
+    */
+  private def zValueColumn(df: DataFrame, zcols: Seq[String],
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    // monotonic numeric image of each clustering column (timestamps
+    // via epoch micros — a straight double cast is rejected for NTZ)
+    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def numeric(c: String): org.apache.spark.sql.Column = fieldType(c) match {
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val statAggs = zcols.flatMap(c => Seq(
+      min(numeric(c)).as(s"${c}__mn"),
+      max(numeric(c)).as(s"${c}__mx")))
+    val r = df.agg(statAggs.head, statAggs.tail: _*).head()
+    zcols.zipWithIndex.map { case (c, j) =>
+      val mn = r.getDouble(2 * j)
+      val mx = r.getDouble(2 * j + 1)
+      val range = if (mx > mn) mx - mn else 1.0
+      val maxCode = (1L << bits) - 1
+      val scaled = least(greatest(
+        ((numeric(c) - mn) / range * maxCode).cast("long"),
+        lit(0L)), lit(maxCode))
+      (0 until bits).map(b =>
+        shiftleft(shiftright(scaled, b).bitwiseAND(lit(1L)),
+          b * zcols.size + j))
+        .reduce((a, b) => a.bitwiseOR(b))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** OPTIMIZE … ZORDER BY for VERSIONED tables: rewrite the live
+    * snapshot clustered on the interleaved z-value of `zcols` and
+    * publish it as a NEW commit — history is untouched (old manifests
+    * pin the old files), and every file of the new version carries a
+    * narrow [min,max] in EVERY clustering dimension, so parquet
+    * row-group stats (and any sidecar built over the commit dir)
+    * prune whichever column a query filters. The Delta/Iceberg
+    * OPTIMIZE ZORDER contract on the manifest format. Returns the new
+    * version.
+    */
+  def optimizeVersioned(path: String, zcols: Seq[String],
+      targetFiles: Int = 8): Long = {
+    require(zcols.nonEmpty, "optimizeVersioned needs at least one column")
+    val cur = readVersioned(path)
+    val z = zValueColumn(cur, zcols)
+    writeVersioned(cur.withColumn("__graft_z", z)
+      .repartitionByRange(targetFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z"), path)
+  }
+
   /** MULTI-dimension clustered write — the Z-ORDER analogue of
     * `writeIndexed`'s single-column range clustering (what Delta /
     * Iceberg expose as OPTIMIZE ZORDER BY): each clustering column is
@@ -1171,35 +1230,7 @@ final case class GraftStorage(
     */
   def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String]): Unit = {
     require(zcols.nonEmpty, "writeZOrdered needs at least one column")
-    val bits = 16
-    import org.apache.spark.sql.types._
-    // monotonic numeric image of each clustering column (timestamps
-    // via epoch micros — a straight double cast is rejected for NTZ)
-    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    def numeric(c: String): org.apache.spark.sql.Column = fieldType(c) match {
-      case TimestampType => unix_micros(col(c)).cast("double")
-      case TimestampNTZType =>
-        unix_micros(col(c).cast(TimestampType)).cast("double")
-      case DateType => unix_date(col(c)).cast("double")
-      case _ => col(c).cast("double")
-    }
-    val statAggs = zcols.flatMap(c => Seq(
-      min(numeric(c)).as(s"${c}__mn"),
-      max(numeric(c)).as(s"${c}__mx")))
-    val r = df.agg(statAggs.head, statAggs.tail: _*).head()
-    val zExpr = zcols.zipWithIndex.map { case (c, j) =>
-      val mn = r.getDouble(2 * j)
-      val mx = r.getDouble(2 * j + 1)
-      val range = if (mx > mn) mx - mn else 1.0
-      val maxCode = (1L << bits) - 1
-      val scaled = least(greatest(
-        ((numeric(c) - mn) / range * maxCode).cast("long"),
-        lit(0L)), lit(maxCode))
-      (0 until bits).map(b =>
-        shiftleft(shiftright(scaled, b).bitwiseAND(lit(1L)),
-          b * zcols.size + j))
-        .reduce((a, b) => a.bitwiseOR(b))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val zExpr = zValueColumn(df, zcols)
     val tsConf = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsConf)
     spark.conf.set(tsConf, "TIMESTAMP_MICROS")

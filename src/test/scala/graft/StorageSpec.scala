@@ -1065,6 +1065,39 @@ class StorageSpec extends AnyFunSuite {
     assert(chg2.count() == o.filter($"o_orderkey" % 997 === 0).count())
   }
 
+  test("optimizeVersioned: every file narrow in BOTH z-order " +
+      "dimensions, rewrite lossless, history intact") {
+    val out = T.scratch(SparkTestSession.SF01, "versioned_zorder_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    storage.writeVersioned(o.repartition(8), out)
+    assert(storage.optimizeVersioned(out,
+      Seq("o_custkey", "o_totalprice"), targetFiles = 8) == 1L)
+    val v1 = storage.readVersioned(out)
+    assert(v1.count() == o.count())
+    assert(storage.readVersioned(out, Some(0)).count() == o.count())
+    // per-file spread in each dimension ≪ the global spread — the
+    // random v0 layout has every file spanning ~the whole domain
+    def avgSpread(df: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val per = df.groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("r"))
+        .agg(avg($"r")).head.getDouble(0)
+      val g = df.agg((max(col(c)) - min(col(c))).cast("double"))
+        .head.getDouble(0)
+      per / g
+    }
+    val v0 = storage.readVersioned(out, Some(0))
+    assert(avgSpread(v0, "o_custkey") > 0.9,
+      "random layout should span the domain per file")
+    assert(avgSpread(v1, "o_custkey") < 0.6,
+      s"z-order custkey spread ${avgSpread(v1, "o_custkey")}")
+    assert(avgSpread(v1, "o_totalprice") < 0.6,
+      s"z-order price spread ${avgSpread(v1, "o_totalprice")}")
+  }
+
   test("vacuumVersioned: dead files and manifests dropped, live " +
       "snapshot intact, vacuumed version unreachable") {
     val out = T.scratch(SparkTestSession.SF01, "versioned_vacuum_spec")
