@@ -81,8 +81,35 @@ object Graph extends QueryModule {
       .limit(100)
   }
 
+  /** Triangle counting over the co-purchase graph (parts sharing an
+    * order), by oriented wedge closure: edges keep only u < v (every
+    * triangle counted once, and the orientation bounds wedge fan-out
+    * by in×out degree instead of degree²), wedges form by the single
+    * equi-join e(u,v) ⋈ e(v,w), and a second equi-join against the
+    * edge set closes them. Three shuffles total, all on edge keys —
+    * the standard distributed triangle algorithm (no per-node
+    * adjacency materialization, no driver state). Edge build is
+    * per-order pair expansion: fan-out bounded by order size (≤7
+    * lines), so the build is linear in lineitem.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = T.t(s, dir, "lineitem")
+      .select($"l_orderkey".as("k"), $"l_partkey".as("p")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct().localCheckpoint()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+    wedges.join(e.as("e3"),
+        wedges("u") === col("e3.u") && wedges("w") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("graph_pagerank" -> (pagerank(_, _)))
+    Map("graph_pagerank" -> (pagerank(_, _)),
+      "graph_triangles" -> (triangles(_, _)))
 
   /** One unrolled power-iteration step in DuckDB SQL, mirroring the
     * integer-ppb arithmetic exactly.
@@ -105,6 +132,16 @@ object Graph extends QueryModule {
        |  CROSS JOIN dg$k dg)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.k = b.k AND a.p < b.p)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e1.v = e2.u
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "graph_pagerank" ->
       (s"""WITH pairs AS (
           |  SELECT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p

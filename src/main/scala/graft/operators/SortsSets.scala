@@ -63,6 +63,40 @@ object SortsSets extends QueryModule {
       .orderBy($"month")
   }
 
+  /** Skyline (Pareto frontier) under strict dominance: parts where no
+    * other part is BOTH strictly cheaper and strictly larger. Computed
+    * as a running-max window over the price order — dominated(p) ⇔
+    * max{size : price < p.price} > p.size — in TWO phases: a
+    * partition-local pass (window keyed by spark_partition_id, fully
+    * parallel) prunes everything locally dominated, then the exact
+    * global window runs over the tiny survivor set. Strict dominance
+    * is transitive, so a local eliminator is itself dominated only by
+    * another survivor — the two-phase result equals the global
+    * skyline, without ever sorting the full table into one partition.
+    * Price is compared in exact DECIMAL cents (a double*100 cast can
+    * round the wrong way at tie points — drift contract).
+    */
+  def sortSkyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = T.t(s, dir, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .withColumn("cents",
+        ($"p_retailprice".cast(DecimalType(12, 2)) * 100).cast("long"))
+    val localW = Window.partitionBy(spark_partition_id())
+      .orderBy($"cents").rangeBetween(Window.unboundedPreceding, -1)
+    val globalW = Window.orderBy($"cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    def undominated(df: DataFrame,
+        w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+      df.withColumn("best", max($"p_size").over(w))
+        .filter($"best".isNull || $"best" <= $"p_size")
+        .drop("best")
+    undominated(undominated(p, localW), globalW)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
   /** UNION ALL of two disjoint scans (Iterators.concat of interval
     * hits + unmapped, AbstractBinarySamSource.java:153-154).
     */
@@ -104,6 +138,7 @@ object SortsSets extends QueryModule {
     "sort_within" -> (sortWithin(_, _)),
     "topk" -> (topk(_, _)),
     "cluster_range" -> (clusterRange(_, _)),
+    "sort_skyline" -> (sortSkyline(_, _)),
     "set_union" -> (setUnion(_, _)),
     "set_intersect" -> (setIntersect(_, _)),
     "set_except" -> (setExcept(_, _)))
@@ -124,6 +159,13 @@ object SortsSets extends QueryModule {
       s"""SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
          |  COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY 1 ORDER BY month""".stripMargin,
+    "sort_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice < p.p_retailprice
+        |    AND q.p_size > p.p_size)
+        |ORDER BY p_partkey""".stripMargin,
     "set_union" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS sum_qty
          |FROM (
