@@ -122,14 +122,92 @@ object Composite extends QueryModule {
       .orderBy($"cohort_week", $"week")
   }
 
+  /** Time-series RESAMPLE + linear interpolation: sparse observations
+    * (high-value events) land in hour buckets; the dense per-type
+    * hour grid between first and last observation is generated with
+    * `sequence()` (no driver loop), observed buckets keep their exact
+    * davg, and every gap bucket interpolates linearly between its
+    * bracketing observations — prev/next located with
+    * last/first-IGNORE-NULLS frames over ONE (type, bucket) window
+    * shuffle. Endpoints are observed by construction, so the
+    * interpolation is total. All arithmetic keeps one fixed operand
+    * order (`pv + (nv-pv)*(h-ph)/(nh-ph)` over exact hour indexes) so
+    * both engines produce bit-identical doubles — the drift contract
+    * for interpolated values.
+    */
+  def eventsResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val obs = T.events(s, dir).filter($"value" > 300.0)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+      .agg(T.davg($"value", 6).as("v_obs"))
+    val grid = obs.groupBy($"event_type")
+      .agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("bucket"))
+    val back = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(obs, Seq("event_type", "bucket"), "left")
+      .withColumn("h", (unix_timestamp($"bucket") / 3600).cast("long"))
+      .withColumn("pv", last($"v_obs", ignoreNulls = true).over(back))
+      .withColumn("ph", last(when($"v_obs".isNotNull, $"h"),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first($"v_obs", ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(when($"v_obs".isNotNull, $"h"),
+        ignoreNulls = true).over(fwd))
+      .select($"event_type", $"bucket",
+        when($"v_obs".isNotNull, $"v_obs")
+          .otherwise($"pv" + ($"nv" - $"pv") * ($"h" - $"ph") / ($"nh" - $"ph"))
+          .as("v"))
+      .orderBy($"event_type", $"bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "sink_nested" -> (sinkNested(_, _)),
     "events_funnel" -> (eventsFunnel(_, _)),
     "events_retention" -> (eventsRetention(_, _)),
-    "agg_percentile" -> (aggPercentile(_, _)))
+    "agg_percentile" -> (aggPercentile(_, _)),
+    "events_resample" -> (eventsResample(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "events_resample" ->
+      s"""WITH obs AS (
+         |  SELECT event_type,
+         |    CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         |      AS bucket,
+         |    ${T.sqlDavg("value", 6)} AS v_obs
+         |  FROM events WHERE value > 300.0 GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT event_type,
+         |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+         |  FROM (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+         |        FROM obs GROUP BY 1)),
+         |j AS (
+         |  SELECT g.event_type, g.bucket, o.v_obs,
+         |    CAST(epoch(g.bucket) AS BIGINT) // 3600 AS h
+         |  FROM grid g LEFT JOIN obs o USING (event_type, bucket)),
+         |w AS (
+         |  SELECT *,
+         |    last_value(v_obs IGNORE NULLS) OVER (
+         |      PARTITION BY event_type ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         |    first_value(v_obs IGNORE NULLS) OVER (
+         |      PARTITION BY event_type ORDER BY bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+         |  FROM j)
+         |SELECT event_type, bucket,
+         |  CASE WHEN v_obs IS NOT NULL THEN v_obs
+         |       ELSE pv + (nv - pv) * (h - ph) / (nh - ph) END AS v
+         |FROM w ORDER BY event_type, bucket""".stripMargin,
     "q18_large_orders" ->
       s"""SELECT c_name, o_orderkey, o_orderdate, sum_qty FROM (
          |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty

@@ -494,7 +494,32 @@ object Joins extends QueryModule {
       ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""")
   }
 
+  /** Entity resolution: BLOCKED fuzzy self-match — the classic
+    * block-then-compare shape. Candidate pairs form only inside a
+    * blocking key (name prefix: everything but the last two digits),
+    * so the comparison space is Σ block², never n²; within a block,
+    * pairs survive at Levenshtein distance ≤ 1 (Spark's codegen'd
+    * native expression — DuckDB's levenshtein agrees on unit-cost
+    * edit distance). At 100 TB the blocking join is one shuffle on
+    * the block key; a hot block salts like any skewed join. Output is
+    * the per-nation candidate-pair census.
+    */
+  def erMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = T.t(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        substring($"c_name", 1, 16).as("blk"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") < col("b.c_custkey") &&
+          levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .groupBy(col("a.c_nationkey").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"c_nationkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_match" -> (erMatch(_, _)),
     "join_null_safe" -> (joinNullSafe(_, _)),
     "join_dpp" -> (joinDpp(_, _)),
     "join_lateral" -> (joinLateral(_, _)),
@@ -516,6 +541,13 @@ object Joins extends QueryModule {
     "pairs_group" -> (pairsGroup(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "er_match" ->
+      """SELECT a.c_nationkey, COUNT(*) AS n_pairs
+        |FROM customer a JOIN customer b
+        |  ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+        | AND a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |GROUP BY a.c_nationkey ORDER BY a.c_nationkey""".stripMargin,
     "join_dpp" ->
       s"""WITH dim(event_type, weight) AS (VALUES ('click', 1), ('purchase', 5))
          |SELECT event_type, weight, COUNT(*) AS cnt,
