@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Composite,
     operators.Mv,
     operators.Graph,
+    operators.Quality,
     operators.TpchBattery,
     operators.TpchBattery2,
     functions.Funcs,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality and profiling operators — the audit pass every
+  * warehouse ingest runs before trusting a table: constraint checks
+  * (null / unique-key / domain / range / referential) computed in one
+  * scan, and numeric profiling (equi-width histograms) for skew and
+  * drift monitoring. Both are single-pass map-side aggregations; the
+  * referential check is the only join (an anti join whose build side
+  * is the key column alone).
+  */
+object Quality extends QueryModule {
+
+  /** Constraint audit over a deliberately dirtied orders table: four
+    * single-table rules fold into ONE aggregate over one scan (no
+    * per-rule passes), and the cross-table referential rule is an
+    * anti-join count. Planted violations (null FK, duplicate PK, bad
+    * domain value, non-positive amount) prove each rule fires; the
+    * clean-data referential rule proves a zero reads as zero.
+    */
+  def dqCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val bad = Seq(
+      (9000001L, Option.empty[Long], "O", 10.0),
+      (1L, Some(1L), "O", 100.0),
+      (9000002L, Some(5L), "Z", 50.0),
+      (9000003L, Some(5L), "O", -7.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val d = o.unionByName(bad)
+    val single = d.agg(
+      count(when($"o_custkey".isNull, 1)).as("null_custkey"),
+      (count(lit(1)) - count_distinct($"o_orderkey")).as("dup_orderkey"),
+      count(when($"o_totalprice" <= 0.0, 1)).as("nonpositive_price"),
+      count(when(!$"o_orderstatus".isin("O", "F", "P"), 1)).as("bad_status"))
+    val orphans = T.t(s, dir, "lineitem").select($"l_orderkey")
+      .join(T.t(s, dir, "orders").select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("orphan_lineitem"))
+    single.crossJoin(orphans)
+  }
+
+  /** Equi-width histogram profile of o_totalprice: 20 buckets over the
+    * observed [min, max] (one metadata-size aggregate broadcast back),
+    * then a single map-side bucket assignment + count. Bucket edges
+    * and assignment use one fixed double expression shape so both
+    * engines agree bit-for-bit at bucket boundaries.
+    */
+  def profileHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = T.t(s, dir, "orders").select($"o_totalprice")
+    val mm = o.agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+    o.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        least(lit(19L), floor(($"o_totalprice" - $"mn") /
+          (($"mx" - $"mn") / 20))).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("cnt"),
+        (first($"mn") + $"bucket" * (first($"mx") - first($"mn")) / 20)
+          .as("lo_edge"))
+      .select($"bucket", $"cnt", $"lo_edge")
+      .orderBy($"bucket")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_check" -> (dqCheck(_, _)),
+    "profile_histogram" -> (profileHistogram(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "dq_check" ->
+      """WITH d AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9000001, CAST(NULL AS BIGINT), 'O', 10.0),
+        |    (1, 1, 'O', 100.0),
+        |    (9000002, 5, 'Z', 50.0),
+        |    (9000003, 5, 'O', -7.0)))
+        |SELECT
+        |  COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+        |  COUNT(CASE WHEN o_totalprice <= 0.0 THEN 1 END)
+        |    AS nonpositive_price,
+        |  COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+        |    AS bad_status,
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
+        |    AS orphan_lineitem
+        |FROM d""".stripMargin,
+    "profile_histogram" ->
+      """WITH mm AS (
+        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS cnt,
+        |  ANY_VALUE(mn) + bucket * (ANY_VALUE(mx) - ANY_VALUE(mn)) / 20
+        |    AS lo_edge
+        |FROM (
+        |  SELECT CAST(least(19, floor((o_totalprice - mn) / ((mx - mn) / 20)))
+        |    AS BIGINT) AS bucket, mn, mx
+        |  FROM orders CROSS JOIN mm)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)
+}

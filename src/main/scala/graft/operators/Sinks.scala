@@ -355,6 +355,51 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** CDC-driven INCREMENTAL aggregate maintenance: a summary built
+    * over v0 is brought to the v2 state by applying ONLY the change
+    * feed — inserts add, deletes subtract (updates arrive as the
+    * delete+insert pair, so they net out correctly) — never
+    * rescanning the table. Count deltas are ±1 sums; value deltas
+    * accumulate in exact DECIMAL so increment-then-cast equals
+    * direct-aggregate-then-cast bit-for-bit. At 100 TB this is the
+    * MV-refresh path where the fact table is mutable: cost scales
+    * with churn (the CDC read), not table size. The oracle aggregates
+    * the v2 state directly — incremental ≡ direct is the whole claim.
+    */
+  def mvCdcRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val out = T.scratch(dir, "mv_cdc_refresh")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out)
+    val dec = $"o_totalprice".cast(DecimalType(18, 2))
+    val mv0 = st.readVersioned(out, Some(0))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt0"), sum(dec).as("tot0"))
+    st.updateVersioned(out, $"o_orderkey" < 1000,
+      Map("o_orderstatus" -> lit("X"),
+        "o_totalprice" -> $"o_totalprice" * 2))
+    st.deleteVersioned(out, $"o_orderkey" % 50 === 0)
+    val delta = st.changesVersioned(out, 0, 2)
+      .withColumn("sgn", when($"_change_type" === "insert", 1L)
+        .otherwise(-1L))
+      .groupBy($"o_orderstatus")
+      .agg(sum($"sgn").as("dcnt"), sum($"sgn" * dec).as("dtot"))
+    mv0.join(delta, Seq("o_orderstatus"), "full_outer")
+      .select($"o_orderstatus",
+        (coalesce($"cnt0", lit(0L)) + coalesce($"dcnt", lit(0L))).as("cnt"),
+        (coalesce($"tot0", lit(0).cast(DecimalType(18, 2))) +
+          coalesce($"dtot", lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("total"))
+      .filter($"cnt" > 0)
+      .orderBy($"o_orderstatus")
+  }
+
   /** OPTIMIZE ZORDER on a versioned table: v0 lands orders in a
     * random 8-file layout; `optimizeVersioned` republishes the live
     * snapshot clustered on the interleaved (o_custkey, o_totalprice)
@@ -441,6 +486,7 @@ object Sinks extends QueryModule {
     "sink_versioned_changes" -> (sinkVersionedChanges(_, _)),
     "sink_versioned_vacuum" -> (sinkVersionedVacuum(_, _)),
     "sink_versioned_zorder" -> (sinkVersionedZorder(_, _)),
+    "mv_cdc_refresh" -> (mvCdcRefresh(_, _)),
     "sink_schema_evolve" -> (sinkSchemaEvolve(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
@@ -514,6 +560,18 @@ object Sinks extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM chg GROUP BY _change_type, o_orderstatus
          |ORDER BY _change_type, o_orderstatus""".stripMargin,
+    // incremental-by-CDC equals the direct aggregate of the v2 state
+    "mv_cdc_refresh" ->
+      s"""WITH v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey < 1000 THEN 'X'
+         |         ELSE o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 50 <> 0)
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // z-order optimize is a lossless rewrite: filtered agg unchanged
     "sink_versioned_zorder" ->
       s"""SELECT COUNT(*) AS cnt, ${sqlDsum("o_totalprice")} AS total
