@@ -320,6 +320,39 @@ object Scans extends QueryModule {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** SQL write path: `INSERT INTO` a graft catalog table. The V1
+    * relation resolves to the underlying HadoopFsRelation, so Spark
+    * plans its native InsertIntoHadoopFsRelationCommand — a fully
+    * parallel parquet append into the table directory, with the
+    * catalog cache refreshed in the same command. Files appended this
+    * way are initially OUTSIDE any `_zonemap` sidecar: the FileIndex
+    * keeps unknown files conservatively (results stay exact, pruning
+    * power decays) until `buildZoneMap`/`refreshBloomIndex` re-covers
+    * them — StorageSpec pins both halves of that contract.
+    */
+  def sqlInsertGraft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sql_insert_graft")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    base.filter($"o_orderkey" % 2 === 0)
+      .write.format("graft").mode("overwrite").save(out)
+    base.filter($"o_orderkey" % 2 === 1)
+      .createOrReplaceTempView("g_orders_ins_src")
+    s.sql("DROP TABLE IF EXISTS g_orders_ins")
+    s.sql(s"CREATE TABLE g_orders_ins USING graft OPTIONS (path '$out')")
+    s.sql("INSERT INTO g_orders_ins SELECT * FROM g_orders_ins_src")
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total
+        |FROM g_orders_ins
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** F5: validation-stringency gate → csv mode=DROPMALFORMED. Writes
     * good rows + injected garbage lines, reads back dropping the bad
     * ones (HtsjdkReadsRddStorage.java:85-88 LENIENT ≈ drop).
@@ -507,6 +540,7 @@ object Scans extends QueryModule {
     "scan_reads" -> (scanReads(_, _)),
     "scan_graft_format" -> (scanGraftFormat(_, _)),
     "sql_ddl_graft" -> (sqlDdlGraft(_, _)),
+    "sql_insert_graft" -> (sqlInsertGraft(_, _)),
     "scan_json" -> (scanJson(_, _)),
     "scan_orc" -> (scanOrc(_, _)),
     "scan_text_gzip" -> (scanTextGzip(_, _)),
@@ -619,6 +653,11 @@ object Scans extends QueryModule {
          |  SELECT CAST(${RareDoc._1} AS BIGINT) AS doc_id,
          |    '${RareDoc._2}' AS text, 'planted' AS source)
          |ORDER BY doc_id""".stripMargin,
+    "sql_insert_graft" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     "sql_ddl_graft" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price

@@ -1031,6 +1031,49 @@ class StorageSpec extends AnyFunSuite {
       s"${scan.metrics("numFiles").value} vs $allFiles")
   }
 
+  test("INSERT INTO a zonemap'd graft table: unknown files kept " +
+      "conservatively, rebuild restores pruning") {
+    val out = T.scratch(SparkTestSession.SF01, "sql_insert_zm_spec")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val li = T.t(spark, SparkTestSession.SF01, "lineitem")
+      .select($"l_orderkey", $"l_shipdate", $"l_quantity")
+    val (first, second) =
+      (li.filter($"l_orderkey" % 2 === 0), li.filter($"l_orderkey" % 2 === 1))
+    storage.writeIndexed(first, out, "l_shipdate", "l_shipdate")
+    spark.sql("DROP TABLE IF EXISTS g_ins_zm")
+    spark.sql(s"CREATE TABLE g_ins_zm USING graft OPTIONS (path '$out')")
+    second.createOrReplaceTempView("g_ins_zm_src")
+    spark.sql("INSERT INTO g_ins_zm SELECT * FROM g_ins_zm_src")
+    // correctness never degrades: sidecar-unknown files always read
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-03-31 00:00:00")
+    def prunedCount(): Long = storage.readPruned(out)
+      .filter($"l_shipdate" >= lit(lo) && $"l_shipdate" <= lit(hi)).count()
+    val expect = li
+      .filter($"l_shipdate" >= lit(lo) && $"l_shipdate" <= lit(hi)).count()
+    assert(prunedCount() == expect)
+    def filesScanned(): Long = {
+      val q = storage.readPruned(out)
+        .filter($"l_shipdate" >= lit(lo) && $"l_shipdate" <= lit(hi))
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .get.metrics("numFiles").value
+    }
+    val before = filesScanned()
+    // rebuild re-covers the appended files: pruning power returns
+    storage.buildZoneMap(out, Seq("l_shipdate"))
+    assert(prunedCount() == expect)
+    assert(filesScanned() <= before,
+      s"rebuild should not scan more files (${filesScanned()} vs $before)")
+    val all = spark.read.parquet(out).inputFiles.length
+    assert(filesScanned() < all,
+      s"post-rebuild scan should prune (${filesScanned()} of $all)")
+  }
+
   test("changesVersioned: update surfaces as delete+insert pair, " +
       "append as pure inserts, carried files never read") {
     val out = T.scratch(SparkTestSession.SF01, "versioned_changes_spec")
