@@ -46,6 +46,35 @@ case class BloomMightContain(
     copy(child = newChild)
 }
 
+/** Long-key variant of [[BloomMightContain]]: probes via the sketch's
+  * long hash path, matching filters built by `df.stat.bloomFilter`
+  * over an integral column (those insert with `putLong`, whose hash
+  * differs from the byte path — the two variants are NOT
+  * interchangeable).
+  */
+case class BloomMightContainLong(
+    child: Expression, bloom: Broadcast[BloomFilter])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.value.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomCls = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[Broadcast[_]].getName)
+    val bf = ctx.addMutableState(bloomCls, "graftBloomL",
+      v => s"$v = ($bloomCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $bf.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count-Min estimate for a string column against a broadcast sketch
   * — composable as a plain Long column (`cms_estimate(c) >= thr`).
   * The one `toString` per row is the sketch API's requirement; the
@@ -80,6 +109,13 @@ object SketchFunctions {
     */
   def bloom_might_contain(c: Column, bloom: Broadcast[BloomFilter]): Column =
     Bridge.column(BloomMightContain(Bridge.expression(c), bloom))
+
+  /** Boolean column: may LONG key `c` be in a Bloom filter built over
+    * an integral column. One-sided, long-hash path.
+    */
+  def bloom_might_contain_long(c: Column,
+      bloom: Broadcast[BloomFilter]): Column =
+    Bridge.column(BloomMightContainLong(Bridge.expression(c), bloom))
 
   /** Long column: Count-Min frequency estimate of string column `c`.
     * One-sided — never under-estimates.

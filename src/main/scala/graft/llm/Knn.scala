@@ -276,9 +276,47 @@ object Knn extends QueryModule {
       graft.sources.GraftStorage(s).writeIndexed(assigned, out, "cell", "cell")
     }
 
-  def knnIvfStored(s: SparkSession, dir: String): DataFrame = {
+  def knnIvfStored(s: SparkSession, dir: String): DataFrame =
+    ivfProbeStored(s, dir, ivfStoredFixture(s, dir))
+
+  /** INCREMENTAL index maintenance: the stored IVF grows by APPEND —
+    * the new batch is assigned to the same fixed centroids and lands
+    * via `GraftStorage.appendIndexed` (new cell-clustered files +
+    * footer-only sidecar extension), so adding a daily embedding
+    * batch at 100 TB touches the delta and a few KB of sidecar, never
+    * the existing posting files. Probing the appended index returns
+    * EXACTLY what a from-scratch build returns (same centroids ⇒ same
+    * assignment ⇒ same candidates) — the oracle IS the stored
+    * variant's oracle, and StorageSpec pins that probe-time file
+    * pruning still covers the appended files.
+    */
+  def knnIvfAppend(s: SparkSession, dir: String): DataFrame =
+    ivfProbeStored(s, dir, ivfAppendFixture(s, dir))
+
+  private def ivfAppendFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "ivf_appended") { out =>
+      import s.implicits._
+      val b = base(s, dir).localCheckpoint()
+      val cents = b.filter($"vec_id" < NumCells)
+        .select($"vec_id".as("cid"), $"v".as("cv"))
+      val assigned = b.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+        .filter($"crn" === 1)
+        .select($"vec_id", $"v", $"cid".cast("int").as("cell"))
+        .localCheckpoint()
+      val st = graft.sources.GraftStorage(s)
+      st.writeIndexed(assigned.filter($"vec_id" % 2 === 0), out,
+        "cell", "cell")
+      st.appendIndexed(assigned.filter($"vec_id" % 2 =!= 0), out,
+        "cell", "cell")
+    }
+
+  private def ivfProbeStored(s: SparkSession, dir: String,
+      out: String): DataFrame = {
     import s.implicits._
-    val out = ivfStoredFixture(s, dir)
     val b = base(s, dir)
     val cents = b.filter($"vec_id" < NumCells)
       .select($"vec_id".as("cid"), $"v".as("cv"))
@@ -644,6 +682,7 @@ object Knn extends QueryModule {
     "llm_knn_lsh" -> (knnLsh(_, _)),
     "llm_knn_ivf" -> (knnIvf(_, _)),
     "llm_knn_ivf_stored" -> (knnIvfStored(_, _)),
+    "llm_knn_ivf_append" -> (knnIvfAppend(_, _)),
     "llm_knn_ivf_trained" -> (knnIvfTrained(_, _)),
     "llm_dedup_embed" -> (dedupEmbed(_, _)),
     "llm_embed_quantize" -> (embedQuantize(_, _)),
@@ -775,6 +814,28 @@ object Knn extends QueryModule {
        |SELECT qid, nid, cos_sim, rn FROM cand WHERE rn <= $K
        |ORDER BY qid, rn""".stripMargin
 
+  private lazy val ivfStoredSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $NumCells),
+       |ranked AS (
+       |  SELECT v.vec_id, v.e, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS crn
+       |  FROM v, cents c),
+       |corpus AS (SELECT vec_id AS nid, e AS ne, cid
+       |           FROM ranked WHERE crn = 1),
+       |qprobe AS (SELECT vec_id AS qid, e AS qe, cid
+       |           FROM ranked WHERE vec_id < $StoredQueries AND crn <= $NProbe),
+       |cand AS (
+       |  SELECT qid, nid,
+       |    round(list_cosine_similarity(qe, ne), 4) AS cos_sim,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(list_cosine_similarity(qe, ne), 4) DESC, nid) AS rn
+       |  FROM corpus JOIN qprobe USING (cid) WHERE nid != qid)
+       |SELECT qid, nid, cos_sim, rn FROM cand WHERE rn <= $K
+       |ORDER BY qid, rn""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "llm_knn_ivfpq" ->
       s"""WITH $pqBaseCte,
@@ -887,27 +948,11 @@ object Knn extends QueryModule {
     // same contract as llm_knn_ivf, restricted to the StoredQueries
     // probes — the stored variant changes WHERE the corpus assignment
     // comes from (disk, file-pruned), not what it computes
-    "llm_knn_ivf_stored" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $NumCells),
-         |ranked AS (
-         |  SELECT v.vec_id, v.e, c.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS crn
-         |  FROM v, cents c),
-         |corpus AS (SELECT vec_id AS nid, e AS ne, cid
-         |           FROM ranked WHERE crn = 1),
-         |qprobe AS (SELECT vec_id AS qid, e AS qe, cid
-         |           FROM ranked WHERE vec_id < $StoredQueries AND crn <= $NProbe),
-         |cand AS (
-         |  SELECT qid, nid,
-         |    round(list_cosine_similarity(qe, ne), 4) AS cos_sim,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY round(list_cosine_similarity(qe, ne), 4) DESC, nid) AS rn
-         |  FROM corpus JOIN qprobe USING (cid) WHERE nid != qid)
-         |SELECT qid, nid, cos_sim, rn FROM cand WHERE rn <= $K
-         |ORDER BY qid, rn""".stripMargin,
+    "llm_knn_ivf_stored" -> ivfStoredSql,
+    // the append-built index is state-identical to a from-scratch
+    // build (fixed centroids ⇒ same assignment), so the oracle IS the
+    // stored oracle
+    "llm_knn_ivf_append" -> ivfStoredSql,
     "llm_knn_ivf" -> knnIvfSql,
     "llm_knn_recall" ->
       s"""WITH brute AS ($knnBruteSql),

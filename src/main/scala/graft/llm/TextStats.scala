@@ -444,7 +444,28 @@ object TextStats extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Corpus dataset card: the per-source summary every training-data
+    * release ships — doc/char/token volume, language spread, and the
+    * exact-duplicate census — in ONE scan with map-side partial
+    * aggregation (the dup census folds in as count − distinct
+    * content-hash, no self-join). At 100 TB this is the profiling
+    * pass that budgets the downstream pipeline.
+    */
+  def corpusSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum(size(split($"text", " ")).cast("long")).as("sum_tokens"),
+        count_distinct($"lang").as("n_langs"),
+        (count(lit(1)) - count_distinct(md5($"text"))).as("n_exact_dups"))
+      .orderBy($"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_corpus_summary" -> (corpusSummary(_, _)),
     "llm_textstats" -> (textstats(_, _)),
     "llm_langid" -> (langid(_, _)),
     "llm_tokens" -> (tokens(_, _)),
@@ -488,6 +509,13 @@ object TextStats extends QueryModule {
     s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map("'" + _ + "'").mkString(", ")})))"
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_corpus_summary" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "llm_bpe_train" -> bpeTrainOracle,
     "llm_bpe_apply" -> bpeApplyOracle,
     "llm_bpe_pairs" ->

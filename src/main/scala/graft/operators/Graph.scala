@@ -82,28 +82,52 @@ object Graph extends QueryModule {
   }
 
   /** Triangle counting over the co-purchase graph (parts sharing an
-    * order), by oriented wedge closure: edges keep only u < v (every
-    * triangle counted once, and the orientation bounds wedge fan-out
-    * by in×out degree instead of degree²), wedges form by the single
-    * equi-join e(u,v) ⋈ e(v,w), and a second equi-join against the
-    * edge set closes them. Three shuffles total, all on edge keys —
-    * the standard distributed triangle algorithm (no per-node
-    * adjacency materialization, no driver state). Edge build is
-    * per-order pair expansion: fan-out bounded by order size (≤7
-    * lines), so the build is linear in lineitem.
+    * order), DEGREE-oriented wedge closure: every undirected edge is
+    * oriented from its lower-(degree, id) endpoint to its higher one
+    * — an acyclic total order, so each triangle forms exactly one
+    * wedge at its lowest vertex — which caps per-node wedge fan-out
+    * at O(√m) on ANY degree distribution (the Schank/Wagner bound;
+    * id-orientation leaves hub nodes quadratic). Wedges are pairs of
+    * out-neighbors (one self-join on src), and BEFORE the closing
+    * join shuffles them, a broadcast Bloom over the packed edge keys
+    * discards the non-closing wedges map-side inside codegen
+    * (`bloom_might_contain_long`) — only true triangles + ~1% false
+    * positives reach the exact closure join, which trims the FPs.
+    * Edge build is per-order pair expansion: fan-out bounded by order
+    * size, linear in lineitem.
     */
   def triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = T.t(s, dir, "lineitem")
       .select($"l_orderkey".as("k"), $"l_partkey".as("p")).distinct()
-    val e = li.as("a").join(li.as("b"),
+    val und = li.as("a").join(li.as("b"),
         col("a.k") === col("b.k") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct().localCheckpoint()
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+      .distinct()
+    val deg = und.select(explode(array($"u", $"v")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+      .select($"n", ($"d" * 4294967296L + $"n").as("ord"))
+    val e = und
+      .join(deg.select($"n".as("u"), $"ord".as("ou")), "u")
+      .join(deg.select($"n".as("v"), $"ord".as("ov")), "v")
+      .select(
+        when($"ou" < $"ov", $"u").otherwise($"v").as("src"),
+        when($"ou" < $"ov", $"v").otherwise($"u").as("dst"),
+        greatest($"ou", $"ov").as("dord"))
+      .localCheckpoint()
+    val nEdges = e.count()
+    val bloom = e.select(($"src" * 4294967296L + $"dst").as("ek"))
+      .stat.bloomFilter("ek", nEdges, 0.01)
+    val b = s.sparkContext.broadcast(bloom)
+    // wedge at the lowest vertex: two out-neighbors, ordered — the
+    // closing edge, if present, is oriented (a → b) by construction
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.src") && col("x.dord") < col("y.dord"))
+      .select(col("x.dst").as("a"), col("y.dst").as("b"))
+      .filter(graft.functions.SketchFunctions.bloom_might_contain_long(
+        $"a" * 4294967296L + $"b", b))
     wedges.join(e.as("e3"),
-        wedges("u") === col("e3.u") && wedges("w") === col("e3.v"))
+        wedges("a") === col("e3.src") && wedges("b") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 

@@ -494,6 +494,27 @@ object Joins extends QueryModule {
       ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""")
   }
 
+  /** SQL join-strategy HINTS: `/*+ MERGE(n) */` forces a sort-merge
+    * join where the planner (and AQE) would broadcast the 25-row
+    * nation side — the escape hatch for when the optimizer's
+    * size-based choice is wrong (mis-estimated stats, a "small" side
+    * that explodes after a UDF, a broadcast OOM at 1000 executors).
+    * PlanQualitySpec pins that the hint is actually honored
+    * (SortMergeJoin present, no BroadcastHashJoin); the result is
+    * hint-invariant, which the oracle states.
+    */
+  def sqlHints(s: SparkSession, dir: String): DataFrame = {
+    T.t(s, dir, "customer").createOrReplaceTempView("g_cust_hint")
+    T.t(s, dir, "nation").createOrReplaceTempView("g_nat_hint")
+    s.sql(
+      """SELECT /*+ MERGE(n) */ n.n_name, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_bal
+        |FROM g_cust_hint c JOIN g_nat_hint n
+        |  ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
   /** Entity resolution: BLOCKED fuzzy self-match — the classic
     * block-then-compare shape. Candidate pairs form only inside a
     * blocking key (name prefix: everything but the last two digits),
@@ -520,6 +541,7 @@ object Joins extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_match" -> (erMatch(_, _)),
+    "sql_hints" -> (sqlHints(_, _)),
     "join_null_safe" -> (joinNullSafe(_, _)),
     "join_dpp" -> (joinDpp(_, _)),
     "join_lateral" -> (joinLateral(_, _)),
@@ -541,6 +563,10 @@ object Joins extends QueryModule {
     "pairs_group" -> (pairsGroup(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "sql_hints" ->
+      s"""SELECT n_name, COUNT(*) AS cnt, ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "er_match" ->
       """SELECT a.c_nationkey, COUNT(*) AS n_pairs
         |FROM customer a JOIN customer b

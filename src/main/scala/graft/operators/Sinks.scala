@@ -355,6 +355,26 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** Column MASKING on write — the governance sink: PII columns leave
+    * the pipeline as deterministic SHA-256 digests, so the masked
+    * table stays joinable/groupable on the digest (same input ⇒ same
+    * mask, enforced by the oracle hashing every row) while the
+    * cleartext never lands on disk. Pure codegen'd map stage; at
+    * 100 TB masking rides the write with zero extra passes.
+    */
+  def sinkMasked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_masked")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    T.t(s, dir, "customer")
+      .select($"c_custkey", sha2($"c_name", 256).as("name_mask"),
+        $"c_mktsegment")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy($"c_custkey")
+  }
+
   /** CDC-driven INCREMENTAL aggregate maintenance: a summary built
     * over v0 is brought to the v2 state by applying ONLY the change
     * feed — inserts add, deletes subtract (updates arrive as the
@@ -487,6 +507,7 @@ object Sinks extends QueryModule {
     "sink_versioned_vacuum" -> (sinkVersionedVacuum(_, _)),
     "sink_versioned_zorder" -> (sinkVersionedZorder(_, _)),
     "mv_cdc_refresh" -> (mvCdcRefresh(_, _)),
+    "sink_masked" -> (sinkMasked(_, _)),
     "sink_schema_evolve" -> (sinkSchemaEvolve(_, _)),
     "sink_sharded" -> (sinkSharded(_, _)),
     "sink_single" -> (sinkSingle(_, _)),
@@ -560,6 +581,10 @@ object Sinks extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM chg GROUP BY _change_type, o_orderstatus
          |ORDER BY _change_type, o_orderstatus""".stripMargin,
+    // deterministic digest parity: both engines hash every row
+    "sink_masked" ->
+      """SELECT c_custkey, sha256(c_name) AS name_mask, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // incremental-by-CDC equals the direct aggregate of the v2 state
     "mv_cdc_refresh" ->
       s"""WITH v2 AS (

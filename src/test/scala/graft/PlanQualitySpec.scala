@@ -327,6 +327,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(total == T.t(spark, SF, "customer").count())
   }
 
+  test("MERGE hint overrides the broadcast default: SMJ planned on a " +
+      "25-row side") {
+    val df = operators.Joins.sqlHints(spark, SF)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("bitmap distinct aggregates bitmaps, not expanded key rows") {
     val p = operators.Aggs.aggBitmapDistinct(spark, SF)
       .queryExecution.executedPlan.toString

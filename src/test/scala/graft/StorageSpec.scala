@@ -1031,6 +1031,22 @@ class StorageSpec extends AnyFunSuite {
       s"${scan.metrics("numFiles").value} vs $allFiles")
   }
 
+  test("appended IVF index: sidecar covers appended posting files, " +
+      "probe still prunes") {
+    llm.Knn.knnIvfAppend(spark, SparkTestSession.SF).collect()
+    val out = T.scratch(SparkTestSession.SF, "ivf_appended")
+    val nFiles = spark.read.parquet(out).inputFiles.length
+    val zm = spark.read.parquet(s"$out/_zonemap").count()
+    assert(zm == nFiles, s"sidecar rows $zm vs $nFiles data files")
+    val q = storage.readPruned(out).filter($"cell" === 0)
+    q.collect()
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get.metrics("numFiles").value
+    assert(scanned < nFiles, s"probe scanned $scanned of $nFiles")
+  }
+
   test("INSERT INTO a zonemap'd graft table: unknown files kept " +
       "conservatively, rebuild restores pruning") {
     val out = T.scratch(SparkTestSession.SF01, "sql_insert_zm_spec")
