@@ -131,9 +131,52 @@ object Graph extends QueryModule {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-level BFS from one source over the supplier–part bipartite
+    * graph: level-synchronous frontier expansion — each level is ONE
+    * equi-join (frontier ⋈ edges) + an anti-join against the visited
+    * set, localCheckpoint'd so lineage stays flat across levels (the
+    * PageRank iteration discipline). The driver holds only the
+    * frontier-empty test (a count), never node data; levels run until
+    * exhaustion, so distances are exact with no depth guess. The
+    * oracle replays it as a DuckDB recursive CTE bounded at depth 10
+    * with MIN(dist) per node — UNION-dedup keeps (node, dist) pairs
+    * finite, the MIN recovers BFS distance (sound because every
+    * true eccentricity here is < 10, which exhaustion proves).
+    */
+  def bfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = T.t(s, dir, "lineitem")
+      .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
+    val edges = li.select($"s".as("src"), $"p".as("dst"))
+      .union(li.select($"p".as("src"), $"s".as("dst")))
+      .distinct().localCheckpoint()
+    var visited = Seq((2L, 0)).toDF("node", "dist").localCheckpoint()
+    var frontier = visited
+    var level = 0
+    var done = false
+    while (!done) {
+      level += 1
+      val next = frontier.join(edges, $"node" === $"src")
+        .select($"dst".as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(level))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    visited.groupBy($"dist")
+      .agg(count(lit(1)).as("cnt"), min($"node").as("min_node"),
+        max($"node").as("max_node"))
+      .orderBy($"dist")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("graph_pagerank" -> (pagerank(_, _)),
-      "graph_triangles" -> (triangles(_, _)))
+      "graph_triangles" -> (triangles(_, _)),
+      "graph_bfs" -> (bfs(_, _)))
 
   /** One unrolled power-iteration step in DuckDB SQL, mirroring the
     * integer-ppb arithmetic exactly.
@@ -156,6 +199,24 @@ object Graph extends QueryModule {
        |  CROSS JOIN dg$k dg)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "graph_bfs" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT s AS src, p AS dst FROM pairs
+        |    UNION ALL
+        |    SELECT p AS src, s AS dst FROM pairs)),
+        |walk(node, dist) AS (
+        |  SELECT CAST(2 AS BIGINT) AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.dist < 10),
+        |best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+        |SELECT CAST(dist AS INT) AS dist, COUNT(*) AS cnt,
+        |  MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM best GROUP BY dist ORDER BY dist""".stripMargin,
     "graph_triangles" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),

@@ -494,6 +494,42 @@ object Joins extends QueryModule {
       ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""")
   }
 
+  /** SCD-2 temporal dimension join: facts join the dimension VERSION
+    * whose validity interval covers the fact's event date — the
+    * slowly-changing-dimension lookup every warehouse runs. The
+    * surrogate-key equi-join carries the shuffle (co-partitioned on
+    * custkey); the validity-range predicate rides as a residual
+    * filter inside the same join, so no interval machinery and no
+    * extra exchange — the right plan because SCD lookups always have
+    * the natural key, unlike pure interval joins (J-int). Dimension
+    * versions are derived deterministically (three epochs per
+    * customer with a custkey-dependent middle boundary, so version
+    * choice actually varies per key).
+    */
+  def joinScd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = T.t(s, dir, "customer").select($"c_custkey")
+    // epoch boundary shifts by key: 1994-01-01 + (custkey % 365) days
+    val dim = c.select($"c_custkey".as("d_custkey"),
+        expr("date_add(date'1994-01-01', cast(c_custkey % 365 as int))")
+          .as("mid"))
+      .select($"d_custkey", explode(array(
+        struct(lit("v1").as("ver"), to_date(lit("1992-01-01")).as("from"),
+          $"mid".as("to")),
+        struct(lit("v2").as("ver"), $"mid".as("from"),
+          to_date(lit("1997-01-01")).as("to")),
+        struct(lit("v3").as("ver"), to_date(lit("1997-01-01")).as("from"),
+          to_date(lit("1999-12-31")).as("to")))).as("w"))
+      .select($"d_custkey", $"w.ver", $"w.from", $"w.to")
+    val o = T.t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderdate", $"o_totalprice")
+    o.join(dim, $"o_custkey" === $"d_custkey" &&
+        $"o_orderdate" >= $"from" && $"o_orderdate" < $"to")
+      .groupBy($"ver")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"ver")
+  }
+
   /** SQL join-strategy HINTS: `/*+ MERGE(n) */` forces a sort-merge
     * join where the planner (and AQE) would broadcast the 25-row
     * nation side — the escape hatch for when the optimizer's
@@ -542,6 +578,7 @@ object Joins extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_match" -> (erMatch(_, _)),
     "sql_hints" -> (sqlHints(_, _)),
+    "join_scd" -> (joinScd(_, _)),
     "join_null_safe" -> (joinNullSafe(_, _)),
     "join_dpp" -> (joinDpp(_, _)),
     "join_lateral" -> (joinLateral(_, _)),
@@ -563,6 +600,23 @@ object Joins extends QueryModule {
     "pairs_group" -> (pairsGroup(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "join_scd" ->
+      s"""WITH mid AS (
+         |  SELECT c_custkey,
+         |    DATE '1994-01-01' + CAST(c_custkey % 365 AS INT) AS mid
+         |  FROM customer),
+         |dim AS (
+         |  SELECT c_custkey AS d_custkey, 'v1' AS ver,
+         |    DATE '1992-01-01' AS f, mid AS t FROM mid
+         |  UNION ALL
+         |  SELECT c_custkey, 'v2', mid, DATE '1997-01-01' FROM mid
+         |  UNION ALL
+         |  SELECT c_custkey, 'v3', DATE '1997-01-01', DATE '1999-12-31'
+         |  FROM mid)
+         |SELECT ver, COUNT(*) AS cnt, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders JOIN dim ON o_custkey = d_custkey
+         |  AND o_orderdate >= f AND o_orderdate < t
+         |GROUP BY ver ORDER BY ver""".stripMargin,
     "sql_hints" ->
       s"""SELECT n_name, COUNT(*) AS cnt, ${sqlDsum("c_acctbal")} AS sum_bal
          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -66,8 +66,36 @@ object Quality extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** Outlier census per segment: customers beyond mean ± 2σ of their
+    * segment's account balance. Mean and variance derive from exact
+    * DECIMAL sums (Σx, Σx² — one map-side aggregate), NOT the
+    * built-in stddev, whose partial-merge order varies run to run and
+    * can flip a row sitting exactly on the boundary (drift contract).
+    * The tiny per-segment stat row broadcasts back for the threshold
+    * pass — two scans total, no window.
+    */
+  def profileOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val c = T.t(s, dir, "customer").select($"c_mktsegment", $"c_acctbal")
+    val stats = c.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"c_acctbal".cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum(($"c_acctbal" * $"c_acctbal").cast(DecimalType(28, 4)))
+          .cast("double").as("sxx"))
+      .select($"c_mktsegment", $"n", ($"sx" / $"n").as("mean"),
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("sd"))
+    c.join(broadcast(stats), "c_mktsegment")
+      .groupBy($"c_mktsegment")
+      .agg(first($"n").as("n_rows"),
+        count(when($"c_acctbal" > $"mean" + lit(2) * $"sd" ||
+          $"c_acctbal" < $"mean" - lit(2) * $"sd", 1)).as("n_outliers"))
+      .orderBy($"c_mktsegment")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_check" -> (dqCheck(_, _)),
+    "profile_outliers" -> (profileOutliers(_, _)),
     "profile_histogram" -> (profileHistogram(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -93,6 +121,23 @@ object Quality extends QueryModule {
         |                     WHERE o.o_orderkey = l.l_orderkey))
         |    AS orphan_lineitem
         |FROM d""".stripMargin,
+    "profile_outliers" ->
+      """WITH stats AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS sxx
+        |  FROM customer GROUP BY c_mktsegment),
+        |st2 AS (
+        |  SELECT c_mktsegment, n, sx / n AS mean,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+        |  FROM stats)
+        |SELECT c.c_mktsegment, ANY_VALUE(s.n) AS n_rows,
+        |  COUNT(CASE WHEN c.c_acctbal > s.mean + 2 * s.sd
+        |              OR c.c_acctbal < s.mean - 2 * s.sd THEN 1 END)
+        |    AS n_outliers
+        |FROM customer c JOIN st2 s USING (c_mktsegment)
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "profile_histogram" ->
       """WITH mm AS (
         |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
