@@ -466,6 +466,48 @@ object StreamOps extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Streaming INTO a versioned table, exactly-once: each micro-batch
+    * lands as one manifest commit via foreachBatch, made IDEMPOTENT
+    * by the batchId==version invariant — a replayed batch (foreachBatch
+    * offers at-least-once) sees its version already committed and
+    * skips, so failure recovery never double-commits. The query
+    * drains a 4-file source one file per trigger and proves commits ==
+    * batches and content == source; StorageSpec pins the replay-skip
+    * half (a second checkpointed run commits nothing new).
+    */
+  def streamVersionedSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val st = graft.sources.GraftStorage(s)
+    val src = graft.Fixtures.ensure(dir, "stream_vsink_src") { p =>
+      T.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(4).write.mode("overwrite").parquet(p)
+    }
+    val outP = T.scratch(dir, "stream_versioned_sink")
+    val ckpt = outP + "_ckpt"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(outP).getFileSystem(hconf)
+    Seq(outP, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val schema = s.read.parquet(src).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // exactly-once: version n exists ⇔ batch n committed
+        if (!st.listVersions(outP).contains(id))
+          st.writeVersioned(batch, outP, append = id > 0): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    st.readVersioned(outP)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_union" -> (joinAsofUnion(_, _)),
     "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
@@ -482,7 +524,8 @@ object StreamOps extends QueryModule {
     "stream_join_outer" -> (streamJoinOuter(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_dedup_watermark" -> (streamDedupWatermark(_, _)),
-    "stream_versioned_source" -> (streamVersionedSource(_, _)))
+    "stream_versioned_source" -> (streamVersionedSource(_, _)),
+    "stream_versioned_sink" -> (streamVersionedSink(_, _)))
 
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
   // applies the same micros truncation as graft.T.events.
@@ -500,6 +543,11 @@ object StreamOps extends QueryModule {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "stream_versioned_sink" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     "stream_versioned_source" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
