@@ -145,6 +145,55 @@ object Dedup extends QueryModule {
     verifyPairs(s, candidates, t)
   }
 
+  /** PPJoin-style EXACT similarity join via prefix filtering — the
+    * deterministic complement to MinHash (which trades a ~1e-11 miss
+    * probability for bounded work): identical result contract, ZERO
+    * miss probability, and still no all-pairs comparison.
+    *
+    * The filter (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search"; Xiao et al., PPJoin): order every doc's shingles by one
+    * GLOBAL order and keep only the first |d| − ⌈τ·|d|⌉ + 1 as its
+    * prefix. Any pair with J ≥ τ must share a prefix token (the
+    * globally-smallest common token w lands in both prefixes: if w
+    * were outside a's prefix, all o common tokens would sit among a's
+    * last ⌈τ|a|⌉−1 tokens, but J ≥ τ forces o ≥ τ(|a|+|b|)/(1+τ) ≥
+    * τ|a| — contradiction), so the prefix inverted index generates a
+    * candidate superset and the exact-Jaccard verify keeps truth.
+    *
+    * Spark shape — three key-partitioned shuffles, no global rank
+    * materialization: the global order is the (df, tok) TUPLE sorted
+    * per doc (doc_id-partitioned window), never a row_number over the
+    * whole vocabulary — a single-partition window would be the 100 TB
+    * bottleneck. Rarest-first ordering keeps prefix postings short
+    * (a prefix token's posting list length drives candidate count).
+    * The |b| ≤ |a|/τ size filter prunes candidates before the verify
+    * join. At τ=0.5 the prefix is ~half of each doc's shingles, and
+    * hot (high-df) tokens are exactly the ones prefixes exclude.
+    */
+  def dedupPpjoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tau = 0.5
+    val t = shingleRows(T.t(s, dir, "documents")).localCheckpoint()
+    val sz = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // df join stays a shuffle join by design: the shingle vocabulary
+    // scales with the corpus (no broadcast hint — AQE may still pick
+    // one when the vocab is actually small)
+    val ranked = t.join(t.groupBy($"tok").agg(count(lit(1)).as("df")), "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
+    val prefix = ranked.join(sz, "doc_id")
+      .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
+      .select($"doc_id", $"tok", $"n")
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), "tok")
+      .filter($"a.doc_id" < $"b.doc_id" &&
+        $"a.n" >= lit(tau) * $"b.n" && $"b.n" >= lit(tau) * $"a.n")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    verifyPairs(s, candidates, t)
+  }
+
   /** Row type for the stateful LSH bucket stream. */
   case class BandRow(band: Int, bh: Long, doc_id: Long)
 
@@ -563,6 +612,7 @@ object Dedup extends QueryModule {
     "llm_dedup_exact" -> (dedupExact(_, _)),
     "llm_ngram_jaccard" -> (ngramJaccard(_, _)),
     "llm_dedup_near" -> (dedupNear(_, _)),
+    "llm_dedup_ppjoin" -> (dedupPpjoin(_, _)),
     "llm_dedup_incremental" -> (dedupIncremental(_, _)),
     "llm_dedup_stream" -> (dedupStream(_, _)),
     "llm_dedup_stream_ttl" -> (dedupStreamTtl(_, _)),
@@ -683,6 +733,7 @@ object Dedup extends QueryModule {
     // MinHash-LSH verified against exact Jaccard: same result set
     // (miss probability ~1e-7 at the observed 0.89+ similarities).
     "llm_dedup_near" -> exactPairsSql,
+    "llm_dedup_ppjoin" -> exactPairsSql,
     // Streaming-core candidates == batch LSH candidates (same buckets),
     // then the same exact-Jaccard verify → same oracle.
     "llm_dedup_stream" -> exactPairsSql,

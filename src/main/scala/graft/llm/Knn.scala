@@ -655,6 +655,33 @@ object Knn extends QueryModule {
     * this composes two verified plans; the DuckDB oracle composes the
     * same two SQL bodies.
     */
+  /** kNN CLASSIFIER evaluation — the standard embedding-space quality
+    * probe (a labeled holdout classified by its K nearest neighbors'
+    * majority vote): per true label, how many of the query vectors
+    * the corpus labels correctly. Composes the already-oracled
+    * neighbor operator (swap in the IVF variant at scale) with one
+    * label join and a deterministic vote — ties break toward the
+    * smaller label id, so both engines elect the same winner without
+    * any float comparison beyond the neighbor ranking itself.
+    */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lbl = T.t(s, dir, "embeddings").select($"vec_id", $"label")
+    val votes = knn(s, dir)
+      .join(lbl.select($"vec_id".as("nid"), $"label".as("nlabel")), "nid")
+      .groupBy($"qid", $"nlabel").agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"votes".desc, $"nlabel")))
+      .filter($"rn" === 1)
+      .select($"qid", $"nlabel".as("pred"))
+    pred.join(lbl.select($"vec_id".as("qid"), $"label"), "qid")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when($"pred" === $"label", 1L).otherwise(0L)).as("n_correct"))
+      .orderBy($"label")
+  }
+
   def knnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val brute = knn(s, dir).select($"qid", $"nid")
@@ -679,6 +706,7 @@ object Knn extends QueryModule {
     "llm_knn_ivfpq" -> (knnIvfPq(_, _)),
     "llm_knn" -> (knn(_, _)),
     "llm_knn_recall" -> (knnRecall(_, _)),
+    "llm_knn_classify" -> (knnClassify(_, _)),
     "llm_knn_lsh" -> (knnLsh(_, _)),
     "llm_knn_ivf" -> (knnIvf(_, _)),
     "llm_knn_ivf_stored" -> (knnIvfStored(_, _)),
@@ -961,6 +989,23 @@ object Knn extends QueryModule {
          |  CAST(COUNT(i.nid) AS BIGINT) * 1000000 // $K AS recall_ppm
          |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
          |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
+    "llm_knn_classify" ->
+      s"""WITH brute AS ($knnBruteSql),
+         |votes AS (
+         |  SELECT b.qid, e.label AS nlabel, COUNT(*) AS votes
+         |  FROM brute b JOIN embeddings e ON e.vec_id = b.nid
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT qid, nlabel AS pred FROM (
+         |    SELECT qid, nlabel, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY votes DESC, nlabel) AS rn
+         |    FROM votes) t
+         |  WHERE rn = 1)
+         |SELECT e.label, COUNT(*) AS n_queries,
+         |  CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+         |GROUP BY e.label ORDER BY e.label""".stripMargin,
     "llm_embed_centroids" ->
       """WITH e AS (
         |  SELECT label,

@@ -178,6 +178,40 @@ object Pipeline extends QueryModule {
     * epoch column rides into the training shuffle as metadata).
     * Summary per epoch: docs and token mass a trainer would consume.
     */
+  /** Global training-data SHUFFLE into N shards — the last step of
+    * every pretraining pipeline: break corpus locality (crawl order,
+    * domain clustering) so each shard is an unbiased sample and
+    * within-shard order is pseudorandom. Seeded and REPRODUCIBLE:
+    * shard = knuth(doc_id) mod N and the within-shard order is the
+    * hash order — pure integer arithmetic, so the same corpus always
+    * shuffles identically (resumable training, auditable mixes) and
+    * DuckDB replays it exactly (no rand(), which no oracle could
+    * check and no resume could trust). Physically ONE hash-partition
+    * exchange + in-partition sort (`repartition(shard)` +
+    * `sortWithinPartitions`), the layout a `partitionBy(shard)` sink
+    * then writes as N independent training files; the window
+    * row_number here only NAMES each row's position in that order
+    * (per-shard partitions, no global window).
+    */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 16
+    // Knuth multiplicative hash, kept in BIGINT range end-to-end
+    val h = (($"doc_id" + 1) * 2654435761L) % 4294967296L
+    val sharded = T.t(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
+      .withColumn("h", h)
+      .withColumn("shard", ($"h" % nShards).cast("int"))
+      .repartition(nShards, $"shard")
+      .sortWithinPartitions($"shard", $"h", $"doc_id")
+    sharded
+      .withColumn("ord", row_number().over(
+        Window.partitionBy($"shard").orderBy($"h", $"doc_id")))
+      .select($"shard", $"ord", $"doc_id", $"toks")
+      .orderBy($"shard", $"ord")
+  }
+
   def mixEpochs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = TextStats.quality(s, dir).select($"doc_id", $"score")
@@ -264,6 +298,7 @@ object Pipeline extends QueryModule {
     "llm_token_hist" -> (tokenHist(_, _)),
     "llm_domain_mix" -> (domainMix(_, _)),
     "llm_mix_epochs" -> (mixEpochs(_, _)),
+    "llm_shuffle_shards" -> (shuffleShards(_, _)),
     "llm_quality_cuts" -> (qualityCuts(_, _)),
     "llm_budget_select" -> (budgetSelect(_, _)),
     "llm_quality_buckets" -> (qualityBuckets(_, _)),
@@ -377,6 +412,16 @@ object Pipeline extends QueryModule {
          |  round(quantile_cont(score, 0.75), 6) AS p75,
          |  true AS p25_close, true AS p50_close, true AS p75_close
          |FROM q""".stripMargin,
+    "llm_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS toks,
+        |    ((doc_id + 1) * 2654435761) % 4294967296 AS h
+        |  FROM documents)
+        |SELECT CAST(h % 16 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 16
+        |    ORDER BY h, doc_id) AS INT) AS ord,
+        |  doc_id, CAST(toks AS BIGINT) AS toks
+        |FROM h ORDER BY shard, ord""".stripMargin,
     "llm_mix_epochs" ->
       s"""WITH q AS (SELECT doc_id, $scoreSql AS score FROM documents),
          |b AS (SELECT doc_id,

@@ -235,6 +235,46 @@ object TextStats extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** BM25 retrieval (Robertson/Spärck Jones, k1=1.2 b=0.75): score
+    * every document against a fixed term set and return the top 20 —
+    * the retrieval primitive a decontamination-by-search or
+    * RAG-curation pass runs at corpus scale. Dataflow is three
+    * doc-keyed aggregates and one broadcast of per-TERM stats (the
+    * query has O(terms) rows — broadcasting it is scale-correct,
+    * unlike broadcasting anything corpus-sized): tf per (doc, term),
+    * dl per doc, df per term; the score is a pure map expression over
+    * the joined rows. Determinism contract: idf's ln() rounds to 9
+    * first (the one libm-drift risk), the remaining IEEE mult/div
+    * chain is written with IDENTICAL parenthesization in both
+    * engines, per-term contribs round to 9 and sum exactly via
+    * DECIMAL(18,9) — same discipline as lm_score.
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val qterms = Seq("spark", "vector", "merge")
+    val tokRows = T.t(s, dir, "documents")
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+    val dl = tokRows.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("tt"))
+    val tf = tokRows.filter($"tok".isin(qterms: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib", round(
+        round(log(($"nd" - $"df" + 0.5) / ($"df" + 0.5) + 1), 9) *
+          ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * $"dl" /
+            ($"tt" * 1.0 / $"nd"))), 9))
+      .groupBy($"doc_id")
+      .agg(round(sum($"contrib".cast(DecimalType(18, 9)))
+        .cast(DoubleType), 6).as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+  }
+
   /** BPE-style pair statistics: the most frequent adjacent character
     * pairs within words — exactly the statistic one byte-pair-encoding
     * training iteration computes before merging its top pair
@@ -474,6 +514,7 @@ object TextStats extends QueryModule {
     "llm_winnow_pairs" -> (winnowPairs(_, _)),
     "llm_repetition" -> (repetition(_, _)),
     "llm_lm_score" -> (lmScore(_, _)),
+    "llm_bm25" -> (bm25(_, _)),
     "llm_bpe_pairs" -> (bpePairs(_, _)),
     "llm_bpe_train" -> (bpeTrain(_, _)),
     "llm_bpe_apply" -> (bpeApply(_, _)),
@@ -528,6 +569,29 @@ object TextStats extends QueryModule {
         |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) i)
         |SELECT pair, COUNT(*) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "llm_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS nd, SUM(dl) AS tt FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+        |  WHERE tok IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    round(round(ln((nd - df + 0.5) / (df + 0.5) + 1), 9)
+        |      * (tf * 2.2)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+        |        / (tt * 1.0 / nd))), 9) AS contrib
+        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN st)
+        |SELECT doc_id,
+        |  round(CAST(SUM(CAST(contrib AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |    AS score
+        |FROM c GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "llm_lm_score" ->
       """WITH big AS (
         |  SELECT doc_id, s.a AS w1, s.b AS w2 FROM (

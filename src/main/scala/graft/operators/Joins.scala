@@ -575,8 +575,71 @@ object Joins extends QueryModule {
       .orderBy($"c_nationkey")
   }
 
+  /** Scoped runtime-bloom-filter confs: the feature is on by default
+    * upstream but gated behind a 10 GB application-side scan
+    * threshold, so at fixture scale the injection never fires —
+    * scoping the threshold to 0 here exercises the real 100 TB plan
+    * (where lineitem clears 10 GB on its own) without perturbing any
+    * other query in the shared session. Same fresh-QueryExecution
+    * discipline as `withV2ParquetPushdown`: anything that must SEE
+    * the injected filter has to plan inside `body`.
+    */
+  private[graft] def withRuntimeBloomFilter[A](s: SparkSession)(body: => A): A = {
+    val pairs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10KB",
+      // injection targets SHUFFLE joins; at fixture scale the dim
+      // would broadcast and the probe would never plant
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The unresolved plan: selective dim filter (one quarter, one
+    * priority → ~1% of orders) against the full fact scan — the shape
+    * where Catalyst's `InjectRuntimeFilter` builds a Bloom filter
+    * from the filtered creation side and plants
+    * `bloom_filter_might_contain(l_orderkey)` INSIDE the fact scan's
+    * filters: fact rows that cannot join die map-side, before the
+    * shuffle — at 100 TB that's the difference between shuffling the
+    * whole fact table and shuffling ~1% of it. No join hint: the
+    * scoped `autoBroadcastJoinThreshold=-1` pins the shuffle join
+    * (injection targets shuffle joins; a broadcast application side
+    * would get the same pruning from the hash join itself).
+    */
+  private[graft] def runtimeFilterDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = T.t(s, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        $"o_orderdate" >= "1995-01-01" && $"o_orderdate" < "1995-04-01")
+    val l = T.t(s, dir, "lineitem")
+    o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Runtime (bloom) filter join — executes inside the conf scope
+    * (the result is the small per-shipmode rollup, so the collect is
+    * of the ANSWER, not the data); PlanQualitySpec pins the injected
+    * `bloom_filter_might_contain` in the optimized plan.
+    */
+  def joinRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = withRuntimeBloomFilter(s) {
+      val df = runtimeFilterDf(s, dir)
+      (df.collect(), df.schema)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_match" -> (erMatch(_, _)),
+    "join_runtime_filter" -> (joinRuntimeFilter(_, _)),
     "sql_hints" -> (sqlHints(_, _)),
     "join_scd" -> (joinScd(_, _)),
     "join_null_safe" -> (joinNullSafe(_, _)),
@@ -600,6 +663,14 @@ object Joins extends QueryModule {
     "pairs_group" -> (pairsGroup(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "join_runtime_filter" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |  AND o_orderdate >= DATE '1995-01-01'
+         |  AND o_orderdate < DATE '1995-04-01'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_scd" ->
       s"""WITH mid AS (
          |  SELECT c_custkey,

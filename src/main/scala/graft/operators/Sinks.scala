@@ -179,6 +179,40 @@ object Sinks extends QueryModule {
     * isolation — v0's numbers, read AFTER v1 committed, are
     * untouched by it (the v0 manifest never sees v1's files).
     */
+  /** Zero-copy CLONE (`GraftStorage.cloneVersioned`): shallow-clone
+    * the source's snapshot (manifest-only — no data bytes move), then
+    * APPEND a delta to the clone. The three summary rows prove the
+    * contract: clone@v0 equals the source snapshot, clone@v1 carries
+    * the divergent delta, and the source's latest version — read
+    * AFTER the clone diverged — is untouched. StorageSpec adds the
+    * physical half: the clone dir contains no `data/c0`, only the
+    * appended commit.
+    */
+  def sinkClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = T.scratch(dir, "sink_clone_src")
+    val dst = T.scratch(dir, "sink_clone_dst")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    st.writeVersioned(base, src)
+    st.cloneVersioned(src, dst)
+    st.writeVersioned(base.filter($"o_orderkey" % 10 === 0), dst,
+      append = true)
+    def snap(label: String, path: String, v: Long): DataFrame =
+      st.readVersioned(path, Some(v))
+        .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+        .select(lit(label).as("snap"), $"cnt", $"total")
+    snap("clone_v0", dst, 0)
+      .unionByName(snap("clone_v1", dst, 1))
+      .unionByName(snap("src_latest", src, 0))
+      .orderBy($"snap")
+  }
+
   def sinkVersioned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = T.scratch(dir, "sink_versioned_orders")
@@ -498,6 +532,7 @@ object Sinks extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_graft_format" -> (sinkGraftFormat(_, _)),
     "sink_upsert" -> (sinkUpsert(_, _)),
+    "sink_clone" -> (sinkClone(_, _)),
     "sink_versioned" -> (sinkVersioned(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
@@ -645,6 +680,20 @@ object Sinks extends QueryModule {
          |  GROUP BY 1)
          |ORDER BY prio_bucket LIMIT 20""".stripMargin,
     // v0 = orders, v1 = orders + the key%10 slice appended
+    "sink_clone" ->
+      s"""SELECT snap, cnt, total FROM (
+         |  SELECT 'clone_v0' AS snap, COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'clone_v1', COUNT(*), ${sqlDsum("o_totalprice")}
+         |  FROM (SELECT o_totalprice FROM orders
+         |        UNION ALL
+         |        SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 0)
+         |  UNION ALL
+         |  SELECT 'src_latest', COUNT(*), ${sqlDsum("o_totalprice")}
+         |  FROM orders)
+         |ORDER BY snap""".stripMargin,
     "sink_versioned" ->
       s"""SELECT version, cnt, total FROM (
          |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS cnt,

@@ -779,6 +779,38 @@ final case class GraftStorage(
   def compactVersioned(path: String, targetFiles: Int = 1): Long =
     writeVersioned(readVersioned(path).coalesce(targetFiles), path)
 
+  /** ZERO-COPY shallow clone (the CLONE TABLE of the lakehouse
+    * engines): publish the source snapshot's manifest as the target's
+    * v0 — no data bytes move at ANY table size; the clone is KBs of
+    * metadata referencing the source's immutable files. Because
+    * commits only ever ADD `data/c<N>` dirs under their own table,
+    * later writes to the clone land in the CLONE's directories and
+    * the two tables diverge independently — a 100 TB dev/test fork
+    * for free. Lifecycle caveat (same as Delta shallow clones):
+    * `vacuumVersioned` on the SOURCE can drop files a clone still
+    * references, so retention policy must span clones. Returns the
+    * clone's version (always 0).
+    */
+  def cloneVersioned(src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(src)
+    require(vs.nonEmpty, s"no versions committed under $src")
+    require(listVersions(dst).isEmpty,
+      s"clone target $dst already has committed versions")
+    val v = version.getOrElse(vs.last)
+    val files = manifestFiles(src, v)
+    val manifestDir = new Path(new Path(dst), "_manifest")
+    val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, ".v0.tmp")
+    val out = fs.create(tmp, true)
+    out.write(files.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, new Path(manifestDir, "v0"))
+    0L
+  }
+
   /** Row-level DELETE as a COPY-ON-WRITE commit: only the files that
     * actually contain matching rows are rewritten (their surviving
     * rows land in a fresh `data/c<N>` dir); every untouched file is

@@ -36,6 +36,15 @@ class LlmSpec extends AnyFunSuite {
       s"missing=${exactPairs -- lsh} extra=${lsh -- exactPairs}")
   }
 
+  test("prefix-filtered ppjoin returns exactly the exact-jaccard pairs, no all-pairs join") {
+    val pp = llm.Dedup.dedupPpjoin(spark, SF)
+    val plan = pp.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    assert(pairSet(pp) == exactPairs,
+      s"missing=${exactPairs -- pairSet(pp)} extra=${pairSet(pp) -- exactPairs}")
+  }
+
   test("simhash banding recovers most planted near-dup pairs") {
     val sim = pairSet(llm.Dedup.dedupSimhash(spark, SF))
     val recall = (sim & exactPairs).size.toDouble / exactPairs.size

@@ -57,6 +57,18 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter is injected into the fact scan side") {
+    operators.Joins.withRuntimeBloomFilter(spark) {
+      val df = operators.Joins.runtimeFilterDf(spark, SF)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"expected InjectRuntimeFilter to plant a bloom probe:\n${opt.take(3000)}")
+      // and the probe sits on the FACT (lineitem) branch, keyed by the
+      // join key — fact rows that cannot join die before the shuffle
+      assert(opt.contains("l_orderkey"), opt.take(2000))
+    }
+  }
+
   test("q10: top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(operators.TpchBattery.q10Returns(spark, SF))
     assert(p.contains("TakeOrderedAndProject"), p)

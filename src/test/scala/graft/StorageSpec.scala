@@ -891,6 +891,33 @@ class StorageSpec extends AnyFunSuite {
     assert(storage.readVersioned(out, Some(3)).count() == 13)
   }
 
+  test("cloneVersioned: zero data files copied; clone and source " +
+      "diverge independently") {
+    val src = T.scratch(SparkTestSession.SF01, "clone_src_spec")
+    val dst = T.scratch(SparkTestSession.SF01, "clone_dst_spec")
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    storage.writeVersioned(o, src)
+    assert(storage.cloneVersioned(src, dst) == 0L)
+    // the clone is manifest-only: no data directory of its own
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst, "data")))
+    assert(storage.readVersioned(dst).count() == o.count())
+    // divergence: append lands in the CLONE's data dir, source stays
+    storage.writeVersioned(o.limit(7), dst, append = true)
+    assert(storage.readVersioned(dst).count() == o.count() + 7)
+    assert(storage.readVersioned(src).count() == o.count())
+    assert(storage.listVersions(src) == Seq(0L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dst, "data/c1")))
+    // a second clone onto a used target refuses
+    intercept[IllegalArgumentException] {
+      storage.cloneVersioned(src, dst)
+    }
+  }
+
   test("format(\"graft\") versioned write + versionAsOf time travel; " +
       "SQL ngrams registered") {
     val out = T.scratch(SparkTestSession.SF01, "versioned_format_spec")
