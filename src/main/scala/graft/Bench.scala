@@ -50,8 +50,14 @@ object Bench {
     // cross-round comparisons. Pass count is explicit in the JSON so
     // rounds compare like-for-like.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 times a subset; the driver
+    // never sets it, so official rounds always run the full board
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def runAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

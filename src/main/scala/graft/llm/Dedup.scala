@@ -184,13 +184,25 @@ object Dedup extends QueryModule {
         Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
     val prefix = ranked.join(sz, "doc_id")
       .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
-      .select($"doc_id", $"tok", $"n")
+      .select($"doc_id", $"tok", $"df", $"pos", $"n")
+    // POSITION filter (the PPJoin refinement that pays for the exact
+    // verify): the globally smallest shared token w — provably inside
+    // both prefixes, and recoverable per pair as min(struct(df, tok,
+    // …)) — bounds the whole intersection: every other shared token
+    // sorts after w in BOTH docs, so o ≤ min(na−pa, nb−pb)+1. Pairs
+    // whose bound can't reach the τ-overlap ⌈τ(na+nb)/(1+τ)⌉ die
+    // here, BEFORE the verify join expands them by |doc| shingles.
     val candidates = prefix.as("a")
       .join(prefix.as("b"), "tok")
       .filter($"a.doc_id" < $"b.doc_id" &&
         $"a.n" >= lit(tau) * $"b.n" && $"b.n" >= lit(tau) * $"a.n")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(min(struct($"a.df".as("df"), $"tok",
+        $"a.pos".as("pa"), $"b.pos".as("pb"),
+        $"a.n".as("na"), $"b.n".as("nb"))).as("w"))
+      .filter(least($"w.na" - $"w.pa", $"w.nb" - $"w.pb") + 1 >=
+        ceil(lit(tau / (1 + tau)) * ($"w.na" + $"w.nb")))
+      .select($"doc_a", $"doc_b")
     verifyPairs(s, candidates, t)
   }
 

@@ -188,6 +188,25 @@ object Scans extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** DERIVED-expression pruning: `year(l_shipdate) = 1996` against
+    * the date-clustered table prunes files through the zone map even
+    * though no raw column comparison exists in the query — the
+    * FileIndex maps the file's [min,max] through any MONOTONE
+    * non-decreasing wrapper (year, trunc, date_trunc, monotone
+    * casts) and reuses the bounds logic. The everyday dashboard
+    * predicate shape that normally defeats min/max skipping.
+    * StorageSpec asserts the file count; same answer as a full scan.
+    */
+  def pruneZonemapYear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = zonemapPlannedFixture(s, dir)
+    graft.sources.GraftStorage(s).readPruned(out)
+      .filter(year($"l_shipdate") === 1996)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   private def zorderFixture(s: SparkSession, dir: String): String =
     graft.Fixtures.ensure(dir, "lineitem_zordered") { out =>
       graft.sources.GraftStorage(s).writeZOrdered(
@@ -557,6 +576,7 @@ object Scans extends QueryModule {
     "prune_text_tokens" -> (pruneTextTokens(_, _)),
     "prune_zorder" -> (pruneZorder(_, _)),
     "prune_zonemap_planned" -> (pruneZonemapPlanned(_, _)),
+    "prune_zonemap_year" -> (pruneZonemapYear(_, _)),
     "parse_badrecords" -> (parseBadrecords(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -675,5 +695,11 @@ object Scans extends QueryModule {
          |  ${sqlDsum("l_extendedprice")} AS sum_price
          |FROM lineitem
          |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "prune_zonemap_year" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE year(l_shipdate) = 1996
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -157,7 +157,105 @@ final class ZoneMapFileIndex(
         // min==null for an indexed column ⇒ the file has no non-null
         // values there, so IsNotNull matches nothing
         stats.get(a.name).forall { case (mn, _) => mn != null }
+      // DERIVED-expression pruning: for f MONOTONE NON-DECREASING in
+      // one indexed column (year(), trunc()/date_trunc(), monotone
+      // casts), f maps the file's [min,max] onto [f(min),f(max)] —
+      // so the same bounds logic decides `f(col) <cmp> lit` without
+      // any per-row work: `year(ship) = 1994` prunes a date-clustered
+      // table exactly like a raw range predicate. Periodic extractors
+      // (month, quarter, day) never match here — they are NOT
+      // monotone and would prune wrongly.
+      case EqualTo(MonotoneOf(f, a), l: Literal) => monoContains(stats, a, f, l)
+      case EqualTo(l: Literal, MonotoneOf(f, a)) => monoContains(stats, a, f, l)
+      case GreaterThan(MonotoneOf(f, a), l: Literal) => monoCmp(stats, a, f, l, hi = true, strict = true)
+      case GreaterThanOrEqual(MonotoneOf(f, a), l: Literal) => monoCmp(stats, a, f, l, hi = true, strict = false)
+      case LessThan(MonotoneOf(f, a), l: Literal) => monoCmp(stats, a, f, l, hi = false, strict = true)
+      case LessThanOrEqual(MonotoneOf(f, a), l: Literal) => monoCmp(stats, a, f, l, hi = false, strict = false)
+      case GreaterThan(l: Literal, MonotoneOf(f, a)) => monoCmp(stats, a, f, l, hi = false, strict = true)
+      case GreaterThanOrEqual(l: Literal, MonotoneOf(f, a)) => monoCmp(stats, a, f, l, hi = false, strict = false)
+      case LessThan(l: Literal, MonotoneOf(f, a)) => monoCmp(stats, a, f, l, hi = true, strict = true)
+      case LessThanOrEqual(l: Literal, MonotoneOf(f, a)) => monoCmp(stats, a, f, l, hi = true, strict = false)
+      case In(MonotoneOf(f, a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => monoContains(stats, a, f, v.asInstanceOf[Literal]))
       case _ => true
+    }
+
+  /** Matches f(col) when f is monotone non-decreasing in exactly one
+    * indexed attribute: year(), trunc(date)/date_trunc(ts) with a
+    * literal unit, threaded through monotone date/timestamp/numeric-
+    * widening casts (Spark resolves `year(ts_col)` as
+    * `Year(Cast(col AS DATE))`).
+    */
+  private object MonotoneOf {
+    private def attrOf(x: Expression): Option[AttributeReference] = x match {
+      case a: AttributeReference => Some(a)
+      case Cast(c, dt, _, _) if monotoneCast(c.dataType, dt) => attrOf(c)
+      case _ => None
+    }
+    private def monotoneCast(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      def datetime(t: DataType): Boolean = t match {
+        case DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      (from, to) match {
+        // all datetime↔datetime casts are monotone (a timezone shift
+        // is order-preserving; date widening/truncation likewise)
+        case (f, t) if datetime(f) && datetime(t) => true
+        case (f: NumericType, t: NumericType) => Cast.canUpCast(f, t)
+        case _ => false
+      }
+    }
+    def unapply(e: Expression): Option[(Expression, AttributeReference)] =
+      e match {
+        case Year(c) => attrOf(c).map((e, _))
+        case TruncDate(c, Literal(_, _)) => attrOf(c).map((e, _))
+        case TruncTimestamp(Literal(_, _), c, _) => attrOf(c).map((e, _))
+        case _ => None
+      }
+  }
+
+  /** [f(min), f(max)] for the file plus the literal, all as internal
+    * values under f's OUTPUT ordering; None (keep) when the column is
+    * unindexed, a bound is null, or f evaluates a bound to null.
+    */
+  private def monoBounds(stats: Map[String, (Any, Any)],
+      a: AttributeReference, f: Expression, l: Literal)
+      : Option[(Ordering[Any], Any, Any, Any)] =
+    stats.get(a.name) match {
+      case Some((mn, mx)) if mn != null && mx != null && l.value != null =>
+        val conv = CatalystTypeConverters.createToCatalystConverter(a.dataType)
+        def ev(v: Any): Any = f.transform {
+          case ar: AttributeReference if ar.name == a.name =>
+            Literal(conv(v), a.dataType)
+        }.eval(null)
+        val (fmn, fmx) = (ev(mn), ev(mx))
+        if (fmn == null || fmx == null) None
+        else Some((TypeUtils.getInterpretedOrdering(f.dataType)
+          .asInstanceOf[Ordering[Any]], fmn, fmx, l.value))
+      case _ => None
+    }
+
+  private def monoContains(stats: Map[String, (Any, Any)],
+      a: AttributeReference, f: Expression, l: Literal): Boolean =
+    monoBounds(stats, a, f, l) match {
+      case Some((ord, fmn, fmx, v)) =>
+        ord.compare(v, fmn) >= 0 && ord.compare(v, fmx) <= 0
+      case None => !nullLit(l)
+    }
+
+  /** hi=true: could f(col) exceed lit (checks f(max)); hi=false:
+    * could it fall below (checks f(min)).
+    */
+  private def monoCmp(stats: Map[String, (Any, Any)],
+      a: AttributeReference, f: Expression, l: Literal,
+      hi: Boolean, strict: Boolean): Boolean =
+    monoBounds(stats, a, f, l) match {
+      case Some((ord, fmn, fmx, v)) =>
+        val c = if (hi) ord.compare(fmx, v) else ord.compare(v, fmn)
+        if (strict) c > 0 else c >= 0
+      case None => !nullLit(l)
     }
 
   /** (ordering, internal min, internal max, internal literal) when the

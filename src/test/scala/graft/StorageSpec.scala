@@ -179,6 +179,42 @@ class StorageSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("zone map prunes derived monotone predicates: year() and date_trunc()") {
+    val out = T.scratch(SF, "zonemap_lineitem_planned")
+    val li = T.t(spark, SF, "lineitem")
+    if (!new java.io.File(out).exists())
+      storage.writeIndexed(li, out, "l_shipdate", "l_shipdate")
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .get.metrics("numFiles").value
+    }
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    // year() over the date-clustered key prunes like a raw range
+    val byYear = storage.readPruned(out).filter(year($"l_shipdate") === 1996)
+    assert(byYear.count() ==
+      spark.read.parquet(out).filter(year($"l_shipdate") === 1996).count())
+    assert(byYear.count() > 0)
+    assert(scanFiles(byYear) < allFiles)
+    // date_trunc equality on a month prunes too
+    val byMonth = storage.readPruned(out)
+      .filter(date_trunc("month", $"l_shipdate") ===
+        lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+    assert(byMonth.count() ==
+      spark.read.parquet(out).filter(date_trunc("month", $"l_shipdate") ===
+        lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))).count())
+    assert(scanFiles(byMonth) < allFiles)
+    // out-of-domain year → zero files
+    assert(storage.readPruned(out)
+      .filter(year($"l_shipdate") === 2035).count() == 0)
+    // PERIODIC extractor (month alone) must NOT prune — conservative keep
+    val byPeriodic = storage.readPruned(out)
+      .filter(month($"l_shipdate") === 6)
+    assert(byPeriodic.count() ==
+      spark.read.parquet(out).filter(month($"l_shipdate") === 6).count())
+  }
+
   test("zone-map read: empty overlap yields zero rows, missing sidecar full-scans") {
     val out = T.scratch(SF, "zonemap_lineitem")
     val nothing = storage.readIndexed(out, "l_shipdate",
