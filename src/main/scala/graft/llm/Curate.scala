@@ -272,6 +272,30 @@ object Curate extends QueryModule {
     * same expression both engines, the piiScrub pattern); the
     * normalized-text hash proves byte-identical cleaning.
     */
+  /** Canonical-URL dedup — the first dedup pass every web-scale
+    * pipeline runs BEFORE touching content (a URL census is free;
+    * shingling is not): synthesize each doc's source URL (mixed-case
+    * host + volatile tracking query), canonicalize with the CODEGEN
+    * `parse_url` built-in — lowercase the HOST, keep the PATH, drop
+    * the query string entirely (utm_* and session ids are exactly
+    * what makes raw-URL dedup useless) — and census the collision
+    * groups. Pure map + one hash agg; at 100 TB this is scan-speed.
+    */
+  def urlCanon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "documents")
+      .withColumn("url", concat(
+        lit("https://"), upper($"source"), lit(".Example.com/"),
+        $"lang", lit("/p"), ($"doc_id" % 50).cast("string"),
+        lit("?utm_source=feed&session="), $"doc_id".cast("string")))
+      .select($"doc_id", concat(
+        lower(expr("parse_url(url, 'HOST')")),
+        expr("parse_url(url, 'PATH')")).as("canon"))
+      .groupBy($"canon")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      .orderBy($"canon")
+  }
+
   def normalizeText(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val messy = concat(upper($"text"), lit("  !! "),
@@ -353,6 +377,7 @@ object Curate extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_normalize" -> (normalizeText(_, _)),
+    "llm_url_canon" -> (urlCanon(_, _)),
     "llm_ngram_novelty" -> (ngramNovelty(_, _)),
     "llm_chunk_overlap" -> (chunkOverlap(_, _)),
     "llm_decontam_bloom" -> (decontamBloom(_, _)),
@@ -381,6 +406,11 @@ object Curate extends QueryModule {
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 
   override def oracleSql: Map[String, String] = Map(
+    "llm_url_canon" ->
+      """SELECT lower(upper(source) || '.Example.com') || '/' || lang
+        |    || '/p' || CAST(doc_id % 50 AS VARCHAR) AS canon,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY canon""".stripMargin,
     "llm_normalize" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -206,6 +206,64 @@ object Dedup extends QueryModule {
     verifyPairs(s, candidates, t)
   }
 
+  /** PPJoin against a PERSISTED prefix index — the batch-ingest form
+    * of exact dedup at 100 TB: the corpus is indexed ONCE (prefix
+    * rows + frozen token-frequency order + shingles + sizes, all on
+    * disk) and each new batch probes it — no corpus rescan, no
+    * all-pairs, zero miss probability. The frozen order is the load-
+    * bearing subtlety: prefix filtering is correct under ANY total
+    * token order as long as BOTH sides use the SAME one, so the
+    * probe ranks batch tokens by the STORED df (unseen tokens get
+    * df=0 — consistent, since no corpus doc contains them), and
+    * corpus prefixes stay valid verbatim no matter how the true
+    * frequencies drift. Verification reads corpus shingles FROM THE
+    * INDEX. Same split contract as `llm_dedup_incremental` (corpus =
+    * ids ≤ max/2, batch = the rest), so it shares that oracle.
+    */
+  def dedupPpjoinStored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tau = 0.5
+    val docs = T.t(s, dir, "documents")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2
+    val idxDir = graft.Fixtures.ensure(dir, "ppjoin_index") { out =>
+      val ct = shingleRows(docs.filter($"doc_id" <= cut)).localCheckpoint()
+      val dfTab = ct.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val sz = ct.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      ct.join(dfTab, "tok")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
+        .join(sz, "doc_id")
+        .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
+        .select($"doc_id", $"tok", $"df", $"pos", $"n")
+        .write.mode("overwrite").parquet(s"$out/prefix")
+      ct.write.mode("overwrite").parquet(s"$out/shingles")
+      dfTab.write.mode("overwrite").parquet(s"$out/df")
+    }
+    val bt = shingleRows(docs.filter($"doc_id" > cut)).localCheckpoint()
+    val bsz = bt.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val bprefix = bt
+      .join(s.read.parquet(s"$idxDir/df"), Seq("tok"), "left_outer")
+      .withColumn("df", coalesce($"df", lit(0L)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
+      .join(bsz, "doc_id")
+      .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
+      .select($"doc_id", $"tok", $"df", $"pos", $"n")
+    val candidates = s.read.parquet(s"$idxDir/prefix").as("a")
+      .join(bprefix.as("b"), "tok")
+      .filter($"a.n" >= lit(tau) * $"b.n" && $"b.n" >= lit(tau) * $"a.n")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(min(struct($"a.df".as("df"), $"tok",
+        $"a.pos".as("pa"), $"b.pos".as("pb"),
+        $"a.n".as("na"), $"b.n".as("nb"))).as("w"))
+      .filter(least($"w.na" - $"w.pa", $"w.nb" - $"w.pb") + 1 >=
+        ceil(lit(tau / (1 + tau)) * ($"w.na" + $"w.nb")))
+      .select($"doc_a", $"doc_b")
+    verifyPairs(s, candidates,
+      s.read.parquet(s"$idxDir/shingles").unionByName(bt))
+  }
+
   /** Row type for the stateful LSH bucket stream. */
   case class BandRow(band: Int, bh: Long, doc_id: Long)
 
@@ -626,6 +684,7 @@ object Dedup extends QueryModule {
     "llm_dedup_near" -> (dedupNear(_, _)),
     "llm_dedup_ppjoin" -> (dedupPpjoin(_, _)),
     "llm_dedup_incremental" -> (dedupIncremental(_, _)),
+    "llm_dedup_ppjoin_stored" -> (dedupPpjoinStored(_, _)),
     "llm_dedup_stream" -> (dedupStream(_, _)),
     "llm_dedup_stream_ttl" -> (dedupStreamTtl(_, _)),
     "llm_dedup_simhash" -> (dedupSimhash(_, _)))
@@ -758,6 +817,11 @@ object Dedup extends QueryModule {
     // Incremental = the exact pair set restricted to corpus-side ×
     // new-side (doc_a ≤ cut < doc_b); same banding recall argument.
     "llm_dedup_incremental" ->
+      s"""SELECT * FROM ($exactPairsSql)
+         |WHERE doc_a <= (SELECT MAX(doc_id) // 2 FROM documents)
+         |  AND doc_b >  (SELECT MAX(doc_id) // 2 FROM documents)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_dedup_ppjoin_stored" ->
       s"""SELECT * FROM ($exactPairsSql)
          |WHERE doc_a <= (SELECT MAX(doc_id) // 2 FROM documents)
          |  AND doc_b >  (SELECT MAX(doc_id) // 2 FROM documents)

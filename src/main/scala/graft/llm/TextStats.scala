@@ -249,16 +249,16 @@ object TextStats extends QueryModule {
     * engines, per-term contribs round to 9 and sum exactly via
     * DECIMAL(18,9) — same discipline as lm_score.
     */
-  def bm25(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private[graft] val Bm25Terms = Seq("spark", "vector", "merge")
+
+  /** BM25 scoring core over term-frequency rows: shared by the scan
+    * path (`llm_bm25`) and the stored-index path (`llm_bm25_stored`),
+    * so both produce bit-identical scores and share one oracle.
+    */
+  private[graft] def bm25Score(tf: DataFrame, dl: DataFrame,
+      st: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val qterms = Seq("spark", "vector", "merge")
-    val tokRows = T.t(s, dir, "documents")
-      .select($"doc_id", explode(toks($"text")).as("tok"))
-    val dl = tokRows.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val st = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("tt"))
-    val tf = tokRows.filter($"tok".isin(qterms: _*))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    import tf.sparkSession.implicits._
     val dfq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfq), "tok")
       .join(dl, "doc_id")
@@ -273,6 +273,48 @@ object TextStats extends QueryModule {
         .cast(DoubleType), 6).as("score"))
       .orderBy($"score".desc, $"doc_id")
       .limit(20)
+  }
+
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokRows = T.t(s, dir, "documents")
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+    val dl = tokRows.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("tt"))
+    val tf = tokRows.filter($"tok".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, st)
+  }
+
+  /** BM25 served from a PERSISTED inverted index in the library's own
+    * indexed storage: term-frequency postings range-clustered on the
+    * term and covered by zone-map + Bloom sidecars, doc lengths and
+    * the corpus stats row alongside. The query's term filter prunes
+    * POSTING FILES through the sidecars before any row is read — at
+    * 100 TB a needle-term query touches the one file holding its
+    * posting list, the inverted-index access path expressed entirely
+    * through the storage layer (StorageSpec pins the file count).
+    * Scoring is the shared core, so the result — and the oracle — are
+    * identical to the scan-path `llm_bm25`.
+    */
+  def bm25Stored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = graft.Fixtures.ensure(dir, "bm25_index") { out =>
+      val tokRows = T.t(s, dir, "documents")
+        .select($"doc_id", explode(toks($"text")).as("tok"))
+      val st0 = graft.sources.GraftStorage(s)
+      st0.writeIndexed(
+        tokRows.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf")),
+        s"$out/tf", "tok", "tok")
+      st0.buildBloomIndex(s"$out/tf", Seq("tok"))
+      val dl = tokRows.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      dl.write.mode("overwrite").parquet(s"$out/dl")
+      dl.agg(count(lit(1)).as("nd"), sum($"dl").as("tt"))
+        .write.mode("overwrite").parquet(s"$out/st")
+    }
+    val tf = graft.sources.GraftStorage(s).readPruned(s"$idx/tf")
+      .filter($"tok".isin(Bm25Terms: _*))
+    bm25Score(tf, s.read.parquet(s"$idx/dl"), s.read.parquet(s"$idx/st"))
   }
 
   /** BPE-style pair statistics: the most frequent adjacent character
@@ -515,6 +557,7 @@ object TextStats extends QueryModule {
     "llm_repetition" -> (repetition(_, _)),
     "llm_lm_score" -> (lmScore(_, _)),
     "llm_bm25" -> (bm25(_, _)),
+    "llm_bm25_stored" -> (bm25Stored(_, _)),
     "llm_bpe_pairs" -> (bpePairs(_, _)),
     "llm_bpe_train" -> (bpeTrain(_, _)),
     "llm_bpe_apply" -> (bpeApply(_, _)),
@@ -549,6 +592,33 @@ object TextStats extends QueryModule {
   private def sqlHits(ws: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map("'" + _ + "'").mkString(", ")})))"
 
+  /** One BM25 oracle for both the scan and stored-index paths —
+    * the Spark sides share `bm25Score`, so scores are bit-identical.
+    */
+  private val bm25OracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS nd, SUM(dl) AS tt FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+      |  WHERE tok IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+      |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |c AS (
+      |  SELECT tf.doc_id,
+      |    round(round(ln((nd - df + 0.5) / (df + 0.5) + 1), 9)
+      |      * (tf * 2.2)
+      |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+      |        / (tt * 1.0 / nd))), 9) AS contrib
+      |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+      |  CROSS JOIN st)
+      |SELECT doc_id,
+      |  round(CAST(SUM(CAST(contrib AS DECIMAL(18,9))) AS DOUBLE), 6)
+      |    AS score
+      |FROM c GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "llm_corpus_summary" ->
       """SELECT source, COUNT(*) AS n_docs,
@@ -569,29 +639,8 @@ object TextStats extends QueryModule {
         |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS i) i)
         |SELECT pair, COUNT(*) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
-    "llm_bm25" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-        |st AS (SELECT COUNT(*) AS nd, SUM(dl) AS tt FROM dl),
-        |tf AS (
-        |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
-        |  WHERE tok IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
-        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-        |c AS (
-        |  SELECT tf.doc_id,
-        |    round(round(ln((nd - df + 0.5) / (df + 0.5) + 1), 9)
-        |      * (tf * 2.2)
-        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
-        |        / (tt * 1.0 / nd))), 9) AS contrib
-        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
-        |  CROSS JOIN st)
-        |SELECT doc_id,
-        |  round(CAST(SUM(CAST(contrib AS DECIMAL(18,9))) AS DOUBLE), 6)
-        |    AS score
-        |FROM c GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "llm_bm25_stored" -> bm25OracleSql,
+    "llm_bm25" -> bm25OracleSql,
     "llm_lm_score" ->
       """WITH big AS (
         |  SELECT doc_id, s.a AS w1, s.b AS w2 FROM (

@@ -93,12 +93,50 @@ object Quality extends QueryModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** JOIN-KEY skew census — the pre-flight check that decides salting
+    * / AQE-skew config before a big join ships: for each candidate
+    * key column, row count, distinct keys, the hottest key's count
+    * and its corpus share in ppm. Two-level aggregation per column
+    * (per-key counts map-side combined, then one global max/count
+    * roll-up), one row out per column — cost O(distinct keys), never
+    * O(rows²), and the integer-ppm share is drift-proof.
+    */
+  def dqSkew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = T.t(s, dir, "lineitem")
+    def census(keyCol: String): DataFrame =
+      l.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum($"c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max($"c").as("max_key_rows"))
+        .select(lit(keyCol).as("key_col"), $"n_rows", $"n_keys",
+          $"max_key_rows",
+          expr("max_key_rows * 1000000L div n_rows").as("top_share_ppm"))
+    census("l_orderkey")
+      .unionByName(census("l_partkey"))
+      .unionByName(census("l_suppkey"))
+      .unionByName(census("l_returnflag"))
+      .orderBy($"key_col")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_check" -> (dqCheck(_, _)),
+    "dq_skew" -> (dqSkew(_, _)),
     "profile_outliers" -> (profileOutliers(_, _)),
     "profile_histogram" -> (profileHistogram(_, _)))
 
+  private def skewCensusSql(c: String): String =
+    s"""SELECT '$c' AS key_col, CAST(SUM(cc) AS BIGINT) AS n_rows,
+       |  COUNT(*) AS n_keys, CAST(MAX(cc) AS BIGINT) AS max_key_rows,
+       |  CAST(MAX(cc) AS BIGINT) * 1000000
+       |    // CAST(SUM(cc) AS BIGINT) AS top_share_ppm
+       |FROM (SELECT $c AS k, COUNT(*) AS cc FROM lineitem GROUP BY 1)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "dq_skew" ->
+      s"""SELECT * FROM (
+         |${Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+            .map(skewCensusSql).mkString("\nUNION ALL\n")})
+         |ORDER BY key_col""".stripMargin,
     "dq_check" ->
       """WITH d AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

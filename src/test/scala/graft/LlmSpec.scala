@@ -36,6 +36,14 @@ class LlmSpec extends AnyFunSuite {
       s"missing=${exactPairs -- lsh} extra=${lsh -- exactPairs}")
   }
 
+  test("stored-index ppjoin matches the LSH incremental pairs exactly") {
+    // same cross-batch contract, opposite mechanisms (frozen-order
+    // prefix index on disk vs MinHash bands): pair sets must agree
+    val stored = pairSet(llm.Dedup.dedupPpjoinStored(spark, SF))
+    val lsh = pairSet(llm.Dedup.dedupIncremental(spark, SF))
+    assert(stored == lsh, s"missing=${lsh -- stored} extra=${stored -- lsh}")
+  }
+
   test("prefix-filtered ppjoin returns exactly the exact-jaccard pairs, no all-pairs join") {
     val pp = llm.Dedup.dedupPpjoin(spark, SF)
     val plan = pp.queryExecution.executedPlan.toString

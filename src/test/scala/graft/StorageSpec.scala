@@ -927,6 +927,23 @@ class StorageSpec extends AnyFunSuite {
     assert(storage.readVersioned(out, Some(3)).count() == 13)
   }
 
+  test("bm25 stored index: query terms prune posting files through " +
+      "the sidecars") {
+    // build through the same fixture the query uses
+    llm.TextStats.bm25Stored(spark, SparkTestSession.SF01).collect()
+    val idx = T.scratch(SparkTestSession.SF01, "bm25_index")
+    val pruned = storage.readPruned(s"$idx/tf")
+      .filter($"tok".isin(llm.TextStats.Bm25Terms: _*))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    val allFiles = spark.read.parquet(s"$idx/tf").inputFiles.length
+    assert(allFiles > 1, s"fixture should shard, got $allFiles file(s)")
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"${scan.metrics("numFiles").value} vs $allFiles")
+  }
+
   test("cloneVersioned: zero data files copied; clone and source " +
       "diverge independently") {
     val src = T.scratch(SparkTestSession.SF01, "clone_src_spec")
