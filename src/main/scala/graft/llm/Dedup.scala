@@ -220,13 +220,14 @@ object Dedup extends QueryModule {
     * INDEX. Same split contract as `llm_dedup_incremental` (corpus =
     * ids ≤ max/2, batch = the rest), so it shares that oracle.
     */
-  def dedupPpjoinStored(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val tau = 0.5
-    val docs = T.t(s, dir, "documents")
-    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2
-    val idxDir = graft.Fixtures.ensure(dir, "ppjoin_index") { out =>
+  private val PpjoinTau = 0.5
+
+  private def ppjoinIndexFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "ppjoin_index") { out =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.t(s, dir, "documents")
+      val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2
       val ct = shingleRows(docs.filter($"doc_id" <= cut)).localCheckpoint()
       val dfTab = ct.groupBy($"tok").agg(count(lit(1)).as("df"))
       val sz = ct.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -234,12 +235,24 @@ object Dedup extends QueryModule {
         .withColumn("pos", row_number().over(
           Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
         .join(sz, "doc_id")
-        .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
+        .filter($"pos" <= $"n" - ceil(lit(PpjoinTau) * $"n") + 1)
         .select($"doc_id", $"tok", $"df", $"pos", $"n")
         .write.mode("overwrite").parquet(s"$out/prefix")
       ct.write.mode("overwrite").parquet(s"$out/shingles")
       dfTab.write.mode("overwrite").parquet(s"$out/df")
     }
+
+  override def prepare(s: SparkSession, dir: String): Unit = {
+    ppjoinIndexFixture(s, dir); ()
+  }
+
+  def dedupPpjoinStored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tau = PpjoinTau
+    val docs = T.t(s, dir, "documents")
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2
+    val idxDir = ppjoinIndexFixture(s, dir)
     val bt = shingleRows(docs.filter($"doc_id" > cut)).localCheckpoint()
     val bsz = bt.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val bprefix = bt

@@ -297,9 +297,9 @@ object TextStats extends QueryModule {
     * Scoring is the shared core, so the result — and the oracle — are
     * identical to the scan-path `llm_bm25`.
     */
-  def bm25Stored(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val idx = graft.Fixtures.ensure(dir, "bm25_index") { out =>
+  private def bm25IndexFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "bm25_index") { out =>
+      import s.implicits._
       val tokRows = T.t(s, dir, "documents")
         .select($"doc_id", explode(toks($"text")).as("tok"))
       val st0 = graft.sources.GraftStorage(s)
@@ -312,6 +312,14 @@ object TextStats extends QueryModule {
       dl.agg(count(lit(1)).as("nd"), sum($"dl").as("tt"))
         .write.mode("overwrite").parquet(s"$out/st")
     }
+
+  override def prepare(s: SparkSession, dir: String): Unit = {
+    bm25IndexFixture(s, dir); ()
+  }
+
+  def bm25Stored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = bm25IndexFixture(s, dir)
     val tf = graft.sources.GraftStorage(s).readPruned(s"$idx/tf")
       .filter($"tok".isin(Bm25Terms: _*))
     bm25Score(tf, s.read.parquet(s"$idx/dl"), s.read.parquet(s"$idx/st"))

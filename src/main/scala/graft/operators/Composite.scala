@@ -4,6 +4,7 @@ import graft.{QueryModule, T}
 import graft.T.{dsum, sqlDsum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Composite / nested-data queries: multi-operator pipelines in one
   * plan (the workloads users actually run on the distributed
@@ -164,7 +165,38 @@ object Composite extends QueryModule {
       .orderBy($"event_type", $"bucket")
   }
 
+  /** RFM segmentation — the classic behavioral-cohort operator: per
+    * user over purchase events, Recency (whole days from the user's
+    * last purchase to the corpus max, integer epoch-second division —
+    * drift-proof), Frequency (purchase count) and Monetary (exact
+    * DECIMAL cents), each cut into quintiles by ntile(5) with a
+    * user_id tiebreak so both engines draw identical boundaries, then
+    * the (r, f, m) segment census. One user-keyed aggregate + three
+    * global-ordered ntile windows over the small per-user rollup —
+    * the windows run over |users| rows, not events, so the wide
+    * shuffle is the aggregate's, which AQE sizes.
+    */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = T.events(s, dir).filter($"event_type" === "purchase")
+    val perUser = p.groupBy($"user_id").agg(
+      max(unix_timestamp($"ts")).as("last_sec"),
+      count(lit(1)).as("freq"),
+      (sum($"value".cast(DecimalType(18, 2))) * 100).cast("long").as("cents"))
+    val rfm = perUser
+      .crossJoin(broadcast(p.agg(max(unix_timestamp($"ts")).as("max_sec"))))
+      .withColumn("rec_days", expr("(max_sec - last_sec) div 86400"))
+      .withColumn("r", ntile(5).over(Window.orderBy($"rec_days", $"user_id")))
+      .withColumn("f", ntile(5).over(Window.orderBy($"freq".desc, $"user_id")))
+      .withColumn("m", ntile(5).over(Window.orderBy($"cents".desc, $"user_id")))
+    rfm.groupBy($"r", $"f", $"m")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"r", $"f", $"m")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rfm" -> (eventsRfm(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "sink_nested" -> (sinkNested(_, _)),
     "events_funnel" -> (eventsFunnel(_, _)),
@@ -173,6 +205,23 @@ object Composite extends QueryModule {
     "events_resample" -> (eventsResample(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "events_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, MAX(sec) AS last_sec, COUNT(*) AS freq,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM p GROUP BY 1),
+        |mx AS (SELECT MAX(sec) AS max_sec FROM p),
+        |rfm AS (
+        |  SELECT user_id,
+        |    ntile(5) OVER (ORDER BY (max_sec - last_sec) // 86400, user_id) AS r,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+        |    ntile(5) OVER (ORDER BY cents DESC, user_id) AS m
+        |  FROM u CROSS JOIN mx)
+        |SELECT r, f, m, COUNT(*) AS n_users
+        |FROM rfm GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
     "events_resample" ->
       s"""WITH obs AS (
          |  SELECT event_type,

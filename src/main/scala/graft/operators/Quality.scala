@@ -118,8 +118,43 @@ object Quality extends QueryModule {
       .orderBy($"key_col")
   }
 
+  /** SNAPSHOT-DRIFT audit between two versions of a versioned table —
+    * the freshness/volume monitor a warehouse runs after every ingest:
+    * per group, row count at v0 vs v1 plus the integer delta. Reads
+    * resolve MANIFESTS only (time travel), so the audit
+    * never rescans history it doesn't need; the diff itself is one
+    * full-outer join of two small aggregates. Drifts ship as integer
+    * deltas (drift-proof). The fixture commits v0 = full orders and
+    * v1 = append of the key%10 slice, so expected deltas are known.
+    */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "dq_drift_versions")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base, out)
+    st.writeVersioned(base.filter($"o_orderkey" % 10 === 0), out,
+      append = true)
+    def snap(v: Long): DataFrame =
+      st.readVersioned(out, Some(v))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as(s"cnt_v$v"))
+    snap(0).join(snap(1), Seq("o_orderstatus"), "full_outer")
+      .select($"o_orderstatus",
+        coalesce($"cnt_v0", lit(0L)).as("cnt_v0"),
+        coalesce($"cnt_v1", lit(0L)).as("cnt_v1"),
+        (coalesce($"cnt_v1", lit(0L)) - coalesce($"cnt_v0", lit(0L)))
+          .as("cnt_delta"))
+      .orderBy($"o_orderstatus")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_check" -> (dqCheck(_, _)),
+    "dq_drift" -> (dqDrift(_, _)),
     "dq_skew" -> (dqSkew(_, _)),
     "profile_outliers" -> (profileOutliers(_, _)),
     "profile_histogram" -> (profileHistogram(_, _)))
@@ -132,6 +167,20 @@ object Quality extends QueryModule {
        |FROM (SELECT $c AS k, COUNT(*) AS cc FROM lineitem GROUP BY 1)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "dq_drift" ->
+      """WITH v0 AS (
+        |  SELECT o_orderstatus, COUNT(*) AS cnt_v0 FROM orders GROUP BY 1),
+        |v1 AS (
+        |  SELECT o_orderstatus, COUNT(*) AS cnt_v1 FROM (
+        |    SELECT o_orderstatus FROM orders
+        |    UNION ALL
+        |    SELECT o_orderstatus FROM orders WHERE o_orderkey % 10 = 0)
+        |  GROUP BY 1)
+        |SELECT o_orderstatus,
+        |  COALESCE(cnt_v0, 0) AS cnt_v0, COALESCE(cnt_v1, 0) AS cnt_v1,
+        |  COALESCE(cnt_v1, 0) - COALESCE(cnt_v0, 0) AS cnt_delta
+        |FROM v0 FULL OUTER JOIN v1 USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
     "dq_skew" ->
       s"""SELECT * FROM (
          |${Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
