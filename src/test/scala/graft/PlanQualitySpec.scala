@@ -69,6 +69,24 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle_shards: one hash-partition exchange, no global sort") {
+    val p = plan(llm.Pipeline.shuffleShards(spark, SF))
+    // the shard exchange + the window's own partitioning collapse to
+    // the SAME hashpartitioning(shard): reuse, not a second shuffle of
+    // the data (the final presentation orderBy is allowed its range
+    // exchange over the named rows)
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("bm25: per-term stats broadcast; corpus never shuffles for them") {
+    val p = plan(llm.TextStats.bm25(spark, SF))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("hashpartitioning(df"), "df table must broadcast")
+  }
+
   test("q10: top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(operators.TpchBattery.q10Returns(spark, SF))
     assert(p.contains("TakeOrderedAndProject"), p)
