@@ -194,7 +194,7 @@ object Joins extends QueryModule {
   }
 
   override def prepare(s: SparkSession, dir: String): Unit = {
-    bucketedTables(s, dir); dppFixture(s, dir)
+    bucketedTables(s, dir); dppFixture(s, dir); cboTables(s, dir); ()
   }
 
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
@@ -637,8 +637,80 @@ object Joins extends QueryModule {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** ANALYZE'd catalog tables for the CBO query — the statistics a
+    * real deployment maintains (`ANALYZE TABLE ... FOR ALL COLUMNS`:
+    * row counts + per-column min/max/ndv in the metastore).
+    */
+  private def cboTables(s: SparkSession, dir: String): (String, String) = {
+    val sfTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ot = s"orders_cbo_$sfTag"
+    val lt = s"lineitem_cbo_$sfTag"
+    graft.Fixtures.ensure(dir, "cbo_tables") { _ =>
+      // fresh session catalog, persistent warehouse dir: clear both
+      Seq(ot, lt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(wh, true)
+      }
+      T.t(s, dir, "orders").write.mode("overwrite").saveAsTable(ot)
+      T.t(s, dir, "lineitem").write.mode("overwrite").saveAsTable(lt)
+      s.sql(s"ANALYZE TABLE $ot COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql(s"ANALYZE TABLE $lt COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    (ot, lt)
+  }
+
+  /** Scoped cost-based-optimizer confs. The tiny broadcast threshold
+    * is the pivot of the demonstration: the UNFILTERED orders table
+    * sits above it (file-size estimate — no broadcast without
+    * stats), while CBO's FilterEstimation over the column min/max
+    * puts the date-filtered side well below it (≈2% selectivity ×
+    * rowCount × avg row width) — the stats, not the files, pick the
+    * broadcast. Same scope discipline as the runtime-filter confs.
+    */
+  private[graft] def withCbo[A](s: SparkSession)(body: => A): A = {
+    val pairs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096")
+    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private[graft] def cboDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ot, lt) = cboTables(s, dir)
+    s.table(ot)
+      .filter($"o_totalprice" < 5000.0)
+      .join(s.table(lt), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Cost-based join planning as an operator query — catalog
+    * statistics (the warehouse's ANALYZE output) inform the physical
+    * join choice; the answer is plan-independent and oracled.
+    * PlanQualitySpec pins the flip: broadcast WITH stats+CBO,
+    * shuffle join without.
+    */
+  def joinCboStats(s: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = withCbo(s) {
+      val df = cboDf(s, dir)
+      (df.collect(), df.schema)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_match" -> (erMatch(_, _)),
+    "join_cbo_stats" -> (joinCboStats(_, _)),
     "join_runtime_filter" -> (joinRuntimeFilter(_, _)),
     "sql_hints" -> (sqlHints(_, _)),
     "join_scd" -> (joinScd(_, _)),
@@ -663,6 +735,12 @@ object Joins extends QueryModule {
     "pairs_group" -> (pairsGroup(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "join_cbo_stats" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_totalprice < 5000.0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_runtime_filter" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price

@@ -57,6 +57,28 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("catalog stats + CBO flip the filtered-dim join to broadcast") {
+    operators.Joins.withCbo(spark) {
+      val p = plan(operators.Joins.cboDf(spark, SF))
+      assert(p.contains("BroadcastHashJoin"),
+        s"CBO filter estimation should pick broadcast:\n${p.take(3000)}")
+    }
+    // same query, same tiny threshold, CBO off: the file-size
+    // estimate is above threshold, so no broadcast — the STATS made
+    // the difference, not the data
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "4096")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = plan(operators.Joins.cboDf(spark, SF))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"without CBO the join must not broadcast:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter is injected into the fact scan side") {
     operators.Joins.withRuntimeBloomFilter(spark) {
       val df = operators.Joins.runtimeFilterDf(spark, SF)
