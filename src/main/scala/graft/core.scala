@@ -34,18 +34,33 @@ trait QueryModule {
   * requirements.
   */
 object Fixtures {
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One fixture's lazily-run builder. The lazy val's monitor is the
+    * per-fixture build lock.
+    */
+  private final class Cell(thunk: () => String) {
+    lazy val value: String = thunk()
+  }
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, Cell]()
 
   /** Returns the fixture's scratch path; `build(path)` runs exactly
     * once per JVM per (dir, name) (concurrent callers block until the
     * first build finishes).
+    *
+    * Two-phase on purpose: `computeIfAbsent` only INSTALLS the cell
+    * (no user code inside the map's lock) and the builder runs when
+    * the cell is forced OUTSIDE it — a builder that itself calls
+    * `ensure` for a sub-fixture (e.g. the gzip-ingest recipe reusing
+    * the gzip dump) re-enters the map safely. Running the builder
+    * inside computeIfAbsent dies with ConcurrentHashMap's "Recursive
+    * update" IllegalStateException whenever the nested insert lands
+    * mid-resize — a timing-dependent flake, seen once in a full-suite
+    * run.
     */
-  def ensure(dir: String, name: String)(build: String => Unit): String =
-    built.computeIfAbsent(s"$dir::$name", _ => {
-      val path = T.scratch(dir, name)
-      build(path)
-      path
-    })
+  def ensure(dir: String, name: String)(build: String => Unit): String = {
+    val path = T.scratch(dir, name)
+    built.computeIfAbsent(s"$dir::$name",
+      _ => new Cell(() => { build(path); path })).value
+  }
 }
 
 /** Table loaders + determinism helpers shared by all modules. */

@@ -411,16 +411,26 @@ object StreamOps extends QueryModule {
       }
     }
     val schema = s.read.parquet(src).schema
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
-      .writeStream.outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch((b: DataFrame, _: Long) => upsert(b))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the aggregation state has 5 keys: 32 state-store partitions ×
+    // 4 micro-batches is pure commit overhead. The partition count
+    // pins at checkpoint creation and the refresh starts from a fresh
+    // checkpoint every run, so scoping it down is safe — measured
+    // 6.7 → 4.2 s at sf0.1 with identical output.
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.get(spKey)
+    s.conf.set(spKey, "8")
+    try {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: DataFrame, _: Long) => upsert(b))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(spKey, prevSp)
     s.read.parquet(mvPath).orderBy(col("event_type"))
   }
 
