@@ -27,7 +27,6 @@ object GenScale {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,8 +86,9 @@ object GenScale {
       .select(t("documents").columns.map(col): _*)
     write(docs, "documents")
     write(shift(t("embeddings"), "vec_id" -> V), "embeddings")
-    // events.ts reads as LONG nanos (nanosAsLong) and is written back
-    // as BIGINT — T.events handles both encodings identically
+    // events.ts reads as TIMESTAMP_NTZ (Spark ≥4.1 surface for parquet
+    // NANOS) and is written back as micros NTZ — T.events dispatches on
+    // the loaded schema, so either encoding round-trips identically
     write(shift(t("events"), "event_id" -> E, "user_id" -> U), "events")
     spark.stop()
   }

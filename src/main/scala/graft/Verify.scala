@@ -20,7 +20,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -32,12 +31,17 @@ object Verify {
         System.err.println(s"[verify] prepare failed: ${e.getMessage}")
       }
     }
+    // Completeness ledger: a query that throws is recorded here and
+    // written to _errors.json — r03 lost 29 queries silently because
+    // the catch-and-continue below was the ONLY trace of a failure.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop blocks the query pinned (localCheckpoint/cache) so they
@@ -61,6 +65,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty {} when clean) so the absence of the file
+    // itself signals an aborted run, not a clean one.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] INCOMPLETE: ${errors.size} queries failed: " +
+          errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
 
 /** A named bundle of operator queries plus their DuckDB oracle SQL.
   *
@@ -72,15 +72,29 @@ object T {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table ships with parquet TIMESTAMP(NANOS), which the
-    * vectorized Spark reader rejects. Read nanos as long (legacy conf)
-    * and truncate to a micros timestamp — same truncation DuckDB's
-    * TIMESTAMP_NS→TIMESTAMP cast performs, so oracles stay aligned.
+  /** The events table ships with parquet TIMESTAMP(NANOS). How Spark
+    * surfaces that column depends on the running version, so dispatch
+    * on the LOADED schema rather than assuming one behavior:
+    *
+    *  - BIGINT (a session that still honors the removed
+    *    `spark.sql.legacy.parquet.nanosAsLong` conf): truncate the raw
+    *    nanos to a micros timestamp — the same truncation DuckDB's
+    *    TIMESTAMP_NS→TIMESTAMP cast performs.
+    *  - TIMESTAMP_NTZ (Spark ≥4.1 default for NANOS): cast to the
+    *    session-zone TimestampType. All graft sessions pin
+    *    `spark.sql.session.timeZone=UTC`, so the cast reinterprets the
+    *    wall-clock value at UTC — epoch-identical to the legacy
+    *    nanos-div-1000 arithmetic and to DuckDB's cast.
+    *  - TIMESTAMP: already what every consumer expects.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Scratch dir for sink round-trip queries — inside the repo target

@@ -25,6 +25,14 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Is this conf key registered in the running Spark's SQLConf?
+    * (private[sql] there). Version-drift gate: a conf the code sets
+    * that Spark no longer knows silently no-ops — the r03 events
+    * regression — so ContractSpec asserts every set key is known.
+    */
+  def isKnownSqlConf(key: String): Boolean =
+    org.apache.spark.sql.internal.SQLConf.containsConfigKey(key)
+
   /** Materialize the driver's StateStoreCoordinator RPC endpoint —
     * batch transformWithState runs on RocksDB, whose snapshot
     * reporter resolves this endpoint by URI; a streaming query

@@ -169,13 +169,38 @@ object Dedup extends QueryModule {
     * The |b| ≤ |a|/τ size filter prunes candidates before the verify
     * join. At τ=0.5 the prefix is ~half of each doc's shingles, and
     * hot (high-df) tokens are exactly the ones prefixes exclude.
+    *
+    * DF-SATURATION fallback: prefix filtering wins precisely because
+    * prefix tokens are rare. When a prefix token's df approaches the
+    * corpus size (tiny vocabularies, boilerplate-heavy corpora — the
+    * regime GenScale's 30-word vocab reaches at sf1), its posting
+    * list is O(N) and the candidate join degenerates to all-pairs:
+    * r03 measured 5.0× at 10× data from exactly this. The hybrid
+    * routes around it: prefix tokens with df ≤ cap (5% of the corpus)
+    * drive the EXACT inverted-index path unchanged, and the docs
+    * whose prefixes contain saturated tokens — the only docs a
+    * saturated token could have paired — fall back to banded MinHash
+    * candidates (16×2 bands, miss ≈1e-11, same contract as
+    * `llm_dedup_near`). The exactness argument survives for the rare
+    * path: the global order is df-ascending, so the smallest shared
+    * token w of a pair is saturated only if ALL its shared prefix
+    * tokens are; otherwise w is rare, the pair surfaces in the exact
+    * path, and the position filter's min(struct(df,…)) still
+    * recovers the true w. Saturated-only pairs carry the LSH
+    * guarantee instead of a proof — the price of not being O(N²).
     */
+  private val DfSatFrac = 0.05
+
   def dedupPpjoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val tau = 0.5
     val t = shingleRows(T.t(s, dir, "documents")).localCheckpoint()
     val sz = t.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // one metadata-sized scalar (corpus doc count) picks the df cap;
+    // sz is a hash-agg over checkpointed shingles, not a corpus rescan
+    val nDocs = sz.count()
+    val dfCap = math.max(64L, (DfSatFrac * nDocs).toLong)
     // df join stays a shuffle join by design: the shingle vocabulary
     // scales with the corpus (no broadcast hint — AQE may still pick
     // one when the vocab is actually small)
@@ -185,6 +210,8 @@ object Dedup extends QueryModule {
     val prefix = ranked.join(sz, "doc_id")
       .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
       .select($"doc_id", $"tok", $"df", $"pos", $"n")
+      .localCheckpoint()
+    val rare = prefix.filter($"df" <= dfCap)
     // POSITION filter (the PPJoin refinement that pays for the exact
     // verify): the globally smallest shared token w — provably inside
     // both prefixes, and recoverable per pair as min(struct(df, tok,
@@ -192,8 +219,8 @@ object Dedup extends QueryModule {
     // sorts after w in BOTH docs, so o ≤ min(na−pa, nb−pb)+1. Pairs
     // whose bound can't reach the τ-overlap ⌈τ(na+nb)/(1+τ)⌉ die
     // here, BEFORE the verify join expands them by |doc| shingles.
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"), "tok")
+    val candExact = rare.as("a")
+      .join(rare.as("b"), "tok")
       .filter($"a.doc_id" < $"b.doc_id" &&
         $"a.n" >= lit(tau) * $"b.n" && $"b.n" >= lit(tau) * $"a.n")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -203,6 +230,16 @@ object Dedup extends QueryModule {
       .filter(least($"w.na" - $"w.pa", $"w.nb" - $"w.pb") + 1 >=
         ceil(lit(tau / (1 + tau)) * ($"w.na" + $"w.nb")))
       .select($"doc_a", $"doc_b")
+    // Saturated regime: only docs whose prefix CONTAINS a saturated
+    // token can form a pair the exact path missed — band just those.
+    val satDocs = prefix.filter($"df" > dfCap).select($"doc_id").distinct()
+    val satBands = bandRows(minhashSigs(
+      t.join(satDocs, "doc_id")))
+    val candLsh = satBands.as("a")
+      .join(satBands.as("b"), Seq("band", "bh"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val candidates = candExact.unionByName(candLsh).distinct()
     verifyPairs(s, candidates, t)
   }
 
@@ -296,30 +333,15 @@ object Dedup extends QueryModule {
     * true multi-micro-batch file stream and asserts pair-set
     * equality with batch.
     */
-  def lshCandidatesCore(bands: DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val s = bands.sparkSession
-    import s.implicits._
-    bands.select($"band".cast("int"), $"bh", $"doc_id").as[BandRow]
-      .groupByKey(r => (r.band, r.bh))
-      .flatMapGroupsWithState[List[Long], (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state) =>
-          var members = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[(Long, Long)]
-          // sort within the invocation: deterministic emission no
-          // matter how rows landed in this micro-batch
-          rows.map(_.doc_id).toSeq.sorted.foreach { d =>
-            members.foreach { m =>
-              if (m != d) out += ((math.min(m, d), math.max(m, d)))
-            }
-            members ::= d
-          }
-          state.update(members)
-          out.result().iterator
-      }
-      .toDF("doc_a", "doc_b")
-  }
+  def lshCandidatesCore(bands: DataFrame): DataFrame =
+    // `transformWithState` edition (Spark 4's arbitrary-state API —
+    // flatMapGroupsWithState is the deprecated predecessor): the
+    // unbounded stream is the window processor with an unreachable
+    // window, so both stream variants share ONE audited processor.
+    // Window comparisons stay overflow-safe because doc_id deltas are
+    // |a−b| of same-sign longs in every fixture and deployment shape.
+    lshWindowCandidatesCore(bands, Long.MaxValue,
+      org.apache.spark.sql.streaming.TimeMode.None())
 
   /** Batch run of the streaming candidate core + exact verification —
     * identical result contract to llm_dedup_near (the candidate sets

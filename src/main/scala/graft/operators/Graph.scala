@@ -236,21 +236,29 @@ object Graph extends QueryModule {
 
   /** One unrolled power-iteration step in DuckDB SQL, mirroring the
     * integer-ppb arithmetic exactly.
+    *
+    * Every aggregate / arithmetic result is pinned with
+    * CAST(... AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT and
+    * newer versions widen `*`/`//` chains too, which changes the
+    * RESULT TYPE the driver hashes even when the values are identical
+    * to Spark's LongType (the sole hash-mismatch row in r03).
     */
   private def iterSql(k: Int): String =
     s"""c$k AS (
-       |  SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+       |  SELECT e.dst AS node,
+       |    CAST(SUM(r.rank // d.deg) AS BIGINT) AS inflow
        |  FROM e JOIN r${k - 1} r ON r.node = e.src
        |  JOIN deg d ON d.node = e.src
        |  GROUP BY e.dst),
        |dg$k AS (
-       |  SELECT COALESCE(SUM(r.rank), 0) AS dsum
+       |  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dsum
        |  FROM r${k - 1} r ANTI JOIN deg d ON d.node = r.node),
        |r$k AS (
        |  SELECT n.node,
-       |    (SELECT base FROM params) +
+       |    CAST((SELECT base FROM params) +
        |      (850 * (COALESCE(c.inflow, 0) +
-       |              dg.dsum // (SELECT n FROM params))) // 1000 AS rank
+       |              dg.dsum // (SELECT n FROM params))) // 1000
+       |      AS BIGINT) AS rank
        |  FROM nodes n LEFT JOIN c$k c ON c.node = n.node
        |  CROSS JOIN dg$k dg)""".stripMargin
 
@@ -310,15 +318,17 @@ object Graph extends QueryModule {
           |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
           |params AS (
           |  SELECT COUNT(*) AS n,
-          |    ((CAST(1000000000 AS BIGINT) * 15) // 100) // COUNT(*) AS base
+          |    CAST(((CAST(1000000000 AS BIGINT) * 15) // 100) // COUNT(*)
+          |         AS BIGINT) AS base
           |  FROM nodes),
           |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
           |r0 AS (
-          |  SELECT node, 1000000000 // (SELECT n FROM params) AS rank
+          |  SELECT node,
+          |    CAST(1000000000 // (SELECT n FROM params) AS BIGINT) AS rank
           |  FROM nodes),
           |""" +
         (1 to Iters).map(iterSql).mkString(",\n") +
         s"""
-          |SELECT node, rank AS rank_ppb FROM r$Iters
+          |SELECT node, CAST(rank AS BIGINT) AS rank_ppb FROM r$Iters
           |ORDER BY rank_ppb DESC, node LIMIT 100""").stripMargin)
 }

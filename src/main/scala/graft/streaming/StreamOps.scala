@@ -334,36 +334,55 @@ object StreamOps extends QueryModule {
   }
 
   /** Stateful streaming sequence packing: per-group running token
-    * offset carried in flatMapGroupsWithState; each doc is assigned
-    * the 512-token context window where it starts (Curate
-    * .packSequences semantics, incremental edition — the state is one
-    * Long per group, so a 1000-executor ingest keeps O(groups) state
-    * total). Docs are processed in doc_id order within each
-    * micro-batch; ordered file replay extends that across batches
-    * (StreamingSpec).
+    * offset carried as `transformWithState` ValueState (Spark 4's
+    * arbitrary-state API — flatMapGroupsWithState is the deprecated
+    * predecessor); each doc is assigned the 512-token context window
+    * where it starts (Curate.packSequences semantics, incremental
+    * edition — the state is one Long per group, so a 1000-executor
+    * ingest keeps O(groups) state total). Docs are processed in
+    * doc_id order within each micro-batch; ordered file replay
+    * extends that across batches (StreamingSpec).
     */
+  class PackOffsetProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var off: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      off = getHandle.getValueState[Long]("off",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(grp: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var o = if (off.exists()) off.get() else 0L
+      val out = rows.toSeq.sortBy(_._1).map { case (id, _, n) =>
+        val pack = o / 512
+        o += n
+        (grp, id, pack)
+      }
+      off.update(o)
+      out.iterator
+    }
+  }
+
   def packStreamCore(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // batch runs of transformWithState execute on RocksDB, whose
+    // snapshot reporter needs the driver endpoint materialized
+    org.apache.spark.sql.graftbridge.Bridge.ensureStateStoreCoordinator(s)
     val counted = docs
       .select(col("doc_id").cast(LongType), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("grp"),
         size(col("toks")).cast(LongType).as("n"))
       .as[(Long, Long, Long)]
     counted.groupByKey(_._2)
-      .flatMapGroupsWithState[Long, (Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (grp: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
-          var off = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(_._1).map { case (id, _, n) =>
-            val pack = off / 512
-            off += n
-            (grp, id, pack)
-          }
-          state.update(off)
-          out.iterator
-      }.toDF("grp", "doc_id", "pack")
+      .transformWithState(new PackOffsetProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("grp", "doc_id", "pack")
   }
 
   def streamPack(s: SparkSession, dir: String): DataFrame =

@@ -31,6 +31,27 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("every spark.sql conf the code sets exists in the running Spark") {
+    // Version-drift gate: r03 lost 29 queries because the code set
+    // `spark.sql.legacy.parquet.nanosAsLong`, a conf Spark 4.1.2 had
+    // removed — the set was silently ignored and every reader of its
+    // effect broke. Scan the source tree for conf-set sites and assert
+    // each spark.sql.* key is still registered in SQLConf, so the next
+    // conf removal turns the suite red instead of sailing through.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val setSite = """(?:\.config|conf\.set|\.set)\("(spark\.sql\.[A-Za-z0-9_.]+)"""".r
+    val keys = Files.walk(Paths.get("src")).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap(p => setSite.findAllMatchIn(Files.readString(p)).map(_.group(1)))
+      .toSet
+    assert(keys.nonEmpty, "conf scan found no set-sites — regex rotted?")
+    val unknown = keys.filterNot(
+      org.apache.spark.sql.graftbridge.Bridge.isKnownSqlConf)
+    assert(unknown.isEmpty,
+      s"confs set by code but unknown to this Spark (version drift): $unknown")
+  }
+
   for (name <- Seq("scan_reads", "llm_knn", "stream_session", "win_rank",
     "join_asof_native", "llm_dedup_clusters", "sink_nested", "agg_pivot")) {
     test(s"query $name is deterministic across runs") {

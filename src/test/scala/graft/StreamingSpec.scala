@@ -126,28 +126,34 @@ class StreamingSpec extends AnyFunSuite {
     // band rows written as 4 files, replayed one file per micro-batch:
     // bucket members arrive SPLIT across batches, so pair emission
     // exercises the cross-batch state path, not just the batch path.
-    val bands = llm.Dedup.bandRows(
-      llm.Dedup.minhashSigs(llm.Dedup.shingleRows(T.t(spark, SF, "documents"))))
-    val src = T.scratch(SF, "stream_lsh_bands")
-    bands.repartition(4).write.mode("overwrite").parquet(src)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-    val q = llm.Dedup.lshCandidatesCore(stream)
-      .writeStream.outputMode("append")
-      .format("memory").queryName("lsh_pairs_out")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val got = spark.table("lsh_pairs_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = bands.as("a")
-      .join(bands.as("b"), Seq("band", "bh"))
-      .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id", $"b.doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == want)
-    assert(got.nonEmpty)
+    // transformWithState streams require the RocksDB provider.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bands = llm.Dedup.bandRows(
+        llm.Dedup.minhashSigs(llm.Dedup.shingleRows(T.t(spark, SF, "documents"))))
+      val src = T.scratch(SF, "stream_lsh_bands")
+      bands.repartition(4).write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = llm.Dedup.lshCandidatesCore(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("lsh_pairs_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("lsh_pairs_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bands.as("a")
+        .join(bands.as("b"), Seq("band", "bh"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally spark.conf.unset(providerKey)
   }
 
   test("TTL-bounded streaming LSH dedup: windowed pairs match batch, subset of unbounded") {
@@ -548,17 +554,23 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(streamDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir)
-    val q = streaming.StreamOps.packStreamCore(stream)
-      .writeStream.outputMode("append")
-      .format("memory").queryName("pack_out")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val got = spark.table("pack_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val want = streaming.StreamOps.streamPack(spark, SF)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == want)
+    // transformWithState streams require the RocksDB provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = streaming.StreamOps.packStreamCore(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("pack_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("pack_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = streaming.StreamOps.streamPack(spark, SF)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally spark.conf.unset(providerKey)
   }
 
   test("streaming session window counts match batch sessionization") {
