@@ -54,5 +54,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => FoldSelfCosine)
     e.injectOptimizerRule(_ => plans.BinnedIntervalRule)
     e.injectOptimizerRule(_ => plans.MaterializedViewRule)
+
+    // SQL time travel over the versioned storage format — the TVF
+    // surface of the lakehouse engines (`SELECT ... FROM
+    // graft_versioned('/t', 0)`), resolved at analysis time to the
+    // manifest-pinned snapshot relation. Omitting the version reads
+    // latest. The path/version must be literals: the manifest resolve
+    // happens during analysis, there is no row context to evaluate in.
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_versioned"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_versioned"),
+      (exprs: Seq[Expression]) => {
+        val path = GraftExtensions.literalString(exprs.head, "graft_versioned")
+        val version = exprs.lift(1).map(e =>
+          GraftExtensions.literalLong(e, "graft_versioned"))
+        sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
+          .readVersioned(path, version).queryExecution.analyzed
+      }))
+    // Snapshot inventory TVF: `SELECT * FROM graft_files('/t')` →
+    // (version, file, bytes) per manifest entry — metadata-rate at
+    // any table size (manifests, not listings of data).
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_files"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_files"),
+      (exprs: Seq[Expression]) => {
+        val path = GraftExtensions.literalString(exprs.head, "graft_files")
+        sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
+          .filesVersioned(path).queryExecution.analyzed
+      }))
+  }
+}
+
+object GraftExtensions {
+  private def literalString(e: Expression, fn: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be a string literal, got $other")
+  }
+
+  private def literalLong(e: Expression, fn: String): Long = e match {
+    case Literal(v, org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType) if v != null =>
+      v.toString.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: version must be an integer literal, got $other")
   }
 }

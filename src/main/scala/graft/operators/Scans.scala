@@ -524,6 +524,64 @@ object Scans extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** S7 content-sniffed `.gz` — the reference's
+    * BGZFEnhancedGzipCodec.java:63-102 case: BGZF is valid gzip and
+    * producers ship it under a misleading `.gz` extension, so the
+    * reader must dispatch on CONTENT per file. The fixture is one
+    * directory holding BOTH kinds — even-orderkey lines BGZF-framed
+    * but renamed `.gz`, odd-orderkey lines true single-member gzip —
+    * and `readGzTextSniffed` must split the first kind while giving
+    * the second file-grain tasks, with the union covering orders
+    * exactly once (the oracle certifies that).
+    */
+  private def gzSniffFixture(s: SparkSession, dir: String): String =
+    graft.Fixtures.ensure(dir, "orders_gz_mixed") { out =>
+      import s.implicits._
+      import org.apache.hadoop.fs.Path
+      val lines = T.t(s, dir, "orders")
+        .select($"o_orderkey",
+          concat_ws(",", $"o_orderkey", $"o_orderpriority",
+            $"o_totalprice").as("value"))
+      val evenTmp = out + ".bgzf_tmp"
+      val oddTmp = out + ".gz_tmp"
+      graft.sources.GraftStorage(s).writeBgzfText(
+        lines.filter($"o_orderkey" % 2 === 0).select($"value")
+          .repartition(2),
+        evenTmp, blockInput = 4 * 1024)
+      lines.filter($"o_orderkey" % 2 === 1).select($"value")
+        .repartition(2)
+        .write.mode("overwrite").option("compression", "gzip").text(oddTmp)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new Path(out).getFileSystem(conf)
+      fs.mkdirs(new Path(out))
+      def moveIn(tmp: String, suffix: String, rename: String => String): Unit = {
+        fs.listStatus(new Path(tmp)).toSeq
+          .filter(f => f.isFile && f.getLen > 0 &&
+            f.getPath.getName.endsWith(suffix) &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            fs.rename(f.getPath,
+              new Path(out, rename(f.getPath.getName))): Unit
+          }
+        fs.delete(new Path(tmp), true): Unit
+      }
+      // BGZF shards take the misleading plain-gz name
+      moveIn(evenTmp, ".bgz", n => "bgzf-" + n.stripSuffix(".bgz") + ".gz")
+      moveIn(oddTmp, ".gz", n => "plain-" + n)
+    }
+
+  def scanTextGzSniff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = gzSniffFixture(s, dir)
+    val lines = graft.sources.GraftStorage(s)
+      .readGzTextSniffed(out, targetSplitBytes = 16 * 1024)
+    s.read.schema(gzOrdersSchema).csv(lines)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** S4 columnar breadth: ORC source round trip — the second
     * stats-indexed columnar container Spark ships (stripe/row-group
     * min-max indexes play the parquet-footer role). Pushdown +
@@ -552,7 +610,7 @@ object Scans extends QueryModule {
     zonemapFixture(s, dir); zonemapPlannedFixture(s, dir)
     badlinesFixture(s, dir); jsonFixture(s, dir); gzipFixture(s, dir)
     zorderFixture(s, dir); orcFixture(s, dir); bloomFixture(s, dir)
-    gzipIngestFixture(s, dir); bgzfFixture(s, dir)
+    gzipIngestFixture(s, dir); bgzfFixture(s, dir); gzSniffFixture(s, dir)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -565,6 +623,7 @@ object Scans extends QueryModule {
     "scan_text_gzip" -> (scanTextGzip(_, _)),
     "ingest_gzip_parquet" -> (ingestGzipParquet(_, _)),
     "scan_text_bgzf" -> (scanTextBgzf(_, _)),
+    "scan_text_gz_sniff" -> (scanTextGzSniff(_, _)),
     "parse_project" -> (parseProject(_, _)),
     "scan_variants" -> (scanVariants(_, _)),
     "scan_multifile_union" -> (scanMultifileUnion(_, _)),
@@ -592,6 +651,10 @@ object Scans extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "scan_text_bgzf" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scan_text_gz_sniff" ->
       s"""SELECT o_orderpriority, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

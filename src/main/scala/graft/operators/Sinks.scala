@@ -232,6 +232,43 @@ object Sinks extends QueryModule {
     snap(0).unionByName(snap(1)).orderBy($"version")
   }
 
+  /** SQL time travel — the versioned format surfaced to pure-SQL
+    * users through the injected `graft_versioned(path[, version])`
+    * table function ([[graft.GraftExtensions]]): version pinning
+    * happens at ANALYSIS time by manifest resolve, so each TVF
+    * reference is an independent snapshot relation and one statement
+    * can join a table to its own past (the audit/drift query shape).
+    * The oracle replays both snapshots from orders, certifying that
+    * SQL-surface time travel reads exactly what the API surface
+    * wrote.
+    */
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sql_time_travel")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    st.writeVersioned(base, out)
+    st.writeVersioned(base.filter($"o_orderkey" % 10 === 0), out,
+      append = true)
+    s.sql(
+      s"""SELECT v1.o_orderpriority,
+         |  v1.cnt AS cnt_v1, v0.cnt AS cnt_v0,
+         |  v1.total AS total_v1
+         |FROM (SELECT o_orderpriority, COUNT(*) AS cnt,
+         |        ${T.sqlDsum("o_totalprice")} AS total
+         |      FROM graft_versioned('$out', 1)
+         |      GROUP BY o_orderpriority) v1
+         |JOIN (SELECT o_orderpriority, COUNT(*) AS cnt
+         |      FROM graft_versioned('$out', 0)
+         |      GROUP BY o_orderpriority) v0
+         |  ON v1.o_orderpriority = v0.o_orderpriority
+         |ORDER BY v1.o_orderpriority""".stripMargin)
+  }
+
   /** Compaction commit on a versioned table: v0 = 8-file write, v1 =
     * append, v2 = OPTIMIZE (2 files). The query reads v1 and v2 —
     * identical aggregates prove the rewrite lossless; StorageSpec
@@ -534,6 +571,7 @@ object Sinks extends QueryModule {
     "sink_upsert" -> (sinkUpsert(_, _)),
     "sink_clone" -> (sinkClone(_, _)),
     "sink_versioned" -> (sinkVersioned(_, _)),
+    "sql_time_travel" -> (sqlTimeTravel(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
     "sink_versioned_update" -> (sinkVersionedUpdate(_, _)),
@@ -706,6 +744,22 @@ object Sinks extends QueryModule {
          |        UNION ALL
          |        SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 0))
          |ORDER BY version""".stripMargin,
+    "sql_time_travel" ->
+      s"""SELECT v1.o_orderpriority,
+         |  v1.cnt AS cnt_v1, v0.cnt AS cnt_v0,
+         |  v1.total AS total_v1
+         |FROM (SELECT o_orderpriority, COUNT(*) AS cnt,
+         |        ${sqlDsum("o_totalprice")} AS total
+         |      FROM (SELECT o_orderpriority, o_totalprice FROM orders
+         |            UNION ALL
+         |            SELECT o_orderpriority, o_totalprice FROM orders
+         |            WHERE o_orderkey % 10 = 0)
+         |      GROUP BY o_orderpriority) v1
+         |JOIN (SELECT o_orderpriority, COUNT(*) AS cnt
+         |      FROM orders
+         |      GROUP BY o_orderpriority) v0
+         |  ON v1.o_orderpriority = v0.o_orderpriority
+         |ORDER BY v1.o_orderpriority""".stripMargin,
     "sink_upsert" ->
       s"""WITH base AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

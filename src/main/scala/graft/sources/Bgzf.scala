@@ -133,6 +133,17 @@ object Bgzf {
     bsize
   }
 
+  /** Content sniff: is the stream positioned at a BGZF block? BGZF is
+    * valid gzip, so the EXTENSION cannot distinguish it — the
+    * reference's BGZFEnhancedGzipCodec.java:63-102 makes the same
+    * call by inspecting the first member's FEXTRA "BC" subfield.
+    * Reads at most one header; any structural violation (plain gzip,
+    * truncated file, not gzip at all) means "no".
+    */
+  def sniffBgzf(in: java.io.DataInput): Boolean =
+    try { readHeader(in); true }
+    catch { case _: java.io.IOException | _: IllegalArgumentException => false }
+
   /** Walk the BSIZE chain: offsets of every block in the file,
     * header-reads + seeks only (18 B per block — metadata-rate, the
     * same cost profile as the reference's .gzi/SBI index walk).

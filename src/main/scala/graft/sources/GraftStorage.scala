@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** User-facing storage facade — the Spark-native counterpart of the
@@ -770,6 +770,25 @@ final case class GraftStorage(
     new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
   }
 
+  /** Snapshot inventory of a versioned table — (version, file,
+    * bytes) per manifest entry, the DESCRIBE HISTORY / `.files`
+    * introspection surface of the lakehouse engines. Strictly
+    * metadata-rate: manifests are KBs at any table size and the
+    * per-file status calls touch only the namenode/object-store
+    * listing path, never data bytes. Also the relation behind the
+    * `graft_files('path')` SQL table function ([[graft.GraftExtensions]]).
+    */
+  def filesVersioned(path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = listVersions(path).flatMap { v =>
+      manifestFiles(path, v).map { f =>
+        (v, f, fs.getFileStatus(new Path(f)).getLen)
+      }
+    }
+    spark.createDataFrame(rows).toDF("version", "file", "bytes")
+  }
+
   /** OPTIMIZE for versioned tables: rewrite the latest snapshot into
     * `targetFiles` files as a NEW overwrite commit — readers of every
     * historical version are untouched (their manifests still point at
@@ -1461,6 +1480,90 @@ final case class GraftStorage(
     spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
   }
 
+  /** S7 sniffing complement — foreign `.gz` directories, the case the
+    * decompress-once recipe (`ingestGzipText`) does not cover on FIRST
+    * touch. BGZF is valid gzip, so producers routinely ship it with a
+    * misleading `.gz` extension; the reference dispatches on CONTENT,
+    * not suffix (BGZFEnhancedGzipCodec.java:63-102 probes the first
+    * member's FEXTRA "BC" subfield). Same policy here, per file, in a
+    * distributed metadata pass:
+    *
+    *   - sniffs BGZF → the splittable block-chain path
+    *     (`readBgzfLines` internals): one fat shard fans out to
+    *     ~`splitSize` tasks;
+    *   - plain gzip → one whole-file task (the container admits no
+    *     better; java.util.zip handles concatenated members), so a
+    *     directory of shards still gets file-grain parallelism.
+    *
+    * Worst case equals Spark's built-in gzip text read; best case
+    * equals the BGZF split read — strictly dominant, which is why the
+    * reference installs its codec globally. Returns raw lines; feed
+    * `spark.read.schema(...).csv(ds)` for typed parsing.
+    */
+  def readGzTextSniffed(path: String,
+      targetSplitBytes: Long = 0L): org.apache.spark.sql.Dataset[String] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getLen > 0 &&
+        (f.getPath.getName.endsWith(".gz") ||
+          f.getPath.getName.endsWith(".gzip") ||
+          f.getPath.getName.endsWith(".bgz")) &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.toString)
+      .map(f => (f.getPath.toString, f.getLen))
+    val target = if (targetSplitBytes > 0) targetSplitBytes
+      else splitSize.getOrElse(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
+    val confMap = confSnapshot()
+    val sc = spark.sparkContext
+    // One distributed pass sniffs AND (for BGZF) walks the block
+    // chain — header reads + seeks, metadata-rate; the collect is
+    // O(splits), never data-sized.
+    val units = sc.parallelize(files, math.max(1, files.size))
+      .flatMap { case (f, len) =>
+        val c = GraftStorage.restoreConfStatic(confMap)
+        val p = new Path(f)
+        val in = p.getFileSystem(c).open(p)
+        try {
+          if (Bgzf.sniffBgzf(in))
+            Bgzf.splitsOf(f, Bgzf.blockOffsets(in, len), len, target)
+              .map(Right(_))
+          else Seq(Left(f))
+        } finally in.close()
+      }.collect().toSeq
+    val bgzfSplits = units.collect { case Right(s) => s }
+    val plainFiles = units.collect { case Left(f) => f }
+    val bgzfLines =
+      if (bgzfSplits.isEmpty) spark.emptyDataset(Encoders.STRING)
+      else spark.createDataset(
+        sc.parallelize(bgzfSplits, bgzfSplits.size)
+          .flatMap(s => Bgzf.linesForSplit(GraftStorage.restoreConfStatic(confMap), s)))(
+        Encoders.STRING)
+    val plainLines =
+      if (plainFiles.isEmpty) spark.emptyDataset(Encoders.STRING)
+      else spark.createDataset(
+        sc.parallelize(plainFiles, plainFiles.size).flatMap { f =>
+          val c = GraftStorage.restoreConfStatic(confMap)
+          val p = new Path(f)
+          val raw = p.getFileSystem(c).open(p)
+          val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+            new java.util.zip.GZIPInputStream(raw), "UTF-8"))
+          new Iterator[String] {
+            private var nxt = rd.readLine()
+            override def hasNext: Boolean = {
+              if (nxt == null) rd.close(); nxt != null
+            }
+            override def next(): String = {
+              val v = nxt; nxt = rd.readLine(); v
+            }
+          }
+        })(Encoders.STRING)
+    bgzfLines.union(plainLines)
+  }
+
   /** Write with disq-style option resolution
     * (HtsjdkReadsRddStorage.java:187-229): cardinality SINGLE →
     * one-file commit; MULTIPLE → sharded dir; optional partition
@@ -1525,6 +1628,17 @@ private[graft] final class BloomStringAgg(expected: Long, fpp: Double)
 }
 
 object GraftStorage {
+  /** Rebuild a Hadoop Configuration from a snapshot Map INSIDE a
+    * task. Lives on the companion so closures capture only the Map,
+    * never the session-bound GraftStorage instance.
+    */
+  private[sources] def restoreConfStatic(m: Map[String, String])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Sidecar `col` prefix marking a TOKENIZED text Bloom (filter over
     * the space-separated tokens of `<col>`, not its whole values).
     * The FileIndex consults these for

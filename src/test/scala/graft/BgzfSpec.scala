@@ -125,4 +125,56 @@ class BgzfSpec extends AnyFunSuite {
     assert(parsed.agg(sum($"o_orderkey")).head().getLong(0) ==
       T.t(spark, SF, "orders").agg(sum($"o_orderkey")).head().getLong(0))
   }
+
+  test("content sniff: BGZF-under-.gz splits, plain gzip gets file tasks, " +
+      "union exactly once") {
+    val dir = T.scratch(SF, "gz_sniff")
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fsPath, true)
+    fs.mkdirs(fsPath)
+    val lines = (0 until 4000).map(i => s"row-$i,${i % 7}")
+    // half the lines BGZF-framed but renamed to the misleading .gz
+    val bgzfTmp = dir + ".btmp"
+    lines.take(2000).toDF("value").repartition(1)
+      .createOrReplaceTempView("sniff_in")
+    storage.writeBgzfText(spark.table("sniff_in"), bgzfTmp,
+      blockInput = 1024)
+    fs.listStatus(new org.apache.hadoop.fs.Path(bgzfTmp)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".bgz"))
+      .foreach { f =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir,
+          "disguised-" + f.getPath.getName.stripSuffix(".bgz") + ".gz")): Unit
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(bgzfTmp), true)
+    // other half as true plain gzip (unsplittable member)
+    val gzOut = new java.io.File(dir, "plain-0.gz")
+    val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(gzOut)), "UTF-8"))
+    lines.drop(2000).foreach(w.println)
+    w.close()
+    val back = storage.readGzTextSniffed(dir, targetSplitBytes = 4 * 1024)
+    assert(back.collect().sorted.toSeq == lines.sorted,
+      "mixed dir must union both kinds exactly once")
+    // the BGZF half must have split finer than one-task-per-file:
+    // 1 disguised shard + 1 plain file but >2 partitions total
+    assert(back.rdd.getNumPartitions > 2,
+      s"BGZF-under-.gz must split, got ${back.rdd.getNumPartitions} partitions")
+  }
+
+  test("sniff rejects plain gzip and accepts BGZF bytes") {
+    val bgzf = sources.Bgzf.blockOf("hello".getBytes("UTF-8"), 0, 5)
+    val plain = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("hello".getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    def asInput(b: Array[Byte]) = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(b))
+    assert(sources.Bgzf.sniffBgzf(asInput(bgzf)))
+    assert(!sources.Bgzf.sniffBgzf(asInput(plain)))
+    assert(!sources.Bgzf.sniffBgzf(asInput(Array[Byte](1, 2, 3))))
+  }
 }

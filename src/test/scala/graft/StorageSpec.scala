@@ -1361,4 +1361,46 @@ class StorageSpec extends AnyFunSuite {
       spark.read.parquet(out)
         .filter(array_contains(split($"text", " "), "table")).count())
   }
+
+  test("SQL TVFs: graft_versioned pins snapshots at analysis time, " +
+      "graft_files inventories manifests, bad args rejected") {
+    val out = T.scratch(SF, "tvf_versioned")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = spark.range(100).select($"id", ($"id" % 5).as("g"))
+    storage.writeVersioned(base.repartition(2), out)
+    storage.writeVersioned(
+      base.filter($"id" % 10 === 0).repartition(1), out, append = true)
+    // pinned snapshots through pure SQL
+    assert(spark.sql(s"SELECT COUNT(*) c FROM graft_versioned('$out', 0)")
+      .head().getLong(0) == 100)
+    assert(spark.sql(s"SELECT COUNT(*) c FROM graft_versioned('$out', 1)")
+      .head().getLong(0) == 110)
+    // no version argument = latest
+    assert(spark.sql(s"SELECT COUNT(*) c FROM graft_versioned('$out')")
+      .head().getLong(0) == 110)
+    // one statement joins a table to its own past
+    val drift = spark.sql(
+      s"""SELECT cur.g, cur.c - old.c AS added
+         |FROM (SELECT g, COUNT(*) c FROM graft_versioned('$out', 1)
+         |      GROUP BY g) cur
+         |JOIN (SELECT g, COUNT(*) c FROM graft_versioned('$out', 0)
+         |      GROUP BY g) old ON cur.g = old.g
+         |ORDER BY cur.g""".stripMargin).collect()
+    assert(drift.map(_.getLong(1)).sum == 10)
+    // inventory: v1 carries v0's files plus the appended commit
+    val inv = spark.sql(
+      s"SELECT version, COUNT(*) n, SUM(bytes) b FROM graft_files('$out') " +
+        "GROUP BY version ORDER BY version").collect()
+    assert(inv.length == 2)
+    assert(inv(0).getLong(1) == 2) // v0: repartition(2)
+    assert(inv(1).getLong(1) == 3) // v1: carried 2 + appended 1
+    assert(inv.forall(_.getLong(2) > 0))
+    // non-literal args fail at analysis, not at runtime
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_versioned('$out', 1 + 1)").collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
