@@ -553,6 +553,10 @@ object Scans extends QueryModule {
         .write.mode("overwrite").option("compression", "gzip").text(oddTmp)
       val conf = s.sparkContext.hadoopConfiguration
       val fs = new Path(out).getFileSystem(conf)
+      // builders must be idempotent ON DISK (ensure dedups per JVM,
+      // not across JVMs) — spark part names are unique per run, so
+      // renaming into a surviving dir would accumulate duplicates
+      fs.delete(new Path(out), true)
       fs.mkdirs(new Path(out))
       def moveIn(tmp: String, suffix: String, rename: String => String): Unit = {
         fs.listStatus(new Path(tmp)).toSeq
