@@ -442,6 +442,61 @@ object Knn extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  private val SemTau = 0.40
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic
+    * deduplication scoped to k-means cells — the production-scale
+    * answer to embedding near-dup removal. Where `llm_dedup_embed`
+    * compares EVERY pair (exact, O(n²) comparisons via the grid
+    * theta-join), SemDeDup first partitions the space into cells and
+    * only compares WITHIN a cell: cross-cell near-dups are forfeited
+    * by design, and the comparison count drops from n²/2 to
+    * Σ|cell|²/2 — with k ∝ √n cells that is O(n^1.5), the reason the
+    * paper's pipeline runs at web scale.
+    *
+    * Spark shape: one broadcast-centroid argmax assigns cells (no
+    * shuffle of vectors), the pair generation is a self EQUI-join on
+    * the cell id (shuffle-partitioned by cell — each task sees one
+    * cell's vectors, per-task memory bounded by the largest cell),
+    * and survivor selection is an anti join against the distinct
+    * dominated side. Keep-lowest-id mirrors the paper's
+    * keep-one-representative rule deterministically.
+    *
+    * Centroids are the first-NumCells vectors (the knnIvf stand-in;
+    * `trainCentroids` is the drop-in trained upgrade). Output is the
+    * per-cell census (sizes, removals, kept-id checksum) so the
+    * oracle pins the exact survivor SET without emitting it.
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = base(s, dir).localCheckpoint()
+    val cents = b.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val assigned = b.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
+      .filter($"crn" === 1)
+      .select($"vec_id", $"v", $"cid")
+      .localCheckpoint()
+    val removed = assigned.select($"cid", $"vec_id".as("id_a"), $"v".as("va"))
+      .join(assigned.select($"cid", $"vec_id".as("id_b"), $"v".as("vb")),
+        Seq("cid"))
+      .filter($"id_a" < $"id_b")
+      .filter(graft.functions.VectorFunctions
+        .cosine_sim($"va", $"vb") >= SemTau)
+      .select($"id_b".as("vec_id")).distinct()
+    assigned
+      .join(removed.withColumn("rm", lit(1)), Seq("vec_id"), "left")
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        count($"rm").as("n_removed"),
+        sum(when($"rm".isNull, $"vec_id").otherwise(0L))
+          .as("kept_id_sum"))
+      .orderBy($"cid")
+  }
+
   /** Vector norms (oracled array-numeric sanity query). */
   def vectorNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -713,6 +768,7 @@ object Knn extends QueryModule {
     "llm_knn_ivf_append" -> (knnIvfAppend(_, _)),
     "llm_knn_ivf_trained" -> (knnIvfTrained(_, _)),
     "llm_dedup_embed" -> (dedupEmbed(_, _)),
+    "llm_semdedup" -> (semDedup(_, _)),
     "llm_embed_quantize" -> (embedQuantize(_, _)),
     "llm_vector_norm" -> (vectorNorm(_, _)))
 
@@ -1026,6 +1082,28 @@ object Knn extends QueryModule {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "llm_semdedup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $NumCells),
+         |ranked AS (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS crn
+         |  FROM v, cents c),
+         |assigned AS (SELECT vec_id, e, cid FROM ranked WHERE crn = 1),
+         |removed AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b USING (cid)
+         |  WHERE a.vec_id < b.vec_id
+         |    AND list_cosine_similarity(a.e, b.e) >= $SemTau)
+         |SELECT cid, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  CAST(SUM(CASE WHEN r.vec_id IS NULL THEN a.vec_id ELSE 0 END)
+         |    AS BIGINT) AS kept_id_sum
+         |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id
+         |GROUP BY cid ORDER BY cid""".stripMargin,
     "llm_embed_quantize" ->
       """WITH b AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -534,6 +534,44 @@ object TextStats extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  private val HashDim = 4096
+
+  /** Hashing-trick linear quality classifier (the fastText /
+    * Vowpal-Wabbit shape: Weinberger et al., "Feature Hashing for
+    * Large Scale Multitask Learning", ICML'09): each token hashes
+    * into one of HashDim weight buckets, the document's score is the
+    * sum of its bucket weights, and the sign is the keep/drop label.
+    * This is how production corpus filters (CCNet's fastText LM
+    * filter, quality classifiers over Common Crawl) actually run —
+    * a FIXED model applied at scan speed, not a training job.
+    *
+    * The weight table is closed-form integer arithmetic on the
+    * bucket id (Knuth multiplicative hash mod a prime, recentered to
+    * [-1000, 1000]) rather than a learned blob: pseudo-random enough
+    * to exercise the plumbing and — unlike a binary model file —
+    * expressible in ANSI SQL, so the full classifier carries a
+    * DuckDB oracle (the llm_knn_lsh plane-matrix trick). Everything
+    * is a codegen'd map expression: md5-derived bucket, integer
+    * weight, array-aggregate sum — no shuffle until the final
+    * per-source census, no division (Spark `div` truncates, DuckDB
+    * `//` floors — sums and sign tests sidestep the mismatch).
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weight = (t: Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % HashDim) *
+        2654435761L % 1000003L % 2001L - 1000L
+    val score = aggregate(split(lower($"text"), " "), lit(0L),
+      (acc, t) => acc + weight(t))
+    T.t(s, dir, "documents")
+      .select($"source", score.as("score"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"score" >= 0, 1L).otherwise(0L)).as("n_pos"),
+        sum($"score").as("sum_score"))
+      .orderBy($"source")
+  }
+
   /** Corpus dataset card: the per-source summary every training-data
     * release ships — doc/char/token volume, language spread, and the
     * exact-duplicate census — in ONE scan with map-side partial
@@ -569,7 +607,8 @@ object TextStats extends QueryModule {
     "llm_bpe_pairs" -> (bpePairs(_, _)),
     "llm_bpe_train" -> (bpeTrain(_, _)),
     "llm_bpe_apply" -> (bpeApply(_, _)),
-    "llm_quality" -> (quality(_, _)))
+    "llm_quality" -> (quality(_, _)),
+    "llm_quality_classifier" -> (qualityClassifier(_, _)))
 
   // shared winnowing CTE chain ending in fps(doc_id, fp)
   private val winnowCte =
@@ -744,5 +783,19 @@ object TextStats extends QueryModule {
         |        * 1.0 / len(string_split(text, ' ')) * 0.5
         |      + least(len(string_split(text, ' ')), 100) / 100.0 * 0.5, 6) > 0.3)
         |    AS keep
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_quality_classifier" ->
+      s"""WITH s AS (
+         |  SELECT source,
+         |    CAST(list_sum(list_transform(string_split(lower(text), ' '),
+         |      t -> ((CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+         |              % $HashDim)
+         |            * 2654435761 % 1000003) % 2001 - 1000))
+         |      AS BIGINT) AS score
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos,
+         |  CAST(SUM(score) AS BIGINT) AS sum_score
+         |FROM s GROUP BY source ORDER BY source""".stripMargin)
 }

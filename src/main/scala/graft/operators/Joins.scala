@@ -708,7 +708,84 @@ object Joins extends QueryModule {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Scoped AQE skew-join confs. Upstream defaults target 256 MB+
+    * shuffle partitions, so fixture-scale skew never trips them;
+    * scoping the thresholds down exercises the REAL 100 TB mechanism
+    * (OptimizeSkewedJoin splitting the hot partition into
+    * per-split join tasks) on local data. `forceOptimizeSkewedJoin`
+    * keeps the split live even though the downstream aggregate
+    * re-shuffles — exactly the "big skewed join feeding a rollup"
+    * shape where the split pays for the extra exchange many times
+    * over. Broadcast is pinned off: a broadcast join has no shuffle
+    * to skew, and at 100 TB neither side fits the threshold anyway.
+    */
+  private[graft] def withSkewAqe[A](s: SparkSession)(body: => A): A = {
+    val pairs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The unresolved skewed-join plan: 80% of lineitem lands on one
+    * derived key (the Zipfian hot-key shape — one user, one URL, one
+    * empty-string key dominating a web-scale join), equi-joined to a
+    * 997-row dim and rolled up. The ANSWER is plan-independent; what
+    * the scoped confs change is the physical shape (hot partition
+    * split across tasks instead of one straggler).
+    */
+  private[graft] def skewAqeDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Skew-split's minimum unit is ONE MAPPER's output: AQE divides a
+    // hot reduce partition along mapper boundaries, so a hot partition
+    // fed by a single map task cannot split at all. At 100 TB the scan
+    // provides thousands of mappers for free; the sf fixture is a
+    // single parquet row group (= one map task), so spread the fact
+    // side over 16 map tasks first — fixture-scale scaffolding for
+    // the mechanism under test, not part of the operator.
+    val l = T.t(s, dir, "lineitem")
+      .repartition(16)
+      .withColumn("kk",
+        when($"l_orderkey" % 10 < 8, 0L).otherwise($"l_orderkey" % 997))
+    val dim = s.range(0, 997).toDF("k")
+      .withColumn("label", ($"k" % 7).cast("long"))
+    l.join(dim, $"kk" === $"k")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        dsum($"l_discount", 4).as("sum_disc"),
+        dsum($"l_tax", 4).as("sum_tax"))
+      .orderBy($"label")
+  }
+
+  /** AQE skew-join as a first-class operator query — the runtime
+    * answer to hot keys (vs `join_salted`, the rewrite-time answer):
+    * AQE measures the built shuffle, finds the hot partition, and
+    * splits it into advisory-sized slices each joined against a
+    * replicated copy of the other side's matching partition. Executes
+    * inside the conf scope (the collect is of the 7-row rollup);
+    * PlanQualitySpec pins the split (`isSkew=true` reader) in the
+    * adaptive plan.
+    */
+  def joinSkewAqe(s: SparkSession, dir: String): DataFrame = {
+    val (rows, schema) = withSkewAqe(s) {
+      val df = skewAqeDf(s, dir)
+      (df.collect(), df.schema)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_aqe" -> (joinSkewAqe(_, _)),
     "er_match" -> (erMatch(_, _)),
     "join_cbo_stats" -> (joinCboStats(_, _)),
     "join_runtime_filter" -> (joinRuntimeFilter(_, _)),
@@ -735,6 +812,20 @@ object Joins extends QueryModule {
     "pairs_group" -> (pairsGroup(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "join_skew_aqe" ->
+      s"""WITH l AS (
+         |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+         |              ELSE l_orderkey % 997 END AS kk,
+         |    l_quantity, l_extendedprice, l_discount, l_tax
+         |  FROM lineitem),
+         |dim AS (SELECT range AS k, range % 7 AS label FROM range(0, 997))
+         |SELECT label, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_price,
+         |  ${sqlDsum("l_discount", 4)} AS sum_disc,
+         |  ${sqlDsum("l_tax", 4)} AS sum_tax
+         |FROM l JOIN dim ON kk = k
+         |GROUP BY label ORDER BY label""".stripMargin,
     "join_cbo_stats" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_price

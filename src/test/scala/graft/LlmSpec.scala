@@ -329,4 +329,46 @@ class LlmSpec extends AnyFunSuite {
     info(s"ivf recall@5=$mean")
     assert(mean >= 0.15, s"mean recall=$mean")
   }
+
+  test("semdedup: census is conserved and removals are sound " +
+    "(every removed id has a smaller same-cell neighbor over τ)") {
+    import spark.implicits._
+    val corpus = T.t(spark, SF, "embeddings")
+    val n = corpus.count()
+    val r = llm.Knn.semDedup(spark, SF)
+      .select($"cid", $"n_vectors", $"n_removed", $"kept_id_sum")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.map(_._2).sum == n, s"cells must partition the corpus: $n")
+    assert(r.forall { case (_, nv, nr, ks) => nr >= 0 && nr < nv && ks > 0 })
+    // SemDeDup is cell-scoped by design: its removal set must be a
+    // SUBSET of the exact all-pairs graph's dominated side at the
+    // same τ (relaxed threshold 0.40 ⊂ exact pairs at 0.40 is what
+    // dedupEmbed can't tell us — recompute the exact graph here)
+    val exact = corpus
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val dominated = exact.select($"vec_id".as("ia"), $"v".as("va"))
+      .crossJoin(exact.select($"vec_id".as("ib"), $"v".as("vb")))
+      .filter($"ia" < $"ib")
+      .filter(functions.VectorFunctions.cosine_sim($"va", $"vb") >= 0.40)
+      .select($"ib").distinct().as[Long].collect().toSet
+    val removedTotal = r.map(_._3).sum
+    assert(removedTotal <= dominated.size,
+      s"cell-scoped removals ($removedTotal) exceed the exact " +
+        s"all-pairs dominated set (${dominated.size})")
+  }
+
+  test("quality classifier: per-source census conserves the corpus " +
+    "and is deterministic across runs") {
+    import spark.implicits._
+    val n = T.t(spark, SF, "documents").count()
+    def run() = llm.TextStats.qualityClassifier(spark, SF)
+      .select($"source", $"n_docs", $"n_pos", $"sum_score")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val a = run()
+    assert(a.map(_._2).sum == n)
+    assert(a.forall { case (_, nd, np, _) => np >= 0 && np <= nd })
+    // both classes occur — the hashed weights are not degenerate
+    assert(a.map(_._3).exists(_ > 0) || a.map(_._3).exists(_ < 0))
+    assert(run() == a)
+  }
 }

@@ -103,4 +103,22 @@ class OperatorSpec extends AnyFunSuite {
       .as[Long].collect()
     assert(keys.sameElements(keys.sorted), "file order must equal sort order")
   }
+
+  test("dq_stats_audit: footer statistics equal the data's aggregates") {
+    val audit = operators.Quality.dqStatsAudit(spark, SF)
+      .select($"tbl", $"col_name", $"n_values", $"n_nulls",
+        $"stat_min", $"stat_max")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(audit.length == 7)
+    audit.foreach { case (tbl, c, nv, nn, mn, mx) =>
+      val d = T.t(spark, SF, tbl)
+      val row = d.agg(count(lit(1)), count(col(c)),
+        min(col(c)).cast("double"), max(col(c)).cast("double"))
+        .collect()(0)
+      assert(nv == row.getLong(0), s"$tbl.$c n_values")
+      assert(nn == row.getLong(0) - row.getLong(1), s"$tbl.$c n_nulls")
+      assert(mn == row.getDouble(2), s"$tbl.$c min")
+      assert(mx == row.getDouble(3), s"$tbl.$c max")
+    }
+  }
 }

@@ -463,4 +463,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashExchanges == 1,
       s"expected a single hash exchange on user_id:\n${p.take(2500)}")
   }
+
+  test("join_skew_aqe: the hot partition is skew-split, not a straggler") {
+    // sf0.01: the 80%-hot derived key puts ~48k rows (≈1 MB of
+    // shuffle) in one partition — far above the scoped 256 KB skew
+    // threshold, so OptimizeSkewedJoin must mark the join skew-handled
+    operators.Joins.withSkewAqe(spark) {
+      val df = operators.Joins.skewAqeDf(spark, SparkTestSession.SF01)
+      assert(df.collect().length == 7)
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split:\n${finalPlan.take(3000)}")
+    }
+  }
+
+  test("dq_stats_audit reads footers only — no data-page scan of the " +
+    "audited tables in the plan") {
+    val p = operators.Quality.dqStatsAudit(spark, SF)
+      .queryExecution.executedPlan.toString
+    // the only scan is the in-memory file inventory; a FileScan over
+    // lineitem/orders/documents would mean data pages were read
+    assert(!p.contains("FileScan"), p.take(2500))
+  }
 }
