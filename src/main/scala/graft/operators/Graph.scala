@@ -31,10 +31,24 @@ object Graph extends QueryModule {
     * rank' = base + 0.85·(inflow + dangling/N), all in integer ppb:
     * base = 0.15·Scale div N, per-edge contribution = rank div outdeg.
     */
+  /** Shuffle-partition count for the edge-set layout (matches the
+    * session's shuffle.partitions so co-partitioned joins line up).
+    */
+  private def np(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   private[graft] def pagerankEdges(s: SparkSession, edgesIn: DataFrame,
       iters: Int = Iters): DataFrame = {
     import s.implicits._
-    val edges = edgesIn.select($"src", $"dst").distinct().localCheckpoint()
+    // Edges are partitioned ON THE JOIN KEY once and cached: an
+    // InMemoryRelation advertises its outputPartitioning (a
+    // localCheckpoint'd LogicalRDD does not — measured), so every
+    // iteration's rank join consumes the edge blocks IN PLACE and
+    // only the rank side (|V| rows) moves. Per-iteration shuffle
+    // drops from O(|E|) to O(|V|) — at 100 TB the edge set shuffles
+    // exactly once per query, the textbook Pregel layout.
+    val edges = edgesIn.select($"src", $"dst").distinct()
+      .repartition(np(s), $"src").cache()
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
     val n = nodes.count() // driver scalar: graph order, sets the base
@@ -114,7 +128,11 @@ object Graph extends QueryModule {
         when($"ou" < $"ov", $"u").otherwise($"v").as("src"),
         when($"ou" < $"ov", $"v").otherwise($"u").as("dst"),
         greatest($"ou", $"ov").as("dord"))
-      .localCheckpoint()
+      // src-partitioned cache: the wedge SELF-join reads both sides
+      // from the same co-partitioned blocks — zero exchanges for the
+      // quadratic step; only the closure join re-keys (inherent: it
+      // probes (a,b), a different key)
+      .repartition(np(s), $"src").cache()
     val nEdges = e.count()
     val bloom = e.select(($"src" * 4294967296L + $"dst").as("ek"))
       .stat.bloomFilter("ek", nEdges, 0.01)
@@ -147,9 +165,12 @@ object Graph extends QueryModule {
     import s.implicits._
     val li = T.t(s, dir, "lineitem")
       .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
+    // src-partitioned cached edges: every level's frontier expansion
+    // joins against the edge blocks in place; only the frontier
+    // (≤|V| rows) shuffles per level
     val edges = li.select($"s".as("src"), $"p".as("dst"))
       .union(li.select($"p".as("src"), $"s".as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(np(s), $"src").cache()
     var visited = Seq((2L, 0)).toDF("node", "dist").localCheckpoint()
     var frontier = visited
     var level = 0
@@ -193,9 +214,12 @@ object Graph extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val li = T.t(s, dir, "lineitem")
       .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
+    // dst-partitioned cached edges: each voting round's label join
+    // reads the edge blocks in place (the pagerank discipline — only
+    // the |V|-row label side shuffles per round)
     val edges = li.select($"s".as("src"), $"p".as("dst"))
       .union(li.select($"p".as("src"), $"s".as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(np(s), $"dst").cache()
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label")).localCheckpoint()
     for (_ <- 1 to LpIters) {
