@@ -472,6 +472,10 @@ object Knn extends QueryModule {
     val b = base(s, dir).localCheckpoint()
     val cents = b.filter($"vec_id" < NumCells)
       .select($"vec_id".as("cid"), $"v".as("cv"))
+    // cell-partitioned CACHE (not localCheckpoint): InMemoryRelation
+    // advertises the partitioning, so the pair self-join reads both
+    // sides from the same co-partitioned blocks — zero exchanges for
+    // the quadratic step (the graph-family layout)
     val assigned = b.crossJoin(broadcast(cents))
       .withColumn("csim",
         graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
@@ -479,7 +483,9 @@ object Knn extends QueryModule {
         Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
       .filter($"crn" === 1)
       .select($"vec_id", $"v", $"cid")
-      .localCheckpoint()
+      .repartition(math.max(2,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 2), $"cid")
+      .cache()
     val removed = assigned.select($"cid", $"vec_id".as("id_a"), $"v".as("va"))
       .join(assigned.select($"cid", $"vec_id".as("id_b"), $"v".as("vb")),
         Seq("cid"))
