@@ -195,7 +195,37 @@ object Composite extends QueryModule {
       .orderBy($"r", $"f", $"m")
   }
 
+  /** Per-series OLS trend — the volume-drift detector a pipeline runs
+    * over its ingest counters: daily event counts per type, slope and
+    * intercept from the closed-form least-squares fit. Every sum the
+    * formula needs (n, Σx, Σy, Σxy, Σx²) is an exact BIGINT over the
+    * tiny per-day rollup, so the only floating-point ops are the two
+    * final divisions — identical IEEE arithmetic from identical
+    * integers on both engines, no summation-order drift possible.
+    * One scan + two cheap aggregations; the regression itself is
+    * O(series), driver-free.
+    */
+  def eventsTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = T.events(s, dir)
+      .select($"event_type",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"))
+      .groupBy($"event_type", $"x").agg(count(lit(1)).as("y"))
+    val sums = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    val slope = ($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+      ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx")
+    sums.select($"event_type", $"n",
+        round(slope, 6).as("slope_per_day"),
+        round(($"sy".cast("double") - slope * $"sx") / $"n", 6)
+          .as("intercept"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_trend" -> (eventsTrend(_, _)),
     "events_rfm" -> (eventsRfm(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "sink_nested" -> (sinkNested(_, _)),
@@ -205,6 +235,28 @@ object Composite extends QueryModule {
     "events_resample" -> (eventsResample(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "events_trend" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM d GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+        |    SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |      / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6)
+        |    AS slope_per_day,
+        |  round((CAST(sy AS DOUBLE)
+        |      - ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |         / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) * sx)
+        |      / n, 6) AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
     "events_rfm" ->
       """WITH p AS (
         |  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec, value

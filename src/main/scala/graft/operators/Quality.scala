@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality and profiling operators — the audit pass every
@@ -235,7 +235,61 @@ object Quality extends QueryModule {
       .orderBy($"tbl", $"col_name")
   }
 
+  /** Pearson correlation matrix over lineitem's numeric measures —
+    * the profiling step that decides which columns are worth a
+    * composite zone-map / sort key (correlated columns cluster
+    * together for free). NOT the built-in `corr()`: its double
+    * accumulation is partial-merge-order dependent, so the same data
+    * can flip the last ulp run to run. Instead every input quantizes
+    * to an exact integer (floor(x·scale + 0.5) — the embedQuantize
+    * rounding spelling both engines share), all ten sums the three
+    * correlations need ride one DECIMAL(38,0)-exact single-row
+    * aggregate over ONE scan, and the only floating-point math is
+    * the final closed-form division from identical integers —
+    * drift-proof by construction. Correlation is scale-invariant, so
+    * the quantization (centi-units / cents / basis points) does not
+    * change r beyond the input data's own 2-decimal precision.
+    */
+  def profileCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val q = floor($"l_quantity" * 100 + 0.5).cast("long")
+    val p = floor($"l_extendedprice" * 100 + 0.5).cast("long")
+    val d = floor($"l_discount" * 10000 + 0.5).cast("long")
+    val sums = T.t(s, dir, "lineitem")
+      .select(q.as("q"), p.as("p"), d.as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum($"q".cast(dec)).as("sq"), sum($"p".cast(dec)).as("sp"),
+        sum($"d".cast(dec)).as("sd"),
+        sum(($"q" * $"q").cast(dec)).as("sqq"),
+        sum($"p".cast(dec) * $"p").as("spp"),
+        sum(($"d" * $"d").cast(dec)).as("sdd"),
+        sum($"p".cast(dec) * $"q").as("sqp"),
+        sum(($"q" * $"d").cast(dec)).as("sqd"),
+        sum($"p".cast(dec) * $"d").as("spd"))
+    def r(sxy: Column, sx: Column, sy: Column,
+        sxx: Column, syy: Column): Column = {
+      val n = $"n".cast("double")
+      round((n * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
+        sqrt((n * sxx.cast("double") - sx.cast("double") * sx.cast("double")) *
+          (n * syy.cast("double") - sy.cast("double") * sy.cast("double"))), 6)
+    }
+    sums.select($"n",
+        r($"spd", $"sp", $"sd", $"spp", $"sdd").as("price_discount"),
+        r($"sqd", $"sq", $"sd", $"sqq", $"sdd").as("quantity_discount"),
+        r($"sqp", $"sq", $"sp", $"sqq", $"spp").as("quantity_price"))
+      .select($"n", expr(
+        """stack(3,
+          |  'price_discount', price_discount,
+          |  'quantity_discount', quantity_discount,
+          |  'quantity_price', quantity_price) AS (pair, r)""".stripMargin))
+      .select($"pair", $"n", $"r")
+      .orderBy($"pair")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_corr" -> (profileCorr(_, _)),
     "dq_stats_audit" -> (dqStatsAudit(_, _)),
     "dq_check" -> (dqCheck(_, _)),
     "dq_drift" -> (dqDrift(_, _)),
@@ -258,7 +312,41 @@ object Quality extends QueryModule {
        |  CAST(MAX($c) AS DOUBLE) AS stat_max
        |FROM $t""".stripMargin
 
+  private def corrSql(name: String, sxy: String, sx: String, sy: String,
+      sxx: String, syy: String): String =
+    s"""SELECT '$name' AS pair, n,
+       |  round((CAST(n AS DOUBLE)*CAST($sxy AS DOUBLE)
+       |      - CAST($sx AS DOUBLE)*CAST($sy AS DOUBLE))
+       |    / sqrt((CAST(n AS DOUBLE)*CAST($sxx AS DOUBLE)
+       |        - CAST($sx AS DOUBLE)*CAST($sx AS DOUBLE))
+       |      * (CAST(n AS DOUBLE)*CAST($syy AS DOUBLE)
+       |        - CAST($sy AS DOUBLE)*CAST($sy AS DOUBLE))), 6) AS r
+       |FROM s""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "profile_corr" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+         |    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS d
+         |  FROM lineitem),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  SUM(CAST(q AS DECIMAL(38,0))) AS sq,
+         |  SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+         |  SUM(CAST(d AS DECIMAL(38,0))) AS sd,
+         |  SUM(CAST(q*q AS DECIMAL(38,0))) AS sqq,
+         |  SUM(CAST(p AS DECIMAL(38,0))*p) AS spp,
+         |  SUM(CAST(d*d AS DECIMAL(38,0))) AS sdd,
+         |  SUM(CAST(p AS DECIMAL(38,0))*q) AS sqp,
+         |  SUM(CAST(q*d AS DECIMAL(38,0))) AS sqd,
+         |  SUM(CAST(p AS DECIMAL(38,0))*d) AS spd FROM b)
+         |SELECT * FROM (
+         |${corrSql("price_discount", "spd", "sp", "sd", "spp", "sdd")}
+         |UNION ALL
+         |${corrSql("quantity_discount", "sqd", "sq", "sd", "sqq", "sdd")}
+         |UNION ALL
+         |${corrSql("quantity_price", "sqp", "sq", "sp", "sqq", "spp")})
+         |ORDER BY pair""".stripMargin,
     "dq_stats_audit" ->
       s"""SELECT * FROM (
          |${AuditCols.toSeq.sortBy(_._1).flatMap { case (t, cs) =>

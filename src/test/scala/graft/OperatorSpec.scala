@@ -104,6 +104,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "file order must equal sort order")
   }
 
+  test("events_trend: OLS identities hold (line passes through the " +
+    "mean point; slopes bounded by the series range)") {
+    val rows = operators.Composite.eventsTrend(spark, SF)
+      .select($"event_type", $"n", $"slope_per_day", $"intercept")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, slope, icpt) =>
+      assert(n > 1, et)
+      // recompute the mean point from the same daily rollup: the
+      // fitted line must pass through (x̄, ȳ) up to the 1e-6 rounding
+      val daily = T.events(spark, SF)
+        .filter($"event_type" === et)
+        .select(datediff(to_date($"ts"),
+          lit("1970-01-01").cast("date")).cast("long").as("x"))
+        .groupBy($"x").agg(count(lit(1)).as("y"))
+        .agg(avg($"x"), avg($"y")).collect()(0)
+      val (mx, my) = (daily.getDouble(0), daily.getDouble(1))
+      // tolerance: the slope ships rounded to 1e-6 and x̄ ≈ 2·10⁴
+      // epoch-days, so the rounding alone moves ŷ(x̄) by up to ~10⁻²
+      assert(math.abs(slope * mx + icpt - my) < 0.05,
+        s"$et: ${slope * mx + icpt} vs $my")
+    }
+  }
+
+  test("profile_corr: r is within [-1, 1] and symmetric inputs " +
+    "reproduce the built-in corr to quantization precision") {
+    val rows = operators.Quality.profileCorr(spark, SF)
+      .select($"pair", $"r").as[(String, Double)].collect().toMap
+    assert(rows.size == 3)
+    assert(rows.values.forall(r => r >= -1.0 && r <= 1.0))
+    val builtin = T.t(spark, SF, "lineitem")
+      .agg(corr($"l_quantity", $"l_extendedprice")).collect()(0).getDouble(0)
+    assert(math.abs(rows("quantity_price") - builtin) < 1e-4,
+      s"${rows("quantity_price")} vs $builtin")
+  }
+
   test("dq_stats_audit: footer statistics equal the data's aggregates") {
     val audit = operators.Quality.dqStatsAudit(spark, SF)
       .select($"tbl", $"col_name", $"n_values", $"n_nulls",
