@@ -320,6 +320,34 @@ object Sinks extends QueryModule {
     snap(0).unionByName(snap(1)).orderBy($"version")
   }
 
+  /** DELETE as MERGE-ON-READ (deletion vector): v1 deletes the same
+    * slice sink_versioned_delete rewrites, but by committing only the
+    * deleted KEYS — every data file carries verbatim (StorageSpec
+    * pins the zero-rewrite half), and the reader anti-joins the
+    * broadcast DV away. v2 then compacts (REORG APPLY DELETES) and
+    * must read identically to v1 — DV applied lazily or materialized
+    * is the same snapshot, which is exactly what the oracle checks.
+    */
+  def sinkVersionedDeleteMor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_delete_mor")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out)
+    st.deleteVersionedMor(out, $"o_orderkey" < 1000, "o_orderkey")
+    st.compactVersioned(out)
+    def snap(v: Long): DataFrame =
+      st.readVersioned(out, Some(v))
+        .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+        .select(lit(v).as("version"), $"cnt", $"total")
+    snap(0).unionByName(snap(1)).unionByName(snap(2))
+      .orderBy($"version")
+  }
+
   /** Row-level UPDATE, same copy-on-write machinery: matching rows get
     * `o_orderstatus = 'X'` and doubled price inside rewritten files;
     * non-matching rows in those files and all untouched files are
@@ -574,6 +602,7 @@ object Sinks extends QueryModule {
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
+    "sink_versioned_delete_mor" -> (sinkVersionedDeleteMor(_, _)),
     "sink_versioned_update" -> (sinkVersionedUpdate(_, _)),
     "sink_versioned_merge" -> (sinkVersionedMerge(_, _)),
     "sink_versioned_changes" -> (sinkVersionedChanges(_, _)),
@@ -689,6 +718,22 @@ object Sinks extends QueryModule {
          |  FROM orders
          |  UNION ALL
          |  SELECT CAST(1 AS BIGINT), COUNT(*),
+         |    ${sqlDsum("o_totalprice")}
+         |  FROM orders WHERE NOT (o_orderkey < 1000))
+         |ORDER BY version""".stripMargin,
+    // merge-on-read delete: v1 (DV applied at read) and v2 (compacted)
+    // must be the same snapshot
+    "sink_versioned_delete_mor" ->
+      s"""SELECT version, cnt, total FROM (
+         |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), COUNT(*),
+         |    ${sqlDsum("o_totalprice")}
+         |  FROM orders WHERE NOT (o_orderkey < 1000)
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), COUNT(*),
          |    ${sqlDsum("o_totalprice")}
          |  FROM orders WHERE NOT (o_orderkey < 1000))
          |ORDER BY version""".stripMargin,

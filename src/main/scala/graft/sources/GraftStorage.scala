@@ -729,8 +729,12 @@ final case class GraftStorage(
     val fresh = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
+    // append carries the RAW prior entries: deletion vectors keep
+    // applying to the files they were committed against. (Key-based
+    // DV contract: an appended row must not REUSE a deleted key —
+    // materialize via compactVersioned before re-inserting keys.)
     val carried =
-      if (append) manifestFiles(path, n - 1) else Seq.empty[String]
+      if (append) manifestEntries(path, n - 1) else Seq.empty[String]
     val manifestDir = new Path(dir, "_manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".v$n.tmp")
@@ -754,7 +758,13 @@ final case class GraftStorage(
       .sorted
   }
 
-  private def manifestFiles(path: String, version: Long): Seq[String] = {
+  /** RAW manifest lines of one version. Two line kinds:
+    *  - a bare path = one immutable data file of the snapshot;
+    *  - `D<TAB><keyCol><TAB><path>` = one DELETION-VECTOR file (a
+    *    parquet of deleted key values for `keyCol`) that readers of
+    *    this version must anti-join away (merge-on-read deletes).
+    */
+  private def manifestEntries(path: String, version: Long): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val mf = new Path(new Path(path), s"_manifest/v$version")
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -769,6 +779,26 @@ final case class GraftStorage(
     } finally in.close()
     new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
   }
+
+  private def manifestFiles(path: String, version: Long): Seq[String] =
+    manifestEntries(path, version).filterNot(_.contains('\t'))
+
+  /** (key column, dv parquet file) entries of one version. */
+  private def manifestDvs(path: String,
+      version: Long): Seq[(String, String)] =
+    manifestEntries(path, version).collect {
+      case e if e.startsWith("D\t") =>
+        val parts = e.split('\t')
+        (parts(1), parts(2))
+    }
+
+  /** Every file path a manifest pins, data AND deletion vectors —
+    * the liveness unit vacuum must honor.
+    */
+  private def manifestAllPaths(path: String, version: Long): Seq[String] =
+    manifestEntries(path, version).map { e =>
+      if (e.startsWith("D\t")) e.split('\t')(2) else e
+    }
 
   /** Snapshot inventory of a versioned table — (version, file,
     * bytes) per manifest entry, the DESCRIBE HISTORY / `.files`
@@ -818,7 +848,9 @@ final case class GraftStorage(
     require(listVersions(dst).isEmpty,
       s"clone target $dst already has committed versions")
     val v = version.getOrElse(vs.last)
-    val files = manifestFiles(src, v)
+    // RAW entries: a clone of a merge-on-read table must carry the
+    // deletion vectors too, or it would resurrect the deleted rows
+    val files = manifestEntries(src, v)
     val manifestDir = new Path(new Path(dst), "_manifest")
     val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(manifestDir)
@@ -843,6 +875,56 @@ final case class GraftStorage(
     */
   def deleteVersioned(path: String, predicate: Column): Long =
     rewriteVersioned(path, predicate, df => df.filter(!predicate))
+
+  /** Row-level DELETE as a MERGE-ON-READ commit (the
+    * deletion-vector path of the lakehouse engines, keyed variant):
+    * instead of rewriting the files that hold matching rows
+    * (copy-on-write, [[deleteVersioned]]), the commit writes ONLY the
+    * matching rows' `keyCol` values as a deletion-vector parquet and
+    * carries every data file verbatim — write cost is O(deleted
+    * keys) regardless of how many files the victims are scattered
+    * across. Readers of the new version anti-join the DV away
+    * (map-side: the DV broadcasts); readers of every prior version
+    * are untouched. The read tax accrues per MoR commit, so
+    * [[compactVersioned]] doubles as REORG APPLY DELETES: it reads
+    * the DV-applied snapshot and publishes a clean copy-on-write
+    * commit with no DV entries.
+    *
+    * CoW deletes a 0.1% scattered across 10k files would rewrite all
+    * 10k; this writes one KB-scale DV. The crossover back to CoW is
+    * when accumulated DVs approach broadcast size — which is what
+    * compact is for. `keyCol` must identify rows uniquely (same
+    * contract as [[mergeVersioned]]'s key).
+    */
+  def deleteVersionedMor(path: String, predicate: Column,
+      keyCol: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val n: Long = vs.last + 1
+    val commitDir = new Path(dir, s"data/c$n")
+    // DV = matching keys of the CURRENT snapshot (existing DVs apply:
+    // a key deleted twice is stored once)
+    readVersioned(path).filter(predicate)
+      .select(col(keyCol)).distinct()
+      .write.mode("overwrite").parquet(commitDir.toString)
+    val dvFiles = fs.listStatus(commitDir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath)
+    val carried = manifestEntries(path, n - 1)
+    val manifestDir = new Path(dir, "_manifest")
+    fs.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".v$n.tmp")
+    val out = fs.create(tmp, true)
+    out.write((carried ++ dvFiles.map(f => s"D\t$keyCol\t$f"))
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, new Path(manifestDir, s"v$n"))
+    n
+  }
 
   /** Row-level UPDATE, same copy-on-write machinery as
     * [[deleteVersioned]]: files containing matching rows are
@@ -880,8 +962,10 @@ final case class GraftStorage(
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    require(listVersions(path).nonEmpty,
+      s"no versions committed under $path")
+    materializeIfMor(path) // file-wise machinery reads raw files
     val vs = listVersions(path)
-    require(vs.nonEmpty, s"no versions committed under $path")
     val files = manifestFiles(path, vs.last)
     val cur = spark.read.parquet(files: _*)
     require(cur.columns.toSet == updates.columns.toSet,
@@ -938,6 +1022,19 @@ final case class GraftStorage(
       toVersion: Long): DataFrame = {
     import org.apache.hadoop.fs.Path
     def key(p: String): String = new Path(p).toUri.getPath
+    // merge-on-read commits change NO data file, so the file-delta
+    // fast path below would read them as empty changes — when the DV
+    // set moved, diff the resolved snapshots instead (DV anti-joins
+    // applied by readVersioned; cost is a full-snapshot compare,
+    // which is what a row-accurate CDC over MoR deletes costs)
+    if (manifestDvs(path, fromVersion) != manifestDvs(path, toVersion)) {
+      val fromDf = readVersioned(path, Some(fromVersion))
+      val toDf = readVersioned(path, Some(toVersion))
+      return toDf.exceptAll(fromDf)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(fromDf.exceptAll(toDf)
+          .withColumn("_change_type", lit("delete")))
+    }
     val before = manifestFiles(path, fromVersion)
     val after = manifestFiles(path, toVersion)
     val beforeKeys = before.map(key).toSet
@@ -971,8 +1068,10 @@ final case class GraftStorage(
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     if (drop.isEmpty) return 0L
     def key(p: String): String = new Path(p).toUri.getPath
-    val live = keep.flatMap(manifestFiles(path, _)).map(key).toSet
-    val dead = drop.flatMap(manifestFiles(path, _)).map(key)
+    // liveness spans data files AND deletion vectors: dropping a DV a
+    // kept manifest still lists would resurrect its deleted rows
+    val live = keep.flatMap(manifestAllPaths(path, _)).map(key).toSet
+    val dead = drop.flatMap(manifestAllPaths(path, _)).map(key)
       .distinct.filterNot(live)
     dead.foreach(f => fs.delete(new Path(f), false))
     drop.foreach(v => fs.delete(new Path(dir, s"_manifest/v$v"), false))
@@ -1007,14 +1106,29 @@ final case class GraftStorage(
     * rewrite only the affected files via `rewrite`; publish a new
     * manifest of untouched ++ fresh files.
     */
+  /** If the latest version carries merge-on-read deletion vectors,
+    * publish a clean copy-on-write commit first (REORG APPLY
+    * DELETES): the file-wise rewrite machinery below reads raw files
+    * and would otherwise resurrect DV-deleted rows.
+    */
+  private def materializeIfMor(path: String): Unit = {
+    val last = listVersions(path).last
+    if (manifestDvs(path, last).nonEmpty) {
+      compactVersioned(path,
+        math.max(1, manifestFiles(path, last).size)); ()
+    }
+  }
+
   private def rewriteVersioned(path: String, predicate: Column,
       rewrite: DataFrame => DataFrame): Long = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    val vs0 = listVersions(path)
+    require(vs0.nonEmpty, s"no versions committed under $path")
+    materializeIfMor(path)
     val vs = listVersions(path)
-    require(vs.nonEmpty, s"no versions committed under $path")
     val files = manifestFiles(path, vs.last)
     def key(p: String): String = new Path(p).toUri.getPath
     val cur = spark.read.parquet(files: _*)
@@ -1057,8 +1171,19 @@ final case class GraftStorage(
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
-    if (files.isEmpty) reader.parquet(path + "/data/c0").limit(0)
-    else reader.parquet(files: _*)
+    val base =
+      if (files.isEmpty) reader.parquet(path + "/data/c0").limit(0)
+      else reader.parquet(files: _*)
+    // merge-on-read: anti-join away each deletion vector's keys.
+    // DVs are O(deleted keys) so the build sides stay broadcast-sized
+    // by construction; grouped per key column so a table deleted on
+    // one key pays ONE anti join however many MoR commits piled up.
+    manifestDvs(path, v).groupBy(_._1).foldLeft(base) {
+      case (df, (keyCol, entries)) =>
+        df.join(broadcast(
+          spark.read.parquet(entries.map(_._2): _*).distinct()),
+          Seq(keyCol), "left_anti")
+    }
   }
 
   def writeSingleCsv(df: DataFrame, path: String,

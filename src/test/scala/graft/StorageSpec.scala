@@ -1403,4 +1403,65 @@ class StorageSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  private def manifestLines(out: String, v: Long): Seq[String] = {
+    val src = scala.io.Source.fromFile(s"$out/_manifest/v$v")
+    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  }
+
+  test("merge-on-read delete: zero data rewrite, DV carried through " +
+    "append and clone, compact materializes, CoW ops self-materialize") {
+    import spark.implicits._
+    val out = T.scratch(SF, "mor_delete_test")
+    val st = sources.GraftStorage(spark)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = spark.range(0, 1000)
+      .select($"id".as("k"), ($"id" % 7).as("g"))
+    st.writeVersioned(base.repartition(4), out)
+    val v1 = st.deleteVersionedMor(out, $"k" < 100, "k")
+    assert(v1 == 1)
+    // zero rewrite: v1's DATA files are exactly v0's
+    val dataOf = (v: Long) => manifestLines(out, v)
+      .filterNot(_.startsWith("D\t")).toSet
+    assert(dataOf(1) == dataOf(0))
+    assert(manifestLines(out, 1).exists(_.startsWith("D\tk\t")))
+    // read semantics: v1 hides the keys, v0 still has them
+    assert(st.readVersioned(out, Some(1)).count() == 900)
+    assert(st.readVersioned(out, Some(0)).count() == 1000)
+    // CDC across the MoR commit reports exactly the deleted rows
+    val ch = st.changesVersioned(out, 0, 1)
+      .groupBy($"_change_type").count().as[(String, Long)].collect().toMap
+    assert(ch == Map("delete" -> 100L))
+    // append keeps the DV applying; appended rows (fresh keys) live
+    st.writeVersioned(spark.range(2000, 2010)
+      .select($"id".as("k"), ($"id" % 7).as("g")), out, append = true)
+    assert(st.readVersioned(out, Some(2)).count() == 910)
+    // clone carries the DV — no resurrection
+    val cl = T.scratch(SF, "mor_delete_clone")
+    fs.delete(new org.apache.hadoop.fs.Path(cl), true)
+    st.cloneVersioned(out, cl)
+    assert(st.readVersioned(cl, Some(0)).count() == 910)
+    // compact materializes: same rows, clean manifest
+    val v3 = st.compactVersioned(out)
+    assert(st.readVersioned(out, Some(v3)).count() == 910)
+    assert(!manifestLines(out, v3).exists(_.startsWith("D\t")))
+    // a CoW delete on a DV-bearing table self-materializes first
+    val out2 = T.scratch(SF, "mor_cow_mix")
+    fs.delete(new org.apache.hadoop.fs.Path(out2), true)
+    st.writeVersioned(base.repartition(4), out2)
+    st.deleteVersionedMor(out2, $"k" < 100, "k")
+    st.deleteVersioned(out2, $"k" >= 900)
+    val last = st.listVersions(out2).last
+    assert(st.readVersioned(out2, Some(last)).count() == 800)
+    assert(!manifestLines(out2, last).exists(_.startsWith("D\t")))
+    // vacuum to the live set keeps the DV a kept manifest needs
+    val out3 = T.scratch(SF, "mor_vacuum")
+    fs.delete(new org.apache.hadoop.fs.Path(out3), true)
+    st.writeVersioned(base.repartition(4), out3)
+    st.deleteVersionedMor(out3, $"k" < 100, "k")
+    st.vacuumVersioned(out3, keepLast = 1)
+    assert(st.readVersioned(out3).count() == 900)
+  }
 }
