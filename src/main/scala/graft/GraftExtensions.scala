@@ -71,6 +71,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
           .readVersioned(path, version).queryExecution.analyzed
       }))
+    // Timestamp time travel: `FROM graft_versioned_at('/t',
+    // '2026-08-14 07:00:00')` — the newest snapshot committed at or
+    // before the instant (commit instant = the manifest publish).
+    // The timestamp is a UTC literal string, parsed at analysis.
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_versioned_at"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_versioned_at"),
+      (exprs: Seq[Expression]) => {
+        val path =
+          GraftExtensions.literalString(exprs(0), "graft_versioned_at")
+        val ts =
+          GraftExtensions.literalString(exprs(1), "graft_versioned_at")
+        val millis = java.time.LocalDateTime
+          .parse(ts.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
+          .readVersionedAsOf(path, millis).queryExecution.analyzed
+      }))
     // Snapshot inventory TVF: `SELECT * FROM graft_files('/t')` →
     // (version, file, bytes) per manifest entry — metadata-rate at
     // any table size (manifests, not listings of data).

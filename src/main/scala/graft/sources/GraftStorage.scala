@@ -1162,6 +1162,31 @@ final case class GraftStorage(
     * Resolves ONLY the manifest — later commits never perturb the
     * snapshot.
     */
+  /** Resolve `AS OF <timestamp>` to a version: the newest manifest
+    * whose publish time (the atomic rename's mtime — the commit
+    * instant) is at or before `tsMillis`. Metadata-rate: one status
+    * call per manifest, KBs at any table size.
+    */
+  def versionAsOf(path: String, tsMillis: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val eligible = vs.filter { v =>
+      fs.getFileStatus(new Path(dir, s"_manifest/v$v"))
+        .getModificationTime <= tsMillis
+    }
+    require(eligible.nonEmpty,
+      s"no version of $path existed at epoch-millis $tsMillis " +
+        s"(earliest commit is after it)")
+    eligible.max
+  }
+
+  /** Time travel by timestamp — `SELECT ... AS OF <ts>`. */
+  def readVersionedAsOf(path: String, tsMillis: Long): DataFrame =
+    readVersioned(path, Some(versionAsOf(path, tsMillis)))
+
   def readVersioned(path: String, version: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val vs = listVersions(path)

@@ -1464,4 +1464,34 @@ class StorageSpec extends AnyFunSuite {
     st.vacuumVersioned(out3, keepLast = 1)
     assert(st.readVersioned(out3).count() == 900)
   }
+
+  test("AS OF timestamp resolves the newest commit at or before the " +
+    "instant; pre-history instants fail fast") {
+    import spark.implicits._
+    val out = T.scratch(SF, "asof_ts_test")
+    val st = sources.GraftStorage(spark)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    st.writeVersioned(spark.range(0, 10).toDF("k"), out)
+    Thread.sleep(1100) // commit instants must be distinguishable
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(1100)
+    st.writeVersioned(spark.range(0, 25).toDF("k"), out)
+    assert(st.versionAsOf(out, betweenCommits) == 0)
+    assert(st.readVersionedAsOf(out, betweenCommits).count() == 10)
+    assert(st.readVersionedAsOf(out, System.currentTimeMillis())
+      .count() == 25)
+    val err = intercept[IllegalArgumentException] {
+      st.versionAsOf(out, betweenCommits - 3600 * 1000)
+    }
+    assert(err.getMessage.contains("no version"))
+    // the SQL surface: UTC literal between the commits reads v0
+    val iso = java.time.Instant.ofEpochMilli(betweenCommits)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    val n = spark.sql(
+      s"SELECT COUNT(*) FROM graft_versioned_at('$out', '$iso')")
+      .collect()(0).getLong(0)
+    assert(n == 10)
+  }
 }
