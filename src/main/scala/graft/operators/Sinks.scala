@@ -348,6 +348,35 @@ object Sinks extends QueryModule {
       .orderBy($"version")
   }
 
+  /** Manifest-level data skipping (stats-in-log): v0 commits 8
+    * range-disjoint files WITH per-file o_orderkey stats, v1 appends
+    * a stats-less slice; the pruned snapshot read plans only the
+    * files whose recorded [min,max] can match the pushed filter plus
+    * (conservatively) every stats-less file. StorageSpec pins the
+    * numFiles gate; here the oracle certifies the ANSWER is complete
+    * across the stats/stats-less mix — skipping must never change
+    * results.
+    */
+  def sinkVersionedPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_pruned")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out,
+      append = false, statsCols = Seq("o_orderkey"))
+    st.writeVersioned(base.filter($"o_orderkey" % 10 === 0), out,
+      append = true)
+    st.readVersionedPruned(out)
+      .filter($"o_orderkey" < 1000)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Row-level UPDATE, same copy-on-write machinery: matching rows get
     * `o_orderstatus = 'X'` and doubled price inside rewritten files;
     * non-matching rows in those files and all untouched files are
@@ -603,6 +632,7 @@ object Sinks extends QueryModule {
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
     "sink_versioned_delete_mor" -> (sinkVersionedDeleteMor(_, _)),
+    "sink_versioned_pruned" -> (sinkVersionedPruned(_, _)),
     "sink_versioned_update" -> (sinkVersionedUpdate(_, _)),
     "sink_versioned_merge" -> (sinkVersionedMerge(_, _)),
     "sink_versioned_changes" -> (sinkVersionedChanges(_, _)),
@@ -737,6 +767,18 @@ object Sinks extends QueryModule {
          |    ${sqlDsum("o_totalprice")}
          |  FROM orders WHERE NOT (o_orderkey < 1000))
          |ORDER BY version""".stripMargin,
+    // stats-in-log pruned read over v0 (full, stats) + v1 append
+    // (key%10 slice, no stats)
+    "sink_versioned_pruned" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey < 1000
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 10 = 0 AND o_orderkey < 1000)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // copy-on-write update: matched rows get status X and doubled price
     "sink_versioned_update" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

@@ -671,7 +671,7 @@ final case class GraftStorage(
       else cols => streamBlooms(Some(cols))
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val fullSchema = spark.read.parquet(path).schema
-    val index = new ZoneMapFileIndex(classic, new Path(path),
+    val index = new ZoneMapFileIndex(classic, Seq(new Path(path)),
       Some(fullSchema), zones, hasBl, bloomMeta, bloomLoader)
     // hive-partitioned layouts: the inferred partition columns must go
     // in the relation's PARTITION schema — leaving them in dataSchema
@@ -715,7 +715,20 @@ final case class GraftStorage(
     * Returns the committed version number (0-based).
     */
   def writeVersioned(df: DataFrame, path: String,
-      append: Boolean = false): Long = {
+      append: Boolean = false): Long =
+    writeVersioned(df, path, append, Seq.empty)
+
+  /** writeVersioned with MANIFEST-LEVEL DATA SKIPPING: `statsCols`
+    * asks the commit to also record per-file [min,max] for those
+    * columns (a `_zonemap` table inside the commit dir, referenced by
+    * an `S` manifest line). `readVersionedPruned` then skips files at
+    * PLAN time from pushed filters — the Delta/Iceberg stats-in-log
+    * design. Stats ride the footer fast path (metadata-only build);
+    * each commit's stats cover its own files, so appends compose and
+    * files from stats-less commits are simply kept conservatively.
+    */
+  def writeVersioned(df: DataFrame, path: String,
+      append: Boolean, statsCols: Seq[String]): Long = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
@@ -726,9 +739,15 @@ final case class GraftStorage(
     val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
     val commitDir = new Path(dir, s"data/c$n")
     df.write.mode("overwrite").parquet(commitDir.toString)
+    val stats: Seq[String] =
+      if (statsCols.isEmpty) Seq.empty
+      else {
+        buildZoneMap(commitDir.toString, statsCols)
+        Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
+      }
     val fresh = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath)
+      .map(_.getPath.toUri.getPath) ++ stats
     // append carries the RAW prior entries: deletion vectors keep
     // applying to the files they were committed against. (Key-based
     // DV contract: an appended row must not REUSE a deleted key —
@@ -792,12 +811,22 @@ final case class GraftStorage(
         (parts(1), parts(2))
     }
 
-  /** Every file path a manifest pins, data AND deletion vectors —
-    * the liveness unit vacuum must honor.
+  /** `_zonemap` stats directories a version's manifest references
+    * (`S` lines — one per stats-bearing commit).
+    */
+  private def manifestStats(path: String, version: Long): Seq[String] =
+    manifestEntries(path, version).collect {
+      case e if e.startsWith("S\t") => e.split('\t')(1)
+    }
+
+  /** Every path a manifest pins — data files, deletion vectors, and
+    * stats directories — the liveness unit vacuum must honor.
     */
   private def manifestAllPaths(path: String, version: Long): Seq[String] =
     manifestEntries(path, version).map { e =>
-      if (e.startsWith("D\t")) e.split('\t')(2) else e
+      if (e.startsWith("D\t")) e.split('\t')(2)
+      else if (e.startsWith("S\t")) e.split('\t')(1)
+      else e
     }
 
   /** Snapshot inventory of a versioned table — (version, file,
@@ -1073,7 +1102,7 @@ final case class GraftStorage(
     val live = keep.flatMap(manifestAllPaths(path, _)).map(key).toSet
     val dead = drop.flatMap(manifestAllPaths(path, _)).map(key)
       .distinct.filterNot(live)
-    dead.foreach(f => fs.delete(new Path(f), false))
+    dead.foreach(f => fs.delete(new Path(f), true)) // stats are dirs
     drop.foreach(v => fs.delete(new Path(dir, s"_manifest/v$v"), false))
     // sweep commit dirs the deletes emptied (cosmetic, metadata-scale)
     val dataDir = new Path(dir, "data")
@@ -1186,6 +1215,50 @@ final case class GraftStorage(
   /** Time travel by timestamp — `SELECT ... AS OF <ts>`. */
   def readVersionedAsOf(path: String, tsMillis: Long): DataFrame =
     readVersioned(path, Some(versionAsOf(path, tsMillis)))
+
+  /** Snapshot read with MANIFEST-LEVEL DATA SKIPPING: resolve the
+    * version's file list AND its commits' recorded per-file [min,max]
+    * stats, and serve both through a [[ZoneMapFileIndex]] over the
+    * exact manifest files — pushed filters then prune files at PLAN
+    * time, before any split is scheduled (the Delta/Iceberg
+    * stats-in-log read path). Files from commits written without
+    * `statsCols` have no stats rows and are kept conservatively.
+    * Falls back to the plain snapshot read when the manifest carries
+    * no stats or the snapshot holds merge-on-read deletion vectors
+    * (the DV anti-join needs the full row stream; compact first).
+    */
+  def readVersionedPruned(path: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.StructType
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val v = version.getOrElse(vs.last)
+    val statDirs = manifestStats(path, v)
+    if (statDirs.isEmpty || manifestDvs(path, v).nonEmpty)
+      return readVersioned(path, version)
+    val files = manifestFiles(path, v)
+    val zm = spark.read.parquet(statDirs: _*)
+    val zoneCols = zm.schema.fieldNames
+      .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+    val zones: Map[String, Map[String, (Any, Any)]] =
+      zm.collect().map { r =>
+        val fkey = new Path(r.getAs[String]("file")).toUri.getPath
+        fkey -> zoneCols.map(c =>
+          c -> ((r.getAs[Any](s"${c}__min"),
+            r.getAs[Any](s"${c}__max")))).toMap
+      }.toMap
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fullSchema = spark.read.parquet(files: _*).schema
+    val index = new ZoneMapFileIndex(classic,
+      files.map(new Path(_)), Some(fullSchema), zones)
+    val rel = HadoopFsRelation(index, StructType(Nil), fullSchema, None,
+      new ParquetFileFormat(), Map.empty)(classic)
+    Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
 
   def readVersioned(path: String, version: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {

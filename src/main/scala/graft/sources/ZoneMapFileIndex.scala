@@ -39,7 +39,11 @@ import org.apache.spark.sql.types.StructType
   */
 final class ZoneMapFileIndex(
     session: org.apache.spark.sql.classic.SparkSession,
-    root: Path,
+    /** directory root(s) — or an explicit FILE list (a versioned
+      * table's manifest pins exactly the snapshot's files; listing
+      * the table directory would also surface other commits' files).
+      */
+    roots: Seq[Path],
     dataSchema: Option[StructType],
     /** normalized file path → zone column → (min, max) as EXTERNAL
       * row values.
@@ -58,7 +62,7 @@ final class ZoneMapFileIndex(
     bloomLoader: Set[String] =>
       Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
       _ => Map.empty)
-  extends InMemoryFileIndex(session, Seq(root), Map.empty, dataSchema) {
+  extends InMemoryFileIndex(session, roots, Map.empty, dataSchema) {
 
   /** Indexed columns, resolved on first filtered consult. */
   private lazy val bloomCols: Set[String] = bloomMeta()

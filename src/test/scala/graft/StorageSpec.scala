@@ -1465,6 +1465,48 @@ class StorageSpec extends AnyFunSuite {
     assert(st.readVersioned(out3).count() == 900)
   }
 
+  test("manifest-level data skipping: stats-bearing commits prune at " +
+    "plan time, stats-less commits stay conservative") {
+    import spark.implicits._
+    val out = T.scratch(SF, "versioned_pruned_test")
+    val st = sources.GraftStorage(spark)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    // v0: 4 range-disjoint files WITH stats
+    st.writeVersioned(base.repartitionByRange(4, $"o_orderkey"),
+      out, append = false, statsCols = Seq("o_orderkey"))
+    val total = base.count()
+    val pruned = st.readVersionedPruned(out).filter($"o_orderkey" < 100)
+    val plain = st.readVersioned(out).filter($"o_orderkey" < 100)
+    assert(pruned.count() == plain.count() && pruned.count() > 0)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.metrics("numFiles").value < 4,
+      s"expected file skipping, scanned ${scan.metrics("numFiles").value}")
+    // unfiltered read is complete
+    assert(st.readVersionedPruned(out).count() == total)
+    // append WITHOUT stats: new files must be kept conservatively,
+    // counts stay right, and the v0 stats still prune v0's files
+    st.writeVersioned(base.filter($"o_orderkey" < 50)
+      .repartition(2), out, append = true)
+    val afterAppend = st.readVersionedPruned(out)
+      .filter($"o_orderkey" < 100)
+    assert(afterAppend.count() == plain.count() + 50)
+    afterAppend.collect()
+    val scan2 = afterAppend.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    // 6 files total; v0 contributes 1 matching + 2 stats-less appends
+    assert(scan2.metrics("numFiles").value < 6)
+    // time travel composes: v0 pruned read sees only v0
+    assert(st.readVersionedPruned(out, Some(0)).count() == total)
+  }
+
   test("AS OF timestamp resolves the newest commit at or before the " +
     "instant; pre-history instants fail fast") {
     import spark.implicits._
