@@ -68,8 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val path = GraftExtensions.literalString(exprs.head, "graft_versioned")
         val version = exprs.lift(1).map(e =>
           GraftExtensions.literalLong(e, "graft_versioned"))
+        // pruned resolve: stats-in-log file skipping when the
+        // manifest records stats; falls back to the plain snapshot
+        // read (incl. the DV anti-join form) otherwise
         sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
-          .readVersioned(path, version).queryExecution.analyzed
+          .readVersionedPruned(path, version).queryExecution.analyzed
       }))
     // Timestamp time travel: `FROM graft_versioned_at('/t',
     // '2026-08-14 07:00:00')` — the newest snapshot committed at or

@@ -80,7 +80,21 @@ final class GraftSource extends RelationProvider
       parameters.get("versioned").exists(_.toBoolean)
     val useZoneMap = parameters.get("zonemap").forall(_.toBoolean)
     val df =
-      if (versioned) st.readVersioned(path, asOf)
+      if (versioned) {
+        // a V1 relation is ONE file relation; a merge-on-read
+        // snapshot's read is a DV anti-JOIN and cannot be narrowed to
+        // one without silently resurrecting the deleted rows — refuse
+        // with guidance instead
+        if (st.hasDeletionVectors(path, asOf))
+          throw new IllegalArgumentException(
+            s"versioned read of $path: snapshot carries merge-on-read " +
+              "deletion vectors, which format(\"graft\") cannot express " +
+              "as a single relation. Use GraftStorage.readVersioned, " +
+              "the graft_versioned() SQL function, or compactVersioned " +
+              "(REORG APPLY DELETES) first.")
+        // stats-in-log skipping when the manifest records it
+        st.readVersionedPruned(path, asOf)
+      }
       else if (useZoneMap) st.readPruned(path)
       else st.read(path)
     relationOf(df)

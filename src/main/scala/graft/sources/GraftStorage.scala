@@ -1216,6 +1216,16 @@ final case class GraftStorage(
   def readVersionedAsOf(path: String, tsMillis: Long): DataFrame =
     readVersioned(path, Some(versionAsOf(path, tsMillis)))
 
+  /** Whether a snapshot carries merge-on-read deletion vectors (its
+    * read is then a DV anti-join, not a single file relation).
+    */
+  def hasDeletionVectors(path: String,
+      version: Option[Long] = None): Boolean = {
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    manifestDvs(path, version.getOrElse(vs.last)).nonEmpty
+  }
+
   /** Snapshot read with MANIFEST-LEVEL DATA SKIPPING: resolve the
     * version's file list AND its commits' recorded per-file [min,max]
     * stats, and serve both through a [[ZoneMapFileIndex]] over the

@@ -1507,6 +1507,49 @@ class StorageSpec extends AnyFunSuite {
     assert(st.readVersionedPruned(out, Some(0)).count() == total)
   }
 
+  test("DV snapshots refuse the single-relation front door; TVF and " +
+    "format(\"graft\") versioned reads pick up stats-in-log skipping") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val fs = new org.apache.hadoop.fs.Path(T.scratch(SF, "x"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // format("graft") on a DV-bearing snapshot must throw, not
+    // silently resurrect deleted rows
+    val mor = T.scratch(SF, "dv_frontdoor")
+    fs.delete(new org.apache.hadoop.fs.Path(mor), true)
+    st.writeVersioned(spark.range(0, 100).toDF("k"), mor)
+    st.deleteVersionedMor(mor, $"k" < 10, "k")
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versioned", "true").load(mor)
+    }
+    assert(err.getMessage.contains("deletion vectors"))
+    // the TVF expresses the DV anti-join fine
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_versioned('$mor')")
+      .collect()(0).getLong(0) == 90)
+    // stats-bearing table: both SQL and format() routes prune files
+    val out = T.scratch(SF, "stats_frontdoor")
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    st.writeVersioned(T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .repartitionByRange(4, $"o_orderkey"),
+      out, append = false, statsCols = Seq("o_orderkey"))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.get
+    }
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_versioned('$out') WHERE o_orderkey < 100")
+    assert(scannedFiles(viaSql) < 4)
+    val viaFormat = spark.read.format("graft")
+      .option("versioned", "true").load(out)
+      .filter($"o_orderkey" < 100)
+    assert(scannedFiles(viaFormat) < 4)
+  }
+
   test("AS OF timestamp resolves the newest commit at or before the " +
     "instant; pre-history instants fail fast") {
     import spark.implicits._
