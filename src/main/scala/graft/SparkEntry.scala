@@ -13,6 +13,7 @@ object SparkEntry {
   val modules: Seq[QueryModule] = Seq(
     operators.Scans,
     operators.Filters,
+    operators.IntervalAnalytics,
     operators.Joins,
     operators.Aggs,
     operators.Windows,

@@ -259,7 +259,10 @@ object Composite extends QueryModule {
         |FROM s ORDER BY event_type""".stripMargin,
     "events_rfm" ->
       """WITH p AS (
-        |  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec, value
+        |  -- epoch_us//1e6 truncates like Spark's unix_timestamp;
+        |  -- CAST(epoch() AS BIGINT) would round half-up and drift on
+        |  -- fractional-second purchases
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec, value
         |  FROM events WHERE event_type = 'purchase'),
         |u AS (
         |  SELECT user_id, MAX(sec) AS last_sec, COUNT(*) AS freq,
