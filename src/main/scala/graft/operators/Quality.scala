@@ -118,6 +118,44 @@ object Quality extends QueryModule {
       .orderBy($"key_col")
   }
 
+  /** Rolling-median ANOMALY flags over the hourly event series — the
+    * volume monitor that pages when a source doubles or halves. Per
+    * event_type: hourly counts, then each hour compared against the
+    * MEDIAN of the trailing 24 observed hours (median, not mean — one
+    * prior spike must not mask the next one). Spark bars
+    * percentile-class aggregates from framed windows
+    * (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the trailing
+    * median is computed as sorted collect_list + middle-two sum —
+    * which also makes the whole query INTEGER arithmetic: med2 =
+    * arr[12]+arr[13] is exactly 2·median, the band compares multiply
+    * through (high: cnt > med2; low: 4·cnt < med2), and no double
+    * ever appears.
+    * Scale shape: one hash aggregate (map-side combined: the shuffle
+    * carries (type,hour) cells, not events) + one window per type —
+    * series length is hours, not rows, so a year of 100 TB telemetry
+    * windows over 8760 points per type.
+    */
+  def dqAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(-24, -1)
+    val hourly = T.events(s, dir)
+      .groupBy($"event_type",
+        floor(unix_timestamp($"ts") / 3600L).cast("long").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    hourly
+      .withColumn("arr", sort_array(collect_list($"cnt").over(w)))
+      .withColumn("n_trail", size($"arr"))
+      .withColumn("med2", element_at($"arr", 12) + element_at($"arr", 13))
+      .filter($"n_trail" === 24 &&
+        ($"cnt" > $"med2" || $"cnt" * 4 < $"med2"))
+      .select($"event_type", $"h", $"cnt", $"med2",
+        when($"cnt" > $"med2", lit("high")).otherwise(lit("low"))
+          .as("direction"))
+      .orderBy($"event_type", $"h")
+  }
+
   /** SNAPSHOT-DRIFT audit between two versions of a versioned table —
     * the freshness/volume monitor a warehouse runs after every ingest:
     * per group, row count at v0 vs v1 plus the integer delta. Reads
@@ -291,6 +329,7 @@ object Quality extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_corr" -> (profileCorr(_, _)),
     "dq_stats_audit" -> (dqStatsAudit(_, _)),
+    "dq_anomaly" -> (dqAnomaly(_, _)),
     "dq_check" -> (dqCheck(_, _)),
     "dq_drift" -> (dqDrift(_, _)),
     "dq_skew" -> (dqSkew(_, _)),
@@ -371,6 +410,26 @@ object Quality extends QueryModule {
          |${Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
             .map(skewCensusSql).mkString("\nUNION ALL\n")})
          |ORDER BY key_col""".stripMargin,
+    "dq_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |lists AS (
+        |  SELECT event_type, h, cnt,
+        |    list_sort(list(cnt) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) AS arr
+        |  FROM hourly),
+        |trail AS (
+        |  SELECT event_type, h, cnt, len(arr) AS n_trail,
+        |    arr[12] + arr[13] AS med2
+        |  FROM lists)
+        |SELECT event_type, h, cnt, med2,
+        |  CASE WHEN cnt > med2 THEN 'high' ELSE 'low' END
+        |    AS direction
+        |FROM trail
+        |WHERE n_trail = 24 AND (cnt > med2 OR cnt * 4 < med2)
+        |ORDER BY event_type, h""".stripMargin,
     "dq_check" ->
       """WITH d AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
