@@ -232,6 +232,58 @@ object Sinks extends QueryModule {
     snap(0).unionByName(snap(1)).orderBy($"version")
   }
 
+  /** CHECK constraints as a commit-protocol gate: a versioned table
+    * declares predicates once
+    * ([[graft.sources.GraftStorage.addCheckConstraint]]) and every
+    * commit that introduces rows validates its OWN files between data
+    * write and manifest publish — a violating append aborts
+    * invisibly (no manifest, commit dir removed), leaving readers on
+    * the prior snapshot. ANSI semantics: NULL passes, only FALSE
+    * violates — proven by final_rows including the committed
+    * NULL-custkey row. Validation reads only
+    * the delta's constraint columns, so the gate costs O(new data),
+    * not O(table) — the design that still works when the table is
+    * 100 TB and the append is a few GB.
+    */
+  def sinkVersionedConstraint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_constraint")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    st.writeVersioned(base, out)
+    st.addCheckConstraint(out, "positive_price", "o_totalprice > 0")
+    st.addCheckConstraint(out, "has_key", "o_orderkey IS NOT NULL")
+    // dirty batch: one key violation, two price violations, one row
+    // with NULL custkey that must PASS (ANSI: null is not false), one
+    // clean row
+    val dirty = Seq(
+      (Option.empty[Long], Some(1L), 10.0),
+      (Some(90000001L), Some(1L), -5.0),
+      (Some(90000002L), Some(2L), 0.0),
+      (Some(90000003L), Option.empty[Long], 30.0),
+      (Some(90000004L), Some(3L), 40.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val rejected =
+      try { st.writeVersioned(dirty, out, append = true); Map.empty[String, Long] }
+      catch {
+        case e: graft.sources.ConstraintViolationException => e.counts
+      }
+    // clean batch commits fine
+    st.writeVersioned(dirty.filter($"o_orderkey".isNotNull &&
+      $"o_totalprice" > 0), out, append = true)
+    val fin = st.readVersioned(out)
+    Seq(
+      ("final_rows", fin.count()),
+      ("rejected_has_key", rejected.getOrElse("has_key", 0L)),
+      ("rejected_positive_price", rejected.getOrElse("positive_price", 0L)),
+      ("versions", st.listVersions(out).size.toLong))
+      .toDF("metric", "v").orderBy($"metric")
+  }
+
   /** SQL time travel — the versioned format surfaced to pure-SQL
     * users through the injected `graft_versioned(path[, version])`
     * table function ([[graft.GraftExtensions]]): version pinning
@@ -628,6 +680,7 @@ object Sinks extends QueryModule {
     "sink_upsert" -> (sinkUpsert(_, _)),
     "sink_clone" -> (sinkClone(_, _)),
     "sink_versioned" -> (sinkVersioned(_, _)),
+    "sink_versioned_constraint" -> (sinkVersionedConstraint(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
@@ -819,6 +872,16 @@ object Sinks extends QueryModule {
          |  SELECT 'src_latest', COUNT(*), ${sqlDsum("o_totalprice")}
          |  FROM orders)
          |ORDER BY snap""".stripMargin,
+    "sink_versioned_constraint" ->
+      """SELECT metric, v FROM (
+        |  -- v0 = orders, rejected dirty batch contributes nothing,
+        |  -- v1 = the 2 clean dirty-batch rows (null-custkey row
+        |  -- passes ANSI CHECK and the 40.0 row is clean)
+        |  SELECT 'final_rows' AS metric, COUNT(*) + 2 AS v FROM orders
+        |  UNION ALL SELECT 'rejected_has_key', 1
+        |  UNION ALL SELECT 'rejected_positive_price', 2
+        |  UNION ALL SELECT 'versions', 2)
+        |ORDER BY metric""".stripMargin,
     "sink_versioned" ->
       s"""SELECT version, cnt, total FROM (
          |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS cnt,

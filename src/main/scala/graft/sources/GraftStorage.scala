@@ -739,6 +739,7 @@ final case class GraftStorage(
     val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
     val commitDir = new Path(dir, s"data/c$n")
     df.write.mode("overwrite").parquet(commitDir.toString)
+    validateCommitDir(path, commitDir, fs)
     val stats: Seq[String] =
       if (statsCols.isEmpty) Seq.empty
       else {
@@ -762,6 +763,106 @@ final case class GraftStorage(
     out.close()
     fs.rename(tmp, new Path(manifestDir, s"v$n"))
     n
+  }
+
+  /** CHECK constraints on a versioned table — declared once, enforced
+    * on every commit that introduces rows (create/append, UPDATE,
+    * MERGE; merge-on-read DELETE adds no rows and skips). One file
+    * per constraint under `_constraints/<name>`, body = the SQL
+    * predicate; ANSI semantics: a row violates only when the
+    * predicate evaluates to FALSE (NULL passes, as in SQL CHECK).
+    *
+    * Enforcement sits at the commit protocol's natural gate — AFTER
+    * the data write, BEFORE the manifest publish — so a failed commit
+    * is invisible (readers resolve manifests only) and its data dir
+    * is removed. Validation reads back only the NEW commit's files
+    * and only the constraint's columns (columnar pruning), so the
+    * cost is O(delta, referenced cols), never O(table).
+    */
+  def addCheckConstraint(path: String, name: String,
+      predicateSql: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    // the existing snapshot must already satisfy the new rule
+    if (listVersions(path).nonEmpty)
+      requireSatisfies(readVersioned(path), Map(name -> predicateSql),
+        s"existing snapshot of $path")
+    val cdir = new Path(new Path(path), "_constraints")
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(cdir)
+    val tmp = new Path(cdir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    out.write(predicateSql.getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, new Path(cdir, name))
+  }
+
+  /** Declared CHECK constraints: name → SQL predicate. */
+  def checkConstraints(path: String): Map[String, String] = {
+    import org.apache.hadoop.fs.Path
+    val cdir = new Path(new Path(path), "_constraints")
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cdir)) Map.empty
+    else fs.listStatus(cdir).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
+      .map { f =>
+        val in = fs.open(f.getPath)
+        val body = try {
+          val buf = new Array[Byte](f.getLen.toInt)
+          in.readFully(0, buf)
+          new String(buf, "UTF-8")
+        } finally in.close()
+        f.getPath.getName -> body
+      }.toMap
+  }
+
+  /** Remove a declared constraint (future commits stop checking it). */
+  def dropCheckConstraint(path: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = new Path(new Path(path), s"_constraints/$name")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(f), s"no constraint '$name' on $path")
+    fs.delete(f, false)
+  }
+
+  /** One aggregate pass counting FALSE evaluations per constraint;
+    * throws [[ConstraintViolationException]] if any row violates.
+    */
+  private def requireSatisfies(df: DataFrame,
+      constraints: Map[String, String], what: String): Unit = {
+    if (constraints.isEmpty) return
+    val names = constraints.keys.toSeq.sorted
+    val aggs = names.map { n =>
+      count(when(!coalesce(expr(constraints(n)), lit(true)), 1)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val counts = names.zipWithIndex
+      .map { case (n, i) => n -> row.getLong(i) }
+      .filter(_._2 > 0).toMap
+    if (counts.nonEmpty)
+      throw new ConstraintViolationException(counts,
+        s"CHECK constraint violation on $what: " +
+          counts.toSeq.sorted.map { case (n, c) =>
+            s"$n (${constraints(n)}): $c rows" }.mkString("; "))
+  }
+
+  /** Commit-gate validation: read back the freshly written commit dir
+    * (new files only, constraint columns only) and, on violation,
+    * remove it so the aborted commit leaves no trace.
+    */
+  private def validateCommitDir(path: String,
+      commitDir: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val cs = checkConstraints(path)
+    if (cs.isEmpty || !fs.exists(commitDir)) return
+    try requireSatisfies(spark.read.parquet(commitDir.toString), cs,
+      s"commit ${commitDir.getName} of $path")
+    catch {
+      case e: ConstraintViolationException =>
+        fs.delete(commitDir, true)
+        throw e
+    }
   }
 
   /** Committed versions of a versioned table, ascending. */
@@ -1022,6 +1123,7 @@ final case class GraftStorage(
       .select(cur.columns.map(col).toIndexedSeq: _*)
     survivors.unionByName(matched).unionByName(inserts)
       .write.mode("overwrite").parquet(commitDir.toString)
+    validateCommitDir(path, commitDir, fs)
     val fresh = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
@@ -1173,6 +1275,7 @@ final case class GraftStorage(
       else {
         rewrite(spark.read.parquet(affected: _*))
           .write.mode("overwrite").parquet(commitDir.toString)
+        validateCommitDir(path, commitDir, fs)
         fs.listStatus(commitDir).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toUri.getPath)
@@ -1879,6 +1982,13 @@ object GraftStorage {
     */
   val TokenBloomPrefix = "tokens:"
 }
+
+/** Raised when a commit introduces rows that evaluate a declared
+  * CHECK constraint to FALSE. Carries per-constraint violation counts
+  * so callers (and tests) can act on the census, not parse messages.
+  */
+final class ConstraintViolationException(val counts: Map[String, Long],
+    msg: String) extends IllegalStateException(msg)
 
 sealed trait WriteOption
 /** K1: spec-valid single file (coalesce-1 commit). */

@@ -1550,6 +1550,59 @@ class StorageSpec extends AnyFunSuite {
     assert(scannedFiles(viaFormat) < 4)
   }
 
+  test("CHECK constraints gate every row-introducing commit path and " +
+    "aborted commits leave no trace") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "constraints")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    st.writeVersioned(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"), out)
+    // declaring over violating data refuses
+    val pre = intercept[sources.ConstraintViolationException] {
+      st.addCheckConstraint(out, "big", "price > 15")
+    }
+    assert(pre.counts == Map("big" -> 1L))
+    st.addCheckConstraint(out, "pos", "price > 0")
+    st.addCheckConstraint(out, "keyed", "k IS NOT NULL")
+    assert(st.checkConstraints(out).keySet == Set("pos", "keyed"))
+    // violating append aborts atomically: version list and data
+    // unchanged, commit dir cleaned up
+    val e = intercept[sources.ConstraintViolationException] {
+      st.writeVersioned(Seq((3L, -1.0), (4L, 40.0)).toDF("k", "price"),
+        out, append = true)
+    }
+    assert(e.counts == Map("pos" -> 1L))
+    assert(st.listVersions(out) == Seq(0L))
+    assert(st.readVersioned(out).count() == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, "data/c1")))
+    // UPDATE producing a violation aborts the same way
+    val u = intercept[sources.ConstraintViolationException] {
+      st.updateVersioned(out, $"k" === 1L,
+        Map("price" -> lit(-9.0)))
+    }
+    assert(u.counts == Map("pos" -> 1L))
+    assert(st.listVersions(out) == Seq(0L))
+    // MERGE whose inserts violate aborts too
+    intercept[sources.ConstraintViolationException] {
+      st.mergeVersioned(out,
+        Seq((5L, -3.0)).toDF("k", "price"), "k")
+    }
+    assert(st.listVersions(out) == Seq(0L))
+    // NULL evaluates the predicate to NULL, not FALSE: passes (ANSI)
+    val withNullPrice = Seq((Some(6L), Option.empty[Double]))
+      .toDF("k", "price")
+    st.writeVersioned(withNullPrice, out, append = true)
+    assert(st.readVersioned(out).count() == 3)
+    // dropped constraint stops gating
+    st.dropCheckConstraint(out, "pos")
+    st.writeVersioned(Seq((7L, -1.0)).toDF("k", "price"), out,
+      append = true)
+    assert(st.readVersioned(out).count() == 4)
+  }
+
   test("AS OF timestamp resolves the newest commit at or before the " +
     "instant; pre-history instants fail fast") {
     import spark.implicits._
