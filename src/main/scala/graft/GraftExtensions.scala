@@ -104,6 +104,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
           .filesVersioned(path).queryExecution.analyzed
       }))
+    // Constraint inventory TVF: `SELECT * FROM graft_constraints('/t')`
+    // → (name, predicate) — the DESCRIBE CONSTRAINTS surface of the
+    // commit-gated CHECK machinery (GraftStorage.addCheckConstraint).
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_constraints"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_constraints"),
+      (exprs: Seq[Expression]) => {
+        val path =
+          GraftExtensions.literalString(exprs.head, "graft_constraints")
+        val s = org.apache.spark.sql.SparkSession.active
+        import s.implicits._
+        sources.GraftStorage(s).checkConstraints(path).toSeq.sorted
+          .toDF("name", "predicate").queryExecution.analyzed
+      }))
   }
 }
 

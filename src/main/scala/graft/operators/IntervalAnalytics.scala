@@ -141,6 +141,35 @@ object IntervalAnalytics extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** Complement of the merged islands (bedtools complement): the
+    * uncovered gaps BETWEEN islands per user — lead(island start)
+    * against each island's end over the same single-exchange window
+    * layout as the merge. Bounded by the user's own activity span (no
+    * global domain edges), so every gap is interior: gap_start =
+    * prev island end + 1, gap_end = next island start − 1.
+    */
+  def intervalGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"start_s", $"end_s", $"event_id")
+    val cummaxEnd = max($"end_s")
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val wi = Window.partitionBy($"user_id").orderBy($"island")
+    ivs(s, dir)
+      .withColumn("opens",
+        when($"start_s" > coalesce(cummaxEnd, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum($"opens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"island")
+      .agg(min($"start_s").as("ivl_start"), max($"end_s").as("ivl_end"))
+      .withColumn("next_start", lead($"ivl_start", 1).over(wi))
+      .filter($"next_start".isNotNull)
+      .select($"user_id", ($"ivl_end" + 1L).as("gap_start"),
+        ($"next_start" - 1L).as("gap_end"))
+      .orderBy($"user_id", $"gap_start")
+  }
+
   /** Closest merged island for every purchase event (bedtools
     * closest): targets are the MERGED islands of all non-purchase
     * activity — disjoint by construction, so per query point the
@@ -202,6 +231,7 @@ object IntervalAnalytics extends QueryModule {
     Map(
       "interval_merge" -> (intervalMerge(_, _)),
       "interval_coverage" -> (intervalCoverage(_, _)),
+      "interval_gaps" -> (intervalGaps(_, _)),
       "interval_closest" -> (intervalClosest(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -229,6 +259,18 @@ object IntervalAnalytics extends QueryModule {
          |  CAST(SUM(CASE WHEN depth > 0 AND next_pos IS NOT NULL
          |    THEN next_pos - pos ELSE 0 END) AS BIGINT) AS covered_s
          |FROM sweep GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "interval_gaps" ->
+      s"""WITH iv AS ($ivSql),
+         |${mergeSql("iv")},
+         |nxt AS (
+         |  SELECT user_id, ivl_end,
+         |    LEAD(ivl_start) OVER (PARTITION BY user_id ORDER BY island)
+         |      AS next_start
+         |  FROM merged)
+         |SELECT user_id, ivl_end + 1 AS gap_start,
+         |  next_start - 1 AS gap_end
+         |FROM nxt WHERE next_start IS NOT NULL
+         |ORDER BY user_id, gap_start""".stripMargin,
     "interval_closest" ->
       s"""WITH iv0 AS (
          |  SELECT user_id, event_id, event_type,

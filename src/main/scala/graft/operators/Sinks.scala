@@ -284,6 +284,45 @@ object Sinks extends QueryModule {
       .toDF("metric", "v").orderBy($"metric")
   }
 
+  /** SCHEMA EVOLUTION through the versioned log: each commit records
+    * its own schema as an `H` manifest line, and readers merge the
+    * lines by name — KBs of metadata — instead of opening parquet
+    * footers (`mergeSchema`'s per-file cost, the wrong shape at 100 TB
+    * file counts). An append may add columns; files from
+    * pre-evolution commits surface them as NULLs. Time travel keeps
+    * each version's OWN schema: v0 reads with 2 columns, latest with
+    * 3 — the query proves both widths and the null fill, and the
+    * oracle replays the censuses from orders.
+    */
+  def sinkVersionedEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_evolve")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    st.writeVersioned(base, out)
+    // evolved append: adds o_note
+    st.writeVersioned(
+      T.t(s, dir, "orders")
+        .filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", $"o_totalprice",
+          concat(lit("n"), ($"o_orderkey" % 7).cast("string"))
+            .as("o_note")),
+      out, append = true)
+    def census(v: Long): DataFrame = {
+      val df = st.readVersioned(out, Some(v))
+      df.agg(count(lit(1)).as("n_rows"),
+        lit(df.columns.length.toLong).as("n_cols"),
+        (if (df.columns.contains("o_note"))
+          count($"o_note") else lit(0L)).as("n_notes"))
+        .select(lit(v).as("version"), $"n_rows", $"n_cols", $"n_notes")
+    }
+    census(0).unionByName(census(1)).orderBy($"version")
+  }
+
   /** SQL time travel — the versioned format surfaced to pure-SQL
     * users through the injected `graft_versioned(path[, version])`
     * table function ([[graft.GraftExtensions]]): version pinning
@@ -681,6 +720,7 @@ object Sinks extends QueryModule {
     "sink_clone" -> (sinkClone(_, _)),
     "sink_versioned" -> (sinkVersioned(_, _)),
     "sink_versioned_constraint" -> (sinkVersionedConstraint(_, _)),
+    "sink_versioned_evolve" -> (sinkVersionedEvolve(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
@@ -872,6 +912,18 @@ object Sinks extends QueryModule {
          |  SELECT 'src_latest', COUNT(*), ${sqlDsum("o_totalprice")}
          |  FROM orders)
          |ORDER BY snap""".stripMargin,
+    "sink_versioned_evolve" ->
+      """SELECT version, n_rows, n_cols, n_notes FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |    CAST(2 AS BIGINT) AS n_cols, CAST(0 AS BIGINT) AS n_notes
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT),
+        |    (SELECT COUNT(*) FROM orders) +
+        |      (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0),
+        |    CAST(3 AS BIGINT),
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0))
+        |ORDER BY version""".stripMargin,
     "sink_versioned_constraint" ->
       """SELECT metric, v FROM (
         |  -- v0 = orders, rejected dirty batch contributes nothing,

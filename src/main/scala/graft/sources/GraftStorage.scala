@@ -746,15 +746,30 @@ final case class GraftStorage(
         buildZoneMap(commitDir.toString, statsCols)
         Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
       }
+    // schema-in-log: the commit records its own schema (`H` line);
+    // readers merge H lines by name instead of opening footers. The
+    // json is one line for any schema our writers produce (Spark's
+    // DataType.json emits no newlines).
     val fresh = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath) ++ stats
+      .map(_.getPath.toUri.getPath) ++ stats ++
+      Seq(s"H\t${df.schema.json}")
     // append carries the RAW prior entries: deletion vectors keep
     // applying to the files they were committed against. (Key-based
     // DV contract: an appended row must not REUSE a deleted key —
     // materialize via compactVersioned before re-inserting keys.)
     val carried =
       if (append) manifestEntries(path, n - 1) else Seq.empty[String]
+    // fail fast on type-conflicting evolution: an append whose
+    // columns collide must not poison the log (readers would die on
+    // every subsequent resolve)
+    try GraftStorage.mergeSchemaJsons((carried ++ fresh)
+      .collect { case e if e.startsWith("H\t") => e.drop(2) })
+    catch {
+      case e: IllegalArgumentException =>
+        fs.delete(commitDir, true)
+        throw e
+    }
     val manifestDir = new Path(dir, "_manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".v$n.tmp")
@@ -922,13 +937,29 @@ final case class GraftStorage(
 
   /** Every path a manifest pins — data files, deletion vectors, and
     * stats directories — the liveness unit vacuum must honor.
+    * (`H` schema lines pin no path.)
     */
   private def manifestAllPaths(path: String, version: Long): Seq[String] =
-    manifestEntries(path, version).map { e =>
-      if (e.startsWith("D\t")) e.split('\t')(2)
-      else if (e.startsWith("S\t")) e.split('\t')(1)
-      else e
+    manifestEntries(path, version).flatMap { e =>
+      if (e.startsWith("D\t")) Some(e.split('\t')(2))
+      else if (e.startsWith("S\t")) Some(e.split('\t')(1))
+      else if (e.startsWith("H\t")) None
+      else Some(e)
     }
+
+  /** SCHEMA-IN-LOG: the snapshot's read schema, merged by name across
+    * every commit's `H` manifest line (in commit order, first-seen
+    * column order, same-name columns must agree on type). This is how
+    * a reader learns the table shape from KBs of metadata — no
+    * parquet footer is opened, unlike `mergeSchema`, whose cost is a
+    * footer read per file and grows with the table. Commits written
+    * before schema lines existed yield None (callers fall back to
+    * footer inference).
+    */
+  private def mergedManifestSchema(path: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    GraftStorage.mergeSchemaJsons(manifestEntries(path, version)
+      .collect { case e if e.startsWith("H\t") => e.drop(2) })
 
   /** Snapshot inventory of a versioned table — (version, file,
     * bytes) per manifest entry, the DESCRIBE HISTORY / `.files`
@@ -1097,7 +1128,7 @@ final case class GraftStorage(
     materializeIfMor(path) // file-wise machinery reads raw files
     val vs = listVersions(path)
     val files = manifestFiles(path, vs.last)
-    val cur = spark.read.parquet(files: _*)
+    val cur = readRawFiles(path, vs.last, files)
     require(cur.columns.toSet == updates.columns.toSet,
       s"merge schema mismatch: table ${cur.columns.toSeq} vs " +
         s"updates ${updates.columns.toSeq}")
@@ -1114,7 +1145,8 @@ final case class GraftStorage(
     // rewritten affected files: updates win on key, others carried;
     // plus the pure inserts (keys unseen anywhere in the snapshot)
     val affectedDf =
-      if (affected.isEmpty) cur.limit(0) else spark.read.parquet(affected: _*)
+      if (affected.isEmpty) cur.limit(0)
+      else readRawFiles(path, vs.last, affected)
     val survivors = affectedDf.join(broadcast(upd.select(col(key))),
       Seq(key), "left_anti")
     val matched = upd.join(cur.select(col(key)), Seq(key), "left_semi")
@@ -1127,11 +1159,17 @@ final case class GraftStorage(
     val fresh = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
+    // carry metadata entries: H schema lines stay valid (rewrites are
+    // written WITH the merged schema) and S stats keep pruning the
+    // untouched files (zone lookups are per file, so stale rows for
+    // replaced files are simply never consulted)
+    val meta = manifestEntries(path, vs.last)
+      .filter(e => e.startsWith("S\t") || e.startsWith("H\t"))
     val manifestDir = new Path(dir, "_manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".v$n.tmp")
     val out = fs.create(tmp, true)
-    out.write((untouched ++ fresh).mkString("\n").getBytes("UTF-8"))
+    out.write((untouched ++ fresh ++ meta).mkString("\n").getBytes("UTF-8"))
     out.close()
     fs.rename(tmp, new Path(manifestDir, s"v$n"))
     n
@@ -1174,7 +1212,8 @@ final case class GraftStorage(
     val added = after.filterNot(f => beforeKeys(key(f)))
     lazy val empty = readVersioned(path, Some(toVersion)).limit(0)
     def rows(fls: Seq[String]): DataFrame =
-      if (fls.isEmpty) empty else spark.read.parquet(fls: _*)
+      if (fls.isEmpty) empty
+      else readRawFiles(path, toVersion, fls)
     rows(added).exceptAll(rows(removed))
       .withColumn("_change_type", lit("insert"))
       .unionByName(rows(removed).exceptAll(rows(added))
@@ -1262,7 +1301,7 @@ final case class GraftStorage(
     val vs = listVersions(path)
     val files = manifestFiles(path, vs.last)
     def key(p: String): String = new Path(p).toUri.getPath
-    val cur = spark.read.parquet(files: _*)
+    val cur = readRawFiles(path, vs.last, files)
     // metadata-scale: one distinct file name per file holding a match
     val affectedKeys = cur.filter(predicate)
       .select(input_file_name()).distinct()
@@ -1273,18 +1312,21 @@ final case class GraftStorage(
     val fresh: Seq[String] =
       if (affected.isEmpty) Seq.empty
       else {
-        rewrite(spark.read.parquet(affected: _*))
+        rewrite(readRawFiles(path, vs.last, affected))
           .write.mode("overwrite").parquet(commitDir.toString)
         validateCommitDir(path, commitDir, fs)
         fs.listStatus(commitDir).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toUri.getPath)
       }
+    // carry H/S metadata entries (same contract as mergeVersioned)
+    val meta = manifestEntries(path, vs.last)
+      .filter(e => e.startsWith("S\t") || e.startsWith("H\t"))
     val manifestDir = new Path(dir, "_manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".v$n.tmp")
     val out = fs.create(tmp, true)
-    out.write((untouched ++ fresh).mkString("\n").getBytes("UTF-8"))
+    out.write((untouched ++ fresh ++ meta).mkString("\n").getBytes("UTF-8"))
     out.close()
     fs.rename(tmp, new Path(manifestDir, s"v$n"))
     n
@@ -1365,12 +1407,28 @@ final case class GraftStorage(
             r.getAs[Any](s"${c}__max")))).toMap
       }.toMap
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val fullSchema = spark.read.parquet(files: _*).schema
+    val fullSchema = mergedManifestSchema(path, v)
+      .getOrElse(spark.read.parquet(files: _*).schema)
     val index = new ZoneMapFileIndex(classic,
       files.map(new Path(_)), Some(fullSchema), zones)
     val rel = HadoopFsRelation(index, StructType(Nil), fullSchema, None,
       new ParquetFileFormat(), Map.empty)(classic)
     Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
+
+  /** Raw manifest-file read honoring the snapshot's schema-in-log
+    * (files from pre-evolution commits surface added columns as
+    * nulls). The file-wise machinery (copy-on-write rewrites, MERGE,
+    * CDC) must read THROUGH this or an evolved table's per-file
+    * schema drift breaks their unions.
+    */
+  private def readRawFiles(path: String, v: Long,
+      files: Seq[String]): DataFrame = {
+    val reader = mergedManifestSchema(path, v) match {
+      case Some(schema) => spark.read.schema(schema)
+      case None         => spark.read
+    }
+    reader.parquet(files: _*)
   }
 
   def readVersioned(path: String, version: Option[Long] = None,
@@ -1379,9 +1437,14 @@ final case class GraftStorage(
     require(vs.nonEmpty, s"no versions committed under $path")
     val v = version.getOrElse(vs.last)
     val files = manifestFiles(path, v)
-    val reader =
-      if (mergeSchema) spark.read.option("mergeSchema", "true")
-      else spark.read
+    // schema-in-log first (KB metadata, fills columns absent from
+    // older files with nulls); footer-based mergeSchema only for
+    // legacy tables without H lines
+    val reader = mergedManifestSchema(path, v) match {
+      case Some(schema)          => spark.read.schema(schema)
+      case None if mergeSchema   => spark.read.option("mergeSchema", "true")
+      case None                  => spark.read
+    }
     val base =
       if (files.isEmpty) reader.parquet(path + "/data/c0").limit(0)
       else reader.parquet(files: _*)
@@ -1973,6 +2036,29 @@ object GraftStorage {
     val c = new org.apache.hadoop.conf.Configuration(false)
     m.foreach { case (k, v) => c.set(k, v) }
     c
+  }
+
+  /** Merge `H`-line schema jsons by name: commit order, first-seen
+    * column order, same-name columns must agree on type.
+    */
+  private[sources] def mergeSchemaJsons(jsons: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (jsons.isEmpty) None
+    else Some(jsons.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .reduce { (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer(a.fields: _*)
+        b.fields.foreach { f =>
+          out.indexWhere(_.name == f.name) match {
+            case -1 => out += f
+            case i => require(out(i).dataType == f.dataType,
+              s"schema evolution type conflict on '${f.name}': " +
+                s"${out(i).dataType.simpleString} vs " +
+                s"${f.dataType.simpleString}")
+          }
+        }
+        StructType(out.toSeq)
+      })
   }
 
   /** Sidecar `col` prefix marking a TOKENIZED text Bloom (filter over

@@ -56,6 +56,23 @@ class IntervalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("islands plus gaps tile each user's activity span exactly") {
+    val islandLen = merged.groupBy($"user_id")
+      .agg(sum($"ivl_end" - $"ivl_start" + 1L).as("ilen"),
+        min($"ivl_start").as("lo"), max($"ivl_end").as("hi"))
+    val gapLen = operators.IntervalAnalytics.intervalGaps(spark, SF)
+      .groupBy($"user_id")
+      .agg(sum($"gap_end" - $"gap_start" + 1L).as("glen"))
+    val bad = islandLen.join(gapLen, Seq("user_id"), "left_outer")
+      .filter($"ilen" + coalesce($"glen", lit(0L)) =!=
+        $"hi" - $"lo" + 1L)
+    assert(bad.count() == 0)
+    // gaps are genuinely uncovered: all positive length
+    val neg = operators.IntervalAnalytics.intervalGaps(spark, SF)
+      .filter($"gap_end" < $"gap_start")
+    assert(neg.count() == 0)
+  }
+
   test("closest matches the brute-force distance at sf0.001") {
     val tagged = T.events(spark, SF).select(
       $"user_id", $"event_id", $"event_type",

@@ -1568,6 +1568,12 @@ class StorageSpec extends AnyFunSuite {
     st.addCheckConstraint(out, "pos", "price > 0")
     st.addCheckConstraint(out, "keyed", "k IS NOT NULL")
     assert(st.checkConstraints(out).keySet == Set("pos", "keyed"))
+    // SQL inventory surface
+    assert(spark.sql(
+      s"SELECT name, predicate FROM graft_constraints('$out') " +
+        "ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("keyed", "k IS NOT NULL"), ("pos", "price > 0")))
     // violating append aborts atomically: version list and data
     // unchanged, commit dir cleaned up
     val e = intercept[sources.ConstraintViolationException] {
@@ -1600,6 +1606,52 @@ class StorageSpec extends AnyFunSuite {
     st.dropCheckConstraint(out, "pos")
     st.writeVersioned(Seq((7L, -1.0)).toDF("k", "price"), out,
       append = true)
+    assert(st.readVersioned(out).count() == 4)
+  }
+
+  test("schema-in-log evolution: H lines drive reads, time travel " +
+    "keeps per-version schemas, file-wise ops survive evolved tables") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "schema_evolve")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    st.writeVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), out)
+    // append adds a column; old files surface it as NULL
+    st.writeVersioned(Seq((3L, "c", 30L)).toDF("k", "s", "extra"),
+      out, append = true)
+    val latest = st.readVersioned(out)
+    assert(latest.columns.toSeq == Seq("k", "s", "extra"))
+    assert(latest.filter($"extra".isNull).count() == 2)
+    // v0 keeps its own 2-column shape
+    assert(st.readVersioned(out, Some(0)).columns.toSeq == Seq("k", "s"))
+    // pruned read resolves the same merged schema without footers
+    assert(st.readVersionedPruned(out).columns.toSeq ==
+      Seq("k", "s", "extra"))
+    // copy-on-write UPDATE over the evolved table: pre-evolution rows
+    // rewrite cleanly (their files lack the column entirely)
+    st.updateVersioned(out, $"k" === 1L, Map("s" -> lit("z")))
+    val after = st.readVersioned(out)
+    assert(after.filter($"k" === 1L).select($"s").collect()
+      .map(_.getString(0)).toSeq == Seq("z"))
+    assert(after.count() == 3)
+    // MERGE with the full merged schema over the evolved table
+    st.mergeVersioned(out,
+      Seq((2L, "bb", 20L), (4L, "d", 40L)).toDF("k", "s", "extra"), "k")
+    val m = st.readVersioned(out).orderBy($"k").collect()
+    assert(m.length == 4)
+    assert(m.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "z"), (2L, "bb"), (3L, "c"), (4L, "d")))
+    // same-name different-type evolution refuses AT COMMIT (fail
+    // fast, the log stays readable) and aborts cleanly
+    val vsBefore = st.listVersions(out)
+    val err = intercept[IllegalArgumentException] {
+      st.writeVersioned(Seq((5L, "e", "not-a-long"))
+        .toDF("k", "s", "extra"), out, append = true)
+    }
+    assert(err.getMessage.contains("type conflict"))
+    assert(st.listVersions(out) == vsBefore)
     assert(st.readVersioned(out).count() == 4)
   }
 
