@@ -224,7 +224,37 @@ object Composite extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** MARK-DUPLICATES — the reference domain's flagship dedup
+    * (genomics MarkDuplicates: reads at the same position/orientation
+    * collapse to the highest-quality one; the rest are FLAGGED, not
+    * dropped, so downstream tools choose). Analogue here: events that
+    * share (user_id, event_type, minute) are one observation; the
+    * highest `value` wins, ties break to the smallest event_id.
+    * One hash exchange on the full duplicate key, row_number inside
+    * the partition, then a census per type: total, marked, and the
+    * exact DECIMAL sum of surviving values. At 100 TB this is the
+    * same plan — the duplicate key is high-cardinality (no hot
+    * groups), and nothing leaves the executors but the census.
+    */
+  def dedupMark(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type", $"posmin")
+      .orderBy($"value".desc, $"event_id")
+    T.events(s, dir)
+      .withColumn("posmin", floor(unix_timestamp($"ts") / 60L).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when($"rk" > 1, 1)).as("n_marked"),
+        dsum(when($"rk" === 1, $"value").otherwise(lit(0.0)), 6)
+          .as("kept_value"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_mark" -> (dedupMark(_, _)),
     "events_trend" -> (eventsTrend(_, _)),
     "events_rfm" -> (eventsRfm(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
@@ -235,6 +265,19 @@ object Composite extends QueryModule {
     "events_resample" -> (eventsResample(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "dedup_mark" ->
+      s"""WITH ranked AS (
+         |  SELECT event_type, value,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY user_id, event_type,
+         |        epoch_us(ts) // 1000000 // 60
+         |      ORDER BY value DESC, event_id) AS rk
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN rk > 1 THEN 1 END) AS n_marked,
+         |  ${sqlDsum("CASE WHEN rk = 1 THEN value ELSE 0.0 END", 6)}
+         |    AS kept_value
+         |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_trend" ->
       """WITH d AS (
         |  SELECT event_type,

@@ -750,9 +750,10 @@ final case class GraftStorage(
     // readers merge H lines by name instead of opening footers. The
     // json is one line for any schema our writers produce (Spark's
     // DataType.json emits no newlines).
-    val fresh = fs.listStatus(commitDir).toSeq
+    val freshFiles = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath) ++ stats ++
+      .map(_.getPath.toUri.getPath)
+    val fresh = freshFiles ++ stats ++ rowCountLines(freshFiles) ++
       Seq(s"H\t${df.schema.json}")
     // append carries the RAW prior entries: deletion vectors keep
     // applying to the files they were committed against. (Key-based
@@ -776,7 +777,7 @@ final case class GraftStorage(
     val out = fs.create(tmp, true)
     out.write((carried ++ fresh).mkString("\n").getBytes("UTF-8"))
     out.close()
-    fs.rename(tmp, new Path(manifestDir, s"v$n"))
+    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
     n
   }
 
@@ -880,6 +881,71 @@ final case class GraftStorage(
     }
   }
 
+  /** Footer row count of one freshly committed parquet file — a
+    * KB-scale metadata read, executed once per NEW file at commit
+    * time (never per table file).
+    */
+  private def footerRowCount(f: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** `R\t<rows>\t<path>` manifest lines for a commit's fresh files —
+    * row counts IN THE LOG, so `countVersioned` answers COUNT(*) from
+    * manifests alone.
+    */
+  private def rowCountLines(files: Seq[String]): Seq[String] =
+    files.map(f => s"R\t${footerRowCount(f)}\t$f")
+
+  /** COUNT(*) at metadata rate: when every data file of the snapshot
+    * carries an `R` row-count line and no deletion vector is in play,
+    * the answer is a manifest sum — zero data bytes read at any table
+    * size (the Delta/Iceberg "stats-only query" fast path). Falls
+    * back to a scan for legacy manifests or MoR snapshots (DV row
+    * counts are per-key, not per-file).
+    */
+  def countVersioned(path: String, version: Option[Long] = None): Long = {
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val v = version.getOrElse(vs.last)
+    val rcs = manifestEntries(path, v).collect {
+      case e if e.startsWith("R\t") =>
+        val p = e.split('\t'); (p(2), p(1).toLong)
+    }.toMap
+    val files = manifestFiles(path, v)
+    if (manifestDvs(path, v).isEmpty && files.forall(rcs.contains))
+      files.map(rcs).sum
+    else readVersioned(path, Some(v)).count()
+  }
+
+  /** PUT-IF-ABSENT manifest publish — the optimistic-concurrency
+    * gate of the commit protocol: two writers that race to the same
+    * version number must produce one winner and one LOUD loser, never
+    * a silently lost commit. On a real object-store commit service
+    * the rename maps to an atomic put-if-absent; on local/HDFS the
+    * exists pre-check narrows the race window and the rename result
+    * catches the rest. The loser's temp file is removed; its caller
+    * re-reads the log and retries with the next version number (or
+    * surfaces the conflict).
+    */
+  private def publishAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dst)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict: $dst was published by another writer")
+    }
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict publishing $dst")
+    }
+  }
+
   /** Committed versions of a versioned table, ascending. */
   def listVersions(path: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
@@ -893,11 +959,17 @@ final case class GraftStorage(
       .sorted
   }
 
-  /** RAW manifest lines of one version. Two line kinds:
+  /** RAW manifest lines of one version. Line kinds:
     *  - a bare path = one immutable data file of the snapshot;
     *  - `D<TAB><keyCol><TAB><path>` = one DELETION-VECTOR file (a
     *    parquet of deleted key values for `keyCol`) that readers of
-    *    this version must anti-join away (merge-on-read deletes).
+    *    this version must anti-join away (merge-on-read deletes);
+    *  - `S<TAB><dir>` = a `_zonemap` stats table of one commit
+    *    (manifest-level data skipping);
+    *  - `H<TAB><schema json>` = one commit's schema (schema-in-log;
+    *    readers merge H lines by name);
+    *  - `R<TAB><rows><TAB><path>` = a data file's row count
+    *    (metadata-rate COUNT(*), [[countVersioned]]).
     */
   private def manifestEntries(path: String, version: Long): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -944,6 +1016,7 @@ final case class GraftStorage(
       if (e.startsWith("D\t")) Some(e.split('\t')(2))
       else if (e.startsWith("S\t")) Some(e.split('\t')(1))
       else if (e.startsWith("H\t")) None
+      else if (e.startsWith("R\t")) None // its path is a bare entry
       else Some(e)
     }
 
@@ -1019,7 +1092,7 @@ final case class GraftStorage(
     val out = fs.create(tmp, true)
     out.write(files.mkString("\n").getBytes("UTF-8"))
     out.close()
-    fs.rename(tmp, new Path(manifestDir, "v0"))
+    publishAtomic(fs, tmp, new Path(manifestDir, "v0"))
     0L
   }
 
@@ -1083,7 +1156,7 @@ final case class GraftStorage(
     out.write((carried ++ dvFiles.map(f => s"D\t$keyCol\t$f"))
       .mkString("\n").getBytes("UTF-8"))
     out.close()
-    fs.rename(tmp, new Path(manifestDir, s"v$n"))
+    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
     n
   }
 
@@ -1160,18 +1233,22 @@ final case class GraftStorage(
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
     // carry metadata entries: H schema lines stay valid (rewrites are
-    // written WITH the merged schema) and S stats keep pruning the
+    // written WITH the merged schema), S stats keep pruning the
     // untouched files (zone lookups are per file, so stale rows for
-    // replaced files are simply never consulted)
+    // replaced files are simply never consulted), and R row counts
+    // carry for untouched files + rebuild for fresh ones
+    val untouchedSet = untouched.toSet
     val meta = manifestEntries(path, vs.last)
-      .filter(e => e.startsWith("S\t") || e.startsWith("H\t"))
+      .filter(e => e.startsWith("S\t") || e.startsWith("H\t") ||
+        (e.startsWith("R\t") && untouchedSet(e.split('\t')(2)))) ++
+      rowCountLines(fresh)
     val manifestDir = new Path(dir, "_manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".v$n.tmp")
     val out = fs.create(tmp, true)
     out.write((untouched ++ fresh ++ meta).mkString("\n").getBytes("UTF-8"))
     out.close()
-    fs.rename(tmp, new Path(manifestDir, s"v$n"))
+    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
     n
   }
 
@@ -1319,16 +1396,19 @@ final case class GraftStorage(
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toUri.getPath)
       }
-    // carry H/S metadata entries (same contract as mergeVersioned)
+    // carry H/S/R metadata entries (same contract as mergeVersioned)
+    val untouchedSet = untouched.toSet
     val meta = manifestEntries(path, vs.last)
-      .filter(e => e.startsWith("S\t") || e.startsWith("H\t"))
+      .filter(e => e.startsWith("S\t") || e.startsWith("H\t") ||
+        (e.startsWith("R\t") && untouchedSet(e.split('\t')(2)))) ++
+      rowCountLines(fresh)
     val manifestDir = new Path(dir, "_manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".v$n.tmp")
     val out = fs.create(tmp, true)
     out.write((untouched ++ fresh ++ meta).mkString("\n").getBytes("UTF-8"))
     out.close()
-    fs.rename(tmp, new Path(manifestDir, s"v$n"))
+    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
     n
   }
 

@@ -1609,6 +1609,87 @@ class StorageSpec extends AnyFunSuite {
     assert(st.readVersioned(out).count() == 4)
   }
 
+  test("countVersioned answers from R manifest lines across all " +
+    "commit paths, falls back on MoR/legacy") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "rowcounts")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    def manifestText(v: Long): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p, s"_manifest/v$v"))
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    st.writeVersioned(spark.range(0, 100).toDF("k")
+      .repartition(3), out)
+    assert(st.countVersioned(out) == 100)
+    st.writeVersioned(spark.range(100, 130).toDF("k"), out,
+      append = true)
+    assert(st.countVersioned(out) == 130)
+    assert(st.countVersioned(out, Some(0)) == 100)
+    // every data file carries an R line (the fast path is actually
+    // taken, not the scan fallback)
+    val m1 = manifestText(1).split("\n")
+    assert(m1.count(_.startsWith("R\t")) ==
+      m1.count(e => !e.contains('\t')))
+    // CoW delete: rewritten + untouched files all counted
+    st.deleteVersioned(out, $"k" < 10)
+    assert(st.countVersioned(out) == 120)
+    val m2 = manifestText(2).split("\n")
+    assert(m2.count(_.startsWith("R\t")) ==
+      m2.count(e => !e.contains('\t')))
+    // MERGE keeps counts exact
+    st.mergeVersioned(out,
+      spark.range(125, 140).toDF("k"), "k")
+    assert(st.countVersioned(out) == 130)
+    // MoR delete → fallback path still exact
+    st.deleteVersionedMor(out, $"k" >= 135, "k")
+    assert(st.countVersioned(out) == 125)
+    assert(st.countVersioned(out) == st.readVersioned(out).count())
+  }
+
+  test("conflicting manifest publish loses loudly, never silently") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "commit_conflict")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "s"), out)
+    // simulate a concurrent writer that already published v1
+    val foreign = new org.apache.hadoop.fs.Path(p, "_manifest/v1")
+    val o = fs.create(foreign, true)
+    o.write("".getBytes("UTF-8")); o.close()
+    // a SECOND competing writer targeting v1 — stale view where v1
+    // doesn't exist yet — must fail loudly instead of clobbering.
+    // (writeVersioned recomputes n from the log, so it would target
+    // v2; drive the race through the same publish gate directly.)
+    intercept[java.util.ConcurrentModificationException] {
+      val m = classOf[sources.GraftStorage]
+        .getDeclaredMethod("publishAtomic",
+          classOf[org.apache.hadoop.fs.FileSystem],
+          classOf[org.apache.hadoop.fs.Path],
+          classOf[org.apache.hadoop.fs.Path])
+      m.setAccessible(true)
+      val tmp = new org.apache.hadoop.fs.Path(p, "_manifest/.v1.tmp")
+      val t = fs.create(tmp, true); t.write("x".getBytes); t.close()
+      try m.invoke(st, fs, tmp, foreign)
+      catch {
+        case e: java.lang.reflect.InvocationTargetException =>
+          throw e.getCause
+      }
+    }
+    // the foreign manifest survives untouched, loser's tmp removed
+    assert(fs.exists(foreign))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, "_manifest/.v1.tmp")))
+    // and a fresh writer simply lands AFTER the foreign commit
+    // (the empty foreign v1 resolves as an empty file list)
+    val v = st.writeVersioned(Seq((2L, "b")).toDF("k", "s"), out,
+      append = false)
+    assert(v == 2L)
+  }
+
   test("schema-in-log evolution: H lines drive reads, time travel " +
     "keeps per-version schemas, file-wise ops survive evolved tables") {
     import spark.implicits._
