@@ -104,6 +104,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
           .filesVersioned(path).queryExecution.analyzed
       }))
+    // Metadata-rate COUNT(*) TVF: `SELECT * FROM graft_count('/t'
+    // [, version])` → one (cnt) row summed from the manifest's R
+    // row-count lines when possible (GraftStorage.countVersioned) —
+    // the stats-only-query fast path, SQL-visible.
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_count"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_count"),
+      (exprs: Seq[Expression]) => {
+        val path = GraftExtensions.literalString(exprs.head, "graft_count")
+        val version = exprs.lift(1).map(e =>
+          GraftExtensions.literalLong(e, "graft_count"))
+        val s = org.apache.spark.sql.SparkSession.active
+        import s.implicits._
+        Seq(sources.GraftStorage(s).countVersioned(path, version))
+          .toDF("cnt").queryExecution.analyzed
+      }))
     // Constraint inventory TVF: `SELECT * FROM graft_constraints('/t')`
     // → (name, predicate) — the DESCRIBE CONSTRAINTS surface of the
     // commit-gated CHECK machinery (GraftStorage.addCheckConstraint).

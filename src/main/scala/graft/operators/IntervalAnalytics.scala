@@ -53,10 +53,13 @@ object IntervalAnalytics extends QueryModule {
       |  epoch_us(ts) // 1000000 + event_id % 14400 AS end_s
       |FROM events""".stripMargin
 
-  /** Merge overlapping-or-touching intervals per user (bedtools
-    * merge): a row opens a new island iff its start clears the
-    * running max end of everything sorted before it — the sweep-line
-    * flag — and the running sum of flags is the island id. ONE
+  /** Merge overlapping-or-adjacent intervals per user (bedtools
+    * merge, book-ended included): a row opens a new island iff its
+    * start clears the running max end of everything sorted before it
+    * by MORE than one — the same adjacency contract as the
+    * driver-side [[Intervals.normalize]], property-tested equal in
+    * IntervalSpec — and the running sum of open flags is the island
+    * id. ONE
     * exchange on user_id; both windows and the final aggregate reuse
     * the same (user_id, start_s, end_s, event_id) in-partition sort.
     */
@@ -68,8 +71,8 @@ object IntervalAnalytics extends QueryModule {
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     ivs(s, dir)
       .withColumn("opens",
-        when($"start_s" > coalesce(cummaxEnd, lit(Long.MinValue)), 1L)
-          .otherwise(0L))
+        when($"start_s" > coalesce(cummaxEnd + 1L, lit(Long.MinValue)),
+          1L).otherwise(0L))
       .withColumn("island",
         sum($"opens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"user_id", $"island")
@@ -86,7 +89,7 @@ object IntervalAnalytics extends QueryModule {
        |  SELECT user_id, event_id, start_s, end_s,
        |    CASE WHEN start_s > COALESCE(MAX(end_s) OVER (
        |        PARTITION BY user_id ORDER BY start_s, end_s, event_id
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1,
        |        -9223372036854775807 - 1)
        |      THEN 1 ELSE 0 END AS opens
        |  FROM $src),
@@ -157,8 +160,8 @@ object IntervalAnalytics extends QueryModule {
     val wi = Window.partitionBy($"user_id").orderBy($"island")
     ivs(s, dir)
       .withColumn("opens",
-        when($"start_s" > coalesce(cummaxEnd, lit(Long.MinValue)), 1L)
-          .otherwise(0L))
+        when($"start_s" > coalesce(cummaxEnd + 1L, lit(Long.MinValue)),
+          1L).otherwise(0L))
       .withColumn("island",
         sum($"opens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"user_id", $"island")
@@ -196,8 +199,8 @@ object IntervalAnalytics extends QueryModule {
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     val islands = targets
       .withColumn("opens",
-        when($"start_s" > coalesce(cummaxEnd, lit(Long.MinValue)), 1L)
-          .otherwise(0L))
+        when($"start_s" > coalesce(cummaxEnd + 1L, lit(Long.MinValue)),
+          1L).otherwise(0L))
       .withColumn("island",
         sum($"opens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"user_id", $"island")

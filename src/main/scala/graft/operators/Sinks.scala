@@ -284,6 +284,35 @@ object Sinks extends QueryModule {
       .toDF("metric", "v").orderBy($"metric")
   }
 
+  /** Metadata-rate COUNT(*): each commit logs its files' footer row
+    * counts (`R` manifest lines), so `countVersioned` — and the
+    * `graft_count('/t')` TVF — answer from manifest sums without
+    * reading a data byte, per version. The query takes the fast path
+    * at v0/v1 (all files carry counts) and the scan fallback after a
+    * merge-on-read delete, proving both give the same answer — the
+    * invariant that makes the fast path trustworthy.
+    */
+  def sinkVersionedCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_count")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+    st.writeVersioned(base, out)
+    st.writeVersioned(base.filter($"o_orderkey" % 10 === 0), out,
+      append = true)
+    st.deleteVersionedMor(out, $"o_orderkey" % 100 === 7, "o_orderkey")
+    Seq(
+      ("v0_meta", st.countVersioned(out, Some(0))),
+      ("v1_meta", st.countVersioned(out, Some(1))),
+      ("v1_sql", s.sql(s"SELECT * FROM graft_count('$out', 1)")
+        .collect()(0).getLong(0)),
+      ("v2_mor_scan", st.countVersioned(out, Some(2))))
+      .toDF("metric", "cnt").orderBy($"metric")
+  }
+
   /** SCHEMA EVOLUTION through the versioned log: each commit records
     * its own schema as an `H` manifest line, and readers merge the
     * lines by name — KBs of metadata — instead of opening parquet
@@ -721,6 +750,7 @@ object Sinks extends QueryModule {
     "sink_versioned" -> (sinkVersioned(_, _)),
     "sink_versioned_constraint" -> (sinkVersionedConstraint(_, _)),
     "sink_versioned_evolve" -> (sinkVersionedEvolve(_, _)),
+    "sink_versioned_count" -> (sinkVersionedCount(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
@@ -912,6 +942,25 @@ object Sinks extends QueryModule {
          |  SELECT 'src_latest', COUNT(*), ${sqlDsum("o_totalprice")}
          |  FROM orders)
          |ORDER BY snap""".stripMargin,
+    "sink_versioned_count" ->
+      """SELECT metric, cnt FROM (
+        |  SELECT 'v0_meta' AS metric, COUNT(*) AS cnt FROM orders
+        |  UNION ALL
+        |  SELECT 'v1_meta',
+        |    (SELECT COUNT(*) FROM orders) +
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0)
+        |  UNION ALL
+        |  SELECT 'v1_sql',
+        |    (SELECT COUNT(*) FROM orders) +
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0)
+        |  UNION ALL
+        |  -- keys =7 (mod 100) are never =0 (mod 10), so each deleted
+        |  -- key had exactly one copy in the snapshot
+        |  SELECT 'v2_mor_scan',
+        |    (SELECT COUNT(*) FROM orders) +
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0) -
+        |    (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 7))
+        |ORDER BY metric""".stripMargin,
     "sink_versioned_evolve" ->
       """SELECT version, n_rows, n_cols, n_notes FROM (
         |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,

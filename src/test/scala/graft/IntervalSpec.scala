@@ -73,6 +73,49 @@ class IntervalSpec extends AnyFunSuite {
     assert(neg.count() == 0)
   }
 
+  test("distributed merge equals driver-side normalize on 200 random " +
+    "timelines (adjacency contract)") {
+    import org.apache.spark.sql.expressions.Window
+    // one DataFrame holding 200 independently generated timelines;
+    // the per-group islands must equal Intervals.normalize run on
+    // each group's interval list — one Spark job, dense coverage of
+    // overlap/adjacent/nested/duplicate shapes
+    val rnd = new scala.util.Random(42)
+    val data = for {
+      g <- 0 until 200
+      i <- 0 until (1 + rnd.nextInt(30))
+    } yield {
+      val lo = rnd.nextInt(500).toLong
+      (g.toLong, (g * 1000 + i).toLong, lo, lo + rnd.nextInt(40).toLong)
+    }
+    val df = spark.createDataFrame(data)
+      .toDF("user_id", "event_id", "start_s", "end_s")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"start_s", $"end_s", $"event_id")
+    val cummaxEnd = max($"end_s")
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val got = df
+      .withColumn("opens",
+        when($"start_s" > coalesce(cummaxEnd + 1L, lit(Long.MinValue)),
+          1L).otherwise(0L))
+      .withColumn("island",
+        sum($"opens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"island")
+      .agg(min($"start_s").as("s"), max($"end_s").as("e"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (g, rows) =>
+        g -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      }
+    val want = data.groupBy(_._1).map { case (g, ivs) =>
+      g -> operators.Intervals.normalize(ivs.map(t => (t._3, t._4)))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (g, exp) =>
+      assert(got(g) == exp, s"group $g: got ${got(g)} want $exp")
+    }
+  }
+
   test("closest matches the brute-force distance at sf0.001") {
     val tagged = T.events(spark, SF).select(
       $"user_id", $"event_id", $"event_type",
