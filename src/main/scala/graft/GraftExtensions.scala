@@ -104,6 +104,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
           .filesVersioned(path).queryExecution.analyzed
       }))
+    // DESCRIBE HISTORY TVF: `SELECT * FROM graft_history('/t')` →
+    // (version, committed_at, n_files, n_rows) per commit,
+    // metadata-rate (manifests + R lines only).
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_history"),
+      (exprs: Seq[Expression]) => {
+        val path = GraftExtensions.literalString(exprs.head, "graft_history")
+        sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
+          .historyVersioned(path).queryExecution.analyzed
+      }))
     // Metadata-rate COUNT(*) TVF: `SELECT * FROM graft_count('/t'
     // [, version])` → one (cnt) row summed from the manifest's R
     // row-count lines when possible (GraftStorage.countVersioned) —

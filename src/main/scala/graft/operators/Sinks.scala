@@ -284,6 +284,31 @@ object Sinks extends QueryModule {
       .toDF("metric", "v").orderBy($"metric")
   }
 
+  /** RESTORE as a new commit: a bad append is rolled back by
+    * republishing the good version's manifest — metadata-only at any
+    * table size, history intact (the bad version stays
+    * time-travelable until vacuum). The query corrupts the table with
+    * a doubled append, restores, and proves latest == v0 while v1
+    * still reads as the corrupted snapshot.
+    */
+  def sinkVersionedRestore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_restore")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+    st.writeVersioned(base, out)
+    st.writeVersioned(base, out, append = true) // the bad double-load
+    val restored = st.restoreVersioned(out, 0L)
+    def cnt(v: Long): DataFrame =
+      s.sql(s"SELECT CAST($v AS BIGINT) AS version, cnt " +
+        s"FROM graft_count('$out', $v) ")
+    cnt(0).unionByName(cnt(1)).unionByName(cnt(restored))
+      .orderBy($"version")
+  }
+
   /** Metadata-rate COUNT(*): each commit logs its files' footer row
     * counts (`R` manifest lines), so `countVersioned` — and the
     * `graft_count('/t')` TVF — answer from manifest sums without
@@ -751,6 +776,7 @@ object Sinks extends QueryModule {
     "sink_versioned_constraint" -> (sinkVersionedConstraint(_, _)),
     "sink_versioned_evolve" -> (sinkVersionedEvolve(_, _)),
     "sink_versioned_count" -> (sinkVersionedCount(_, _)),
+    "sink_versioned_restore" -> (sinkVersionedRestore(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
@@ -942,6 +968,14 @@ object Sinks extends QueryModule {
          |  SELECT 'src_latest', COUNT(*), ${sqlDsum("o_totalprice")}
          |  FROM orders)
          |ORDER BY snap""".stripMargin,
+    "sink_versioned_restore" ->
+      """SELECT version, cnt FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS cnt FROM orders
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 2 * COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), COUNT(*) FROM orders)
+        |ORDER BY version""".stripMargin,
     "sink_versioned_count" ->
       """SELECT metric, cnt FROM (
         |  SELECT 'v0_meta' AS metric, COUNT(*) AS cnt FROM orders

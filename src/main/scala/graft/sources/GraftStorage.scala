@@ -1074,6 +1074,63 @@ final case class GraftStorage(
     * references, so retention policy must span clones. Returns the
     * clone's version (always 0).
     */
+  /** RESTORE TABLE TO VERSION — rollback as a NEW commit: republish
+    * version `v`'s manifest entries as version N+1. Metadata-only (no
+    * data bytes move; the restored files are immutable and still on
+    * disk), history is preserved (the bad versions stay time-
+    * travelable until vacuum), and readers of the latest snapshot
+    * simply see the old content — the Delta RESTORE contract.
+    * Refuses to restore past vacuumed history (manifest resolve fails
+    * fast). Returns the new version number.
+    */
+  def restoreVersioned(path: String, toVersion: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    require(vs.contains(toVersion),
+      s"version $toVersion of $path does not exist (have $vs)")
+    val entries = manifestEntries(path, toVersion)
+    val n = vs.last + 1
+    val manifestDir = new Path(new Path(path), "_manifest")
+    val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(manifestDir, s".v$n.tmp")
+    val out = fs.create(tmp, true)
+    out.write(entries.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
+    n
+  }
+
+  /** Commit history — (version, committed_at epoch-millis, n_files,
+    * n_rows) per version, newest last. committed_at is the manifest
+    * publish instant (the atomic rename's mtime); n_rows comes from
+    * the manifest's R lines when complete, −1 otherwise (unknown
+    * without a scan — history stays strictly metadata-rate). The
+    * DESCRIBE HISTORY surface, also behind the `graft_history('/t')`
+    * TVF.
+    */
+  def historyVersioned(path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = listVersions(path).map { v =>
+      val files = manifestFiles(path, v)
+      val rcs = manifestEntries(path, v).collect {
+        case e if e.startsWith("R\t") =>
+          val p = e.split('\t'); (p(2), p(1).toLong)
+      }.toMap
+      val nRows =
+        if (manifestDvs(path, v).isEmpty && files.forall(rcs.contains))
+          files.map(rcs).sum
+        else -1L
+      (v,
+        fs.getFileStatus(new Path(dir, s"_manifest/v$v")).getModificationTime,
+        files.size.toLong, nRows)
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "committed_at", "n_files", "n_rows")
+  }
+
   def cloneVersioned(src: String, dst: String,
       version: Option[Long] = None): Long = {
     import org.apache.hadoop.fs.Path

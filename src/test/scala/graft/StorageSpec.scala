@@ -1609,6 +1609,40 @@ class StorageSpec extends AnyFunSuite {
     assert(st.readVersioned(out).count() == 4)
   }
 
+  test("restoreVersioned rolls back as a new commit; history stays " +
+    "metadata-rate and time-travelable") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "restore")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    st.writeVersioned(spark.range(0, 50).toDF("k"), out)
+    st.writeVersioned(spark.range(50, 60).toDF("k"), out, append = true)
+    val v2 = st.restoreVersioned(out, 0L)
+    assert(v2 == 2L)
+    assert(st.readVersioned(out).count() == 50)
+    // the bad version is still reachable
+    assert(st.readVersioned(out, Some(1)).count() == 60)
+    // restore republishes entries verbatim: metadata COUNT still fast
+    assert(st.countVersioned(out) == 50)
+    // history: three commits, counts from R lines, times nondecreasing
+    val h = st.historyVersioned(out).orderBy($"version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(r => r.getLong(3)).toSeq == Seq(50L, 60L, 50L))
+    assert(h.sliding(2).forall {
+      case Array(a, b) => a.getLong(1) <= b.getLong(1)
+      case _ => true
+    })
+    // TVF surface
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_history('$out')")
+      .collect()(0).getLong(0) == 3)
+    // unknown version refuses
+    intercept[IllegalArgumentException] {
+      st.restoreVersioned(out, 9L)
+    }
+  }
+
   test("countVersioned answers from R manifest lines across all " +
     "commit paths, falls back on MoR/legacy") {
     import spark.implicits._
