@@ -50,6 +50,30 @@ object SortsSets extends QueryModule {
       .limit(100)
   }
 
+  /** GROUPED top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): top-3 orders by price per
+    * priority. Unlike `row_number() <= k` (full shuffle + sort of
+    * every row) the map-side partial reduces each group to ≤k rows
+    * per input partition BEFORE the exchange — shuffle volume
+    * O(k·partitions·groups), the per-group analogue of
+    * TakeOrderedAndProject. OperatorSpec pins result equality with
+    * the window form and partition-count invariance; the plan gate
+    * pins partial ObjectHashAggregate + no Window.
+    */
+  def topkGrouped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(graft.functions.TopKAgg.top_k_rows(
+        struct($"o_totalprice", $"o_orderkey"), 3).as("top"))
+      .select($"o_orderpriority", explode($"top").as("r"))
+      .select($"o_orderpriority",
+        $"r.o_totalprice".as("o_totalprice"),
+        $"r.o_orderkey".as("o_orderkey"))
+      .orderBy($"o_orderpriority", $"o_totalprice".desc,
+        $"o_orderkey".desc)
+  }
+
   /** Range clustering (coordinate-clustered layout,
     * repartitionByRange on the interval column) surfaced as a
     * per-month rollup of the clustered key.
@@ -137,6 +161,7 @@ object SortsSets extends QueryModule {
     "sort_global" -> (sortGlobal(_, _)),
     "sort_within" -> (sortWithin(_, _)),
     "topk" -> (topk(_, _)),
+    "topk_grouped" -> (topkGrouped(_, _)),
     "cluster_range" -> (clusterRange(_, _)),
     "sort_skyline" -> (sortSkyline(_, _)),
     "set_union" -> (setUnion(_, _)),
@@ -150,6 +175,14 @@ object SortsSets extends QueryModule {
     "sort_within" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "topk_grouped" ->
+      """SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey DESC""".stripMargin,
     "topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem

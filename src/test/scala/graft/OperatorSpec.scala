@@ -140,6 +140,50 @@ class OperatorSpec extends AnyFunSuite {
       s"${rows("quantity_price")} vs $builtin")
   }
 
+  test("top_k_rows equals the window form, is partition-invariant, " +
+    "and partial-aggregates before the exchange") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKAgg.top_k_rows
+    val o = T.t(spark, SF, "orders")
+    def viaAgg(parts: Int) = o.repartition(parts)
+      .groupBy($"o_orderpriority")
+      .agg(top_k_rows(struct($"o_totalprice", $"o_orderkey"), 3).as("t"))
+      .select($"o_orderpriority", explode($"t").as("r"))
+      .select($"o_orderpriority", $"r.o_totalprice", $"r.o_orderkey")
+    val viaWindow = o
+      .withColumn("rk", row_number().over(Window
+        .partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".desc)))
+      .filter($"rk" <= 3)
+      .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+    val a1 = viaAgg(1).collect().toSet
+    val a8 = viaAgg(8).collect().toSet
+    val w = viaWindow.collect().toSet
+    assert(a1 == w)
+    assert(a8 == w)
+    // smallest=true keeps the minima
+    val lo = o.groupBy($"o_orderpriority")
+      .agg(top_k_rows(struct($"o_totalprice", $"o_orderkey"), 1,
+        smallest = true).as("t"))
+      .select($"o_orderpriority", explode($"t").as("r"))
+      .select($"o_orderpriority", $"r.o_totalprice").collect()
+    val mins = o.groupBy($"o_orderpriority")
+      .agg(min(struct($"o_totalprice", $"o_orderkey")).as("m"))
+      .select($"o_orderpriority", $"m.o_totalprice").collect()
+    assert(lo.map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      mins.map(r => (r.getString(0), r.getDouble(1))).toSet)
+    // plan: partial ObjectHashAggregate (map-side k-bounded heap)
+    // before ONE exchange; no Window operator anywhere
+    val df = operators.SortsSets.topkGrouped(spark, SF)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_top_k_rows"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("dq_stats_audit: footer statistics equal the data's aggregates") {
     val audit = operators.Quality.dqStatsAudit(spark, SF)
       .select($"tbl", $"col_name", $"n_values", $"n_nulls",
