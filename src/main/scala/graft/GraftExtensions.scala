@@ -50,6 +50,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"ngrams(text, n): n must be an integer literal, got $other")
         })))
+    // Grouped top-k as SQL: `top_k_rows(struct(...), k[, smallest])`
+    // — the k-bounded-heap aggregate (map-side partial ships ≤k rows
+    // per group per partition; see functions.TopKAgg).
+    e.injectFunction((
+      new FunctionIdentifier("top_k_rows"),
+      new ExpressionInfo(
+        classOf[graft.functions.TopKAgg].getName, "top_k_rows"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"top_k_rows(struct, k[, smallest]): k must be an integer " +
+              s"literal, got $other")
+        }
+        val smallest = exprs.lift(2).forall {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"top_k_rows: smallest must be a boolean literal, got $other")
+        } && exprs.length > 2
+        // return the raw AggregateFunction — the analyzer wraps it
+        // (and handles DISTINCT/FILTER) during resolution
+        graft.functions.TopKAgg(exprs.head, k, smallest)
+      }))
     e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => FoldSelfCosine)
     e.injectOptimizerRule(_ => plans.BinnedIntervalRule)

@@ -33,6 +33,26 @@ object StreamOps extends QueryModule {
     tumblingCore(T.events(s, dir))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Running grouped TOP-K over the stream: the k-bounded-heap
+    * aggregate ([[graft.functions.TopKAgg]]) as streaming state — the
+    * state store holds each group's ≤k serialized rows (O(k·groups)
+    * state, never O(events)), each micro-batch folds its arrivals in
+    * via the same partial/merge algebra the batch plan uses, and
+    * complete mode re-emits the current leaderboard. The batch form
+    * below IS the oracle query; StreamingSpec replays it as a real
+    * stream and asserts parity.
+    */
+  def topkCore(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"))
+      .agg(graft.functions.TopKAgg.top_k_rows(
+        struct(col("value"), col("event_id")), 3).as("t"))
+      .select(col("event_type"), posexplode(col("t")).as(Seq("pos", "r")))
+      .select(col("event_type"), (col("pos") + 1).as("rn"),
+        col("r.value").as("value"), col("r.event_id").as("event_id"))
+
+  def streamTopk(s: SparkSession, dir: String): DataFrame =
+    topkCore(T.events(s, dir)).orderBy(col("event_type"), col("rn"))
+
   /** Sliding windows: 10-minute length, 5-minute slide — every event
     * lands in exactly two windows.
     */
@@ -542,6 +562,7 @@ object StreamOps extends QueryModule {
     "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
     "join_asof_native" -> (joinAsofNative(_, _)),
     "stream_tumbling" -> (streamTumbling(_, _)),
+    "stream_topk" -> (streamTopk(_, _)),
     "stream_static_join" -> (streamStaticJoin(_, _)),
     "stream_interval_join" -> (streamIntervalJoin(_, _)),
     "stream_sliding" -> (streamSliding(_, _)),
@@ -673,6 +694,15 @@ object StreamOps extends QueryModule {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |GROUP BY p.user_id, p.event_id
         |ORDER BY p_user, p_id""".stripMargin,
+    "stream_topk" ->
+      """SELECT event_type, rn, value, event_id FROM (
+        |  SELECT event_type,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id DESC) AS INT) AS rn,
+        |    value, event_id
+        |  FROM events)
+        |WHERE rn <= 3
+        |ORDER BY event_type, rn""".stripMargin,
     "stream_tumbling" ->
       s"""SELECT CAST(600 * floor(epoch(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT)
          |    AS w_start,

@@ -182,6 +182,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(plan.contains("partial_top_k_rows"), plan)
     assert(!plan.contains("Window"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    // SQL surface (injected function; analyzer wraps the raw
+    // AggregateFunction)
+    val viaSql = spark.sql(
+      s"""SELECT o_orderpriority, r.o_totalprice, r.o_orderkey FROM (
+         |  SELECT o_orderpriority,
+         |    top_k_rows(struct(o_totalprice, o_orderkey), 3) AS t
+         |  FROM parquet.`$SF/orders.parquet`
+         |  GROUP BY o_orderpriority)
+         |LATERAL VIEW explode(t) AS r""".stripMargin).collect().toSet
+    assert(viaSql == w)
   }
 
   test("dq_stats_audit: footer statistics equal the data's aggregates") {

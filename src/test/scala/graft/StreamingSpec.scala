@@ -36,6 +36,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming grouped top-k (bounded-heap aggregate as state) " +
+    "matches batch result") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = streaming.StreamOps.topkCore(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("topk_out")
+      .select($"event_type", $"rn", $"value", $"event_id")
+      .collect().toSet
+    val want = streaming.StreamOps.topkCore(T.events(spark, SF))
+      .collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dropDuplicates matches batch distinct state") {
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema).parquet(eventsDir)
