@@ -127,6 +127,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
           .filesVersioned(path).queryExecution.analyzed
       }))
+    // CDC TVF: `SELECT * FROM graft_changes('/t', v_from, v_to)` →
+    // row-level inserts/deletes between two snapshots, computed from
+    // the manifest file diff (cost scales with churn, not table
+    // size; GraftStorage.changesVersioned).
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_changes"),
+      (exprs: Seq[Expression]) => {
+        val path = GraftExtensions.literalString(exprs(0), "graft_changes")
+        val from = GraftExtensions.literalLong(exprs(1), "graft_changes")
+        val to = GraftExtensions.literalLong(exprs(2), "graft_changes")
+        sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
+          .changesVersioned(path, from, to).queryExecution.analyzed
+      }))
     // DESCRIBE HISTORY TVF: `SELECT * FROM graft_history('/t')` →
     // (version, committed_at, n_files, n_rows) per commit,
     // metadata-rate (manifests + R lines only).

@@ -38,6 +38,25 @@ object Aggs extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact per-group MODE with a deterministic tiebreak (highest
+    * count, then smallest value — Spark's builtin `mode` leaves ties
+    * undefined, which kills cross-engine hashing). Two-level
+    * aggregate: (group, value) counts map-side combine, then argmax
+    * as max(struct(cnt, -value)) — the same hash-agg-not-window shape
+    * that sped up graph_labelprop. Cost O(distinct values), no sort.
+    */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity".cast("long").as("q"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"l_returnflag")
+      .agg(max(struct($"c", (-$"q").as("nq"))).as("m"))
+      .select($"l_returnflag", (-$"m.nq").as("mode_qty"),
+        $"m.c".as("mode_cnt"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Exact distinct counts (expand + two-phase agg under the hood). */
   def aggDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -317,6 +336,7 @@ object Aggs extends QueryModule {
     "agg_salted" -> (aggSalted(_, _)),
     "agg_count" -> (aggCount(_, _)),
     "agg_groupby" -> (aggGroupby(_, _)),
+    "agg_mode" -> (aggMode(_, _)),
     "agg_distinct" -> (aggDistinct(_, _)),
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
     "agg_bitmap_distinct" -> (aggBitmapDistinct(_, _)),
@@ -386,6 +406,18 @@ object Aggs extends QueryModule {
          |  MAX(l_extendedprice) AS max_price,
          |  ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_mode" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT l_returnflag, q, c,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c DESC, q) AS rk
+        |  FROM cells)
+        |SELECT l_returnflag, q AS mode_qty, c AS mode_cnt
+        |FROM ranked WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
     "agg_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps,

@@ -19,6 +19,36 @@ object Windows extends QueryModule {
     * (deterministic); rank/dense_rank run on the quantity alone so
     * ties are visible yet results stay deterministic.
     */
+  /** RUNNING DISTINCT COUNT per partition — the window Spark has no
+    * builtin for (count(distinct) over a running frame is
+    * unsupported), expressed exactly with the first-occurrence trick:
+    * row_number over (user, event_type) marks each type's first
+    * arrival, and the running sum of those flags over the event-time
+    * order is the distinct-so-far count. Two window passes over ONE
+    * partitioning (user_id) — no distinct state, no O(frame²)
+    * rescans; at 100 TB this is two in-partition sorts, nothing more.
+    * Output: per user, the time-to-breadth curve's final point plus
+    * when each new type arrived (rolled to a census for a stable
+    * small result).
+    */
+  def winRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val timeline = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    T.events(s, dir)
+      .withColumn("first_of_type",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .withColumn("types_so_far", sum($"first_of_type").over(timeline))
+      // census: how many events were observed at each breadth level
+      .groupBy($"types_so_far")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct($"user_id").as("n_users"))
+      .orderBy($"types_so_far")
+  }
+
   def winRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val full = Window.partitionBy($"l_returnflag")
@@ -158,6 +188,7 @@ object Windows extends QueryModule {
     "win_nth" -> (winNth(_, _)),
     "win_distribution" -> (winDistribution(_, _)),
     "win_rank" -> (winRank(_, _)),
+    "win_running_distinct" -> (winRunningDistinct(_, _)),
     "win_lag" -> (winLag(_, _)),
     "win_frame_rows" -> (winFrameRows(_, _)),
     "win_frame_range" -> (winFrameRange(_, _)))
@@ -204,6 +235,24 @@ object Windows extends QueryModule {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "win_running_distinct" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ROW_NUMBER() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) = 1
+        |      THEN 1 ELSE 0 END AS first_of_type
+        |  FROM events),
+        |running AS (
+        |  SELECT user_id,
+        |    CAST(SUM(first_of_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS types_so_far
+        |  FROM flagged)
+        |SELECT types_so_far, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM running GROUP BY types_so_far ORDER BY types_so_far""".stripMargin,
     "win_rank" ->
       """SELECT * FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,

@@ -1202,6 +1202,10 @@ class StorageSpec extends AnyFunSuite {
     val chg2 = storage.changesVersioned(out, 1, 2)
     assert(chg2.filter($"_change_type" === "delete").count() == 0)
     assert(chg2.count() == o.filter($"o_orderkey" % 997 === 0).count())
+    // SQL surface: the CDC feed as a TVF
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft_changes('$out', 1, 2)")
+      .collect()(0).getLong(0) == chg2.count())
   }
 
   test("optimizeVersioned: every file narrow in BOTH z-order " +
