@@ -253,8 +253,50 @@ object Composite extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics workload that
+    * is an as-of join in disguise: every purchase credits the same
+    * user's most recent click within the hour, and revenue rolls up
+    * by the credited click's hour. Expressed join-free with the
+    * sorted-neighbor trick (one tagged pass per user: clicks sort
+    * before purchases on timestamp ties, `last(click_ts,
+    * ignoreNulls)` carries the candidate forward), so the plan is one
+    * exchange on user_id + one in-partition sort — the same shape at
+    * 100 TB, where the naive per-purchase range join explodes.
+    * Revenue is exact integer cents; unattributed purchases land in
+    * bucket −1.
+    */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_s", $"tag", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    T.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id",
+        unix_timestamp($"ts").as("ts_s"),
+        when($"event_type" === "click", 0).otherwise(1).as("tag"),
+        when($"event_type" === "click", unix_timestamp($"ts"))
+          .as("click_ts"),
+        when($"event_type" === "purchase", $"value").as("pval"))
+      .withColumn("last_click",
+        last($"click_ts", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .withColumn("attr_hour",
+        when($"last_click".isNotNull &&
+          $"ts_s" - $"last_click" <= 3600L,
+          floor($"last_click" / 3600L).cast("long"))
+          .otherwise(lit(-1L)))
+      .groupBy($"attr_hour")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(($"pval".cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("revenue_cents"))
+      .orderBy($"attr_hour")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_mark" -> (dedupMark(_, _)),
+    "events_attribution" -> (eventsAttribution(_, _)),
     "events_trend" -> (eventsTrend(_, _)),
     "events_rfm" -> (eventsRfm(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
@@ -265,6 +307,30 @@ object Composite extends QueryModule {
     "events_resample" -> (eventsResample(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "events_attribution" ->
+      """WITH pts AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) // 1000000 AS ts_s,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+        |    CASE WHEN event_type = 'click'
+        |      THEN epoch_us(ts) // 1000000 END AS click_ts,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS pval
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |carried AS (
+        |  SELECT *, LAST_VALUE(click_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_s, tag, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_click
+        |  FROM pts),
+        |attributed AS (
+        |  SELECT CASE WHEN last_click IS NOT NULL
+        |      AND ts_s - last_click <= 3600
+        |    THEN last_click // 3600 ELSE -1 END AS attr_hour, pval
+        |  FROM carried WHERE tag = 1)
+        |SELECT attr_hour, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(CAST(pval AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM attributed GROUP BY attr_hour ORDER BY attr_hour""".stripMargin,
     "dedup_mark" ->
       s"""WITH ranked AS (
          |  SELECT event_type, value,
