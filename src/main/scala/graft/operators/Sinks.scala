@@ -284,6 +284,31 @@ object Sinks extends QueryModule {
       .toDF("metric", "v").orderBy($"metric")
   }
 
+  /** BLOOM-IN-LOG point lookup: commits carry per-file Bloom
+    * sidecars as `B` manifest lines, so a point predicate on an
+    * UNCLUSTERED column (custkey, while the layout ranges on
+    * orderkey — the case min/max stats cannot serve) prunes files at
+    * plan time through the snapshot's own log. StorageSpec pins the
+    * numFiles reduction; the oracle certifies the surviving rows.
+    */
+  def sinkVersionedBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_bloom")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val o = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    st.writeVersioned(o.repartitionByRange(6, $"o_orderkey"),
+      out, append = false, statsCols = Seq("o_orderkey"),
+      bloomCols = Seq("o_custkey"))
+    st.readVersionedPruned(out)
+      .filter($"o_custkey" === 7L)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   /** RESTORE as a new commit: a bad append is rolled back by
     * republishing the good version's manifest — metadata-only at any
     * table size, history intact (the bad version stays
@@ -777,6 +802,7 @@ object Sinks extends QueryModule {
     "sink_versioned_evolve" -> (sinkVersionedEvolve(_, _)),
     "sink_versioned_count" -> (sinkVersionedCount(_, _)),
     "sink_versioned_restore" -> (sinkVersionedRestore(_, _)),
+    "sink_versioned_bloom" -> (sinkVersionedBloom(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
@@ -968,6 +994,10 @@ object Sinks extends QueryModule {
          |  SELECT 'src_latest', COUNT(*), ${sqlDsum("o_totalprice")}
          |  FROM orders)
          |ORDER BY snap""".stripMargin,
+    "sink_versioned_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey = 7
+        |ORDER BY o_orderkey""".stripMargin,
     "sink_versioned_restore" ->
       """SELECT version, cnt FROM (
         |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS cnt FROM orders

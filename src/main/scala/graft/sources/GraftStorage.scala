@@ -728,7 +728,19 @@ final case class GraftStorage(
     * files from stats-less commits are simply kept conservatively.
     */
   def writeVersioned(df: DataFrame, path: String,
-      append: Boolean, statsCols: Seq[String]): Long = {
+      append: Boolean, statsCols: Seq[String]): Long =
+    writeVersioned(df, path, append, statsCols, Seq.empty)
+
+  /** writeVersioned with BLOOM-IN-LOG: `bloomCols` additionally
+    * builds a per-file Bloom sidecar over the commit's own files (a
+    * `B` manifest line), giving `readVersionedPruned` point-predicate
+    * file pruning on columns min/max stats cannot serve - the same
+    * zone-vs-bloom split as the path-level sidecars, now
+    * snapshot-consistent through the log.
+    */
+  def writeVersioned(df: DataFrame, path: String,
+      append: Boolean, statsCols: Seq[String],
+      bloomCols: Seq[String]): Long = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
@@ -746,6 +758,12 @@ final case class GraftStorage(
         buildZoneMap(commitDir.toString, statsCols)
         Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
       }
+    val blooms: Seq[String] =
+      if (bloomCols.isEmpty) Seq.empty
+      else {
+        buildBloomIndex(commitDir.toString, bloomCols)
+        Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
+      }
     // schema-in-log: the commit records its own schema (`H` line);
     // readers merge H lines by name instead of opening footers. The
     // json is one line for any schema our writers produce (Spark's
@@ -753,8 +771,8 @@ final case class GraftStorage(
     val freshFiles = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
-    val fresh = freshFiles ++ stats ++ rowCountLines(freshFiles) ++
-      Seq(s"H\t${df.schema.json}")
+    val fresh = freshFiles ++ stats ++ blooms ++
+      rowCountLines(freshFiles) ++ Seq(s"H\t${df.schema.json}")
     // append carries the RAW prior entries: deletion vectors keep
     // applying to the files they were committed against. (Key-based
     // DV contract: an appended row must not REUSE a deleted key —
@@ -1007,6 +1025,14 @@ final case class GraftStorage(
       case e if e.startsWith("S\t") => e.split('\t')(1)
     }
 
+  /** `_bloom` sidecar directories a version's manifest references
+    * (`B` lines - one per bloom-indexed commit).
+    */
+  private def manifestBlooms(path: String, version: Long): Seq[String] =
+    manifestEntries(path, version).collect {
+      case e if e.startsWith("B\t") => e.split('\t')(1)
+    }
+
   /** Every path a manifest pins — data files, deletion vectors, and
     * stats directories — the liveness unit vacuum must honor.
     * (`H` schema lines pin no path.)
@@ -1015,6 +1041,7 @@ final case class GraftStorage(
     manifestEntries(path, version).flatMap { e =>
       if (e.startsWith("D\t")) Some(e.split('\t')(2))
       else if (e.startsWith("S\t")) Some(e.split('\t')(1))
+      else if (e.startsWith("B\t")) Some(e.split('\t')(1))
       else if (e.startsWith("H\t")) None
       else if (e.startsWith("R\t")) None // its path is a bare entry
       else Some(e)
@@ -1297,6 +1324,7 @@ final case class GraftStorage(
     val untouchedSet = untouched.toSet
     val meta = manifestEntries(path, vs.last)
       .filter(e => e.startsWith("S\t") || e.startsWith("H\t") ||
+        e.startsWith("B\t") ||
         (e.startsWith("R\t") && untouchedSet(e.split('\t')(2)))) ++
       rowCountLines(fresh)
     val manifestDir = new Path(dir, "_manifest")
@@ -1457,6 +1485,7 @@ final case class GraftStorage(
     val untouchedSet = untouched.toSet
     val meta = manifestEntries(path, vs.last)
       .filter(e => e.startsWith("S\t") || e.startsWith("H\t") ||
+        e.startsWith("B\t") ||
         (e.startsWith("R\t") && untouchedSet(e.split('\t')(2)))) ++
       rowCountLines(fresh)
     val manifestDir = new Path(dir, "_manifest")
@@ -1530,24 +1559,54 @@ final case class GraftStorage(
     require(vs.nonEmpty, s"no versions committed under $path")
     val v = version.getOrElse(vs.last)
     val statDirs = manifestStats(path, v)
-    if (statDirs.isEmpty || manifestDvs(path, v).nonEmpty)
+    val bloomDirs = manifestBlooms(path, v)
+    if ((statDirs.isEmpty && bloomDirs.isEmpty) ||
+        manifestDvs(path, v).nonEmpty)
       return readVersioned(path, version)
     val files = manifestFiles(path, v)
-    val zm = spark.read.parquet(statDirs: _*)
-    val zoneCols = zm.schema.fieldNames
-      .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
     val zones: Map[String, Map[String, (Any, Any)]] =
-      zm.collect().map { r =>
-        val fkey = new Path(r.getAs[String]("file")).toUri.getPath
-        fkey -> zoneCols.map(c =>
-          c -> ((r.getAs[Any](s"${c}__min"),
-            r.getAs[Any](s"${c}__max")))).toMap
-      }.toMap
+      if (statDirs.isEmpty) Map.empty
+      else {
+        val zm = spark.read.parquet(statDirs: _*)
+        val zoneCols = zm.schema.fieldNames
+          .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+        zm.collect().map { r =>
+          val fkey = new Path(r.getAs[String]("file")).toUri.getPath
+          fkey -> zoneCols.map(c =>
+            c -> ((r.getAs[Any](s"${c}__min"),
+              r.getAs[Any](s"${c}__max")))).toMap
+        }.toMap
+      }
+    // bloom-in-log (`B` lines): each commit's `_bloom` sidecar serves
+    // point-predicate file pruning; loaded lazily, only when a query
+    // filters on a bloomed column (same contract as readPruned)
+    def loadBlooms(scoped: Option[Set[String]])
+        : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+      val base = spark.read.parquet(bloomDirs: _*)
+      val it = scoped.fold(base)(cols =>
+          base.filter(col("col").isin(cols.toSeq: _*)))
+        .select("file", "col", "bloom").toLocalIterator()
+      val out = scala.collection.mutable.Map
+        .empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+      while (it.hasNext) {
+        val r = it.next()
+        val fkey = new Path(r.getString(0)).toUri.getPath
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+        out(fkey) = out.getOrElse(fkey, Map.empty) + (r.getString(1) -> bf)
+      }
+      out.toMap
+    }
+    val bloomMeta: () => Set[String] =
+      if (bloomDirs.isEmpty) () => Set.empty
+      else () => spark.read.parquet(bloomDirs: _*).select("col")
+        .distinct().collect().map(_.getString(0)).toSet
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val fullSchema = mergedManifestSchema(path, v)
       .getOrElse(spark.read.parquet(files: _*).schema)
     val index = new ZoneMapFileIndex(classic,
-      files.map(new Path(_)), Some(fullSchema), zones)
+      files.map(new Path(_)), Some(fullSchema), zones,
+      bloomDirs.nonEmpty, bloomMeta, cols => loadBlooms(Some(cols)))
     val rel = HadoopFsRelation(index, StructType(Nil), fullSchema, None,
       new ParquetFileFormat(), Map.empty)(classic)
     Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))

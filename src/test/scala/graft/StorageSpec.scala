@@ -1613,6 +1613,53 @@ class StorageSpec extends AnyFunSuite {
     assert(st.readVersioned(out).count() == 4)
   }
 
+  test("bloom-in-log: B manifest lines prune point lookups on " +
+    "unclustered columns, survive appends and CoW rewrites") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SparkTestSession.SF01, "versioned_bloom")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val o = T.t(spark, SparkTestSession.SF01, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    // range-clustered on orderkey → custkey scatters across files;
+    // min/max stats cannot prune a custkey point lookup, blooms can
+    st.writeVersioned(o.filter($"o_custkey" =!= 7L)
+      .repartitionByRange(6, $"o_orderkey"),
+      out, append = false, statsCols = Seq("o_orderkey"),
+      bloomCols = Seq("o_custkey"))
+    st.writeVersioned(o.filter($"o_custkey" === 7L)
+      .repartitionByRange(2, $"o_orderkey"),
+      out, append = true, statsCols = Seq("o_orderkey"),
+      bloomCols = Seq("o_custkey"))
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    }
+    val total = st.readVersioned(out).inputFiles.length
+    val q = st.readVersionedPruned(out).filter($"o_custkey" === 7L)
+    val want = st.readVersioned(out).filter($"o_custkey" === 7L).count()
+    assert(q.count() == want && want > 0)
+    // custkey 7 lives ONLY in the second commit's 2 files; the bloom
+    // must reject (nearly) all of the first commit's 6
+    assert(scanned(st.readVersionedPruned(out)
+      .filter($"o_custkey" === 7L)) < total)
+    // zone maps still prune the clustered column alongside
+    assert(scanned(st.readVersionedPruned(out)
+      .filter($"o_orderkey" < 100)) < total)
+    // CoW rewrite: carried B lines keep pruning the untouched files
+    st.updateVersioned(out, $"o_orderkey" === 1L,
+      Map("o_totalprice" -> lit(0.0)))
+    val q2 = st.readVersionedPruned(out).filter($"o_custkey" === 7L)
+    assert(q2.count() == want)
+    assert(scanned(st.readVersionedPruned(out)
+      .filter($"o_custkey" === 7L)) < st.readVersioned(out).inputFiles.length)
+  }
+
   test("restoreVersioned rolls back as a new commit; history stays " +
     "metadata-rate and time-travelable") {
     import spark.implicits._
