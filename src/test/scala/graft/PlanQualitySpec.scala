@@ -464,6 +464,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected a single hash exchange on user_id:\n${p.take(2500)}")
   }
 
+  test("dedup_mark: window and per-type census share ONE event shuffle") {
+    val p = operators.Composite.dedupMark(spark, SF)
+      .queryExecution.executedPlan.toString
+    // the duplicate-key window hashes on (user, type, minute); the
+    // final groupBy(event_type) is a tiny re-shuffle of the census
+    // cells, never of events — so exactly the window's exchange plus
+    // the census one may appear, and no Join anywhere
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2, s"event stream shuffled repeatedly:\n${p.take(2500)}")
+    assert(!p.contains("Join"), p.take(2500))
+  }
+
+  test("events_attribution: the as-of pass is join-free on one user shuffle") {
+    val p = operators.Composite.eventsAttribution(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2500))
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    // window on user_id + hour census (tiny)
+    assert(hashExchanges <= 2,
+      s"expected user window + census only:\n${p.take(2500)}")
+  }
+
   test("join_skew_aqe: the hot partition is skew-split, not a straggler") {
     // sf0.01: the 80%-hot derived key puts ~48k rows (≈1 MB of
     // shuffle) in one partition — far above the scoped 256 KB skew
