@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.TopKAgg].getName, "top_k_rows"),
       (exprs: Seq[Expression]) => {
+        if (exprs.length < 2 || exprs.length > 3)
+          throw new IllegalArgumentException(
+            s"top_k_rows(struct, k[, smallest]) takes 2 or 3 " +
+              s"arguments, got ${exprs.length}")
         val k = exprs(1) match {
           case Literal(n: Int, _) => n
           case other => throw new IllegalArgumentException(
@@ -165,8 +169,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftExtensions.literalLong(e, "graft_count"))
         val s = org.apache.spark.sql.SparkSession.active
         import s.implicits._
-        Seq(sources.GraftStorage(s).countVersioned(path, version))
-          .toDF("cnt").queryExecution.analyzed
+        val st = sources.GraftStorage(s)
+        // manifest fast path resolves to a literal row; otherwise the
+        // count stays a LAZY plan — analysis (and EXPLAIN) must never
+        // trigger the fallback scan
+        (st.countVersionedFast(path, version) match {
+          case Some(n) => Seq(n).toDF("cnt")
+          case None => st.readVersioned(path, version)
+            .agg(org.apache.spark.sql.functions
+              .count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+        }).queryExecution.analyzed
       }))
     // Constraint inventory TVF: `SELECT * FROM graft_constraints('/t')`
     // → (name, predicate) — the DESCRIBE CONSTRAINTS surface of the

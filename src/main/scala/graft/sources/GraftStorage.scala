@@ -748,8 +748,17 @@ final case class GraftStorage(
     val vs = listVersions(path)
     require(!append || vs.nonEmpty,
       s"append to $path requires an existing version")
+    // fail fast on type-conflicting evolution BEFORE any data is
+    // written: the conflict is decidable from df.schema + the prior
+    // H lines alone, and it must not poison the log (readers would
+    // die on every subsequent resolve)
+    if (append)
+      GraftStorage.mergeSchemaJsons(
+        manifestEntries(path, vs.last).collect {
+          case e if e.startsWith("H\t") => e.drop(2)
+        } :+ df.schema.json)
     val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
-    val commitDir = new Path(dir, s"data/c$n")
+    val commitDir = newCommitDir(dir, n)
     df.write.mode("overwrite").parquet(commitDir.toString)
     validateCommitDir(path, commitDir, fs)
     val stats: Seq[String] =
@@ -779,23 +788,7 @@ final case class GraftStorage(
     // materialize via compactVersioned before re-inserting keys.)
     val carried =
       if (append) manifestEntries(path, n - 1) else Seq.empty[String]
-    // fail fast on type-conflicting evolution: an append whose
-    // columns collide must not poison the log (readers would die on
-    // every subsequent resolve)
-    try GraftStorage.mergeSchemaJsons((carried ++ fresh)
-      .collect { case e if e.startsWith("H\t") => e.drop(2) })
-    catch {
-      case e: IllegalArgumentException =>
-        fs.delete(commitDir, true)
-        throw e
-    }
-    val manifestDir = new Path(dir, "_manifest")
-    fs.mkdirs(manifestDir)
-    val tmp = new Path(manifestDir, s".v$n.tmp")
-    val out = fs.create(tmp, true)
-    out.write((carried ++ fresh).mkString("\n").getBytes("UTF-8"))
-    out.close()
-    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
+    publishManifest(fs, dir, n, carried ++ fresh, Some(commitDir))
     n
   }
 
@@ -890,7 +883,20 @@ final case class GraftStorage(
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val cs = checkConstraints(path)
     if (cs.isEmpty || !fs.exists(commitDir)) return
-    try requireSatisfies(spark.read.parquet(commitDir.toString), cs,
+    val base = spark.read.parquet(commitDir.toString)
+    // constraints resolve against the TABLE's merged schema: a delta
+    // shaped like a pre-evolution commit lacks evolved columns, and a
+    // constraint on one must see NULL (ANSI pass), not an unresolved-
+    // column AnalysisException
+    val widened = listVersions(path).lastOption
+      .flatMap(v => mergedManifestSchema(path, v))
+      .fold(base) { schema =>
+        val have = base.columns.toSet
+        schema.fields.filterNot(f => have(f.name)).foldLeft(base) {
+          (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+      }
+    try requireSatisfies(widened, cs,
       s"commit ${commitDir.getName} of $path")
     catch {
       case e: ConstraintViolationException =>
@@ -925,7 +931,19 @@ final case class GraftStorage(
     * back to a scan for legacy manifests or MoR snapshots (DV row
     * counts are per-key, not per-file).
     */
-  def countVersioned(path: String, version: Option[Long] = None): Long = {
+  def countVersioned(path: String, version: Option[Long] = None): Long =
+    countVersionedFast(path, version)
+      .getOrElse(readVersioned(path, version).count())
+
+  /** The manifest-sum half of [[countVersioned]]: Some(count) when
+    * every data file carries an `R` line and no DV is in play, None
+    * when only a scan would know — callers choose whether the scan
+    * runs eagerly (countVersioned) or as a lazy plan (the
+    * `graft_count` TVF, where an eager scan inside ANALYSIS would
+    * make EXPLAIN read the table).
+    */
+  def countVersionedFast(path: String,
+      version: Option[Long] = None): Option[Long] = {
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
     val v = version.getOrElse(vs.last)
@@ -935,8 +953,62 @@ final case class GraftStorage(
     }.toMap
     val files = manifestFiles(path, v)
     if (manifestDvs(path, v).isEmpty && files.forall(rcs.contains))
-      files.map(rcs).sum
-    else readVersioned(path, Some(v)).count()
+      Some(files.map(rcs).sum)
+    else None
+  }
+
+  /** Fresh, WRITER-UNIQUE commit directory for version `n`. Two
+    * racing writers must never share a data dir: before the manifest
+    * race is even decided, the loser's `mode("overwrite")` data write
+    * would destroy the winner's already-published part files (part
+    * names are per-job UUIDs, so the overwrite deletes rather than
+    * collides). Manifests record full paths, so dir names carry no
+    * semantics — the suffix only guarantees isolation.
+    */
+  private def newCommitDir(dir: org.apache.hadoop.fs.Path,
+      n: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir,
+      s"data/c$n-${java.util.UUID.randomUUID.toString.take(8)}")
+
+  /** Write + publish one version manifest through the put-if-absent
+    * gate. The temp name is writer-unique too (the shared `.v<n>.tmp`
+    * would be its own smaller race). On a lost race this writer's own
+    * commit data dir is removed before rethrowing — the winner's
+    * commit stays untouched and fully readable.
+    */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: org.apache.hadoop.fs.Path, n: Long,
+      entries: Seq[String],
+      cleanup: Option[org.apache.hadoop.fs.Path] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    val manifestDir = new Path(tablePath, "_manifest")
+    fs.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir,
+      s".v$n.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    out.write(entries.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    try publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        cleanup.foreach(fs.delete(_, true))
+        throw e
+    }
+  }
+
+  /** The S/H/B metadata lines a rewriting commit (CoW/MERGE) carries
+    * forward, plus R row-count lines for the files it keeps: H stays
+    * valid (rewrites are written WITH the merged schema), S/B keep
+    * pruning the untouched files (zone/bloom lookups are per file, so
+    * stale rows for replaced files are never consulted).
+    */
+  private def carriedMetaLines(path: String, version: Long,
+      untouched: Seq[String]): Seq[String] = {
+    val untouchedSet = untouched.toSet
+    manifestEntries(path, version).filter(e =>
+      e.startsWith("S\t") || e.startsWith("H\t") ||
+        e.startsWith("B\t") ||
+        (e.startsWith("R\t") && untouchedSet(e.split('\t')(2))))
   }
 
   /** PUT-IF-ABSENT manifest publish — the optimistic-concurrency
@@ -993,16 +1065,34 @@ final case class GraftStorage(
     import org.apache.hadoop.fs.Path
     val mf = new Path(new Path(path), s"_manifest/v$version")
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(mf), s"version $version does not exist under $path")
-    val in = fs.open(mf)
-    val bytes = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var r = in.read(buf)
-      while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
-      bos.toByteArray
-    } finally in.close()
-    new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+    // one pruned read consults files/stats/blooms/DVs/schema — five
+    // per-line helpers, each landing here. Manifests are write-once
+    // (publishAtomic), so cache the PARSE keyed by (path, mtime, len):
+    // the status call replaces a full read+parse per helper, and the
+    // mtime/len key keeps a table deleted-and-recreated at the same
+    // path (every test fixture does this) from serving stale entries.
+    val st =
+      try fs.getFileStatus(mf)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"requirement failed: version $version does not exist " +
+              s"under $path")
+      }
+    val key = (mf.toUri.getPath, st.getModificationTime, st.getLen)
+    if (GraftStorage.manifestCache.size > 4096)
+      GraftStorage.manifestCache.clear()
+    GraftStorage.manifestCache.computeIfAbsent(key, _ => {
+      val in = fs.open(mf)
+      val bytes = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+      new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+    })
   }
 
   private def manifestFiles(path: String, version: Long): Seq[String] =
@@ -1118,13 +1208,9 @@ final case class GraftStorage(
       s"version $toVersion of $path does not exist (have $vs)")
     val entries = manifestEntries(path, toVersion)
     val n = vs.last + 1
-    val manifestDir = new Path(new Path(path), "_manifest")
-    val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(manifestDir, s".v$n.tmp")
-    val out = fs.create(tmp, true)
-    out.write(entries.mkString("\n").getBytes("UTF-8"))
-    out.close()
-    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
+    val tableDir = new Path(path)
+    val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishManifest(fs, tableDir, n, entries)
     n
   }
 
@@ -1142,14 +1228,7 @@ final case class GraftStorage(
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = listVersions(path).map { v =>
       val files = manifestFiles(path, v)
-      val rcs = manifestEntries(path, v).collect {
-        case e if e.startsWith("R\t") =>
-          val p = e.split('\t'); (p(2), p(1).toLong)
-      }.toMap
-      val nRows =
-        if (manifestDvs(path, v).isEmpty && files.forall(rcs.contains))
-          files.map(rcs).sum
-        else -1L
+      val nRows = countVersionedFast(path, Some(v)).getOrElse(-1L)
       (v,
         fs.getFileStatus(new Path(dir, s"_manifest/v$v")).getModificationTime,
         files.size.toLong, nRows)
@@ -1169,14 +1248,9 @@ final case class GraftStorage(
     // RAW entries: a clone of a merge-on-read table must carry the
     // deletion vectors too, or it would resurrect the deleted rows
     val files = manifestEntries(src, v)
-    val manifestDir = new Path(new Path(dst), "_manifest")
-    val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(manifestDir)
-    val tmp = new Path(manifestDir, ".v0.tmp")
-    val out = fs.create(tmp, true)
-    out.write(files.mkString("\n").getBytes("UTF-8"))
-    out.close()
-    publishAtomic(fs, tmp, new Path(manifestDir, "v0"))
+    val dstDir = new Path(dst)
+    val fs = dstDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishManifest(fs, dstDir, 0L, files)
     0L
   }
 
@@ -1192,7 +1266,13 @@ final case class GraftStorage(
     * bounded by file count). Returns the new version.
     */
   def deleteVersioned(path: String, predicate: Column): Long =
-    rewriteVersioned(path, predicate, df => df.filter(!predicate))
+    // SQL DELETE semantics: remove only rows where the predicate is
+    // TRUE — a NULL evaluation keeps the row. The naive
+    // filter(!predicate) silently drops NULL-evaluating rows, but
+    // only in files that also held a TRUE match (untouched files
+    // carry verbatim) — data-dependent row loss.
+    rewriteVersioned(path, predicate,
+      df => df.filter(!coalesce(predicate, lit(false))))
 
   /** Row-level DELETE as a MERGE-ON-READ commit (the
     * deletion-vector path of the lakehouse engines, keyed variant):
@@ -1223,7 +1303,7 @@ final case class GraftStorage(
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
     val n: Long = vs.last + 1
-    val commitDir = new Path(dir, s"data/c$n")
+    val commitDir = newCommitDir(dir, n)
     // DV = matching keys of the CURRENT snapshot (existing DVs apply:
     // a key deleted twice is stored once)
     readVersioned(path).filter(predicate)
@@ -1233,14 +1313,8 @@ final case class GraftStorage(
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
     val carried = manifestEntries(path, n - 1)
-    val manifestDir = new Path(dir, "_manifest")
-    fs.mkdirs(manifestDir)
-    val tmp = new Path(manifestDir, s".v$n.tmp")
-    val out = fs.create(tmp, true)
-    out.write((carried ++ dvFiles.map(f => s"D\t$keyCol\t$f"))
-      .mkString("\n").getBytes("UTF-8"))
-    out.close()
-    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
+    publishManifest(fs, dir, n,
+      carried ++ dvFiles.map(f => s"D\t$keyCol\t$f"), Some(commitDir))
     n
   }
 
@@ -1297,7 +1371,7 @@ final case class GraftStorage(
       .select(input_file_name()).distinct()
       .collect().map(r => keyOf(r.getString(0))).toSet
     val n: Long = vs.last + 1
-    val commitDir = new Path(dir, s"data/c$n")
+    val commitDir = newCommitDir(dir, n)
     val (affected, untouched) = files.partition(f => affectedKeys(keyOf(f)))
     // rewritten affected files: updates win on key, others carried;
     // plus the pure inserts (keys unseen anywhere in the snapshot)
@@ -1316,24 +1390,10 @@ final case class GraftStorage(
     val fresh = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
-    // carry metadata entries: H schema lines stay valid (rewrites are
-    // written WITH the merged schema), S stats keep pruning the
-    // untouched files (zone lookups are per file, so stale rows for
-    // replaced files are simply never consulted), and R row counts
-    // carry for untouched files + rebuild for fresh ones
-    val untouchedSet = untouched.toSet
-    val meta = manifestEntries(path, vs.last)
-      .filter(e => e.startsWith("S\t") || e.startsWith("H\t") ||
-        e.startsWith("B\t") ||
-        (e.startsWith("R\t") && untouchedSet(e.split('\t')(2)))) ++
+    val meta = carriedMetaLines(path, vs.last, untouched) ++
       rowCountLines(fresh)
-    val manifestDir = new Path(dir, "_manifest")
-    fs.mkdirs(manifestDir)
-    val tmp = new Path(manifestDir, s".v$n.tmp")
-    val out = fs.create(tmp, true)
-    out.write((untouched ++ fresh ++ meta).mkString("\n").getBytes("UTF-8"))
-    out.close()
-    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
+    publishManifest(fs, dir, n, untouched ++ fresh ++ meta,
+      Some(commitDir))
     n
   }
 
@@ -1408,10 +1468,16 @@ final case class GraftStorage(
     dead.foreach(f => fs.delete(new Path(f), true)) // stats are dirs
     drop.foreach(v => fs.delete(new Path(dir, s"_manifest/v$v"), false))
     // sweep commit dirs the deletes emptied (cosmetic, metadata-scale)
+    // — but NEVER a dir whose `_`-prefixed survivors include a
+    // sidecar (_zonemap/_bloom) a kept manifest still pins via
+    // carried S/B lines: a CoW rewrite can retire every DATA file of
+    // a commit while later snapshots keep pruning through its stats
     val dataDir = new Path(dir, "data")
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { d =>
-        if (d.isDirectory && fs.listStatus(d.getPath)
+        val dkey = key(d.getPath.toString)
+        val pinned = live.exists(p => p == dkey || p.startsWith(dkey + "/"))
+        if (d.isDirectory && !pinned && fs.listStatus(d.getPath)
             .forall(f => f.getPath.getName.startsWith("_")))
           fs.delete(d.getPath, true)
       }
@@ -1469,7 +1535,7 @@ final case class GraftStorage(
       .select(input_file_name()).distinct()
       .collect().map(r => key(r.getString(0))).toSet
     val n: Long = vs.last + 1
-    val commitDir = new Path(dir, s"data/c$n")
+    val commitDir = newCommitDir(dir, n)
     val (affected, untouched) = files.partition(f => affectedKeys(key(f)))
     val fresh: Seq[String] =
       if (affected.isEmpty) Seq.empty
@@ -1481,20 +1547,10 @@ final case class GraftStorage(
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toUri.getPath)
       }
-    // carry H/S/R metadata entries (same contract as mergeVersioned)
-    val untouchedSet = untouched.toSet
-    val meta = manifestEntries(path, vs.last)
-      .filter(e => e.startsWith("S\t") || e.startsWith("H\t") ||
-        e.startsWith("B\t") ||
-        (e.startsWith("R\t") && untouchedSet(e.split('\t')(2)))) ++
+    val meta = carriedMetaLines(path, vs.last, untouched) ++
       rowCountLines(fresh)
-    val manifestDir = new Path(dir, "_manifest")
-    fs.mkdirs(manifestDir)
-    val tmp = new Path(manifestDir, s".v$n.tmp")
-    val out = fs.create(tmp, true)
-    out.write((untouched ++ fresh ++ meta).mkString("\n").getBytes("UTF-8"))
-    out.close()
-    publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
+    publishManifest(fs, dir, n, untouched ++ fresh ++ meta,
+      Some(commitDir))
     n
   }
 
@@ -1642,7 +1698,14 @@ final case class GraftStorage(
       case None                  => spark.read
     }
     val base =
-      if (files.isEmpty) reader.parquet(path + "/data/c0").limit(0)
+      if (files.isEmpty) mergedManifestSchema(path, v) match {
+        // schema-in-log: an empty snapshot still knows its shape
+        case Some(schema) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        // legacy manifests predate writer-unique commit dirs, so the
+        // deterministic first-commit dir exists to sniff
+        case None => reader.parquet(path + "/data/c0").limit(0)
+      }
       else reader.parquet(files: _*)
     // merge-on-read: anti-join away each deletion vector's keys.
     // DVs are O(deleted keys) so the build sides stay broadcast-sized
@@ -2223,6 +2286,11 @@ private[graft] final class BloomStringAgg(expected: Long, fpp: Double)
 }
 
 object GraftStorage {
+  /** Write-once manifest parse cache — see manifestEntries. */
+  private[sources] val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), Seq[String]]()
+
   /** Rebuild a Hadoop Configuration from a snapshot Map INSIDE a
     * task. Lives on the companion so closures capture only the Map,
     * never the session-bound GraftStorage instance.

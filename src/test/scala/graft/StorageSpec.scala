@@ -964,7 +964,8 @@ class StorageSpec extends AnyFunSuite {
     assert(storage.readVersioned(dst).count() == o.count() + 7)
     assert(storage.readVersioned(src).count() == o.count())
     assert(storage.listVersions(src) == Seq(0L))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dst, "data/c1")))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dst, "data"))
+      .exists(_.getPath.getName.startsWith("c1")))
     // a second clone onto a used target refuses
     intercept[IllegalArgumentException] {
       storage.cloneVersioned(src, dst)
@@ -1235,9 +1236,14 @@ class StorageSpec extends AnyFunSuite {
     val v0 = storage.readVersioned(out, Some(0))
     assert(avgSpread(v0, "o_custkey") > 0.9,
       "random layout should span the domain per file")
-    assert(avgSpread(v1, "o_custkey") < 0.6,
+    // 0.7, not lower: the exact spread wobbles a few percent with
+    // input row order (range sampling), which follows file-listing
+    // order — writer-unique commit dir names made that order
+    // non-deterministic. The claim under test is per-file ≪ global
+    // (random layout sits at ~1.0), not a precise constant.
+    assert(avgSpread(v1, "o_custkey") < 0.7,
       s"z-order custkey spread ${avgSpread(v1, "o_custkey")}")
-    assert(avgSpread(v1, "o_totalprice") < 0.6,
+    assert(avgSpread(v1, "o_totalprice") < 0.7,
       s"z-order price spread ${avgSpread(v1, "o_totalprice")}")
   }
 
@@ -1587,7 +1593,9 @@ class StorageSpec extends AnyFunSuite {
     assert(e.counts == Map("pos" -> 1L))
     assert(st.listVersions(out) == Seq(0L))
     assert(st.readVersioned(out).count() == 2)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, "data/c1")))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(p, "data"))
+      .forall(_.getPath.getName.startsWith("c0")),
+      "aborted append must leave no commit dir behind")
     // UPDATE producing a violation aborts the same way
     val u = intercept[sources.ConstraintViolationException] {
       st.updateVersioned(out, $"k" === 1L,
@@ -1732,6 +1740,86 @@ class StorageSpec extends AnyFunSuite {
     st.deleteVersionedMor(out, $"k" >= 135, "k")
     assert(st.countVersioned(out) == 125)
     assert(st.countVersioned(out) == st.readVersioned(out).count())
+  }
+
+  test("vacuum keeps sidecars that survive only via carried S/B lines") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "vacuum_carried_sidecar")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    st.writeVersioned(
+      spark.range(0, 100).toDF("k").repartition(2), out,
+      append = false, statsCols = Seq("k"), bloomCols = Seq("k"))
+    // rewrite EVERY c0 data file: v1 carries c0's sidecars via S/B
+    // lines while none of c0's data files stay live
+    st.updateVersioned(out, $"k" >= 0L, Map("k" -> (col("k") + 0L)))
+    st.vacuumVersioned(out, keepLast = 1)
+    // the carried sidecars must survive the empty-commit-dir sweep:
+    // pruned reads of the live snapshot still resolve and stay exact
+    val pruned = st.readVersionedPruned(out)
+    assert(pruned.count() == 100)
+    assert(pruned.filter($"k" === 5L).count() == 1)
+  }
+
+  test("deleteVersioned keeps NULL-evaluating rows (SQL DELETE " +
+    "semantics), even co-located with matches") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "delete_null_semantics")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // ONE file holding a matching row AND a NULL-evaluating row
+    st.writeVersioned(
+      Seq((1L, Some(5L)), (2L, Option.empty[Long]), (3L, Some(9L)))
+        .toDF("k", "c").coalesce(1), out)
+    st.deleteVersioned(out, $"c" === 5L)
+    val left = st.readVersioned(out).orderBy($"k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(left == Seq(2L, 3L),
+      "only the predicate-TRUE row may be deleted; NULL keeps the row")
+  }
+
+  test("constraints on evolved columns treat absent-column deltas as " +
+    "NULL (ANSI), not as analysis errors") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "constraint_evolved")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    st.writeVersioned(Seq((1L, "a", 10L)).toDF("k", "s", "note"), out)
+    st.addCheckConstraint(out, "note_pos", "note > 0")
+    // an append shaped like the pre-evolution schema: note absent →
+    // NULL → passes
+    st.writeVersioned(Seq((2L, "b")).toDF("k", "s"), out, append = true)
+    assert(st.readVersioned(out).count() == 2)
+    // a real violation still aborts
+    intercept[sources.ConstraintViolationException] {
+      st.writeVersioned(Seq((3L, "c", -1L)).toDF("k", "s", "note"),
+        out, append = true)
+    }
+    assert(st.readVersioned(out).count() == 2)
+  }
+
+  test("commit data dirs are writer-unique per version") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "unique_commit_dirs")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "s"), out)
+    st.writeVersioned(Seq((2L, "b")).toDF("k", "s"), out, append = true)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(p, "data"))
+      .map(_.getPath.getName).toSeq.sorted
+    // c<version>-<uniquifier>: two racing writers can never target
+    // the same dir, so the loser's overwrite cannot destroy the
+    // winner's published files
+    assert(dirs.size == 2 && dirs.forall(_.matches("c\\d+-[0-9a-f]{8}")),
+      dirs.toString)
   }
 
   test("conflicting manifest publish loses loudly, never silently") {
