@@ -1024,16 +1024,57 @@ final case class GraftStorage(
   private def publishAtomic(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Unit = {
-    if (fs.exists(dst)) {
+    def lose(msg: String): Nothing = {
       fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"commit conflict: $dst was published by another writer")
+      throw new java.util.ConcurrentModificationException(msg)
     }
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"commit conflict publishing $dst")
+    if (fs.getScheme == "file") {
+      // TRUE put-if-absent on the local filesystem: hard-link the
+      // temp file to the destination — link(2) fails atomically if
+      // the destination exists, closing the exists/rename race window
+      // the generic branch cannot (POSIX rename overwrites).
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          lose(s"commit conflict: $dst was published by another writer")
+      }
+    } else {
+      // HDFS rename refuses an existing destination (safe); object
+      // stores supply an atomic put-if-absent in their committer —
+      // the exists pre-check narrows the window, the rename result
+      // catches the rest
+      if (fs.exists(dst))
+        lose(s"commit conflict: $dst was published by another writer")
+      if (!fs.rename(tmp, dst))
+        lose(s"commit conflict publishing $dst")
     }
+  }
+
+  /** Append under OPTIMISTIC CONCURRENCY: on a lost publish race the
+    * commit retries against the advanced log (fresh version number,
+    * fresh carried entries) up to `maxRetries` times — the writer-
+    * facing loop every lakehouse client ships. The input is only
+    * re-WRITTEN, never re-derived, and each attempt's data dir is
+    * writer-unique, so concurrent appenders interleave losslessly.
+    */
+  def appendVersionedRetrying(df: DataFrame, path: String,
+      maxRetries: Int = 10, statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    var attempt = 0
+    while (true) {
+      try return writeVersioned(df, path, append = true, statsCols,
+        bloomCols)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Committed versions of a versioned table, ascending. */

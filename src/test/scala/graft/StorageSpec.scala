@@ -1822,6 +1822,40 @@ class StorageSpec extends AnyFunSuite {
       dirs.toString)
   }
 
+  test("8 concurrent appenders interleave losslessly under " +
+    "optimistic-concurrency retry") {
+    import spark.implicits._
+    val st = sources.GraftStorage(spark)
+    val out = T.scratch(SF, "concurrent_appends")
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    st.writeVersioned(Seq((0L, 0L)).toDF("k", "v"), out)
+    val threads = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(threads)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val pool = (1 to threads).map { t =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          st.appendVersionedRetrying(
+            Seq((t.toLong * 1000, t.toLong)).toDF("k", "v"), out,
+            maxRetries = 50)
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(errors.isEmpty, errors.toString)
+    // no commit lost, no commit doubled: every writer's row is
+    // present exactly once and the log advanced exactly 8 times
+    assert(st.listVersions(out) == (0L to threads.toLong))
+    val got = st.readVersioned(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ((0L, 0L) +:
+      (1 to threads).map(t => (t.toLong * 1000, t.toLong))).toSet)
+    assert(st.countVersioned(out) == threads + 1)
+  }
+
   test("conflicting manifest publish loses loudly, never silently") {
     import spark.implicits._
     val st = sources.GraftStorage(spark)
