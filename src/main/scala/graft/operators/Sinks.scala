@@ -309,6 +309,46 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** CONCURRENT WRITERS under optimistic concurrency: six threads
+    * race appends at the same table through
+    * `appendVersionedRetrying`'s put-if-absent publish + retry loop.
+    * WHICH writer wins each version is scheduler-dependent; the
+    * snapshot CONTENT is not — every commit lands exactly once — so
+    * the census (rows, exact cents total, version count) is
+    * deterministic and oracle-checkable even though the run is a
+    * genuine race.
+    */
+  def sinkVersionedConcurrent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_concurrent")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    st.writeVersioned(base.filter($"o_orderkey" % 7 === 0), out)
+    val threads = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(threads)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val pool = (1 to threads).map { t =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          st.appendVersionedRetrying(
+            base.filter($"o_orderkey" % 7 === t), out, maxRetries = 50)
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    if (!errors.isEmpty) throw errors.peek()
+    st.readVersioned(out)
+      .agg(count(lit(1)).as("n_rows"),
+        dsum($"o_totalprice").as("total"))
+      .select($"n_rows", $"total",
+        lit(st.listVersions(out).size.toLong).as("n_versions"))
+  }
+
   /** RESTORE as a new commit: a bad append is rolled back by
     * republishing the good version's manifest — metadata-only at any
     * table size, history intact (the bad version stays
@@ -803,6 +843,7 @@ object Sinks extends QueryModule {
     "sink_versioned_count" -> (sinkVersionedCount(_, _)),
     "sink_versioned_restore" -> (sinkVersionedRestore(_, _)),
     "sink_versioned_bloom" -> (sinkVersionedBloom(_, _)),
+    "sink_versioned_concurrent" -> (sinkVersionedConcurrent(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
@@ -994,6 +1035,12 @@ object Sinks extends QueryModule {
          |  SELECT 'src_latest', COUNT(*), ${sqlDsum("o_totalprice")}
          |  FROM orders)
          |ORDER BY snap""".stripMargin,
+    "sink_versioned_concurrent" ->
+      s"""-- the 7 mod-7 slices (v0 + six racing appends) tile orders
+         |SELECT COUNT(*) AS n_rows,
+         |  ${sqlDsum("o_totalprice")} AS total,
+         |  CAST(7 AS BIGINT) AS n_versions
+         |FROM orders""".stripMargin,
     "sink_versioned_bloom" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey = 7
