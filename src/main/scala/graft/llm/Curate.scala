@@ -264,14 +264,6 @@ object Curate extends QueryModule {
       .orderBy($"doc_id", $"chunk_id")
   }
 
-  /** Text normalization — the first stage of every curation pipeline
-    * (C4/CCNet shape): lowercase, strip non-alphanumerics, collapse
-    * whitespace, trim. Pure codegen'd column expressions at scan
-    * speed. The fixture corpus is pre-clean, so a deterministic mess
-    * is synthesized first (case flip + punctuation + ragged spacing —
-    * same expression both engines, the piiScrub pattern); the
-    * normalized-text hash proves byte-identical cleaning.
-    */
   /** Canonical-URL dedup — the first dedup pass every web-scale
     * pipeline runs BEFORE touching content (a URL census is free;
     * shingling is not): synthesize each doc's source URL (mixed-case
@@ -296,6 +288,14 @@ object Curate extends QueryModule {
       .orderBy($"canon")
   }
 
+  /** Text normalization — the first stage of every curation pipeline
+    * (C4/CCNet shape): lowercase, strip non-alphanumerics, collapse
+    * whitespace, trim. Pure codegen'd column expressions at scan
+    * speed. The fixture corpus is pre-clean, so a deterministic mess
+    * is synthesized first (case flip + punctuation + ragged spacing —
+    * same expression both engines, the piiScrub pattern); the
+    * normalized-text hash proves byte-identical cleaning.
+    */
   def normalizeText(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val messy = concat(upper($"text"), lit("  !! "),
@@ -311,15 +311,6 @@ object Curate extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  /** N-gram novelty vs the growing corpus: the fraction of a doc's
-    * distinct 3-gram shingles whose FIRST owner (min doc_id) is the
-    * doc itself — the streaming-ingest "how much of this batch is
-    * new text" statistic (near-1 = fresh, near-0 = rehash of earlier
-    * docs). Two partial-agged shuffles (gram → first owner, join
-    * back → per-doc ratio), both keyed on the gram/doc — no windows,
-    * no driver state; the ratio ships as integer ppm (pure integer
-    * arithmetic, the llm_repetition drift contract).
-    */
   /** Temperature-resampled domain mixture — the training-mix op:
     * per-source sampling probability ∝ n^α (α=0.5 here), so
     * low-resource domains are UP-weighted relative to proportional
@@ -336,10 +327,13 @@ object Curate extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val docs = T.t(s, dir, "documents")
+    // sources-sized; pinned so the four consumers (global, rates,
+    // kept's broadcast, the final join) don't each rescan documents
     val stats = docs.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", sqrt($"n_docs").cast(DecimalType(18, 6))
         .cast(DoubleType))
+      .localCheckpoint()
     val global = stats.agg(
       sum(sqrt($"n_docs").cast(DecimalType(18, 6))).cast(DoubleType)
         .as("sumw"),
@@ -361,6 +355,15 @@ object Curate extends QueryModule {
       .orderBy($"source")
   }
 
+  /** N-gram novelty vs the growing corpus: the fraction of a doc's
+    * distinct 3-gram shingles whose FIRST owner (min doc_id) is the
+    * doc itself — the streaming-ingest "how much of this batch is
+    * new text" statistic (near-1 = fresh, near-0 = rehash of earlier
+    * docs). Two partial-agged shuffles (gram → first owner, join
+    * back → per-doc ratio), both keyed on the gram/doc — no windows,
+    * no driver state; the ratio ships as integer ppm (pure integer
+    * arithmetic, the llm_repetition drift contract).
+    */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = Dedup.shingleRows(T.t(s, dir, "documents"))

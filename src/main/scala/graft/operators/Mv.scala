@@ -34,6 +34,53 @@ object Mv extends QueryModule {
   val MonthMvName = "mv_lineitem_month"
   private val SumCast = DecimalType(18, 2)
 
+  /** ONE aggregation definition per MV, shared by the initial build
+    * (ensureMv's Fixtures blocks) and REFRESH's forced rebuild —
+    * duplicated definitions drifted once (refresh silently skipped
+    * the month MV, leaving the time rollup stale-but-trusted after a
+    * source change), so the builders are the single source of truth.
+    */
+  private def buildFine(s: SparkSession, dir: String) = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast(SumCast)).as("sum_qty"),
+        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+        count(lit(1)).as("cnt"),
+        min($"l_shipdate").as("min_ship"),
+        max($"l_shipdate").as("max_ship"),
+        hll_sketch_agg($"l_suppkey").as("hll_supp"))
+  }
+
+  private def buildCoarse(s: SparkSession, dir: String) = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_quantity".cast(SumCast)).as("sum_qty"),
+        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+        count(lit(1)).as("cnt"))
+  }
+
+  private def buildOkey(s: SparkSession, dir: String) = {
+    import s.implicits._
+    T.t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(
+        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+        count(lit(1)).as("cnt"))
+  }
+
+  private def buildMonth(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val li = T.t(s, dir, "lineitem")
+    li.groupBy(month(li("l_shipdate")).as("ship_month"))
+      .agg(
+        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
+        count(lit(1)).as("cnt"))
+  }
+
   /** Build the summary parquet once per (dir) and (re-)register it in
     * the catalog with the CALLER's session, so captured plans never
     * go stale across sessions.
@@ -41,16 +88,7 @@ object Mv extends QueryModule {
   def ensureMv(s: SparkSession, dir: String): String = {
     import s.implicits._
     val path = Fixtures.ensure(dir, MvName) { p =>
-      T.t(s, dir, "lineitem")
-        .groupBy($"l_returnflag", $"l_linestatus")
-        .agg(
-          sum($"l_quantity".cast(SumCast)).as("sum_qty"),
-          sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
-          count(lit(1)).as("cnt"),
-          min($"l_shipdate").as("min_ship"),
-          max($"l_shipdate").as("max_ship"),
-          hll_sketch_agg($"l_suppkey").as("hll_supp"))
-        .write.mode("overwrite").parquet(p)
+      buildFine(s, dir).write.mode("overwrite").parquet(p)
     }
     val src = s"$dir/lineitem.parquet"
     val srcFp = MvCatalog.fingerprint(src)
@@ -73,13 +111,7 @@ object Mv extends QueryModule {
     // summary) whenever a query doesn't need l_linestatus, and falls
     // back to the fine MV when it does.
     val coarse = Fixtures.ensure(dir, CoarseMvName) { p =>
-      T.t(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          sum($"l_quantity".cast(SumCast)).as("sum_qty"),
-          sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
-          count(lit(1)).as("cnt"))
-        .write.mode("overwrite").parquet(p)
+      buildCoarse(s, dir).write.mode("overwrite").parquet(p)
     }
     MvCatalog.register(
       src,
@@ -97,12 +129,7 @@ object Mv extends QueryModule {
     // a JOIN-KEY granularity summary (per l_orderkey) — the rollup
     // that answers fact⋈dim aggregates through the join rewrite
     val okey = Fixtures.ensure(dir, JoinMvName) { p =>
-      T.t(s, dir, "lineitem")
-        .groupBy($"l_orderkey")
-        .agg(
-          sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
-          count(lit(1)).as("cnt"))
-        .write.mode("overwrite").parquet(p)
+      buildOkey(s, dir).write.mode("overwrite").parquet(p)
     }
     MvCatalog.register(
       src,
@@ -119,12 +146,7 @@ object Mv extends QueryModule {
     // TIME-ROLLUP summary: month(l_shipdate) is a DERIVED grouping
     // column, matched by the canonical SQL of the expression
     val monthMv = Fixtures.ensure(dir, MonthMvName) { p =>
-      val li = T.t(s, dir, "lineitem")
-      li.groupBy(month(li("l_shipdate")).as("ship_month"))
-        .agg(
-          sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
-          count(lit(1)).as("cnt"))
-        .write.mode("overwrite").parquet(p)
+      buildMonth(s, dir).write.mode("overwrite").parquet(p)
     }
     // the key must be the ANALYZED expression's SQL — resolution
     // inserts implicit casts (month(CAST(ts AS DATE))) that the raw
@@ -160,40 +182,21 @@ object Mv extends QueryModule {
     new org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(0L)).lgConfigK
 
-  /** REFRESH MATERIALIZED VIEW: rebuild both summaries from the
+  /** REFRESH MATERIALIZED VIEW: rebuild ALL FOUR summaries from the
     * current source and re-register with the fresh fingerprint — the
     * recovery path after the staleness guard starts declining.
     * (Fixtures caches per JVM, so force the rebuild by writing
-    * directly.)
+    * directly; the shared builders above guarantee refresh and
+    * initial build can never define an MV differently.)
     */
   def refreshMv(s: SparkSession, dir: String): Unit = {
-    import s.implicits._
-    val fine = T.scratch(dir, MvName)
-    T.t(s, dir, "lineitem")
-      .groupBy($"l_returnflag", $"l_linestatus")
-      .agg(
-        sum($"l_quantity".cast(SumCast)).as("sum_qty"),
-        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
-        count(lit(1)).as("cnt"),
-        min($"l_shipdate").as("min_ship"),
-        max($"l_shipdate").as("max_ship"),
-        hll_sketch_agg($"l_suppkey").as("hll_supp"))
-      .write.mode("overwrite").parquet(fine)
-    val coarse = T.scratch(dir, CoarseMvName)
-    T.t(s, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(
-        sum($"l_quantity".cast(SumCast)).as("sum_qty"),
-        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
-        count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(coarse)
-    val okey = T.scratch(dir, JoinMvName)
-    T.t(s, dir, "lineitem")
-      .groupBy($"l_orderkey")
-      .agg(
-        sum($"l_extendedprice".cast(SumCast)).as("sum_price"),
-        count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(okey)
+    Seq(
+      (MvName, buildFine(s, dir)),
+      (CoarseMvName, buildCoarse(s, dir)),
+      (JoinMvName, buildOkey(s, dir)),
+      (MonthMvName, buildMonth(s, dir))).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(T.scratch(dir, name))
+    }
     ensureMv(s, dir)
     ()
   }

@@ -256,8 +256,12 @@ object StreamOps extends QueryModule {
     val tagged = ev.select(
       col("user_id"), col("ts"), col("event_id"), col("event_type"),
       when(col("event_type") === "click", col("event_id")).as("click_id"))
+    // tie-INCLUSIVE as-of contract (shared with AsOfJoinExec, whose
+    // merge admits rTs <= lTs): at equal ts, clicks sort BEFORE
+    // purchases ('click' < 'purchase'), so a same-instant click is a
+    // valid match; among same-ts clicks the max event_id wins
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     tagged
       .withColumn("last_click_id",
@@ -281,8 +285,12 @@ object StreamOps extends QueryModule {
       col("user_id"), col("ts"), col("event_id"), col("event_type"),
       when(col("event_type") === "click", col("event_id")).as("click_id"),
       when(col("event_type") === "click", col("ts")).as("click_ts"))
+    // tie-INCLUSIVE as-of contract (shared with AsOfJoinExec, whose
+    // merge admits rTs <= lTs): at equal ts, clicks sort BEFORE
+    // purchases ('click' < 'purchase'), so a same-instant click is a
+    // valid match; among same-ts clicks the max event_id wins
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val fresh = col("last_click_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
     tagged
@@ -326,7 +334,13 @@ object StreamOps extends QueryModule {
     docs.select(col("doc_id").cast(LongType), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        text.split(" ").iterator.sliding(3).withPartial(false)
+        // split limit -1 KEEPS trailing empty tokens — Scala's
+        // default split drops them, silently diverging from
+        // NgramsExpr (UTF8String.split(_, -1)) and DuckDB
+        // string_split on texts ending in a space; the probe side of
+        // streamDecontam shingles through the batch path, so both
+        // sides must share one tokenization
+        text.split(" ", -1).iterator.sliding(3).withPartial(false)
           .map(_.mkString("_")).toSet[String].iterator.map(t => (id, t))
       }.toDF("doc_id", "tok")
   }
@@ -585,7 +599,7 @@ object StreamOps extends QueryModule {
       |    last_value(CASE WHEN event_type = 'click' THEN event_id END
       |               IGNORE NULLS) OVER (
       |      PARTITION BY user_id
-      |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_type, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |      AS last_click_id
       |  FROM events WHERE event_type IN ('click', 'purchase')) t
@@ -637,7 +651,7 @@ object StreamOps extends QueryModule {
         |          CAST(ts AS TIMESTAMP) AS ts FROM events
         |        WHERE event_type IN ('click', 'purchase'))
         |  WINDOW w AS (PARTITION BY user_id
-        |    ORDER BY ts, event_id
+        |    ORDER BY ts, event_type, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
         |WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
@@ -671,7 +685,7 @@ object StreamOps extends QueryModule {
         |    last_value(CASE WHEN event_type = 'click' THEN event_id END
         |               IGNORE NULLS) OVER (
         |      PARTITION BY user_id
-        |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_type, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS last_click_id
         |  FROM events WHERE event_type IN ('click', 'purchase')) t

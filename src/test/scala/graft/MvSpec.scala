@@ -217,12 +217,24 @@ class MvSpec extends AnyFunSuite {
     assert(filtered.collect().toSeq == baseF.collect().toSeq)
   }
 
-  test("refreshMv rebuilds both summaries and re-arms the rewrite") {
+  test("refreshMv rebuilds ALL summaries and re-arms the rewrite") {
+    // destroy the month MV first: refresh once silently skipped it
+    // (the shared-builder refactor makes that drift impossible, and
+    // this pins it) — a stale time rollup would answer wrong sums
+    // while claiming freshness
+    val monthPath = new org.apache.hadoop.fs.Path(
+      T.scratch(SF, operators.Mv.MonthMvName))
+    val fs = monthPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(monthPath, true)
     operators.Mv.refreshMv(spark, SF)
+    assert(fs.exists(monthPath), "refresh must rebuild the month MV")
     val df = operators.Mv.mvRollup(spark, SF)
     assert(scannedPaths(df).forall(_.contains(operators.Mv.CoarseMvName)))
     val fine = operators.Mv.mvRollupFilter(spark, SF)
     assert(scannedPaths(fine).forall(_.contains(operators.Mv.MvName)))
+    // the rebuilt month MV answers the time rollup correctly
+    val month = operators.Mv.mvTimeRollup(spark, SF).collect()
+    assert(month.length == 12)
   }
 
   test("staleness guard: a changed source declines the rewrite instead " +
