@@ -114,10 +114,13 @@ object Knn extends QueryModule {
     val c = b.select($"vec_id".as("nid"), $"v".as("nv"), $"bucket")
     val w = Window.partitionBy($"qid")
       .orderBy(round($"cos", 4).desc, $"nid")
+    // the 22 probe masks are distinct, so a candidate's bucket
+    // matches at most ONE of a query's probe values — (qid, nid)
+    // pairs are unique by construction and a dedup here would add a
+    // full extra shuffle of the candidate set for no semantic effect
     c.join(broadcast(q), "bucket")
       .filter($"nid" =!= $"qid")
       .select($"qid", $"nid", $"qv", $"nv")
-      .dropDuplicates("qid", "nid")
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine_sim($"qv", $"nv"))
       .withColumn("rn", row_number().over(w))
@@ -214,19 +217,34 @@ object Knn extends QueryModule {
     * probe queries into their NProbe cells, equi-join on cell id,
     * exact cosine rank.
     */
+  /** Broadcast-centroid cell ranking — THE assignment every IVF
+    * surface shares: rows (vec_id, v, …) × centroids (cid, cv) gain
+    * csim and crn (cosine rank of the centroid; ties to the smaller
+    * cid), pruned to crn <= maxRank. One definition on purpose: the
+    * stored index, the probe plans, semdedup's cells, and the spec
+    * containment gates all assume the IDENTICAL assignment — six
+    * hand-rolled copies of this block were one edited tie-break away
+    * from silently desynchronizing them.
+    */
+  private def cellRank(b: DataFrame, cents: DataFrame,
+      maxRank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    b.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        graft.functions.VectorFunctions.cosine_sim(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crn") <= maxRank)
+  }
+
   private def knnWithCells(s: SparkSession, b: DataFrame,
       cents: DataFrame): DataFrame = {
     import s.implicits._
     // assignment computed ONCE (materialized pruned to crn<=NProbe):
     // the corpus and probe branches would otherwise each re-run the
     // crossJoin + window over the full corpus
-    val ranked = b.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
-      .filter($"crn" <= NProbe)
-      .localCheckpoint()
+    val ranked = cellRank(b, cents, NProbe).localCheckpoint()
     val corpus = ranked.filter($"crn" === 1)
       .select($"vec_id".as("nid"), $"v".as("nv"), $"cid")
     val qprobe = ranked.filter($"vec_id" < NQueries && $"crn" <= NProbe)
@@ -266,12 +284,7 @@ object Knn extends QueryModule {
       val b = base(s, dir).localCheckpoint()
       val cents = b.filter($"vec_id" < NumCells)
         .select($"vec_id".as("cid"), $"v".as("cv"))
-      val assigned = b.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
-        .filter($"crn" === 1)
+      val assigned = cellRank(b, cents, 1)
         .select($"vec_id", $"v", $"cid".cast("int").as("cell"))
       graft.sources.GraftStorage(s).writeIndexed(assigned, out, "cell", "cell")
     }
@@ -299,12 +312,7 @@ object Knn extends QueryModule {
       val b = base(s, dir).localCheckpoint()
       val cents = b.filter($"vec_id" < NumCells)
         .select($"vec_id".as("cid"), $"v".as("cv"))
-      val assigned = b.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
-        .filter($"crn" === 1)
+      val assigned = cellRank(b, cents, 1)
         .select($"vec_id", $"v", $"cid".cast("int").as("cell"))
         .localCheckpoint()
       val st = graft.sources.GraftStorage(s)
@@ -322,13 +330,8 @@ object Knn extends QueryModule {
       .select($"vec_id".as("cid"), $"v".as("cv"))
     // probe ranking for the query vectors only — corpus assignment
     // comes from DISK, not recomputation
-    val qprobe = b.filter($"vec_id" < StoredQueries)
-      .crossJoin(broadcast(cents))
-      .withColumn("csim",
-        graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
-      .filter($"crn" <= NProbe)
+    val qprobe = cellRank(b.filter($"vec_id" < StoredQueries),
+      cents, NProbe)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"cid".cast("int").as("cell"))
       .localCheckpoint()
     val probedCells = qprobe.select($"cell").distinct()
@@ -476,12 +479,7 @@ object Knn extends QueryModule {
     // advertises the partitioning, so the pair self-join reads both
     // sides from the same co-partitioned blocks — zero exchanges for
     // the quadratic step (the graph-family layout)
-    val assigned = b.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
-      .filter($"crn" === 1)
+    val assigned = cellRank(b, cents, 1)
       .select($"vec_id", $"v", $"cid")
       .repartition(math.max(2,
         s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 2), $"cid")
@@ -513,6 +511,13 @@ object Knn extends QueryModule {
   }
 
   private val PqM = 8      // subspaces
+  private val PqDim = 64   // embedding dimensionality (fixture)
+  // dims per subspace — the divisor that maps a component position to
+  // its subspace. For PqM=8 over 64 dims this happens to EQUAL PqM,
+  // which let an earlier `pos / PqM` read as correct; any other PqM
+  // would have silently computed the wrong geometry (and the oracle,
+  // sharing the conflation, would still have matched).
+  private val PqSubDim = PqDim / PqM
   private val PqCodes = 16 // codebook entries per subspace
 
   /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI'11): 64-dim
@@ -611,12 +616,7 @@ object Knn extends QueryModule {
     val b = base(s, dir).localCheckpoint()
     val cents = b.filter($"vec_id" < NumCells)
       .select($"vec_id".as("cid"), $"v".as("cv"))
-    val rankedc = b.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        graft.functions.VectorFunctions.cosine_sim($"v", $"cv"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
-      .filter($"crn" <= NProbe)
+    val rankedc = cellRank(b, cents, NProbe)
       .select($"vec_id", $"cid", $"crn")
       .localCheckpoint()
     val cellOf = rankedc.filter($"crn" === 1)
@@ -641,8 +641,8 @@ object Knn extends QueryModule {
   private def pqExpl(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     base(s, dir).select($"vec_id", posexplode($"v").as(Seq("pos", "x")))
-      .select($"vec_id", ($"pos" / PqM).cast("int").as("m"),
-        pmod($"pos", lit(PqM)).as("d"), $"x")
+      .select($"vec_id", ($"pos" / PqSubDim).cast("int").as("m"),
+        pmod($"pos", lit(PqSubDim)).as("d"), $"x")
       .localCheckpoint()
   }
 
@@ -825,8 +825,8 @@ object Knn extends QueryModule {
     s"""v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |expl AS (
-       |  SELECT vec_id, CAST((s.p - 1) // $PqM AS INT) AS m,
-       |    (s.p - 1) % $PqM AS d, s.x AS x
+       |  SELECT vec_id, CAST((s.p - 1) // $PqSubDim AS INT) AS m,
+       |    (s.p - 1) % $PqSubDim AS d, s.x AS x
        |  FROM (SELECT vec_id,
        |          unnest([{'p': i, 'x': e[i]}
        |            FOR i IN generate_series(1, len(e))]) AS s

@@ -168,9 +168,13 @@ object TextStats extends QueryModule {
     // feeds the df cap + both join sides; UNORDERED rows — the global
     // sort in winnow's public contract would be wasted work here
     val fp = fpRows(s, T.t(s, dir, "documents")).localCheckpoint()
-    val rare = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
-      .filter($"df" <= 100).select($"fp")
-    val pruned = fp.join(broadcast(rare), "fp")
+    // broadcast the HOT set (df > cap), not the rare one: rare
+    // fingerprints are the overwhelming majority of the table (a
+    // corpus-sized broadcast at scale); the stopword-gram hot set is
+    // O(cap-crossing grams) — the only side that fits every executor
+    val hot = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" > 100).select($"fp")
+    val pruned = fp.join(broadcast(hot), Seq("fp"), "left_anti")
     pruned.as("a").join(pruned.as("b"), "fp")
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -362,9 +366,16 @@ object TextStats extends QueryModule {
     * expression), a 1-row argmax collect (freq desc, pair asc — the
     * canonical greedy rule with a deterministic tie-break), and a
     * leftmost-nonoverlapping merge applied as a plain string replace
-    * on space-padded symbols (both engines' `replace` scans
-    * left-to-right past each substitution, which IS BPE's greedy
-    * merge order). Returns (step, pair, merged, freq) rules.
+    * on space-padded symbols. CONVENTION, shared bit-for-bit by the
+    * DuckDB oracle: each round is ONE non-overlapping left-to-right
+    * replace pass, so ADJACENT occurrences of the winning pair
+    * ("banana" → ' b a n a n a ', pair (n,a)) merge one-per-pass —
+    * the space consumed by a substitution hides the immediately
+    * following occurrence until the pair wins another round. That
+    * differs from reference BPE only on XYXY runs and converges to
+    * the same vocabulary as rounds repeat; pinning the convention is
+    * what lets an ANSI-SQL oracle replay training exactly. Returns
+    * (step, pair, merged, freq) rules.
     */
   private val bpeRuleCache =
     new java.util.concurrent.ConcurrentHashMap[
@@ -383,6 +394,9 @@ object TextStats extends QueryModule {
     // vocab: word -> count, symbols = chars spaced ("hello" -> "h e l l o")
     var vocab = T.t(s, dir, "documents")
       .select(explode(toks($"text")).as("word"))
+      // '_' is the ngrams pair joiner — a token containing it would
+      // corrupt pair decoding, so it must not reach training
+      .filter(!$"word".contains("_"))
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
       .select(concat_ws(" ", split($"word", "(?!^)")).as("symbols"), $"cnt")
       .localCheckpoint()
@@ -401,6 +415,15 @@ object TextStats extends QueryModule {
       else {
         val pair = top(0).getString(0)
         val freq = top(0).getLong(1)
+        // learned symbols are interpolated into SQL replace() calls
+        // and '_'-decoded from the ngrams joiner — a corpus whose
+        // tokens carry quotes, backslashes, or underscores would
+        // break parsing / pair decoding SILENTLY, so refuse loudly
+        // (normalize such corpora first; llm_normalize is the stage
+        // for it)
+        require(!pair.exists(c => c == '\'' || c == '\\'),
+          s"bpe: learned symbol pair '$pair' contains a quote/" +
+            "backslash, unsafe to interpolate into SQL replace()")
         val merged = pair.replace("_", "")
         val spaced = pair.replace('_', ' ')
         rules += ((step, pair, merged, freq))

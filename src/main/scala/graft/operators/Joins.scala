@@ -218,9 +218,19 @@ object Joins extends QueryModule {
     */
   def binnedIntervalJoin(fact: DataFrame, factCol: Column,
       ranges: DataFrame, binWidth: Long): DataFrame = {
-    val binned = ranges.withColumn("r_bin",
-      explode(sequence(floor(col("lo") / binWidth),
-        floor((col("hi") - 1) / binWidth))))
+    // last bin = floor(hi/w), NOT floor((hi-1)/w): the -1 trick only
+    // shaves the boundary bin for INTEGER-valued hi — a fractional
+    // upper bound (hi=50000.5, fact=50000.2, w=50000) would lose its
+    // bin entirely and silently drop matching rows. The occasional
+    // extra candidate bin on exact multiples is removed by the
+    // residual filter. Empty/inverted ranges ([lo, hi<=lo)) explode
+    // to NO bins (Spark sequence runs DESCENDING when stop < start —
+    // bogus bins — so gate on hi > lo).
+    val binned = ranges
+      .filter(col("hi") > col("lo"))
+      .withColumn("r_bin",
+        explode(sequence(floor(col("lo") / binWidth),
+          floor(col("hi") / binWidth))))
     fact.withColumn("f_bin", floor(factCol / binWidth))
       .join(binned, col("f_bin") === col("r_bin") &&
         factCol >= col("lo") && factCol < col("hi"))
@@ -294,9 +304,13 @@ object Joins extends QueryModule {
     * joins with DIFFERENT widths coexist race-free in one session —
     * the fix for the set-conf/plan/unset-conf pattern, which leaked a
     * forced width into concurrent queries and stopped applying the
-    * moment the query was re-planned after the unset. A join the
-    * rewrite cannot handle (no range bounds, user strategy hint,
-    * existing equi key) is returned unchanged.
+    * moment the query was re-planned after the unset. The TOPMOST
+    * inner join is the one and only target: if the rewrite cannot
+    * handle it (no range bounds, existing equi key) the plan is
+    * returned unchanged — the width is never silently attached to a
+    * DIFFERENT, deeper join whose value domain it was not fitted
+    * for. (Strategy-hinted joins are skipped in the descent: a hint
+    * is an explicit user instruction, not a rewrite candidate.)
     */
   def withBinWidth(joined: DataFrame, width: Long): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.Inner
@@ -310,11 +324,13 @@ object Joins extends QueryModule {
     val rewritten = analyzed.transformDown {
       case j @ LJoin(left, right, Inner, Some(cond), hint)
           if !done && graft.plans.BinnedIntervalRewrite.noStrategyHint(hint) =>
+        // the first non-hinted inner join decides: rewritten or
+        // returned unchanged — never keep descending and attach the
+        // width to a deeper join it was not fitted for
+        done = true
         graft.plans.BinnedIntervalRewrite
-          .rewrite(j, left, right, cond, width.toDouble) match {
-            case Some(p) => done = true; p
-            case None => j
-          }
+          .rewrite(j, left, right, cond, width.toDouble)
+          .getOrElse(j)
     }
     Bridge.ofRows(joined.sparkSession, rewritten)
   }
@@ -584,7 +600,7 @@ object Joins extends QueryModule {
     * discipline as `withV2ParquetPushdown`: anything that must SEE
     * the injected filter has to plan inside `body`.
     */
-  private[graft] def withRuntimeBloomFilter[A](s: SparkSession)(body: => A): A = {
+  private[graft] def withRuntimeBloomFilter[A](s: SparkSession)(body: SparkSession => A): A = {
     val pairs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
@@ -592,12 +608,14 @@ object Joins extends QueryModule {
       // injection targets SHUFFLE joins; at fixture scale the dim
       // would broadcast and the probe would never plant
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
-    pairs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
+    // ISOLATED child session: same SparkContext, shared catalog, OWN
+    // SQLConf — the confs set here are invisible to every other query
+    // in flight in the parent session. (The previous set/run/unset
+    // pattern on the shared session was exactly the concurrency leak
+    // withBinWidth's scaladoc documents.)
+    val scoped = s.newSession()
+    pairs.foreach { case (k, v) => scoped.conf.set(k, v) }
+    body(scoped)
   }
 
   /** The unresolved plan: selective dim filter (one quarter, one
@@ -630,8 +648,8 @@ object Joins extends QueryModule {
     * `bloom_filter_might_contain` in the optimized plan.
     */
   def joinRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
-    val (rows, schema) = withRuntimeBloomFilter(s) {
-      val df = runtimeFilterDf(s, dir)
+    val (rows, schema) = withRuntimeBloomFilter(s) { scoped =>
+      val df = runtimeFilterDf(scoped, dir)
       (df.collect(), df.schema)
     }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -670,17 +688,19 @@ object Joins extends QueryModule {
     * rowCount × avg row width) — the stats, not the files, pick the
     * broadcast. Same scope discipline as the runtime-filter confs.
     */
-  private[graft] def withCbo[A](s: SparkSession)(body: => A): A = {
+  private[graft] def withCbo[A](s: SparkSession)(body: SparkSession => A): A = {
     val pairs = Seq(
       "spark.sql.cbo.enabled" -> "true",
       "spark.sql.cbo.joinReorder.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "4096")
-    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
-    pairs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
+    // ISOLATED child session: same SparkContext, shared catalog, OWN
+    // SQLConf — the confs set here are invisible to every other query
+    // in flight in the parent session. (The previous set/run/unset
+    // pattern on the shared session was exactly the concurrency leak
+    // withBinWidth's scaladoc documents.)
+    val scoped = s.newSession()
+    pairs.foreach { case (k, v) => scoped.conf.set(k, v) }
+    body(scoped)
   }
 
   private[graft] def cboDf(s: SparkSession, dir: String): DataFrame = {
@@ -701,8 +721,8 @@ object Joins extends QueryModule {
     * shuffle join without.
     */
   def joinCboStats(s: SparkSession, dir: String): DataFrame = {
-    val (rows, schema) = withCbo(s) {
-      val df = cboDf(s, dir)
+    val (rows, schema) = withCbo(s) { scoped =>
+      val df = cboDf(scoped, dir)
       (df.collect(), df.schema)
     }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -719,7 +739,7 @@ object Joins extends QueryModule {
     * over. Broadcast is pinned off: a broadcast join has no shuffle
     * to skew, and at 100 TB neither side fits the threshold anyway.
     */
-  private[graft] def withSkewAqe[A](s: SparkSession)(body: => A): A = {
+  private[graft] def withSkewAqe[A](s: SparkSession)(body: SparkSession => A): A = {
     val pairs = Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -728,12 +748,14 @@ object Joins extends QueryModule {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
-    pairs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
+    // ISOLATED child session: same SparkContext, shared catalog, OWN
+    // SQLConf — the confs set here are invisible to every other query
+    // in flight in the parent session. (The previous set/run/unset
+    // pattern on the shared session was exactly the concurrency leak
+    // withBinWidth's scaladoc documents.)
+    val scoped = s.newSession()
+    pairs.foreach { case (k, v) => scoped.conf.set(k, v) }
+    body(scoped)
   }
 
   /** The unresolved skewed-join plan: 80% of lineitem lands on one
@@ -777,8 +799,8 @@ object Joins extends QueryModule {
     * adaptive plan.
     */
   def joinSkewAqe(s: SparkSession, dir: String): DataFrame = {
-    val (rows, schema) = withSkewAqe(s) {
-      val df = skewAqeDf(s, dir)
+    val (rows, schema) = withSkewAqe(s) { scoped =>
+      val df = skewAqeDf(scoped, dir)
       (df.collect(), df.schema)
     }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)

@@ -58,8 +58,8 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("catalog stats + CBO flip the filtered-dim join to broadcast") {
-    operators.Joins.withCbo(spark) {
-      val p = plan(operators.Joins.cboDf(spark, SF))
+    operators.Joins.withCbo(spark) { scoped =>
+      val p = plan(operators.Joins.cboDf(scoped, SF))
       assert(p.contains("BroadcastHashJoin"),
         s"CBO filter estimation should pick broadcast:\n${p.take(3000)}")
     }
@@ -80,8 +80,8 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("runtime bloom filter is injected into the fact scan side") {
-    operators.Joins.withRuntimeBloomFilter(spark) {
-      val df = operators.Joins.runtimeFilterDf(spark, SF)
+    operators.Joins.withRuntimeBloomFilter(spark) { scoped =>
+      val df = operators.Joins.runtimeFilterDf(scoped, SF)
       val opt = df.queryExecution.optimizedPlan.toString
       assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
         s"expected InjectRuntimeFilter to plant a bloom probe:\n${opt.take(3000)}")
@@ -492,8 +492,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // sf0.01: the 80%-hot derived key puts ~48k rows (≈1 MB of
     // shuffle) in one partition — far above the scoped 256 KB skew
     // threshold, so OptimizeSkewedJoin must mark the join skew-handled
-    operators.Joins.withSkewAqe(spark) {
-      val df = operators.Joins.skewAqeDf(spark, SparkTestSession.SF01)
+    operators.Joins.withSkewAqe(spark) { scoped =>
+      val df = operators.Joins.skewAqeDf(scoped, SparkTestSession.SF01)
       assert(df.collect().length == 7)
       val finalPlan = df.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
