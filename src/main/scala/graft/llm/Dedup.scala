@@ -245,9 +245,11 @@ object Dedup extends QueryModule {
 
   /** PPJoin against a PERSISTED prefix index — the batch-ingest form
     * of exact dedup at 100 TB: the corpus is indexed ONCE (prefix
-    * rows + frozen token-frequency order + shingles + sizes, all on
-    * disk) and each new batch probes it — no corpus rescan, no
-    * all-pairs, zero miss probability. The frozen order is the load-
+    * rows + frozen token-frequency order + shingles + sizes + band
+    * signatures, all on disk) and each new batch probes it — no
+    * corpus rescan, no all-pairs; rare-token pairs are exact, and
+    * (as in dedupPpjoin's hybrid) saturated-prefix pairs carry the
+    * banded-LSH guarantee instead of a proof. The frozen order is the load-
     * bearing subtlety: prefix filtering is correct under ANY total
     * token order as long as BOTH sides use the SAME one, so the
     * probe ranks batch tokens by the STORED df (unseen tokens get
@@ -277,6 +279,18 @@ object Dedup extends QueryModule {
         .write.mode("overwrite").parquet(s"$out/prefix")
       ct.write.mode("overwrite").parquet(s"$out/shingles")
       dfTab.write.mode("overwrite").parquet(s"$out/df")
+      // banded MinHash signatures of the CORPUS, for the probe-time
+      // df-saturation fallback (dedupPpjoin's hybrid, stored form):
+      // saturated-prefix corpus docs must be pairable WITHOUT a
+      // corpus rescan, so their band rows ride the index
+      bandRows(minhashSigs(ct))
+        .write.mode("overwrite").parquet(s"$out/bands")
+      // the saturation cap is part of the FROZEN order contract:
+      // defined once, from the indexed corpus, used by both sides
+      val nCorpusDocs = sz.count()
+      Seq((nCorpusDocs, math.max(64L, (DfSatFrac * nCorpusDocs).toLong)))
+        .toDF("n_docs", "df_cap")
+        .write.mode("overwrite").parquet(s"$out/meta")
     }
 
   override def prepare(s: SparkSession, dir: String): Unit = {
@@ -300,8 +314,22 @@ object Dedup extends QueryModule {
       .join(bsz, "doc_id")
       .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
       .select($"doc_id", $"tok", $"df", $"pos", $"n")
-    val candidates = s.read.parquet(s"$idxDir/prefix").as("a")
-      .join(bprefix.as("b"), "tok")
+    // the same df-saturation hybrid as dedupPpjoin — without it the
+    // tok join degenerates toward all-pairs on boilerplate corpora
+    // (hot prefix tokens with O(N) posting lists on BOTH the stored
+    // and the batch side). Rare tokens drive the exact path; docs
+    // whose prefix touches a saturated token fall back to banded
+    // MinHash, with the CORPUS side's bands read from the index (no
+    // corpus rescan). The cap comes from the index's meta — the
+    // frozen-order contract extends to saturation: both sides agree
+    // on what's hot because both rank by the STORED df.
+    val dfCap = s.read.parquet(s"$idxDir/meta")
+      .head().getAs[Long]("df_cap")
+    val aPrefix = s.read.parquet(s"$idxDir/prefix")
+    val rareA = aPrefix.filter($"df" <= dfCap)
+    val rareB = bprefix.filter($"df" <= dfCap)
+    val candExact = rareA.as("a")
+      .join(rareB.as("b"), "tok")
       .filter($"a.n" >= lit(tau) * $"b.n" && $"b.n" >= lit(tau) * $"a.n")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(min(struct($"a.df".as("df"), $"tok",
@@ -310,6 +338,13 @@ object Dedup extends QueryModule {
       .filter(least($"w.na" - $"w.pa", $"w.nb" - $"w.pb") + 1 >=
         ceil(lit(tau / (1 + tau)) * ($"w.na" + $"w.nb")))
       .select($"doc_a", $"doc_b")
+    val satA = aPrefix.filter($"df" > dfCap).select($"doc_id").distinct()
+    val satB = bprefix.filter($"df" > dfCap).select($"doc_id").distinct()
+    val bandsA = s.read.parquet(s"$idxDir/bands").join(satA, "doc_id")
+    val bandsB = bandRows(minhashSigs(bt.join(satB, "doc_id")))
+    val candLsh = bandsA.as("a").join(bandsB.as("b"), Seq("band", "bh"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val candidates = candExact.unionByName(candLsh).distinct()
     verifyPairs(s, candidates,
       s.read.parquet(s"$idxDir/shingles").unionByName(bt))
   }
@@ -406,14 +441,19 @@ object Dedup extends QueryModule {
       // sort within the invocation: deterministic no matter how rows
       // landed in this micro-batch (same contract as lshCandidatesCore)
       val arriving = rows.map(_.doc_id).toArray.sorted
-      var cur = members.get().toArray
+      // ArrayBuffer: `Array :+=` reallocates the whole array per
+      // arriving doc — O(k^2) copies when a hot bucket lands in one
+      // batch invocation (exactly the saturated regime this file
+      // worries about)
+      val cur = scala.collection.mutable.ArrayBuffer(
+        members.get().toSeq: _*)
       val out = List.newBuilder[(Long, Long)]
       arriving.foreach { d =>
         cur.foreach { m =>
           if (m != d && math.abs(m - d) <= window)
             out += ((math.min(m, d), math.max(m, d)))
         }
-        cur :+= d
+        cur += d
       }
       members.appendList(arriving)
       out.result().iterator
@@ -552,8 +592,11 @@ object Dedup extends QueryModule {
     val threshold = s.conf.get(LocalEdgesConf, "100000").toInt
     // ONE job decides the strategy AND fetches the edges when small:
     // take(threshold+1) returns everything iff the graph fits the
-    // driver gate (vs a count() job followed by a collect() job)
-    val head = pairs.take(threshold + 1)
+    // driver gate (vs a count() job followed by a collect() job).
+    // Clamped: threshold = Int.MaxValue ("always local") must not
+    // wrap take()'s limit negative
+    val head = pairs.take(
+      if (threshold == Int.MaxValue) Int.MaxValue else threshold + 1)
     if (head.length <= threshold) {
       // driver union-find with path compression; canonical label =
       // component minimum (same contract as the distributed path)

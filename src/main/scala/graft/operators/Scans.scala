@@ -169,11 +169,11 @@ object Scans extends QueryModule {
     * plain `.filter`; file pruning and the row filter both derive
     * from it.
     */
+  // byte-identical to zonemapFixture (same writeIndexed call), so the
+  // plan-time consumers simply share it — a second full sort + write +
+  // zonemap pass over lineitem bought nothing
   private def zonemapPlannedFixture(s: SparkSession, dir: String): String =
-    graft.Fixtures.ensure(dir, "lineitem_zonemapped_planned") { out =>
-      graft.sources.GraftStorage(s)
-        .writeIndexed(T.t(s, dir, "lineitem"), out, "l_shipdate", "l_shipdate")
-    }
+    zonemapFixture(s, dir)
 
   def pruneZonemapPlanned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -611,7 +611,7 @@ object Scans extends QueryModule {
 
   override def prepare(s: SparkSession, dir: String): Unit = {
     multifileFixture(s, dir); csvFixture(s, dir); clusteredFixture(s, dir)
-    zonemapFixture(s, dir); zonemapPlannedFixture(s, dir)
+    zonemapFixture(s, dir); tokenBloomFixture(s, dir)
     badlinesFixture(s, dir); jsonFixture(s, dir); gzipFixture(s, dir)
     zorderFixture(s, dir); orcFixture(s, dir); bloomFixture(s, dir)
     gzipIngestFixture(s, dir); bgzfFixture(s, dir); gzSniffFixture(s, dir)
