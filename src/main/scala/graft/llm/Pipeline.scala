@@ -169,15 +169,6 @@ object Pipeline extends QueryModule {
         (abs(element_at($"ap", 3) - element_at($"ex", 3)) <= 0.02).as("p75_close"))
   }
 
-  /** Epoch-aware data mixing: quality deciles map to repetition
-    * factors (top buckets trained 3 epochs, middle 2, lower 1,
-    * bottom decile dropped) — the "repeat your best data" recipe of
-    * LLM pretraining mixes, stated as one declarative plan: ntile →
-    * factor → explode(sequence) multiplies rows WITHOUT copying the
-    * corpus (the explode is a zero-shuffle Generate; at 100 TB the
-    * epoch column rides into the training shuffle as metadata).
-    * Summary per epoch: docs and token mass a trainer would consume.
-    */
   /** Global training-data SHUFFLE into N shards — the last step of
     * every pretraining pipeline: break corpus locality (crawl order,
     * domain clustering) so each shard is an unbiased sample and
@@ -212,6 +203,15 @@ object Pipeline extends QueryModule {
       .orderBy($"shard", $"ord")
   }
 
+  /** Epoch-aware data mixing: quality deciles map to repetition
+    * factors (top buckets trained 3 epochs, middle 2, lower 1,
+    * bottom decile dropped) — the "repeat your best data" recipe of
+    * LLM pretraining mixes, stated as one declarative plan: ntile →
+    * factor → explode(sequence) multiplies rows WITHOUT copying the
+    * corpus (the explode is a zero-shuffle Generate; at 100 TB the
+    * epoch column rides into the training shuffle as metadata).
+    * Summary per epoch: docs and token mass a trainer would consume.
+    */
   def mixEpochs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = TextStats.quality(s, dir).select($"doc_id", $"score")

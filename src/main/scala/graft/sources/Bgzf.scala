@@ -103,19 +103,27 @@ object Bgzf {
     * the BSIZE chain from offset 0, so a bad header means a corrupt
     * or non-BGZF file, not a seek guess.
     */
-  private def readHeader(in: java.io.DataInput): Int = {
+  /** Returns (full block size, header length in bytes). The header
+    * length is 12 + XLEN — it must be RETURNED, not assumed 18:
+    * a spec-valid foreign producer may append extra FEXTRA subfields
+    * (XLEN > 6), and the payload begins after ALL of them. FLG must
+    * be exactly 0x04: FNAME/FCOMMENT/FHCRC would shift the payload
+    * past fields this fixed-layout parser does not walk, so such
+    * members are REJECTED here — sniffers then classify the file as
+    * plain gzip and it takes the safe whole-file path instead of
+    * being silently mis-sliced.
+    */
+  private def readHeader(in: java.io.DataInput): (Int, Int) = {
     val h = new Array[Byte](HeaderLen)
     in.readFully(h)
     require((h(0) & 0xff) == 0x1f && (h(1) & 0xff) == 0x8b &&
-      (h(2) & 0xff) == 0x08 && (h(3) & 0x04) == 0x04,
-      "not a BGZF block: bad gzip/FEXTRA magic")
+      (h(2) & 0xff) == 0x08 && (h(3) & 0xff) == 0x04,
+      "not a BGZF block: bad gzip magic or FLG bits beyond FEXTRA")
     val xlen = ((h(10) & 0xff) | ((h(11) & 0xff) << 8))
     require(xlen >= 6, s"BGZF: XLEN $xlen < 6")
     // the BC subfield is first by convention (we always write it
     // first; htsjdk does too); tolerate leading subfields by scanning
-    var i = 12
     var bsize = -1
-    val extra = new Array[Byte](xlen - 6) // already consumed first 6
     // h holds the first 6 extra bytes (12..17); scan them + the rest
     val allExtra = new Array[Byte](xlen)
     System.arraycopy(h, 12, allExtra, 0, 6)
@@ -130,7 +138,7 @@ object Bgzf {
       p += 4 + slen
     }
     require(bsize > 0, "BGZF: no BC subfield")
-    bsize
+    (bsize, 12 + xlen)
   }
 
   /** Content sniff: is the stream positioned at a BGZF block? BGZF is
@@ -155,7 +163,7 @@ object Bgzf {
     var pos = 0L
     while (pos < fileLen) {
       in.seek(pos)
-      val bsize = readHeader(in)
+      val (bsize, _) = readHeader(in)
       if (pos + bsize >= fileLen && bsize == EofMarker.length) {
         // terminal empty block
         pos = fileLen
@@ -200,8 +208,8 @@ object Bgzf {
   private def inflateBlockAt(in: org.apache.hadoop.fs.FSDataInputStream,
       pos: Long): (Array[Byte], Int) = {
     in.seek(pos)
-    val bsize = readHeader(in)
-    val payloadLen = bsize - HeaderLen - FooterLen
+    val (bsize, headerLen) = readHeader(in)
+    val payloadLen = bsize - headerLen - FooterLen
     val comp = new Array[Byte](payloadLen)
     in.readFully(comp)
     val footer = new Array[Byte](FooterLen)
@@ -213,7 +221,14 @@ object Bgzf {
     inf.setInput(comp)
     val out = new Array[Byte](isize)
     var done = 0
-    while (done < isize && !inf.finished()) done += inf.inflate(out, done, isize - done)
+    while (done < isize && !inf.finished()) {
+      val n = inf.inflate(out, done, isize - done)
+      // inflate()==0 with finished()==false means the payload is
+      // truncated/corrupt — fail, don't spin forever in the task
+      require(n > 0,
+        s"BGZF: truncated or corrupt deflate payload at offset $pos")
+      done += n
+    }
     inf.end()
     require(done == isize, s"BGZF: short inflate $done != $isize")
     (out, bsize)
@@ -240,6 +255,13 @@ object Bgzf {
     * of line boundaries vs block/split boundaries (property-tested in
     * BgzfSpec across randomized layouts).
     */
+  // Known bound, recorded honestly: the split's lines materialize in
+  // one buffer before the iterator returns (O(split decompressed
+  // bytes) task memory, ~3-5× the compressed split size). Safe at the
+  // default split targets on warehouse executors; a lazily streaming
+  // rewrite of the feed state machine is the fix if split targets
+  // grow — the exactly-once property tests in BgzfSpec are the
+  // contract any rewrite must keep.
   def linesForSplit(conf: org.apache.hadoop.conf.Configuration,
       split: Split): Iterator[String] = {
     val path = new org.apache.hadoop.fs.Path(split.file)

@@ -85,13 +85,19 @@ final class ZoneMapFileIndex(
     val wanted = dataFilters.flatMap(_.references.map(_.name)).toSet
       .flatMap((n: String) => Seq(n, GraftStorage.TokenBloomPrefix + n))
       .intersect(bloomCols)
-    val missing = wanted.diff(loadedBloomCols)
-    if (missing.nonEmpty) synchronized {
-      val fresh = bloomLoader(missing)
-      blooms = (blooms.keySet ++ fresh.keySet).map { f =>
-        f -> (blooms.getOrElse(f, Map.empty) ++ fresh.getOrElse(f, Map.empty))
-      }.toMap
-      loadedBloomCols ++= missing
+    if (wanted.diff(loadedBloomCols).nonEmpty) synchronized {
+      // recompute under the lock (double-checked): two concurrently
+      // planned queries must not each run the sidecar-load job for
+      // the same columns
+      val missing = wanted.diff(loadedBloomCols)
+      if (missing.nonEmpty) {
+        val fresh = bloomLoader(missing)
+        blooms = (blooms.keySet ++ fresh.keySet).map { f =>
+          f -> (blooms.getOrElse(f, Map.empty) ++
+            fresh.getOrElse(f, Map.empty))
+        }.toMap
+        loadedBloomCols ++= missing
+      }
     }
     blooms
   }
@@ -149,10 +155,16 @@ final class ZoneMapFileIndex(
       // predicate's token set membership maps 1:1 onto the per-file
       // token Bloom (built over the same space-split), so a reject is
       // proof the token occurs in no row of the file
-      case ArrayContains(StringSplit(a: AttributeReference, sep: Literal, _),
+      case ArrayContains(
+          StringSplit(a: AttributeReference, sep: Literal, lim: Literal),
           tok: Literal)
           if sep.value != null && sep.value.toString == " " &&
-            tok.value != null =>
+            tok.value != null &&
+            // the sidecar blooms the UNLIMITED split; a limited
+            // split's remainder token ("b c") is absent from it, so
+            // pruning on a limited split would be a FALSE NEGATIVE —
+            // only limit -1 (the no-limit form) is sound to serve
+            lim.value == -1 =>
         bl.get(GraftStorage.TokenBloomPrefix + a.name) match {
           case Some(bloom) => bloom.mightContainString(tok.value.toString)
           case None => true
