@@ -313,6 +313,9 @@ object Joins extends QueryModule {
     * is an explicit user instruction, not a rewrite candidate.)
     */
   def withBinWidth(joined: DataFrame, width: Long): DataFrame = {
+    // width 0 divides bins to NULL (non-ANSI) and a negative width
+    // inverts bin monotonicity — either silently EMPTIES the join
+    require(width > 0, s"withBinWidth: width must be positive, got $width")
     import org.apache.spark.sql.catalyst.plans.Inner
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
     import org.apache.spark.sql.graftbridge.Bridge

@@ -15,10 +15,6 @@ import org.apache.spark.sql.types._
   */
 object Windows extends QueryModule {
 
-  /** Ranking trio. row_number gets a fully unique ordering
-    * (deterministic); rank/dense_rank run on the quantity alone so
-    * ties are visible yet results stay deterministic.
-    */
   /** RUNNING DISTINCT COUNT per partition — the window Spark has no
     * builtin for (count(distinct) over a running frame is
     * unsupported), expressed exactly with the first-occurrence trick:
@@ -49,6 +45,10 @@ object Windows extends QueryModule {
       .orderBy($"types_so_far")
   }
 
+  /** Ranking trio. row_number gets a fully unique ordering
+    * (deterministic); rank/dense_rank run on the quantity alone so
+    * ties are visible yet results stay deterministic.
+    */
   def winRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val full = Window.partitionBy($"l_returnflag")

@@ -153,10 +153,19 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
-    Bridge.ofRows(spark, AsOfJoin(
-      lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTs), attr(rp, rightTs),
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (lt, rt) = (attr(lp, leftTs), attr(rp, rightTs))
+    // the exec compares and HASHES right values with orderings built
+    // from the LEFT types — a type mismatch would ClassCastException
+    // at best and silently null-match at worst (Int 5 and Long 5
+    // hash to different partitions)
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types differ: ${lk.dataType.simpleString} vs " +
+        s"${rk.dataType.simpleString}")
+    require(lt.dataType == rt.dataType,
+      s"as-of join ts types differ: ${lt.dataType.simpleString} vs " +
+        s"${rt.dataType.simpleString}")
+    Bridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lt, rt,
       rightTieBreak.map(attr(rp, _))))
   }
 }

@@ -103,13 +103,42 @@ object MvCatalog {
   def fingerprint(path: String): (Long, Long, Long) = {
     import org.apache.hadoop.fs.Path
     val p = new Path(normalize(path))
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val files = fs.listStatus(p).filter(f => f.isFile &&
-      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-    (files.length.toLong,
-      files.map(_.getLen).sum,
-      if (files.isEmpty) 0L else files.map(_.getModificationTime).max)
+    try {
+      // the SESSION Hadoop conf, not a bare Configuration: the
+      // source may live on a filesystem whose credentials/settings
+      // only exist as spark.hadoop.* session config
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf)
+      // RECURSIVE: a hive-partitioned source has zero top-level
+      // files, and a flat listing would fingerprint every state of
+      // it as the constant (0,0,0) — the guard silently defeated
+      val it = fs.listFiles(p, true)
+      var n = 0L; var bytes = 0L; var maxM = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          n += 1; bytes += f.getLen
+          maxM = math.max(maxM, f.getModificationTime)
+        }
+      }
+      (n, bytes, maxM)
+    } catch {
+      // unreadable source = "cannot prove fresh": the sentinel never
+      // satisfies `fresh`, so the rewrite DECLINES instead of the
+      // whole optimizer pass throwing
+      case _: java.io.IOException | _: RuntimeException =>
+        (-1L, -1L, -1L)
+    }
   }
+
+  /** Staleness gate: a stored fingerprint is fresh only when the
+    * CURRENT listing succeeded and matches it exactly.
+    */
+  def fresh(stored: (Long, Long, Long),
+      now: (Long, Long, Long)): Boolean = now._1 >= 0 && stored == now
 
   /** Register (or refresh) an MV for `sourcePath` — a source may
     * carry SEVERAL summaries at different granularities; the rewrite
@@ -146,7 +175,10 @@ object MaterializedViewRewrite {
       plan: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
     plan match {
       case l: LogicalRelation => Some((Nil, l))
-      case Filter(cond, child) =>
+      // non-deterministic predicates (rand() sampling) must evaluate
+      // per FACT row; replayed over the MV's partial rows they would
+      // keep/drop whole GROUPS — decline the rewrite instead
+      case Filter(cond, child) if cond.deterministic =>
         stripToScan(child).map { case (cs, l) => (cond +: cs, l) }
       case Project(list, child) if list.forall {
             case _: AttributeReference => true
@@ -183,8 +215,9 @@ object MaterializedViewRewrite {
       path <- scanPath(scan)
       // coarsest matching summary wins; a stale one (source changed
       // since build) is skipped rather than answering wrongly
+      fpNow = fingerprint(path) // ONE listing per attempt, not per MV
       plan <- lookup(path).iterator
-        .filter(_.sourceFingerprint.forall(_ == fingerprint(path)))
+        .filter(_.sourceFingerprint.forall(fresh(_, fpNow)))
         .flatMap { mv =>
           expand match {
             case Some(e) => buildExpand(agg, e, filters, mv)
@@ -212,8 +245,9 @@ object MaterializedViewRewrite {
       for {
         (filters, scan) <- stripToScan(fact)
         path <- scanPath(scan)
+        fpNow = fingerprint(path)
         plan <- lookup(path).iterator
-          .filter(_.sourceFingerprint.forall(_ == fingerprint(path)))
+          .filter(_.sourceFingerprint.forall(fresh(_, fpNow)))
           .flatMap(mv =>
             buildJoin(agg, j, fact, dim, factLeft, filters, mv))
           .nextOption()
