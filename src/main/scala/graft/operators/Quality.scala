@@ -243,10 +243,13 @@ object Quality extends QueryModule {
       case other => throw new IllegalArgumentException(
         s"dq_stats_audit: non-numeric statistics value $other")
     }
+    // snapshot the SESSION conf for the executor-side footer reads —
+    // a bare Configuration() would drop spark.hadoop.* credentials
+    val confMap = graft.sources.GraftStorage.confSnapshotStatic(hconf)
     val chunks = s.createDataset(files)
       .repartition(math.max(1, files.size))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = graft.sources.GraftStorage.restoreConfStatic(confMap)
         it.flatMap { case (t, f) =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(f), conf)

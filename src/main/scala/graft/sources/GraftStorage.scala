@@ -822,7 +822,17 @@ final case class GraftStorage(
     val out = fs.create(tmp, true)
     out.write(predicateSql.getBytes("UTF-8"))
     out.close()
-    fs.rename(tmp, new Path(cdir, name))
+    // Re-declaring replaces the old predicate on EVERY filesystem:
+    // HDFS rename refuses an existing destination (POSIX overwrites),
+    // so delete first and fail loudly if the install did not land —
+    // same discipline as publishAtomic.
+    val dst = new Path(cdir, name)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"failed to install constraint '$name' at $dst")
+    }
   }
 
   /** Declared CHECK constraints: name → SQL predicate. */
@@ -1120,7 +1130,9 @@ final case class GraftStorage(
             s"requirement failed: version $version does not exist " +
               s"under $path")
       }
-    val key = (mf.toUri.getPath, st.getModificationTime, st.getLen)
+    // FULL URI key (scheme+authority): file:/t and hdfs:/t at the
+    // same path are different tables and must not share cache entries
+    val key = (mf.toUri.toString, st.getModificationTime, st.getLen)
     if (GraftStorage.manifestCache.size > 4096)
       GraftStorage.manifestCache.clear()
     GraftStorage.manifestCache.computeIfAbsent(key, _ => {
@@ -1333,7 +1345,10 @@ final case class GraftStorage(
     * 10k; this writes one KB-scale DV. The crossover back to CoW is
     * when accumulated DVs approach broadcast size — which is what
     * compact is for. `keyCol` must identify rows uniquely (same
-    * contract as [[mergeVersioned]]'s key).
+    * contract as [[mergeVersioned]]'s key) and must be NON-NULL on
+    * every matching row — NULL keys cannot ride a key-based DV (the
+    * read-side anti-join never matches NULL) and are rejected loudly;
+    * route NULL-keyed deletes through [[deleteVersioned]].
     */
   def deleteVersionedMor(path: String, predicate: Column,
       keyCol: String): Long = {
@@ -1350,6 +1365,18 @@ final case class GraftStorage(
     readVersioned(path).filter(predicate)
       .select(col(keyCol)).distinct()
       .write.mode("overwrite").parquet(commitDir.toString)
+    // A key-based DV cannot express a NULL-keyed victim: the reader's
+    // equi anti-join never matches NULL, so the row would silently
+    // survive the DELETE (and compaction would make that permanent).
+    // The DV is O(deleted keys), so this readback is metadata-cheap.
+    if (!spark.read.parquet(commitDir.toString)
+        .filter(col(keyCol).isNull).isEmpty) {
+      fs.delete(commitDir, true)
+      throw new IllegalArgumentException(
+        s"deleteVersionedMor: matching rows carry a NULL '$keyCol' — a " +
+          "key-based deletion vector cannot express them; use the " +
+          "copy-on-write deleteVersioned for NULL-keyed victims")
+    }
     val dvFiles = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
@@ -2336,11 +2363,24 @@ object GraftStorage {
     * task. Lives on the companion so closures capture only the Map,
     * never the session-bound GraftStorage instance.
     */
-  private[sources] def restoreConfStatic(m: Map[String, String])
+  private[graft] def restoreConfStatic(m: Map[String, String])
       : org.apache.hadoop.conf.Configuration = {
     val c = new org.apache.hadoop.conf.Configuration(false)
     m.foreach { case (k, v) => c.set(k, v) }
     c
+  }
+
+  /** Snapshot a driver-side Hadoop Configuration to a plain Map so an
+    * executor task can rebuild it via [[restoreConfStatic]] — a bare
+    * `new Configuration()` inside a task drops every `spark.hadoop.*`
+    * session setting (credentials, custom schemes).
+    */
+  private[graft] def confSnapshotStatic(
+      c: org.apache.hadoop.conf.Configuration): Map[String, String] = {
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
   }
 
   /** Merge `H`-line schema jsons by name: commit order, first-seen

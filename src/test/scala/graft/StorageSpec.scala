@@ -1475,6 +1475,41 @@ class StorageSpec extends AnyFunSuite {
     assert(st.readVersioned(out3).count() == 900)
   }
 
+  test("MoR delete rejects NULL-keyed victims loudly; CoW handles them; " +
+    "constraint re-declare replaces the predicate") {
+    import spark.implicits._
+    val out = T.scratch(SF, "mor_null_key")
+    val st = sources.GraftStorage(spark)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = spark.range(0, 100)
+      .select(when($"id" < 10, lit(null)).otherwise($"id").as("k"),
+        ($"id" % 7).as("g"))
+    st.writeVersioned(base.repartition(2), out)
+    // a DV can't express NULL keys — must throw, not silently keep them
+    val err = intercept[IllegalArgumentException] {
+      st.deleteVersionedMor(out, $"g" === 0, "k")
+    }
+    assert(err.getMessage.contains("NULL"))
+    // the failed commit left no trace: latest version is still v0
+    assert(st.listVersions(out) == Seq(0L))
+    assert(st.readVersioned(out).count() == 100)
+    // non-NULL-keyed MoR delete on the same table still works
+    val v1 = st.deleteVersionedMor(out, $"k" >= 90, "k")
+    assert(st.readVersioned(out, Some(v1)).count() == 90)
+    // CoW removes NULL-keyed victims correctly (g===0 hits ids 0,7..)
+    val expect = st.readVersioned(out).filter(!coalesce($"g" === 0,
+      lit(false))).count()
+    val v2 = st.deleteVersioned(out, $"g" === 0)
+    assert(st.readVersioned(out, Some(v2)).count() == expect)
+    assert(st.readVersioned(out, Some(v2)).filter($"g" === 0).count() == 0)
+    // re-declaring a CHECK constraint must replace the old predicate
+    st.addCheckConstraint(out, "gbound", "g < 100")
+    st.addCheckConstraint(out, "gbound", "g < 50")
+    assert(st.checkConstraints(out) == Map("gbound" -> "g < 50"))
+  }
+
   test("manifest-level data skipping: stats-bearing commits prune at " +
     "plan time, stats-less commits stay conservative") {
     import spark.implicits._
