@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Mv,
     operators.Graph,
     operators.Quality,
+    operators.SqlDml,
     operators.TpchBattery,
     operators.TpchBattery2,
     functions.Funcs,

@@ -127,17 +127,22 @@ object Pipeline extends QueryModule {
   }
 
   /** Quality deciles: ntile(10) over the quality score — the corpus
-    * report a curation run publishes before choosing a cut. The
-    * global order is inherent to exact deciles; at 100 TB the same
-    * report runs on approx_percentile cuts (agg_percentile shows the
-    * primitive) — exact form kept here for the oracle.
+    * report a curation run publishes before choosing a cut.
+    *
+    * SIZE-GATED ([[graft.operators.ScaleGate]]): exact deciles (the
+    * oracle form) run only while the corpus fits
+    * `spark.graft.ntile.exactMaxRows`; above the gate the SAME report
+    * runs on approx_percentile cuts — one sketch pass, no global
+    * sort (`llm_quality_cuts` oracles that primitive with
+    * error-bound checks).
     */
   def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = TextStats.quality(s, dir).select($"doc_id", $"score")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"score".desc, $"doc_id")
-    q.withColumn("bucket", ntile(10).over(w))
+    val exact = graft.operators.ScaleGate.fitsExactNtile(s, q)
+    graft.operators.ScaleGate
+      .gatedNtile(s, q, exact, "score", descending = true, "doc_id",
+        10, "bucket")
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"),
         round(min($"score"), 6).as("min_score"),

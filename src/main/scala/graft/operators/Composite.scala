@@ -175,21 +175,29 @@ object Composite extends QueryModule {
     * global-ordered ntile windows over the small per-user rollup —
     * the windows run over |users| rows, not events, so the wide
     * shuffle is the aggregate's, which AQE sizes.
+    *
+    * SIZE-GATED ([[ScaleGate]]): the exact global windows run only
+    * while the per-user rollup fits `spark.graft.ntile.exactMaxRows`
+    * (one bounded probe job decides); a 10⁹-user rollup takes the
+    * approx-percentile cut path instead — three sketch aggregates,
+    * zero global sorts, the same census shape.
     */
   def eventsRfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val p = T.events(s, dir).filter($"event_type" === "purchase")
     val perUser = p.groupBy($"user_id").agg(
       max(unix_timestamp($"ts")).as("last_sec"),
       count(lit(1)).as("freq"),
       (sum($"value".cast(DecimalType(18, 2))) * 100).cast("long").as("cents"))
-    val rfm = perUser
+    val base = perUser
       .crossJoin(broadcast(p.agg(max(unix_timestamp($"ts")).as("max_sec"))))
       .withColumn("rec_days", expr("(max_sec - last_sec) div 86400"))
-      .withColumn("r", ntile(5).over(Window.orderBy($"rec_days", $"user_id")))
-      .withColumn("f", ntile(5).over(Window.orderBy($"freq".desc, $"user_id")))
-      .withColumn("m", ntile(5).over(Window.orderBy($"cents".desc, $"user_id")))
+    val exact = ScaleGate.fitsExactNtile(s, base)
+    val rfm = Seq(("rec_days", false, "r"), ("freq", true, "f"),
+      ("cents", true, "m")).foldLeft(base) {
+      case (df, (c, desc, out)) =>
+        ScaleGate.gatedNtile(s, df, exact, c, desc, "user_id", 5, out)
+    }
     rfm.groupBy($"r", $"f", $"m")
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"r", $"f", $"m")

@@ -90,6 +90,37 @@ object Sinks extends QueryModule {
     s.read.parquet(out).orderBy($"o_orderkey")
   }
 
+  /** K1 single-file BGZF sink — the reference's flagship sink
+    * (BamSink.java:64-139): terminator-less BGZF parts written
+    * executor-parallel, driver byte-concat + EOF block = ONE
+    * spec-valid `.bgz`, plus a merged `_bgzi` block index. The round
+    * trip re-reads the single file SPLIT-PARALLEL through the sidecar
+    * (no chain walk) and aggregates, so the oracle certifies the
+    * whole splice: every line exactly once across part seams.
+    */
+  def sinkSingleBgzf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val file = graft.Fixtures.ensure(dir, "sink_single_bgzf") { p =>
+      graft.sources.GraftStorage(s).writeSingleBgzf(
+        T.t(s, dir, "orders")
+          .select(concat_ws(",", $"o_orderkey", $"o_orderpriority",
+            $"o_totalprice").as("value"))
+          .repartition(4),
+        p + "/orders.bgz", blockInput = 4 * 1024)
+    } + "/orders.bgz"
+    val lines = graft.sources.GraftStorage(s)
+      .readBgzfLines(file, targetSplitBytes = 16 * 1024)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).csv(lines)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Table-maintenance compaction as a checkable round trip: a
     * 16-file sharded write compacted into a few target-size files
     * (GraftStorage.compact — the OPTIMIZE pass), re-read and
@@ -861,11 +892,16 @@ object Sinks extends QueryModule {
     "sink_single" -> (sinkSingle(_, _)),
     "sink_single_merged" -> (sinkSingleMerged(_, _)),
     "sink_single_parquet" -> (sinkSingleParquet(_, _)),
+    "sink_single_bgzf" -> (sinkSingleBgzf(_, _)),
     "sink_compacted" -> (sinkCompacted(_, _)),
     "sink_partitioned" -> (sinkPartitioned(_, _)),
     "sink_overwrite" -> (sinkOverwrite(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
+    "sink_single_bgzf" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sink_graft_format" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, T}
+import graft.T.{dsum, sqlDsum}
+import graft.sources.{GraftCatalog, GraftStorage}
+
+/** SQL DML over versioned graft tables through the DataSource V2
+  * TableCatalog ([[graft.sources.GraftCatalog]]): DELETE (both the
+  * metadata-delete hook and the group-based subquery path), UPDATE,
+  * MERGE INTO, and INSERT INTO/OVERWRITE — each as one oracled query
+  * whose result is the post-DML snapshot aggregate.
+  *
+  * Reference bar: the reference exposes storage round-trips only
+  * through its builder API (HtsjdkReadsRddStorage.java:187-229);
+  * the SQL surface is the Spark-native extension of that contract —
+  * same commit protocol underneath (put-if-absent manifests,
+  * copy-on-write file granularity), now reachable from `spark.sql`.
+  */
+object SqlDml extends QueryModule {
+
+  /** Fresh versioned orders slice at `out` (idempotent per run). */
+  private def seed(s: SparkSession, dir: String, out: String): Unit = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    GraftStorage(s).writeVersioned(
+      base.repartitionByRange(8, $"o_orderkey"), out)
+  }
+
+  private def statusAgg(s: SparkSession, out: String): DataFrame = {
+    import s.implicits._
+    GraftStorage(s).readVersioned(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** DELETE twice: a translatable predicate rides the metadata-delete
+    * hook (file-granular copy-on-write `deleteVersioned`), an
+    * IN-subquery condition rides the group-based ReplaceData path —
+    * the two DSv2 delete plans, one committed version each.
+    */
+  def sqlDeleteVersioned(s: SparkSession, dir: String): DataFrame = {
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_delete_versioned")
+    seed(s, dir, out)
+    s.sql(s"DELETE FROM graft.`$out` WHERE o_orderkey % 50 = 0")
+    T.t(s, dir, "customer").createOrReplaceTempView("sqldml_cust")
+    s.sql(
+      s"""DELETE FROM graft.`$out`
+         |WHERE o_orderkey IN
+         |  (SELECT c_custkey FROM sqldml_cust
+         |   WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+    statusAgg(s, out)
+  }
+
+  /** UPDATE through the group-based copy-on-write path (SET exprs on
+    * matching rows, one committed version, snapshot isolation kept).
+    */
+  def sqlUpdateVersioned(s: SparkSession, dir: String): DataFrame = {
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_update_versioned")
+    seed(s, dir, out)
+    s.sql(
+      s"""UPDATE graft.`$out`
+         |SET o_orderstatus = 'X', o_totalprice = o_totalprice * 2
+         |WHERE o_orderkey < 1000""".stripMargin)
+    statusAgg(s, out)
+  }
+
+  /** MERGE INTO: matched keys replaced, unmatched inserted — the
+    * upsert workload as ONE group-based copy-on-write commit (same
+    * merged state as sink_versioned_merge, reached via SQL).
+    */
+  def sqlMergeVersioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_merge_versioned")
+    seed(s, dir, out)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    base.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", lit("X").as("o_orderstatus"),
+        ($"o_totalprice" * 2).as("o_totalprice"))
+      .union(base.filter($"o_orderkey" % 97 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+      .createOrReplaceTempView("sqldml_merge_src")
+    s.sql(
+      s"""MERGE INTO graft.`$out` t
+         |USING sqldml_merge_src v
+         |ON t.o_orderkey = v.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    statusAgg(s, out)
+  }
+
+  /** CREATE TABLE + INSERT INTO (append commit) + INSERT OVERWRITE
+    * (replace commit) through the catalog; the result reads the final
+    * snapshot back via catalog SQL (scan served by the manifest file
+    * list).
+    */
+  def sqlInsertVersioned(s: SparkSession, dir: String): DataFrame = {
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_insert_versioned")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    T.t(s, dir, "orders").createOrReplaceTempView("sqldml_orders")
+    s.sql(s"CREATE TABLE graft.`$out` " +
+      "(o_orderkey BIGINT, o_totalprice DOUBLE) USING graft")
+    s.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT o_orderkey, o_totalprice FROM sqldml_orders " +
+      "WHERE o_orderkey % 2 = 0")
+    s.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT o_orderkey, o_totalprice FROM sqldml_orders " +
+      "WHERE o_orderkey % 2 = 1 AND o_orderkey < 5000")
+    s.sql(s"INSERT OVERWRITE graft.`$out` " +
+      s"SELECT o_orderkey, o_totalprice FROM graft.`$out` " +
+      "WHERE o_orderkey < 2000")
+    s.sql(s"SELECT count(*) AS cnt, ${sqlDsum("o_totalprice")} AS total " +
+      s"FROM graft.`$out`")
+  }
+
+  /** Multi-path `format("graft")` read: two independent sharded
+    * tables load as ONE relation (multi-root file index) — the V1
+    * single-path restriction lifted for plain directories. Spark
+    * never forwards `.load(a, b)` varargs to a V1 RelationProvider,
+    * so the multi-root form rides the documented `paths` option
+    * (JSON array, the same encoding Spark itself uses V2-side).
+    */
+  def scanMultiPath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = graft.Fixtures.ensure(dir, "sqldml_mp_a") { p =>
+      T.t(s, dir, "orders").filter($"o_orderkey" % 3 === 0)
+        .write.format("graft").mode("overwrite").save(p)
+    }
+    val b = graft.Fixtures.ensure(dir, "sqldml_mp_b") { p =>
+      T.t(s, dir, "orders").filter($"o_orderkey" % 3 === 1)
+        .write.format("graft").mode("overwrite").save(p)
+    }
+    s.read.format("graft")
+      .option("paths", s"""["$a","$b"]""").load()
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
+  override def prepare(s: SparkSession, dir: String): Unit = {
+    scanMultiPath(s, dir) // builds the two fixture dirs
+    ()
+  }
+
+  override def queries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_delete_versioned" -> (sqlDeleteVersioned(_, _)),
+    "sql_update_versioned" -> (sqlUpdateVersioned(_, _)),
+    "sql_merge_versioned" -> (sqlMergeVersioned(_, _)),
+    "sql_insert_versioned" -> (sqlInsertVersioned(_, _)),
+    "scan_multipath" -> (scanMultiPath(_, _)))
+
+  override def oracleSql: Map[String, String] = Map(
+    // survivors of both DELETEs (modulo + anti-subquery)
+    "sql_delete_versioned" ->
+      s"""WITH survivors AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 50 <> 0
+         |    AND o_orderkey NOT IN
+         |      (SELECT c_custkey FROM customer
+         |       WHERE c_mktsegment = 'BUILDING'))
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM survivors GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+    // UPDATE = CASE projection of the base snapshot
+    "sql_update_versioned" ->
+      s"""WITH v1 AS (
+         |  SELECT
+         |    CASE WHEN o_orderkey < 1000 THEN 'X'
+         |         ELSE o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN o_orderkey < 1000 THEN o_totalprice * 2
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders)
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // MERGE = upsert semantics (updates win on key, inserts append)
+    "sql_merge_versioned" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |upd AS (
+         |  SELECT o_orderkey, 'X' AS o_orderstatus,
+         |    o_totalprice * 2 AS o_totalprice
+         |  FROM base WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, 'N', 1.0
+         |  FROM base WHERE o_orderkey % 97 = 0),
+         |merged AS (
+         |  SELECT * FROM upd
+         |  UNION ALL
+         |  SELECT * FROM base
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // two appends then an overwrite keeping keys < 2000
+    "sql_insert_versioned" ->
+      s"""WITH ins AS (
+         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 2 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 2 = 1 AND o_orderkey < 5000)
+         |SELECT COUNT(*) AS cnt, ${sqlDsum("o_totalprice")} AS total
+         |FROM ins WHERE o_orderkey < 2000""".stripMargin,
+    // union of the two loaded roots
+    "scan_multipath" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderkey % 3 IN (0, 1)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+}

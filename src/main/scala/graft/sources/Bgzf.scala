@@ -71,13 +71,21 @@ object Bgzf {
   }
 
   /** Streaming block writer: buffers input, emits full blocks, closes
-    * with the EOF marker.
+    * with the EOF marker (or without, for terminator-less PARTS that a
+    * single-file sink byte-concatenates — the reference's headerless
+    * part trick, HeaderlessBamOutputFormat.java:111-130).
+    *
+    * Records every emitted block's (offset, size) so the caller can
+    * persist a `_bgzi` block index at write time — the .gzi/.sbi
+    * analogue that lets readers skip the per-block chain walk.
     */
   final class BlockWriter(out: OutputStream,
       blockInput: Int = MaxBlockInput) {
     require(blockInput > 0 && blockInput <= MaxBlockInput)
     private val buf = new Array[Byte](blockInput)
     private var n = 0
+    private var written = 0L
+    private val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
     def write(bytes: Array[Byte]): Unit = {
       var off = 0
       while (off < bytes.length) {
@@ -88,14 +96,69 @@ object Bgzf {
       }
     }
     private def flushBlock(): Unit = {
-      if (n > 0) { out.write(blockOf(buf, 0, n)); n = 0 }
+      if (n > 0) {
+        val block = blockOf(buf, 0, n)
+        offs += ((written, block.length))
+        out.write(block)
+        written += block.length
+        n = 0
+      }
     }
-    def close(): Unit = {
+    def close(): Unit = close(writeEof = true)
+    def close(writeEof: Boolean): Unit = {
       flushBlock()
-      out.write(EofMarker)
+      if (writeEof) { out.write(EofMarker); written += EofMarker.length }
       out.close()
     }
+    /** (offset, size) of every DATA block written (EOF marker
+      * excluded), valid after close.
+      */
+    def blockIndex: Seq[(Long, Int)] = offs.toSeq
+    /** Total bytes written including the EOF marker, after close. */
+    def bytesWritten: Long = written
   }
+
+  // ---- `_bgzi` sidecar: the write-time block index ----------------
+  // Layout: "BGZI" magic, version byte, data-file length (validity
+  // check — a rewritten data file invalidates a stale sidecar), block
+  // count, then (offset: i64, size: i32) per block. KB-scale per GB
+  // of data (one entry per ~64 KiB block).
+
+  private val BgziMagic = Array[Byte]('B', 'G', 'Z', 'I')
+
+  def writeBgziHeader(out: java.io.DataOutputStream, fileLen: Long,
+      blockCount: Int): Unit = {
+    out.write(BgziMagic)
+    out.writeByte(1)
+    out.writeLong(fileLen)
+    out.writeInt(blockCount)
+  }
+
+  def writeBgzi(out: java.io.DataOutputStream, fileLen: Long,
+      blocks: Seq[(Long, Int)]): Unit = {
+    writeBgziHeader(out, fileLen, blocks.size)
+    blocks.foreach { case (off, sz) =>
+      out.writeLong(off); out.writeInt(sz)
+    }
+  }
+
+  /** None on any structural problem or version drift — callers fall
+    * back to the chain walk, never fail a read over a sidecar.
+    */
+  def readBgzi(in: java.io.DataInput): Option[(Long, Seq[(Long, Int)])] =
+    try {
+      val m = new Array[Byte](4)
+      in.readFully(m)
+      if (!java.util.Arrays.equals(m, BgziMagic)) return None
+      if (in.readByte() != 1) return None
+      val fileLen = in.readLong()
+      val n = in.readInt()
+      if (n < 0) return None
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Int)](n)
+      var i = 0
+      while (i < n) { out += ((in.readLong(), in.readInt())); i += 1 }
+      Some((fileLen, out.toSeq))
+    } catch { case _: java.io.IOException => None }
 
   /** Parse one block header at the stream's current position; returns
     * (bsize, isize-less payload info) — specifically the full block
@@ -104,30 +167,34 @@ object Bgzf {
     * or non-BGZF file, not a seek guess.
     */
   /** Returns (full block size, header length in bytes). The header
-    * length is 12 + XLEN — it must be RETURNED, not assumed 18:
-    * a spec-valid foreign producer may append extra FEXTRA subfields
-    * (XLEN > 6), and the payload begins after ALL of them. FLG must
-    * be exactly 0x04: FNAME/FCOMMENT/FHCRC would shift the payload
-    * past fields this fixed-layout parser does not walk, so such
-    * members are REJECTED here — sniffers then classify the file as
-    * plain gzip and it takes the safe whole-file path instead of
-    * being silently mis-sliced.
+    * length is RETURNED, not assumed 18: a spec-valid foreign
+    * producer may append extra FEXTRA subfields (XLEN > 6) and may
+    * set FNAME/FCOMMENT/FHCRC (older bgzip front-ends do) — the
+    * payload begins after ALL of those variable-length fields, so
+    * this parser walks each one the gzip spec defines. FEXTRA with a
+    * "BC" subfield remains mandatory (it IS the BGZF marker); a
+    * member without it — plain gzip — is rejected, and sniffers then
+    * route the file to the safe whole-file path instead of silently
+    * mis-slicing it.
     */
   private def readHeader(in: java.io.DataInput): (Int, Int) = {
-    val h = new Array[Byte](HeaderLen)
+    val h = new Array[Byte](12)
     in.readFully(h)
+    val flg = h(3) & 0xff
     require((h(0) & 0xff) == 0x1f && (h(1) & 0xff) == 0x8b &&
-      (h(2) & 0xff) == 0x08 && (h(3) & 0xff) == 0x04,
-      "not a BGZF block: bad gzip magic or FLG bits beyond FEXTRA")
+      (h(2) & 0xff) == 0x08,
+      "not a BGZF block: bad gzip magic")
+    require((flg & 0x04) != 0,
+      "not a BGZF block: no FEXTRA (plain gzip member)")
+    require((flg & 0xe0) == 0,
+      "not a BGZF block: reserved FLG bits set")
     val xlen = ((h(10) & 0xff) | ((h(11) & 0xff) << 8))
     require(xlen >= 6, s"BGZF: XLEN $xlen < 6")
     // the BC subfield is first by convention (we always write it
     // first; htsjdk does too); tolerate leading subfields by scanning
     var bsize = -1
-    // h holds the first 6 extra bytes (12..17); scan them + the rest
     val allExtra = new Array[Byte](xlen)
-    System.arraycopy(h, 12, allExtra, 0, 6)
-    if (xlen > 6) in.readFully(allExtra, 6, xlen - 6)
+    in.readFully(allExtra)
     var p = 0
     while (p + 4 <= xlen && bsize < 0) {
       val si1 = allExtra(p) & 0xff
@@ -138,7 +205,23 @@ object Bgzf {
       p += 4 + slen
     }
     require(bsize > 0, "BGZF: no BC subfield")
-    (bsize, 12 + xlen)
+    var hdr = 12 + xlen
+    // FNAME and FCOMMENT are null-terminated; bound the walk by the
+    // declared block size so a corrupt member cannot spin past it
+    def skipZString(what: String): Unit = {
+      var b = in.readByte()
+      hdr += 1
+      while (b != 0) {
+        require(hdr < bsize, s"BGZF: unterminated $what field")
+        b = in.readByte(); hdr += 1
+      }
+    }
+    if ((flg & 0x08) != 0) skipZString("FNAME")
+    if ((flg & 0x10) != 0) skipZString("FCOMMENT")
+    if ((flg & 0x02) != 0) { in.readShort(): Unit; hdr += 2 } // FHCRC
+    require(hdr + FooterLen <= bsize,
+      s"BGZF: header $hdr overruns declared block size $bsize")
+    (bsize, hdr)
   }
 
   /** Content sniff: is the stream positioned at a BGZF block? BGZF is

@@ -52,19 +52,42 @@ final class GraftSource extends RelationProvider
       ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = ctx.sparkSession
-    // single-path contract: a directory of shards IS one table (the
-    // sidecar lives at its root), but a multi-path union has no single
-    // sidecar to consult — reject it with guidance instead of silently
-    // reading without pruning. Spark hands load(a, b, ...) to a V1
-    // RelationProvider as a JSON-encoded "paths" option.
+    // multi-path contract: PLAIN sharded directories load as one
+    // multi-root parquet relation via `.option("paths", "[a,b]"
+    // JSON)` — Spark's DataFrameReader never forwards `.load(a, b)`
+    // varargs to a V1 RelationProvider, so the option form IS the
+    // multi-path API (same JSON encoding Spark uses V2-side). A path
+    // carrying versioned manifests or pruning sidecars still demands
+    // the single-path form — a union of such tables has no single
+    // sidecar/manifest to consult, and silently reading them without
+    // pruning (or reading ALL commit dirs of a versioned table) would
+    // be wrong, not slow.
     val multi: Seq[String] = parameters.get("paths").map { js =>
       new com.fasterxml.jackson.databind.ObjectMapper()
         .readValue(js, classOf[Array[String]]).toSeq
     }.getOrElse(Nil)
-    if (multi.size > 1) throw new IllegalArgumentException(
-      s"graft reads take ONE path (a file or a directory of shards); " +
-        s"got ${multi.size}. Read the common parent directory, or union " +
-        "per-path format(\"graft\") reads explicitly.")
+    if (multi.size > 1) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val special = multi.filter { p =>
+        val root = new org.apache.hadoop.fs.Path(p)
+        val fs = root.getFileSystem(conf)
+        Seq("_manifest", "_zonemap", "_bloom").exists(s =>
+          fs.exists(new org.apache.hadoop.fs.Path(root, s)))
+      }
+      if (special.nonEmpty) throw new IllegalArgumentException(
+        s"graft multi-path reads support plain sharded directories " +
+          s"only; ${special.mkString(", ")} carry manifests/sidecars — " +
+          "read those via the single-path form, the graft catalog, or " +
+          "union per-path reads explicitly")
+      if (parameters.get("strictSchema").exists(_.toBoolean)) {
+        val schemas = multi.map(p => spark.read.parquet(p).schema).distinct
+        if (schemas.size > 1) throw new IllegalArgumentException(
+          s"strictSchema: multi-path roots disagree on schema: $schemas")
+      }
+      parameters.get("splitSize").foreach(b =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes", b))
+      return relationOf(spark.read.parquet(multi: _*))
+    }
     // multi-path load(a, b, ...) reaches a V1 RelationProvider with NO
     // path option at all — the missing-path error carries the guidance
     val path = parameters.get("path").orElse(multi.headOption).getOrElse(

@@ -888,7 +888,7 @@ final case class GraftStorage(
     * (new files only, constraint columns only) and, on violation,
     * remove it so the aborted commit leaves no trace.
     */
-  private def validateCommitDir(path: String,
+  private[sources] def validateCommitDir(path: String,
       commitDir: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val cs = checkConstraints(path)
@@ -931,7 +931,7 @@ final case class GraftStorage(
     * row counts IN THE LOG, so `countVersioned` answers COUNT(*) from
     * manifests alone.
     */
-  private def rowCountLines(files: Seq[String]): Seq[String] =
+  private[sources] def rowCountLines(files: Seq[String]): Seq[String] =
     files.map(f => s"R\t${footerRowCount(f)}\t$f")
 
   /** COUNT(*) at metadata rate: when every data file of the snapshot
@@ -975,7 +975,7 @@ final case class GraftStorage(
     * collides). Manifests record full paths, so dir names carry no
     * semantics — the suffix only guarantees isolation.
     */
-  private def newCommitDir(dir: org.apache.hadoop.fs.Path,
+  private[sources] def newCommitDir(dir: org.apache.hadoop.fs.Path,
       n: Long): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(dir,
       s"data/c$n-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -986,7 +986,7 @@ final case class GraftStorage(
     * commit data dir is removed before rethrowing — the winner's
     * commit stays untouched and fully readable.
     */
-  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       tablePath: org.apache.hadoop.fs.Path, n: Long,
       entries: Seq[String],
       cleanup: Option[org.apache.hadoop.fs.Path] = None): Unit = {
@@ -1012,7 +1012,7 @@ final case class GraftStorage(
     * pruning the untouched files (zone/bloom lookups are per file, so
     * stale rows for replaced files are never consulted).
     */
-  private def carriedMetaLines(path: String, version: Long,
+  private[sources] def carriedMetaLines(path: String, version: Long,
       untouched: Seq[String]): Seq[String] = {
     val untouchedSet = untouched.toSet
     manifestEntries(path, version).filter(e =>
@@ -1112,7 +1112,7 @@ final case class GraftStorage(
     *  - `R<TAB><rows><TAB><path>` = a data file's row count
     *    (metadata-rate COUNT(*), [[countVersioned]]).
     */
-  private def manifestEntries(path: String, version: Long): Seq[String] = {
+  private[sources] def manifestEntries(path: String, version: Long): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val mf = new Path(new Path(path), s"_manifest/v$version")
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1148,11 +1148,11 @@ final case class GraftStorage(
     })
   }
 
-  private def manifestFiles(path: String, version: Long): Seq[String] =
+  private[graft] def manifestFiles(path: String, version: Long): Seq[String] =
     manifestEntries(path, version).filterNot(_.contains('\t'))
 
   /** (key column, dv parquet file) entries of one version. */
-  private def manifestDvs(path: String,
+  private[sources] def manifestDvs(path: String,
       version: Long): Seq[(String, String)] =
     manifestEntries(path, version).collect {
       case e if e.startsWith("D\t") =>
@@ -1163,7 +1163,7 @@ final case class GraftStorage(
   /** `_zonemap` stats directories a version's manifest references
     * (`S` lines — one per stats-bearing commit).
     */
-  private def manifestStats(path: String, version: Long): Seq[String] =
+  private[sources] def manifestStats(path: String, version: Long): Seq[String] =
     manifestEntries(path, version).collect {
       case e if e.startsWith("S\t") => e.split('\t')(1)
     }
@@ -1171,7 +1171,7 @@ final case class GraftStorage(
   /** `_bloom` sidecar directories a version's manifest references
     * (`B` lines - one per bloom-indexed commit).
     */
-  private def manifestBlooms(path: String, version: Long): Seq[String] =
+  private[sources] def manifestBlooms(path: String, version: Long): Seq[String] =
     manifestEntries(path, version).collect {
       case e if e.startsWith("B\t") => e.split('\t')(1)
     }
@@ -1199,7 +1199,7 @@ final case class GraftStorage(
     * before schema lines existed yield None (callers fall back to
     * footer inference).
     */
-  private def mergedManifestSchema(path: String,
+  private[sources] def mergedManifestSchema(path: String,
       version: Long): Option[org.apache.spark.sql.types.StructType] =
     GraftStorage.mergeSchemaJsons(manifestEntries(path, version)
       .collect { case e if e.startsWith("H\t") => e.drop(2) })
@@ -1682,11 +1682,32 @@ final case class GraftStorage(
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
     val v = version.getOrElse(vs.last)
-    val statDirs = manifestStats(path, v)
-    val bloomDirs = manifestBlooms(path, v)
-    if ((statDirs.isEmpty && bloomDirs.isEmpty) ||
+    if ((manifestStats(path, v).isEmpty &&
+        manifestBlooms(path, v).isEmpty) ||
         manifestDvs(path, v).nonEmpty)
       return readVersioned(path, version)
+    val parts = versionedScanParts(path, v)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val index = new ZoneMapFileIndex(classic,
+      parts.files.map(new Path(_)), Some(parts.schema), parts.zones,
+      parts.hasBlooms, parts.bloomMeta, parts.bloomLoader)
+    val rel = HadoopFsRelation(index, StructType(Nil), parts.schema,
+      None, new ParquetFileFormat(), Map.empty)(classic)
+    Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
+
+  /** Everything a pruning scan of one snapshot needs: the manifest's
+    * exact file list, its stats-in-log zone rows, the lazy bloom-in-
+    * log loaders, and the schema-in-log schema. Shared between
+    * [[readVersionedPruned]] (V1 relation) and the DSv2 catalog
+    * table's ScanBuilder ([[GraftCatalog]]) so both read paths prune
+    * through the identical sidecar machinery.
+    */
+  private[sources] def versionedScanParts(path: String,
+      v: Long): VersionedScanParts = {
+    import org.apache.hadoop.fs.Path
+    val statDirs = manifestStats(path, v)
+    val bloomDirs = manifestBlooms(path, v)
     val files = manifestFiles(path, v)
     val zones: Map[String, Map[String, (Any, Any)]] =
       if (statDirs.isEmpty) Map.empty
@@ -1725,15 +1746,10 @@ final case class GraftStorage(
       if (bloomDirs.isEmpty) () => Set.empty
       else () => spark.read.parquet(bloomDirs: _*).select("col")
         .distinct().collect().map(_.getString(0)).toSet
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val fullSchema = mergedManifestSchema(path, v)
       .getOrElse(spark.read.parquet(files: _*).schema)
-    val index = new ZoneMapFileIndex(classic,
-      files.map(new Path(_)), Some(fullSchema), zones,
-      bloomDirs.nonEmpty, bloomMeta, cols => loadBlooms(Some(cols)))
-    val rel = HadoopFsRelation(index, StructType(Nil), fullSchema, None,
-      new ParquetFileFormat(), Map.empty)(classic)
-    Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+    VersionedScanParts(files, zones, bloomDirs.nonEmpty, bloomMeta,
+      cols => loadBlooms(Some(cols)), fullSchema)
   }
 
   /** Raw manifest-file read honoring the snapshot's schema-in-log
@@ -2147,12 +2163,115 @@ final case class GraftStorage(
           c
         }
         val p = new org.apache.hadoop.fs.Path(out, f"part-$i%05d.bgz")
-        val w = new Bgzf.BlockWriter(p.getFileSystem(conf).create(p, true), bi)
+        val fs = p.getFileSystem(conf)
+        val w = new Bgzf.BlockWriter(fs.create(p, true), bi)
         rows.foreach(r => w.write((r.getString(0) + "\n").getBytes("UTF-8")))
         w.close()
+        // `_bgzi` sidecar: the block index this writer just learned
+        // for free, persisted so readers skip the per-block chain
+        // walk (the reference's write-time .sbi/.gzi,
+        // HeaderlessBamOutputFormat.java:111-130). KB-scale; written
+        // AFTER the data file so a torn write leaves at most a
+        // missing sidecar (reader falls back to the walk).
+        val si = new java.io.DataOutputStream(fs.create(
+          new org.apache.hadoop.fs.Path(out, f"_bgzi/part-$i%05d.bgz.bgzi"),
+          true))
+        try Bgzf.writeBgzi(si, w.bytesWritten, w.blockIndex)
+        finally si.close()
         Iterator.single(1)
       }
     }.count(): Unit
+  }
+
+  /** K1 single-FILE BGZF sink — the reference's flagship sink shape
+    * (BamSink.java:64-139): every partition writes a TERMINATOR-LESS
+    * BGZF part executor-parallel, and the driver byte-concatenates
+    * the parts in partition order and appends the 28-byte EOF block —
+    * a spec-valid single `.bgz` file with zero recompression, because
+    * blocked gzip is closed under concatenation. A merged `_bgzi`
+    * sidecar is written next to it (part offsets shifted by the
+    * preceding parts' lengths — IndexFileMerger.java:62-102's merge,
+    * streamed so driver memory stays O(1)).
+    *
+    * `path` is the target FILE (e.g. `/data/out/lines.bgz`); the
+    * sidecar lands at `<parent>/_bgzi/<name>.bgzi`. `df` must be one
+    * string column of lines, as in [[writeBgzfText]].
+    */
+  def writeSingleBgzf(df: DataFrame, path: String,
+      blockInput: Int = Bgzf.MaxBlockInput): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.StringType
+    require(df.schema.fields.length == 1 &&
+      df.schema.fields(0).dataType == StringType,
+      s"writeSingleBgzf wants one string column, got ${df.schema.simpleString}")
+    val confMap = confSnapshot()
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partsDir = new Path(path + ".parts")
+    fs.delete(partsDir, true)
+    fs.mkdirs(partsDir)
+    val outDir = partsDir.toString
+    val bi = blockInput
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val c = { val x = new org.apache.hadoop.conf.Configuration(false)
+          confMap.foreach { case (k, v) => x.set(k, v) }; x }
+        val p = new Path(outDir, f"part-$i%05d")
+        val pfs = p.getFileSystem(c)
+        val w = new Bgzf.BlockWriter(pfs.create(p, true), bi)
+        rows.foreach(r => w.write((r.getString(0) + "\n").getBytes("UTF-8")))
+        w.close(writeEof = false) // terminator-less part
+        val si = new java.io.DataOutputStream(
+          pfs.create(new Path(outDir, f"part-$i%05d.bgzi"), true))
+        try Bgzf.writeBgzi(si, w.bytesWritten, w.blockIndex)
+        finally si.close()
+        Iterator.single(1)
+      }
+    }.count(): Unit
+    // driver splice: data parts in partition order, then EOF marker
+    val parts = fs.listStatus(partsDir).toSeq
+      .filter(f => f.isFile && f.getLen > 0 &&
+        !f.getPath.getName.endsWith(".bgzi"))
+      .sortBy(_.getPath.getName)
+    val out = fs.create(target, true)
+    val buf = new Array[Byte](1 << 20)
+    try {
+      parts.foreach { p =>
+        val in = fs.open(p.getPath)
+        try {
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+      out.write(Bgzf.EofMarker)
+    } finally out.close()
+    // merged sidecar: each part's offsets shifted by the bytes before
+    // it. Two passes over the KB-scale part indexes so driver memory
+    // is bounded by ONE part's index, never the whole file's.
+    def partIndex(p: org.apache.hadoop.fs.FileStatus): Seq[(Long, Int)] = {
+      val in = fs.open(new Path(p.getPath.toString + ".bgzi"))
+      val idx = try Bgzf.readBgzi(in) finally in.close()
+      idx.getOrElse(throw new IllegalStateException(
+        s"missing part index for ${p.getPath}"))._2
+    }
+    val totalLen = parts.map(_.getLen).sum + Bgzf.EofMarker.length
+    val totalBlocks = parts.map(partIndex(_).size.toLong).sum
+    require(totalBlocks <= Int.MaxValue, s"block count $totalBlocks")
+    val si = new java.io.DataOutputStream(fs.create(
+      new Path(new Path(path).getParent,
+        s"_bgzi/${target.getName}.bgzi"), true))
+    try {
+      Bgzf.writeBgziHeader(si, totalLen, totalBlocks.toInt)
+      var base = 0L
+      parts.foreach { p =>
+        partIndex(p).foreach { case (off, sz) =>
+          si.writeLong(base + off); si.writeInt(sz)
+        }
+        base += p.getLen
+      }
+    } finally si.close()
+    fs.delete(partsDir, true)
   }
 
   /** K7/S7/S8 read half — split-parallel lines from BGZF shards, the
@@ -2176,7 +2295,12 @@ final case class GraftStorage(
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val files = fs.listStatus(dir).toSeq
+    // a directory of shards or ONE file (the single-file sink's
+    // output) — both resolve to the same split machinery
+    val st0 = fs.getFileStatus(dir)
+    val files =
+      (if (st0.isFile) Seq(st0)
+       else fs.listStatus(dir).toSeq)
       .filter(f => f.isFile && f.getLen > 0 &&
         f.getPath.getName.endsWith(".bgz") &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
@@ -2193,9 +2317,32 @@ final case class GraftStorage(
         val c = { val x = new org.apache.hadoop.conf.Configuration(false)
           confMap.foreach { case (k, v) => x.set(k, v) }; x }
         val p = new Path(f)
-        val in = p.getFileSystem(c).open(p)
-        try Bgzf.splitsOf(f, Bgzf.blockOffsets(in, len), len, target)
-        finally in.close()
+        val pfs = p.getFileSystem(c)
+        // `_bgzi` sidecar first (write-time block index: one KB-scale
+        // read replaces the 18-bytes-per-64KiB chain walk — on an
+        // object store that is the difference between 1 GET and ~16k
+        // ranged GETs per GB). The recorded data-file length gates
+        // staleness: any mismatch (rewritten file, foreign file, torn
+        // sidecar) falls back to the walk — the sidecar can slow
+        // nothing down and can never change results.
+        val si = new Path(new Path(p.getParent, "_bgzi"),
+          p.getName + ".bgzi")
+        val indexed: Option[Seq[(Long, Int)]] =
+          try {
+            if (!pfs.exists(si)) None
+            else {
+              val in = pfs.open(si)
+              try Bgzf.readBgzi(in).collect {
+                case (recLen, blocks) if recLen == len => blocks
+              } finally in.close()
+            }
+          } catch { case _: java.io.IOException => None }
+        val offsets = indexed.getOrElse {
+          val in = pfs.open(p)
+          try Bgzf.blockOffsets(in, len)
+          finally in.close()
+        }
+        Bgzf.splitsOf(f, offsets, len, target)
       }.collect().toSeq
     val rdd = sc.parallelize(splits, math.max(1, splits.size))
       .flatMap { s =>
@@ -2352,6 +2499,22 @@ private[graft] final class BloomStringAgg(expected: Long, fpp: Double)
     org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
   override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
 }
+
+/** Everything a pruning scan of one snapshot needs: the manifest's
+  * exact file list, its stats-in-log zone rows, the lazy bloom-in-log
+  * loaders, and the schema-in-log schema. Shared between
+  * `readVersionedPruned` (V1 relation) and the DSv2 catalog table's
+  * ScanBuilder ([[GraftCatalog]]) so both read paths prune through
+  * the identical sidecar machinery.
+  */
+private[sources] final case class VersionedScanParts(
+    files: Seq[String],
+    zones: Map[String, Map[String, (Any, Any)]],
+    hasBlooms: Boolean,
+    bloomMeta: () => Set[String],
+    bloomLoader: Set[String] =>
+      Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]],
+    schema: org.apache.spark.sql.types.StructType)
 
 object GraftStorage {
   /** Write-once manifest parse cache — see manifestEntries. */

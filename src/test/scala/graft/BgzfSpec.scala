@@ -177,4 +177,173 @@ class BgzfSpec extends AnyFunSuite {
     assert(!sources.Bgzf.sniffBgzf(asInput(plain)))
     assert(!sources.Bgzf.sniffBgzf(asInput(Array[Byte](1, 2, 3))))
   }
+
+  /** Splice an FNAME field into a block our writer produced: FLG |=
+    * 0x08, null-terminated name after the 18-byte fixed header, BSIZE
+    * (the BC subfield value, bytes 16-17) bumped by the name length —
+    * byte-for-byte what an older bgzip front-end with a filename
+    * field emits.
+    */
+  private def withFname(block: Array[Byte], name: String): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte
+    val out = new Array[Byte](block.length + nameB.length)
+    System.arraycopy(block, 0, out, 0, 18)
+    System.arraycopy(nameB, 0, out, 18, nameB.length)
+    System.arraycopy(block, 18, out, 18 + nameB.length, block.length - 18)
+    out(3) = (out(3) | 0x08).toByte
+    val bsize = block.length + nameB.length
+    assert(bsize <= 65536)
+    out(16) = ((bsize - 1) & 0xff).toByte
+    out(17) = (((bsize - 1) >> 8) & 0xff).toByte
+    out
+  }
+
+  test("foreign BGZF with FNAME/FCOMMENT members splits; sniff still " +
+    "refuses non-BGZF gzip") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 10) {
+      val lines = (0 until 20 + rnd.nextInt(60))
+        .map(i => s"f$trial-l$i-" + ("b" * rnd.nextInt(40)))
+      val text = lines.mkString("\n") + "\n"
+      val dir = new org.apache.hadoop.fs.Path(
+        T.scratch(SF, "bgzf_fname"), s"t$trial")
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      val outS = fs.create(
+        new org.apache.hadoop.fs.Path(dir, "named.bgz"), true)
+      val bytes = text.getBytes("UTF-8")
+      val blockInput = 16 + rnd.nextInt(48)
+      var off = 0
+      while (off < bytes.length) {
+        val take = math.min(blockInput, bytes.length - off)
+        val plainBlock = sources.Bgzf.blockOf(bytes, off, take)
+        // every other block carries an FNAME — mixed members are legal
+        outS.write(if (off / blockInput % 2 == 0)
+          withFname(plainBlock, s"chunk-$off.txt") else plainBlock)
+        off += take
+      }
+      outS.write(sources.Bgzf.EofMarker)
+      outS.close()
+      val got = storage.readBgzfLines(dir.toString,
+        targetSplitBytes = 64 + rnd.nextInt(128)).collect().toSeq
+      assert(got.sorted == lines.sorted, s"trial $trial")
+    }
+    // FNAME-bearing BGZF sniffs as BGZF; FNAME-bearing PLAIN gzip
+    // (no FEXTRA) still does not
+    val named = withFname(
+      sources.Bgzf.blockOf("hello".getBytes("UTF-8"), 0, 5), "x.txt")
+    def asInput(b: Array[Byte]) = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(b))
+    assert(sources.Bgzf.sniffBgzf(asInput(named)))
+    val plainNamed = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("hello".getBytes("UTF-8")); g.close()
+      val b = bos.toByteArray
+      b(3) = (b(3) | 0x08).toByte // would carry FNAME; still no FEXTRA
+      b
+    }
+    assert(!sources.Bgzf.sniffBgzf(asInput(plainNamed)))
+  }
+
+  test("_bgzi sidecar: written at write time, serves reads with ZERO " +
+    "data-file opens at plan time, falls back on staleness") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.bgzcnt.impl", classOf[CountingFileSystem].getName)
+    val out = "bgzcnt://" + T.scratch(SF, "bgzf_sidecar")
+    val lines = (0 until 3000).map(i => s"sc-$i-" + ("z" * (i % 30)))
+    storage.writeBgzfText(lines.toDF("value").repartition(3), out,
+      blockInput = 512)
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val sidecars = fs.listStatus(
+      new org.apache.hadoop.fs.Path(out, "_bgzi")).toSeq
+    assert(sidecars.size == 3, "one _bgzi per shard")
+    // plan-time split discovery must read ONLY the sidecars
+    CountingFileSystem.reset()
+    val ds = storage.readBgzfLines(out, targetSplitBytes = 2048)
+    assert(CountingFileSystem.opens(".bgz") == 0,
+      s"sidecar-served planning must not open data files: " +
+        s"${CountingFileSystem.snapshot}")
+    assert(CountingFileSystem.opens(".bgzi") == 3)
+    assert(ds.collect().sorted.toSeq == lines.sorted)
+    // staleness: a sidecar recording the wrong data length is IGNORED
+    // (fallback chain walk), never trusted into wrong results
+    val one = sidecars.head.getPath
+    val name = one.getName.stripSuffix(".bgzi")
+    val dataLen = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(out, name)).getLen
+    val bogus = fs.create(one, true)
+    val dos = new java.io.DataOutputStream(bogus)
+    sources.Bgzf.writeBgzi(dos, dataLen + 999, Seq((0L, 28))); dos.close()
+    CountingFileSystem.reset()
+    val ds2 = storage.readBgzfLines(out, targetSplitBytes = 2048)
+    assert(CountingFileSystem.opens(".bgz") == 1,
+      "exactly the stale file re-walks its chain")
+    assert(ds2.collect().sorted.toSeq == lines.sorted)
+  }
+
+  test("single-file BGZF sink: executor parts + driver splice = one " +
+    "spec-valid .bgz, split-read through the merged _bgzi") {
+    val dir = T.scratch(SF, "bgzf_single")
+    val file = dir + "/all.bgz"
+    val lines = (0 until 4000).map(i => s"sf-$i-" + ("q" * (i % 25)))
+    storage.writeSingleBgzf(lines.toDF("value").repartition(4), file,
+      blockInput = 512)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(file).getFileSystem(conf)
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(file)).isFile)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(file + ".parts")),
+      "temp parts not cleaned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      dir, "_bgzi/all.bgz.bgzi")), "merged sidecar missing")
+    // the spliced file ends with the spec EOF marker
+    val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(file)).getLen
+    val in = fs.open(new org.apache.hadoop.fs.Path(file))
+    val tailB = new Array[Byte](sources.Bgzf.EofMarker.length)
+    in.seek(len - tailB.length); in.readFully(tailB); in.close()
+    assert(java.util.Arrays.equals(tailB, sources.Bgzf.EofMarker))
+    // split-parallel read of ONE file, exactly-once across part seams
+    val back = storage.readBgzfLines(file, targetSplitBytes = 4096)
+    assert(back.rdd.getNumPartitions > 4,
+      s"single file must fan out, got ${back.rdd.getNumPartitions}")
+    assert(back.collect().sorted.toSeq == lines.sorted)
+    // an empty frame still yields a valid (empty) file
+    val empty = dir + "/empty.bgz"
+    storage.writeSingleBgzf(lines.toDF("value").limit(0), empty)
+    assert(storage.readBgzfLines(empty).collect().isEmpty)
+  }
+}
+
+/** RawLocalFileSystem under a dedicated scheme that counts open()
+  * calls by file suffix — the instrument proving sidecar-served BGZF
+  * planning touches zero data files (local mode: executor threads
+  * share the JVM, so the static counters see every task's opens).
+  */
+class CountingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("bgzcnt:///")
+  override def getScheme: String = "bgzcnt"
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CountingFileSystem.record(p.getName)
+    super.open(p, bufferSize)
+  }
+}
+
+object CountingFileSystem {
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def record(name: String): Unit =
+    counts.merge(name, 1, (a, b) => a + b)
+  def reset(): Unit = counts.clear()
+  def opens(suffix: String): Int = {
+    val it = counts.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.endsWith(suffix)) n += e.getValue
+    }
+    n
+  }
+  def snapshot: String = counts.toString
 }

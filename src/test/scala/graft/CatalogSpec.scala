@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, GraftStorage}
+
+/** DataSource V2 TableCatalog over the versioned format: SQL SELECT /
+  * INSERT / DELETE / UPDATE / MERGE resolve through `` graft.`/p` ``
+  * and commit through the same manifest protocol as the Scala API.
+  */
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  GraftCatalog.register(spark)
+  private val st = GraftStorage(spark)
+
+  private def fresh(name: String): String = {
+    val out = T.scratch(SF, name)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    out
+  }
+
+  private def seed(name: String, parts: Int = 4): String = {
+    val out = fresh(name)
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(parts, $"o_orderkey"), out)
+    out
+  }
+
+  test("catalog SELECT reads the snapshot; version time travel via readVersioned agrees") {
+    val out = seed("cat_select")
+    val viaSql =
+      spark.sql(s"SELECT count(*) AS c, sum(o_orderkey) AS s FROM graft.`$out`")
+        .head()
+    val viaApi = st.readVersioned(out)
+      .agg(count(lit(1)), sum($"o_orderkey")).head()
+    assert(viaSql.getLong(0) == viaApi.getLong(0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+  }
+
+  test("catalog SELECT pushes filters and prunes columns in the scan") {
+    val out = seed("cat_scan_plan")
+    val df = spark.sql(
+      s"SELECT o_orderkey FROM graft.`$out` WHERE o_orderkey < 100")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(o_orderkey,100)"), plan)
+    assert(df.count() ==
+      st.readVersioned(out).filter($"o_orderkey" < 100).count())
+  }
+
+  test("INSERT INTO appends a version; INSERT OVERWRITE replaces") {
+    val out = seed("cat_insert")
+    val before = st.readVersioned(out).count()
+    spark.sql(
+      s"INSERT INTO graft.`$out` VALUES (9000001, 'Z', 1.5), (9000002, 'Z', 2.5)")
+    assert(st.listVersions(out) == Seq(0L, 1L))
+    assert(st.readVersioned(out).count() == before + 2)
+    assert(st.readVersioned(out, Some(0L)).count() == before)
+    spark.sql(
+      s"INSERT OVERWRITE graft.`$out` VALUES (1, 'O', 1.0)")
+    assert(st.readVersioned(out).count() == 1)
+    assert(st.readVersioned(out, Some(1L)).count() == before + 2)
+  }
+
+  test("DELETE FROM with a translatable predicate is file-granular copy-on-write") {
+    val out = seed("cat_delete")
+    val v0Files = st.manifestFiles(out, 0L).toSet
+    val expect = st.readVersioned(out)
+      .filter(!($"o_orderkey" % 10 === 0)).count()
+    spark.sql(s"DELETE FROM graft.`$out` WHERE o_orderkey % 10 = 0")
+    assert(st.readVersioned(out).count() == expect)
+    assert(st.readVersioned(out)
+      .filter($"o_orderkey" % 10 === 0).count() == 0)
+    // snapshot isolation: v0 still reads pre-delete
+    assert(st.readVersioned(out, Some(0L))
+      .filter($"o_orderkey" % 10 === 0).count() > 0)
+    // the modulo predicate touches every file, so no carry here; a
+    // range predicate must carry untouched files verbatim
+    val out2 = seed("cat_delete_range", parts = 8)
+    val files0 = st.manifestFiles(out2, 0L).toSet
+    spark.sql(s"DELETE FROM graft.`$out2` WHERE o_orderkey < 100")
+    val files1 = st.manifestFiles(out2, 1L).toSet
+    assert(files1.intersect(files0).nonEmpty,
+      "untouched files must carry into the new manifest")
+    assert(st.readVersioned(out2).filter($"o_orderkey" < 100).count() == 0)
+  }
+
+  test("DELETE FROM with an IN-subquery runs the group-based row-level path") {
+    val out = seed("cat_delete_subq")
+    T.t(spark, SF, "customer").createOrReplaceTempView("cat_cust")
+    val doomed = spark.sql(
+      "SELECT c_custkey FROM cat_cust WHERE c_mktsegment = 'BUILDING'")
+      .as[Long].collect().toSet
+    val expect = st.readVersioned(out)
+      .filter(!$"o_orderkey".isin(doomed.toSeq: _*)).count()
+    spark.sql(
+      s"""DELETE FROM graft.`$out`
+         |WHERE o_orderkey IN
+         |  (SELECT c_custkey FROM cat_cust
+         |   WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+    assert(st.readVersioned(out).count() == expect)
+  }
+
+  test("UPDATE rewrites matching rows in one commit") {
+    val out = seed("cat_update")
+    val expectTotal = st.readVersioned(out)
+      .select(T.dsum(when($"o_orderkey" < 500, $"o_totalprice" * 2)
+        .otherwise($"o_totalprice"))).head().getDouble(0)
+    spark.sql(
+      s"""UPDATE graft.`$out`
+         |SET o_totalprice = o_totalprice * 2, o_orderstatus = 'X'
+         |WHERE o_orderkey < 500""".stripMargin)
+    val got = st.readVersioned(out)
+    assert(got.filter($"o_orderkey" < 500 && $"o_orderstatus" =!= "X")
+      .count() == 0)
+    assert(got.select(T.dsum($"o_totalprice")).head().getDouble(0)
+      == expectTotal)
+    assert(st.listVersions(out) == Seq(0L, 1L))
+  }
+
+  test("UPDATE with stats-in-log elides whole files from the rewrite") {
+    val out = fresh("cat_update_pruned")
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    // range-clustered commit WITH per-file stats on the key
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"),
+      out, append = false, statsCols = Seq("o_orderkey"))
+    val files0 = st.manifestFiles(out, 0L).toSet
+    spark.sql(
+      s"UPDATE graft.`$out` SET o_orderstatus = 'X' WHERE o_orderkey < 100")
+    val files1 = st.manifestFiles(out, 1L).toSet
+    val carried = files1.intersect(files0)
+    assert(carried.nonEmpty,
+      s"zone stats should carry unaffected files; v1=$files1")
+    // most of the 8 range files hold keys >= 100 and must be carried
+    assert(carried.size >= 6, s"expected >=6 carried, got ${carried.size}")
+    assert(st.readVersioned(out)
+      .filter($"o_orderkey" < 100 && $"o_orderstatus" =!= "X").count() == 0)
+    assert(st.readVersioned(out).count() == base.count())
+  }
+
+  test("MERGE INTO upserts: matched update, not-matched insert") {
+    val out = seed("cat_merge")
+    val base = st.readVersioned(out)
+    val nBase = base.count()
+    val nMatched = base.filter($"o_orderkey" % 7 === 0).count()
+    base.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", lit("M").as("o_orderstatus"),
+        ($"o_totalprice" * 3).as("o_totalprice"))
+      .union(Seq((8000001L, "N", 1.0), (8000002L, "N", 2.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+      .createOrReplaceTempView("cat_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$out` t
+         |USING cat_merge_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = st.readVersioned(out)
+    assert(got.count() == nBase + 2)
+    assert(got.filter($"o_orderstatus" === "M").count() == nMatched)
+    assert(got.filter($"o_orderstatus" === "N").count() == 2)
+    // untouched rows unchanged
+    assert(got.filter($"o_orderkey" % 7 =!= 0 &&
+      $"o_orderkey" < 8000000L && $"o_orderstatus".isin("M", "N"))
+      .count() == 0)
+  }
+
+  test("CREATE TABLE, INSERT, TRUNCATE, DROP round-trip") {
+    val out = fresh("cat_ddl")
+    spark.sql(
+      s"CREATE TABLE graft.`$out` (k BIGINT, v STRING) USING graft")
+    assert(st.listVersions(out) == Seq(0L))
+    spark.sql(s"INSERT INTO graft.`$out` VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+      .head().getLong(0) == 2)
+    spark.sql(s"TRUNCATE TABLE graft.`$out`")
+    assert(st.readVersioned(out).count() == 0)
+    // history intact: the pre-truncate version still reads
+    assert(st.readVersioned(out, Some(1L)).count() == 2)
+    spark.sql(s"DROP TABLE graft.`$out`")
+    assert(st.listVersions(out).isEmpty)
+  }
+
+  test("CHECK constraints gate catalog commits too") {
+    val out = seed("cat_constraint")
+    st.addCheckConstraint(out, "pos_price", "o_totalprice > 0")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$out` VALUES (9999999, 'Z', -5.0)")
+    }
+    // the failed commit is invisible
+    assert(st.listVersions(out) == Seq(0L))
+    assert(st.readVersioned(out).filter($"o_orderkey" === 9999999L)
+      .count() == 0)
+  }
+
+  test("row-level SQL refuses merge-on-read snapshots with guidance") {
+    val out = seed("cat_mor_refuse")
+    st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$out` SET o_orderstatus = 'X' " +
+        "WHERE o_orderkey = 2")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("deletion vectors")), e)
+  }
+}

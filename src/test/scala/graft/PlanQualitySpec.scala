@@ -501,6 +501,29 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("exact-ntile family is size-gated: above the row threshold the " +
+    "plan carries NO global-ordering window") {
+    // force the gate shut: any realistic input overflows 10 rows
+    spark.conf.set(operators.ScaleGate.ExactNtileMaxRows, "10")
+    try {
+      for ((name, df) <- Seq(
+        "events_rfm" -> operators.Composite.eventsRfm(spark, SF),
+        "llm_quality_buckets" -> llm.Pipeline.qualityBuckets(spark, SF))) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("Window"),
+          s"$name must not run a global window above the gate:\n${p.take(2500)}")
+        // the approx path still produces a full, ordered bucket census
+        val rows = df.collect()
+        assert(rows.nonEmpty, name)
+      }
+      // the gated decile report still covers all ten buckets
+      val buckets = llm.Pipeline.qualityBuckets(spark, SF)
+        .collect().map(_.getInt(0)).toSeq
+      assert(buckets == buckets.sorted && buckets.toSet.size >= 9,
+        s"approx deciles lost buckets: $buckets")
+    } finally spark.conf.unset(operators.ScaleGate.ExactNtileMaxRows)
+  }
+
   test("dq_stats_audit reads footers only — no data-page scan of the " +
     "audited tables in the plan") {
     val p = operators.Quality.dqStatsAudit(spark, SF)
