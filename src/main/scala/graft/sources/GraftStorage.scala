@@ -1033,36 +1033,8 @@ final case class GraftStorage(
     */
   private def publishAtomic(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
-      dst: org.apache.hadoop.fs.Path): Unit = {
-    def lose(msg: String): Nothing = {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(msg)
-    }
-    if (fs.getScheme == "file") {
-      // TRUE put-if-absent on the local filesystem: hard-link the
-      // temp file to the destination — link(2) fails atomically if
-      // the destination exists, closing the exists/rename race window
-      // the generic branch cannot (POSIX rename overwrites).
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        fs.delete(tmp, false)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          lose(s"commit conflict: $dst was published by another writer")
-      }
-    } else {
-      // HDFS rename refuses an existing destination (safe); object
-      // stores supply an atomic put-if-absent in their committer —
-      // the exists pre-check narrows the window, the rename result
-      // catches the rest
-      if (fs.exists(dst))
-        lose(s"commit conflict: $dst was published by another writer")
-      if (!fs.rename(tmp, dst))
-        lose(s"commit conflict publishing $dst")
-    }
-  }
+      dst: org.apache.hadoop.fs.Path): Unit =
+    GraftStorage.commitPrimitiveFor(fs).putIfAbsent(fs, tmp, dst)
 
   /** Append under OPTIMISTIC CONCURRENCY: on a lost publish race the
     * commit retries against the advanced log (fresh version number,
@@ -2517,6 +2489,90 @@ private[sources] final case class VersionedScanParts(
     schema: org.apache.spark.sql.types.StructType)
 
 object GraftStorage {
+
+  /** SPI of the commit protocol's ONE atomicity primitive: install
+    * `tmp` as `dst` iff `dst` does not exist — atomically, so two
+    * racing writers produce one winner and one LOUD loser. The loser
+    * must delete `tmp` and throw ConcurrentModificationException;
+    * the winner must leave `dst` fully readable and remove `tmp`.
+    *
+    * Built-ins: link(2) on `file://` (true put-if-absent),
+    * exists+rename elsewhere (atomic where rename refuses an
+    * existing destination — HDFS — and a NARROWED-window best effort
+    * where it does not). S3-class stores whose rename/copy silently
+    * OVERWRITES must register a primitive backed by their
+    * conditional-put (If-None-Match PUT, DynamoDB lock, …) via
+    * [[registerCommitPrimitive]] before the versioned layer's
+    * concurrent-writer guarantees hold there — RemoteFsSpec proves
+    * the failure mode and the registered-primitive fix on an
+    * overwriting-rename filesystem.
+    */
+  trait CommitPrimitive {
+    def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+        tmp: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit
+  }
+
+  private val commitPrimitives =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitPrimitive]()
+
+  /** Bind a conditional-put implementation to a filesystem scheme
+    * (process-wide; wins over the built-in dispatch).
+    */
+  def registerCommitPrimitive(scheme: String,
+      p: CommitPrimitive): Unit = {
+    commitPrimitives.put(scheme, p): Unit
+  }
+
+  private[graft] def commitPrimitiveFor(
+      fs: org.apache.hadoop.fs.FileSystem): CommitPrimitive =
+    Option(commitPrimitives.get(fs.getScheme)).getOrElse(
+      if (fs.getScheme == "file") LocalLinkPrimitive
+      else RenameIfAbsentPrimitive)
+
+  private def lose(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, msg: String): Nothing = {
+    fs.delete(tmp, false)
+    throw new java.util.ConcurrentModificationException(msg)
+  }
+
+  /** TRUE put-if-absent on the local filesystem: hard-link the temp
+    * file to the destination — link(2) fails atomically if the
+    * destination exists, closing the exists/rename race window the
+    * generic branch cannot (POSIX rename overwrites).
+    */
+  object LocalLinkPrimitive extends CommitPrimitive {
+    override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+        tmp: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false): Unit
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          lose(fs, tmp,
+            s"commit conflict: $dst was published by another writer")
+      }
+  }
+
+  /** HDFS rename refuses an existing destination (safe there); on
+    * stores whose rename overwrites, the exists pre-check narrows
+    * the window and the rename result catches the rest — register a
+    * real conditional-put primitive for such schemes.
+    */
+  object RenameIfAbsentPrimitive extends CommitPrimitive {
+    override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+        tmp: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit = {
+      if (fs.exists(dst))
+        lose(fs, tmp,
+          s"commit conflict: $dst was published by another writer")
+      if (!fs.rename(tmp, dst))
+        lose(fs, tmp, s"commit conflict publishing $dst")
+    }
+  }
   /** Write-once manifest parse cache — see manifestEntries. */
   private[sources] val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[

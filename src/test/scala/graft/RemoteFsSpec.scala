@@ -126,4 +126,83 @@ class RemoteFsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("incompatible file schemas"))
   }
+
+  test("S3-style overwriting rename: the fixture really overwrites, " +
+    "the default primitive still catches a staged conflict, and a " +
+    "registered conditional-put primitive survives concurrent appends") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftows.impl", classOf[OverwritingFileSystem].getName)
+    val base = "graftows://" + T.scratch(SF, "ows_commit")
+    val fs = new Path(base).getFileSystem(conf)
+    fs.delete(new Path(base), true)
+    fs.mkdirs(new Path(base))
+    // 1. fixture sanity: rename ONTO an existing destination succeeds
+    //    and replaces it — exactly the S3 semantics that voids the
+    //    HDFS branch's atomicity
+    def put(p: Path, s: String): Unit = {
+      val o = fs.create(p, true); o.write(s.getBytes("UTF-8")); o.close()
+    }
+    put(new Path(base, "a"), "first")
+    put(new Path(base, "b"), "second")
+    assert(fs.rename(new Path(base, "b"), new Path(base, "a")),
+      "overwriting FS must accept rename onto an existing destination")
+    val in = fs.open(new Path(base, "a"))
+    val got = new Array[Byte](6); in.readFully(got); in.close()
+    assert(new String(got, "UTF-8") == "second")
+    // 2. the default exists+rename primitive still detects a STAGED
+    //    conflict (destination already published before this publish)
+    val prim = GraftStorage.commitPrimitiveFor(fs)
+    put(new Path(base, "dst"), "winner")
+    put(new Path(base, "tmp1"), "loser")
+    intercept[java.util.ConcurrentModificationException] {
+      prim.putIfAbsent(fs, new Path(base, "tmp1"), new Path(base, "dst"))
+    }
+    assert(!fs.exists(new Path(base, "tmp1")), "loser temp must be cleaned")
+    // 3. register a REAL conditional-put for the scheme (this FS is
+    //    locally backed, so link(2) provides it — an S3 deployment
+    //    would back this with an If-None-Match PUT) and prove the
+    //    versioned commit protocol holds under concurrent appends
+    GraftStorage.registerCommitPrimitive("graftows",
+      GraftStorage.LocalLinkPrimitive)
+    try {
+      val table = base + "/table"
+      val st = GraftStorage(spark)
+      st.writeVersioned(Seq((0L, "seed")).toDF("k", "v"), table)
+      val writers = 4
+      val commitsEach = 3
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until writers).foreach { w =>
+        pool.execute { () =>
+          try {
+            for (c <- 0 until commitsEach)
+              st.appendVersionedRetrying(
+                Seq((w * 100L + c, s"w$w-c$c")).toDF("k", "v"), table,
+                maxRetries = 50)
+          } catch { case t: Throwable => errs.add(t) }
+        }
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"concurrent appends failed: ${errs.peek()}")
+      // every commit landed: no silently lost manifest, rows complete
+      assert(st.listVersions(table).size == 1 + writers * commitsEach)
+      assert(st.readVersioned(table).count() == 1 + writers * commitsEach)
+    } finally GraftStorage.registerCommitPrimitive("graftows",
+      GraftStorage.RenameIfAbsentPrimitive)
+  }
+}
+
+/** RawLocalFileSystem whose rename OVERWRITES an existing destination
+  * — the S3-class semantics (copy/PUT replaces silently) that breaks
+  * the exists+rename commit branch's atomicity claim.
+  */
+class OverwritingFileSystem extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("graftows:///")
+  override def getScheme: String = "graftows"
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (exists(dst) && !getFileStatus(dst).isDirectory)
+      delete(dst, false)
+    super.rename(src, dst)
+  }
 }
