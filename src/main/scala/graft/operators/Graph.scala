@@ -38,7 +38,21 @@ object Graph extends QueryModule {
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   private[graft] def pagerankEdges(s: SparkSession, edgesIn: DataFrame,
-      iters: Int = Iters): DataFrame = {
+      iters: Int = Iters): DataFrame =
+    pagerankEdges(s, edgesIn, iters, 0L)
+
+  /** `tolPpb` > 0 adds a CONVERGENCE STOP: after each round, one
+    * |V|-row join computes max|rank − prev| and the loop ends early
+    * once it drops to the tolerance — power iteration's natural exit
+    * for exploratory runs (the oracled query keeps tolPpb = 0: a
+    * fixed, engine-replayable iteration count). Every round ends in
+    * `localCheckpoint`, so lineage stays one round deep no matter
+    * how many rounds run — iteration k plans against materialized
+    * blocks, not k stacked joins (the lineage-truncation discipline;
+    * without it Catalyst re-analyzes a plan that doubles per round).
+    */
+  private[graft] def pagerankEdges(s: SparkSession, edgesIn: DataFrame,
+      iters: Int, tolPpb: Long): DataFrame = {
     import s.implicits._
     // Edges are partitioned ON THE JOIN KEY once and cached: an
     // InMemoryRelation advertises its outputPartitioning (a
@@ -57,7 +71,10 @@ object Graph extends QueryModule {
       .localCheckpoint()
     var ranks = nodes.select($"node", lit(Scale / n).as("rank"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      it += 1
       val contrib = edges
         .join(ranks.join(deg, "node").withColumnRenamed("node", "src"),
           "src")
@@ -67,7 +84,7 @@ object Graph extends QueryModule {
       // uniformly (one-row aggregate, cross-joined — no collect)
       val dang = ranks.join(deg, Seq("node"), "left_anti")
         .agg(coalesce(sum($"rank"), lit(0L)).as("dsum"))
-      ranks = nodes
+      val next = nodes
         .join(contrib, Seq("node"), "left_outer")
         .crossJoin(dang)
         .select($"node",
@@ -75,6 +92,14 @@ object Graph extends QueryModule {
             s"(850 * (coalesce(inflow, 0L) + (dsum div $n))) div 1000"))
             .as("rank"))
         .localCheckpoint()
+      if (tolPpb > 0) {
+        // one |V|-row join, driver receives ONE scalar
+        val delta = next.join(
+            ranks.select($"node", $"rank".as("prev")), "node")
+          .agg(max(abs($"rank" - $"prev"))).head().getLong(0)
+        converged = delta <= tolPpb
+      }
+      ranks = next
     }
     ranks.select($"node", $"rank".as("rank_ppb"))
   }
@@ -118,6 +143,18 @@ object Graph extends QueryModule {
         col("a.k") === col("b.k") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
       .distinct()
+    // wedge-stage partition count SCALES WITH THE GRAPH, not the
+    // session: the self-join's per-partition working set is the
+    // partition's edges PLUS their wedge expansion (√m-bounded but
+    // several × the input), so a fixed 32-way layout that is right at
+    // sf0.1 sorts/spills at 10×+. Sizing input: the RAW lineitem row
+    // count — metadata-rate (parquet footer counts; caching/counting
+    // `und` itself measured +40% on this query at sf1, so the layout
+    // must not cost a materialization). Pair expansion ≈ 3× rows on
+    // this order-size distribution; ~1M oriented edges per partition.
+    val liRows = T.t(s, dir, "lineitem").count()
+    val parts = math.max(np(s),
+      math.min(20000L, liRows * 3 / 1000000L).toInt)
     val deg = und.select(explode(array($"u", $"v")).as("n"))
       .groupBy($"n").agg(count(lit(1)).as("d"))
       .select($"n", ($"d" * 4294967296L + $"n").as("ord"))
@@ -132,7 +169,7 @@ object Graph extends QueryModule {
       // from the same co-partitioned blocks — zero exchanges for the
       // quadratic step; only the closure join re-keys (inherent: it
       // probes (a,b), a different key)
-      .repartition(np(s), $"src").cache()
+      .repartition(parts, $"src").cache()
     val nEdges = e.count()
     val bloom = e.select(($"src" * 4294967296L + $"dst").as("ek"))
       .stat.bloomFilter("ek", nEdges, 0.01)
@@ -211,34 +248,59 @@ object Graph extends QueryModule {
     */
   def labelProp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val li = T.t(s, dir, "lineitem")
       .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
+    val edges = li.select($"s".as("src"), $"p".as("dst"))
+      .union(li.select($"p".as("src"), $"s".as("dst")))
+    labelPropEdges(s, edges, LpIters, stopWhenStable = false)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("size"),
+        min($"node").as("min_node"), max($"node").as("max_node"))
+      .orderBy($"label")
+  }
+
+  /** The voting loop behind [[labelProp]]: (node, label) after up to
+    * `iters` synchronous rounds. `stopWhenStable` adds a CONVERGENCE
+    * STOP — after each round one |V|-row join counts changed labels
+    * and the loop exits at zero (exploratory runs; the oracled query
+    * keeps the fixed round count so DuckDB replays it exactly).
+    * Rounds end in `localCheckpoint`: lineage stays one round deep
+    * (the pagerank discipline).
+    */
+  private[graft] def labelPropEdges(s: SparkSession, edgesIn: DataFrame,
+      iters: Int, stopWhenStable: Boolean): DataFrame = {
+    import s.implicits._
     // dst-partitioned cached edges: each voting round's label join
     // reads the edge blocks in place (the pagerank discipline — only
     // the |V|-row label side shuffles per round)
-    val edges = li.select($"s".as("src"), $"p".as("dst"))
-      .union(li.select($"p".as("src"), $"s".as("dst")))
+    val edges = edgesIn.select($"src", $"dst")
       .distinct().repartition(np(s), $"dst").cache()
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label")).localCheckpoint()
-    for (_ <- 1 to LpIters) {
+    var it = 0
+    var stable = false
+    while (it < iters && !stable) {
+      it += 1
       // argmax via max(struct(c, -label)): (votes desc, label asc) as
       // TWO map-side-combined hash aggregates — a row_number window
       // would SORT every src partition per round (measured 1.5× the
       // whole query's cost at sf0.1)
-      labels = edges
+      val next = edges
         .join(labels.select($"node".as("dst"), $"label"), "dst")
         .groupBy($"src", $"label").agg(count(lit(1)).as("c"))
         .groupBy($"src")
         .agg(max(struct($"c", (-$"label").as("nl"))).as("w"))
         .select($"src".as("node"), (-$"w.nl").as("label"))
         .localCheckpoint()
+      if (stopWhenStable) {
+        val changed = next.join(
+            labels.select($"node", $"label".as("prev")), "node")
+          .filter($"label" =!= $"prev").limit(1).count()
+        stable = changed == 0
+      }
+      labels = next
     }
-    labels.groupBy($"label")
-      .agg(count(lit(1)).as("size"),
-        min($"node").as("min_node"), max($"node").as("max_node"))
-      .orderBy($"label")
+    labels
   }
 
   /** One unrolled LP voting round in DuckDB SQL. */

@@ -49,4 +49,46 @@ class GraphSpec extends AnyFunSuite {
     assert(top.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("pagerank convergence stop: a tight tolerance replays the fixed " +
+    "trajectory, a loose one exits early at a sane fixpoint") {
+    import spark.implicits._
+    val li = T.t(spark, SF, "lineitem")
+      .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
+    val edges = li.select($"s".as("src"), $"p".as("dst"))
+      .union(li.select($"p".as("src"), $"s".as("dst")))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tolPpb=0 (never converges early) ≡ the fixed-iteration form
+    val fixed = m(operators.Graph.pagerankEdges(spark, edges, 5))
+    assert(fixed == m(operators.Graph.pagerankEdges(spark, edges, 5, 0L)))
+    // a huge tolerance stops after round 1 — same result as iters=1
+    val one = m(operators.Graph.pagerankEdges(spark, edges, 5,
+      Long.MaxValue))
+    assert(one == m(operators.Graph.pagerankEdges(spark, edges, 1)))
+    // mass is still conserved-ish at the early exit (valid ranks)
+    assert(one.values.forall(_ > 0))
+  }
+
+  test("labelprop convergence stop: stable labeling is a fixpoint " +
+    "(one more round changes nothing)") {
+    import spark.implicits._
+    val li = T.t(spark, SF, "lineitem")
+      .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
+    val edges = li.select($"s".as("src"), $"p".as("dst"))
+      .union(li.select($"p".as("src"), $"s".as("dst")))
+    val stable = operators.Graph
+      .labelPropEdges(spark, edges, iters = 20, stopWhenStable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // feed the stable labels through one MORE synchronous round by
+    // running the fixed form at the same depth + 1: if the stop was
+    // genuine, the labeling the stop returned is already a fixpoint
+    // of the voting operator, so re-running with a higher cap and the
+    // stability stop must return the identical labeling
+    val again = operators.Graph
+      .labelPropEdges(spark, edges, iters = 30, stopWhenStable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stable == again)
+    assert(stable.nonEmpty)
+  }
 }
