@@ -128,6 +128,30 @@ object SqlDml extends QueryModule {
       s"FROM graft.`$out`")
   }
 
+  /** SQL time travel through the catalog: `VERSION AS OF` pins a
+    * committed snapshot (TableCatalog.loadTable(ident, version) —
+    * the connector-native form of the `graft_versioned` TVF), so one
+    * query reads the pre-insert and post-insert states side by side.
+    */
+  def sqlCatalogTravel(s: SparkSession, dir: String): DataFrame = {
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_catalog_travel")
+    seed(s, dir, out)
+    T.t(s, dir, "orders").createOrReplaceTempView("sqldml_trav_orders")
+    s.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT o_orderkey + 20000000, 'Z', 1.0 " +
+      "FROM sqldml_trav_orders WHERE o_orderkey % 100 = 0")
+    s.sql(
+      s"""SELECT version, cnt, total FROM (
+         |  SELECT 0L AS version, count(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM graft.`$out` VERSION AS OF 0
+         |  UNION ALL
+         |  SELECT 1L, count(*), ${sqlDsum("o_totalprice")}
+         |  FROM graft.`$out`)
+         |ORDER BY version""".stripMargin)
+  }
+
   /** Multi-path `format("graft")` read: two independent sharded
     * tables load as ONE relation (multi-root file index) — the V1
     * single-path restriction lifted for plain directories. Spark
@@ -163,6 +187,7 @@ object SqlDml extends QueryModule {
     "sql_update_versioned" -> (sqlUpdateVersioned(_, _)),
     "sql_merge_versioned" -> (sqlMergeVersioned(_, _)),
     "sql_insert_versioned" -> (sqlInsertVersioned(_, _)),
+    "sql_catalog_travel" -> (sqlCatalogTravel(_, _)),
     "scan_multipath" -> (scanMultiPath(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -219,6 +244,20 @@ object SqlDml extends QueryModule {
          |  WHERE o_orderkey % 2 = 1 AND o_orderkey < 5000)
          |SELECT COUNT(*) AS cnt, ${sqlDsum("o_totalprice")} AS total
          |FROM ins WHERE o_orderkey < 2000""".stripMargin,
+    // v0 = the seeded orders slice; v1 = + the inserted echo rows
+    "sql_catalog_travel" ->
+      s"""SELECT version, cnt, total FROM (
+         |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), COUNT(*),
+         |    ${sqlDsum("o_totalprice")}
+         |  FROM (SELECT o_totalprice FROM orders
+         |        UNION ALL
+         |        SELECT 1.0 AS o_totalprice FROM orders
+         |        WHERE o_orderkey % 100 = 0))
+         |ORDER BY version""".stripMargin,
     // union of the two loaded roots
     "scan_multipath" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

@@ -91,6 +91,39 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftVersionedTable(p)
   }
 
+  /** SQL time travel — `VERSION AS OF <v>`: the snapshot pinned to
+    * one committed version (read-only: writes/DML on a historical
+    * snapshot are refused, not silently applied to latest).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft VERSION AS OF wants a numeric version, got '$version'")
+    }
+    val vs = GraftStorage(spark).listVersions(p)
+    if (vs.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, p))
+    require(vs.contains(v),
+      s"version $v of $p does not exist (have $vs)")
+    new GraftVersionedTable(p, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — micros since epoch per the connector
+    * contract; resolves to the newest version committed at or before
+    * the instant (manifest publish mtime, metadata-rate).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = pathOf(ident)
+    val st = GraftStorage(spark)
+    if (st.listVersions(p).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, p))
+    new GraftVersionedTable(p,
+      Some(st.versionAsOf(p, timestampMicros / 1000L)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -107,11 +140,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftVersionedTable(p)
   }
 
+  /** `ALTER TABLE graft.`/p` ADD COLUMNS (...)` — a metadata-only
+    * commit (one new `H` schema line rides the manifest; zero data
+    * bytes move, readers surface the columns as NULL on existing
+    * files). Every other change kind is refused with guidance —
+    * type changes/renames would invalidate immutable files, and
+    * properties have a dedicated surface (addCheckConstraint).
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables: use GraftStorage schema evolution " +
-        "(append with added columns) or addCheckConstraint")
+      changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    val adds = changes.collect {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft ADD COLUMNS supports top-level columns only; got " +
+            a.fieldNames.mkString("."))
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable)
+    }
+    require(adds.length == changes.length,
+      "graft ALTER TABLE supports ADD COLUMNS only (immutable data " +
+        "files rule out type changes/renames/drops; constraints go " +
+        "through GraftStorage.addCheckConstraint)")
+    GraftStorage(spark).addColumnsVersioned(p,
+      org.apache.spark.sql.types.StructType(adds))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
@@ -145,19 +199,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * copy-on-write row-level operations (UPDATE / MERGE / complex
   * DELETE).
   */
-final class GraftVersionedTable(path: String) extends Table
+final class GraftVersionedTable(path: String,
+    pinnedVersion: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
   private def st: GraftStorage = GraftStorage(spark)
 
-  override def name(): String = s"graft.`$path`"
+  /** Historical snapshots are read-only. */
+  private def requireLatest(op: String): Unit =
+    require(pinnedVersion.isEmpty,
+      s"$op on a time-travel snapshot of $path (VERSION AS OF " +
+        s"${pinnedVersion.get}) is not allowed; address the table " +
+        "without the travel clause to modify it")
+
+  override def name(): String = pinnedVersion
+    .fold(s"graft.`$path`")(v => s"graft.`$path` VERSION AS OF $v")
 
   override lazy val schema: StructType = {
     val vs = st.listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    st.versionedScanParts(path, vs.last).schema
+    st.versionedScanParts(path, pinnedVersion.getOrElse(vs.last)).schema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -171,7 +234,8 @@ final class GraftVersionedTable(path: String) extends Table
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val vs = st.listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    val v = pinnedVersion
+      .orElse(Option(options.get("versionAsOf")).map(_.toLong))
       .getOrElse(vs.last)
     // a V2 batch scan is one file relation; DV anti-joins cannot ride
     // it without silently resurrecting deleted rows (same contract as
@@ -186,12 +250,16 @@ final class GraftVersionedTable(path: String) extends Table
       parts.zones, parts.hasBlooms, parts.bloomMeta, parts.bloomLoader)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireLatest("INSERT")
     new GraftWriteBuilder(path, info.schema())
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireLatest(s"${info.command}")
     () => new GraftRowLevelOperation(spark, path, info.command)
+  }
 
   // ---- SupportsDeleteV2: the metadata-delete hook. Spark's
   // OptimizeMetadataOnlyDeleteFromTable routes any fully-translatable
@@ -205,6 +273,7 @@ final class GraftVersionedTable(path: String) extends Table
         GraftFilters.toColumn(f).isDefined))
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    requireLatest("DELETE")
     val cond = predicates.toSeq
       .flatMap(p => V2Bridge.toV1Filter(p).flatMap(GraftFilters.toColumn))
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -212,6 +281,7 @@ final class GraftVersionedTable(path: String) extends Table
   }
 
   override def truncateTable(): Boolean = {
+    requireLatest("TRUNCATE")
     st.writeVersioned(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), path)
     true

@@ -1225,6 +1225,46 @@ final case class GraftStorage(
     * Refuses to restore past vacuumed history (manifest resolve fails
     * fast). Returns the new version number.
     */
+  /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit: version N+1
+    * carries every prior entry verbatim plus one `H` schema line with
+    * the added columns — zero data bytes move at any table size, and
+    * readers of the new snapshot surface the columns as NULL for
+    * every existing file (the schema-in-log merge that already
+    * serves append-time evolution). Added columns must be nullable
+    * (there is no data to backfill) and must not collide with
+    * existing names (same-name/same-type would silently no-op,
+    * same-name/other-type would poison the log — both rejected
+    * here, BEFORE the publish, by the mergeSchemaJsons gate plus an
+    * explicit name check). Returns the new version.
+    */
+  def addColumnsVersioned(path: String,
+      cols: org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    require(cols.fields.nonEmpty, "ADD COLUMNS with no columns")
+    require(cols.fields.forall(_.nullable),
+      "added columns must be nullable (existing rows have no values " +
+        "to backfill)")
+    val existing = mergedManifestSchema(path, vs.last)
+      .map(_.fieldNames.toSet).getOrElse(Set.empty)
+    val dup = cols.fieldNames.filter(existing.contains)
+    require(dup.isEmpty,
+      s"ADD COLUMNS name collision with existing columns: " +
+        dup.mkString(", "))
+    // type-conflict gate (belt and braces with the name check)
+    GraftStorage.mergeSchemaJsons(
+      manifestEntries(path, vs.last).collect {
+        case e if e.startsWith("H\t") => e.drop(2)
+      } :+ cols.json)
+    val n = vs.last + 1
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishManifest(fs, dir, n,
+      manifestEntries(path, vs.last) :+ s"H\t${cols.json}")
+    n
+  }
+
   def restoreVersioned(path: String, toVersion: Long): Long = {
     import org.apache.hadoop.fs.Path
     val vs = listVersions(path)

@@ -200,6 +200,63 @@ class CatalogSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("SQL time travel: VERSION AS OF pins the snapshot, TIMESTAMP " +
+    "AS OF resolves by commit instant, and historical snapshots are " +
+    "read-only") {
+    val out = seed("cat_time_travel")
+    val before = st.readVersioned(out).count()
+    spark.sql(s"INSERT INTO graft.`$out` VALUES (7000001, 'Z', 1.0)")
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$out` VERSION AS OF 0")
+      .head().getLong(0) == before)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+      .head().getLong(0) == before + 1)
+    // TIMESTAMP AS OF far future resolves to the latest version
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$out` " +
+        "TIMESTAMP AS OF '2099-01-01'")
+      .head().getLong(0) == before + 1)
+    // a historical snapshot refuses modification instead of silently
+    // applying it to latest
+    val pinned = new graft.sources.GraftVersionedTable(out, Some(0L))
+    val e = intercept[IllegalArgumentException] {
+      pinned.deleteWhere(Array.empty)
+    }
+    assert(e.getMessage.contains("time-travel"), e.getMessage)
+    intercept[IllegalArgumentException] { pinned.truncateTable() }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$out` VERSION AS OF 99")
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a metadata-only commit; other " +
+    "alterations are refused") {
+    val out = seed("cat_alter")
+    val filesBefore = st.manifestFiles(out, 0L).toSet
+    spark.sql(s"ALTER TABLE graft.`$out` ADD COLUMNS (note STRING, " +
+      "score DOUBLE)")
+    assert(st.listVersions(out) == Seq(0L, 1L))
+    // zero data movement: the new manifest references the same files
+    assert(st.manifestFiles(out, 1L).toSet == filesBefore)
+    val got = spark.sql(s"SELECT * FROM graft.`$out`")
+    assert(got.columns.toSeq ==
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice", "note", "score"))
+    assert(got.filter(col("note").isNotNull).count() == 0)
+    // the evolved schema accepts inserts with the new columns
+    spark.sql(s"INSERT INTO graft.`$out` VALUES " +
+      "(7500001, 'Z', 1.0, 'hi', 0.5)")
+    assert(st.readVersioned(out).filter(col("note") === "hi").count() == 1)
+    // v0 still reads with the ORIGINAL shape (time travel unaffected)
+    assert(st.readVersioned(out, Some(0L)).columns.length == 3)
+    // name collision and non-ADD changes are refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$out` ADD COLUMNS (note STRING)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$out` RENAME COLUMN note TO memo")
+    }
+  }
+
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
     val out = seed("cat_mor_refuse")
     st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
