@@ -230,7 +230,11 @@ object Dedup extends QueryModule {
     val m = dfTab.agg(
       sum($"df".cast("double") * $"df").as("sq"),
       sum($"df".cast("double")).as("tot")).head()
-    if (m.getDouble(0) <= InvertedBudgetFactor * m.getDouble(1)) {
+    // empty corpus (every doc shorter than the shingle width): both
+    // sums are NULL — take the one-pass branch, which flows empty
+    // frames to an empty result
+    if (m.isNullAt(0) ||
+        m.getDouble(0) <= InvertedBudgetFactor * m.getDouble(1)) {
       // flat-df corpus: one-pass exact inverted join
       val tt = t.join(sz, "doc_id")
       return tt.as("a").join(tt.as("b"), "tok")

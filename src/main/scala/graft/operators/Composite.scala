@@ -193,11 +193,9 @@ object Composite extends QueryModule {
       .crossJoin(broadcast(p.agg(max(unix_timestamp($"ts")).as("max_sec"))))
       .withColumn("rec_days", expr("(max_sec - last_sec) div 86400"))
     val exact = ScaleGate.fitsExactNtile(s, base)
-    val rfm = Seq(("rec_days", false, "r"), ("freq", true, "f"),
-      ("cents", true, "m")).foldLeft(base) {
-      case (df, (c, desc, out)) =>
-        ScaleGate.gatedNtile(s, df, exact, c, desc, "user_id", 5, out)
-    }
+    val rfm = ScaleGate.gatedNtiles(s, base, exact,
+      Seq(("rec_days", false, "r"), ("freq", true, "f"),
+        ("cents", true, "m")), "user_id", 5)
     rfm.groupBy($"r", $"f", $"m")
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"r", $"f", $"m")

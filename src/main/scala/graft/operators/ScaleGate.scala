@@ -45,23 +45,45 @@ object ScaleGate {
     */
   def gatedNtile(s: SparkSession, df: DataFrame, exact: Boolean,
       valueCol: String, descending: Boolean, tiebreak: String,
-      n: Int, out: String): DataFrame = {
+      n: Int, out: String): DataFrame =
+    gatedNtiles(s, df, exact, Seq((valueCol, descending, out)),
+      tiebreak, n)
+
+  /** Several gated ntiles over the SAME input in one shot: the exact
+    * path runs one window per spec (cheap below the gate), the approx
+    * path computes EVERY cut array in a SINGLE aggregate pass + one
+    * broadcast cross join — at the 10⁹-row scale the gate exists
+    * for, per-column agg jobs would rescan the input once per spec.
+    */
+  def gatedNtiles(s: SparkSession, df: DataFrame, exact: Boolean,
+      specs: Seq[(String, Boolean, String)], tiebreak: String,
+      n: Int): DataFrame = {
     if (exact) {
-      val order =
-        if (descending) Seq(col(valueCol).desc, col(tiebreak))
-        else Seq(col(valueCol), col(tiebreak))
-      df.withColumn(out, ntile(n).over(Window.orderBy(order: _*)))
+      specs.foldLeft(df) { case (d, (valueCol, descending, out)) =>
+        val order =
+          if (descending) Seq(col(valueCol).desc, col(tiebreak))
+          else Seq(col(valueCol), col(tiebreak))
+        d.withColumn(out, ntile(n).over(Window.orderBy(order: _*)))
+      }
     } else {
       val fracs = (1 until n).map(i => i.toDouble / n)
-      val cuts = df.agg(expr(
-        s"approx_percentile($valueCol, array(${fracs.mkString(",")}), " +
-          "10000)").as(s"__cuts_$out"))
-      val ascBucket = s"1 + size(filter(__cuts_$out, c -> $valueCol > c))"
-      df.crossJoin(broadcast(cuts))
-        .withColumn(out,
+      val cuts = df.agg(
+        expr(s"approx_percentile(${specs.head._1}, " +
+          s"array(${fracs.mkString(",")}), 10000)").as(
+          s"__cuts_${specs.head._3}"),
+        specs.tail.map { case (c, _, out) =>
+          expr(s"approx_percentile($c, array(${fracs.mkString(",")}), " +
+            s"10000)").as(s"__cuts_$out")
+        }: _*)
+      val joined = df.crossJoin(broadcast(cuts))
+      specs.foldLeft(joined) { case (d, (valueCol, descending, out)) =>
+        val ascBucket =
+          s"1 + size(filter(__cuts_$out, c -> $valueCol > c))"
+        d.withColumn(out,
           if (descending) expr(s"${n + 1} - ($ascBucket)")
           else expr(ascBucket))
-        .drop(s"__cuts_$out")
+          .drop(s"__cuts_$out")
+      }
     }
   }
 }

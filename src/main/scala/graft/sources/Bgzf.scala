@@ -153,8 +153,12 @@ object Bgzf {
       if (in.readByte() != 1) return None
       val fileLen = in.readLong()
       val n = in.readInt()
-      if (n < 0) return None
-      val out = new scala.collection.mutable.ArrayBuffer[(Long, Int)](n)
+      // the count is UNTRUSTED sidecar bytes: bound it by what the
+      // declared data length could even hold (one block ≥ 28 B) and
+      // never pre-allocate from it — a garbage count must fall back
+      // (EOF → IOException → None), not OOM the task
+      if (n < 0 || n.toLong > fileLen / EofMarker.length + 1) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
       var i = 0
       while (i < n) { out += ((in.readLong(), in.readInt())); i += 1 }
       Some((fileLen, out.toSeq))

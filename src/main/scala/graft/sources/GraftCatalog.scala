@@ -371,12 +371,18 @@ private[sources] final class GraftBatchWrite(
         store.manifestEntries(path, baseVersion.get).collect {
           case e if e.startsWith("H\t") => e.drop(2)
         } :+ writeSchema.json)
-    try store.validateCommitDir(path, commitDir, fs)
+    val msgs = messages.collect { case m: GraftCommitMessage => m }
+      .filter(_.file.nonEmpty).toSeq
+    val fresh = msgs.map(m => new Path(m.file.get).toUri.getPath)
+    // validate ONLY the reported files: a torn orphan from a crashed
+    // attempt sharing the dir must not fail (or pollute) validation
+    try store.validateCommitFiles(path, fresh, commitDir, fs)
     catch { case e: Throwable => fs.delete(commitDir, true); throw e }
-    val fresh = messages.collect { case m: GraftCommitMessage => m }
-      .flatMap(_.file).toSeq
-      .map(f => new Path(f).toUri.getPath)
-    val freshEntries = fresh ++ store.rowCountLines(fresh) ++
+    // R lines from the writers' own tallies — no commit-time footer
+    // re-reads (serialized GETs on an object store)
+    val freshEntries = fresh ++
+      msgs.map(m =>
+        s"R\t${m.rows}\t${new Path(m.file.get).toUri.getPath}") ++
       Seq(s"H\t${writeSchema.json}")
     val n = vsNow.lastOption.map(_ + 1).getOrElse(0L)
     val entries = mode match {
@@ -441,7 +447,9 @@ private[sources] final class GraftDataWriterFactory(
         if (w != null) w.close()
         GraftCommitMessage(Option(w).map(_.path), rows)
       }
-      override def abort(): Unit = if (w != null) w.close()
+      // failed/speculative attempts remove their partial file — the
+      // commit dir holds only files some attempt finished
+      override def abort(): Unit = if (w != null) w.abort()
       override def close(): Unit = ()
     }
 }

@@ -80,6 +80,12 @@ final class GraftSource extends RelationProvider
           "read those via the single-path form, the graft catalog, or " +
           "union per-path reads explicitly")
       if (parameters.get("strictSchema").exists(_.toBoolean)) {
+        // the SAME footer-level uniformity check the single-path form
+        // runs, per root AND across roots — an intra-root schema
+        // mixture must fail here exactly as it would under one path
+        // (schema inference samples footers and would miss it)
+        val st0 = GraftStorage(spark)
+        multi.foreach(st0.checkUniformSchema)
         val schemas = multi.map(p => spark.read.parquet(p).schema).distinct
         if (schemas.size > 1) throw new IllegalArgumentException(
           s"strictSchema: multi-path roots disagree on schema: $schemas")

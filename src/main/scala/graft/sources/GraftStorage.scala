@@ -69,7 +69,7 @@ final case class GraftStorage(
     * (HtsjdkReadsRddStorage.java:154-158). Metadata-only — a few KiB
     * per file, same footprint as buildZoneMap's footer pass.
     */
-  private def checkUniformSchema(path: String): Unit = {
+  private[sources] def checkUniformSchema(path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
@@ -822,16 +822,29 @@ final case class GraftStorage(
     val out = fs.create(tmp, true)
     out.write(predicateSql.getBytes("UTF-8"))
     out.close()
-    // Re-declaring replaces the old predicate on EVERY filesystem:
-    // HDFS rename refuses an existing destination (POSIX overwrites),
-    // so delete first and fail loudly if the install did not land —
-    // same discipline as publishAtomic.
+    // Re-declaring replaces the old predicate on EVERY filesystem,
+    // ATOMICALLY where the filesystem can: local uses an atomic
+    // replacing move (no window in which the constraint is absent —
+    // a concurrent commit validates against either the old or the
+    // new predicate, never none); elsewhere rename is tried first
+    // (fresh declare, and POSIX-semantics stores overwrite) and only
+    // a refused rename (HDFS with an existing destination) takes the
+    // delete-then-rename path, whose narrow window is confined to
+    // the re-declare case on such stores. Failure to land is LOUD.
     val dst = new Path(cdir, name)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"failed to install constraint '$name' at $dst")
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } else if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"failed to install constraint '$name' at $dst")
+      }
     }
   }
 
@@ -890,10 +903,21 @@ final case class GraftStorage(
     */
   private[sources] def validateCommitDir(path: String,
       commitDir: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit =
+    validateCommitFiles(path, Seq(commitDir.toString), commitDir, fs)
+
+  /** Constraint validation over an EXPLICIT file list — the V2
+    * commit's form: only the files the successful write attempts
+    * reported are validated (and later manifested), so a torn orphan
+    * from a crashed attempt in the same dir can neither fail the
+    * commit nor sneak rows into validation.
+    */
+  private[sources] def validateCommitFiles(path: String,
+      files: Seq[String], commitDir: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val cs = checkConstraints(path)
-    if (cs.isEmpty || !fs.exists(commitDir)) return
-    val base = spark.read.parquet(commitDir.toString)
+    if (cs.isEmpty || files.isEmpty || !fs.exists(commitDir)) return
+    val base = spark.read.parquet(files: _*)
     // constraints resolve against the TABLE's merged schema: a delta
     // shaped like a pre-evolution commit lacks evolved columns, and a
     // constraint on one must see NULL (ANSI pass), not an unresolved-
@@ -2166,33 +2190,41 @@ final case class GraftStorage(
     fs0.mkdirs(dir)
     val out = path
     val bi = blockInput
-    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+    // ATTEMPT ISOLATION: each task attempt writes a uuid-unique shard
+    // (+ its `_bgzi` sidecar, named after it — the write-time block
+    // index, the reference's .sbi/.gzi shape,
+    // HeaderlessBamOutputFormat.java:111-130) and returns the name;
+    // the DRIVER keeps exactly the successful attempts' files and
+    // deletes the rest, so a zombie/speculative attempt can never
+    // tear a shard another attempt already finished. The sidecar is
+    // written AFTER its data file: a crash leaves at most a missing
+    // sidecar (reader falls back to the chain walk).
+    val winners = df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val conf = { // restore inside the task
-          val c = new org.apache.hadoop.conf.Configuration(false)
-          confMap.foreach { case (k, v) => c.set(k, v) }
-          c
-        }
-        val p = new org.apache.hadoop.fs.Path(out, f"part-$i%05d.bgz")
+        val conf = GraftStorage.restoreConfStatic(confMap)
+        val name =
+          f"part-$i%05d-${java.util.UUID.randomUUID.toString.take(8)}.bgz"
+        val p = new org.apache.hadoop.fs.Path(out, name)
         val fs = p.getFileSystem(conf)
         val w = new Bgzf.BlockWriter(fs.create(p, true), bi)
         rows.foreach(r => w.write((r.getString(0) + "\n").getBytes("UTF-8")))
         w.close()
-        // `_bgzi` sidecar: the block index this writer just learned
-        // for free, persisted so readers skip the per-block chain
-        // walk (the reference's write-time .sbi/.gzi,
-        // HeaderlessBamOutputFormat.java:111-130). KB-scale; written
-        // AFTER the data file so a torn write leaves at most a
-        // missing sidecar (reader falls back to the walk).
         val si = new java.io.DataOutputStream(fs.create(
-          new org.apache.hadoop.fs.Path(out, f"_bgzi/part-$i%05d.bgz.bgzi"),
-          true))
+          new org.apache.hadoop.fs.Path(out, s"_bgzi/$name.bgzi"), true))
         try Bgzf.writeBgzi(si, w.bytesWritten, w.blockIndex)
         finally si.close()
-        Iterator.single(1)
+        Iterator.single(name)
       }
-    }.count(): Unit
+    }.collect().toSet
+    fs0.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".bgz") &&
+        !winners(f.getPath.getName))
+      .foreach { stray =>
+        fs0.delete(stray.getPath, false)
+        fs0.delete(new org.apache.hadoop.fs.Path(dir,
+          s"_bgzi/${stray.getPath.getName}.bgzi"), false)
+      }
   }
 
   /** K1 single-FILE BGZF sink — the reference's flagship sink shape
@@ -2224,27 +2256,30 @@ final case class GraftStorage(
     fs.mkdirs(partsDir)
     val outDir = partsDir.toString
     val bi = blockInput
-    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+    // attempt-isolated parts (same discipline as writeBgzfText): the
+    // driver splices ONLY the names the successful attempts returned,
+    // in partition order — a zombie attempt's torn part is never read
+    val winners = df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val c = { val x = new org.apache.hadoop.conf.Configuration(false)
-          confMap.foreach { case (k, v) => x.set(k, v) }; x }
-        val p = new Path(outDir, f"part-$i%05d")
+        val c = GraftStorage.restoreConfStatic(confMap)
+        val name =
+          f"part-$i%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+        val p = new Path(outDir, name)
         val pfs = p.getFileSystem(c)
         val w = new Bgzf.BlockWriter(pfs.create(p, true), bi)
         rows.foreach(r => w.write((r.getString(0) + "\n").getBytes("UTF-8")))
         w.close(writeEof = false) // terminator-less part
         val si = new java.io.DataOutputStream(
-          pfs.create(new Path(outDir, f"part-$i%05d.bgzi"), true))
+          pfs.create(new Path(outDir, s"$name.bgzi"), true))
         try Bgzf.writeBgzi(si, w.bytesWritten, w.blockIndex)
         finally si.close()
-        Iterator.single(1)
+        Iterator.single(name)
       }
-    }.count(): Unit
-    // driver splice: data parts in partition order, then EOF marker
+    }.collect().toSet
+    // driver splice: the winning parts in partition order + EOF marker
     val parts = fs.listStatus(partsDir).toSeq
-      .filter(f => f.isFile && f.getLen > 0 &&
-        !f.getPath.getName.endsWith(".bgzi"))
+      .filter(f => f.isFile && winners(f.getPath.getName))
       .sortBy(_.getPath.getName)
     val out = fs.create(target, true)
     val buf = new Array[Byte](1 << 20)

@@ -24,6 +24,10 @@ import org.apache.spark.util.SerializableConfiguration
 trait PartFileWriter {
   def write(row: InternalRow): Unit
   def close(): Unit
+  /** Abort: close (best effort) and DELETE the partial file, so a
+    * failed/speculative attempt leaves nothing in the commit dir.
+    */
+  def abort(): Unit
   def path: String
 }
 
@@ -63,6 +67,12 @@ final class ParquetTaskWriters(
     new PartFileWriter {
       override def write(row: InternalRow): Unit = out.write(row)
       override def close(): Unit = out.close()
+      override def abort(): Unit = {
+        try out.close() catch { case _: Exception => () }
+        val p = new org.apache.hadoop.fs.Path(file)
+        try { p.getFileSystem(conf).delete(p, false): Unit }
+        catch { case _: Exception => () }
+      }
       override def path: String = file
     }
   }
