@@ -152,6 +152,26 @@ object SqlDml extends QueryModule {
          |ORDER BY version""".stripMargin)
   }
 
+  /** Maintenance procedures via SQL CALL (ProcedureCatalog): compact
+    * → z-order optimize → restore-to-v0, each a commit; the final
+    * snapshot must read byte-identically to the seed (restore pins
+    * v0's files), which the status aggregate certifies, and the
+    * version column pins the expected commit count (3 maintenance
+    * commits on top of the seed).
+    */
+  def sqlCallMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_call_maintenance")
+    seed(s, dir, out)
+    s.sql(s"CALL graft.compact('$out', target_files => 2)")
+    s.sql(s"CALL graft.optimize_zorder('$out', 'o_orderkey')")
+    s.sql(s"CALL graft.restore('$out', 0)")
+    val st = GraftStorage(s)
+    statusAgg(s, out)
+      .withColumn("n_versions", lit(st.listVersions(out).size.toLong))
+  }
+
   /** Multi-path `format("graft")` read: two independent sharded
     * tables load as ONE relation (multi-root file index) — the V1
     * single-path restriction lifted for plain directories. Spark
@@ -188,6 +208,7 @@ object SqlDml extends QueryModule {
     "sql_merge_versioned" -> (sqlMergeVersioned(_, _)),
     "sql_insert_versioned" -> (sqlInsertVersioned(_, _)),
     "sql_catalog_travel" -> (sqlCatalogTravel(_, _)),
+    "sql_call_maintenance" -> (sqlCallMaintenance(_, _)),
     "scan_multipath" -> (scanMultiPath(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -258,6 +279,14 @@ object SqlDml extends QueryModule {
          |        SELECT 1.0 AS o_totalprice FROM orders
          |        WHERE o_orderkey % 100 = 0))
          |ORDER BY version""".stripMargin,
+    // restore-to-v0 makes the final snapshot equal the seed; 4
+    // versions = seed + compact + zorder + restore
+    "sql_call_maintenance" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total,
+         |  CAST(4 AS BIGINT) AS n_versions
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     // union of the two loaded roots
     "scan_multipath" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

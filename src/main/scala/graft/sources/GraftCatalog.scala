@@ -63,7 +63,8 @@ object GraftCatalog {
       classOf[GraftCatalog].getName)
 }
 
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName = "graft"
 
@@ -177,6 +178,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME on graft tables: paths are identity; use cloneVersioned")
+
+  // ProcedureCatalog: CALL graft.compact/optimize_zorder/vacuum/
+  // restore/clone/add_constraint/drop_constraint — the maintenance
+  // console over the commit protocol ([[GraftProcedures]]).
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty,
+      s"graft procedures live at the catalog root; got $ident")
+    GraftProcedures.load(ident.name).getOrElse(
+      throw new RuntimeException(
+        s"unknown graft procedure '${ident.name}' " +
+          s"(have: ${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else GraftProcedures.names
+      .map(Identifier.of(Array.empty[String], _)).toArray
 
   // SupportsNamespaces: the filesystem is the namespace tree — accept
   // anything, enumerate nothing (SHOW NAMESPACES is empty by design).

@@ -257,6 +257,52 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL procedures: compact, zorder, restore, vacuum, clone, " +
+    "constraints — the maintenance console over the commit protocol") {
+    val out = seed("cat_proc", parts = 6)
+    val nRows = st.readVersioned(out).count()
+    // compact: files shrink, rows identical, version advances
+    val v1 = spark.sql(s"CALL graft.compact('$out', target_files => 2)")
+      .head().getLong(0)
+    assert(v1 == 1L)
+    assert(st.manifestFiles(out, 1L).size <= 2)
+    assert(st.readVersioned(out).count() == nRows)
+    // zorder rewrite is lossless
+    val v2 = spark.sql(
+      s"CALL graft.optimize_zorder('$out', 'o_orderkey,o_totalprice')")
+      .head().getLong(0)
+    assert(v2 == 2L && st.readVersioned(out).count() == nRows)
+    // restore pins back to v0 as a NEW commit
+    val v3 = spark.sql(s"CALL graft.restore('$out', 0)").head().getLong(0)
+    assert(v3 == 3L)
+    assert(st.manifestFiles(out, 3L).toSet == st.manifestFiles(out, 0L).toSet)
+    // clone: zero-copy fork reads identically and diverges
+    val fork = fresh("cat_proc_fork")
+    spark.sql(s"CALL graft.clone('$out', '$fork')")
+    assert(st.readVersioned(fork).count() == nRows)
+    // constraints: declared via CALL, gate an insert, dropped via CALL
+    spark.sql(s"CALL graft.add_constraint('$out', 'pos', 'o_totalprice > 0')")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$out` VALUES (9999998, 'Z', -1.0)")
+    }
+    spark.sql(s"CALL graft.drop_constraint('$out', 'pos')")
+    spark.sql(s"INSERT INTO graft.`$out` VALUES (9999998, 'Z', -1.0)")
+    assert(st.readVersioned(out).count() == nRows + 1)
+    // vacuum drops files only dead history references
+    val dropped = spark.sql(s"CALL graft.vacuum('$out', keep_last => 1)")
+      .head().getLong(0)
+    assert(dropped > 0, "compact+restore left dead files to vacuum")
+    assert(st.readVersioned(out).count() == nRows + 1)
+    // unknown procedure is a loud error; the cause lists what exists
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.defragment('$out')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("compact")), msgs(e))
+  }
+
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
     val out = seed("cat_mor_refuse")
     st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
