@@ -172,6 +172,62 @@ object SqlDml extends QueryModule {
       .withColumn("n_versions", lit(st.listVersions(out).size.toLong))
   }
 
+  /** Manifest-rate aggregate pushdown: an unfiltered COUNT(*) /
+    * MIN / MAX over a stats-covered catalog table is answered from
+    * the manifest's R row-count lines and zone-map sidecar as a
+    * one-row LocalScan — ZERO data files opened at any table size
+    * (CatalogSpec pins the LocalTableScan plan; this query oracles
+    * the VALUES against the seed table).
+    */
+  def sqlAggPushdownMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_agg_pushdown_meta")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    GraftStorage(s).writeVersioned(
+      base.repartitionByRange(8, $"o_orderkey"), out,
+      append = false, statsCols = Seq("o_orderkey", "o_orderstatus"))
+    s.sql(
+      s"""SELECT count(*) AS cnt, min(o_orderkey) AS min_key,
+         |  max(o_orderkey) AS max_key, min(o_orderstatus) AS min_st,
+         |  max(o_orderstatus) AS max_st
+         |FROM graft.`$out`""".stripMargin)
+  }
+
+  /** Runtime V2 file pruning: the fact side is a stats-covered
+    * catalog table; joining it to a selectively-filtered dim plants a
+    * dynamic-pruning runtime filter on the fact scan
+    * ([[org.apache.spark.sql.graftbridge.RuntimeFilteredParquetScan]])
+    * — fact files whose zone stats cannot hold any surviving dim key
+    * are dropped AT RUNTIME, before any task reads them (CatalogSpec
+    * pins the planted filter + the pruned file count; this query
+    * oracles the join VALUES).
+    */
+  def sqlJoinRuntimePrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_join_runtime_prune")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    GraftStorage(s).writeVersioned(
+      base.repartitionByRange(8, $"o_orderkey"), out,
+      append = false, statsCols = Seq("o_orderkey"))
+    T.t(s, dir, "customer").createOrReplaceTempView("sqldml_rt_cust")
+    s.sql(
+      s"""SELECT count(*) AS cnt,
+         |  CAST(sum(f.o_orderkey) AS BIGINT) AS key_sum
+         |FROM graft.`$out` f
+         |JOIN sqldml_rt_cust d ON f.o_orderkey = d.c_custkey
+         |WHERE d.c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
   /** Multi-path `format("graft")` read: two independent sharded
     * tables load as ONE relation (multi-root file index) — the V1
     * single-path restriction lifted for plain directories. Spark
@@ -209,6 +265,8 @@ object SqlDml extends QueryModule {
     "sql_insert_versioned" -> (sqlInsertVersioned(_, _)),
     "sql_catalog_travel" -> (sqlCatalogTravel(_, _)),
     "sql_call_maintenance" -> (sqlCallMaintenance(_, _)),
+    "sql_agg_pushdown_meta" -> (sqlAggPushdownMeta(_, _)),
+    "sql_join_runtime_prune" -> (sqlJoinRuntimePrune(_, _)),
     "scan_multipath" -> (scanMultiPath(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -287,6 +345,18 @@ object SqlDml extends QueryModule {
          |  CAST(4 AS BIGINT) AS n_versions
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+    // the metadata-answered aggregates must equal the data's
+    "sql_agg_pushdown_meta" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         |  min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st
+         |FROM orders""".stripMargin,
+    // runtime-pruned join must equal the plain join
+    "sql_join_runtime_prune" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
+         |FROM orders o JOIN customer c ON o.o_orderkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
     // union of the two loaded roots
     "scan_multipath" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

@@ -266,8 +266,13 @@ final class GraftVersionedTable(path: String,
           "deletion vectors. Use GraftStorage.readVersioned, the " +
           "graft_versioned() SQL function, or compactVersioned first.")
     val parts = st.versionedScanParts(path, v)
+    // manifest-rate aggregate fast path: COUNT(*) from R lines,
+    // MIN/MAX from zone stats — zero data files opened (the DV
+    // refusal above keeps the counts sound)
     V2Bridge.parquetScanBuilder(spark, parts.files, parts.schema,
-      parts.zones, parts.hasBlooms, parts.bloomMeta, parts.bloomLoader)
+      parts.zones, parts.hasBlooms, parts.bloomMeta, parts.bloomLoader,
+      () => st.countVersionedFast(path, Some(v)),
+      Some(GraftFilters.mayMatch))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

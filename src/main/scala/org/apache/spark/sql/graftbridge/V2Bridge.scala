@@ -9,12 +9,16 @@ package org.apache.spark.sql.graftbridge
 import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsRuntimeV2Filtering, VariantExtraction}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -78,6 +82,234 @@ final class ParquetTaskWriters(
   }
 }
 
+/** Delegating ScanBuilder over Spark's [[ParquetScanBuilder]] that
+  * answers eligible aggregations at MANIFEST rate: an unfiltered,
+  * ungrouped `COUNT(*)` comes from the snapshot's `R` row-count
+  * lines and `MIN`/`MAX` over stats-covered columns from the
+  * zone-map sidecar — a one-row [[LocalScan]], ZERO data files
+  * opened at ANY table size (the Delta/Iceberg "stats-only query"
+  * fast path, surfaced through DSv2 complete aggregate pushdown).
+  * Anything else — filters in play, grouping, uncovered columns,
+  * types whose footer stats are not exact values present in the
+  * data (timestamps: NANOS decode deliberately WIDENS the bounds;
+  * float/double: NaN ordering drift) — delegates verbatim to the
+  * stock parquet builder, so the normal scan path is untouched.
+  */
+final class MetaAggScanBuilder(
+    inner: ParquetScanBuilder,
+    rowCount: () => Option[Long],
+    zones: Map[String, Map[String, (Any, Any)]],
+    files: Seq[String],
+    mayMatch: Option[(Map[String, (Any, Any)],
+      Filter) => Boolean] = None) extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters
+    with SupportsPushDownAggregates
+    with SupportsPushDownVariantExtractions {
+
+  private var anyFilters = false
+  private var meta: Option[(StructType, InternalRow)] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    anyFilters ||= filters.nonEmpty
+    inner.pushFilters(filters)
+  }
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def pushVariantExtractions(
+      extractions: Array[VariantExtraction]): Array[Boolean] =
+    inner.pushVariantExtractions(extractions)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryMeta(agg).isDefined || inner.supportCompletePushDown(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    meta = tryMeta(agg)
+    meta.isDefined || inner.pushAggregation(agg)
+  }
+
+  override def build(): Scan = meta match {
+    case Some((schema, row)) => new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }
+    case None =>
+      val scan = inner.build()
+      // runtime join-key file pruning rides only stats-covered tables
+      mayMatch match {
+        case Some(mm) if zones.nonEmpty =>
+          new RuntimeFilteredParquetScan(scan, files, zones,
+            inner.dataSchema, mm)
+        case _ => scan
+      }
+  }
+
+  /** Manifest-keyed column names with file paths normalized the way
+    * `versionedScanParts` keys its zone rows.
+    */
+  private lazy val fileKeys: Seq[String] =
+    files.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+
+  /** MIN/MAX are answerable only for types whose zone bounds are
+    * guaranteed to be EXACT values present in the data.
+    */
+  private def exactStatType(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType |
+         DateType => true
+    case _ => false
+  }
+
+  /** (field, internal value) for one aggregate function, or None if
+    * the manifest cannot answer it exactly.
+    */
+  private def metaValue(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc,
+      isMin: Boolean): Option[(StructField, Any)] = {
+    val (name, colRef) = f match {
+      case m: Min => ("min", m.column()); case m: Max => ("max", m.column())
+      case _ => return None
+    }
+    val col = colRef match {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
+      case _ => return None
+    }
+    val dt = inner.dataSchema.fields.find(_.name == col)
+      .map(_.dataType).getOrElse(return None)
+    if (!exactStatType(dt)) return None
+    // every file must carry usable bounds for the column ((null,null)
+    // = a provably all-null file, which contributes nothing)
+    val perFile: Seq[Option[(Any, Any)]] = fileKeys.map(k =>
+      zones.get(k).flatMap(_.get(col)))
+    if (perFile.exists(_.isEmpty)) return None
+    val present = perFile.flatten.filter {
+      case (mn, mx) => mn != null && mx != null
+    }
+    val ext =
+      if (present.isEmpty) null
+      else {
+        // reuse the SQL ordering: catalyst internal values of these
+        // types are Comparable (Long/Int/UTF8String/...)
+        val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+        val vals = present.map(p => conv(if (isMin) p._1 else p._2))
+        val picked = vals.reduce { (a, b) =>
+          val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+          if ((c <= 0) == isMin) a else b
+        }
+        return Some((StructField(s"$name($col)", dt), picked))
+      }
+    Some((StructField(s"$name($col)", dt), ext))
+  }
+
+  /** The full aggregation answered from manifest metadata, or None. */
+  private def tryMeta(agg: Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    if (anyFilters || agg.groupByExpressions.nonEmpty) return None
+    val cols: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          rowCount().map(n => (StructField("count(*)", LongType), n))
+        case m: Min => metaValue(m, isMin = true)
+        case m: Max => metaValue(m, isMin = false)
+        case _ => None
+      }
+    if (cols.exists(_.isEmpty) || cols.isEmpty) None
+    else {
+      val resolved = cols.flatten
+      Some((StructType(resolved.map(_._1)),
+        InternalRow.fromSeq(resolved.map(_._2))))
+    }
+  }
+}
+
+/** Delegating Scan over a built [[ParquetScan]] adding DSv2 RUNTIME
+  * file pruning ([[SupportsRuntimeV2Filtering]]): when a join's build
+  * side finishes, Spark hands the scan the runtime predicate
+  * (dynamic-partition-pruning style `key IN (...)`), and files whose
+  * manifest zone stats provably cannot hold any matching row are
+  * dropped BEFORE any task reads them — the plan-time stats-in-log
+  * pruning applied again at runtime with the join's actual keys. The
+  * 100 TB shape: a fact-table scan joined to a filtered dimension
+  * reads only the fact files the surviving dimension keys can touch,
+  * with zero reliance on static predicates. Untranslatable or
+  * uncovered predicates conservatively keep every file.
+  */
+final class RuntimeFilteredParquetScan(
+    initial: ParquetScan,
+    files: Seq[String],
+    zones: Map[String, Map[String, (Any, Any)]],
+    indexSchema: StructType,
+    mayMatch: (Map[String, (Any, Any)], Filter) => Boolean)
+  extends Scan with SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Join planning must keep seeing the parquet scan's size stats —
+    * hiding them would default the relation to sizeInBytes=MAX and
+    * kill every broadcast decision on catalog tables.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    current.estimateStatistics()
+
+  @volatile private var current: ParquetScan = initial
+
+  /** Files the next planInputPartitions will serve (test/telemetry
+    * observability of runtime pruning; starts at the manifest list).
+    */
+  def currentFileCount: Int =
+    current.fileIndex.allFiles().size
+
+  /** How many runtime filter() calls reached this scan (tests). */
+  @volatile var filterCalls: Int = 0
+  /** V1-translated runtime predicates seen (tests). */
+  @volatile var seenFilters: Seq[Filter] = Seq.empty
+
+  override def readSchema(): StructType = current.readSchema()
+  override def description(): String = current.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = current
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    current.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    current.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    current.columnarSupportMode()
+
+  /** Columns with zone stats on at least one file: per-file pruning
+    * stays conservative for files that lack them.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    zones.valuesIterator.flatMap(_.keysIterator).toSet.toArray
+      .map(org.apache.spark.sql.connector.expressions.FieldReference
+        .column(_): NamedReference)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    filterCalls += 1
+    val v1 = predicates.toSeq.flatMap(V2Bridge.toV1Filter)
+    seenFilters = v1
+    if (v1.nonEmpty) {
+      val kept = files.filter { f =>
+        val stats = zones.getOrElse(
+          new org.apache.hadoop.fs.Path(f).toUri.getPath, Map.empty)
+        stats.isEmpty || v1.forall(mayMatch(stats, _))
+      }
+      if (kept.size < files.size) {
+        val index = new org.apache.spark.sql.execution.datasources
+          .InMemoryFileIndex(current.sparkSession,
+            kept.map(new org.apache.hadoop.fs.Path(_)),
+            Map.empty, Some(indexSchema))
+        current = current.copy(fileIndex = index)
+      }
+    }
+  }
+}
+
 object V2Bridge {
 
   private def classic(spark: SparkSession) =
@@ -97,13 +329,18 @@ object V2Bridge {
       hasBlooms: Boolean,
       bloomMeta: () => Set[String],
       bloomLoader: Set[String] =>
-        Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]])
+        Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]],
+      rowCount: () => Option[Long] = () => None,
+      mayMatch: Option[(Map[String, (Any, Any)],
+        Filter) => Boolean] = None)
       : ScanBuilder = {
     val index = new graft.sources.ZoneMapFileIndex(classic(spark),
       files.map(new org.apache.hadoop.fs.Path(_)), Some(schema), zones,
       hasBlooms, bloomMeta, bloomLoader)
-    ParquetScanBuilder(classic(spark), index, schema, schema,
-      CaseInsensitiveStringMap.empty())
+    new MetaAggScanBuilder(
+      ParquetScanBuilder(classic(spark), index, schema, schema,
+        CaseInsensitiveStringMap.empty()),
+      rowCount, zones, files, mayMatch)
   }
 
   /** A parquet scan over an exact file list with NOTHING pushed down —

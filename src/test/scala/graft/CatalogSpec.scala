@@ -303,6 +303,133 @@ class CatalogSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("compact")), msgs(e))
   }
 
+  test("aggregate pushdown: unfiltered COUNT/MIN/MAX answer from the " +
+    "manifest as a LocalTableScan — zero data files in the plan") {
+    val out = fresh("cat_agg_meta")
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartition(4), out,
+      append = false, statsCols = Seq("o_orderkey", "o_orderstatus"))
+    val expect = st.readVersioned(out)
+      .agg(count(lit(1)), min($"o_orderkey"), max($"o_orderkey"),
+        max($"o_orderstatus")).head()
+    val q = spark.sql(
+      s"""SELECT count(*) AS c, min(o_orderkey) AS mn,
+         |  max(o_orderkey) AS mx, max(o_orderstatus) AS ms
+         |FROM graft.`$out`""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      plan)
+    val r = q.head()
+    assert(r.getLong(0) == expect.getLong(0))
+    assert(r.getLong(1) == expect.getLong(1))
+    assert(r.getLong(2) == expect.getLong(2))
+    assert(r.getString(3) == expect.getString(3))
+    // a filter disqualifies the fast path but stays correct
+    val filtered = spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$out` WHERE o_orderkey < 100")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(filtered.head().getLong(0) ==
+      st.readVersioned(out).filter($"o_orderkey" < 100).count())
+    // double min/max: footer stats drop NaN info — MUST scan
+    val dbl = spark.sql(
+      s"SELECT min(o_totalprice) AS m FROM graft.`$out`")
+    assert(!dbl.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(dbl.head().getDouble(0) ==
+      st.readVersioned(out).agg(min($"o_totalprice")).head().getDouble(0))
+    // SQL INSERT appends files with R lines but NO zone stats:
+    // COUNT(*) keeps the metadata answer, MIN/MAX falls back to scan
+    spark.sql(s"INSERT INTO graft.`$out` VALUES (9999999, 'Z', 1.0)")
+    val c2 = spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+    assert(c2.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"), "R lines cover SQL-inserted files")
+    assert(c2.head().getLong(0) == expect.getLong(0) + 1)
+    val m2 = spark.sql(s"SELECT max(o_orderkey) AS m FROM graft.`$out`")
+    assert(!m2.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"), "uncovered files must disable " +
+        "zone-stat min/max")
+    assert(m2.head().getLong(0) == 9999999L)
+  }
+
+  test("runtime V2 filtering: a join's dynamic keys prune fact files " +
+    "at runtime via zone stats") {
+    val out = fresh("cat_runtime_prune")
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out,
+      append = false, statsCols = Seq("o_orderkey"))
+    // dim keys live in ONE narrow range of the fact's key space; the
+    // 'x' rows are the survivors of a REAL selective filter over a
+    // FILE-backed dim (an in-memory dim folds into a LocalRelation,
+    // erasing the Filter node DPP requires on the build side)
+    val lowKeys = st.readVersioned(out)
+      .orderBy($"o_orderkey").limit(10)
+      .select($"o_orderkey".as("k")).collect().map(_.getLong(0))
+    val dimPath = fresh("cat_rt_dim")
+    lowKeys.toSeq.zipWithIndex
+      .map { case (k, i) => (k, if (i % 2 == 0) "x" else "y") }
+      .toDF("k", "tag").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("cat_rt_dim")
+    val q = spark.sql(
+      s"""SELECT count(*) AS c
+         |FROM graft.`$out` f JOIN cat_rt_dim d ON f.o_orderkey = d.k
+         |WHERE d.tag = 'x'""".stripMargin)
+    // collect() executes q's OWN QueryExecution (head() would plan a
+    // separate limit query, leaving q's plan — inspected below —
+    // unexecuted and its runtime filter never fired)
+    assert(q.collect().map(_.getLong(0)).toSeq ==
+      Seq(lowKeys.length / 2L))
+    // descend through AQE wrappers/stages — plain collect stops at
+    // stage boundaries (QueryStageExec is a leaf)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case x => x }.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => s +: allNodes(s.plan)
+        case x => Seq(x)
+      }
+    val scans = allNodes(q.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.runtimeFilters.nonEmpty => b
+    }
+    assert(scans.nonEmpty, "no runtime filter planted on the fact scan:\n" +
+      q.queryExecution.executedPlan.toString)
+    val rfs = scans.head.scan
+      .asInstanceOf[org.apache.spark.sql.graftbridge
+        .RuntimeFilteredParquetScan]
+    val filesRead = rfs.currentFileCount
+    assert(filesRead >= 1 && filesRead < 8,
+      s"runtime pruning should drop most of the 8 range files; read " +
+        s"$filesRead (filter calls=${rfs.filterCalls}, " +
+        s"seen=${rfs.seenFilters})")
+  }
+
+  test("catalog scans keep size statistics: a small catalog table " +
+    "broadcasts in a join") {
+    val out = fresh("cat_stats_bcast")
+    val dim = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus").limit(50)
+    st.writeVersioned(dim, out, append = false,
+      statsCols = Seq("o_orderkey"))
+    T.t(spark, SF, "lineitem").select($"l_orderkey", $"l_quantity")
+      .createOrReplaceTempView("cat_stats_fact")
+    val q = spark.sql(
+      s"""SELECT count(*) AS c
+         |FROM cat_stats_fact f JOIN graft.`$out` d
+         |  ON f.l_orderkey = d.o_orderkey""".stripMargin)
+    q.collect()
+    // the KB-sized catalog side must be the broadcast build side —
+    // if the scan hid its statistics the relation would default to
+    // sizeInBytes=MAX and plan a sort-merge join
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
     val out = seed("cat_mor_refuse")
     st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
