@@ -22,7 +22,8 @@ import graft.sources.{GraftCatalog, GraftStorage}
 object SqlDml extends QueryModule {
 
   /** Fresh versioned orders slice at `out` (idempotent per run). */
-  private def seed(s: SparkSession, dir: String, out: String): Unit = {
+  private def seed(s: SparkSession, dir: String, out: String,
+      statsCols: Seq[String] = Seq.empty): Unit = {
     import s.implicits._
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -30,7 +31,8 @@ object SqlDml extends QueryModule {
     val base = T.t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
     GraftStorage(s).writeVersioned(
-      base.repartitionByRange(8, $"o_orderkey"), out)
+      base.repartitionByRange(8, $"o_orderkey"), out,
+      append = false, statsCols)
   }
 
   private def statusAgg(s: SparkSession, out: String): DataFrame = {
@@ -180,21 +182,15 @@ object SqlDml extends QueryModule {
     * the VALUES against the seed table).
     */
   def sqlAggPushdownMeta(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     GraftCatalog.register(s)
     val out = T.scratch(dir, "sql_agg_pushdown_meta")
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(out), true)
-    val base = T.t(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-    GraftStorage(s).writeVersioned(
-      base.repartitionByRange(8, $"o_orderkey"), out,
-      append = false, statsCols = Seq("o_orderkey", "o_orderstatus"))
+    seed(s, dir, out, statsCols = Seq("o_orderkey", "o_orderstatus"))
+    // integral/date aggregates only: string zone bounds may be
+    // truncation-widened, so min/max(o_orderstatus) deliberately
+    // falls OFF the fast path (CatalogSpec pins that fallback)
     s.sql(
       s"""SELECT count(*) AS cnt, min(o_orderkey) AS min_key,
-         |  max(o_orderkey) AS max_key, min(o_orderstatus) AS min_st,
-         |  max(o_orderstatus) AS max_st
+         |  max(o_orderkey) AS max_key
          |FROM graft.`$out`""".stripMargin)
   }
 
@@ -208,17 +204,9 @@ object SqlDml extends QueryModule {
     * oracles the join VALUES).
     */
   def sqlJoinRuntimePrune(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     GraftCatalog.register(s)
     val out = T.scratch(dir, "sql_join_runtime_prune")
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(out), true)
-    val base = T.t(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-    GraftStorage(s).writeVersioned(
-      base.repartitionByRange(8, $"o_orderkey"), out,
-      append = false, statsCols = Seq("o_orderkey"))
+    seed(s, dir, out, statsCols = Seq("o_orderkey"))
     T.t(s, dir, "customer").createOrReplaceTempView("sqldml_rt_cust")
     s.sql(
       s"""SELECT count(*) AS cnt,
@@ -348,8 +336,7 @@ object SqlDml extends QueryModule {
     // the metadata-answered aggregates must equal the data's
     "sql_agg_pushdown_meta" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-         |  min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          |FROM orders""".stripMargin,
     // runtime-pruned join must equal the plain join
     "sql_join_runtime_prune" ->

@@ -184,12 +184,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   // console over the commit protocol ([[GraftProcedures]]).
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
-    require(ident.namespace.isEmpty,
-      s"graft procedures live at the catalog root; got $ident")
-    GraftProcedures.load(ident.name).getOrElse(
-      throw new RuntimeException(
-        s"unknown graft procedure '${ident.name}' " +
-          s"(have: ${GraftProcedures.names.mkString(", ")})"))
+    // unknown/namespaced procedures surface as ROUTINE_NOT_FOUND (the
+    // analyzer's standard unresolved-routine condition), not a raw
+    // RuntimeException tooling treats as an internal error
+    def notFound() = new org.apache.spark.sql.AnalysisException(
+      "ROUTINE_NOT_FOUND",
+      Map("routineName" -> (s"`${(ident.namespace :+ ident.name)
+        .mkString(".")}` (graft procedures live at the catalog " +
+        s"root; have: ${GraftProcedures.names.mkString(", ")})")))
+    if (ident.namespace.nonEmpty) throw notFound()
+    GraftProcedures.load(ident.name).getOrElse(throw notFound())
   }
 
   override def listProcedures(namespace: Array[String])
@@ -689,6 +693,12 @@ private[sources] object GraftFilters {
       Some(java.lang.Long.compare(a.longValue(), b.longValue()))
     case (a: java.lang.Number, b: java.lang.Number) =>
       Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    // UTF-8 byte order (what parquet used to SELECT the stats and
+    // what Spark uses at runtime) — String.compareTo is UTF-16
+    // code-unit order and disagrees for supplementary-plane chars
+    case (a: String, b: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
     case (a: Comparable[_], b) if a.getClass == b.getClass =>
       Some(a.asInstanceOf[Comparable[Any]].compareTo(b))
     case _ => None

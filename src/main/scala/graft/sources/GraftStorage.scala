@@ -358,7 +358,15 @@ final case class GraftStorage(
         Ordering.Int.on[java.lang.Number](_.intValue())
       case DoubleType | FloatType =>
         Ordering.Double.TotalOrdering.on[java.lang.Number](_.doubleValue())
-      case StringType => Ordering.String.on[String](identity)
+      // UTF-8 BYTE order, not Ordering.String (UTF-16 code units):
+      // parquet selects per-group binary stats by unsigned byte
+      // comparison and Spark compares strings as UTF8String — merging
+      // under UTF-16 order can pick a file [min,max] that EXCLUDES a
+      // present value for supplementary-plane strings (false prune)
+      case StringType => Ordering.fromLessThan[String]((a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
       case TimestampType =>
         Ordering.fromLessThan[java.sql.Timestamp]((a, b) => a.before(b))
       case TimestampNTZType =>
@@ -1225,8 +1233,30 @@ final case class GraftStorage(
     * the old files), and the small-file problem appends create is
     * fixed without breaking time travel. Returns the new version.
     */
-  def compactVersioned(path: String, targetFiles: Int = 1): Long =
-    writeVersioned(readVersioned(path).coalesce(targetFiles), path)
+  def compactVersioned(path: String, targetFiles: Int = 1): Long = {
+    val (sc, bc) = priorSidecarCoverage(path)
+    writeVersioned(readVersioned(path).coalesce(targetFiles), path,
+      append = false, sc, bc)
+  }
+
+  /** Columns the CURRENT snapshot's stats-in-log / bloom-in-log
+    * sidecars cover — maintenance rewrites (compact, z-order) must
+    * carry this coverage forward, or the op that is advertised to
+    * IMPROVE scans silently turns off file pruning and the
+    * manifest-rate aggregate path from its commit on.
+    */
+  private def priorSidecarCoverage(path: String): (Seq[String], Seq[String]) =
+    listVersions(path).lastOption match {
+      case None => (Seq.empty, Seq.empty)
+      case Some(v) =>
+        val parts = versionedScanParts(path, v)
+        val stats = parts.zones.valuesIterator
+          .flatMap(_.keysIterator).toSet.toSeq.sorted
+        val blooms =
+          if (parts.hasBlooms) parts.bloomMeta().toSeq.sorted
+          else Seq.empty
+        (stats, blooms)
+    }
 
   /** ZERO-COPY shallow clone (the CLONE TABLE of the lakehouse
     * engines): publish the source snapshot's manifest as the target's
@@ -2035,10 +2065,15 @@ final case class GraftStorage(
     require(zcols.nonEmpty, "optimizeVersioned needs at least one column")
     val cur = readVersioned(path)
     val z = zValueColumn(cur, zcols)
+    // carry prior sidecar coverage AND stats-cover the clustering
+    // columns themselves — the z-order rewrite exists to make their
+    // per-file [min,max] narrow
+    val (sc, bc) = priorSidecarCoverage(path)
     writeVersioned(cur.withColumn("__graft_z", z)
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z"), path)
+      .drop("__graft_z"), path,
+      append = false, (sc ++ zcols).distinct.sorted, bc)
   }
 
   /** MULTI-dimension clustered write — the Z-ORDER analogue of

@@ -101,7 +101,11 @@ final class MetaAggScanBuilder(
     zones: Map[String, Map[String, (Any, Any)]],
     files: Seq[String],
     mayMatch: Option[(Map[String, (Any, Any)],
-      Filter) => Boolean] = None) extends ScanBuilder
+      Filter) => Boolean] = None,
+    indexFactory: Option[Seq[String] =>
+      org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex]
+      = None,
+    blooms: Option[RuntimeBloomProbe] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters
     with SupportsPushDownAggregates
@@ -123,11 +127,23 @@ final class MetaAggScanBuilder(
       extractions: Array[VariantExtraction]): Array[Boolean] =
     inner.pushVariantExtractions(extractions)
 
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // same Aggregation — compute the manifest answer once per instance
+  // (rowCount() walks the manifest; zones are walked per file)
+  private var metaCache: Option[(Aggregation,
+    Option[(StructType, InternalRow)])] = None
+  private def tryMetaCached(agg: Aggregation)
+      : Option[(StructType, InternalRow)] = metaCache match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = tryMeta(agg); metaCache = Some((agg, r)); r
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    tryMeta(agg).isDefined || inner.supportCompletePushDown(agg)
+    tryMetaCached(agg).isDefined || inner.supportCompletePushDown(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    meta = tryMeta(agg)
+    meta = tryMetaCached(agg)
     meta.isDefined || inner.pushAggregation(agg)
   }
 
@@ -142,7 +158,7 @@ final class MetaAggScanBuilder(
       mayMatch match {
         case Some(mm) if zones.nonEmpty =>
           new RuntimeFilteredParquetScan(scan, files, zones,
-            inner.dataSchema, mm)
+            inner.dataSchema, mm, indexFactory, blooms)
         case _ => scan
       }
   }
@@ -154,12 +170,15 @@ final class MetaAggScanBuilder(
     files.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
 
   /** MIN/MAX are answerable only for types whose zone bounds are
-    * guaranteed to be EXACT values present in the data.
+    * guaranteed to be EXACT values present in the data. Strings are
+    * deliberately EXCLUDED: the parquet format lets writers truncate
+    * binary min/max (widening the bound to a value NOT in the data —
+    * the sidecar build explicitly tolerates that for pruning), so a
+    * string zone bound is sound as a range but not as an answer.
     */
   private def exactStatType(dt: org.apache.spark.sql.types.DataType)
       : Boolean = dt match {
-    case LongType | IntegerType | ShortType | ByteType | StringType |
-         DateType => true
+    case LongType | IntegerType | ShortType | ByteType | DateType => true
     case _ => false
   }
 
@@ -188,20 +207,19 @@ final class MetaAggScanBuilder(
     val present = perFile.flatten.filter {
       case (mn, mx) => mn != null && mx != null
     }
-    val ext =
-      if (present.isEmpty) null
-      else {
-        // reuse the SQL ordering: catalyst internal values of these
-        // types are Comparable (Long/Int/UTF8String/...)
-        val conv = CatalystTypeConverters.createToCatalystConverter(dt)
-        val vals = present.map(p => conv(if (isMin) p._1 else p._2))
-        val picked = vals.reduce { (a, b) =>
-          val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
-          if ((c <= 0) == isMin) a else b
-        }
-        return Some((StructField(s"$name($col)", dt), picked))
+    val field = StructField(s"$name($col)", dt)
+    if (present.isEmpty) Some((field, null)) // provably all-null table
+    else {
+      // reuse the SQL ordering: catalyst internal values of these
+      // types are Comparable (Long/Int/...)
+      val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+      val vals = present.map(p => conv(if (isMin) p._1 else p._2))
+      val picked = vals.reduce { (a, b) =>
+        val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+        if ((c <= 0) == isMin) a else b
       }
-    Some((StructField(s"$name($col)", dt), ext))
+      Some((field, picked))
+    }
   }
 
   /** The full aggregation answered from manifest metadata, or None. */
@@ -238,13 +256,30 @@ final class MetaAggScanBuilder(
   * uncovered predicates conservatively keep every file.
   */
 final class RuntimeFilteredParquetScan(
-    initial: ParquetScan,
-    files: Seq[String],
+    val initial: ParquetScan,
+    val files: Seq[String],
     zones: Map[String, Map[String, (Any, Any)]],
     indexSchema: StructType,
-    mayMatch: (Map[String, (Any, Any)], Filter) => Boolean)
+    mayMatch: (Map[String, (Any, Any)], Filter) => Boolean,
+    indexFactory: Option[Seq[String] =>
+      org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex]
+      = None,
+    blooms: Option[RuntimeBloomProbe] = None)
   extends Scan with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Scan/exchange reuse: two scans of the same snapshot must stay
+    * `sameResult` (self-joins, multiply-referenced CTEs) — the bare
+    * ParquetScan is a case class and compared structurally; wrapping
+    * it must not demote that to reference equality, or the 100 TB
+    * table gets scanned once per reference.
+    */
+  override def equals(other: Any): Boolean = other match {
+    case r: RuntimeFilteredParquetScan =>
+      r.initial == initial && r.files == files
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * initial.hashCode() + files.hashCode()
 
   /** Join planning must keep seeing the parquet scan's size stats —
     * hiding them would default the relation to sizeInBytes=MAX and
@@ -294,19 +329,93 @@ final class RuntimeFilteredParquetScan(
     val v1 = predicates.toSeq.flatMap(V2Bridge.toV1Filter)
     seenFilters = v1
     if (v1.nonEmpty) {
+      // point predicates (the DPP IN-list) also probe the bloom-in-log
+      // sidecar: zone ranges on an unclustered join key are wide, the
+      // Bloom rejects per-key — loaded once, only for filtered columns
+      val bloomed = blooms.map(_.load(v1)).getOrElse(Map.empty)
       val kept = files.filter { f =>
-        val stats = zones.getOrElse(
-          new org.apache.hadoop.fs.Path(f).toUri.getPath, Map.empty)
-        stats.isEmpty || v1.forall(mayMatch(stats, _))
+        val key = new org.apache.hadoop.fs.Path(f).toUri.getPath
+        val stats = zones.getOrElse(key, Map.empty)
+        val bl = bloomed.getOrElse(key, Map.empty)
+        (stats.isEmpty && bl.isEmpty) || v1.forall(p =>
+          mayMatch(stats, p) &&
+            blooms.forall(_.mayContain(bl, indexSchema, p)))
       }
       if (kept.size < files.size) {
-        val index = new org.apache.spark.sql.execution.datasources
-          .InMemoryFileIndex(current.sparkSession,
-            kept.map(new org.apache.hadoop.fs.Path(_)),
-            Map.empty, Some(indexSchema))
+        // rebuild through the SAME ZoneMapFileIndex factory the
+        // plan-time scan used — a plain InMemoryFileIndex here would
+        // silently drop static zone/bloom pruning for the re-planned
+        // scan (kept files still prune on the query's own predicates)
+        val index = indexFactory.map(_(kept)).getOrElse(
+          new org.apache.spark.sql.execution.datasources
+            .InMemoryFileIndex(current.sparkSession,
+              kept.map(new org.apache.hadoop.fs.Path(_)),
+              Map.empty, Some(indexSchema)))
         current = current.copy(fileIndex = index)
       }
     }
+  }
+}
+
+/** Bloom-in-log probing for RUNTIME predicates: `load` fetches the
+  * sidecar filters once for the columns the runtime filter touches
+  * (file → col → Bloom); `mayContain` rejects a file when a point
+  * predicate's key provably misses its Bloom. Conservative
+  * everywhere else — range predicates, unbloomeed columns, and
+  * unsupported types keep the file.
+  */
+final class RuntimeBloomProbe(
+    bloomMeta: () => Set[String],
+    bloomLoader: Set[String] =>
+      Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]) {
+
+  private def pointCols(f: Filter): Set[String] = f match {
+    case org.apache.spark.sql.sources.And(l, r) =>
+      pointCols(l) ++ pointCols(r)
+    case org.apache.spark.sql.sources.Or(l, r) =>
+      pointCols(l) ++ pointCols(r)
+    case org.apache.spark.sql.sources.EqualTo(a, _) => Set(a)
+    case org.apache.spark.sql.sources.In(a, _) => Set(a)
+    case _ => Set.empty
+  }
+
+  def load(filters: Seq[Filter])
+      : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val want = filters.flatMap(pointCols).toSet
+    if (want.isEmpty) Map.empty
+    else {
+      val covered = want.intersect(bloomMeta())
+      if (covered.isEmpty) Map.empty else bloomLoader(covered)
+    }
+  }
+
+  private def probe(
+      bl: Map[String, org.apache.spark.util.sketch.BloomFilter],
+      schema: StructType, col: String, v: Any): Boolean =
+    bl.get(col) match {
+      case Some(bloom) if v != null =>
+        schema.fields.find(_.name == col).map(_.dataType) match {
+          // integral keys are put as putLong on the build side
+          case Some(LongType | IntegerType | ShortType | ByteType) =>
+            bloom.mightContainLong(v.asInstanceOf[Number].longValue())
+          case Some(StringType) => bloom.mightContainString(v.toString)
+          case _ => true
+        }
+      case _ => true
+    }
+
+  /** Could `f` hold for some row of a file with these blooms? */
+  def mayContain(
+      bl: Map[String, org.apache.spark.util.sketch.BloomFilter],
+      schema: StructType, f: Filter): Boolean = f match {
+    case org.apache.spark.sql.sources.And(l, r) =>
+      mayContain(bl, schema, l) && mayContain(bl, schema, r)
+    case org.apache.spark.sql.sources.Or(l, r) =>
+      mayContain(bl, schema, l) || mayContain(bl, schema, r)
+    case org.apache.spark.sql.sources.EqualTo(a, v) => probe(bl, schema, a, v)
+    case org.apache.spark.sql.sources.In(a, vs) =>
+      vs.isEmpty || vs.exists(v => probe(bl, schema, a, v))
+    case _ => true
   }
 }
 
@@ -334,13 +443,18 @@ object V2Bridge {
       mayMatch: Option[(Map[String, (Any, Any)],
         Filter) => Boolean] = None)
       : ScanBuilder = {
-    val index = new graft.sources.ZoneMapFileIndex(classic(spark),
-      files.map(new org.apache.hadoop.fs.Path(_)), Some(schema), zones,
-      hasBlooms, bloomMeta, bloomLoader)
+    def mkIndex(fs: Seq[String]): graft.sources.ZoneMapFileIndex =
+      new graft.sources.ZoneMapFileIndex(classic(spark),
+        fs.map(new org.apache.hadoop.fs.Path(_)), Some(schema), zones,
+        hasBlooms, bloomMeta, bloomLoader)
+    val index = mkIndex(files)
     new MetaAggScanBuilder(
       ParquetScanBuilder(classic(spark), index, schema, schema,
         CaseInsensitiveStringMap.empty()),
-      rowCount, zones, files, mayMatch)
+      rowCount, zones, files, mayMatch,
+      Some(mkIndex(_)),
+      Some(new RuntimeBloomProbe(
+        if (hasBlooms) bloomMeta else () => Set.empty, bloomLoader)))
   }
 
   /** A parquet scan over an exact file list with NOTHING pushed down —

@@ -315,7 +315,7 @@ class CatalogSpec extends AnyFunSuite {
         max($"o_orderstatus")).head()
     val q = spark.sql(
       s"""SELECT count(*) AS c, min(o_orderkey) AS mn,
-         |  max(o_orderkey) AS mx, max(o_orderstatus) AS ms
+         |  max(o_orderkey) AS mx
          |FROM graft.`$out`""".stripMargin)
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
@@ -324,7 +324,13 @@ class CatalogSpec extends AnyFunSuite {
     assert(r.getLong(0) == expect.getLong(0))
     assert(r.getLong(1) == expect.getLong(1))
     assert(r.getLong(2) == expect.getLong(2))
-    assert(r.getString(3) == expect.getString(3))
+    // string min/max: zone bounds may be truncation-WIDENED binary
+    // stats (values not in the data) — MUST fall back to a scan
+    val strq = spark.sql(
+      s"SELECT max(o_orderstatus) AS ms FROM graft.`$out`")
+    assert(!strq.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(strq.head().getString(0) == expect.getString(3))
     // a filter disqualifies the fast path but stays correct
     val filtered = spark.sql(
       s"SELECT count(*) AS c FROM graft.`$out` WHERE o_orderkey < 100")
@@ -428,6 +434,62 @@ class CatalogSpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("string zone bounds compare in UTF-8 order: supplementary-plane " +
+    "keys are not falsely elided by DELETE") {
+    val out = fresh("cat_utf8_bounds")
+    // one file holding U+FFFF and U+1F600: UTF-16 code-unit order
+    // says FFFF > 1F600's surrogates, UTF-8 byte order (what parquet
+    // used to pick the footer stats) says the opposite — comparing
+    // the recorded [min,max] with String.compareTo would put U+FFFF
+    // OUTSIDE the bounds and elide the file, silently no-oping the
+    // DELETE
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq((1L, "￿"), (2L, emoji)).toDF("k", "s")
+    st.writeVersioned(df.coalesce(1), out, append = false,
+      statsCols = Seq("s"))
+    spark.sql(s"DELETE FROM graft.`$out` WHERE s = '￿'")
+    val left = st.readVersioned(out).select($"s").collect().map(_.getString(0))
+    assert(left.toSeq == Seq(emoji), left.toSeq)
+  }
+
+  test("compactVersioned and optimizeVersioned carry sidecar coverage " +
+    "forward: the meta-agg fast path survives maintenance") {
+    val out = fresh("cat_compact_stats")
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartition(4), out, append = false,
+      statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderstatus"))
+    val expect = st.readVersioned(out)
+      .agg(count(lit(1)), max($"o_orderkey")).head()
+    st.compactVersioned(out, targetFiles = 2)
+    val q = spark.sql(
+      s"SELECT count(*) AS c, max(o_orderkey) AS m FROM graft.`$out`")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "compaction dropped stats-in-log coverage:\n" +
+        q.queryExecution.executedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == expect.getLong(0) &&
+      r.getLong(1) == expect.getLong(1))
+    // bloom-in-log coverage must survive too (B line in the manifest)
+    val vs = st.listVersions(out)
+    val mf = new org.apache.hadoop.fs.Path(out, s"_manifest/v${vs.last}")
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val text = {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(text.contains("B\t"), "compaction dropped bloom-in-log:\n" + text)
+    // z-order maintenance carries it as well
+    st.optimizeVersioned(out, Seq("o_orderkey"), targetFiles = 2)
+    val q2 = spark.sql(
+      s"SELECT count(*) AS c, max(o_orderkey) AS m FROM graft.`$out`")
+    assert(q2.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "z-order dropped stats-in-log coverage")
+    assert(q2.head().getLong(1) == expect.getLong(1))
   }
 
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
