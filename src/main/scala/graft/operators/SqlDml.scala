@@ -216,6 +216,69 @@ object SqlDml extends QueryModule {
          |WHERE d.c_mktsegment = 'BUILDING'""".stripMargin)
   }
 
+  /** Storage-partitioned join: both sides written identity-
+    * partitioned on the join key
+    * ([[GraftStorage.writeVersionedPartitioned]]), so the catalog
+    * scans report `KeyGroupedPartitioning` and the join + the
+    * keyed aggregation run with ZERO hash exchange (Spark v2
+    * bucketing; CatalogSpec pins the plan). This query oracles the
+    * VALUES; at 100 TB the eliminated exchange IS the query cost.
+    */
+  def sqlJoinCopartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val a = T.scratch(dir, "sql_spj_fact")
+    val b = T.scratch(dir, "sql_spj_dim")
+    val fs = new org.apache.hadoop.fs.Path(a)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(a, b).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val orders = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val st = GraftStorage(s)
+    st.writeVersionedPartitioned(orders, a, Seq("o_orderstatus"))
+    st.writeVersionedPartitioned(
+      orders.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_status")), b, Seq("o_orderstatus"))
+    s.sql(
+      s"""SELECT f.o_orderstatus AS st, count(*) AS cnt,
+         |  CAST(sum(f.o_orderkey) AS BIGINT) AS key_sum,
+         |  max(d.n_status) AS n_status
+         |FROM graft.`$a` f JOIN graft.`$b` d
+         |  ON f.o_orderstatus = d.o_orderstatus
+         |GROUP BY f.o_orderstatus
+         |ORDER BY st""".stripMargin)
+  }
+
+  /** Partitioned sink round-trip: identity-partitioned create +
+    * append (spec must match), then a catalog read whose partition
+    * predicate prunes sibling partitions from path-derived zone
+    * entries — no sidecar was ever built.
+    */
+  def sinkVersionedPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sink_versioned_partitioned")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val orders = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val st = GraftStorage(s)
+    st.writeVersionedPartitioned(
+      orders.filter($"o_orderkey" % 2 === 0), out, Seq("o_orderstatus"))
+    st.writeVersionedPartitioned(
+      orders.filter($"o_orderkey" % 2 === 1), out, Seq("o_orderstatus"),
+      append = true)
+    s.sql(
+      s"""SELECT o_orderstatus AS st, count(*) AS cnt,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graft.`$out`
+         |WHERE o_orderstatus <> 'P'
+         |GROUP BY o_orderstatus
+         |ORDER BY st""".stripMargin)
+  }
+
   /** Multi-path `format("graft")` read: two independent sharded
     * tables load as ONE relation (multi-root file index) — the V1
     * single-path restriction lifted for plain directories. Spark
@@ -255,6 +318,8 @@ object SqlDml extends QueryModule {
     "sql_call_maintenance" -> (sqlCallMaintenance(_, _)),
     "sql_agg_pushdown_meta" -> (sqlAggPushdownMeta(_, _)),
     "sql_join_runtime_prune" -> (sqlJoinRuntimePrune(_, _)),
+    "sql_join_copartitioned" -> (sqlJoinCopartitioned(_, _)),
+    "sink_versioned_partitioned" -> (sinkVersionedPartitioned(_, _)),
     "scan_multipath" -> (scanMultiPath(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -338,6 +403,22 @@ object SqlDml extends QueryModule {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
          |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          |FROM orders""".stripMargin,
+    // co-partitioned join ≡ a plain per-status rollup (dim is the
+    // per-status count, one row per key)
+    "sql_join_copartitioned" ->
+      s"""SELECT o_orderstatus AS st,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         |  CAST(COUNT(*) AS BIGINT) AS n_status
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY st""".stripMargin,
+    // partitioned create+append must hold every row exactly once
+    "sink_versioned_partitioned" ->
+      s"""SELECT o_orderstatus AS st,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+         |FROM orders WHERE o_orderstatus <> 'P'
+         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // runtime-pruned join must equal the plain join
     "sql_join_runtime_prune" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt,

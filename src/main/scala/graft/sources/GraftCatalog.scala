@@ -58,9 +58,13 @@ object GraftCatalog {
     * conf at runtime (before that first reference) is equivalent to a
     * builder-time config.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[GraftCatalog].getName)
+    // storage-partitioned joins: honor the KeyGroupedPartitioning the
+    // partitioned-table scan reports (off by default in Spark)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
 }
 
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
@@ -254,6 +258,16 @@ final class GraftVersionedTable(path: String,
   override def properties(): util.Map[String, String] =
     Map("path" -> path, "provider" -> "graft").asJava
 
+  /** Identity transforms of a partitioned snapshot (DESCRIBE etc.). */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val vs = st.listVersions(path)
+    if (vs.isEmpty) Array.empty
+    else st.versionedScanParts(path, pinnedVersion.getOrElse(vs.last))
+      .partCols.map(org.apache.spark.sql.connector.expressions
+        .Expressions.identity).toArray
+  }
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val vs = st.listVersions(path)
@@ -276,7 +290,9 @@ final class GraftVersionedTable(path: String,
     V2Bridge.parquetScanBuilder(spark, parts.files, parts.schema,
       parts.zones, parts.hasBlooms, parts.bloomMeta, parts.bloomLoader,
       () => st.countVersionedFast(path, Some(v)),
-      Some(GraftFilters.mayMatch))
+      Some(GraftFilters.mayMatch),
+      if (parts.partCols.isEmpty) None
+      else Some((parts.partCols, parts.partKey)))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

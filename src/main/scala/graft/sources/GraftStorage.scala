@@ -800,6 +800,126 @@ final case class GraftStorage(
     n
   }
 
+  /** PARTITIONED versioned write — the storage-partitioned-join
+    * foundation (Iceberg-style IDENTITY partitioning): rows land in
+    * `commitDir/__gp_<col>=<value>/part-*.parquet` via `partitionBy`
+    * on COPY columns, so the data files keep every original column;
+    * the manifest records the spec as one `P` line and each file's
+    * key is derived from its path. Everything else falls out of the
+    * existing machinery: per-file [min,max]==key zone entries are
+    * synthesized at scan-parts time (static + runtime file pruning,
+    * partition-col MIN/MAX at manifest rate), and the DSv2 catalog
+    * scan reports `KeyGroupedPartitioning` so joins and aggregations
+    * on the partition key run with ZERO shuffle between
+    * co-partitioned tables — at 100 TB the single biggest exchange
+    * in a fact-fact join simply disappears.
+    *
+    * Keys must be scalar identity types (string/integral/date/
+    * boolean); a NULL key rides Hive's default-partition dir. An
+    * append must repeat the table's partitioning. Maintenance
+    * rewrites (compact/z-order) write UNPARTITIONED layouts and drop
+    * the `P` line — re-partition with this method; readers of such a
+    * snapshot simply lose the shuffle elision, never correctness
+    * (the scan only reports key-grouping when EVERY file parses a
+    * key).
+    */
+  def writeVersionedPartitioned(df: DataFrame, path: String,
+      partCols: Seq[String], append: Boolean = false): Long = {
+    import org.apache.hadoop.fs.Path
+    require(partCols.nonEmpty,
+      "writeVersionedPartitioned needs at least one partition column")
+    val missing = partCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partition columns absent from the data: ${missing.mkString(", ")}")
+    partCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(GraftStorage.partKeyType(dt),
+        s"partition column $c: $dt is not an identity-partition key " +
+          "type (string/integral/date/boolean)")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val vs = listVersions(path)
+    require(!append || vs.nonEmpty,
+      s"append to $path requires an existing version")
+    if (append) {
+      val prior = partitionSpec(path, vs.last)
+      require(prior == partCols,
+        s"append partitioned by $partCols but the table is " +
+          s"partitioned by $prior")
+      GraftStorage.mergeSchemaJsons(
+        manifestEntries(path, vs.last).collect {
+          case e if e.startsWith("H\t") => e.drop(2)
+        } :+ df.schema.json)
+    }
+    val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
+    val commitDir = newCommitDir(dir, n)
+    val dirCols = partCols.map(GraftStorage.PartDirPrefix + _)
+    val pdf = partCols.foldLeft(df)((d, c) =>
+      d.withColumn(GraftStorage.PartDirPrefix + c, col(c)))
+    pdf.write.mode("overwrite").partitionBy(dirCols: _*)
+      .parquet(commitDir.toString)
+    val freshFiles = listParquetRecursive(fs, commitDir)
+    validateCommitFiles(path, freshFiles, commitDir, fs)
+    val fresh = freshFiles ++ rowCountLines(freshFiles) ++
+      Seq(s"P\t${partCols.mkString(",")}", s"H\t${df.schema.json}")
+    val carried =
+      if (append)
+        manifestEntries(path, n - 1).filterNot(_.startsWith("P\t"))
+      else Seq.empty[String]
+    publishManifest(fs, dir, n, carried ++ fresh, Some(commitDir))
+    n
+  }
+
+  /** Leaf data files under a partitioned commit dir (recursive;
+    * sidecars and hidden files excluded), manifest-normalized.
+    */
+  private def listParquetRecursive(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith("."))
+        out += f.getPath.toUri.getPath
+    }
+    out.toSeq.sorted
+  }
+
+  /** The table's identity-partition columns at version `v` (empty:
+    * unpartitioned snapshot).
+    */
+  private[sources] def partitionSpec(path: String, v: Long): Seq[String] =
+    manifestEntries(path, v).collectFirst {
+      case e if e.startsWith("P\t") => e.drop(2).split(',').toSeq
+    }.getOrElse(Seq.empty)
+
+  /** EXTERNAL key values of one partitioned file, parsed from its
+    * `__gp_<col>=<value>` path segments; None when any segment is
+    * missing (a file from an unpartitioned commit).
+    */
+  private[sources] def partKeyOf(schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String], file: String): Option[Seq[Any]] = {
+    val segs: Map[String, String] = file.split('/').iterator
+      .filter(_.contains('=')).map { s =>
+        val i = s.indexOf('=')
+        s.substring(0, i) -> s.substring(i + 1)
+      }.toMap
+    val vals = partCols.map { c =>
+      segs.get(GraftStorage.PartDirPrefix + c).map { raw =>
+        val un = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(raw)
+        if (un == org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else GraftStorage.decodePartValue(schema(c).dataType, un)
+      }
+    }
+    if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+  }
+
   /** CHECK constraints on a versioned table — declared once, enforced
     * on every commit that introduces rows (create/append, UPDATE,
     * MERGE; merge-on-read DELETE adds no rows and skips). One file
@@ -1191,6 +1311,7 @@ final case class GraftStorage(
       else if (e.startsWith("B\t")) Some(e.split('\t')(1))
       else if (e.startsWith("H\t")) None
       else if (e.startsWith("R\t")) None // its path is a bare entry
+      else if (e.startsWith("P\t")) None // partition spec, no path
       else Some(e)
     }
 
@@ -1814,8 +1935,28 @@ final case class GraftStorage(
         .distinct().collect().map(_.getString(0)).toSet
     val fullSchema = mergedManifestSchema(path, v)
       .getOrElse(spark.read.parquet(files: _*).schema)
-    VersionedScanParts(files, zones, bloomDirs.nonEmpty, bloomMeta,
-      cols => loadBlooms(Some(cols)), fullSchema)
+    // identity-partitioned snapshot: each file's path-derived key IS
+    // an exact [min,max]==key zone entry — static pruning, runtime
+    // pruning, and partition-col MIN/MAX at manifest rate, with no
+    // sidecar built or read
+    val partCols = partitionSpec(path, v)
+    val keyFn: String => Option[Seq[Any]] =
+      if (partCols.isEmpty) _ => None
+      else f => partKeyOf(fullSchema, partCols, f)
+    val zonesWithKeys =
+      if (partCols.isEmpty) zones
+      else files.foldLeft(zones) { (z, f) =>
+        val key = new Path(f).toUri.getPath
+        keyFn(key) match {
+          case Some(vals) =>
+            val synth = partCols.zip(vals)
+              .map { case (c, x) => c -> ((x, x)) }.toMap
+            z.updated(key, synth ++ z.getOrElse(key, Map.empty))
+          case None => z
+        }
+      }
+    VersionedScanParts(files, zonesWithKeys, bloomDirs.nonEmpty, bloomMeta,
+      cols => loadBlooms(Some(cols)), fullSchema, partCols, keyFn)
   }
 
   /** Raw manifest-file read honoring the snapshot's schema-in-log
@@ -2596,9 +2737,46 @@ private[sources] final case class VersionedScanParts(
     bloomMeta: () => Set[String],
     bloomLoader: Set[String] =>
       Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]],
-    schema: org.apache.spark.sql.types.StructType)
+    schema: org.apache.spark.sql.types.StructType,
+    partCols: Seq[String] = Seq.empty,
+    partKey: String => Option[Seq[Any]] = _ => None)
 
 object GraftStorage {
+
+  /** Directory-column prefix of partitioned commits: partitionBy runs
+    * on `__gp_<col>` COPIES so the data files keep the originals.
+    */
+  val PartDirPrefix = "__gp_"
+
+  /** Identity-partition key types: scalars whose partition-dir string
+    * round-trips exactly ([[decodePartValue]]).
+    */
+  private[sources] def partKeyType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           DateType | BooleanType => true
+      case _ => false
+    }
+  }
+
+  /** Partition-dir string → EXTERNAL value of the column's type. */
+  private[sources] def decodePartValue(
+      dt: org.apache.spark.sql.types.DataType, s: String): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => s
+      case LongType => java.lang.Long.valueOf(s)
+      case IntegerType => java.lang.Integer.valueOf(s)
+      case ShortType => java.lang.Short.valueOf(s)
+      case ByteType => java.lang.Byte.valueOf(s)
+      case DateType => java.sql.Date.valueOf(s)
+      case BooleanType => java.lang.Boolean.valueOf(s)
+      case other => throw new IllegalArgumentException(
+        s"not an identity-partition key type: $other")
+    }
+  }
 
   /** SPI of the commit protocol's ONE atomicity primitive: install
     * `tmp` as `dst` iff `dst` does not exist — atomically, so two

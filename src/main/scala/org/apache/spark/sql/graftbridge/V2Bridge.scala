@@ -105,7 +105,9 @@ final class MetaAggScanBuilder(
     indexFactory: Option[Seq[String] =>
       org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex]
       = None,
-    blooms: Option[RuntimeBloomProbe] = None) extends ScanBuilder
+    blooms: Option[RuntimeBloomProbe] = None,
+    partSpec: Option[(Seq[String], String => Option[Seq[Any]])] = None)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters
     with SupportsPushDownAggregates
@@ -154,12 +156,27 @@ final class MetaAggScanBuilder(
     }
     case None =>
       val scan = inner.build()
-      // runtime join-key file pruning rides only stats-covered tables
-      mayMatch match {
-        case Some(mm) if zones.nonEmpty =>
-          new RuntimeFilteredParquetScan(scan, files, zones,
-            inner.dataSchema, mm, indexFactory, blooms)
-        case _ => scan
+      partSpec match {
+        // identity-partitioned snapshot with every file keyed: report
+        // KeyGroupedPartitioning for storage-partitioned joins (the
+        // runtime-filter wrapper is skipped — SPJ's own partition
+        // alignment subsumes join-key file pruning here)
+        case Some((pcols, keyFn)) if files.nonEmpty &&
+            files.forall(f => keyFn(
+              new org.apache.hadoop.fs.Path(f).toUri.getPath).isDefined) =>
+          val kschema = StructType(pcols.map(c =>
+            inner.dataSchema.fields.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"partition column $c missing from schema"))))
+          new KeyGroupedParquetScan(scan, pcols, kschema, keyFn)
+        case _ =>
+          // runtime join-key file pruning rides stats-covered tables
+          mayMatch match {
+            case Some(mm) if zones.nonEmpty =>
+              new RuntimeFilteredParquetScan(scan, files, zones,
+                inner.dataSchema, mm, indexFactory, blooms)
+            case _ => scan
+          }
       }
   }
 
@@ -419,6 +436,126 @@ final class RuntimeBloomProbe(
   }
 }
 
+/** An input partition holding every split of ONE identity-partition
+  * key ([[org.apache.spark.sql.connector.read.HasPartitionKey]]);
+  * the stock parquet reader factory runs the wrapped FilePartition.
+  */
+final case class KeyedFilePartition(
+    fp: org.apache.spark.sql.execution.datasources.FilePartition,
+    key: InternalRow)
+  extends org.apache.spark.sql.connector.read.InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
+/** Reader factory unwrapping [[KeyedFilePartition]] back to the
+  * delegate's FilePartition.
+  */
+final case class KeyedUnwrapReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  private def fp(p: org.apache.spark.sql.connector.read.InputPartition) =
+    p.asInstanceOf[KeyedFilePartition].fp
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createReader(fp(p))
+  override def createColumnarReader(
+      p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createColumnarReader(fp(p))
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    inner.supportColumnarReads(fp(p))
+}
+
+/** STORAGE-PARTITIONED JOIN scan over an identity-partitioned graft
+  * snapshot: the delegate ParquetScan's planned splits are regrouped
+  * into one input partition PER PARTITION KEY (each implementing
+  * `HasPartitionKey`), and the scan reports `KeyGroupedPartitioning`
+  * — so a join or aggregation keyed on the partition columns runs
+  * with ZERO shuffle on either side (Spark's v2 bucketing, the
+  * Iceberg SPJ design). At 100 TB this removes the single biggest
+  * exchange of a co-partitioned fact-fact join; static zone pruning
+  * still applies underneath (pruned files simply drop their key
+  * group). Engages only when every planned file parses a key, so
+  * snapshots mixing unpartitioned commits degrade to a plain scan,
+  * never to wrong grouping.
+  */
+final class KeyGroupedParquetScan(
+    val delegate: ParquetScan,
+    val partCols: Seq[String],
+    keySchema: StructType,
+    keyOf: String => Option[Seq[Any]])
+  extends Scan with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def equals(other: Any): Boolean = other match {
+    case k: KeyGroupedParquetScan =>
+      k.delegate == delegate && k.partCols == partCols
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * delegate.hashCode() + partCols.hashCode()
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String =
+    s"KeyGrouped(${partCols.mkString(",")}) " + delegate.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    delegate.estimateStatistics()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+
+  /** Splits regrouped by key, deterministically ordered. Computed
+    * once: `outputPartitioning().numPartitions` and
+    * `planInputPartitions()` MUST agree.
+    */
+  private lazy val groups: Array[KeyedFilePartition] = {
+    val splits = delegate.toBatch.planInputPartitions().flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files
+      case other => throw new IllegalStateException(
+        s"parquet scan planned a non-file partition: $other")
+    }
+    val convs = keySchema.fields
+      .map(f => CatalystTypeConverters.createToCatalystConverter(f.dataType))
+    val byKey = splits.groupBy { pf =>
+      keyOf(pf.toPath.toUri.getPath).getOrElse(
+        throw new IllegalStateException(
+          s"unkeyed file in a key-grouped scan: ${pf.filePath}"))
+    }
+    byKey.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+      .zipWithIndex.map { case ((key, pfs), i) =>
+        val row = InternalRow.fromSeq(
+          key.zip(convs).map { case (v, c) => c(v) })
+        KeyedFilePartition(
+          org.apache.spark.sql.execution.datasources.FilePartition(
+            i, pfs.toArray), row)
+      }.toArray
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning
+      .KeyGroupedPartitioning(
+        partCols.map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        groups.length)
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    groups.toArray[org.apache.spark.sql.connector.read.InputPartition]
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    KeyedUnwrapReaderFactory(delegate.toBatch.createReaderFactory())
+}
+
 object V2Bridge {
 
   private def classic(spark: SparkSession) =
@@ -441,7 +578,8 @@ object V2Bridge {
         Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]],
       rowCount: () => Option[Long] = () => None,
       mayMatch: Option[(Map[String, (Any, Any)],
-        Filter) => Boolean] = None)
+        Filter) => Boolean] = None,
+      partSpec: Option[(Seq[String], String => Option[Seq[Any]])] = None)
       : ScanBuilder = {
     def mkIndex(fs: Seq[String]): graft.sources.ZoneMapFileIndex =
       new graft.sources.ZoneMapFileIndex(classic(spark),
@@ -454,7 +592,8 @@ object V2Bridge {
       rowCount, zones, files, mayMatch,
       Some(mkIndex(_)),
       Some(new RuntimeBloomProbe(
-        if (hasBlooms) bloomMeta else () => Set.empty, bloomLoader)))
+        if (hasBlooms) bloomMeta else () => Set.empty, bloomLoader)),
+      partSpec)
   }
 
   /** A parquet scan over an exact file list with NOTHING pushed down —

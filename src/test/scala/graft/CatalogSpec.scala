@@ -492,6 +492,95 @@ class CatalogSpec extends AnyFunSuite {
     assert(q2.head().getLong(1) == expect.getLong(1))
   }
 
+  test("storage-partitioned join: co-partitioned catalog tables join " +
+    "and aggregate with zero hash exchanges") {
+    val a = fresh("cat_spj_fact")
+    val b = fresh("cat_spj_dim")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersionedPartitioned(orders, a, Seq("o_orderstatus"))
+    st.writeVersionedPartitioned(
+      orders.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).cast("long").as("n")),
+      b, Seq("o_orderstatus"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        s"""SELECT f.o_orderstatus AS st, count(*) AS c,
+           |  CAST(sum(d.n) AS BIGINT) AS s
+           |FROM graft.`$a` f JOIN graft.`$b` d
+           |  ON f.o_orderstatus = d.o_orderstatus
+           |GROUP BY f.o_orderstatus
+           |ORDER BY st""".stripMargin)
+      val rows = q.collect()
+      val expect = orders.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(1) * r.getLong(1))).toMap
+      assert(rows.length == expect.size)
+      rows.foreach { r =>
+        val (c, s) = expect(r.getString(0))
+        assert(r.getLong(1) == c && r.getLong(2) == s, r)
+      }
+      // the join AND the groupBy ride the reported key-grouping: the
+      // only exchange left is the ORDER BY's range partitioning
+      // (AQE prints Initial and Final plans — gate the FINAL one)
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "storage-partitioned join still shuffles:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
+  test("partitioned snapshots prune on the partition key from path-" +
+    "derived zones and answer partition-col MIN/MAX at manifest rate") {
+    val out = fresh("cat_spj_prune")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersionedPartitioned(orders, out, Seq("o_orderstatus"))
+    // static partition pruning: one key's files only (collect() so
+    // the inspected QueryExecution itself runs)
+    val q = spark.sql(
+      s"""SELECT CAST(count(o_orderkey) AS BIGINT) AS c
+         |FROM graft.`$out` WHERE o_orderstatus = 'F'""".stripMargin)
+    assert(q.collect().head.getLong(0) ==
+      orders.filter($"o_orderstatus" === "F").count())
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Int = {
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect { case x => x }.flatMap {
+          case ad: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => nodes(ad.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => s +: nodes(s.plan)
+          case x => Seq(x)
+        }
+      nodes(d.queryExecution.executedPlan).collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          bs.inputPartitions.map {
+            case k: org.apache.spark.sql.graftbridge.KeyedFilePartition =>
+              k.fp.files.map(_.filePath.toString).distinct.size
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(_.filePath.toString).distinct.size
+            case _ => 0
+          }.sum
+      }.sum
+    }
+    val full = spark.sql(
+      s"SELECT CAST(sum(o_orderkey) AS BIGINT) AS s FROM graft.`$out`")
+    full.collect()
+    val (pruned, total) = (scannedFiles(q), scannedFiles(full))
+    assert(pruned > 0 && pruned < total,
+      s"partition filter did not prune sibling partitions " +
+        s"($pruned of $total files)")
+    // COUNT(*) stays manifest-rate on partitioned snapshots (R lines)
+    val cq = spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+    assert(cq.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(cq.head().getLong(0) == orders.count())
+  }
+
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
     val out = seed("cat_mor_refuse")
     st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
