@@ -62,7 +62,10 @@ object GraftCatalog {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[GraftCatalog].getName)
     // storage-partitioned joins: honor the KeyGroupedPartitioning the
-    // partitioned-table scan reports (off by default in Spark)
+    // partitioned-table scan reports (off by default in Spark).
+    // Deliberately unconditional — registering graft opts the session
+    // into SPJ; a session that must keep it off (e.g. to work around
+    // another V2 source's planner) should flip it back AFTER register.
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
   }
 }
@@ -258,13 +261,17 @@ final class GraftVersionedTable(path: String,
   override def properties(): util.Map[String, String] =
     Map("path" -> path, "provider" -> "graft").asJava
 
-  /** Identity transforms of a partitioned snapshot (DESCRIBE etc.). */
+  /** Identity transforms of a partitioned snapshot (DESCRIBE etc.) —
+    * read from the cached one-line manifest `P` entry, NOT
+    * versionedScanParts (which would run sidecar-collect jobs for a
+    * metadata-only question).
+    */
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] = {
     val vs = st.listVersions(path)
     if (vs.isEmpty) Array.empty
-    else st.versionedScanParts(path, pinnedVersion.getOrElse(vs.last))
-      .partCols.map(org.apache.spark.sql.connector.expressions
+    else st.partitionSpec(path, pinnedVersion.getOrElse(vs.last))
+      .map(org.apache.spark.sql.connector.expressions
         .Expressions.identity).toArray
   }
 

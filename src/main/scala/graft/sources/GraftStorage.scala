@@ -836,7 +836,17 @@ final case class GraftStorage(
       require(GraftStorage.partKeyType(dt),
         s"partition column $c: $dt is not an identity-partition key " +
           "type (string/integral/date/boolean)")
+      require(!c.contains(',') && !c.contains('\t') && !c.contains('/') &&
+        !c.contains('='),
+        s"partition column name '$c' contains a manifest/path " +
+          "delimiter (, tab / =)")
     }
+    val clash = df.columns.filter(_.startsWith(GraftStorage.PartDirPrefix))
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with the " +
+        s"'${GraftStorage.PartDirPrefix}' partition-dir namespace — " +
+        "withColumn would overwrite them and partitionBy would strip " +
+        "them from the data files (silent loss); rename them first")
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -1869,8 +1879,12 @@ final case class GraftStorage(
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
     val v = version.getOrElse(vs.last)
+    // identity-partitioned snapshots prune from path-derived zones
+    // even with zero sidecars — only skip the pruning relation when
+    // NO stats source exists (or DVs force the anti-join path)
     if ((manifestStats(path, v).isEmpty &&
-        manifestBlooms(path, v).isEmpty) ||
+        manifestBlooms(path, v).isEmpty &&
+        partitionSpec(path, v).isEmpty) ||
         manifestDvs(path, v).nonEmpty)
       return readVersioned(path, version)
     val parts = versionedScanParts(path, v)
@@ -1949,9 +1963,12 @@ final case class GraftStorage(
         val key = new Path(f).toUri.getPath
         keyFn(key) match {
           case Some(vals) =>
+            // synthesized entries WIN over sidecar rows for the
+            // partition cols: [key,key] is exact where footer-derived
+            // string bounds may be truncation-widened
             val synth = partCols.zip(vals)
               .map { case (c, x) => c -> ((x, x)) }.toMap
-            z.updated(key, synth ++ z.getOrElse(key, Map.empty))
+            z.updated(key, z.getOrElse(key, Map.empty) ++ synth)
           case None => z
         }
       }

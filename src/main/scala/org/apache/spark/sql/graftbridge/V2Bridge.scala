@@ -168,7 +168,8 @@ final class MetaAggScanBuilder(
             inner.dataSchema.fields.find(_.name == c).getOrElse(
               throw new IllegalArgumentException(
                 s"partition column $c missing from schema"))))
-          new KeyGroupedParquetScan(scan, pcols, kschema, keyFn)
+          new KeyGroupedParquetScan(scan, pcols, kschema, keyFn,
+            zones, mayMatch)
         case _ =>
           // runtime join-key file pruning rides stats-covered tables
           mayMatch match {
@@ -215,7 +216,11 @@ final class MetaAggScanBuilder(
     }
     val dt = inner.dataSchema.fields.find(_.name == col)
       .map(_.dataType).getOrElse(return None)
-    if (!exactStatType(dt)) return None
+    // identity-partition keys are exact by construction (path-derived
+    // values, not footer stats) — string partition cols included
+    val isPartKey = partSpec.exists(_._1.contains(col))
+    if (!exactStatType(dt) && !(isPartKey && dt == StringType))
+      return None
     // every file must carry usable bounds for the column ((null,null)
     // = a provably all-null file, which contributes nothing)
     val perFile: Seq[Option[(Any, Any)]] = fileKeys.map(k =>
@@ -485,9 +490,12 @@ final class KeyGroupedParquetScan(
     val delegate: ParquetScan,
     val partCols: Seq[String],
     keySchema: StructType,
-    keyOf: String => Option[Seq[Any]])
+    keyOf: String => Option[Seq[Any]],
+    zones: Map[String, Map[String, (Any, Any)]] = Map.empty,
+    mayMatch: Option[(Map[String, (Any, Any)], Filter) => Boolean] = None)
   extends Scan with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def equals(other: Any): Boolean = other match {
@@ -507,12 +515,18 @@ final class KeyGroupedParquetScan(
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     delegate.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
 
   /** Splits regrouped by key, deterministically ordered. Computed
     * once: `outputPartitioning().numPartitions` and
-    * `planInputPartitions()` MUST agree.
+    * `planInputPartitions()` MUST agree — runtime filtering prunes
+    * splits WITHIN groups and never drops a group (a fully-pruned
+    * key keeps an empty partition; Spark requires the grouping
+    * preserved across runtime filters).
     */
   private lazy val groups: Array[KeyedFilePartition] = {
     val splits = delegate.toBatch.planInputPartitions().flatMap {
@@ -547,9 +561,50 @@ final class KeyGroupedParquetScan(
           : org.apache.spark.sql.connector.expressions.Expression).toArray,
         groups.length)
 
+  /** Files surviving runtime predicates (null: no filter yet). When
+    * SPJ cannot engage — the other join side is not co-partitioned —
+    * the dynamic join keys still elide files through the synthesized
+    * exact partition-key zones, the same DPP-style pruning the
+    * unpartitioned runtime scan performs.
+    */
+  @volatile private var keptFiles: Set[String] = null
+  /** Runtime filter() calls observed (tests). */
+  @volatile var filterCalls: Int = 0
+
+  private def pathOf(
+      pf: org.apache.spark.sql.execution.datasources.PartitionedFile)
+      : String = pf.toPath.toUri.getPath
+
+  override def filterAttributes(): Array[NamedReference] =
+    zones.valuesIterator.flatMap(_.keysIterator).toSet.toArray
+      .map(org.apache.spark.sql.connector.expressions.FieldReference
+        .column(_): NamedReference)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    filterCalls += 1
+    val v1 = predicates.toSeq.flatMap(V2Bridge.toV1Filter)
+    if (v1.nonEmpty && mayMatch.isDefined) {
+      val mm = mayMatch.get
+      keptFiles = groups.iterator.flatMap(_.fp.files).map(pathOf)
+        .filter { f =>
+          val stats = zones.getOrElse(f, Map.empty)
+          stats.isEmpty || v1.forall(mm(stats, _))
+        }.toSet
+    }
+  }
+
   override def planInputPartitions()
-      : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    groups.toArray[org.apache.spark.sql.connector.read.InputPartition]
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val kept = keptFiles
+    val out: Array[KeyedFilePartition] =
+      if (kept == null) groups
+      else groups.map(g => g.copy(
+        fp = org.apache.spark.sql.execution.datasources.FilePartition(
+          g.fp.index, g.fp.files.filter(f => kept.contains(pathOf(f))))))
+    out.toArray[org.apache.spark.sql.connector.read.InputPartition]
+  }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =

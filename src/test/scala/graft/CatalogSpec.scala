@@ -579,6 +579,61 @@ class CatalogSpec extends AnyFunSuite {
     assert(cq.queryExecution.executedPlan.toString
       .contains("LocalTableScan"))
     assert(cq.head().getLong(0) == orders.count())
+    // STRING partition-col MIN/MAX is manifest-rate too: path-derived
+    // keys are exact values, unlike truncation-widened footer stats
+    val mq = spark.sql(
+      s"""SELECT min(o_orderstatus) AS mn, max(o_orderstatus) AS mx
+         |FROM graft.`$out`""".stripMargin)
+    assert(mq.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"), mq.queryExecution.executedPlan)
+    val em = orders.agg(min($"o_orderstatus"), max($"o_orderstatus")).head()
+    val rm = mq.head()
+    assert(rm.getString(0) == em.getString(0) &&
+      rm.getString(1) == em.getString(1))
+  }
+
+  test("runtime filtering on a partitioned scan: a non-co-partitioned " +
+    "join's dynamic keys elide sibling partitions' files") {
+    val out = fresh("cat_spj_rtprune")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersionedPartitioned(orders, out, Seq("o_orderstatus"))
+    val dimPath = fresh("cat_spj_rtdim")
+    Seq(("F", "x"), ("O", "y")).toDF("k", "tag").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("cat_spj_rtdim")
+    val q = spark.sql(
+      s"""SELECT count(*) AS c
+         |FROM graft.`$out` f JOIN cat_spj_rtdim d
+         |  ON f.o_orderstatus = d.k
+         |WHERE d.tag = 'x'""".stripMargin)
+    assert(q.collect().head.getLong(0) ==
+      orders.filter($"o_orderstatus" === "F").count())
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case x => x }.flatMap {
+        case ad: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => nodes(ad.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => s +: nodes(s.plan)
+        case x => Seq(x)
+      }
+    val scans = nodes(q.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.runtimeFilters.nonEmpty => b.scan
+    }.collect {
+      case k: org.apache.spark.sql.graftbridge.KeyGroupedParquetScan => k
+    }
+    assert(scans.nonEmpty, "no runtime filter reached the partitioned " +
+      "scan:\n" + q.queryExecution.executedPlan.toString)
+    val k = scans.head
+    assert(k.filterCalls >= 1)
+    val total = k.planInputPartitions().collect {
+      case p: org.apache.spark.sql.graftbridge.KeyedFilePartition =>
+        p.fp.files.length
+    }.sum
+    val all = st.readVersioned(out).inputFiles.length
+    assert(total < all,
+      s"runtime keys did not elide sibling partitions ($total of $all)")
   }
 
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
