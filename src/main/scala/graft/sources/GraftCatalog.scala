@@ -135,16 +135,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables are unpartitioned (cluster/z-order via " +
-        "the writer options instead)")
+    // PARTITIONED BY (col, ...): identity transforms only — they are
+    // the storage-partitioned-join spec; bucket()/temporal transforms
+    // are not part of the layout
+    val idCols: Seq[String] = partitions.toSeq.map { t =>
+      val refs = t.references
+      require(t.name == "identity" && refs.length == 1 &&
+        refs.head.fieldNames.length == 1,
+        s"graft supports identity PARTITIONED BY columns only; got $t")
+      refs.head.fieldNames.head
+    }
     val p = pathOf(ident)
     val st = GraftStorage(spark)
     if (st.listVersions(p).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Seq(catalogName, p))
-    st.writeVersioned(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), p)
+    if (idCols.isEmpty)
+      st.writeVersioned(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), p)
+    else
+      st.createVersionedPartitioned(p, schema, idCols)
     new GraftVersionedTable(p)
   }
 
@@ -320,6 +330,12 @@ final class GraftVersionedTable(path: String,
   // strictly better than the whole-scan group path. Untranslatable
   // conditions (subqueries) stay on the row-level path.
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    // partitioned tables decline the metadata-delete shortcut: its
+    // copy-on-write rewrite writes an unpartitioned layout, which
+    // would silently degrade the storage-partitioned join — the
+    // group-based row-level path below writes key-rolled files
+    st.listVersions(path).lastOption
+      .forall(v => st.partitionSpec(path, v).isEmpty) &&
     predicates.forall(p =>
       V2Bridge.toV1Filter(p).exists(f =>
         GraftFilters.toColumn(f).isDefined))
@@ -334,14 +350,17 @@ final class GraftVersionedTable(path: String,
 
   override def truncateTable(): Boolean = {
     requireLatest("TRUNCATE")
-    st.writeVersioned(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), path)
+    st.truncateVersioned(path)
     true
   }
 }
 
 /** WriteBuilder for INSERT INTO (append) and INSERT OVERWRITE /
-  * TRUNCATE-style replacement.
+  * TRUNCATE-style replacement. On an identity-partitioned table the
+  * write requires CLUSTERED distribution + ordering on the partition
+  * columns (`RequiresDistributionAndOrdering`), so each task sees its
+  * keys contiguously and the task writer rolls one file per key —
+  * SQL INSERTs keep the storage-partitioned layout (and SPJ) alive.
   */
 private[sources] final class GraftWriteBuilder(path: String,
     writeSchema: StructType) extends WriteBuilder with SupportsTruncate {
@@ -353,11 +372,41 @@ private[sources] final class GraftWriteBuilder(path: String,
   override def build(): Write = {
     val mode: GraftCommitMode =
       if (overwrite) GraftCommitMode.Truncate else GraftCommitMode.Append
-    new Write {
+    val st = GraftStorage(SparkSession.active)
+    val partCols = st.listVersions(path).lastOption
+      .map(v => st.partitionSpec(path, v)).getOrElse(Seq.empty)
+    GraftWrites.forTable(path, writeSchema, mode, partCols)
+  }
+}
+
+/** Shared Write construction for the table and row-level paths. */
+private[sources] object GraftWrites {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  def forTable(path: String, writeSchema: StructType,
+      mode: GraftCommitMode, partCols: Seq[String]): Write =
+    if (partCols.isEmpty) new Write {
       override def toBatch: BatchWrite =
         new GraftBatchWrite(SparkSession.active, path, writeSchema, mode)
+    } else {
+      val missing = partCols.filterNot(writeSchema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"write to identity-partitioned $path lacks partition " +
+          s"columns: ${missing.mkString(", ")}")
+      new Write with RequiresDistributionAndOrdering {
+        override def requiredDistribution(): Distribution =
+          Distributions.clustered(partCols.map(c =>
+            Expressions.identity(c): org.apache.spark.sql.connector
+              .expressions.Expression).toArray)
+        override def requiredOrdering(): Array[SortOrder] =
+          partCols.map(c => Expressions.sort(
+            Expressions.identity(c), SortDirection.ASCENDING)).toArray
+        override def toBatch: BatchWrite =
+          new GraftBatchWrite(SparkSession.active, path, writeSchema,
+            mode, partCols)
+      }
     }
-  }
 }
 
 /** How a [[GraftBatchWrite]] forms the new manifest. */
@@ -384,7 +433,8 @@ private[sources] object GraftCommitMode {
   */
 private[sources] final class GraftBatchWrite(
     @transient spark: SparkSession, path: String,
-    writeSchema: StructType, mode: GraftCommitMode) extends BatchWrite {
+    writeSchema: StructType, mode: GraftCommitMode,
+    partCols: Seq[String] = Seq.empty) extends BatchWrite {
 
   @transient private val st = GraftStorage(spark)
   /** Version this write was planned against (conflict gate). */
@@ -399,7 +449,9 @@ private[sources] final class GraftBatchWrite(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftDataWriterFactory(
       new ParquetTaskWriters(spark, writeSchema, commitDir.toString),
-      writeSchema.length)
+      writeSchema.length,
+      partCols.map(c => (c, writeSchema.fieldIndex(c),
+        writeSchema(c).dataType)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val s = SparkSession.active
@@ -423,18 +475,21 @@ private[sources] final class GraftBatchWrite(
         store.manifestEntries(path, baseVersion.get).collect {
           case e if e.startsWith("H\t") => e.drop(2)
         } :+ writeSchema.json)
-    val msgs = messages.collect { case m: GraftCommitMessage => m }
-      .filter(_.file.nonEmpty).toSeq
-    val fresh = msgs.map(m => new Path(m.file.get).toUri.getPath)
+    val tallies = messages.collect { case m: GraftCommitMessage => m }
+      .toSeq.flatMap(_.files)
+    val fresh = tallies.map(t => new Path(t._1).toUri.getPath)
     // validate ONLY the reported files: a torn orphan from a crashed
     // attempt sharing the dir must not fail (or pollute) validation
     try store.validateCommitFiles(path, fresh, commitDir, fs)
     catch { case e: Throwable => fs.delete(commitDir, true); throw e }
     // R lines from the writers' own tallies — no commit-time footer
-    // re-reads (serialized GETs on an object store)
+    // re-reads (serialized GETs on an object store); the P spec rides
+    // replacement commits itself (append/replace carry the prior one)
     val freshEntries = fresh ++
-      msgs.map(m =>
-        s"R\t${m.rows}\t${new Path(m.file.get).toUri.getPath}") ++
+      tallies.map(t =>
+        s"R\t${t._2}\t${new Path(t._1).toUri.getPath}") ++
+      (if (partCols.nonEmpty && mode == GraftCommitMode.Truncate)
+        Seq(s"P\t${partCols.mkString(",")}") else Seq.empty) ++
       Seq(s"H\t${writeSchema.json}")
     val n = vsNow.lastOption.map(_ + 1).getOrElse(0L)
     val entries = mode match {
@@ -460,23 +515,69 @@ private[sources] final class GraftBatchWrite(
   }
 }
 
+/** (file path, row tally) per part file an attempt finished. */
 private[sources] final case class GraftCommitMessage(
-    file: Option[String], rows: Long) extends WriterCommitMessage
+    files: Seq[(String, Long)]) extends WriterCommitMessage
 
 private[sources] final class GraftDataWriterFactory(
     writers: ParquetTaskWriters,
-    expectedFields: Int) extends DataWriterFactory {
+    expectedFields: Int,
+    partKeys: Seq[(String, Int, org.apache.spark.sql.types.DataType)] =
+      Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
       private var w: org.apache.spark.sql.graftbridge.PartFileWriter = _
-      private var rows = 0L
+      private var currentDir: String = null
+      private var rowsInFile = 0L
+      private var finished: List[(String, Long)] = Nil
+      private var all: List[org.apache.spark.sql.graftbridge.PartFileWriter] =
+        Nil
       private var tail: TailRow = _
+      private var arityChecked = false
+
+      /** `__gp_<col>=<value>/...` segments of one row's key (the
+        * write-side mirror of partKeyOf; identical escaping).
+        */
+      private def keyDir(
+          r: org.apache.spark.sql.catalyst.InternalRow): String =
+        partKeys.map { case (name, idx, dt) =>
+          val v =
+            if (r.isNullAt(idx)) org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else {
+              import org.apache.spark.sql.types._
+              val raw = dt match {
+                case StringType => r.getUTF8String(idx).toString
+                case LongType => r.getLong(idx).toString
+                case IntegerType => r.getInt(idx).toString
+                case ShortType => r.getShort(idx).toString
+                case ByteType => r.getByte(idx).toString
+                case DateType =>
+                  java.time.LocalDate.ofEpochDay(r.getInt(idx)).toString
+                case BooleanType => r.getBoolean(idx).toString
+                case other => throw new IllegalArgumentException(
+                  s"not an identity-partition key type: $other")
+              }
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .escapePathName(raw)
+            }
+          s"${GraftStorage.PartDirPrefix}$name=$v"
+        }.mkString("/")
+
+      private def roll(dir: String): Unit = {
+        if (w != null) { w.close(); finished ::= (w.path, rowsInFile) }
+        w = writers.open(partitionId, taskId, dir)
+        all ::= w
+        currentDir = dir
+        rowsInFile = 0L
+      }
+
       // the part file opens on the FIRST row: empty partitions write
       // no file at all (an all-deleting DELETE commits just metadata)
-      override def write(r: org.apache.spark.sql.catalyst.InternalRow)
+      override def write(r0: org.apache.spark.sql.catalyst.InternalRow)
           : Unit = {
-        if (w == null) {
+        if (!arityChecked) {
           // Spark 4's group-based row-level rewrites PREPEND an int
           // operation column (RowDeltaUtils.OPERATION_COLUMN) to every
           // written row and — with no metadata projection in play —
@@ -484,24 +585,32 @@ private[sources] final class GraftDataWriterFactory(
           // (LogicalWriteInfo.schema) stays the bare row schema. Skip
           // that leading marker; any other arity drift is a bug to
           // surface, not mask.
-          val extra = r.numFields - expectedFields
+          val extra = r0.numFields - expectedFields
           require(extra == 0 || extra == 1,
-            s"graft write: row arity ${r.numFields} does not match " +
+            s"graft write: row arity ${r0.numFields} does not match " +
               s"schema arity $expectedFields (+optional operation col)")
           if (extra == 1) tail = new TailRow(1)
-          w = writers.open(partitionId, taskId)
+          arityChecked = true
         }
-        if (tail != null) { tail.row = r; w.write(tail) }
-        else w.write(r)
-        rows += 1
+        val r = if (tail != null) { tail.row = r0; tail } else r0
+        if (partKeys.nonEmpty) {
+          // clustered+ordered input: keys arrive contiguously, so a
+          // key change rolls to a fresh single-key file (the
+          // one-key-per-file invariant key grouping relies on)
+          val d = keyDir(r)
+          if (w == null || d != currentDir) roll(d)
+        } else if (w == null) roll("")
+        w.write(r)
+        rowsInFile += 1
       }
       override def commit(): WriterCommitMessage = {
-        if (w != null) w.close()
-        GraftCommitMessage(Option(w).map(_.path), rows)
+        if (w != null) { w.close(); finished ::= (w.path, rowsInFile) }
+        w = null
+        GraftCommitMessage(finished.reverse)
       }
-      // failed/speculative attempts remove their partial file — the
+      // failed/speculative attempts remove ALL their part files — the
       // commit dir holds only files some attempt finished
-      override def abort(): Unit = if (w != null) w.abort()
+      override def abort(): Unit = all.foreach(_.abort())
       override def close(): Unit = ()
     }
 }
@@ -599,10 +708,15 @@ private[sources] final class GraftRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val op = this
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GraftBatchWrite(SparkSession.active, path, info.schema(),
-            GraftCommitMode.ReplaceGroups(op))
+      override def build(): Write = {
+        // a row-level rewrite of a partitioned table writes its
+        // replacement files in the SAME identity layout (clustered +
+        // key-rolled), so DELETE/UPDATE/MERGE never degrade the
+        // storage-partitioned join
+        val st = GraftStorage(SparkSession.active)
+        GraftWrites.forTable(path, info.schema(),
+          GraftCommitMode.ReplaceGroups(op),
+          st.partitionSpec(path, op.version))
       }
     }
   }

@@ -831,22 +831,7 @@ final case class GraftStorage(
     val missing = partCols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"partition columns absent from the data: ${missing.mkString(", ")}")
-    partCols.foreach { c =>
-      val dt = df.schema(c).dataType
-      require(GraftStorage.partKeyType(dt),
-        s"partition column $c: $dt is not an identity-partition key " +
-          "type (string/integral/date/boolean)")
-      require(!c.contains(',') && !c.contains('\t') && !c.contains('/') &&
-        !c.contains('='),
-        s"partition column name '$c' contains a manifest/path " +
-          "delimiter (, tab / =)")
-    }
-    val clash = df.columns.filter(_.startsWith(GraftStorage.PartDirPrefix))
-    require(clash.isEmpty,
-      s"columns ${clash.mkString(", ")} collide with the " +
-        s"'${GraftStorage.PartDirPrefix}' partition-dir namespace — " +
-        "withColumn would overwrite them and partitionBy would strip " +
-        "them from the data files (silent loss); rename them first")
+    validatePartCols(df.schema, partCols)
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -882,6 +867,77 @@ final case class GraftStorage(
     n
   }
 
+  /** Shared gate of every partitioned commit surface: key types must
+    * round-trip through partition-dir strings, names must avoid the
+    * manifest/path delimiters, and nothing may collide with the
+    * `__gp_` copy-column namespace (silent data loss otherwise).
+    */
+  private[sources] def validatePartCols(
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): Unit = {
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition columns absent from the schema: ${missing.mkString(", ")}")
+    partCols.foreach { c =>
+      val dt = schema(c).dataType
+      require(GraftStorage.partKeyType(dt),
+        s"partition column $c: $dt is not an identity-partition key " +
+          "type (string/integral/date/boolean)")
+      require(!c.contains(',') && !c.contains('\t') && !c.contains('/') &&
+        !c.contains('='),
+        s"partition column name '$c' contains a manifest/path " +
+          "delimiter (, tab / =)")
+    }
+    val clash = schema.fieldNames
+      .filter(_.startsWith(GraftStorage.PartDirPrefix))
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with the " +
+        s"'${GraftStorage.PartDirPrefix}' partition-dir namespace — " +
+        "withColumn would overwrite them and partitionBy would strip " +
+        "them from the data files (silent loss); rename them first")
+  }
+
+  /** TRUNCATE as a metadata-only commit: version N+1 carries the
+    * schema (and, on a partitioned table, the `P` spec — a truncate
+    * must not silently de-partition the table) and zero files.
+    */
+  def truncateVersioned(path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val n = vs.last + 1
+    val spec = partitionSpec(path, vs.last)
+    val h = manifestEntries(path, vs.last).filter(_.startsWith("H\t"))
+    val entries =
+      (if (spec.nonEmpty) Seq(s"P\t${spec.mkString(",")}") else Seq.empty) ++
+      (if (h.nonEmpty) h else Seq.empty)
+    val dir = new Path(path)
+    publishManifest(
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, n, entries)
+    n
+  }
+
+  /** CREATE TABLE ... PARTITIONED BY: version 0 as a pure-metadata
+    * commit (one `P` + one `H` line, zero files); the first INSERT
+    * reads the spec and writes the partitioned layout.
+    */
+  def createVersionedPartitioned(path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
+    require(partCols.nonEmpty, "createVersionedPartitioned needs " +
+      "partition columns (use writeVersioned for unpartitioned tables)")
+    validatePartCols(schema, partCols)
+    require(listVersions(path).isEmpty,
+      s"$path already has committed versions")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishManifest(fs, dir, 0L,
+      Seq(s"P\t${partCols.mkString(",")}", s"H\t${schema.json}"))
+    0L
+  }
+
   /** Leaf data files under a partitioned commit dir (recursive;
     * sidecars and hidden files excluded), manifest-normalized.
     */
@@ -902,7 +958,7 @@ final case class GraftStorage(
   /** The table's identity-partition columns at version `v` (empty:
     * unpartitioned snapshot).
     */
-  private[sources] def partitionSpec(path: String, v: Long): Seq[String] =
+  private[graft] def partitionSpec(path: String, v: Long): Seq[String] =
     manifestEntries(path, v).collectFirst {
       case e if e.startsWith("P\t") => e.drop(2).split(',').toSeq
     }.getOrElse(Seq.empty)
@@ -1179,7 +1235,7 @@ final case class GraftStorage(
     val untouchedSet = untouched.toSet
     manifestEntries(path, version).filter(e =>
       e.startsWith("S\t") || e.startsWith("H\t") ||
-        e.startsWith("B\t") ||
+        e.startsWith("B\t") || e.startsWith("P\t") ||
         (e.startsWith("R\t") && untouchedSet(e.split('\t')(2))))
   }
 

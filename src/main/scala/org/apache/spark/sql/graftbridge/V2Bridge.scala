@@ -57,16 +57,20 @@ final class ParquetTaskWriters(
 
   /** Open one part file for (partitionId, taskId). The name carries a
     * fresh UUID so speculative/retried attempts never collide; only
-    * files named in commit messages enter the manifest.
+    * files named in commit messages enter the manifest. A non-empty
+    * `subdir` nests the file (identity-partitioned layout:
+    * `__gp_<col>=<value>` segments).
     */
-  def open(partitionId: Int, taskId: Long): PartFileWriter = {
+  def open(partitionId: Int, taskId: Long,
+      subdir: String = ""): PartFileWriter = {
     val conf = new org.apache.hadoop.conf.Configuration(jobConf.value)
     val attempt = new TaskAttemptID(
       new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
       (taskId % Int.MaxValue).toInt)
     val ctx = new TaskAttemptContextImpl(conf, attempt)
     val uuid = java.util.UUID.randomUUID.toString.take(8)
-    val file = s"$dir/part-$partitionId-$uuid${factory.getFileExtension(ctx)}"
+    val base = if (subdir.isEmpty) dir else s"$dir/$subdir"
+    val file = s"$base/part-$partitionId-$uuid${factory.getFileExtension(ctx)}"
     val out = factory.newInstance(file, schema, ctx)
     new PartFileWriter {
       override def write(row: InternalRow): Unit = out.write(row)

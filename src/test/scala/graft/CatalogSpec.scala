@@ -636,6 +636,60 @@ class CatalogSpec extends AnyFunSuite {
       s"runtime keys did not elide sibling partitions ($total of $all)")
   }
 
+  test("SQL partitioned lifecycle: CREATE PARTITIONED BY, INSERT, " +
+    "UPDATE, DELETE, TRUNCATE all keep the identity layout alive") {
+    val out = fresh("cat_sql_partlife")
+    spark.sql(
+      s"""CREATE TABLE graft.`$out` (k BIGINT, st STRING, v DOUBLE)
+         |USING graft PARTITIONED BY (st)""".stripMargin)
+    assert(st.partitionSpec(out, 0L) == Seq("st"))
+    T.t(spark, SF, "orders")
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+        $"o_totalprice".as("v"))
+      .createOrReplaceTempView("cat_sql_partlife_src")
+    spark.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT k, st, v FROM cat_sql_partlife_src")
+    val orders = spark.table("cat_sql_partlife_src")
+    assert(st.readVersioned(out).count() == orders.count())
+    // every inserted file is keyed: the key-grouped scan engages, so
+    // a self-aggregation on the partition key plans zero hash
+    // exchanges
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = spark.sql(
+        s"""SELECT st, CAST(count(*) AS BIGINT) AS c
+           |FROM graft.`$out` GROUP BY st""".stripMargin)
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "INSERT INTO lost the identity layout:\n" + plan)
+      // UPDATE runs the group-based rewrite — replacement files must
+      // come back key-rolled (layout survives)
+      spark.sql(s"UPDATE graft.`$out` SET v = v + 1 WHERE k % 10 = 0")
+      // DELETE declines the metadata shortcut on partitioned tables
+      // and rewrites through the same partition-preserving path
+      spark.sql(s"DELETE FROM graft.`$out` WHERE k % 2 = 0")
+      val agg2 = spark.sql(
+        s"""SELECT st, CAST(count(*) AS BIGINT) AS c
+           |FROM graft.`$out` GROUP BY st""".stripMargin)
+      val rows = agg2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = orders.filter($"k" % 2 === 1)
+        .groupBy($"st").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == expect)
+      val plan2 = agg2.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan2.contains("Exchange hashpartitioning"),
+        "row-level DML de-partitioned the table:\n" + plan2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // TRUNCATE keeps the spec: the next INSERT is still partitioned
+    spark.sql(s"TRUNCATE TABLE graft.`$out`")
+    assert(st.readVersioned(out).count() == 0)
+    assert(st.partitionSpec(out, st.listVersions(out).last) == Seq("st"))
+  }
+
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
     val out = seed("cat_mor_refuse")
     st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
