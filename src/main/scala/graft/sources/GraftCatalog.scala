@@ -527,17 +527,55 @@ private[sources] final class GraftDataWriterFactory(
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private val sess = writers.session(partitionId, taskId)
       private var w: org.apache.spark.sql.graftbridge.PartFileWriter = _
-      private var currentDir: String = null
       private var rowsInFile = 0L
       private var finished: List[(String, Long)] = Nil
-      private var all: List[org.apache.spark.sql.graftbridge.PartFileWriter] =
-        Nil
+      /** Safe COPIES of the open file's key values (UnsafeRow getters
+        * return views into a reused buffer — never retain them).
+        */
+      private var currentKey: Array[Any] = null
       private var tail: TailRow = _
       private var arityChecked = false
 
+      private def rawKey(r: org.apache.spark.sql.catalyst.InternalRow,
+          idx: Int, dt: org.apache.spark.sql.types.DataType,
+          retain: Boolean): Any = {
+        import org.apache.spark.sql.types._
+        if (r.isNullAt(idx)) null
+        else dt match {
+          case StringType =>
+            val s = r.getUTF8String(idx); if (retain) s.clone() else s
+          case LongType => java.lang.Long.valueOf(r.getLong(idx))
+          case IntegerType | DateType =>
+            java.lang.Integer.valueOf(r.getInt(idx))
+          case ShortType => java.lang.Short.valueOf(r.getShort(idx))
+          case ByteType => java.lang.Byte.valueOf(r.getByte(idx))
+          case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(idx))
+          case other => throw new IllegalArgumentException(
+            s"not an identity-partition key type: $other")
+        }
+      }
+
+      private def keyChanged(
+          r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+        if (currentKey == null) return true
+        var i = 0
+        while (i < partKeys.length) {
+          val (_, idx, dt) = partKeys(i)
+          val now = rawKey(r, idx, dt, retain = false)
+          val prev = currentKey(i)
+          if (if (now == null) prev != null else !now.equals(prev))
+            return true
+          i += 1
+        }
+        false
+      }
+
       /** `__gp_<col>=<value>/...` segments of one row's key (the
-        * write-side mirror of partKeyOf; identical escaping).
+        * write-side mirror of partKeyOf; identical escaping). Built
+        * only at key boundaries — the per-row path is a raw-value
+        * comparison, no string churn.
         */
       private def keyDir(
           r: org.apache.spark.sql.catalyst.InternalRow): String =
@@ -548,16 +586,9 @@ private[sources] final class GraftDataWriterFactory(
             else {
               import org.apache.spark.sql.types._
               val raw = dt match {
-                case StringType => r.getUTF8String(idx).toString
-                case LongType => r.getLong(idx).toString
-                case IntegerType => r.getInt(idx).toString
-                case ShortType => r.getShort(idx).toString
-                case ByteType => r.getByte(idx).toString
                 case DateType =>
                   java.time.LocalDate.ofEpochDay(r.getInt(idx)).toString
-                case BooleanType => r.getBoolean(idx).toString
-                case other => throw new IllegalArgumentException(
-                  s"not an identity-partition key type: $other")
+                case _ => rawKey(r, idx, dt, retain = false).toString
               }
               org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                 .escapePathName(raw)
@@ -567,9 +598,7 @@ private[sources] final class GraftDataWriterFactory(
 
       private def roll(dir: String): Unit = {
         if (w != null) { w.close(); finished ::= (w.path, rowsInFile) }
-        w = writers.open(partitionId, taskId, dir)
-        all ::= w
-        currentDir = dir
+        w = sess.open(dir)
         rowsInFile = 0L
       }
 
@@ -597,8 +626,11 @@ private[sources] final class GraftDataWriterFactory(
           // clustered+ordered input: keys arrive contiguously, so a
           // key change rolls to a fresh single-key file (the
           // one-key-per-file invariant key grouping relies on)
-          val d = keyDir(r)
-          if (w == null || d != currentDir) roll(d)
+          if (w == null || keyChanged(r)) {
+            roll(keyDir(r))
+            currentKey = partKeys.map { case (_, idx, dt) =>
+              rawKey(r, idx, dt, retain = true) }.toArray
+          }
         } else if (w == null) roll("")
         w.write(r)
         rowsInFile += 1
@@ -609,8 +641,11 @@ private[sources] final class GraftDataWriterFactory(
         GraftCommitMessage(finished.reverse)
       }
       // failed/speculative attempts remove ALL their part files — the
-      // commit dir holds only files some attempt finished
-      override def abort(): Unit = all.foreach(_.abort())
+      // open one plus every file this attempt already closed
+      override def abort(): Unit = {
+        if (w != null) w.abort()
+        finished.foreach { case (p, _) => sess.delete(p) }
+      }
       override def close(): Unit = ()
     }
 }

@@ -828,9 +828,6 @@ final case class GraftStorage(
     import org.apache.hadoop.fs.Path
     require(partCols.nonEmpty,
       "writeVersionedPartitioned needs at least one partition column")
-    val missing = partCols.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"partition columns absent from the data: ${missing.mkString(", ")}")
     validatePartCols(df.schema, partCols)
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
@@ -850,12 +847,7 @@ final case class GraftStorage(
     }
     val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
     val commitDir = newCommitDir(dir, n)
-    val dirCols = partCols.map(GraftStorage.PartDirPrefix + _)
-    val pdf = partCols.foldLeft(df)((d, c) =>
-      d.withColumn(GraftStorage.PartDirPrefix + c, col(c)))
-    pdf.write.mode("overwrite").partitionBy(dirCols: _*)
-      .parquet(commitDir.toString)
-    val freshFiles = listParquetRecursive(fs, commitDir)
+    val freshFiles = writeCommitData(df, commitDir, partCols, fs)
     validateCommitFiles(path, freshFiles, commitDir, fs)
     val fresh = freshFiles ++ rowCountLines(freshFiles) ++
       Seq(s"P\t${partCols.mkString(",")}", s"H\t${df.schema.json}")
@@ -883,10 +875,9 @@ final case class GraftStorage(
       require(GraftStorage.partKeyType(dt),
         s"partition column $c: $dt is not an identity-partition key " +
           "type (string/integral/date/boolean)")
-      require(!c.contains(',') && !c.contains('\t') && !c.contains('/') &&
-        !c.contains('='),
-        s"partition column name '$c' contains a manifest/path " +
-          "delimiter (, tab / =)")
+      require(!c.exists(",\t/=.\n\r".contains(_)),
+        s"partition column name '$c' contains a manifest/path/" +
+          "reference delimiter (comma, tab, /, =, ., or a line break)")
     }
     val clash = schema.fieldNames
       .filter(_.startsWith(GraftStorage.PartDirPrefix))
@@ -907,10 +898,16 @@ final case class GraftStorage(
     require(vs.nonEmpty, s"no versions committed under $path")
     val n = vs.last + 1
     val spec = partitionSpec(path, vs.last)
-    val h = manifestEntries(path, vs.last).filter(_.startsWith("H\t"))
+    // legacy (pre-schema-in-log) manifests carry no H line — a
+    // truncate must still leave the table readable, so synthesize one
+    // from the prior snapshot's resolved schema
+    val h0 = manifestEntries(path, vs.last).filter(_.startsWith("H\t"))
+    val h =
+      if (h0.nonEmpty) h0
+      else Seq(s"H\t${readVersioned(path, Some(vs.last)).schema.json}")
     val entries =
       (if (spec.nonEmpty) Seq(s"P\t${spec.mkString(",")}") else Seq.empty) ++
-      (if (h.nonEmpty) h else Seq.empty)
+      h
     val dir = new Path(path)
     publishManifest(
       dir.getFileSystem(spark.sparkContext.hadoopConfiguration),
@@ -937,6 +934,31 @@ final case class GraftStorage(
       Seq(s"P\t${partCols.mkString(",")}", s"H\t${schema.json}"))
     0L
   }
+
+  /** Write one commit's data files honoring the table's partition
+    * layout — identity `__gp_` dirs when `partCols` is non-empty,
+    * flat otherwise — and return the normalized fresh file list.
+    * EVERY Scala-API commit surface that rewrites data (partitioned
+    * create/append, copy-on-write DELETE/UPDATE, MERGE) goes through
+    * here, so a partitioned table's replacement files stay key-pure
+    * and the storage-partitioned join survives maintenance and DML.
+    */
+  private def writeCommitData(df: DataFrame,
+      commitDir: org.apache.hadoop.fs.Path, partCols: Seq[String],
+      fs: org.apache.hadoop.fs.FileSystem): Seq[String] =
+    if (partCols.isEmpty) {
+      df.write.mode("overwrite").parquet(commitDir.toString)
+      fs.listStatus(commitDir).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toUri.getPath)
+    } else {
+      val pdf = partCols.foldLeft(df)((d, c) =>
+        d.withColumn(GraftStorage.PartDirPrefix + c, col(c)))
+      pdf.write.mode("overwrite")
+        .partitionBy(partCols.map(GraftStorage.PartDirPrefix + _): _*)
+        .parquet(commitDir.toString)
+      listParquetRecursive(fs, commitDir)
+    }
 
   /** Leaf data files under a partitioned commit dir (recursive;
     * sidecars and hidden files excluded), manifest-normalized.
@@ -1421,9 +1443,20 @@ final case class GraftStorage(
     * fixed without breaking time travel. Returns the new version.
     */
   def compactVersioned(path: String, targetFiles: Int = 1): Long = {
-    val (sc, bc) = priorSidecarCoverage(path)
-    writeVersioned(readVersioned(path).coalesce(targetFiles), path,
-      append = false, sc, bc)
+    // a partitioned table compacts WITHIN its layout: hash the keys
+    // into targetFiles tasks (≈ one file per key per task) and keep
+    // the identity dirs + P spec — compaction must not de-partition
+    val spec = listVersions(path).lastOption
+      .map(partitionSpec(path, _)).getOrElse(Seq.empty)
+    if (spec.nonEmpty)
+      writeVersionedPartitioned(
+        readVersioned(path)
+          .repartition(targetFiles, spec.map(col): _*), path, spec)
+    else {
+      val (sc, bc) = priorSidecarCoverage(path)
+      writeVersioned(readVersioned(path).coalesce(targetFiles), path,
+        append = false, sc, bc)
+    }
   }
 
   /** Columns the CURRENT snapshot's stats-in-log / bloom-in-log
@@ -1705,12 +1738,10 @@ final case class GraftStorage(
       .select(cur.columns.map(col).toIndexedSeq: _*)
     val inserts = upd.join(cur.select(col(key)), Seq(key), "left_anti")
       .select(cur.columns.map(col).toIndexedSeq: _*)
-    survivors.unionByName(matched).unionByName(inserts)
-      .write.mode("overwrite").parquet(commitDir.toString)
-    validateCommitDir(path, commitDir, fs)
-    val fresh = fs.listStatus(commitDir).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath)
+    val fresh = writeCommitData(
+      survivors.unionByName(matched).unionByName(inserts), commitDir,
+      partitionSpec(path, vs.last), fs)
+    validateCommitFiles(path, fresh, commitDir, fs)
     val meta = carriedMetaLines(path, vs.last, untouched) ++
       rowCountLines(fresh)
     publishManifest(fs, dir, n, untouched ++ fresh ++ meta,
@@ -1861,12 +1892,11 @@ final case class GraftStorage(
     val fresh: Seq[String] =
       if (affected.isEmpty) Seq.empty
       else {
-        rewrite(readRawFiles(path, vs.last, affected))
-          .write.mode("overwrite").parquet(commitDir.toString)
-        validateCommitDir(path, commitDir, fs)
-        fs.listStatus(commitDir).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toUri.getPath)
+        val out = writeCommitData(
+          rewrite(readRawFiles(path, vs.last, affected)), commitDir,
+          partitionSpec(path, vs.last), fs)
+        validateCommitFiles(path, out, commitDir, fs)
+        out
       }
     val meta = carriedMetaLines(path, vs.last, untouched) ++
       rowCountLines(fresh)

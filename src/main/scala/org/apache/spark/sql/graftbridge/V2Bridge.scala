@@ -55,35 +55,52 @@ final class ParquetTaskWriters(
     (f, new SerializableConfiguration(job.getConfiguration))
   }
 
-  /** Open one part file for (partitionId, taskId). The name carries a
-    * fresh UUID so speculative/retried attempts never collide; only
-    * files named in commit messages enter the manifest. A non-empty
-    * `subdir` nests the file (identity-partitioned layout:
-    * `__gp_<col>=<value>` segments).
+  /** Per-task writer session: ONE Hadoop Configuration copy and task
+    * context for however many part files the task rolls (an identity-
+    * partitioned write opens a file per key — copying the conf per
+    * key would be hundreds of property iterations on the hot path).
     */
-  def open(partitionId: Int, taskId: Long,
-      subdir: String = ""): PartFileWriter = {
-    val conf = new org.apache.hadoop.conf.Configuration(jobConf.value)
-    val attempt = new TaskAttemptID(
-      new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
-      (taskId % Int.MaxValue).toInt)
-    val ctx = new TaskAttemptContextImpl(conf, attempt)
-    val uuid = java.util.UUID.randomUUID.toString.take(8)
-    val base = if (subdir.isEmpty) dir else s"$dir/$subdir"
-    val file = s"$base/part-$partitionId-$uuid${factory.getFileExtension(ctx)}"
-    val out = factory.newInstance(file, schema, ctx)
-    new PartFileWriter {
-      override def write(row: InternalRow): Unit = out.write(row)
-      override def close(): Unit = out.close()
-      override def abort(): Unit = {
-        try out.close() catch { case _: Exception => () }
-        val p = new org.apache.hadoop.fs.Path(file)
-        try { p.getFileSystem(conf).delete(p, false): Unit }
-        catch { case _: Exception => () }
+  final class TaskSession(partitionId: Int, taskId: Long) {
+    private val conf = new org.apache.hadoop.conf.Configuration(jobConf.value)
+    private val ctx = new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(
+        new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
+        (taskId % Int.MaxValue).toInt))
+
+    /** Open one part file. The name carries a fresh UUID so
+      * speculative/retried attempts never collide; only files named
+      * in commit messages enter the manifest. A non-empty `subdir`
+      * nests the file (identity layout: `__gp_<col>=<value>`).
+      */
+    def open(subdir: String): PartFileWriter = {
+      val uuid = java.util.UUID.randomUUID.toString.take(8)
+      val base = if (subdir.isEmpty) dir else s"$dir/$subdir"
+      val file =
+        s"$base/part-$partitionId-$uuid${factory.getFileExtension(ctx)}"
+      val out = factory.newInstance(file, schema, ctx)
+      new PartFileWriter {
+        override def write(row: InternalRow): Unit = out.write(row)
+        override def close(): Unit = out.close()
+        override def abort(): Unit = {
+          try out.close() catch { case _: Exception => () }
+          delete(file)
+        }
+        override def path: String = file
       }
-      override def path: String = file
+    }
+
+    /** Best-effort delete of an already-closed part file (attempt
+      * abort cleanup).
+      */
+    def delete(file: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      try { p.getFileSystem(conf).delete(p, false): Unit }
+      catch { case _: Exception => () }
     }
   }
+
+  def session(partitionId: Int, taskId: Long): TaskSession =
+    new TaskSession(partitionId, taskId)
 }
 
 /** Delegating ScanBuilder over Spark's [[ParquetScanBuilder]] that

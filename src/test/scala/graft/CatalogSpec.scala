@@ -690,6 +690,41 @@ class CatalogSpec extends AnyFunSuite {
     assert(st.partitionSpec(out, st.listVersions(out).last) == Seq("st"))
   }
 
+  test("Scala-API CoW DELETE, MERGE, and compact on a partitioned " +
+    "table rewrite in the identity layout") {
+    val out = fresh("cat_scala_partdml")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersionedPartitioned(orders, out, Seq("o_orderstatus"))
+    def allKeyed(): Boolean =
+      st.readVersioned(out).inputFiles.forall(_.contains("__gp_"))
+    st.deleteVersioned(out, $"o_orderkey" % 7 === 0)
+    assert(allKeyed(), "CoW DELETE de-partitioned the table")
+    assert(st.readVersioned(out).count() ==
+      orders.filter($"o_orderkey" % 7 =!= 0).count())
+    val upd = orders.filter($"o_orderkey" % 7 === 1)
+      .withColumn("o_totalprice", $"o_totalprice" + 1)
+    st.mergeVersioned(out, upd, "o_orderkey")
+    assert(allKeyed(), "MERGE de-partitioned the table")
+    st.compactVersioned(out, targetFiles = 2)
+    assert(allKeyed(), "compact de-partitioned the table")
+    assert(st.partitionSpec(out, st.listVersions(out).last) ==
+      Seq("o_orderstatus"))
+    // the layout is not just cosmetic: the partition-key aggregation
+    // still plans zero hash exchanges after the whole DML sequence
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = spark.sql(
+        s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS c
+           |FROM graft.`$out` GROUP BY o_orderstatus""".stripMargin)
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
     val out = seed("cat_mor_refuse")
     st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
