@@ -250,6 +250,41 @@ object SqlDml extends QueryModule {
          |ORDER BY st""".stripMargin)
   }
 
+  /** Bucketed storage-partitioned join — the HIGH-cardinality SPJ
+    * shape: both sides laid out with `bucket(8, key)` (the V2
+    * `graft.bucket` function = `pmod(hash(key), n)`), so the
+    * orders↔lineitem join keyed on millions of distinct orderkeys
+    * plans with ZERO hash exchange on either side. At 100 TB this is
+    * THE fact-fact join: the eliminated shuffle is the whole cost.
+    */
+  def sqlJoinBucketedSpj(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val a = T.scratch(dir, "sql_spjb_fact")
+    val b = T.scratch(dir, "sql_spjb_lines")
+    val fs = new org.apache.hadoop.fs.Path(a)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(a, b).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val st = GraftStorage(s)
+    st.writeVersionedPartitioned(
+      T.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"),
+      a, Seq("bucket(8,o_orderkey)"))
+    st.writeVersionedPartitioned(
+      T.t(s, dir, "lineitem").groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_lines")),
+      b, Seq("bucket(8,l_orderkey)"))
+    s.sql(
+      s"""SELECT f.o_orderstatus AS st,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(d.n_lines) AS BIGINT) AS line_sum
+         |FROM graft.`$a` f JOIN graft.`$b` d
+         |  ON f.o_orderkey = d.l_orderkey
+         |GROUP BY f.o_orderstatus
+         |ORDER BY st""".stripMargin)
+  }
+
   /** Partitioned sink round-trip: identity-partitioned create +
     * append (spec must match), then a catalog read whose partition
     * predicate prunes sibling partitions from path-derived zone
@@ -319,6 +354,7 @@ object SqlDml extends QueryModule {
     "sql_agg_pushdown_meta" -> (sqlAggPushdownMeta(_, _)),
     "sql_join_runtime_prune" -> (sqlJoinRuntimePrune(_, _)),
     "sql_join_copartitioned" -> (sqlJoinCopartitioned(_, _)),
+    "sql_join_bucketed_spj" -> (sqlJoinBucketedSpj(_, _)),
     "sink_versioned_partitioned" -> (sinkVersionedPartitioned(_, _)),
     "scan_multipath" -> (scanMultiPath(_, _)))
 
@@ -411,6 +447,17 @@ object SqlDml extends QueryModule {
          |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
          |  CAST(COUNT(*) AS BIGINT) AS n_status
          |FROM orders GROUP BY o_orderstatus
+         |ORDER BY st""".stripMargin,
+    // bucketed SPJ ≡ the plain orders↔lineitem-rollup join
+    "sql_join_bucketed_spj" ->
+      s"""SELECT o.o_orderstatus AS st,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(d.n_lines) AS BIGINT) AS line_sum
+         |FROM orders o JOIN (
+         |  SELECT l_orderkey, COUNT(*) AS n_lines
+         |  FROM lineitem GROUP BY l_orderkey) d
+         |  ON o.o_orderkey = d.l_orderkey
+         |GROUP BY o.o_orderstatus
          |ORDER BY st""".stripMargin,
     // partitioned create+append must hold every row exactly once
     "sink_versioned_partitioned" ->

@@ -70,8 +70,68 @@ object GraftCatalog {
   }
 }
 
+/** The V2 `bucket(n, col)` function: `pmod(hash(col), n)` with
+  * Spark's own Murmur3 `hash()` semantics. Two graft tables bucketed
+  * with it report transform-compatible `KeyGroupedPartitioning`
+  * (identity proven by `canonicalName`), which is what lets Spark
+  * plan their join shuffle-free; the function is also evaluated for
+  * real — write-side clustered distributions invoke `produceResult`
+  * per row, and it must agree exactly with the writer's dir layout.
+  */
+private[sources] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(hash(col), n) — the graft bucket-layout id"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"graft.bucket expects (numBuckets INT, key); got $inputType")
+    val keyType = inputType.fields(1).dataType
+    require(GraftStorage.bucketKeyType(keyType),
+      s"graft.bucket key type $keyType is not hash-bucketable")
+    new org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[java.lang.Integer] {
+      // same interpreted path as the writer and Spark's hash():
+      // Murmur3 seed 42 over the key field
+      @transient private lazy val hash =
+        new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            1, keyType, nullable = true)))
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def isResultNullable: Boolean = false
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket($keyType)"
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.lang.Integer = {
+        val n = input.getInt(0)
+        val h = hash.eval(input).asInstanceOf[Int]
+        java.lang.Integer.valueOf(((h % n) + n) % n)
+      }
+    }
+  }
+}
+
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.AnalysisException(
+      "ROUTINE_NOT_FOUND",
+      Map("routineName" ->
+        s"`${(ident.namespace :+ ident.name).mkString(".")}`"))
 
   private var catalogName = "graft"
 
@@ -135,15 +195,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY (col, ...): identity transforms only — they are
-    // the storage-partitioned-join spec; bucket()/temporal transforms
-    // are not part of the layout
+    // PARTITIONED BY (col | bucket(n, col), ...): the storage-
+    // partitioned-join spec — identity for low-cardinality keys,
+    // bucket for high-cardinality ones; temporal transforms are not
+    // part of the layout
     val idCols: Seq[String] = partitions.toSeq.map { t =>
       val refs = t.references
-      require(t.name == "identity" && refs.length == 1 &&
-        refs.head.fieldNames.length == 1,
-        s"graft supports identity PARTITIONED BY columns only; got $t")
-      refs.head.fieldNames.head
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"graft PARTITIONED BY needs single top-level columns; got $t")
+      val c = refs.head.fieldNames.head
+      t.name match {
+        case "identity" => c
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value.isInstanceOf[Number] =>
+              l.value.asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a numeric bucket count: $t"))
+          s"bucket($n,$c)"
+        case other => throw new IllegalArgumentException(
+          s"graft supports identity and bucket PARTITIONED BY " +
+            s"transforms only; got $other")
+      }
     }
     val p = pathOf(ident)
     val st = GraftStorage(spark)
@@ -281,8 +355,12 @@ final class GraftVersionedTable(path: String,
     val vs = st.listVersions(path)
     if (vs.isEmpty) Array.empty
     else st.partitionSpec(path, pinnedVersion.getOrElse(vs.last))
-      .map(org.apache.spark.sql.connector.expressions
-        .Expressions.identity).toArray
+      .map(s => GraftStorage.parsePartField(s) match {
+        case GraftStorage.IdentityPart(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        case GraftStorage.BucketPart(n, c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      }).toArray
   }
 
   override def newScanBuilder(
@@ -309,7 +387,15 @@ final class GraftVersionedTable(path: String,
       () => st.countVersionedFast(path, Some(v)),
       Some(GraftFilters.mayMatch),
       if (parts.partCols.isEmpty) None
-      else Some((parts.partCols, parts.partKey)))
+      else Some((parts.partCols.map(s =>
+        GraftStorage.parsePartField(s) match {
+          case GraftStorage.IdentityPart(c) =>
+            org.apache.spark.sql.graftbridge.PartFieldInfo(
+              c, None, parts.schema(c).dataType)
+          case GraftStorage.BucketPart(n, c) =>
+            org.apache.spark.sql.graftbridge.PartFieldInfo(
+              c, Some(n), org.apache.spark.sql.types.IntegerType)
+        }), parts.partKey)))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -390,24 +476,38 @@ private[sources] object GraftWrites {
       override def toBatch: BatchWrite =
         new GraftBatchWrite(SparkSession.active, path, writeSchema, mode)
     } else {
-      val missing = partCols.filterNot(writeSchema.fieldNames.contains)
+      val fields = partCols.map(GraftStorage.parsePartField)
+      val missing = fields.map(_.col)
+        .filterNot(writeSchema.fieldNames.contains)
       require(missing.isEmpty,
-        s"write to identity-partitioned $path lacks partition " +
+        s"write to partitioned $path lacks partition " +
           s"columns: ${missing.mkString(", ")}")
+      def transform(f: GraftStorage.PartField)
+          : org.apache.spark.sql.connector.expressions.Expression =
+        f match {
+          case GraftStorage.IdentityPart(c) => Expressions.identity(c)
+          case GraftStorage.BucketPart(n, c) => Expressions.bucket(n, c)
+        }
       new Write with RequiresDistributionAndOrdering {
         override def requiredDistribution(): Distribution =
-          Distributions.clustered(partCols.map(c =>
-            Expressions.identity(c): org.apache.spark.sql.connector
-              .expressions.Expression).toArray)
+          Distributions.clustered(fields.map(transform).toArray)
         override def requiredOrdering(): Array[SortOrder] =
-          partCols.map(c => Expressions.sort(
-            Expressions.identity(c), SortDirection.ASCENDING)).toArray
+          fields.map(f => Expressions.sort(
+            transform(f), SortDirection.ASCENDING)).toArray
         override def toBatch: BatchWrite =
           new GraftBatchWrite(SparkSession.active, path, writeSchema,
             mode, partCols)
       }
     }
 }
+
+/** One partition-spec field as the TASK WRITER needs it: the dir
+  * segment prefix, the key column's ordinal/type in the write schema,
+  * and the bucket count (None = identity).
+  */
+private[sources] final case class GraftWriteKey(
+    dirPrefix: String, idx: Int,
+    dt: org.apache.spark.sql.types.DataType, bucket: Option[Int])
 
 /** How a [[GraftBatchWrite]] forms the new manifest. */
 private[sources] sealed trait GraftCommitMode
@@ -450,8 +550,14 @@ private[sources] final class GraftBatchWrite(
     new GraftDataWriterFactory(
       new ParquetTaskWriters(spark, writeSchema, commitDir.toString),
       writeSchema.length,
-      partCols.map(c => (c, writeSchema.fieldIndex(c),
-        writeSchema(c).dataType)))
+      partCols.map(GraftStorage.parsePartField).map {
+        case f @ GraftStorage.IdentityPart(c) =>
+          GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
+            writeSchema(c).dataType, None)
+        case f @ GraftStorage.BucketPart(n, c) =>
+          GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
+            writeSchema(c).dataType, Some(n))
+      })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val s = SparkSession.active
@@ -522,8 +628,7 @@ private[sources] final case class GraftCommitMessage(
 private[sources] final class GraftDataWriterFactory(
     writers: ParquetTaskWriters,
     expectedFields: Int,
-    partKeys: Seq[(String, Int, org.apache.spark.sql.types.DataType)] =
-      Seq.empty) extends DataWriterFactory {
+    partKeys: Seq[GraftWriteKey] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
@@ -538,22 +643,43 @@ private[sources] final class GraftDataWriterFactory(
       private var tail: TailRow = _
       private var arityChecked = false
 
+      /** Bucket-id evaluators, one per bucket field (Spark's own
+        * Murmur3Hash expression — exactly hash(); built executor-side,
+        * nothing to serialize).
+        */
+      private lazy val bucketHash
+          : Array[org.apache.spark.sql.catalyst.expressions.Murmur3Hash] =
+        partKeys.map(k => k.bucket.map(_ =>
+          new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              k.idx, k.dt, nullable = true)))).orNull).toArray
+
       private def rawKey(r: org.apache.spark.sql.catalyst.InternalRow,
-          idx: Int, dt: org.apache.spark.sql.types.DataType,
-          retain: Boolean): Any = {
+          i: Int, retain: Boolean): Any = {
         import org.apache.spark.sql.types._
-        if (r.isNullAt(idx)) null
-        else dt match {
-          case StringType =>
-            val s = r.getUTF8String(idx); if (retain) s.clone() else s
-          case LongType => java.lang.Long.valueOf(r.getLong(idx))
-          case IntegerType | DateType =>
-            java.lang.Integer.valueOf(r.getInt(idx))
-          case ShortType => java.lang.Short.valueOf(r.getShort(idx))
-          case ByteType => java.lang.Byte.valueOf(r.getByte(idx))
-          case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(idx))
-          case other => throw new IllegalArgumentException(
-            s"not an identity-partition key type: $other")
+        val k = partKeys(i)
+        k.bucket match {
+          case Some(n) =>
+            // pmod(hash(col), n): hash(null) = the seed, so bucket
+            // keys are never null
+            val h = bucketHash(i).eval(r).asInstanceOf[Int]
+            java.lang.Integer.valueOf(((h % n) + n) % n)
+          case None =>
+            val idx = k.idx
+            if (r.isNullAt(idx)) null
+            else k.dt match {
+              case StringType =>
+                val s = r.getUTF8String(idx); if (retain) s.clone() else s
+              case LongType => java.lang.Long.valueOf(r.getLong(idx))
+              case IntegerType | DateType =>
+                java.lang.Integer.valueOf(r.getInt(idx))
+              case ShortType => java.lang.Short.valueOf(r.getShort(idx))
+              case ByteType => java.lang.Byte.valueOf(r.getByte(idx))
+              case BooleanType =>
+                java.lang.Boolean.valueOf(r.getBoolean(idx))
+              case other => throw new IllegalArgumentException(
+                s"not an identity-partition key type: $other")
+            }
         }
       }
 
@@ -562,8 +688,7 @@ private[sources] final class GraftDataWriterFactory(
         if (currentKey == null) return true
         var i = 0
         while (i < partKeys.length) {
-          val (_, idx, dt) = partKeys(i)
-          val now = rawKey(r, idx, dt, retain = false)
+          val now = rawKey(r, i, retain = false)
           val prev = currentKey(i)
           if (if (now == null) prev != null else !now.equals(prev))
             return true
@@ -572,28 +697,31 @@ private[sources] final class GraftDataWriterFactory(
         false
       }
 
-      /** `__gp_<col>=<value>/...` segments of one row's key (the
+      /** `<dir>=<value>/...` segments of one row's key (the
         * write-side mirror of partKeyOf; identical escaping). Built
         * only at key boundaries — the per-row path is a raw-value
         * comparison, no string churn.
         */
       private def keyDir(
           r: org.apache.spark.sql.catalyst.InternalRow): String =
-        partKeys.map { case (name, idx, dt) =>
-          val v =
-            if (r.isNullAt(idx)) org.apache.spark.sql.catalyst.catalog
-              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-            else {
-              import org.apache.spark.sql.types._
-              val raw = dt match {
-                case DateType =>
-                  java.time.LocalDate.ofEpochDay(r.getInt(idx)).toString
-                case _ => rawKey(r, idx, dt, retain = false).toString
+        partKeys.zipWithIndex.map { case (k, i) =>
+          val v = k.bucket match {
+            case Some(_) => rawKey(r, i, retain = false).toString
+            case None =>
+              if (r.isNullAt(k.idx)) org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else {
+                import org.apache.spark.sql.types._
+                val raw = k.dt match {
+                  case DateType => java.time.LocalDate
+                    .ofEpochDay(r.getInt(k.idx)).toString
+                  case _ => rawKey(r, i, retain = false).toString
+                }
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .escapePathName(raw)
               }
-              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .escapePathName(raw)
-            }
-          s"${GraftStorage.PartDirPrefix}$name=$v"
+          }
+          s"${k.dirPrefix}=$v"
         }.mkString("/")
 
       private def roll(dir: String): Unit = {
@@ -628,8 +756,8 @@ private[sources] final class GraftDataWriterFactory(
           // one-key-per-file invariant key grouping relies on)
           if (w == null || keyChanged(r)) {
             roll(keyDir(r))
-            currentKey = partKeys.map { case (_, idx, dt) =>
-              rawKey(r, idx, dt, retain = true) }.toArray
+            currentKey = partKeys.indices
+              .map(i => rawKey(r, i, retain = true)).toArray
           }
         } else if (w == null) roll("")
         w.write(r)

@@ -867,23 +867,33 @@ final case class GraftStorage(
   private[sources] def validatePartCols(
       schema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String]): Unit = {
-    val missing = partCols.filterNot(schema.fieldNames.contains)
+    val fields = partCols.map(GraftStorage.parsePartField)
+    val missing = fields.map(_.col).filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"partition columns absent from the schema: ${missing.mkString(", ")}")
-    partCols.foreach { c =>
-      val dt = schema(c).dataType
-      require(GraftStorage.partKeyType(dt),
-        s"partition column $c: $dt is not an identity-partition key " +
-          "type (string/integral/date/boolean)")
-      require(!c.exists(",\t/=.\n\r".contains(_)),
-        s"partition column name '$c' contains a manifest/path/" +
-          "reference delimiter (comma, tab, /, =, ., or a line break)")
+    fields.foreach { f =>
+      val dt = schema(f.col).dataType
+      f match {
+        case GraftStorage.IdentityPart(c) =>
+          require(GraftStorage.partKeyType(dt),
+            s"partition column $c: $dt is not an identity-partition " +
+              "key type (string/integral/date/boolean)")
+        case GraftStorage.BucketPart(n, c) =>
+          require(n > 0, s"bucket($n,$c): bucket count must be positive")
+          require(GraftStorage.bucketKeyType(dt),
+            s"bucket column $c: $dt is not hash-bucketable")
+      }
+      require(!f.col.exists(",\t/=.()\n\r".contains(_)),
+        s"partition column name '${f.col}' contains a manifest/path/" +
+          "reference delimiter (comma, tab, /, =, ., parens, or a " +
+          "line break)")
     }
+    val prefixes = Seq(GraftStorage.PartDirPrefix, "__gb")
     val clash = schema.fieldNames
-      .filter(_.startsWith(GraftStorage.PartDirPrefix))
+      .filter(n => prefixes.exists(n.startsWith))
     require(clash.isEmpty,
       s"columns ${clash.mkString(", ")} collide with the " +
-        s"'${GraftStorage.PartDirPrefix}' partition-dir namespace — " +
+        "partition-dir copy-column namespace (__gp_/__gb) — " +
         "withColumn would overwrite them and partitionBy would strip " +
         "them from the data files (silent loss); rename them first")
   }
@@ -952,10 +962,20 @@ final case class GraftStorage(
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toUri.getPath)
     } else {
-      val pdf = partCols.foldLeft(df)((d, c) =>
-        d.withColumn(GraftStorage.PartDirPrefix + c, col(c)))
+      val fields = partCols.map(GraftStorage.parsePartField)
+      val pdf = fields.foldLeft(df) { (d, f) =>
+        f match {
+          case GraftStorage.IdentityPart(c) =>
+            d.withColumn(f.dirName, col(c))
+          case GraftStorage.BucketPart(n, c) =>
+            // Spark's hash() = Murmur3 seed 42 — the same function the
+            // catalog's V2 `graft.bucket` reports, so co-bucketed
+            // tables align for the storage-partitioned join
+            d.withColumn(f.dirName, pmod(hash(col(c)), lit(n)))
+        }
+      }
       pdf.write.mode("overwrite")
-        .partitionBy(partCols.map(GraftStorage.PartDirPrefix + _): _*)
+        .partitionBy(fields.map(_.dirName): _*)
         .parquet(commitDir.toString)
       listParquetRecursive(fs, commitDir)
     }
@@ -982,7 +1002,20 @@ final case class GraftStorage(
     */
   private[graft] def partitionSpec(path: String, v: Long): Seq[String] =
     manifestEntries(path, v).collectFirst {
-      case e if e.startsWith("P\t") => e.drop(2).split(',').toSeq
+      case e if e.startsWith("P\t") =>
+        // comma-joined tokens, but a comma INSIDE bucket(n,col) is
+        // part of the token — split at depth 0 only
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 0
+        val cur = new StringBuilder
+        e.drop(2).foreach {
+          case ',' if depth == 0 => out += cur.toString; cur.clear()
+          case c =>
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            cur += c
+        }
+        if (cur.nonEmpty) out += cur.toString
+        out.toSeq
     }.getOrElse(Seq.empty)
 
   /** EXTERNAL key values of one partitioned file, parsed from its
@@ -996,13 +1029,21 @@ final case class GraftStorage(
         val i = s.indexOf('=')
         s.substring(0, i) -> s.substring(i + 1)
       }.toMap
-    val vals = partCols.map { c =>
-      segs.get(GraftStorage.PartDirPrefix + c).map { raw =>
-        val un = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.unescapePathName(raw)
-        if (un == org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-        else GraftStorage.decodePartValue(schema(c).dataType, un)
+    val vals = partCols.map(GraftStorage.parsePartField).map { f =>
+      segs.get(f.dirName).flatMap { raw =>
+        f match {
+          case GraftStorage.BucketPart(_, _) =>
+            // bucket dirs hold the int bucket id (hash(null)=seed, so
+            // no default-partition dir ever appears)
+            raw.toIntOption.map(java.lang.Integer.valueOf)
+          case GraftStorage.IdentityPart(c) =>
+            val un = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(raw)
+            Some(
+              if (un == org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+              else GraftStorage.decodePartValue(schema(c).dataType, un))
+        }
       }
     }
     if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
@@ -1450,8 +1491,9 @@ final case class GraftStorage(
       .map(partitionSpec(path, _)).getOrElse(Seq.empty)
     if (spec.nonEmpty)
       writeVersionedPartitioned(
-        readVersioned(path)
-          .repartition(targetFiles, spec.map(col): _*), path, spec)
+        readVersioned(path).repartition(targetFiles,
+          spec.map(s => col(GraftStorage.parsePartField(s).col)): _*),
+        path, spec)
     else {
       val (sc, bc) = priorSidecarCoverage(path)
       writeVersioned(readVersioned(path).coalesce(targetFiles), path,
@@ -2040,6 +2082,7 @@ final case class GraftStorage(
     // pruning, and partition-col MIN/MAX at manifest rate, with no
     // sidecar built or read
     val partCols = partitionSpec(path, v)
+    val partFields = partCols.map(GraftStorage.parsePartField)
     val keyFn: String => Option[Seq[Any]] =
       if (partCols.isEmpty) _ => None
       else f => partKeyOf(fullSchema, partCols, f)
@@ -2049,12 +2092,15 @@ final case class GraftStorage(
         val key = new Path(f).toUri.getPath
         keyFn(key) match {
           case Some(vals) =>
-            // synthesized entries WIN over sidecar rows for the
+            // synthesized entries WIN over sidecar rows for IDENTITY
             // partition cols: [key,key] is exact where footer-derived
-            // string bounds may be truncation-widened
-            val synth = partCols.zip(vals)
-              .map { case (c, x) => c -> ((x, x)) }.toMap
-            z.updated(key, z.getOrElse(key, Map.empty) ++ synth)
+            // string bounds may be truncation-widened. Bucket ids are
+            // NOT column values — no zone entry for them.
+            val synth = partFields.zip(vals).collect {
+              case (GraftStorage.IdentityPart(c), x) => c -> ((x, x))
+            }.toMap
+            if (synth.isEmpty) z
+            else z.updated(key, z.getOrElse(key, Map.empty) ++ synth)
           case None => z
         }
       }
@@ -2851,6 +2897,34 @@ object GraftStorage {
     */
   val PartDirPrefix = "__gp_"
 
+  /** One field of a table's partition spec: identity (`col` — the
+    * key IS the value; low-cardinality dims) or bucket
+    * (`bucket(n,col)` — the key is `pmod(hash(col), n)`; the
+    * high-cardinality fact-fact SPJ shape, same hash as Spark's
+    * `hash()`).
+    */
+  sealed trait PartField {
+    def col: String
+    /** the manifest `P`-line token */
+    def spec: String
+    /** the `<dir>=<value>` segment name (also the copy-column name) */
+    def dirName: String
+  }
+  final case class IdentityPart(col: String) extends PartField {
+    def spec: String = col
+    def dirName: String = PartDirPrefix + col
+  }
+  final case class BucketPart(n: Int, col: String) extends PartField {
+    def spec: String = s"bucket($n,$col)"
+    def dirName: String = s"__gb${n}_$col"
+  }
+
+  private val BucketSpec = """bucket\((\d+),(.+)\)""".r
+  def parsePartField(s: String): PartField = s match {
+    case BucketSpec(n, c) => BucketPart(n.toInt, c)
+    case c => IdentityPart(c)
+  }
+
   /** Identity-partition key types: scalars whose partition-dir string
     * round-trips exactly ([[decodePartValue]]).
     */
@@ -2860,6 +2934,20 @@ object GraftStorage {
     dt match {
       case StringType | LongType | IntegerType | ShortType | ByteType |
            DateType | BooleanType => true
+      case _ => false
+    }
+  }
+
+  /** Types Spark's `hash()` (Murmur3, seed 42) covers with stable
+    * cross-table semantics — the bucket-key admission set.
+    */
+  private[sources] def bucketKeyType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           DateType | BooleanType | TimestampType | TimestampNTZType |
+           FloatType | DoubleType => true
       case _ => false
     }
   }

@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, Sh
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
+/** One field of a partition spec as the scan layer needs it:
+  * `bucket` is Some(n) for `bucket(n,col)` transforms (key value =
+  * int bucket id) and None for identity (key value = the column
+  * value, of `keyType`).
+  */
+final case class PartFieldInfo(col: String, bucket: Option[Int],
+    keyType: org.apache.spark.sql.types.DataType)
+
 /** One open parquet part file on an executor (adapter over the
   * private[sql] OutputWriter so graft code never names that type).
   */
@@ -127,7 +135,7 @@ final class MetaAggScanBuilder(
       org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex]
       = None,
     blooms: Option[RuntimeBloomProbe] = None,
-    partSpec: Option[(Seq[String], String => Option[Seq[Any]])] = None)
+    partSpec: Option[(Seq[PartFieldInfo], String => Option[Seq[Any]])] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters
@@ -185,10 +193,10 @@ final class MetaAggScanBuilder(
         case Some((pcols, keyFn)) if files.nonEmpty &&
             files.forall(f => keyFn(
               new org.apache.hadoop.fs.Path(f).toUri.getPath).isDefined) =>
-          val kschema = StructType(pcols.map(c =>
-            inner.dataSchema.fields.find(_.name == c).getOrElse(
-              throw new IllegalArgumentException(
-                s"partition column $c missing from schema"))))
+          // identity fields key by the column value; bucket fields by
+          // the int bucket id
+          val kschema = StructType(pcols.map(f =>
+            StructField(f.col, f.keyType)))
           new KeyGroupedParquetScan(scan, pcols, kschema, keyFn,
             zones, mayMatch)
         case _ =>
@@ -238,8 +246,10 @@ final class MetaAggScanBuilder(
     val dt = inner.dataSchema.fields.find(_.name == col)
       .map(_.dataType).getOrElse(return None)
     // identity-partition keys are exact by construction (path-derived
-    // values, not footer stats) — string partition cols included
-    val isPartKey = partSpec.exists(_._1.contains(col))
+    // values, not footer stats) — string partition cols included.
+    // Bucket keys carry no column-value bounds.
+    val isPartKey = partSpec.exists(_._1.exists(f =>
+      f.bucket.isEmpty && f.col == col))
     if (!exactStatType(dt) && !(isPartKey && dt == StringType))
       return None
     // every file must carry usable bounds for the column ((null,null)
@@ -509,7 +519,7 @@ final case class KeyedUnwrapReaderFactory(
   */
 final class KeyGroupedParquetScan(
     val delegate: ParquetScan,
-    val partCols: Seq[String],
+    val partCols: Seq[PartFieldInfo],
     keySchema: StructType,
     keyOf: String => Option[Seq[Any]],
     zones: Map[String, Map[String, (Any, Any)]] = Map.empty,
@@ -528,7 +538,9 @@ final class KeyGroupedParquetScan(
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String =
-    s"KeyGrouped(${partCols.mkString(",")}) " + delegate.description()
+    "KeyGrouped(" + partCols.map(f => f.bucket
+      .fold(f.col)(n => s"bucket($n,${f.col})")).mkString(",") +
+      ") " + delegate.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
@@ -577,9 +589,14 @@ final class KeyGroupedParquetScan(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning
       .KeyGroupedPartitioning(
-        partCols.map(c => org.apache.spark.sql.connector.expressions
-          .Expressions.identity(c)
-          : org.apache.spark.sql.connector.expressions.Expression).toArray,
+        partCols.map(f => f.bucket.fold(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity(f.col)
+            : org.apache.spark.sql.connector.expressions.Expression)(n =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, f.col)
+            : org.apache.spark.sql.connector.expressions.Expression))
+          .toArray,
         groups.length)
 
   /** Files surviving runtime predicates (null: no filter yet). When
@@ -655,7 +672,7 @@ object V2Bridge {
       rowCount: () => Option[Long] = () => None,
       mayMatch: Option[(Map[String, (Any, Any)],
         Filter) => Boolean] = None,
-      partSpec: Option[(Seq[String], String => Option[Seq[Any]])] = None)
+      partSpec: Option[(Seq[PartFieldInfo], String => Option[Seq[Any]])] = None)
       : ScanBuilder = {
     def mkIndex(fs: Seq[String]): graft.sources.ZoneMapFileIndex =
       new graft.sources.ZoneMapFileIndex(classic(spark),

@@ -725,6 +725,72 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("bucketed storage-partitioned join: co-bucketed high-" +
+    "cardinality keys join with zero hash exchanges") {
+    val a = fresh("cat_spjb_fact")
+    val b = fresh("cat_spjb_dim")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val lineagg = T.t(spark, SF, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+    st.writeVersionedPartitioned(orders, a, Seq("bucket(8,o_orderkey)"))
+    st.writeVersionedPartitioned(lineagg, b, Seq("bucket(8,l_orderkey)"))
+    // the write itself must agree with the V2 graft.bucket function
+    // (the dirs came from pmod(hash(col),8); the function is what the
+    // planner trusts for transform compatibility)
+    val fnCheck = T.t(spark, SF, "orders").limit(100)
+      .select($"o_orderkey",
+        expr("graft.bucket(8, o_orderkey)").as("f"),
+        pmod(hash($"o_orderkey"), lit(8)).as("h"))
+      .filter($"f" =!= $"h")
+    assert(fnCheck.isEmpty, fnCheck.collect().mkString(", "))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS c,
+           |  CAST(sum(d.n_lines) AS BIGINT) AS s
+           |FROM graft.`$a` f JOIN graft.`$b` d
+           |  ON f.o_orderkey = d.l_orderkey""".stripMargin)
+      val r = q.collect().head
+      val expect = orders.join(lineagg,
+          $"o_orderkey" === $"l_orderkey")
+        .agg(count(lit(1)), sum($"n_lines")).head()
+      assert(r.getLong(0) == expect.getLong(0) &&
+        r.getLong(1) == expect.getLong(1))
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "co-bucketed join still shuffles:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
+  test("SQL CREATE TABLE PARTITIONED BY bucket + INSERT keeps the " +
+    "bucket layout") {
+    val out = fresh("cat_sql_bucketlife")
+    spark.sql(
+      s"""CREATE TABLE graft.`$out` (k BIGINT, v DOUBLE)
+         |USING graft PARTITIONED BY (bucket(4, k))""".stripMargin)
+    assert(st.partitionSpec(out, 0L) == Seq("bucket(4,k)"))
+    T.t(spark, SF, "orders")
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("v"))
+      .createOrReplaceTempView("cat_sql_bucketlife_src")
+    spark.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT k, v FROM cat_sql_bucketlife_src")
+    val src = spark.table("cat_sql_bucketlife_src")
+    assert(st.readVersioned(out).count() == src.count())
+    assert(st.readVersioned(out).inputFiles.forall(_.contains("__gb4_k=")),
+      st.readVersioned(out).inputFiles.take(3).mkString(", "))
+    // and the values landed in the RIGHT buckets (dir id = bucket fn)
+    val misplaced = st.readVersioned(out)
+      .withColumn("file", input_file_name())
+      .withColumn("dir_id",
+        regexp_extract($"file", "__gb4_k=(\\d+)", 1).cast("int"))
+      .filter($"dir_id" =!= pmod(hash($"k"), lit(4)))
+    assert(misplaced.isEmpty, misplaced.head(3).mkString(", "))
+  }
+
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
     val out = seed("cat_mor_refuse")
     st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
