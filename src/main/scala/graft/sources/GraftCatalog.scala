@@ -108,9 +108,11 @@ private[sources] object GraftBucketFunction
       override def produceResult(
           input: org.apache.spark.sql.catalyst.InternalRow)
           : java.lang.Integer = {
+        require(!input.isNullAt(0), "graft.bucket: numBuckets is NULL")
         val n = input.getInt(0)
+        require(n > 0, s"graft.bucket: numBuckets must be positive, got $n")
         val h = hash.eval(input).asInstanceOf[Int]
-        java.lang.Integer.valueOf(((h % n) + n) % n)
+        java.lang.Integer.valueOf(GraftStorage.bucketId(h, n))
       }
     }
   }
@@ -663,7 +665,7 @@ private[sources] final class GraftDataWriterFactory(
             // pmod(hash(col), n): hash(null) = the seed, so bucket
             // keys are never null
             val h = bucketHash(i).eval(r).asInstanceOf[Int]
-            java.lang.Integer.valueOf(((h % n) + n) % n)
+            java.lang.Integer.valueOf(GraftStorage.bucketId(h, n))
           case None =>
             val idx = k.idx
             if (r.isNullAt(idx)) null

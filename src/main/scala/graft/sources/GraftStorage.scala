@@ -963,17 +963,12 @@ final case class GraftStorage(
         .map(_.getPath.toUri.getPath)
     } else {
       val fields = partCols.map(GraftStorage.parsePartField)
-      val pdf = fields.foldLeft(df) { (d, f) =>
-        f match {
-          case GraftStorage.IdentityPart(c) =>
-            d.withColumn(f.dirName, col(c))
-          case GraftStorage.BucketPart(n, c) =>
-            // Spark's hash() = Murmur3 seed 42 — the same function the
-            // catalog's V2 `graft.bucket` reports, so co-bucketed
-            // tables align for the storage-partitioned join
-            d.withColumn(f.dirName, pmod(hash(col(c)), lit(n)))
-        }
-      }
+      // keyExpr is the single source of the layout formula (for
+      // buckets: Spark's hash() = Murmur3 seed 42, the same function
+      // the catalog's V2 `graft.bucket` reports, so co-bucketed
+      // tables align for the SPJ)
+      val pdf = fields.foldLeft(df)((d, f) =>
+        d.withColumn(f.dirName, f.keyExpr))
       pdf.write.mode("overwrite")
         .partitionBy(fields.map(_.dirName): _*)
         .parquet(commitDir.toString)
@@ -1023,13 +1018,14 @@ final case class GraftStorage(
     * missing (a file from an unpartitioned commit).
     */
   private[sources] def partKeyOf(schema: org.apache.spark.sql.types.StructType,
-      partCols: Seq[String], file: String): Option[Seq[Any]] = {
+      partFields: Seq[GraftStorage.PartField],
+      file: String): Option[Seq[Any]] = {
     val segs: Map[String, String] = file.split('/').iterator
       .filter(_.contains('=')).map { s =>
         val i = s.indexOf('=')
         s.substring(0, i) -> s.substring(i + 1)
       }.toMap
-    val vals = partCols.map(GraftStorage.parsePartField).map { f =>
+    val vals = partFields.map { f =>
       segs.get(f.dirName).flatMap { raw =>
         f match {
           case GraftStorage.BucketPart(_, _) =>
@@ -1490,9 +1486,12 @@ final case class GraftStorage(
     val spec = listVersions(path).lastOption
       .map(partitionSpec(path, _)).getOrElse(Seq.empty)
     if (spec.nonEmpty)
+      // repartition by the LAYOUT key (bucket id, not the raw key):
+      // clustering by the raw column would scatter each bucket over
+      // every task and multiply files instead of compacting them
       writeVersionedPartitioned(
         readVersioned(path).repartition(targetFiles,
-          spec.map(s => col(GraftStorage.parsePartField(s).col)): _*),
+          spec.map(s => GraftStorage.parsePartField(s).keyExpr): _*),
         path, spec)
     else {
       val (sc, bc) = priorSidecarCoverage(path)
@@ -2009,10 +2008,13 @@ final case class GraftStorage(
     val v = version.getOrElse(vs.last)
     // identity-partitioned snapshots prune from path-derived zones
     // even with zero sidecars — only skip the pruning relation when
-    // NO stats source exists (or DVs force the anti-join path)
+    // NO stats source exists (or DVs force the anti-join path).
+    // Bucket fields synthesize no zones (a bucket id bounds nothing),
+    // so a bucket-ONLY spec is not a stats source.
     if ((manifestStats(path, v).isEmpty &&
         manifestBlooms(path, v).isEmpty &&
-        partitionSpec(path, v).isEmpty) ||
+        !partitionSpec(path, v).map(GraftStorage.parsePartField)
+          .exists(_.isInstanceOf[GraftStorage.IdentityPart])) ||
         manifestDvs(path, v).nonEmpty)
       return readVersioned(path, version)
     val parts = versionedScanParts(path, v)
@@ -2085,7 +2087,7 @@ final case class GraftStorage(
     val partFields = partCols.map(GraftStorage.parsePartField)
     val keyFn: String => Option[Seq[Any]] =
       if (partCols.isEmpty) _ => None
-      else f => partKeyOf(fullSchema, partCols, f)
+      else f => partKeyOf(fullSchema, partFields, f)
     val zonesWithKeys =
       if (partCols.isEmpty) zones
       else files.foldLeft(zones) { (z, f) =>
@@ -2909,19 +2911,37 @@ object GraftStorage {
     def spec: String
     /** the `<dir>=<value>` segment name (also the copy-column name) */
     def dirName: String
+    /** the layout key as a Column — what a row's dir value IS */
+    def keyExpr: org.apache.spark.sql.Column
   }
   final case class IdentityPart(col: String) extends PartField {
     def spec: String = col
     def dirName: String = PartDirPrefix + col
+    def keyExpr: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.col(col)
   }
   final case class BucketPart(n: Int, col: String) extends PartField {
     def spec: String = s"bucket($n,$col)"
     def dirName: String = s"__gb${n}_$col"
+    def keyExpr: org.apache.spark.sql.Column = {
+      val F = org.apache.spark.sql.functions
+      F.pmod(F.hash(F.col(col)), F.lit(n))
+    }
   }
 
-  private val BucketSpec = """bucket\((\d+),(.+)\)""".r
-  def parsePartField(s: String): PartField = s match {
-    case BucketSpec(n, c) => BucketPart(n.toInt, c)
+  /** THE bucket-id formula: `pmod(h, n)` over Spark's `hash()` (Murmur3
+    * seed 42). Three evaluation surfaces must agree exactly — the
+    * Column path ([[BucketPart.keyExpr]]), the writer's interpreted
+    * per-row path, and the catalog's V2 `graft.bucket` function — so
+    * the interpreted ones both call this.
+    */
+  def bucketId(h: Int, n: Int): Int = ((h % n) + n) % n
+
+  private val BucketSpec = """bucket\(\s*(\d+)\s*,(.+)\)""".r
+  def parsePartField(s: String): PartField = s.trim match {
+    case BucketSpec(n, c) =>
+      require(n.toInt > 0, s"bucket count must be positive in '$s'")
+      BucketPart(n.toInt, c.trim)
     case c => IdentityPart(c)
   }
 
@@ -2939,15 +2959,18 @@ object GraftStorage {
   }
 
   /** Types Spark's `hash()` (Murmur3, seed 42) covers with stable
-    * cross-table semantics — the bucket-key admission set.
+    * cross-table semantics — the bucket-key admission set. Float and
+    * double are deliberately excluded (as Iceberg does): SQL-equal
+    * values with different bit patterns (`-0.0` vs `0.0`,
+    * non-canonical NaNs from foreign writers) would hash to different
+    * buckets and silently break the co-partitioning SPJ trusts.
     */
   private[sources] def bucketKeyType(
       dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case StringType | LongType | IntegerType | ShortType | ByteType |
-           DateType | BooleanType | TimestampType | TimestampNTZType |
-           FloatType | DoubleType => true
+           DateType | BooleanType | TimestampType | TimestampNTZType => true
       case _ => false
     }
   }

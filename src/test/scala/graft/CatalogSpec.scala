@@ -744,7 +744,8 @@ class CatalogSpec extends AnyFunSuite {
         expr("graft.bucket(8, o_orderkey)").as("f"),
         pmod(hash($"o_orderkey"), lit(8)).as("h"))
       .filter($"f" =!= $"h")
-    assert(fnCheck.isEmpty, fnCheck.collect().mkString(", "))
+    val fnBad = fnCheck.collect()
+    assert(fnBad.isEmpty, fnBad.mkString(", "))
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -788,7 +789,8 @@ class CatalogSpec extends AnyFunSuite {
       .withColumn("dir_id",
         regexp_extract($"file", "__gb4_k=(\\d+)", 1).cast("int"))
       .filter($"dir_id" =!= pmod(hash($"k"), lit(4)))
-    assert(misplaced.isEmpty, misplaced.head(3).mkString(", "))
+    val misBad = misplaced.limit(3).collect()
+    assert(misBad.isEmpty, misBad.mkString(", "))
   }
 
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
