@@ -314,6 +314,43 @@ object SqlDml extends QueryModule {
          |ORDER BY st""".stripMargin)
   }
 
+  /** Temporal partition transform — THE time-partitioned fact
+    * layout: `PARTITIONED BY (days(ts))` lays one dir per UTC day,
+    * the V2 writer routes rows through the same
+    * [[GraftStorage.temporalId]] ordinal the catalog's `graft.days`
+    * function reports, and every dir doubles as an exact zone entry
+    * ([[GraftStorage.temporalBounds]]) — so the range predicate here
+    * prunes non-matching days at manifest rate with no sidecar ever
+    * built (CatalogSpec pins the pruned file count; this query
+    * oracles the VALUES). At 100 TB this layout is table stakes:
+    * ingest appends land in today's partition, queries touch only
+    * the days they name.
+    */
+  def sqlPartTemporal(s: SparkSession, dir: String): DataFrame = {
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_part_temporal")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    s.sql(
+      s"""CREATE TABLE graft.`$out`
+         |  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    T.events(s, dir).select("event_id", "ts", "user_id")
+      .createOrReplaceTempView("sqldml_tp_events")
+    s.sql(s"""INSERT INTO graft.`$out`
+         |SELECT event_id, ts, user_id FROM sqldml_tp_events""".stripMargin)
+    s.sql(
+      s"""SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+         |FROM graft.`$out`
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY 1 ORDER BY day""".stripMargin)
+  }
+
   /** Multi-path `format("graft")` read: two independent sharded
     * tables load as ONE relation (multi-root file index) — the V1
     * single-path restriction lifted for plain directories. Spark
@@ -356,6 +393,7 @@ object SqlDml extends QueryModule {
     "sql_join_copartitioned" -> (sqlJoinCopartitioned(_, _)),
     "sql_join_bucketed_spj" -> (sqlJoinBucketedSpj(_, _)),
     "sink_versioned_partitioned" -> (sinkVersionedPartitioned(_, _)),
+    "sql_part_temporal" -> (sqlPartTemporal(_, _)),
     "scan_multipath" -> (scanMultiPath(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -472,6 +510,16 @@ object SqlDml extends QueryModule {
          |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
          |FROM orders o JOIN customer c ON o.o_orderkey = c.c_custkey
          |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
+    // day-partitioned round trip ≡ the same rollup on raw events
+    "sql_part_temporal" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY 1 ORDER BY day""".stripMargin,
     // union of the two loaded roots
     "scan_multipath" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

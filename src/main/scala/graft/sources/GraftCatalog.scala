@@ -68,6 +68,25 @@ object GraftCatalog {
     // another V2 source's planner) should flip it back AFTER register.
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
   }
+
+  /** One manifest `P`-line field as the V2 Transform the table
+    * reports (partitioning(), required write distribution, and the
+    * scan's KeyGroupedPartitioning all must agree).
+    */
+  private[sources] def v2Transform(f: GraftStorage.PartField)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    f match {
+      case GraftStorage.IdentityPart(c) => Expressions.identity(c)
+      case GraftStorage.BucketPart(n, c) => Expressions.bucket(n, c)
+      case GraftStorage.TemporalPart("years", c) => Expressions.years(c)
+      case GraftStorage.TemporalPart("months", c) => Expressions.months(c)
+      case GraftStorage.TemporalPart("days", c) => Expressions.days(c)
+      case GraftStorage.TemporalPart("hours", c) => Expressions.hours(c)
+      case other => throw new IllegalArgumentException(
+        s"unreportable partition field: $other")
+    }
+  }
 }
 
 /** The V2 `bucket(n, col)` function: `pmod(hash(col), n)` with
@@ -118,18 +137,64 @@ private[sources] object GraftBucketFunction
   }
 }
 
+/** The V2 temporal-transform functions (`years`/`months`/`days`/
+  * `hours`): the UTC epoch-unit ordinal of a date/timestamp —
+  * [[GraftStorage.temporalId]], the same formula the writer's dir
+  * layout and the scan's synthesized zones use. Registering them in
+  * the catalog is what lets Spark resolve the transforms a
+  * temporally-partitioned table reports (SPJ compatibility checks and
+  * write-side clustered distributions both evaluate them for real).
+  */
+private[sources] final class GraftTemporalFunction(unit: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(col): UTC epoch-$unit ordinal — the graft temporal layout id"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"graft.$unit expects one date/timestamp argument; got $inputType")
+    val keyType = inputType.fields(0).dataType
+    require(keyType == TimestampType ||
+        (keyType == DateType && unit != "hours"),
+      s"graft.$unit does not apply to $keyType")
+    new org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[java.lang.Integer] {
+      override def inputTypes(): Array[DataType] = Array(keyType)
+      override def resultType(): DataType = IntegerType
+      override def isResultNullable: Boolean = true
+      override def name(): String = unit
+      override def canonicalName(): String = s"graft.$unit($keyType)"
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow)
+          : java.lang.Integer =
+        if (input.isNullAt(0)) null
+        else java.lang.Integer.valueOf(GraftStorage.temporalId(unit,
+          keyType,
+          if (keyType == DateType) input.getInt(0) else input.getLong(0)))
+    }
+  }
+}
+
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
+  private val temporalUnits = Seq("years", "months", "days", "hours")
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      ("bucket" +: temporalUnits)
+        .map(Identifier.of(Array.empty[String], _)).toArray
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace.isEmpty && ident.name == "bucket")
       GraftBucketFunction
+    else if (ident.namespace.isEmpty && temporalUnits.contains(ident.name))
+      new GraftTemporalFunction(ident.name)
     else throw new org.apache.spark.sql.AnalysisException(
       "ROUTINE_NOT_FOUND",
       Map("routineName" ->
@@ -197,10 +262,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY (col | bucket(n, col), ...): the storage-
-    // partitioned-join spec — identity for low-cardinality keys,
-    // bucket for high-cardinality ones; temporal transforms are not
-    // part of the layout
+    // PARTITIONED BY (col | bucket(n, col) | years/months/days/
+    // hours(col), ...): identity for low-cardinality keys, bucket
+    // for high-cardinality SPJ keys, temporal transforms for the
+    // time-partitioned fact layout (each dir doubles as a zone entry)
     val idCols: Seq[String] = partitions.toSeq.map { t =>
       val refs = t.references
       require(refs.length == 1 && refs.head.fieldNames.length == 1,
@@ -216,9 +281,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           }.getOrElse(throw new IllegalArgumentException(
             s"bucket transform without a numeric bucket count: $t"))
           s"bucket($n,$c)"
+        case u @ ("years" | "months" | "days" | "hours") => s"$u($c)"
         case other => throw new IllegalArgumentException(
-          s"graft supports identity and bucket PARTITIONED BY " +
-            s"transforms only; got $other")
+          s"graft supports identity, bucket, and years/months/days/" +
+            s"hours PARTITIONED BY transforms only; got $other")
       }
     }
     val p = pathOf(ident)
@@ -357,12 +423,8 @@ final class GraftVersionedTable(path: String,
     val vs = st.listVersions(path)
     if (vs.isEmpty) Array.empty
     else st.partitionSpec(path, pinnedVersion.getOrElse(vs.last))
-      .map(s => GraftStorage.parsePartField(s) match {
-        case GraftStorage.IdentityPart(c) =>
-          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-        case GraftStorage.BucketPart(n, c) =>
-          org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-      }).toArray
+      .map(s => GraftCatalog.v2Transform(GraftStorage.parsePartField(s)))
+      .toArray
   }
 
   override def newScanBuilder(
@@ -397,6 +459,9 @@ final class GraftVersionedTable(path: String,
           case GraftStorage.BucketPart(n, c) =>
             org.apache.spark.sql.graftbridge.PartFieldInfo(
               c, Some(n), org.apache.spark.sql.types.IntegerType)
+          case GraftStorage.TemporalPart(u, c) =>
+            org.apache.spark.sql.graftbridge.PartFieldInfo(
+              c, None, org.apache.spark.sql.types.IntegerType, Some(u))
         }), parts.partKey)))
   }
 
@@ -486,10 +551,7 @@ private[sources] object GraftWrites {
           s"columns: ${missing.mkString(", ")}")
       def transform(f: GraftStorage.PartField)
           : org.apache.spark.sql.connector.expressions.Expression =
-        f match {
-          case GraftStorage.IdentityPart(c) => Expressions.identity(c)
-          case GraftStorage.BucketPart(n, c) => Expressions.bucket(n, c)
-        }
+        GraftCatalog.v2Transform(f)
       new Write with RequiresDistributionAndOrdering {
         override def requiredDistribution(): Distribution =
           Distributions.clustered(fields.map(transform).toArray)
@@ -509,7 +571,8 @@ private[sources] object GraftWrites {
   */
 private[sources] final case class GraftWriteKey(
     dirPrefix: String, idx: Int,
-    dt: org.apache.spark.sql.types.DataType, bucket: Option[Int])
+    dt: org.apache.spark.sql.types.DataType, bucket: Option[Int],
+    temporal: Option[String] = None)
 
 /** How a [[GraftBatchWrite]] forms the new manifest. */
 private[sources] sealed trait GraftCommitMode
@@ -559,6 +622,9 @@ private[sources] final class GraftBatchWrite(
         case f @ GraftStorage.BucketPart(n, c) =>
           GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
             writeSchema(c).dataType, Some(n))
+        case f @ GraftStorage.TemporalPart(u, c) =>
+          GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
+            writeSchema(c).dataType, None, Some(u))
       })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -666,6 +732,19 @@ private[sources] final class GraftDataWriterFactory(
             // keys are never null
             val h = bucketHash(i).eval(r).asInstanceOf[Int]
             java.lang.Integer.valueOf(GraftStorage.bucketId(h, n))
+          case None if k.temporal.nonEmpty =>
+            // temporal ordinal from the raw storage value (epoch-day
+            // int / UTC-micros long); NULL source → null key (the
+            // default-partition dir, mirroring identity)
+            if (r.isNullAt(k.idx)) null
+            else {
+              val raw: Any = k.dt match {
+                case DateType => r.getInt(k.idx)
+                case _ => r.getLong(k.idx)
+              }
+              java.lang.Integer.valueOf(
+                GraftStorage.temporalId(k.temporal.get, k.dt, raw))
+            }
           case None =>
             val idx = k.idx
             if (r.isNullAt(idx)) null
@@ -709,6 +788,10 @@ private[sources] final class GraftDataWriterFactory(
         partKeys.zipWithIndex.map { case (k, i) =>
           val v = k.bucket match {
             case Some(_) => rawKey(r, i, retain = false).toString
+            case None if k.temporal.nonEmpty =>
+              if (r.isNullAt(k.idx)) org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else rawKey(r, i, retain = false).toString
             case None =>
               if (r.isNullAt(k.idx)) org.apache.spark.sql.catalyst.catalog
                 .ExternalCatalogUtils.DEFAULT_PARTITION_NAME

@@ -882,13 +882,21 @@ final case class GraftStorage(
           require(n > 0, s"bucket($n,$c): bucket count must be positive")
           require(GraftStorage.bucketKeyType(dt),
             s"bucket column $c: $dt is not hash-bucketable")
+        case GraftStorage.TemporalPart(u, c) =>
+          import org.apache.spark.sql.types.{DateType, TimestampType}
+          // NTZ is deliberately excluded: its micros are zone-less
+          // "local" values, so a UTC ordinal over them would not mean
+          // what the pruning bounds claim
+          require(dt == TimestampType || (dt == DateType && u != "hours"),
+            s"$u($c): $dt is not a valid source type (timestamp, or " +
+              "date for years/months/days)")
       }
       require(!f.col.exists(",\t/=.()\n\r".contains(_)),
         s"partition column name '${f.col}' contains a manifest/path/" +
           "reference delimiter (comma, tab, /, =, ., parens, or a " +
           "line break)")
     }
-    val prefixes = Seq(GraftStorage.PartDirPrefix, "__gb")
+    val prefixes = Seq(GraftStorage.PartDirPrefix, "__gb", "__gt")
     val clash = schema.fieldNames
       .filter(n => prefixes.exists(n.startsWith))
     require(clash.isEmpty,
@@ -968,7 +976,7 @@ final case class GraftStorage(
       // the catalog's V2 `graft.bucket` reports, so co-bucketed
       // tables align for the SPJ)
       val pdf = fields.foldLeft(df)((d, f) =>
-        d.withColumn(f.dirName, f.keyExpr))
+        d.withColumn(f.dirName, f.keyExpr(df.schema(f.col).dataType)))
       pdf.write.mode("overwrite")
         .partitionBy(fields.map(_.dirName): _*)
         .parquet(commitDir.toString)
@@ -1032,6 +1040,14 @@ final case class GraftStorage(
             // bucket dirs hold the int bucket id (hash(null)=seed, so
             // no default-partition dir ever appears)
             raw.toIntOption.map(java.lang.Integer.valueOf)
+          case GraftStorage.TemporalPart(_, _) =>
+            // temporal dirs hold the int ordinal; a NULL source value
+            // lands in the default-partition dir → null key (the file
+            // stays keyed — it synthesizes no zone, but SPJ grouping
+            // and layout-preserving rewrites still see its key)
+            if (raw == org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) Some(null)
+            else raw.toIntOption.map(java.lang.Integer.valueOf)
           case GraftStorage.IdentityPart(c) =>
             val un = org.apache.spark.sql.catalyst.catalog
               .ExternalCatalogUtils.unescapePathName(raw)
@@ -1485,15 +1501,19 @@ final case class GraftStorage(
     // the identity dirs + P spec — compaction must not de-partition
     val spec = listVersions(path).lastOption
       .map(partitionSpec(path, _)).getOrElse(Seq.empty)
-    if (spec.nonEmpty)
+    if (spec.nonEmpty) {
       // repartition by the LAYOUT key (bucket id, not the raw key):
       // clustering by the raw column would scatter each bucket over
       // every task and multiply files instead of compacting them
+      val cur = readVersioned(path)
       writeVersionedPartitioned(
-        readVersioned(path).repartition(targetFiles,
-          spec.map(s => GraftStorage.parsePartField(s).keyExpr): _*),
+        cur.repartition(targetFiles,
+          spec.map { s =>
+            val f = GraftStorage.parsePartField(s)
+            f.keyExpr(cur.schema(f.col).dataType)
+          }: _*),
         path, spec)
-    else {
+    } else {
       val (sc, bc) = priorSidecarCoverage(path)
       writeVersioned(readVersioned(path).coalesce(targetFiles), path,
         append = false, sc, bc)
@@ -2010,11 +2030,12 @@ final case class GraftStorage(
     // even with zero sidecars — only skip the pruning relation when
     // NO stats source exists (or DVs force the anti-join path).
     // Bucket fields synthesize no zones (a bucket id bounds nothing),
-    // so a bucket-ONLY spec is not a stats source.
+    // so a bucket-ONLY spec is not a stats source; identity and
+    // temporal fields both are.
     if ((manifestStats(path, v).isEmpty &&
         manifestBlooms(path, v).isEmpty &&
         !partitionSpec(path, v).map(GraftStorage.parsePartField)
-          .exists(_.isInstanceOf[GraftStorage.IdentityPart])) ||
+          .exists(f => !f.isInstanceOf[GraftStorage.BucketPart])) ||
         manifestDvs(path, v).nonEmpty)
       return readVersioned(path, version)
     val parts = versionedScanParts(path, v)
@@ -2097,12 +2118,20 @@ final case class GraftStorage(
             // synthesized entries WIN over sidecar rows for IDENTITY
             // partition cols: [key,key] is exact where footer-derived
             // string bounds may be truncation-widened. Bucket ids are
-            // NOT column values — no zone entry for them.
+            // NOT column values — no zone entry for them. Temporal
+            // ids bound the source column but only unit-wide — those
+            // LOSE to sidecar rows (footer min/max is tighter).
             val synth = partFields.zip(vals).collect {
               case (GraftStorage.IdentityPart(c), x) => c -> ((x, x))
             }.toMap
-            if (synth.isEmpty) z
-            else z.updated(key, z.getOrElse(key, Map.empty) ++ synth)
+            val wide = partFields.zip(vals).collect {
+              case (GraftStorage.TemporalPart(u, c), id: Integer) =>
+                c -> GraftStorage.temporalBounds(
+                  u, fullSchema(c).dataType, id.intValue())
+            }.toMap
+            if (synth.isEmpty && wide.isEmpty) z
+            else z.updated(key,
+              wide ++ z.getOrElse(key, Map.empty) ++ synth)
           case None => z
         }
       }
@@ -2900,10 +2929,11 @@ object GraftStorage {
   val PartDirPrefix = "__gp_"
 
   /** One field of a table's partition spec: identity (`col` — the
-    * key IS the value; low-cardinality dims) or bucket
-    * (`bucket(n,col)` — the key is `pmod(hash(col), n)`; the
-    * high-cardinality fact-fact SPJ shape, same hash as Spark's
-    * `hash()`).
+    * key IS the value; low-cardinality dims), bucket (`bucket(n,col)`
+    * — the key is `pmod(hash(col), n)`; the high-cardinality
+    * fact-fact SPJ shape, same hash as Spark's `hash()`), or a
+    * temporal transform (`years|months|days|hours(col)` — the key is
+    * a UTC epoch-unit ordinal; THE time-partitioned fact layout).
     */
   sealed trait PartField {
     def col: String
@@ -2911,21 +2941,80 @@ object GraftStorage {
     def spec: String
     /** the `<dir>=<value>` segment name (also the copy-column name) */
     def dirName: String
-    /** the layout key as a Column — what a row's dir value IS */
-    def keyExpr: org.apache.spark.sql.Column
+    /** the layout key as a Column — what a row's dir value IS.
+      * `dt` is the SOURCE column's type (temporal ids depend on it:
+      * a DateType key is already an epoch-day int, a TimestampType
+      * key is UTC micros); identity and bucket ignore it.
+      */
+    def keyExpr(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.Column
   }
   final case class IdentityPart(col: String) extends PartField {
     def spec: String = col
     def dirName: String = PartDirPrefix + col
-    def keyExpr: org.apache.spark.sql.Column =
+    def keyExpr(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.Column =
       org.apache.spark.sql.functions.col(col)
   }
   final case class BucketPart(n: Int, col: String) extends PartField {
     def spec: String = s"bucket($n,$col)"
     def dirName: String = s"__gb${n}_$col"
-    def keyExpr: org.apache.spark.sql.Column = {
+    def keyExpr(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.Column = {
       val F = org.apache.spark.sql.functions
       F.pmod(F.hash(F.col(col)), F.lit(n))
+    }
+  }
+  /** `unit(col)` for unit ∈ years/months/days/hours: the Iceberg-
+    * convention temporal transform. The id is computed in UTC from
+    * the raw storage value (epoch days for DateType, epoch micros
+    * for TimestampType) — deliberately NOT through a session-timezone
+    * date cast, so two sessions in different zones lay out (and
+    * prune) identically. Unlike a bucket id, a temporal id BOUNDS the
+    * source column, so every partition dir doubles as an exact zone
+    * entry ([[temporalBounds]]): a `ts BETWEEN ...` predicate prunes
+    * files at manifest rate with no sidecar built.
+    */
+  final case class TemporalPart(unit: String, col: String)
+      extends PartField {
+    def spec: String = s"$unit($col)"
+    def dirName: String = s"__gt${unit.head}_$col"
+    def keyExpr(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.Column = {
+      val F = org.apache.spark.sql.functions
+      import org.apache.spark.sql.types.{DateType, TimestampType}
+      val c = F.col(col)
+      val epochDate = F.lit(java.sql.Date.valueOf("1970-01-01"))
+      dt match {
+        case DateType => unit match {
+          case "days"   => F.datediff(c, epochDate)
+          case "months" =>
+            (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+          case "years"  => F.year(c) - F.lit(1970)
+          case other => throw new IllegalArgumentException(
+            s"$other($col) does not apply to a DATE column")
+        }
+        case TimestampType =>
+          val us = F.unix_micros(c)
+          // exact long floor-division: us - pmod(us, d) is an exact
+          // multiple of d, so the double quotient rounds to the true
+          // ordinal even past 2^53 micros (plain floor(us/d) would
+          // not — a midnight timestamp off by one ulp flips the day)
+          def fdiv(d: Long) = F.round(
+            (us - F.pmod(us, F.lit(d))) / F.lit(d.toDouble))
+            .cast(org.apache.spark.sql.types.IntegerType)
+          unit match {
+            case "hours" => fdiv(3600000000L)
+            case "days"  => fdiv(86400000000L)
+            case _ =>
+              val d = F.date_add(epochDate, fdiv(86400000000L))
+              if (unit == "years") F.year(d) - F.lit(1970)
+              else (F.year(d) - F.lit(1970)) * F.lit(12) +
+                F.month(d) - F.lit(1)
+          }
+        case other => throw new IllegalArgumentException(
+          s"$unit($col): $other is not a temporal partition key type")
+      }
     }
   }
 
@@ -2937,11 +3026,83 @@ object GraftStorage {
     */
   def bucketId(h: Int, n: Int): Int = ((h % n) + n) % n
 
+  /** THE temporal-id formula, interpreted: `raw` is the storage value
+    * (Int epoch days for DateType, Long UTC micros for
+    * TimestampType). The same three surfaces as [[bucketId]] must
+    * agree — [[TemporalPart.keyExpr]], the catalog writer's per-row
+    * path, and the V2 `graft.days`/... functions all reduce to this.
+    */
+  def temporalId(unit: String,
+      dt: org.apache.spark.sql.types.DataType, raw: Any): Int = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val epochDay: Long = dt match {
+      case DateType => raw.asInstanceOf[Number].intValue().toLong
+      case TimestampType =>
+        val us = raw.asInstanceOf[Number].longValue()
+        if (unit == "hours")
+          return Math.toIntExact(Math.floorDiv(us, 3600000000L))
+        Math.floorDiv(us, 86400000000L)
+      case other => throw new IllegalArgumentException(
+        s"$unit over $other is not a temporal partition key")
+    }
+    unit match {
+      case "days" => Math.toIntExact(epochDay)
+      case "months" =>
+        val d = java.time.LocalDate.ofEpochDay(epochDay)
+        (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      case "years" =>
+        java.time.LocalDate.ofEpochDay(epochDay).getYear - 1970
+      case other => throw new IllegalArgumentException(
+        s"$other($dt) is not a temporal transform unit")
+    }
+  }
+
+  /** EXTERNAL [min,max] of the source column implied by one temporal
+    * id — the zone entry a partition dir synthesizes. Timestamp
+    * bounds are inclusive micros (`next start - 1µs`); date bounds
+    * are the unit's first/last day.
+    */
+  def temporalBounds(unit: String,
+      dt: org.apache.spark.sql.types.DataType, id: Int): (Any, Any) = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    def usInstant(us: Long): java.time.Instant =
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    def dayRange: (Long, Long) = unit match {
+      case "days" => (id.toLong, id.toLong + 1)
+      case "months" =>
+        val first = java.time.LocalDate
+          .of(1970 + Math.floorDiv(id, 12), Math.floorMod(id, 12) + 1, 1)
+        (first.toEpochDay, first.plusMonths(1).toEpochDay)
+      case "years" =>
+        val first = java.time.LocalDate.of(1970 + id, 1, 1)
+        (first.toEpochDay, first.plusYears(1).toEpochDay)
+      case other => throw new IllegalArgumentException(
+        s"$other is not a temporal transform unit")
+    }
+    dt match {
+      case TimestampType if unit == "hours" =>
+        (usInstant(id.toLong * 3600000000L),
+          usInstant((id.toLong + 1) * 3600000000L - 1L))
+      case TimestampType =>
+        val (d0, d1) = dayRange
+        (usInstant(d0 * 86400000000L), usInstant(d1 * 86400000000L - 1L))
+      case DateType =>
+        val (d0, d1) = dayRange
+        (java.time.LocalDate.ofEpochDay(d0),
+          java.time.LocalDate.ofEpochDay(d1 - 1))
+      case other => throw new IllegalArgumentException(
+        s"$unit over $other is not a temporal partition key")
+    }
+  }
+
   private val BucketSpec = """bucket\(\s*(\d+)\s*,(.+)\)""".r
+  private val TemporalSpec = """(years|months|days|hours)\((.+)\)""".r
   def parsePartField(s: String): PartField = s.trim match {
     case BucketSpec(n, c) =>
       require(n.toInt > 0, s"bucket count must be positive in '$s'")
       BucketPart(n.toInt, c.trim)
+    case TemporalSpec(u, c) => TemporalPart(u, c.trim)
     case c => IdentityPart(c)
   }
 

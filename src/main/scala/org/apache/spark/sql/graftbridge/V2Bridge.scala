@@ -24,11 +24,13 @@ import org.apache.spark.util.SerializableConfiguration
 
 /** One field of a partition spec as the scan layer needs it:
   * `bucket` is Some(n) for `bucket(n,col)` transforms (key value =
-  * int bucket id) and None for identity (key value = the column
-  * value, of `keyType`).
+  * int bucket id), `unit` is Some(years|months|days|hours) for
+  * temporal transforms (key value = int UTC ordinal), and both None
+  * for identity (key value = the column value, of `keyType`).
   */
 final case class PartFieldInfo(col: String, bucket: Option[Int],
-    keyType: org.apache.spark.sql.types.DataType)
+    keyType: org.apache.spark.sql.types.DataType,
+    unit: Option[String] = None)
 
 /** One open parquet part file on an executor (adapter over the
   * private[sql] OutputWriter so graft code never names that type).
@@ -539,7 +541,9 @@ final class KeyGroupedParquetScan(
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String =
     "KeyGrouped(" + partCols.map(f => f.bucket
-      .fold(f.col)(n => s"bucket($n,${f.col})")).mkString(",") +
+      .map(n => s"bucket($n,${f.col})")
+      .orElse(f.unit.map(u => s"$u(${f.col})"))
+      .getOrElse(f.col)).mkString(",") +
       ") " + delegate.description()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
   override def estimateStatistics()
@@ -589,14 +593,18 @@ final class KeyGroupedParquetScan(
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning
       .KeyGroupedPartitioning(
-        partCols.map(f => f.bucket.fold(
-          org.apache.spark.sql.connector.expressions.Expressions
-            .identity(f.col)
-            : org.apache.spark.sql.connector.expressions.Expression)(n =>
-          org.apache.spark.sql.connector.expressions.Expressions
-            .bucket(n, f.col)
-            : org.apache.spark.sql.connector.expressions.Expression))
-          .toArray,
+        partCols.map { f =>
+          import org.apache.spark.sql.connector.expressions.{Expressions => E}
+          (f.bucket, f.unit) match {
+            case (Some(n), _) => E.bucket(n, f.col)
+              : org.apache.spark.sql.connector.expressions.Expression
+            case (_, Some("years"))  => E.years(f.col)
+            case (_, Some("months")) => E.months(f.col)
+            case (_, Some("days"))   => E.days(f.col)
+            case (_, Some("hours"))  => E.hours(f.col)
+            case _ => E.identity(f.col)
+          }
+        }.toArray,
         groups.length)
 
   /** Files surviving runtime predicates (null: no filter yet). When

@@ -793,6 +793,149 @@ class CatalogSpec extends AnyFunSuite {
     assert(misBad.isEmpty, misBad.mkString(", "))
   }
 
+  test("temporal transforms: days(ts) SQL lifecycle — UTC-day dirs, " +
+    "range pruning from path-derived zones, V2 function parity, NULLs") {
+    val out = fresh("cat_tp_days")
+    spark.sql(
+      s"""CREATE TABLE graft.`$out`
+         |  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT)
+         |USING graft PARTITIONED BY (days(ts))""".stripMargin)
+    assert(st.partitionSpec(out, 0L) == Seq("days(ts)"))
+    T.events(spark, SF).select($"event_id", $"ts", $"user_id")
+      .createOrReplaceTempView("cat_tp_days_src")
+    spark.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT event_id, ts, user_id FROM cat_tp_days_src")
+    val src = spark.table("cat_tp_days_src")
+    assert(st.readVersioned(out).count() == src.count())
+    assert(st.readVersioned(out).inputFiles.forall(_.contains("__gtd_ts=")),
+      st.readVersioned(out).inputFiles.take(3).mkString(", "))
+    // rows landed in the RIGHT day dirs: dir ordinal = the V2
+    // graft.days function = UTC floor-div of the raw micros
+    val misplaced = st.readVersioned(out)
+      .withColumn("file", input_file_name())
+      .withColumn("dir_id",
+        regexp_extract($"file", "__gtd_ts=(-?\\d+)", 1).cast("int"))
+      .filter($"dir_id" =!= expr("graft.days(ts)") ||
+        $"dir_id" =!= floor(unix_micros($"ts") / 86400000000L).cast("int"))
+    val misBad = misplaced.limit(3).collect()
+    assert(misBad.isEmpty, misBad.mkString(", "))
+    // a ts-range predicate prunes sibling days at plan time — each
+    // partition dir doubles as an exact zone entry, no sidecar built
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Int = {
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect { case x => x }.flatMap {
+          case ad: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => nodes(ad.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => s +: nodes(s.plan)
+          case x => Seq(x)
+        }
+      nodes(d.queryExecution.executedPlan).collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          bs.inputPartitions.map {
+            case k: org.apache.spark.sql.graftbridge.KeyedFilePartition =>
+              k.fp.files.map(_.filePath.toString).distinct.size
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(_.filePath.toString).distinct.size
+            case _ => 0
+          }.sum
+      }.sum
+    }
+    val q = spark.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS c FROM graft.`$out`
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin)
+    val expect = src.filter($"ts" >= lit("2024-01-10").cast("timestamp")
+      && $"ts" < lit("2024-01-12").cast("timestamp")).count()
+    assert(q.collect().head.getLong(0) == expect)
+    val full = spark.sql(
+      s"SELECT CAST(sum(event_id) AS BIGINT) AS s FROM graft.`$out`")
+    full.collect()
+    val (pruned, total) = (scannedFiles(q), scannedFiles(full))
+    assert(pruned > 0 && pruned < total,
+      s"day-range filter did not prune sibling days ($pruned of $total)")
+    // NULL ts lands in the default-partition dir and reads back
+    spark.sql(s"INSERT INTO graft.`$out` VALUES (900001, NULL, 7)")
+    val back = st.readVersioned(out).filter($"ts".isNull)
+    assert(back.count() == 1 &&
+      back.head.getLong(0) == 900001L)
+    assert(st.readVersioned(out).inputFiles.exists(
+      _.contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(st.readVersioned(out).count() == src.count() + 1)
+  }
+
+  test("temporal transforms: months(date) Scala-API layout, compaction " +
+    "keeps it, invalid unit/type combinations fail fast") {
+    val out = fresh("cat_tp_months")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderdate".cast("date").as("od"),
+        $"o_totalprice")
+    st.writeVersionedPartitioned(orders, out, Seq("months(od)"))
+    assert(st.readVersioned(out).inputFiles.forall(_.contains("__gtm_od=")),
+      st.readVersioned(out).inputFiles.take(3).mkString(", "))
+    // dir ordinal = (year-1970)*12 + month-1, from the date itself
+    val misplaced = st.readVersioned(out)
+      .withColumn("file", input_file_name())
+      .withColumn("dir_id",
+        regexp_extract($"file", "__gtm_od=(-?\\d+)", 1).cast("int"))
+      .filter($"dir_id" =!=
+        ((year($"od") - 1970) * 12 + month($"od") - 1))
+    val misBad = misplaced.limit(3).collect()
+    assert(misBad.isEmpty, misBad.mkString(", "))
+    val before = st.readVersioned(out)
+      .agg(count(lit(1)), sum($"o_orderkey")).head()
+    // compaction must keep the temporal layout (spec + dirs)
+    st.compactVersioned(out, 2)
+    assert(st.partitionSpec(out, st.listVersions(out).last) ==
+      Seq("months(od)"))
+    assert(st.readVersioned(out).inputFiles.forall(_.contains("__gtm_od=")))
+    val after = st.readVersioned(out)
+      .agg(count(lit(1)), sum($"o_orderkey")).head()
+    assert(before == after)
+    // a months-range predicate prunes from the synthesized zones even
+    // though the predicate is on the RAW date column
+    val pr = st.readVersioned(out).filter($"od" < lit("1993-01-01"))
+      .agg(count(lit(1))).head().getLong(0)
+    assert(pr == orders.filter($"od" < lit("1993-01-01")).count())
+    // invalid combos fail at validation, not at write time
+    val bad1 = intercept[IllegalArgumentException] {
+      st.writeVersionedPartitioned(orders, fresh("cat_tp_bad1"),
+        Seq("hours(od)"))
+    }
+    assert(bad1.getMessage.contains("hours"))
+    val bad2 = intercept[IllegalArgumentException] {
+      st.writeVersionedPartitioned(
+        T.t(spark, SF, "orders"), fresh("cat_tp_bad2"),
+        Seq("days(o_orderstatus)"))
+    }
+    assert(bad2.getMessage.contains("not a valid source type"))
+  }
+
+  test("temporal storage-partitioned join: two days(ts) tables join " +
+    "with zero hash exchanges") {
+    val a = fresh("cat_tp_spj_a")
+    val b = fresh("cat_tp_spj_b")
+    val ev = T.events(spark, SF).select($"event_id", $"ts", $"user_id")
+    st.writeVersionedPartitioned(ev, a, Seq("days(ts)"))
+    st.writeVersionedPartitioned(
+      ev.groupBy($"ts").agg(count(lit(1)).as("n")), b, Seq("days(ts)"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS c,
+           |  CAST(sum(d.n) AS BIGINT) AS s
+           |FROM graft.`$a` f JOIN graft.`$b` d ON f.ts = d.ts""".stripMargin)
+      val r = q.collect().head
+      assert(r.getLong(0) == ev.count() && r.getLong(1) == ev.count())
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "co-day-partitioned join still shuffles:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
     val out = seed("cat_mor_refuse")
     st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
