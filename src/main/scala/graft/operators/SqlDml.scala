@@ -314,6 +314,50 @@ object SqlDml extends QueryModule {
          |ORDER BY st""".stripMargin)
   }
 
+  /** Bucketed + SORTED storage layout — the zero-exchange, ZERO-SORT
+    * sort-merge join: both sides written `bucket(8, key)` AND
+    * `sortedBy(key)` (one file per bucket, each internally sorted),
+    * so the catalog scans report `KeyGroupedPartitioning` + a
+    * per-partition `SupportsReportOrdering` claim, and the
+    * orders↔lineitem-rollup SMJ plans with NO exchange and NO sort
+    * on either side (CatalogSpec pins the plan; this query oracles
+    * the VALUES). At 100 TB this is the Hive-SMB/Iceberg-sorted-table
+    * shape: the two biggest costs of a fact-fact merge join — the
+    * shuffle and the sort — both move to write time and amortize
+    * over every subsequent join.
+    */
+  def sqlSortedSmj(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val a = T.scratch(dir, "sql_smj_fact")
+    val b = T.scratch(dir, "sql_smj_lines")
+    val fs = new org.apache.hadoop.fs.Path(a)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(a, b).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val st = GraftStorage(s)
+    st.writeVersionedPartitioned(
+      T.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .repartition(8, pmod(hash($"o_orderkey"), lit(8))),
+      a, Seq("bucket(8,o_orderkey)"), append = false,
+      sortedBy = Seq("o_orderkey"))
+    st.writeVersionedPartitioned(
+      T.t(s, dir, "lineitem").groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_lines"))
+        .repartition(8, pmod(hash($"l_orderkey"), lit(8))),
+      b, Seq("bucket(8,l_orderkey)"), append = false,
+      sortedBy = Seq("l_orderkey"))
+    s.sql(
+      s"""SELECT f.o_orderstatus AS st,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(d.n_lines) AS BIGINT) AS line_sum
+         |FROM graft.`$a` f JOIN graft.`$b` d
+         |  ON f.o_orderkey = d.l_orderkey
+         |GROUP BY f.o_orderstatus
+         |ORDER BY st""".stripMargin)
+  }
+
   /** Temporal partition transform — THE time-partitioned fact
     * layout: `PARTITIONED BY (days(ts))` lays one dir per UTC day,
     * the V2 writer routes rows through the same
@@ -394,6 +438,7 @@ object SqlDml extends QueryModule {
     "sql_join_bucketed_spj" -> (sqlJoinBucketedSpj(_, _)),
     "sink_versioned_partitioned" -> (sinkVersionedPartitioned(_, _)),
     "sql_part_temporal" -> (sqlPartTemporal(_, _)),
+    "sql_sorted_smj" -> (sqlSortedSmj(_, _)),
     "scan_multipath" -> (scanMultiPath(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -510,6 +555,17 @@ object SqlDml extends QueryModule {
          |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
          |FROM orders o JOIN customer c ON o.o_orderkey = c.c_custkey
          |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
+    // bucketed+sorted SMJ ≡ the plain orders↔lineitem-rollup join
+    "sql_sorted_smj" ->
+      s"""SELECT o.o_orderstatus AS st,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(d.n_lines) AS BIGINT) AS line_sum
+         |FROM orders o JOIN (
+         |  SELECT l_orderkey, COUNT(*) AS n_lines
+         |  FROM lineitem GROUP BY l_orderkey) d
+         |  ON o.o_orderkey = d.l_orderkey
+         |GROUP BY o.o_orderstatus
+         |ORDER BY st""".stripMargin,
     // day-partitioned round trip ≡ the same rollup on raw events
     "sql_part_temporal" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -292,11 +292,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (st.listVersions(p).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Seq(catalogName, p))
+    // TBLPROPERTIES ('sorted_by'='c1,c2'): declare a per-file sort
+    // order at create time — every INSERT/DML write then enforces it
+    // (RequiresDistributionAndOrdering) and the scan reports it
+    val sortCols: Seq[String] =
+      Option(properties.get("sorted_by")).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val missingSort = sortCols.filterNot(schema.fieldNames.contains)
+    require(missingSort.isEmpty,
+      s"sorted_by columns absent from the schema: " +
+        missingSort.mkString(", "))
     if (idCols.isEmpty)
       st.writeVersioned(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), p)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        p, append = false, Seq.empty, Seq.empty, sortCols)
     else
-      st.createVersionedPartitioned(p, schema, idCols)
+      st.createVersionedPartitioned(p, schema, idCols, sortCols)
     new GraftVersionedTable(p)
   }
 
@@ -410,8 +421,14 @@ final class GraftVersionedTable(path: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def properties(): util.Map[String, String] =
-    Map("path" -> path, "provider" -> "graft").asJava
+  override def properties(): util.Map[String, String] = {
+    val sorted = st.listVersions(path).lastOption
+      .map(v => st.sortSpec(path, pinnedVersion.getOrElse(v)))
+      .getOrElse(Seq.empty)
+    (Map("path" -> path, "provider" -> "graft") ++
+      (if (sorted.nonEmpty) Map("sorted_by" -> sorted.mkString(","))
+       else Map.empty)).asJava
+  }
 
   /** Identity transforms of a partitioned snapshot (DESCRIBE etc.) —
     * read from the cached one-line manifest `P` entry, NOT
@@ -462,7 +479,8 @@ final class GraftVersionedTable(path: String,
           case GraftStorage.TemporalPart(u, c) =>
             org.apache.spark.sql.graftbridge.PartFieldInfo(
               c, None, org.apache.spark.sql.types.IntegerType, Some(u))
-        }), parts.partKey)))
+        }), parts.partKey)),
+      parts.sortCols)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -526,9 +544,11 @@ private[sources] final class GraftWriteBuilder(path: String,
     val mode: GraftCommitMode =
       if (overwrite) GraftCommitMode.Truncate else GraftCommitMode.Append
     val st = GraftStorage(SparkSession.active)
-    val partCols = st.listVersions(path).lastOption
-      .map(v => st.partitionSpec(path, v)).getOrElse(Seq.empty)
-    GraftWrites.forTable(path, writeSchema, mode, partCols)
+    val last = st.listVersions(path).lastOption
+    val partCols = last.map(v => st.partitionSpec(path, v))
+      .getOrElse(Seq.empty)
+    GraftWrites.forTable(path, writeSchema, mode, partCols,
+      last.map(v => st.sortSpec(path, v)).getOrElse(Seq.empty))
   }
 }
 
@@ -538,29 +558,36 @@ private[sources] object GraftWrites {
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
   def forTable(path: String, writeSchema: StructType,
-      mode: GraftCommitMode, partCols: Seq[String]): Write =
-    if (partCols.isEmpty) new Write {
+      mode: GraftCommitMode, partCols: Seq[String],
+      sortCols: Seq[String] = Seq.empty): Write =
+    if (partCols.isEmpty && sortCols.isEmpty) new Write {
       override def toBatch: BatchWrite =
         new GraftBatchWrite(SparkSession.active, path, writeSchema, mode)
     } else {
       val fields = partCols.map(GraftStorage.parsePartField)
-      val missing = fields.map(_.col)
+      val missing = (fields.map(_.col) ++ sortCols)
         .filterNot(writeSchema.fieldNames.contains)
       require(missing.isEmpty,
-        s"write to partitioned $path lacks partition " +
+        s"write to partitioned/sorted $path lacks " +
           s"columns: ${missing.mkString(", ")}")
       def transform(f: GraftStorage.PartField)
           : org.apache.spark.sql.connector.expressions.Expression =
         GraftCatalog.v2Transform(f)
       new Write with RequiresDistributionAndOrdering {
         override def requiredDistribution(): Distribution =
-          Distributions.clustered(fields.map(transform).toArray)
+          if (fields.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(fields.map(transform).toArray)
+        // rows reach each task ordered by (layout keys, sort cols):
+        // per-dir files roll out contiguous AND internally sorted —
+        // the table's O claim stays true through every SQL write
         override def requiredOrdering(): Array[SortOrder] =
-          fields.map(f => Expressions.sort(
-            transform(f), SortDirection.ASCENDING)).toArray
+          (fields.map(f => Expressions.sort(
+            transform(f), SortDirection.ASCENDING)) ++
+           sortCols.map(c => Expressions.sort(
+             Expressions.column(c), SortDirection.ASCENDING))).toArray
         override def toBatch: BatchWrite =
           new GraftBatchWrite(SparkSession.active, path, writeSchema,
-            mode, partCols)
+            mode, partCols, sortCols)
       }
     }
 }
@@ -599,7 +626,8 @@ private[sources] object GraftCommitMode {
 private[sources] final class GraftBatchWrite(
     @transient spark: SparkSession, path: String,
     writeSchema: StructType, mode: GraftCommitMode,
-    partCols: Seq[String] = Seq.empty) extends BatchWrite {
+    partCols: Seq[String] = Seq.empty,
+    sortCols: Seq[String] = Seq.empty) extends BatchWrite {
 
   @transient private val st = GraftStorage(spark)
   /** Version this write was planned against (conflict gate). */
@@ -664,6 +692,14 @@ private[sources] final class GraftBatchWrite(
         s"R\t${t._2}\t${new Path(t._1).toUri.getPath}") ++
       (if (partCols.nonEmpty && mode == GraftCommitMode.Truncate)
         Seq(s"P\t${partCols.mkString(",")}") else Seq.empty) ++
+      // the sort claim rides every V2 write that ENFORCED it
+      // (requiredOrdering): Truncate re-declares it like P;
+      // ReplaceGroups re-declares it because carriedMetaLines
+      // deliberately drops O (Scala CoW rewrites do not re-sort);
+      // Append inherits the prior manifest's O, sound for the same
+      // reason — this write's files arrive sorted
+      (if (sortCols.nonEmpty && mode != GraftCommitMode.Append)
+        Seq(s"O\t${sortCols.mkString(",")}") else Seq.empty) ++
       Seq(s"H\t${writeSchema.json}")
     val n = vsNow.lastOption.map(_ + 1).getOrElse(0L)
     val entries = mode match {
@@ -964,7 +1000,8 @@ private[sources] final class GraftRowLevelOperation(
         val st = GraftStorage(SparkSession.active)
         GraftWrites.forTable(path, info.schema(),
           GraftCommitMode.ReplaceGroups(op),
-          st.partitionSpec(path, op.version))
+          st.partitionSpec(path, op.version),
+          st.sortSpec(path, op.version))
       }
     }
   }

@@ -748,7 +748,26 @@ final case class GraftStorage(
     */
   def writeVersioned(df: DataFrame, path: String,
       append: Boolean, statsCols: Seq[String],
-      bloomCols: Seq[String]): Long = {
+      bloomCols: Seq[String]): Long =
+    writeVersioned(df, path, append, statsCols, bloomCols, Seq.empty)
+
+  /** writeVersioned with a DECLARED SORT ORDER: `sortedBy` sorts the
+    * commit's rows within each task (ascending, nulls first) before
+    * writing, so EVERY data file is internally sorted by those
+    * columns, and records the claim as an `O` manifest line. The
+    * catalog scan then reports per-partition ordering
+    * (`SupportsReportOrdering`) and Spark elides the sort of a
+    * sort-merge join or sort-based aggregate over it — combined with
+    * a co-partitioned layout that is the zero-exchange ZERO-SORT
+    * fact-fact join. The claim is table-wide, so it survives only
+    * commits that uphold it: an append must re-declare the same
+    * `sortedBy` or the `O` line is dropped; copy-on-write rewrites
+    * drop it (their files are not re-sorted — re-compact to
+    * restore); compaction and the SQL write path re-enforce it.
+    */
+  def writeVersioned(df: DataFrame, path: String,
+      append: Boolean, statsCols: Seq[String],
+      bloomCols: Seq[String], sortedBy: Seq[String]): Long = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
@@ -765,9 +784,16 @@ final case class GraftStorage(
         manifestEntries(path, vs.last).collect {
           case e if e.startsWith("H\t") => e.drop(2)
         } :+ df.schema.json)
+    val missingSort = sortedBy.filterNot(df.schema.fieldNames.contains)
+    require(missingSort.isEmpty,
+      s"sortedBy columns absent from the schema: " +
+        missingSort.mkString(", "))
     val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
     val commitDir = newCommitDir(dir, n)
-    df.write.mode("overwrite").parquet(commitDir.toString)
+    val toWrite =
+      if (sortedBy.isEmpty) df
+      else df.sortWithinPartitions(sortedBy.map(col): _*)
+    toWrite.write.mode("overwrite").parquet(commitDir.toString)
     validateCommitDir(path, commitDir, fs)
     val stats: Seq[String] =
       if (statsCols.isEmpty) Seq.empty
@@ -788,14 +814,26 @@ final case class GraftStorage(
     val freshFiles = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
-    val fresh = freshFiles ++ stats ++ blooms ++
+    // the O line survives only when every commit upholds it: a fresh
+    // table records sortedBy, an append keeps it only by re-declaring
+    // the SAME order (appending unsorted files next to sorted ones
+    // would turn the table-wide claim false)
+    val priorSort =
+      if (append) sortSpec(path, n - 1) else Seq.empty[String]
+    val order: Seq[String] =
+      if (sortedBy.nonEmpty && (!append || priorSort == sortedBy))
+        Seq(s"O\t${sortedBy.mkString(",")}")
+      else Seq.empty
+    val fresh = freshFiles ++ stats ++ blooms ++ order ++
       rowCountLines(freshFiles) ++ Seq(s"H\t${df.schema.json}")
     // append carries the RAW prior entries: deletion vectors keep
     // applying to the files they were committed against. (Key-based
     // DV contract: an appended row must not REUSE a deleted key —
     // materialize via compactVersioned before re-inserting keys.)
     val carried =
-      if (append) manifestEntries(path, n - 1) else Seq.empty[String]
+      if (append)
+        manifestEntries(path, n - 1).filterNot(_.startsWith("O\t"))
+      else Seq.empty[String]
     publishManifest(fs, dir, n, carried ++ fresh, Some(commitDir))
     n
   }
@@ -824,11 +862,16 @@ final case class GraftStorage(
     * key).
     */
   def writeVersionedPartitioned(df: DataFrame, path: String,
-      partCols: Seq[String], append: Boolean = false): Long = {
+      partCols: Seq[String], append: Boolean = false,
+      sortedBy: Seq[String] = Seq.empty): Long = {
     import org.apache.hadoop.fs.Path
     require(partCols.nonEmpty,
       "writeVersionedPartitioned needs at least one partition column")
     validatePartCols(df.schema, partCols)
+    val missingSort = sortedBy.filterNot(df.schema.fieldNames.contains)
+    require(missingSort.isEmpty,
+      s"sortedBy columns absent from the schema: " +
+        missingSort.mkString(", "))
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -847,13 +890,30 @@ final case class GraftStorage(
     }
     val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
     val commitDir = newCommitDir(dir, n)
-    val freshFiles = writeCommitData(df, commitDir, partCols, fs)
+    // sort by (layout keys, sortedBy) within each task: rows of one
+    // partition dir are then contiguous AND internally ordered, so
+    // every per-dir file the task rolls is sorted by sortedBy
+    val toWrite =
+      if (sortedBy.isEmpty) df
+      else df.sortWithinPartitions(
+        (partCols.map { s =>
+          val f = GraftStorage.parsePartField(s)
+          f.keyExpr(df.schema(f.col).dataType)
+        } ++ sortedBy.map(col)): _*)
+    val freshFiles = writeCommitData(toWrite, commitDir, partCols, fs)
     validateCommitFiles(path, freshFiles, commitDir, fs)
-    val fresh = freshFiles ++ rowCountLines(freshFiles) ++
+    val priorSort =
+      if (append) sortSpec(path, n - 1) else Seq.empty[String]
+    val order: Seq[String] =
+      if (sortedBy.nonEmpty && (!append || priorSort == sortedBy))
+        Seq(s"O\t${sortedBy.mkString(",")}")
+      else Seq.empty
+    val fresh = freshFiles ++ rowCountLines(freshFiles) ++ order ++
       Seq(s"P\t${partCols.mkString(",")}", s"H\t${df.schema.json}")
     val carried =
       if (append)
-        manifestEntries(path, n - 1).filterNot(_.startsWith("P\t"))
+        manifestEntries(path, n - 1).filterNot(e =>
+          e.startsWith("P\t") || e.startsWith("O\t"))
       else Seq.empty[String]
     publishManifest(fs, dir, n, carried ++ fresh, Some(commitDir))
     n
@@ -939,16 +999,23 @@ final case class GraftStorage(
     */
   def createVersionedPartitioned(path: String,
       schema: org.apache.spark.sql.types.StructType,
-      partCols: Seq[String]): Long = {
+      partCols: Seq[String],
+      sortedBy: Seq[String] = Seq.empty): Long = {
     import org.apache.hadoop.fs.Path
     require(partCols.nonEmpty, "createVersionedPartitioned needs " +
       "partition columns (use writeVersioned for unpartitioned tables)")
     validatePartCols(schema, partCols)
+    val missingSort = sortedBy.filterNot(schema.fieldNames.contains)
+    require(missingSort.isEmpty,
+      s"sortedBy columns absent from the schema: " +
+        missingSort.mkString(", "))
     require(listVersions(path).isEmpty,
       s"$path already has committed versions")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     publishManifest(fs, dir, 0L,
+      (if (sortedBy.nonEmpty) Seq(s"O\t${sortedBy.mkString(",")}")
+       else Seq.empty) ++
       Seq(s"P\t${partCols.mkString(",")}", s"H\t${schema.json}"))
     0L
   }
@@ -1019,6 +1086,18 @@ final case class GraftStorage(
         }
         if (cur.nonEmpty) out += cur.toString
         out.toSeq
+    }.getOrElse(Seq.empty)
+
+  /** The table's declared per-file sort order at version `v` (`O`
+    * manifest line; empty: no claim). When non-empty, EVERY data file
+    * of the snapshot is internally sorted by these columns ascending
+    * nulls-first — the commit surfaces guarantee it (enforce on
+    * write, or drop the line).
+    */
+  private[graft] def sortSpec(path: String, v: Long): Seq[String] =
+    manifestEntries(path, v).collectFirst {
+      case e if e.startsWith("O\t") =>
+        e.drop(2).split(',').toSeq.filter(_.nonEmpty)
     }.getOrElse(Seq.empty)
 
   /** EXTERNAL key values of one partitioned file, parsed from its
@@ -1499,8 +1578,13 @@ final case class GraftStorage(
     // a partitioned table compacts WITHIN its layout: hash the keys
     // into targetFiles tasks (≈ one file per key per task) and keep
     // the identity dirs + P spec — compaction must not de-partition
-    val spec = listVersions(path).lastOption
-      .map(partitionSpec(path, _)).getOrElse(Seq.empty)
+    val lastV = listVersions(path).lastOption
+    val spec = lastV.map(partitionSpec(path, _)).getOrElse(Seq.empty)
+    // a declared sort order survives compaction by RE-ENFORCING it
+    // (the write surfaces re-sort within tasks; coalescing sorted
+    // runs would interleave them, so the unpartitioned path switches
+    // to a range repartition — which also re-clusters the zones)
+    val sortCols = lastV.map(sortSpec(path, _)).getOrElse(Seq.empty)
     if (spec.nonEmpty) {
       // repartition by the LAYOUT key (bucket id, not the raw key):
       // clustering by the raw column would scatter each bucket over
@@ -1512,11 +1596,14 @@ final case class GraftStorage(
             val f = GraftStorage.parsePartField(s)
             f.keyExpr(cur.schema(f.col).dataType)
           }: _*),
-        path, spec)
+        path, spec, append = false, sortedBy = sortCols)
     } else {
       val (sc, bc) = priorSidecarCoverage(path)
-      writeVersioned(readVersioned(path).coalesce(targetFiles), path,
-        append = false, sc, bc)
+      val cur = readVersioned(path)
+      val clustered =
+        if (sortCols.isEmpty) cur.coalesce(targetFiles)
+        else cur.repartitionByRange(targetFiles, sortCols.map(col): _*)
+      writeVersioned(clustered, path, append = false, sc, bc, sortCols)
     }
   }
 
@@ -2136,7 +2223,8 @@ final case class GraftStorage(
         }
       }
     VersionedScanParts(files, zonesWithKeys, bloomDirs.nonEmpty, bloomMeta,
-      cols => loadBlooms(Some(cols)), fullSchema, partCols, keyFn)
+      cols => loadBlooms(Some(cols)), fullSchema, partCols, keyFn,
+      sortSpec(path, v))
   }
 
   /** Raw manifest-file read honoring the snapshot's schema-in-log
@@ -2919,7 +3007,8 @@ private[sources] final case class VersionedScanParts(
       Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]],
     schema: org.apache.spark.sql.types.StructType,
     partCols: Seq[String] = Seq.empty,
-    partKey: String => Option[Seq[Any]] = _ => None)
+    partKey: String => Option[Seq[Any]] = _ => None,
+    sortCols: Seq[String] = Seq.empty)
 
 object GraftStorage {
 

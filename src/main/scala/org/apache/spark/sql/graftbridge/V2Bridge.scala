@@ -137,7 +137,8 @@ final class MetaAggScanBuilder(
       org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex]
       = None,
     blooms: Option[RuntimeBloomProbe] = None,
-    partSpec: Option[(Seq[PartFieldInfo], String => Option[Seq[Any]])] = None)
+    partSpec: Option[(Seq[PartFieldInfo], String => Option[Seq[Any]])] = None,
+    sortCols: Seq[String] = Seq.empty)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters
@@ -200,13 +201,15 @@ final class MetaAggScanBuilder(
           val kschema = StructType(pcols.map(f =>
             StructField(f.col, f.keyType)))
           new KeyGroupedParquetScan(scan, pcols, kschema, keyFn,
-            zones, mayMatch)
+            zones, mayMatch, sortCols)
         case _ =>
           // runtime join-key file pruning rides stats-covered tables
+          // (a declared sort order rides the same wrapper — with no
+          // zones its runtime filter just keeps every file)
           mayMatch match {
-            case Some(mm) if zones.nonEmpty =>
+            case Some(mm) if zones.nonEmpty || sortCols.nonEmpty =>
               new RuntimeFilteredParquetScan(scan, files, zones,
-                inner.dataSchema, mm, indexFactory, blooms)
+                inner.dataSchema, mm, indexFactory, blooms, sortCols)
             case _ => scan
           }
       }
@@ -319,8 +322,10 @@ final class RuntimeFilteredParquetScan(
     indexFactory: Option[Seq[String] =>
       org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex]
       = None,
-    blooms: Option[RuntimeBloomProbe] = None)
+    blooms: Option[RuntimeBloomProbe] = None,
+    sortCols: Seq[String] = Seq.empty)
   extends Scan with SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** Scan/exchange reuse: two scans of the same snapshot must stay
@@ -359,7 +364,23 @@ final class RuntimeFilteredParquetScan(
 
   override def readSchema(): StructType = current.readSchema()
   override def description(): String = current.description()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = current
+
+  /** Per-PARTITION sort order of a table whose manifest carries an
+    * `O` claim: reported for the longest prefix of the sort columns
+    * surviving column pruning (a pruned sort column would leave an
+    * unresolvable reference). When reported, partitions are
+    * re-planned ONE PER SPLIT — every byte range of an internally
+    * sorted file streams in file order, so each split is itself
+    * sorted, whereas Spark's bin-packing may concatenate unrelated
+    * files into one partition and break the claim.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    V2Bridge.orderingFor(sortCols, readSchema())
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    if (outputOrdering().nonEmpty) new SingleSplitSortedBatch(current)
+    else current
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     current.supportedCustomMetrics()
@@ -474,6 +495,33 @@ final class RuntimeBloomProbe(
   }
 }
 
+/** Batch wrapper serving ONE SPLIT PER INPUT PARTITION — the planning
+  * shape under which a per-file sort claim holds per partition (see
+  * [[RuntimeFilteredParquetScan.outputOrdering]]). Split count (and
+  * so parallelism) is unchanged; only the bin-packing of small files
+  * into shared partitions is undone.
+  */
+final class SingleSplitSortedBatch(
+    delegate: org.apache.spark.sql.connector.read.Batch)
+  extends org.apache.spark.sql.connector.read.Batch {
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    delegate.planInputPartitions().flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(f => org.apache.spark.sql.execution.datasources
+          .FilePartition(0, Array(f))
+          : org.apache.spark.sql.connector.read.InputPartition)
+      case other => Array(other)
+    }.zipWithIndex.map {
+      case (fp: org.apache.spark.sql.execution.datasources.FilePartition,
+          i) => fp.copy(index = i)
+      case (p, _) => p
+    }
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    delegate.createReaderFactory()
+}
+
 /** An input partition holding every split of ONE identity-partition
   * key ([[org.apache.spark.sql.connector.read.HasPartitionKey]]);
   * the stock parquet reader factory runs the wrapped FilePartition.
@@ -525,9 +573,11 @@ final class KeyGroupedParquetScan(
     keySchema: StructType,
     keyOf: String => Option[Seq[Any]],
     zones: Map[String, Map[String, (Any, Any)]] = Map.empty,
-    mayMatch: Option[(Map[String, (Any, Any)], Filter) => Boolean] = None)
+    mayMatch: Option[(Map[String, (Any, Any)], Filter) => Boolean] = None,
+    sortCols: Seq[String] = Seq.empty)
   extends Scan with org.apache.spark.sql.connector.read.Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -583,11 +633,30 @@ final class KeyGroupedParquetScan(
       .zipWithIndex.map { case ((key, pfs), i) =>
         val row = InternalRow.fromSeq(
           key.zip(convs).map { case (v, c) => c(v) })
+        // splits in (file, offset) order: ranges of one sorted file
+        // then stream in file order, so a one-file group upholds the
+        // table's sort claim partition-wide (see outputOrdering)
         KeyedFilePartition(
           org.apache.spark.sql.execution.datasources.FilePartition(
-            i, pfs.toArray), row)
+            i, pfs.sortBy(f => (f.filePath.toString, f.start)).toArray),
+          row)
       }.toArray
   }
+
+  /** Per-partition sort order of a sorted (`O`-claimed) table: sound
+    * only when every key group holds splits of AT MOST ONE file (two
+    * sorted files concatenate unsorted) — the shape a compacted or
+    * cluster-written table has. Reported for the longest prefix of
+    * the sort columns surviving column pruning. Together with the
+    * KeyGroupedPartitioning above this plans the zero-exchange,
+    * ZERO-SORT sort-merge join.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (sortCols.nonEmpty && groups.forall(
+        _.fp.files.map(_.filePath.toString).distinct.size <= 1))
+      V2Bridge.orderingFor(sortCols, readSchema())
+    else Array.empty
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -662,6 +731,22 @@ object V2Bridge {
   private def classic(spark: SparkSession) =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
+  /** Connector SortOrders for a declared sort, restricted to the
+    * longest prefix surviving column pruning (Spark resolves the
+    * references against the scan's output; a pruned column would be
+    * unresolvable, and a non-prefix subset would claim an order the
+    * files do not have). Ascending nulls-first — exactly what the
+    * write side's `sortWithinPartitions` produced.
+    */
+  def orderingFor(sortCols: Seq[String], readSchema: StructType)
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference, SortDirection}
+    sortCols.takeWhile(readSchema.fieldNames.contains)
+      .map(c => Expressions.sort(
+        FieldReference.column(c), SortDirection.ASCENDING))
+      .toArray
+  }
+
   /** Spark's own vectorized parquet ScanBuilder (pushdown, column
     * pruning, aggregate pushdown) over an EXACT file list served
     * through a [[graft.sources.ZoneMapFileIndex]] — the V2 read path
@@ -680,7 +765,8 @@ object V2Bridge {
       rowCount: () => Option[Long] = () => None,
       mayMatch: Option[(Map[String, (Any, Any)],
         Filter) => Boolean] = None,
-      partSpec: Option[(Seq[PartFieldInfo], String => Option[Seq[Any]])] = None)
+      partSpec: Option[(Seq[PartFieldInfo], String => Option[Seq[Any]])] = None,
+      sortCols: Seq[String] = Seq.empty)
       : ScanBuilder = {
     def mkIndex(fs: Seq[String]): graft.sources.ZoneMapFileIndex =
       new graft.sources.ZoneMapFileIndex(classic(spark),
@@ -694,7 +780,7 @@ object V2Bridge {
       Some(mkIndex(_)),
       Some(new RuntimeBloomProbe(
         if (hasBlooms) bloomMeta else () => Set.empty, bloomLoader)),
-      partSpec)
+      partSpec, sortCols)
   }
 
   /** A parquet scan over an exact file list with NOTHING pushed down —

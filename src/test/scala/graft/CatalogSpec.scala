@@ -912,6 +912,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(bad2.getMessage.contains("not a valid source type"))
   }
 
+  test("SQL row-level DML on a days(ts) table keeps the temporal " +
+    "layout (group rewrites resolve the graft.days distribution)") {
+    val out = fresh("cat_tp_dml")
+    spark.sql(
+      s"""CREATE TABLE graft.`$out`
+         |  (event_id BIGINT, ts TIMESTAMP, user_id BIGINT)
+         |USING graft PARTITIONED BY (days(ts))""".stripMargin)
+    T.events(spark, SF).select($"event_id", $"ts", $"user_id")
+      .createOrReplaceTempView("cat_tp_dml_src")
+    spark.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT event_id, ts, user_id FROM cat_tp_dml_src")
+    spark.sql(s"UPDATE graft.`$out` SET user_id = user_id + 1 " +
+      "WHERE event_id % 10 = 0")
+    spark.sql(s"DELETE FROM graft.`$out` WHERE event_id % 2 = 0")
+    assert(st.readVersioned(out).inputFiles.forall(_.contains("__gtd_ts=")),
+      st.readVersioned(out).inputFiles.take(3).mkString(", "))
+    val src = spark.table("cat_tp_dml_src")
+    val expect = src.filter($"event_id" % 2 === 1)
+      .withColumn("user_id",
+        when($"event_id" % 10 === 0, $"user_id" + 1)
+          .otherwise($"user_id"))
+      .agg(count(lit(1)), sum($"user_id")).head()
+    val got = st.readVersioned(out)
+      .agg(count(lit(1)), sum($"user_id")).head()
+    assert(got == expect)
+    // and the rewritten files are still rightly keyed
+    val mis = st.readVersioned(out)
+      .withColumn("dir_id", regexp_extract(input_file_name(),
+        "__gtd_ts=(-?\\d+)", 1).cast("int"))
+      .filter($"dir_id" =!= expr("graft.days(ts)"))
+      .limit(3).collect()
+    assert(mis.isEmpty, mis.mkString(", "))
+  }
+
   test("temporal storage-partitioned join: two days(ts) tables join " +
     "with zero hash exchanges") {
     val a = fresh("cat_tp_spj_a")
@@ -934,6 +968,122 @@ class CatalogSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"),
         "co-day-partitioned join still shuffles:\n" + plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
+  test("sorted tables: the O claim records, survives only re-declared " +
+    "appends, and compaction re-enforces it") {
+    val out = fresh("cat_sorted_claim")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(orders.repartition(4), out, append = false,
+      Seq.empty, Seq.empty, Seq("o_orderkey"))
+    assert(st.sortSpec(out, st.listVersions(out).last) ==
+      Seq("o_orderkey"))
+    // every data file is internally sorted
+    def eachFileSorted(): Boolean =
+      st.readVersioned(out).inputFiles.forall { f =>
+        val keys = spark.read.parquet(f)
+          .select($"o_orderkey").collect().map(_.getLong(0))
+        keys.sameElements(keys.sorted)
+      }
+    assert(eachFileSorted())
+    // an append that does NOT re-declare the sort drops the claim
+    st.writeVersioned(orders.limit(100), out, append = true)
+    assert(st.sortSpec(out, st.listVersions(out).last).isEmpty)
+    // compaction with a restored claim re-sorts and re-records
+    st.writeVersioned(orders, out, append = false, Seq.empty,
+      Seq.empty, Seq("o_orderkey"))
+    st.compactVersioned(out, 3)
+    assert(st.sortSpec(out, st.listVersions(out).last) ==
+      Seq("o_orderkey"))
+    assert(eachFileSorted())
+    // a re-declared append keeps it
+    st.writeVersioned(orders.limit(50), out, append = true,
+      Seq.empty, Seq.empty, Seq("o_orderkey"))
+    assert(st.sortSpec(out, st.listVersions(out).last) ==
+      Seq("o_orderkey"))
+    // a Scala CoW rewrite does not re-sort — the claim must drop
+    st.deleteVersioned(out, $"o_orderkey" % 100 === 0)
+    assert(st.sortSpec(out, st.listVersions(out).last).isEmpty)
+  }
+
+  test("bucketed+sorted tables: the sort-merge join plans with zero " +
+    "exchanges AND zero sorts (scan-reported ordering)") {
+    val a = fresh("cat_sms_a")
+    val b = fresh("cat_sms_b")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val lineagg = T.t(spark, SF, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+    // ONE task per bucket id (repartition on the bucket id routes
+    // every bucket to a single task) → one file per bucket → the
+    // key-grouped scan may claim per-partition ordering
+    st.writeVersionedPartitioned(
+      orders.repartition(8, pmod(hash($"o_orderkey"), lit(8))),
+      a, Seq("bucket(8,o_orderkey)"), append = false,
+      sortedBy = Seq("o_orderkey"))
+    st.writeVersionedPartitioned(
+      lineagg.repartition(8, pmod(hash($"l_orderkey"), lit(8))),
+      b, Seq("bucket(8,l_orderkey)"), append = false,
+      sortedBy = Seq("l_orderkey"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS c,
+           |  CAST(sum(d.n_lines) AS BIGINT) AS s
+           |FROM graft.`$a` f JOIN graft.`$b` d
+           |  ON f.o_orderkey = d.l_orderkey""".stripMargin)
+      val r = q.collect().head
+      val expect = orders.join(lineagg, $"o_orderkey" === $"l_orderkey")
+        .agg(count(lit(1)), sum($"n_lines")).head()
+      assert(r.getLong(0) == expect.getLong(0) &&
+        r.getLong(1) == expect.getLong(1))
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"),
+        "expected a sort-merge join:\n" + plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "co-bucketed join still shuffles:\n" + plan)
+      assert(!plan.contains("Sort ["),
+        "scan-reported ordering did not elide the SMJ sorts:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
+  test("SQL sorted lifecycle: CREATE TBLPROPERTIES sorted_by enforces " +
+    "the sort on INSERT and row-level DML; the claim survives them") {
+    val out = fresh("cat_sql_sorted")
+    spark.sql(
+      s"""CREATE TABLE graft.`$out` (k BIGINT, st STRING, v DOUBLE)
+         |USING graft PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('sorted_by'='k')""".stripMargin)
+    assert(st.sortSpec(out, 0L) == Seq("k"))
+    T.t(spark, SF, "orders")
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+        $"o_totalprice".as("v"))
+      .createOrReplaceTempView("cat_sql_sorted_src")
+    spark.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT k, st, v FROM cat_sql_sorted_src")
+    def eachFileSorted(): Boolean =
+      st.readVersioned(out).inputFiles.forall { f =>
+        val keys = spark.read.parquet(f)
+          .select($"k").collect().map(_.getLong(0))
+        keys.sameElements(keys.sorted)
+      }
+    assert(st.sortSpec(out, st.listVersions(out).last) == Seq("k"))
+    assert(eachFileSorted(), "INSERT INTO wrote unsorted files")
+    // DESCRIBE surfaces the claim
+    assert(spark.sql(s"DESCRIBE TABLE EXTENDED graft.`$out`")
+      .filter($"col_name" === "Table Properties")
+      .head.getString(1).contains("sorted_by=k"))
+    // row-level DML re-enforces the order on its replacement files
+    spark.sql(s"UPDATE graft.`$out` SET v = v + 1 WHERE k % 7 = 0")
+    spark.sql(s"DELETE FROM graft.`$out` WHERE k % 2 = 0")
+    assert(st.sortSpec(out, st.listVersions(out).last) == Seq("k"))
+    assert(eachFileSorted(), "row-level DML wrote unsorted files")
+    val src = spark.table("cat_sql_sorted_src")
+    assert(st.readVersioned(out).count() ==
+      src.filter($"k" % 2 === 1).count())
   }
 
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
