@@ -298,10 +298,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val sortCols: Seq[String] =
       Option(properties.get("sorted_by")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-    val missingSort = sortCols.filterNot(schema.fieldNames.contains)
-    require(missingSort.isEmpty,
-      s"sorted_by columns absent from the schema: " +
-        missingSort.mkString(", "))
+    GraftStorage.requireSortCols(schema, sortCols)
     if (idCols.isEmpty)
       st.writeVersioned(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
@@ -421,7 +418,11 @@ final class GraftVersionedTable(path: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def properties(): util.Map[String, String] = {
+  /** Computed once per table instance: Spark consults properties()
+    * repeatedly on the analysis path, and the common unsorted table
+    * must not pay a LIST + manifest read each time.
+    */
+  private lazy val tableProperties: util.Map[String, String] = {
     val sorted = st.listVersions(path).lastOption
       .map(v => st.sortSpec(path, pinnedVersion.getOrElse(v)))
       .getOrElse(Seq.empty)
@@ -429,6 +430,8 @@ final class GraftVersionedTable(path: String,
       (if (sorted.nonEmpty) Map("sorted_by" -> sorted.mkString(","))
        else Map.empty)).asJava
   }
+
+  override def properties(): util.Map[String, String] = tableProperties
 
   /** Identity transforms of a partitioned snapshot (DESCRIBE etc.) —
     * read from the cached one-line manifest `P` entry, NOT

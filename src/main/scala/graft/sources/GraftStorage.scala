@@ -784,10 +784,7 @@ final case class GraftStorage(
         manifestEntries(path, vs.last).collect {
           case e if e.startsWith("H\t") => e.drop(2)
         } :+ df.schema.json)
-    val missingSort = sortedBy.filterNot(df.schema.fieldNames.contains)
-    require(missingSort.isEmpty,
-      s"sortedBy columns absent from the schema: " +
-        missingSort.mkString(", "))
+    GraftStorage.requireSortCols(df.schema, sortedBy)
     val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
     val commitDir = newCommitDir(dir, n)
     val toWrite =
@@ -814,16 +811,8 @@ final case class GraftStorage(
     val freshFiles = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
-    // the O line survives only when every commit upholds it: a fresh
-    // table records sortedBy, an append keeps it only by re-declaring
-    // the SAME order (appending unsorted files next to sorted ones
-    // would turn the table-wide claim false)
-    val priorSort =
-      if (append) sortSpec(path, n - 1) else Seq.empty[String]
-    val order: Seq[String] =
-      if (sortedBy.nonEmpty && (!append || priorSort == sortedBy))
-        Seq(s"O\t${sortedBy.mkString(",")}")
-      else Seq.empty
+    val order = GraftStorage.oLine(sortedBy, append,
+      if (append) sortSpec(path, n - 1) else Seq.empty)
     val fresh = freshFiles ++ stats ++ blooms ++ order ++
       rowCountLines(freshFiles) ++ Seq(s"H\t${df.schema.json}")
     // append carries the RAW prior entries: deletion vectors keep
@@ -868,10 +857,7 @@ final case class GraftStorage(
     require(partCols.nonEmpty,
       "writeVersionedPartitioned needs at least one partition column")
     validatePartCols(df.schema, partCols)
-    val missingSort = sortedBy.filterNot(df.schema.fieldNames.contains)
-    require(missingSort.isEmpty,
-      s"sortedBy columns absent from the schema: " +
-        missingSort.mkString(", "))
+    GraftStorage.requireSortCols(df.schema, sortedBy)
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -902,12 +888,8 @@ final case class GraftStorage(
         } ++ sortedBy.map(col)): _*)
     val freshFiles = writeCommitData(toWrite, commitDir, partCols, fs)
     validateCommitFiles(path, freshFiles, commitDir, fs)
-    val priorSort =
-      if (append) sortSpec(path, n - 1) else Seq.empty[String]
-    val order: Seq[String] =
-      if (sortedBy.nonEmpty && (!append || priorSort == sortedBy))
-        Seq(s"O\t${sortedBy.mkString(",")}")
-      else Seq.empty
+    val order = GraftStorage.oLine(sortedBy, append,
+      if (append) sortSpec(path, n - 1) else Seq.empty)
     val fresh = freshFiles ++ rowCountLines(freshFiles) ++ order ++
       Seq(s"P\t${partCols.mkString(",")}", s"H\t${df.schema.json}")
     val carried =
@@ -941,7 +923,10 @@ final case class GraftStorage(
         case GraftStorage.BucketPart(n, c) =>
           require(n > 0, s"bucket($n,$c): bucket count must be positive")
           require(GraftStorage.bucketKeyType(dt),
-            s"bucket column $c: $dt is not hash-bucketable")
+            s"bucket column $c: $dt is not hash-bucketable (float/" +
+              "double are excluded — -0.0/NaN bit patterns split " +
+              "SQL-equal keys across buckets; cast the column or " +
+              "recreate the table on a stable key type)")
         case GraftStorage.TemporalPart(u, c) =>
           import org.apache.spark.sql.types.{DateType, TimestampType}
           // NTZ is deliberately excluded: its micros are zone-less
@@ -1005,10 +990,7 @@ final case class GraftStorage(
     require(partCols.nonEmpty, "createVersionedPartitioned needs " +
       "partition columns (use writeVersioned for unpartitioned tables)")
     validatePartCols(schema, partCols)
-    val missingSort = sortedBy.filterNot(schema.fieldNames.contains)
-    require(missingSort.isEmpty,
-      s"sortedBy columns absent from the schema: " +
-        missingSort.mkString(", "))
+    GraftStorage.requireSortCols(schema, sortedBy)
     require(listVersions(path).isEmpty,
       s"$path already has committed versions")
     val dir = new Path(path)
@@ -3149,14 +3131,20 @@ object GraftStorage {
   /** EXTERNAL [min,max] of the source column implied by one temporal
     * id — the zone entry a partition dir synthesizes. Timestamp
     * bounds are inclusive micros (`next start - 1µs`); date bounds
-    * are the unit's first/last day.
+    * are the unit's first/last day. Values are `java.sql.Timestamp`/
+    * `java.sql.Date` — the SAME external convention every other zone
+    * producer uses (`decodeStat`, `decodePartValue`): `GraftFilters
+    * .cmp` compares same-class values only, so a `java.time` bound
+    * here would silently disable every sources.Filter pruning
+    * surface (runtime join-key pruning, CoW group elision) while the
+    * catalyst-literal path still worked.
     */
   def temporalBounds(unit: String,
       dt: org.apache.spark.sql.types.DataType, id: Int): (Any, Any) = {
     import org.apache.spark.sql.types.{DateType, TimestampType}
-    def usInstant(us: Long): java.time.Instant =
-      java.time.Instant.ofEpochSecond(
-        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    def usInstant(us: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
     def dayRange: (Long, Long) = unit match {
       case "days" => (id.toLong, id.toLong + 1)
       case "months" =>
@@ -3178,12 +3166,40 @@ object GraftStorage {
         (usInstant(d0 * 86400000000L), usInstant(d1 * 86400000000L - 1L))
       case DateType =>
         val (d0, d1) = dayRange
-        (java.time.LocalDate.ofEpochDay(d0),
-          java.time.LocalDate.ofEpochDay(d1 - 1))
+        (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d0)),
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d1 - 1)))
       case other => throw new IllegalArgumentException(
         s"$unit over $other is not a temporal partition key")
     }
   }
+
+  /** Shared gate of every sortedBy declaration surface: columns must
+    * exist, and names must avoid the `O` line's own delimiters (a
+    * comma would silently split into two bogus sort columns; a line
+    * break would corrupt the manifest itself).
+    */
+  private[sources] def requireSortCols(
+      schema: org.apache.spark.sql.types.StructType,
+      sortedBy: Seq[String]): Unit = {
+    val missing = sortedBy.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"sortedBy columns absent from the schema: " +
+        missing.mkString(", "))
+    sortedBy.foreach(c => require(!c.exists(",\t\n\r".contains(_)),
+      s"sortedBy column name '$c' contains a manifest delimiter " +
+        "(comma, tab, or a line break)"))
+  }
+
+  /** The `O` manifest line a commit may publish: fresh tables record
+    * the claim, appends keep it only by re-declaring the SAME order
+    * (appending unsorted files next to sorted ones would turn the
+    * table-wide claim false).
+    */
+  private[sources] def oLine(sortedBy: Seq[String], append: Boolean,
+      priorSort: Seq[String]): Seq[String] =
+    if (sortedBy.nonEmpty && (!append || priorSort == sortedBy))
+      Seq(s"O\t${sortedBy.mkString(",")}")
+    else Seq.empty
 
   private val BucketSpec = """bucket\(\s*(\d+)\s*,(.+)\)""".r
   private val TemporalSpec = """(years|months|days|hours)\((.+)\)""".r

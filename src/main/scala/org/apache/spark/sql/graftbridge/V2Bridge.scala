@@ -252,10 +252,15 @@ final class MetaAggScanBuilder(
       .map(_.dataType).getOrElse(return None)
     // identity-partition keys are exact by construction (path-derived
     // values, not footer stats) — string partition cols included.
-    // Bucket keys carry no column-value bounds.
-    val isPartKey = partSpec.exists(_._1.exists(f =>
-      f.bucket.isEmpty && f.col == col))
-    if (!exactStatType(dt) && !(isPartKey && dt == StringType))
+    // Bucket keys carry no column-value bounds. TEMPORAL keys
+    // synthesize UNIT-WIDE bounds (month/year first-and-last day:
+    // values possibly absent from every row) — never answerable,
+    // except days(DATE) whose [d,d] collapses to the exact value.
+    val pf = partSpec.toSeq.flatMap(_._1).find(_.col == col)
+    val isIdentityKey = pf.exists(f => f.bucket.isEmpty && f.unit.isEmpty)
+    if (pf.exists(_.unit.exists(u => !(u == "days" && dt == DateType))))
+      return None
+    if (!exactStatType(dt) && !(isIdentityKey && dt == StringType))
       return None
     // every file must carry usable bounds for the column ((null,null)
     // = a provably all-null file, which contributes nothing)
@@ -374,12 +379,15 @@ final class RuntimeFilteredParquetScan(
     * sorted, whereas Spark's bin-packing may concatenate unrelated
     * files into one partition and break the claim.
     */
-  override def outputOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+  private lazy val reportedOrdering =
     V2Bridge.orderingFor(sortCols, readSchema())
 
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    reportedOrdering
+
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    if (outputOrdering().nonEmpty) new SingleSplitSortedBatch(current)
+    if (reportedOrdering.nonEmpty) new SingleSplitSortedBatch(current)
     else current
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -495,11 +503,15 @@ final class RuntimeBloomProbe(
   }
 }
 
-/** Batch wrapper serving ONE SPLIT PER INPUT PARTITION — the planning
-  * shape under which a per-file sort claim holds per partition (see
-  * [[RuntimeFilteredParquetScan.outputOrdering]]). Split count (and
-  * so parallelism) is unchanged; only the bin-packing of small files
-  * into shared partitions is undone.
+/** Batch wrapper under which a per-file sort claim holds per input
+  * partition (see [[RuntimeFilteredParquetScan.outputOrdering]]):
+  * partitions holding splits of ONE file are kept intact (ranges of
+  * a sorted file, replayed in offset order, stream sorted — this
+  * preserves the common one-file-per-partition plan unchanged), and
+  * only partitions where bin-packing mixed DIFFERENT files are
+  * exploded one-split-per-partition. The cost is paid exactly where
+  * the packing would have broken the claim — a well-compacted table
+  * plans identically to the unsorted scan.
   */
 final class SingleSplitSortedBatch(
     delegate: org.apache.spark.sql.connector.read.Batch)
@@ -508,7 +520,10 @@ final class SingleSplitSortedBatch(
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
     delegate.planInputPartitions().flatMap {
       case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-        fp.files.map(f => org.apache.spark.sql.execution.datasources
+        if (fp.files.map(_.filePath.toString).distinct.length <= 1)
+          Array(fp.copy(files = fp.files.sortBy(_.start))
+            : org.apache.spark.sql.connector.read.InputPartition)
+        else fp.files.map(f => org.apache.spark.sql.execution.datasources
           .FilePartition(0, Array(f))
           : org.apache.spark.sql.connector.read.InputPartition)
       case other => Array(other)

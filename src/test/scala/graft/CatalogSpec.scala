@@ -898,6 +898,24 @@ class CatalogSpec extends AnyFunSuite {
     val pr = st.readVersioned(out).filter($"od" < lit("1993-01-01"))
       .agg(count(lit(1))).head().getLong(0)
     assert(pr == orders.filter($"od" < lit("1993-01-01")).count())
+    // MIN/MAX must NOT answer from the UNIT-WIDE synthesized zones
+    // (a month-end bound is a value present in no row) — the meta
+    // fast path declines and the real scan answers
+    val mq = spark.sql(
+      s"SELECT min(od) AS mn, max(od) AS mx FROM graft.`$out`")
+    assert(!mq.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "months() zones leaked into the MIN/MAX meta answer")
+    val em = orders.agg(min($"od"), max($"od")).head()
+    assert(mq.head() == em)
+    // a days(DATE) layout IS exact ([d,d]) — manifest-rate MIN/MAX
+    val dOut = fresh("cat_tp_days_date")
+    st.writeVersionedPartitioned(orders, dOut, Seq("days(od)"))
+    val dq = spark.sql(
+      s"SELECT min(od) AS mn, max(od) AS mx FROM graft.`$dOut`")
+    assert(dq.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"), dq.queryExecution.executedPlan)
+    assert(dq.head() == em)
     // invalid combos fail at validation, not at write time
     val bad1 = intercept[IllegalArgumentException] {
       st.writeVersionedPartitioned(orders, fresh("cat_tp_bad1"),
@@ -944,6 +962,22 @@ class CatalogSpec extends AnyFunSuite {
       .filter($"dir_id" =!= expr("graft.days(ts)"))
       .limit(3).collect()
     assert(mis.isEmpty, mis.mkString(", "))
+    // a one-day DELETE elides every other day's file from the
+    // rewrite: the synthesized temporal zones must serve the
+    // sources.Filter pruning path (CoW group elision), not only the
+    // catalyst plan-time path — untouched files survive UNCHANGED
+    val before = st.readVersioned(out).inputFiles.toSet
+    spark.sql(s"DELETE FROM graft.`$out` " +
+      "WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-21 00:00:00'")
+    val after = st.readVersioned(out).inputFiles.toSet
+    assert(after.subsetOf(before),
+      "a one-day DELETE rewrote untouched days:\n" +
+        (after -- before).take(3).mkString("\n"))
+    assert((before -- after).forall(_.contains("__gtd_ts=19742")),
+      "files outside the deleted day were touched: " +
+        (before -- after).filterNot(_.contains("__gtd_ts=19742"))
+          .take(3).mkString(", "))
   }
 
   test("temporal storage-partitioned join: two days(ts) tables join " +
