@@ -395,6 +395,73 @@ object SqlDml extends QueryModule {
          |GROUP BY 1 ORDER BY day""".stripMargin)
   }
 
+  /** Partition-spec EVOLUTION ([[GraftStorage.alterPartitionSpec]],
+    * SQL: `CALL graft.alter_partition_spec`): identity-partitioned
+    * history, a live ALTER to `bucket(4, key)`, an append in the new
+    * layout (the mixed snapshot reads correctly — the key-grouped
+    * scan declines partially-keyed files), and a compaction that
+    * re-lays the whole table under the new spec. The Iceberg
+    * spec-evolution lifecycle over the graft manifest: at 100 TB a
+    * table's partitioning follows its query patterns without ever
+    * rewriting history eagerly — only the (online) compaction does.
+    */
+  def sqlPartEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_part_evolve")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val orders = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val st = GraftStorage(s)
+    st.writeVersionedPartitioned(
+      orders.filter($"o_orderkey" % 2 === 0), out, Seq("o_orderstatus"))
+    s.sql(s"CALL graft.alter_partition_spec('$out', 'bucket(4,o_orderkey)')")
+    st.writeVersionedPartitioned(
+      orders.filter($"o_orderkey" % 2 === 1), out,
+      Seq("bucket(4,o_orderkey)"), append = true)
+    st.compactVersioned(out, 2)
+    s.sql(
+      s"""SELECT o_orderstatus AS st,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graft.`$out`
+         |GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+  }
+
+  /** Scoped compaction ([[GraftStorage.compactVersionedWhere]], SQL:
+    * `CALL graft.compact_where`): two appends leave two small files
+    * per day of a days(ts) table; compacting ONLY the last day folds
+    * its files to one while every other day's files carry verbatim —
+    * zero bytes moved outside the scope (CatalogSpec pins the file
+    * sets). THE maintenance economics at 100 TB: daily ingest
+    * compaction touches one day, not ten thousand.
+    */
+  def sqlCompactWhere(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_compact_where")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val ev = T.events(s, dir).select($"event_id", $"ts", $"user_id")
+    val st = GraftStorage(s)
+    st.writeVersionedPartitioned(ev.filter($"event_id" % 2 === 0), out,
+      Seq("days(ts)"))
+    st.writeVersionedPartitioned(ev.filter($"event_id" % 2 === 1), out,
+      Seq("days(ts)"), append = true)
+    s.sql(s"CALL graft.compact_where(" +
+      s"'$out', \"ts >= TIMESTAMP'2024-01-25 00:00:00'\", 1)")
+    s.sql(
+      s"""SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM graft.`$out`
+         |WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+         |GROUP BY 1 ORDER BY day""".stripMargin)
+  }
+
   /** Multi-path `format("graft")` read: two independent sharded
     * tables load as ONE relation (multi-root file index) — the V1
     * single-path restriction lifted for plain directories. Spark
@@ -439,6 +506,8 @@ object SqlDml extends QueryModule {
     "sink_versioned_partitioned" -> (sinkVersionedPartitioned(_, _)),
     "sql_part_temporal" -> (sqlPartTemporal(_, _)),
     "sql_sorted_smj" -> (sqlSortedSmj(_, _)),
+    "sql_part_evolve" -> (sqlPartEvolve(_, _)),
+    "sql_compact_where" -> (sqlCompactWhere(_, _)),
     "scan_multipath" -> (scanMultiPath(_, _)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -566,6 +635,21 @@ object SqlDml extends QueryModule {
          |  ON o.o_orderkey = d.l_orderkey
          |GROUP BY o.o_orderstatus
          |ORDER BY st""".stripMargin,
+    // scoped compaction must hold every row exactly once
+    "sql_compact_where" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+         |GROUP BY 1 ORDER BY day""".stripMargin,
+    // spec evolution must hold every row exactly once
+    "sql_part_evolve" ->
+      s"""SELECT o_orderstatus AS st,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+         |FROM orders
+         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // day-partitioned round trip ≡ the same rollup on raw events
     "sql_part_temporal" ->
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

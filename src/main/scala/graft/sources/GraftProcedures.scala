@@ -19,6 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.clone('/t', '/fork')
   *   CALL graft.add_constraint('/t', 'pos', 'x > 0')
   *   CALL graft.drop_constraint('/t', 'pos')
+  *   CALL graft.alter_partition_spec('/t', 'bucket(8,k)')
+  *   CALL graft.compact_where('/t', "ts >= TIMESTAMP'2024-01-29'", 4)
   * }}}
   *
   * Each returns a one-row result (the committed version, or the
@@ -109,6 +111,21 @@ private[sources] object GraftProcedures {
           in.getUTF8String(2).toString)
         Seq(in.getUTF8String(1).toString)
       }),
+    Proc("compact_where",
+      Seq(in("path", StringType), in("predicate", StringType),
+        inDefault("target_files", IntegerType, "1")),
+      versionOut,
+      in => Seq(GraftStorage(spark).compactVersionedWhere(
+        in.getUTF8String(0).toString,
+        org.apache.spark.sql.functions.expr(
+          in.getUTF8String(1).toString),
+        in.getInt(2)))),
+    Proc("alter_partition_spec",
+      Seq(in("path", StringType), in("spec", StringType)),
+      versionOut,
+      in => Seq(GraftStorage(spark).alterPartitionSpec(
+        in.getUTF8String(0).toString,
+        GraftStorage.splitSpecTokens(in.getUTF8String(1).toString)))),
     Proc("drop_constraint",
       Seq(in("path", StringType), in("name", StringType)),
       StructType(Seq(StructField("name", StringType))),

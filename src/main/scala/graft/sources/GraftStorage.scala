@@ -1055,20 +1055,49 @@ final case class GraftStorage(
   private[graft] def partitionSpec(path: String, v: Long): Seq[String] =
     manifestEntries(path, v).collectFirst {
       case e if e.startsWith("P\t") =>
-        // comma-joined tokens, but a comma INSIDE bucket(n,col) is
-        // part of the token — split at depth 0 only
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var depth = 0
-        val cur = new StringBuilder
-        e.drop(2).foreach {
-          case ',' if depth == 0 => out += cur.toString; cur.clear()
-          case c =>
-            if (c == '(') depth += 1 else if (c == ')') depth -= 1
-            cur += c
-        }
-        if (cur.nonEmpty) out += cur.toString
-        out.toSeq
+        GraftStorage.splitSpecTokens(e.drop(2))
     }.getOrElse(Seq.empty)
+
+  /** PARTITION SPEC EVOLUTION — a metadata-only commit that changes
+    * the layout of every commit FROM HERE ON (Iceberg's spec-id
+    * design applied per snapshot): existing data files keep their old
+    * directory keys untouched; the next INSERT/append writes the new
+    * layout. Readers of the mixed snapshot stay CORRECT and degrade
+    * gracefully — the key-grouped scan engages only when every file
+    * parses a key under the CURRENT spec, so SPJ/zone-synthesis pause
+    * until a `compactVersioned` re-lays the whole table under the new
+    * spec (each historical version still reads with its own spec).
+    * `newSpec` empty de-partitions the table. Returns the committed
+    * version.
+    */
+  def alterPartitionSpec(path: String, newSpec: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val schema = mergedManifestSchema(path, vs.last)
+      .getOrElse(readVersioned(path, Some(vs.last)).schema)
+    if (newSpec.nonEmpty) validatePartCols(schema, newSpec)
+    require(partitionSpec(path, vs.last) != newSpec,
+      s"the table is already partitioned by " +
+        (if (newSpec.isEmpty) "nothing" else newSpec.mkString(", ")))
+    val n = vs.last + 1
+    // carry everything except P (files, stats, blooms, O, H, R, DVs
+    // all stay true — no data byte moves); legacy pre-H manifests
+    // get a synthesized schema line so the table stays readable
+    val carried = manifestEntries(path, vs.last)
+      .filterNot(_.startsWith("P\t"))
+    val h =
+      if (carried.exists(_.startsWith("H\t"))) Seq.empty
+      else Seq(s"H\t${schema.json}")
+    val entries = carried ++ h ++
+      (if (newSpec.nonEmpty) Seq(s"P\t${newSpec.mkString(",")}")
+       else Seq.empty)
+    val dir = new Path(path)
+    publishManifest(
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, n, entries)
+    n
+  }
 
   /** The table's declared per-file sort order at version `v` (`O`
     * manifest line; empty: no claim). When non-empty, EVERY data file
@@ -1587,6 +1616,66 @@ final case class GraftStorage(
         else cur.repartitionByRange(targetFiles, sortCols.map(col): _*)
       writeVersioned(clustered, path, append = false, sc, bc, sortCols)
     }
+  }
+
+  /** SCOPED compaction — `OPTIMIZE ... WHERE`: rewrite into
+    * `targetFiles` ONLY the files holding rows that match
+    * `predicate`; every other file carries verbatim. THE maintenance
+    * shape at 100 TB: a time-partitioned table compacts yesterday's
+    * small ingest files while the other 10k days move zero bytes —
+    * full-table [[compactVersioned]] would be a 100 TB rewrite. The
+    * layout spec is honored (fresh files re-key under the current
+    * spec) and a declared sort order is RE-ENFORCED on the fresh
+    * files, so the `O` claim survives. No matching file → no commit
+    * (returns the current version). Merge-on-read deletion vectors
+    * are materialized first (same contract as the CoW rewrites —
+    * carried D lines cannot ride a partial rewrite soundly here
+    * because compaction must not resurrect nor double-apply).
+    */
+  def compactVersionedWhere(path: String, predicate: Column,
+      targetFiles: Int = 1): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    require(listVersions(path).nonEmpty,
+      s"no versions committed under $path")
+    materializeIfMor(path)
+    val vs = listVersions(path)
+    val files = manifestFiles(path, vs.last)
+    def key(p: String): String = new Path(p).toUri.getPath
+    val cur = readRawFiles(path, vs.last, files)
+    val affectedKeys = cur.filter(predicate)
+      .select(input_file_name()).distinct()
+      .collect().map(r => key(r.getString(0))).toSet
+    val (affected, untouched) = files.partition(f => affectedKeys(key(f)))
+    if (affected.isEmpty) return vs.last
+    val spec = partitionSpec(path, vs.last)
+    val sortCols = sortSpec(path, vs.last)
+    val rows0 = readRawFiles(path, vs.last, affected)
+    val specKeys = spec.map { s =>
+      val f = GraftStorage.parsePartField(s)
+      f.keyExpr(rows0.schema(f.col).dataType)
+    }
+    val clustered =
+      if (spec.nonEmpty) rows0.repartition(targetFiles, specKeys: _*)
+      else if (sortCols.nonEmpty)
+        rows0.repartitionByRange(targetFiles, sortCols.map(col): _*)
+      else rows0.coalesce(targetFiles)
+    val relaid =
+      if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(
+        (specKeys ++ sortCols.map(col)): _*)
+    val n = vs.last + 1
+    val commitDir = newCommitDir(dir, n)
+    val fresh = writeCommitData(relaid, commitDir, spec, fs)
+    validateCommitFiles(path, fresh, commitDir, fs)
+    val meta = carriedMetaLines(path, vs.last, untouched) ++
+      rowCountLines(fresh) ++
+      GraftStorage.oLine(sortCols, append = false, Seq.empty)
+    publishManifest(fs, dir, n, untouched ++ fresh ++ meta,
+      Some(commitDir))
+    n
   }
 
   /** Columns the CURRENT snapshot's stats-in-log / bloom-in-log
@@ -3200,6 +3289,24 @@ object GraftStorage {
     if (sortedBy.nonEmpty && (!append || priorSort == sortedBy))
       Seq(s"O\t${sortedBy.mkString(",")}")
     else Seq.empty
+
+  /** Comma-split of a partition-spec string at paren depth 0 only —
+    * the comma INSIDE `bucket(n,col)` is part of the token. Shared by
+    * the manifest `P`-line parser and the CALL-procedure argument.
+    */
+  private[sources] def splitSpecTokens(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   private val BucketSpec = """bucket\(\s*(\d+)\s*,(.+)\)""".r
   private val TemporalSpec = """(years|months|days|hours)\((.+)\)""".r

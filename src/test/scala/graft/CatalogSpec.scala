@@ -1120,6 +1120,97 @@ class CatalogSpec extends AnyFunSuite {
       src.filter($"k" % 2 === 1).count())
   }
 
+  test("partition-spec evolution: ALTER changes the layout going " +
+    "forward, mixed snapshots read correctly, compaction re-lays") {
+    val out = fresh("cat_spec_evolve")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersionedPartitioned(
+      orders.filter($"o_orderkey" % 2 === 0), out, Seq("o_orderstatus"))
+    // evolve identity → bucket via the CALL procedure
+    val v = spark.sql(s"CALL graft.alter_partition_spec(" +
+      s"'$out', 'bucket(4,o_orderkey)')").head.getLong(0)
+    assert(st.partitionSpec(out, v) == Seq("bucket(4,o_orderkey)"))
+    // the next append writes the NEW layout; old files keep theirs
+    st.writeVersionedPartitioned(
+      orders.filter($"o_orderkey" % 2 === 1), out,
+      Seq("bucket(4,o_orderkey)"), append = true)
+    val files = st.readVersioned(out).inputFiles
+    assert(files.exists(_.contains("__gp_o_orderstatus=")) &&
+      files.exists(_.contains("__gb4_o_orderkey=")), files.take(4))
+    // the MIXED snapshot reads every row exactly once (plain scan —
+    // the key-grouped path must NOT engage on partially-keyed files)
+    val got = spark.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS s
+         |FROM graft.`$out`""".stripMargin).head()
+    val expect = orders.agg(count(lit(1)), sum($"o_orderkey")).head()
+    assert(got.getLong(0) == expect.getLong(0) &&
+      got.getLong(1) == expect.getLong(1))
+    // each historical version still reads with ITS OWN spec
+    assert(st.readVersioned(out, Some(0L)).inputFiles
+      .forall(_.contains("__gp_o_orderstatus=")))
+    // compaction re-lays the WHOLE table under the new spec → every
+    // file keyed again
+    st.compactVersioned(out, 2)
+    assert(st.readVersioned(out).inputFiles
+      .forall(_.contains("__gb4_o_orderkey=")))
+    val after = spark.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS s
+         |FROM graft.`$out`""".stripMargin).head()
+    assert(after == got)
+    // no-op alters fail fast; de-partitioning is a valid target
+    intercept[IllegalArgumentException] {
+      st.alterPartitionSpec(out, Seq("bucket(4,o_orderkey)"))
+    }
+    st.alterPartitionSpec(out, Seq.empty)
+    assert(st.partitionSpec(out, st.listVersions(out).last).isEmpty)
+  }
+
+  test("scoped compaction: CALL compact_where rewrites only matching " +
+    "days, keeps the layout AND the sort claim, moves zero other bytes") {
+    val out = fresh("cat_compact_where")
+    val ev = T.events(spark, SF).select($"event_id", $"ts", $"user_id")
+    // two appends → two small files per day (the ingest shape)
+    st.writeVersionedPartitioned(ev.filter($"event_id" % 2 === 0), out,
+      Seq("days(ts)"), append = false, sortedBy = Seq("event_id"))
+    st.writeVersionedPartitioned(ev.filter($"event_id" % 2 === 1), out,
+      Seq("days(ts)"), append = true, sortedBy = Seq("event_id"))
+    val before = st.readVersioned(out).inputFiles.toSet
+    val lastDay = "__gtd_ts=19752" // 2024-01-30
+    assert(before.count(_.contains(lastDay)) >= 2, "need 2+ files/day")
+    spark.sql(s"CALL graft.compact_where(" +
+      s"'$out', \"ts >= TIMESTAMP'2024-01-30 00:00:00'\", 1)")
+    val after = st.readVersioned(out).inputFiles.toSet
+    // every untouched day's files carry VERBATIM (zero bytes moved)
+    assert((before -- after).forall(_.contains(lastDay)),
+      "untouched days were rewritten: " +
+        (before -- after).filterNot(_.contains(lastDay)).take(3))
+    assert((after -- before).forall(_.contains(lastDay)),
+      "fresh files landed outside the compacted day: " +
+        (after -- before).filterNot(_.contains(lastDay)).take(3))
+    assert(after.count(_.contains(lastDay)) == 1,
+      s"day not compacted to 1 file: ${after.filter(_.contains(lastDay))}")
+    // spec + sort claim survive; the fresh file is actually sorted
+    val v = st.listVersions(out).last
+    assert(st.partitionSpec(out, v) == Seq("days(ts)"))
+    assert(st.sortSpec(out, v) == Seq("event_id"))
+    val freshFile = (after -- before).head
+    val ids = spark.read.parquet(freshFile)
+      .select($"event_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted), "compacted file is unsorted")
+    // and not a row was gained or lost
+    assert(st.readVersioned(out)
+      .agg(count(lit(1)), sum($"event_id")).head() ==
+      ev.agg(count(lit(1)), sum($"event_id")).head())
+    // a predicate matching nothing is a no-commit no-op
+    val vNow = st.listVersions(out).last
+    assert(st.compactVersionedWhere(out,
+      $"ts" >= lit("2031-01-01").cast("timestamp")) == vNow)
+    assert(st.listVersions(out).last == vNow)
+  }
+
   test("row-level SQL refuses merge-on-read snapshots with guidance") {
     val out = seed("cat_mor_refuse")
     st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
