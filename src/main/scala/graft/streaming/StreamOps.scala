@@ -571,6 +571,54 @@ object StreamOps extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Streaming ingest INTO A PARTITIONED versioned table — the
+    * streaming-lakehouse shape: a `CREATE ... PARTITIONED BY
+    * (days(ts))` metadata commit (v0), then each micro-batch lands as
+    * one idempotent partitioned APPEND (batchId+1 == version, so a
+    * replayed batch sees its version committed and skips). Every file
+    * the stream writes is keyed into its UTC-day dir, so the table is
+    * range-prunable and SPJ-joinable from the first commit — ingest
+    * and layout maintenance are the same operation. At 100 TB this is
+    * the landing zone: appends touch today's dir, queries prune to
+    * the days they name, and `compact_where` folds yesterday once.
+    */
+  def streamSinkPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val st = graft.sources.GraftStorage(s)
+    val src = graft.Fixtures.ensure(dir, "stream_psink_src") { p =>
+      T.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+        .repartition(4).write.mode("overwrite").parquet(p)
+    }
+    val outP = T.scratch(dir, "stream_sink_partitioned")
+    val ckpt = outP + "_ckpt"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(outP).getFileSystem(hconf)
+    Seq(outP, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val schema = s.read.parquet(src).schema
+    st.createVersionedPartitioned(outP, schema, Seq("days(ts)"))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // exactly-once: version id+1 exists ⇔ batch id committed
+        // (v0 is the CREATE)
+        if (!st.listVersions(outP).contains(id + 1))
+          st.writeVersionedPartitioned(batch, outP, Seq("days(ts)"),
+            append = true): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    st.readVersioned(outP)
+      .groupBy(expr("CAST(date_trunc('DAY', ts) AS DATE)").as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("event_id")).cast("long").as("id_sum"))
+      .filter(col("day") >= lit("2024-01-25").cast("date"))
+      .orderBy(col("day"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_union" -> (joinAsofUnion(_, _)),
     "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
@@ -589,7 +637,8 @@ object StreamOps extends QueryModule {
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_dedup_watermark" -> (streamDedupWatermark(_, _)),
     "stream_versioned_source" -> (streamVersionedSource(_, _)),
-    "stream_versioned_sink" -> (streamVersionedSink(_, _)))
+    "stream_versioned_sink" -> (streamVersionedSink(_, _)),
+    "stream_sink_partitioned" -> (streamSinkPartitioned(_, _)))
 
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
   // applies the same micros truncation as graft.T.events.
@@ -607,6 +656,13 @@ object StreamOps extends QueryModule {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "stream_sink_partitioned" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-25'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "stream_versioned_sink" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total

@@ -631,4 +631,29 @@ class StreamingSpec extends AnyFunSuite {
     val batches = ckpt.listFiles().count(_.getName.forall(_.isDigit))
     assert(batches >= 4, s"expected >=4 micro-batches, got $batches")
   }
+
+  test("streaming partitioned sink: every micro-batch appends keyed " +
+    "day files; commits == batches + the CREATE") {
+    val st = graft.sources.GraftStorage(spark)
+    val got = graft.streaming.StreamOps
+      .streamSinkPartitioned(spark, SF).collect()
+    val outP = T.scratch(SF, "stream_sink_partitioned")
+    // v0 = the PARTITIONED BY metadata commit, one append per batch
+    // (4-file source, one file per trigger)
+    val vs = st.listVersions(outP)
+    assert(vs.head == 0L && vs.length >= 5, vs.mkString(","))
+    assert(st.partitionSpec(outP, vs.last) == Seq("days(ts)"))
+    // every streamed file is keyed into its UTC-day dir
+    assert(st.readVersioned(outP).inputFiles
+      .forall(_.contains("__gtd_ts=")),
+      st.readVersioned(outP).inputFiles.take(3).mkString(", "))
+    // and the table holds the source exactly once
+    val want = T.events(spark, SF)
+      .groupBy(expr("CAST(date_trunc('DAY', ts) AS DATE)").as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum($"event_id").cast("long").as("id_sum"))
+      .filter($"day" >= lit("2024-01-25").cast("date"))
+      .orderBy($"day").collect()
+    assert(got.sameElements(want))
+  }
 }
