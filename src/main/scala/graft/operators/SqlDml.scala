@@ -432,10 +432,11 @@ object SqlDml extends QueryModule {
 
   /** Scoped compaction ([[GraftStorage.compactVersionedWhere]], SQL:
     * `CALL graft.compact_where`): two appends leave two small files
-    * per day of a days(ts) table; compacting ONLY the last day folds
-    * its files to one while every other day's files carry verbatim —
-    * zero bytes moved outside the scope (CatalogSpec pins the file
-    * sets). THE maintenance economics at 100 TB: daily ingest
+    * per day of a days(ts) table; compacting the LAST SIX DAYS
+    * (ts >= 2024-01-25 of a Jan 1–30 table) folds their files while
+    * the other 24 days' files carry verbatim — zero bytes moved
+    * outside the scope (CatalogSpec pins the single-day variant's
+    * file sets). THE maintenance economics at 100 TB: daily ingest
     * compaction touches one day, not ten thousand.
     */
   def sqlCompactWhere(s: SparkSession, dir: String): DataFrame = {

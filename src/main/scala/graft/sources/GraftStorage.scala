@@ -767,8 +767,43 @@ final case class GraftStorage(
     */
   def writeVersioned(df: DataFrame, path: String,
       append: Boolean, statsCols: Seq[String],
-      bloomCols: Seq[String], sortedBy: Seq[String]): Long = {
+      bloomCols: Seq[String], sortedBy: Seq[String]): Long =
+    writeVersioned(df, path, append, statsCols, bloomCols, sortedBy,
+      None)
+
+  /** writeVersioned with a TRANSACTION MARKER: `txn = Some(appId ->
+    * batchId)` records a `T\tappId\tbatchId` manifest line with the
+    * commit, and [[txnBatchIds]] answers "which batches has this app
+    * already committed?" — the idempotence primitive a streaming
+    * foreachBatch sink needs (Delta's txn/appId design). Version
+    * numbers CANNOT serve that role: any interleaved maintenance
+    * commit (compact, ALTER) shifts them, and a batchId==version
+    * check would silently skip a real batch — data loss. T lines ride
+    * appends and every maintenance rewrite ([[carriedMetaLines]]);
+    * an overwrite resets them with the table.
+    */
+  def writeVersioned(df: DataFrame, path: String,
+      append: Boolean, statsCols: Seq[String],
+      bloomCols: Seq[String], sortedBy: Seq[String],
+      txn: Option[(String, Long)]): Long =
+    writeVersioned(df, path, append, statsCols, bloomCols, sortedBy,
+      txn, Seq.empty)
+
+  def writeVersioned(df: DataFrame, path: String,
+      append: Boolean, statsCols: Seq[String],
+      bloomCols: Seq[String], sortedBy: Seq[String],
+      txn: Option[(String, Long)],
+      /** internal: raw manifest lines a maintenance OVERWRITE must
+        * keep alive (today: the prior snapshot's `T` txn markers —
+        * compact/z-order rewrite data, they do not reset the table's
+        * streaming history the way a user overwrite does).
+        */
+      carryLines: Seq[String]): Long = {
     import org.apache.hadoop.fs.Path
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.exists("\t\n\r".contains(_)),
+        s"txn appId '$app' is empty or contains a manifest delimiter")
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -814,6 +849,7 @@ final case class GraftStorage(
     val order = GraftStorage.oLine(sortedBy, append,
       if (append) sortSpec(path, n - 1) else Seq.empty)
     val fresh = freshFiles ++ stats ++ blooms ++ order ++
+      txn.map(t => s"T\t${t._1}\t${t._2}").toSeq ++ carryLines ++
       rowCountLines(freshFiles) ++ Seq(s"H\t${df.schema.json}")
     // append carries the RAW prior entries: deletion vectors keep
     // applying to the files they were committed against. (Key-based
@@ -852,10 +888,17 @@ final case class GraftStorage(
     */
   def writeVersionedPartitioned(df: DataFrame, path: String,
       partCols: Seq[String], append: Boolean = false,
-      sortedBy: Seq[String] = Seq.empty): Long = {
+      sortedBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None,
+      /** internal: see [[writeVersioned]]'s carryLines. */
+      carryLines: Seq[String] = Seq.empty): Long = {
     import org.apache.hadoop.fs.Path
     require(partCols.nonEmpty,
       "writeVersionedPartitioned needs at least one partition column")
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.exists("\t\n\r".contains(_)),
+        s"txn appId '$app' is empty or contains a manifest delimiter")
+    }
     validatePartCols(df.schema, partCols)
     GraftStorage.requireSortCols(df.schema, sortedBy)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -866,7 +909,10 @@ final case class GraftStorage(
       s"append to $path requires an existing version")
     if (append) {
       val prior = partitionSpec(path, vs.last)
-      require(prior == partCols,
+      // parsed comparison: cosmetic whitespace in a bucket(n, col)
+      // token must not reject an append to the same layout
+      require(prior.map(GraftStorage.parsePartField) ==
+          partCols.map(GraftStorage.parsePartField),
         s"append partitioned by $partCols but the table is " +
           s"partitioned by $prior")
       GraftStorage.mergeSchemaJsons(
@@ -891,7 +937,9 @@ final case class GraftStorage(
     val order = GraftStorage.oLine(sortedBy, append,
       if (append) sortSpec(path, n - 1) else Seq.empty)
     val fresh = freshFiles ++ rowCountLines(freshFiles) ++ order ++
-      Seq(s"P\t${partCols.mkString(",")}", s"H\t${df.schema.json}")
+      txn.map(t => s"T\t${t._1}\t${t._2}").toSeq ++ carryLines ++
+      Seq("P\t" + partCols.map(GraftStorage.parsePartField(_).spec)
+        .mkString(","), s"H\t${df.schema.json}")
     val carried =
       if (append)
         manifestEntries(path, n - 1).filterNot(e =>
@@ -998,7 +1046,8 @@ final case class GraftStorage(
     publishManifest(fs, dir, 0L,
       (if (sortedBy.nonEmpty) Seq(s"O\t${sortedBy.mkString(",")}")
        else Seq.empty) ++
-      Seq(s"P\t${partCols.mkString(",")}", s"H\t${schema.json}"))
+      Seq("P\t" + partCols.map(GraftStorage.parsePartField(_).spec)
+        .mkString(","), s"H\t${schema.json}"))
     0L
   }
 
@@ -1076,10 +1125,16 @@ final case class GraftStorage(
     require(vs.nonEmpty, s"no versions committed under $path")
     val schema = mergedManifestSchema(path, vs.last)
       .getOrElse(readVersioned(path, Some(vs.last)).schema)
-    if (newSpec.nonEmpty) validatePartCols(schema, newSpec)
-    require(partitionSpec(path, vs.last) != newSpec,
+    // canonical token form: 'bucket(4, k)' and 'bucket(4,k)' are the
+    // SAME layout — compare and store parsed, or a cosmetic respell
+    // would commit a bogus evolution (and its non-canonical P line
+    // would then fail raw-string append checks)
+    val canon = newSpec.map(GraftStorage.parsePartField(_).spec)
+    if (canon.nonEmpty) validatePartCols(schema, canon)
+    require(partitionSpec(path, vs.last)
+        .map(GraftStorage.parsePartField(_).spec) != canon,
       s"the table is already partitioned by " +
-        (if (newSpec.isEmpty) "nothing" else newSpec.mkString(", ")))
+        (if (canon.isEmpty) "nothing" else canon.mkString(", ")))
     val n = vs.last + 1
     // carry everything except P (files, stats, blooms, O, H, R, DVs
     // all stay true — no data byte moves); legacy pre-H manifests
@@ -1090,7 +1145,7 @@ final case class GraftStorage(
       if (carried.exists(_.startsWith("H\t"))) Seq.empty
       else Seq(s"H\t${schema.json}")
     val entries = carried ++ h ++
-      (if (newSpec.nonEmpty) Seq(s"P\t${newSpec.mkString(",")}")
+      (if (canon.nonEmpty) Seq(s"P\t${canon.mkString(",")}")
        else Seq.empty)
     val dir = new Path(path)
     publishManifest(
@@ -1110,6 +1165,22 @@ final case class GraftStorage(
       case e if e.startsWith("O\t") =>
         e.drop(2).split(',').toSeq.filter(_.nonEmpty)
     }.getOrElse(Seq.empty)
+
+  /** Batch ids `appId` has committed to this table — the read half
+    * of the `txn` marker ([[writeVersioned]]): a streaming
+    * foreachBatch sink skips a batch iff its id is in this set,
+    * immune to version-number drift from interleaved maintenance
+    * commits. Latest manifest only (T lines accumulate through
+    * appends and maintenance carries; an overwrite resets them).
+    */
+  def txnBatchIds(path: String, appId: String): Set[Long] =
+    listVersions(path).lastOption.map { v =>
+      manifestEntries(path, v).iterator.collect {
+        case e if e.startsWith("T\t") =>
+          val p = e.split('\t')
+          if (p.length == 3 && p(1) == appId) Some(p(2).toLong) else None
+      }.flatten.toSet
+    }.getOrElse(Set.empty)
 
   /** EXTERNAL key values of one partitioned file, parsed from its
     * `__gp_<col>=<value>` path segments; None when any segment is
@@ -1398,9 +1469,14 @@ final case class GraftStorage(
   private[sources] def carriedMetaLines(path: String, version: Long,
       untouched: Seq[String]): Seq[String] = {
     val untouchedSet = untouched.toSet
+    // T (txn) lines ride every maintenance rewrite: dropping one
+    // would make a streaming sink re-commit an already-committed
+    // batch after a compact — duplicate rows, the exactly-once
+    // contract's other failure mode
     manifestEntries(path, version).filter(e =>
       e.startsWith("S\t") || e.startsWith("H\t") ||
         e.startsWith("B\t") || e.startsWith("P\t") ||
+        e.startsWith("T\t") ||
         (e.startsWith("R\t") && untouchedSet(e.split('\t')(2))))
   }
 
@@ -1596,6 +1672,10 @@ final case class GraftStorage(
     // runs would interleave them, so the unpartitioned path switches
     // to a range repartition — which also re-clusters the zones)
     val sortCols = lastV.map(sortSpec(path, _)).getOrElse(Seq.empty)
+    // streaming txn markers ride maintenance rewrites: losing one
+    // would make a checkpointed sink re-commit its batch (duplicates)
+    val tLines = lastV.map(manifestEntries(path, _)
+      .filter(_.startsWith("T\t"))).getOrElse(Seq.empty)
     if (spec.nonEmpty) {
       // repartition by the LAYOUT key (bucket id, not the raw key):
       // clustering by the raw column would scatter each bucket over
@@ -1607,14 +1687,16 @@ final case class GraftStorage(
             val f = GraftStorage.parsePartField(s)
             f.keyExpr(cur.schema(f.col).dataType)
           }: _*),
-        path, spec, append = false, sortedBy = sortCols)
+        path, spec, append = false, sortedBy = sortCols,
+        txn = None, carryLines = tLines)
     } else {
       val (sc, bc) = priorSidecarCoverage(path)
       val cur = readVersioned(path)
       val clustered =
         if (sortCols.isEmpty) cur.coalesce(targetFiles)
         else cur.repartitionByRange(targetFiles, sortCols.map(col): _*)
-      writeVersioned(clustered, path, append = false, sc, bc, sortCols)
+      writeVersioned(clustered, path, append = false, sc, bc, sortCols,
+        None, tLines)
     }
   }
 
@@ -1644,14 +1726,25 @@ final case class GraftStorage(
     val vs = listVersions(path)
     val files = manifestFiles(path, vs.last)
     def key(p: String): String = new Path(p).toUri.getPath
-    val cur = readRawFiles(path, vs.last, files)
-    val affectedKeys = cur.filter(predicate)
+    // O(scope), not O(table): discovery runs over the PRUNED reader,
+    // so manifest zones (sidecar stats AND path-derived partition /
+    // temporal keys) drop provably non-matching files before any data
+    // byte is read — a one-day predicate on a 10k-day table opens one
+    // day, which is the whole point of this surface
+    val affectedKeys = readVersionedPruned(path).filter(predicate)
       .select(input_file_name()).distinct()
       .collect().map(r => key(r.getString(0))).toSet
     val (affected, untouched) = files.partition(f => affectedKeys(key(f)))
     if (affected.isEmpty) return vs.last
     val spec = partitionSpec(path, vs.last)
     val sortCols = sortSpec(path, vs.last)
+    // fresh files must not LOSE sidecar coverage the snapshot had
+    // (the priorSidecarCoverage invariant of every maintenance
+    // rewrite): partitioned tables re-key (path-derived zones),
+    // unpartitioned ones rebuild stats/blooms over the new commit
+    val (sc, bc) =
+      if (spec.nonEmpty) (Seq.empty[String], Seq.empty[String])
+      else priorSidecarCoverage(path)
     val rows0 = readRawFiles(path, vs.last, affected)
     val specKeys = spec.map { s =>
       val f = GraftStorage.parsePartField(s)
@@ -1670,8 +1763,20 @@ final case class GraftStorage(
     val commitDir = newCommitDir(dir, n)
     val fresh = writeCommitData(relaid, commitDir, spec, fs)
     validateCommitFiles(path, fresh, commitDir, fs)
+    val stats: Seq[String] =
+      if (sc.isEmpty) Seq.empty
+      else {
+        buildZoneMap(commitDir.toString, sc)
+        Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
+      }
+    val blooms: Seq[String] =
+      if (bc.isEmpty) Seq.empty
+      else {
+        buildBloomIndex(commitDir.toString, bc)
+        Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
+      }
     val meta = carriedMetaLines(path, vs.last, untouched) ++
-      rowCountLines(fresh) ++
+      rowCountLines(fresh) ++ stats ++ blooms ++
       GraftStorage.oLine(sortCols, append = false, Seq.empty)
     publishManifest(fs, dir, n, untouched ++ fresh ++ meta,
       Some(commitDir))
@@ -2549,11 +2654,17 @@ final case class GraftStorage(
     // columns themselves — the z-order rewrite exists to make their
     // per-file [min,max] narrow
     val (sc, bc) = priorSidecarCoverage(path)
+    val tLines = listVersions(path).lastOption
+      .map(manifestEntries(path, _).filter(_.startsWith("T\t")))
+      .getOrElse(Seq.empty)
     writeVersioned(cur.withColumn("__graft_z", z)
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z"), path,
-      append = false, (sc ++ zcols).distinct.sorted, bc)
+      append = false, (sc ++ zcols).distinct.sorted, bc,
+      // a z-order rewrite breaks any declared row order — drop O,
+      // but keep the streaming txn markers alive
+      Seq.empty, None, tLines)
   }
 
   /** MULTI-dimension clustered write — the Z-ORDER analogue of

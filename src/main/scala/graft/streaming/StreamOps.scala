@@ -531,12 +531,14 @@ object StreamOps extends QueryModule {
 
   /** Streaming INTO a versioned table, exactly-once: each micro-batch
     * lands as one manifest commit via foreachBatch, made IDEMPOTENT
-    * by the batchId==version invariant — a replayed batch (foreachBatch
-    * offers at-least-once) sees its version already committed and
-    * skips, so failure recovery never double-commits. The query
-    * drains a 4-file source one file per trigger and proves commits ==
-    * batches and content == source; StorageSpec pins the replay-skip
-    * half (a second checkpointed run commits nothing new).
+    * by a `T appId batchId` transaction marker in the manifest
+    * ([[graft.sources.GraftStorage.txnBatchIds]], Delta's txn
+    * design) — a replayed batch (foreachBatch offers at-least-once)
+    * finds its marker and skips, and the check survives interleaved
+    * maintenance commits, which version-number arithmetic would not.
+    * The query drains a 4-file source one file per trigger and proves
+    * commits == batches and content == source; StorageSpec pins the
+    * replay-skip half (a second checkpointed run commits nothing new).
     */
   def streamVersionedSink(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -558,9 +560,14 @@ object StreamOps extends QueryModule {
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        // exactly-once: version n exists ⇔ batch n committed
-        if (!st.listVersions(outP).contains(id))
-          st.writeVersioned(batch, outP, append = id > 0): Unit
+        // exactly-once via the txn marker, NOT version numbers: an
+        // interleaved maintenance commit (compact, ALTER) shifts
+        // versions and a batchId==version check would silently skip
+        // a real batch
+        if (!st.txnBatchIds(outP, "stream_versioned_sink").contains(id))
+          st.writeVersioned(batch, outP, append = id > 0, Seq.empty,
+            Seq.empty, Seq.empty,
+            Some("stream_versioned_sink" -> id)): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -574,8 +581,9 @@ object StreamOps extends QueryModule {
   /** Streaming ingest INTO A PARTITIONED versioned table — the
     * streaming-lakehouse shape: a `CREATE ... PARTITIONED BY
     * (days(ts))` metadata commit (v0), then each micro-batch lands as
-    * one idempotent partitioned APPEND (batchId+1 == version, so a
-    * replayed batch sees its version committed and skips). Every file
+    * one idempotent partitioned APPEND (a `T` transaction marker per
+    * batch: a replayed batch finds its marker and skips, even across
+    * interleaved maintenance commits). Every file
     * the stream writes is keyed into its UTC-day dir, so the table is
     * range-prunable and SPJ-joinable from the first commit — ingest
     * and layout maintenance are the same operation. At 100 TB this is
@@ -602,11 +610,15 @@ object StreamOps extends QueryModule {
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        // exactly-once: version id+1 exists ⇔ batch id committed
-        // (v0 is the CREATE)
-        if (!st.listVersions(outP).contains(id + 1))
+        // exactly-once via the txn marker (T lines), NOT version
+        // arithmetic: maintenance commits (compact_where on this very
+        // landing table is the advertised pairing) shift version
+        // numbers, and a batchId+1==version check would skip a real
+        // batch — silent data loss on exactly the recommended setup
+        if (!st.txnBatchIds(outP, "stream_sink_partitioned").contains(id))
           st.writeVersionedPartitioned(batch, outP, Seq("days(ts)"),
-            append = true): Unit
+            append = true, sortedBy = Seq.empty,
+            txn = Some("stream_sink_partitioned" -> id)): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -1160,9 +1160,13 @@ class CatalogSpec extends AnyFunSuite {
          |  CAST(sum(o_orderkey) AS BIGINT) AS s
          |FROM graft.`$out`""".stripMargin).head()
     assert(after == got)
-    // no-op alters fail fast; de-partitioning is a valid target
+    // no-op alters fail fast — including cosmetic respellings of the
+    // SAME layout (specs compare in canonical parsed form)
     intercept[IllegalArgumentException] {
       st.alterPartitionSpec(out, Seq("bucket(4,o_orderkey)"))
+    }
+    intercept[IllegalArgumentException] {
+      st.alterPartitionSpec(out, Seq("bucket(4, o_orderkey)"))
     }
     st.alterPartitionSpec(out, Seq.empty)
     assert(st.partitionSpec(out, st.listVersions(out).last).isEmpty)
@@ -1209,6 +1213,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(st.compactVersionedWhere(out,
       $"ts" >= lit("2031-01-01").cast("timestamp")) == vNow)
     assert(st.listVersions(out).last == vNow)
+    // an UNPARTITIONED stats-covered table keeps manifest-rate
+    // MIN/MAX after a scoped compact (fresh files re-stated — the
+    // priorSidecarCoverage invariant of every maintenance rewrite)
+    val so = fresh("cat_cw_stats")
+    val orders = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    st.writeVersioned(orders.repartitionByRange(4, $"o_orderkey"), so,
+      append = false, Seq("o_orderkey"))
+    st.compactVersionedWhere(so, $"o_orderkey" < 100L, 1)
+    val mq = spark.sql(
+      s"SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx " +
+        s"FROM graft.`$so`")
+    assert(mq.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "scoped compact lost stats coverage:\n" +
+        mq.queryExecution.executedPlan)
+    val em = orders.agg(min($"o_orderkey"), max($"o_orderkey")).head()
+    assert(mq.head() == em)
   }
 
   test("row-level SQL refuses merge-on-read snapshots with guidance") {

@@ -656,4 +656,52 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy($"day").collect()
     assert(got.sameElements(want))
   }
+
+  test("streaming sink txn idempotence survives interleaved " +
+    "maintenance commits (version arithmetic would lose a batch)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val st = graft.sources.GraftStorage(spark)
+    val base = T.scratch(SF, "stream_txn_spec")
+    val (src, outP, ckpt) = (base + "_src", base + "_out", base + "_ckpt")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(src, outP, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val ev = T.events(spark, SF).select($"event_id", $"ts", $"user_id")
+    val schema = ev.schema
+    st.createVersionedPartitioned(outP, schema, Seq("days(ts)"))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!st.txnBatchIds(outP, "txn_spec").contains(id))
+            st.writeVersionedPartitioned(b, outP, Seq("days(ts)"),
+              append = true, txn = Some("txn_spec" -> id)): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    ev.filter($"event_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    drain()
+    // a maintenance commit lands BETWEEN the stream's batches — the
+    // exact interleaving a version-number invariant mistakes for
+    // "my next batch already committed"
+    st.compactVersioned(outP, 1)
+    ev.filter($"event_id" % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    drain()
+    // no batch lost, none duplicated; T markers survived the compact
+    assert(st.txnBatchIds(outP, "txn_spec") == Set(0L, 1L))
+    assert(st.readVersioned(outP)
+      .agg(count(lit(1)), sum($"event_id")).head() ==
+      ev.agg(count(lit(1)), sum($"event_id")).head())
+    // and a full checkpoint replay commits nothing new
+    val vBefore = st.listVersions(outP).last
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(st.listVersions(outP).last == vBefore,
+      "replayed batches re-committed despite their txn markers")
+  }
 }
