@@ -694,7 +694,14 @@ private[sources] final class GraftBatchWrite(
       tallies.map(t =>
         s"R\t${t._2}\t${new Path(t._1).toUri.getPath}") ++
       (if (partCols.nonEmpty && mode == GraftCommitMode.Truncate)
-        Seq(s"P\t${partCols.mkString(",")}") else Seq.empty) ++
+        Seq("P\t" + partCols.map(GraftStorage.parsePartField(_).spec)
+          .mkString(",")) else Seq.empty) ++
+      // INSERT OVERWRITE keeps streaming txn markers alive (same
+      // contract as TRUNCATE — replayed batches must stay skipped)
+      (if (mode == GraftCommitMode.Truncate)
+        baseVersion.toSeq.flatMap(v =>
+          store.manifestEntries(path, v).filter(_.startsWith("T\t")))
+      else Seq.empty) ++
       // the sort claim rides every V2 write that ENFORCED it
       // (requiredOrdering): Truncate re-declares it like P;
       // ReplaceGroups re-declares it because carriedMetaLines

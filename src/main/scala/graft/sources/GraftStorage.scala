@@ -205,10 +205,26 @@ final case class GraftStorage(
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val files = fs.listStatus(dir).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
+    // RECURSIVE: a partitioned commit dir nests its data files under
+    // key segments; every path component under the root must be
+    // visible (hidden `_zonemap`/`_bloom` subtrees and dot-files
+    // skipped, the same rule Spark's own listing applies). Manual
+    // listStatus recursion — fs.listFiles builds LocatedFileStatus,
+    // which loads permissions via java.io.File and breaks on
+    // non-`file:` schemes (graftfs://, object stores).
+    val files = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      def walk(d: Path): Unit = fs.listStatus(d).foreach { f =>
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (f.isDirectory) walk(f.getPath)
+          else if (name.endsWith(".parquet")) out += f
+        }
+      }
+      walk(dir)
+      out.toSeq.sortBy(_.getPath.toUri.getPath)
+    }
     // 8 driver threads, the reference's index-merge parallelism
     // (IndexFileMerger.java:83)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -787,7 +803,7 @@ final case class GraftStorage(
       bloomCols: Seq[String], sortedBy: Seq[String],
       txn: Option[(String, Long)]): Long =
     writeVersioned(df, path, append, statsCols, bloomCols, sortedBy,
-      txn, Seq.empty)
+      txn, Seq.empty, None)
 
   def writeVersioned(df: DataFrame, path: String,
       append: Boolean, statsCols: Seq[String],
@@ -798,16 +814,24 @@ final case class GraftStorage(
         * compact/z-order rewrite data, they do not reset the table's
         * streaming history the way a user overwrite does).
         */
-      carryLines: Seq[String]): Long = {
+      carryLines: Seq[String],
+      /** internal: the version a maintenance rewrite READ its input
+        * (data + carried lines) at — fail LOUDLY if the log advanced
+        * since, or a commit that landed mid-rewrite (a streaming
+        * batch, say) would be silently erased by publishing a
+        * snapshot built from stale inputs. The residual race after
+        * this check loses at the put-if-absent publish, also loudly.
+        */
+      requireBase: Option[Long]): Long = {
     import org.apache.hadoop.fs.Path
-    txn.foreach { case (app, _) =>
-      require(app.nonEmpty && !app.exists("\t\n\r".contains(_)),
-        s"txn appId '$app' is empty or contains a manifest delimiter")
-    }
+    GraftStorage.requireTxn(txn)
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val vs = listVersions(path)
+    requireBase.foreach(b => require(vs.lastOption.contains(b),
+      s"concurrent commit advanced $path past version $b while a " +
+        "maintenance rewrite was reading it — re-run the rewrite"))
     require(!append || vs.nonEmpty,
       s"append to $path requires an existing version")
     // fail fast on type-conflicting evolution BEFORE any data is
@@ -855,9 +879,13 @@ final case class GraftStorage(
     // applying to the files they were committed against. (Key-based
     // DV contract: an appended row must not REUSE a deleted key —
     // materialize via compactVersioned before re-inserting keys.)
+    // A txn commit REPLACES its own app's prior marker (one T line
+    // per appId — manifests stay O(apps), not O(batches)).
     val carried =
       if (append)
-        manifestEntries(path, n - 1).filterNot(_.startsWith("O\t"))
+        manifestEntries(path, n - 1).filterNot(e =>
+          e.startsWith("O\t") ||
+            txn.exists(t => e.startsWith(s"T\t${t._1}\t")))
       else Seq.empty[String]
     publishManifest(fs, dir, n, carried ++ fresh, Some(commitDir))
     n
@@ -891,20 +919,22 @@ final case class GraftStorage(
       sortedBy: Seq[String] = Seq.empty,
       txn: Option[(String, Long)] = None,
       /** internal: see [[writeVersioned]]'s carryLines. */
-      carryLines: Seq[String] = Seq.empty): Long = {
+      carryLines: Seq[String] = Seq.empty,
+      /** internal: see [[writeVersioned]]'s requireBase. */
+      requireBase: Option[Long] = None): Long = {
     import org.apache.hadoop.fs.Path
     require(partCols.nonEmpty,
       "writeVersionedPartitioned needs at least one partition column")
-    txn.foreach { case (app, _) =>
-      require(app.nonEmpty && !app.exists("\t\n\r".contains(_)),
-        s"txn appId '$app' is empty or contains a manifest delimiter")
-    }
+    GraftStorage.requireTxn(txn)
     validatePartCols(df.schema, partCols)
     GraftStorage.requireSortCols(df.schema, sortedBy)
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val vs = listVersions(path)
+    requireBase.foreach(b => require(vs.lastOption.contains(b),
+      s"concurrent commit advanced $path past version $b while a " +
+        "maintenance rewrite was reading it — re-run the rewrite"))
     require(!append || vs.nonEmpty,
       s"append to $path requires an existing version")
     if (append) {
@@ -943,7 +973,8 @@ final case class GraftStorage(
     val carried =
       if (append)
         manifestEntries(path, n - 1).filterNot(e =>
-          e.startsWith("P\t") || e.startsWith("O\t"))
+          e.startsWith("P\t") || e.startsWith("O\t") ||
+            txn.exists(t => e.startsWith(s"T\t${t._1}\t")))
       else Seq.empty[String]
     publishManifest(fs, dir, n, carried ++ fresh, Some(commitDir))
     n
@@ -1018,6 +1049,11 @@ final case class GraftStorage(
       else Seq(s"H\t${readVersioned(path, Some(vs.last)).schema.json}")
     val entries =
       (if (spec.nonEmpty) Seq(s"P\t${spec.mkString(",")}") else Seq.empty) ++
+      // txn markers survive TRUNCATE (Delta keeps setTransaction
+      // history the same way): a checkpointed sink replaying its
+      // last batch after a truncate must NOT re-insert it into the
+      // table the user just emptied
+      txnLines(path, vs.last) ++
       h
     val dir = new Path(path)
     publishManifest(
@@ -1166,21 +1202,38 @@ final case class GraftStorage(
         e.drop(2).split(',').toSeq.filter(_.nonEmpty)
     }.getOrElse(Seq.empty)
 
+  /** The latest manifest's raw `T` txn-marker lines. */
+  private def txnLines(path: String, v: Long): Seq[String] =
+    manifestEntries(path, v).filter(_.startsWith("T\t"))
+
   /** Batch ids `appId` has committed to this table — the read half
-    * of the `txn` marker ([[writeVersioned]]): a streaming
-    * foreachBatch sink skips a batch iff its id is in this set,
-    * immune to version-number drift from interleaved maintenance
-    * commits. Latest manifest only (T lines accumulate through
-    * appends and maintenance carries; an overwrite resets them).
+    * of the `txn` marker ([[writeVersioned]]), immune to
+    * version-number drift from interleaved maintenance commits.
+    * Each commit with a txn REPLACES the app's prior marker, so the
+    * manifest holds ONE line per appId (the max batch id — Delta's
+    * setTransaction design; manifests stay O(apps), not O(batches));
+    * use [[txnCommitted]] as the sink-side gate. Malformed lines are
+    * ignored, never fatal. Latest manifest only (markers ride
+    * appends, maintenance rewrites, and TRUNCATE; a user overwrite
+    * resets them with the table).
     */
   def txnBatchIds(path: String, appId: String): Set[Long] =
     listVersions(path).lastOption.map { v =>
-      manifestEntries(path, v).iterator.collect {
-        case e if e.startsWith("T\t") =>
-          val p = e.split('\t')
-          if (p.length == 3 && p(1) == appId) Some(p(2).toLong) else None
-      }.flatten.toSet
+      txnLines(path, v).iterator.flatMap { e =>
+        val p = e.split('\t')
+        if (p.length == 3 && p(1) == appId) p(2).toLongOption else None
+      }.toSet
     }.getOrElse(Set.empty)
+
+  /** Whether `appId` has already committed `batchId` (or any later
+    * batch — micro-batch ids are monotone per checkpoint, and only
+    * the max survives marker replacement). THE foreachBatch
+    * idempotence gate:
+    * `if (!st.txnCommitted(out, app, id)) st.writeVersioned(..,
+    * txn = Some(app -> id))`.
+    */
+  def txnCommitted(path: String, appId: String, batchId: Long): Boolean =
+    txnBatchIds(path, appId).exists(_ >= batchId)
 
   /** EXTERNAL key values of one partitioned file, parsed from its
     * `__gp_<col>=<value>` path segments; None when any segment is
@@ -1674,13 +1727,12 @@ final case class GraftStorage(
     val sortCols = lastV.map(sortSpec(path, _)).getOrElse(Seq.empty)
     // streaming txn markers ride maintenance rewrites: losing one
     // would make a checkpointed sink re-commit its batch (duplicates)
-    val tLines = lastV.map(manifestEntries(path, _)
-      .filter(_.startsWith("T\t"))).getOrElse(Seq.empty)
+    val tLines = lastV.map(txnLines(path, _)).getOrElse(Seq.empty)
     if (spec.nonEmpty) {
       // repartition by the LAYOUT key (bucket id, not the raw key):
       // clustering by the raw column would scatter each bucket over
       // every task and multiply files instead of compacting them
-      val cur = readVersioned(path)
+      val cur = readVersioned(path, lastV)
       writeVersionedPartitioned(
         cur.repartition(targetFiles,
           spec.map { s =>
@@ -1688,15 +1740,15 @@ final case class GraftStorage(
             f.keyExpr(cur.schema(f.col).dataType)
           }: _*),
         path, spec, append = false, sortedBy = sortCols,
-        txn = None, carryLines = tLines)
+        txn = None, carryLines = tLines, requireBase = lastV)
     } else {
       val (sc, bc) = priorSidecarCoverage(path)
-      val cur = readVersioned(path)
+      val cur = readVersioned(path, lastV)
       val clustered =
         if (sortCols.isEmpty) cur.coalesce(targetFiles)
         else cur.repartitionByRange(targetFiles, sortCols.map(col): _*)
       writeVersioned(clustered, path, append = false, sc, bc, sortCols,
-        None, tLines)
+        None, tLines, lastV)
     }
   }
 
@@ -1740,11 +1792,12 @@ final case class GraftStorage(
     val sortCols = sortSpec(path, vs.last)
     // fresh files must not LOSE sidecar coverage the snapshot had
     // (the priorSidecarCoverage invariant of every maintenance
-    // rewrite): partitioned tables re-key (path-derived zones),
-    // unpartitioned ones rebuild stats/blooms over the new commit
-    val (sc, bc) =
-      if (spec.nonEmpty) (Seq.empty[String], Seq.empty[String])
-      else priorSidecarCoverage(path)
+    // rewrite). Coverage is taken from the REAL sidecars (S/B
+    // lines), not priorSidecarCoverage — that helper folds in the
+    // path-derived partition zones, which fresh files restate by
+    // re-keying anyway; a partitioned table carrying pre-evolution
+    // S sidecars on OTHER columns still restates those.
+    val (sc, bc) = realSidecarCoverage(path, vs.last)
     val rows0 = readRawFiles(path, vs.last, affected)
     val specKeys = spec.map { s =>
       val f = GraftStorage.parsePartField(s)
@@ -1789,6 +1842,29 @@ final case class GraftStorage(
     * IMPROVE scans silently turns off file pruning and the
     * manifest-rate aggregate path from its commit on.
     */
+  /** Columns the version's REAL sidecars (S/B manifest lines) cover —
+    * unlike [[priorSidecarCoverage]] this excludes the path-derived
+    * partition-key zones, so a PARTIAL rewrite restates exactly what
+    * the sidecars stated (sidecar schemas merged: different commits
+    * may cover different column sets).
+    */
+  private def realSidecarCoverage(path: String,
+      v: Long): (Seq[String], Seq[String]) = {
+    val sc = manifestStats(path, v) match {
+      case Seq() => Seq.empty[String]
+      case dirs => spark.read.option("mergeSchema", "true")
+        .parquet(dirs: _*).schema.fieldNames.toSeq
+        .filter(_.endsWith("__min")).map(_.stripSuffix("__min"))
+        .distinct.sorted
+    }
+    val bc = manifestBlooms(path, v) match {
+      case Seq() => Seq.empty[String]
+      case dirs => spark.read.parquet(dirs: _*).select("col")
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+    }
+    (sc, bc)
+  }
+
   private def priorSidecarCoverage(path: String): (Seq[String], Seq[String]) =
     listVersions(path).lastOption match {
       case None => (Seq.empty, Seq.empty)
@@ -2648,15 +2724,16 @@ final case class GraftStorage(
   def optimizeVersioned(path: String, zcols: Seq[String],
       targetFiles: Int = 8): Long = {
     require(zcols.nonEmpty, "optimizeVersioned needs at least one column")
-    val cur = readVersioned(path)
+    // pin the base FIRST, read AT it: data, carried markers, and the
+    // conflict gate must all see the same snapshot
+    val base = listVersions(path).lastOption
+    val cur = readVersioned(path, base)
     val z = zValueColumn(cur, zcols)
     // carry prior sidecar coverage AND stats-cover the clustering
     // columns themselves — the z-order rewrite exists to make their
     // per-file [min,max] narrow
     val (sc, bc) = priorSidecarCoverage(path)
-    val tLines = listVersions(path).lastOption
-      .map(manifestEntries(path, _).filter(_.startsWith("T\t")))
-      .getOrElse(Seq.empty)
+    val tLines = base.map(txnLines(path, _)).getOrElse(Seq.empty)
     writeVersioned(cur.withColumn("__graft_z", z)
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
@@ -2664,7 +2741,7 @@ final case class GraftStorage(
       append = false, (sc ++ zcols).distinct.sorted, bc,
       // a z-order rewrite breaks any declared row order — drop O,
       // but keep the streaming txn markers alive
-      Seq.empty, None, tLines)
+      Seq.empty, None, tLines, base)
   }
 
   /** MULTI-dimension clustered write — the Z-ORDER analogue of
@@ -3389,6 +3466,16 @@ object GraftStorage {
       s"sortedBy column name '$c' contains a manifest delimiter " +
         "(comma, tab, or a line break)"))
   }
+
+  /** Shared gate of the txn-marker surfaces: the appId rides a
+    * tab-separated manifest line, so it must be non-empty and
+    * delimiter-free.
+    */
+  private[sources] def requireTxn(txn: Option[(String, Long)]): Unit =
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.exists("\t\n\r".contains(_)),
+        s"txn appId '$app' is empty or contains a manifest delimiter")
+    }
 
   /** The `O` manifest line a commit may publish: fresh tables record
     * the claim, appends keep it only by re-declaring the SAME order

@@ -564,7 +564,7 @@ object StreamOps extends QueryModule {
         // interleaved maintenance commit (compact, ALTER) shifts
         // versions and a batchId==version check would silently skip
         // a real batch
-        if (!st.txnBatchIds(outP, "stream_versioned_sink").contains(id))
+        if (!st.txnCommitted(outP, "stream_versioned_sink", id))
           st.writeVersioned(batch, outP, append = id > 0, Seq.empty,
             Seq.empty, Seq.empty,
             Some("stream_versioned_sink" -> id)): Unit
@@ -615,7 +615,7 @@ object StreamOps extends QueryModule {
         // landing table is the advertised pairing) shift version
         // numbers, and a batchId+1==version check would skip a real
         // batch — silent data loss on exactly the recommended setup
-        if (!st.txnBatchIds(outP, "stream_sink_partitioned").contains(id))
+        if (!st.txnCommitted(outP, "stream_sink_partitioned", id))
           st.writeVersionedPartitioned(batch, outP, Seq("days(ts)"),
             append = true, sortedBy = Seq.empty,
             txn = Some("stream_sink_partitioned" -> id)): Unit

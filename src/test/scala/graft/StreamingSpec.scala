@@ -675,7 +675,7 @@ class StreamingSpec extends AnyFunSuite {
         .option("maxFilesPerTrigger", "1").parquet(src)
         .writeStream.option("checkpointLocation", ckpt)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          if (!st.txnBatchIds(outP, "txn_spec").contains(id))
+          if (!st.txnCommitted(outP, "txn_spec", id))
             st.writeVersionedPartitioned(b, outP, Seq("days(ts)"),
               append = true, txn = Some("txn_spec" -> id)): Unit
         }
@@ -692,8 +692,13 @@ class StreamingSpec extends AnyFunSuite {
     ev.filter($"event_id" % 2 === 1).coalesce(1)
       .write.mode("append").parquet(src)
     drain()
-    // no batch lost, none duplicated; T markers survived the compact
-    assert(st.txnBatchIds(outP, "txn_spec") == Set(0L, 1L))
+    // no batch lost, none duplicated; the marker survived the
+    // compact, and marker REPLACEMENT keeps one line per appId (the
+    // max batch id), not one per batch
+    assert(st.txnBatchIds(outP, "txn_spec") == Set(1L))
+    assert(st.txnCommitted(outP, "txn_spec", 0L) &&
+      st.txnCommitted(outP, "txn_spec", 1L) &&
+      !st.txnCommitted(outP, "txn_spec", 2L))
     assert(st.readVersioned(outP)
       .agg(count(lit(1)), sum($"event_id")).head() ==
       ev.agg(count(lit(1)), sum($"event_id")).head())
@@ -703,5 +708,11 @@ class StreamingSpec extends AnyFunSuite {
     drain()
     assert(st.listVersions(outP).last == vBefore,
       "replayed batches re-committed despite their txn markers")
+    // TRUNCATE keeps the markers: a replayed batch must not
+    // re-insert into the table the user just emptied
+    st.truncateVersioned(outP)
+    assert(st.readVersioned(outP).count() == 0)
+    assert(st.txnCommitted(outP, "txn_spec", 1L),
+      "TRUNCATE dropped the txn markers")
   }
 }
