@@ -712,20 +712,24 @@ private[sources] final class GraftBatchWrite(
         Seq(s"O\t${sortCols.mkString(",")}") else Seq.empty) ++
       Seq(s"H\t${writeSchema.json}")
     val n = vsNow.lastOption.map(_ + 1).getOrElse(0L)
-    val entries = mode match {
+    mode match {
       case GraftCommitMode.Append if baseVersion.nonEmpty =>
-        store.manifestEntries(path, baseVersion.get) ++ freshEntries
+        // SQL INSERT INTO as an O(delta) log-structured commit: the
+        // prior snapshot replays, only the fresh lines are written
+        store.publishManifestDelta(fs, new Path(path), n, Seq.empty,
+          freshEntries, Some(commitDir))
       case GraftCommitMode.Append | GraftCommitMode.Truncate =>
-        freshEntries
+        store.publishManifest(fs, new Path(path), n, freshEntries,
+          Some(commitDir))
       case GraftCommitMode.ReplaceGroups(op) =>
         val scanned = op.scannedFiles.toSet
         val untouched = op.allFiles.filterNot(scanned)
-        untouched ++
-          store.carriedMetaLines(path, op.version, untouched) ++
-          freshEntries
+        store.publishManifest(fs, new Path(path), n,
+          untouched ++
+            store.carriedMetaLines(path, op.version, untouched) ++
+            freshEntries,
+          Some(commitDir))
     }
-    store.publishManifest(fs, new Path(path), n, entries,
-      Some(commitDir))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

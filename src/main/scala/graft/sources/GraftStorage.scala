@@ -875,19 +875,20 @@ final case class GraftStorage(
     val fresh = freshFiles ++ stats ++ blooms ++ order ++
       txn.map(t => s"T\t${t._1}\t${t._2}").toSeq ++ carryLines ++
       rowCountLines(freshFiles) ++ Seq(s"H\t${df.schema.json}")
-    // append carries the RAW prior entries: deletion vectors keep
-    // applying to the files they were committed against. (Key-based
-    // DV contract: an appended row must not REUSE a deleted key —
-    // materialize via compactVersioned before re-inserting keys.)
-    // A txn commit REPLACES its own app's prior marker (one T line
-    // per appId — manifests stay O(apps), not O(batches)).
-    val carried =
-      if (append)
-        manifestEntries(path, n - 1).filterNot(e =>
-          e.startsWith("O\t") ||
-            txn.exists(t => e.startsWith(s"T\t${t._1}\t")))
-      else Seq.empty[String]
-    publishManifest(fs, dir, n, carried ++ fresh, Some(commitDir))
+    // append inherits the RAW prior entries via a LOG-STRUCTURED
+    // delta (O(delta) metadata written per commit): deletion vectors
+    // keep applying to the files they were committed against.
+    // (Key-based DV contract: an appended row must not REUSE a
+    // deleted key — materialize via compactVersioned before
+    // re-inserting keys.) The delta DROPS the prior O line (fresh
+    // re-declares it when upheld) and this app's prior txn marker (a
+    // txn commit REPLACES it — one T line per appId, so manifests
+    // stay O(apps), not O(batches)).
+    if (append)
+      publishManifestDelta(fs, dir, n,
+        "O\t" +: txn.map(t => s"T\t${t._1}\t").toSeq,
+        fresh, Some(commitDir))
+    else publishManifest(fs, dir, n, fresh, Some(commitDir))
     n
   }
 
@@ -970,13 +971,14 @@ final case class GraftStorage(
       txn.map(t => s"T\t${t._1}\t${t._2}").toSeq ++ carryLines ++
       Seq("P\t" + partCols.map(GraftStorage.parsePartField(_).spec)
         .mkString(","), s"H\t${df.schema.json}")
-    val carried =
-      if (append)
-        manifestEntries(path, n - 1).filterNot(e =>
-          e.startsWith("P\t") || e.startsWith("O\t") ||
-            txn.exists(t => e.startsWith(s"T\t${t._1}\t")))
-      else Seq.empty[String]
-    publishManifest(fs, dir, n, carried ++ fresh, Some(commitDir))
+    if (append)
+      // O(delta) log-structured append: drop the inherited P (fresh
+      // re-declares the SAME spec — the require above pinned it), O,
+      // and this app's txn marker; everything else replays
+      publishManifestDelta(fs, dir, n,
+        Seq("P\t", "O\t") ++ txn.map(t => s"T\t${t._1}\t").toSeq,
+        fresh, Some(commitDir))
+    else publishManifest(fs, dir, n, fresh, Some(commitDir))
     n
   }
 
@@ -1172,21 +1174,19 @@ final case class GraftStorage(
       s"the table is already partitioned by " +
         (if (canon.isEmpty) "nothing" else canon.mkString(", ")))
     val n = vs.last + 1
-    // carry everything except P (files, stats, blooms, O, H, R, DVs
+    // delta commit: drop only P (files, stats, blooms, O, H, R, DVs
     // all stay true — no data byte moves); legacy pre-H manifests
     // get a synthesized schema line so the table stays readable
-    val carried = manifestEntries(path, vs.last)
-      .filterNot(_.startsWith("P\t"))
     val h =
-      if (carried.exists(_.startsWith("H\t"))) Seq.empty
+      if (manifestEntries(path, vs.last).exists(_.startsWith("H\t")))
+        Seq.empty
       else Seq(s"H\t${schema.json}")
-    val entries = carried ++ h ++
-      (if (canon.nonEmpty) Seq(s"P\t${canon.mkString(",")}")
-       else Seq.empty)
     val dir = new Path(path)
-    publishManifest(
+    publishManifestDelta(
       dir.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      dir, n, entries)
+      dir, n, Seq("P\t"),
+      h ++ (if (canon.nonEmpty) Seq(s"P\t${canon.mkString(",")}")
+            else Seq.empty))
     n
   }
 
@@ -1513,6 +1513,46 @@ final case class GraftStorage(
     }
   }
 
+  /** How many consecutive delta commits before an append publishes a
+    * full checkpoint manifest (bounds cold-resolve replay AND lets
+    * vacuum retire old chain links). `<= 1` disables deltas entirely
+    * (every commit a checkpoint — the pre-log behavior).
+    */
+  private def manifestCheckpointInterval: Int =
+    spark.conf.get("spark.graft.manifest.checkpointInterval", "20").toInt
+
+  /** Publish version `n` as a LOG-STRUCTURED COMMIT over `n-1`:
+    * `removals` are drop-by-prefix claims against the inherited
+    * lines, `additions` the fresh lines. Writes O(delta) bytes —
+    * UNLESS the chain has reached [[manifestCheckpointInterval]], in
+    * which case the resolved list is written as a checkpoint (the
+    * resolve is O(delta) too when the writer's cache holds `n-1`,
+    * which a streaming loop always does). Same put-if-absent gate and
+    * loser-cleanup contract as [[publishManifest]].
+    */
+  private[sources] def publishManifestDelta(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: org.apache.hadoop.fs.Path, n: Long,
+      removals: Seq[String], additions: Seq[String],
+      cleanup: Option[org.apache.hadoop.fs.Path] = None): Unit = {
+    require(n > 0, "a delta commit needs a base version")
+    val path = tablePath.toString
+    val k = manifestCheckpointInterval
+    val depth = manifestDepth(path, n - 1) + 1
+    if (depth >= k || k <= 1)
+      publishManifest(fs, tablePath, n,
+        GraftStorage.applyManifestDelta(
+          manifestEntries(path, n - 1),
+          s"G\tdelta\t${n - 1}\t$depth" +:
+            (removals.map("X\t" + _) ++ additions)),
+        cleanup)
+    else
+      publishManifest(fs, tablePath, n,
+        s"G\tdelta\t${n - 1}\t$depth" +:
+          (removals.map("X\t" + _) ++ additions),
+        cleanup)
+  }
+
   /** The S/H/B metadata lines a rewriting commit (CoW/MERGE) carries
     * forward, plus R row-count lines for the files it keeps: H stays
     * valid (rewrites are written WITH the merged schema), S/B keep
@@ -1584,7 +1624,7 @@ final case class GraftStorage(
       .sorted
   }
 
-  /** RAW manifest lines of one version. Line kinds:
+  /** RESOLVED manifest lines of one version. Line kinds:
     *  - a bare path = one immutable data file of the snapshot;
     *  - `D<TAB><keyCol><TAB><path>` = one DELETION-VECTOR file (a
     *    parquet of deleted key values for `keyCol`) that readers of
@@ -1595,17 +1635,59 @@ final case class GraftStorage(
     *    readers merge H lines by name);
     *  - `R<TAB><rows><TAB><path>` = a data file's row count
     *    (metadata-rate COUNT(*), [[countVersioned]]).
+    *
+    * ON DISK a `v<N>` file is either that full line list (a
+    * CHECKPOINT — every overwrite/CoW/maintenance commit, plus every
+    * `checkpointInterval`-th append) or a LOG-STRUCTURED DELTA over
+    * `v<N-1>`:
+    *   `G<TAB>delta<TAB><base><TAB><depth>`  header (base == N-1)
+    *   `X<TAB><prefix>`                      drop inherited lines
+    *                                         starting with prefix
+    *   ...fresh lines appended after the survivors.
+    * Appends therefore WRITE O(delta) metadata per commit — at 10⁵–10⁶
+    * table files a streaming micro-batch no longer rewrites the whole
+    * file list (the Delta-Lake commit-log + periodic-checkpoint
+    * shape; the reference's own index merge likewise ships only
+    * deltas, impl/file/IndexFileMerger.java:62-102). Readers resolve
+    * by replaying the ≤interval-length chain once and caching; a
+    * `v<N>.ck` sidecar (written by [[vacuumVersioned]] when it
+    * retires part of a chain) short-circuits the replay.
     */
-  private[sources] def manifestEntries(path: String, version: Long): Seq[String] = {
+  private[graft] def manifestEntries(path: String,
+      version: Long): Seq[String] = {
+    val (key, raw) = rawManifest(path, version)
+    // get/putIfAbsent, NOT computeIfAbsent: resolving a delta recurses
+    // into this very cache for its base (CHM forbids recursive update)
+    val hit = GraftStorage.manifestResolvedCache.get(key)
+    if (hit != null) hit
+    else {
+      val resolved = raw.headOption match {
+        case Some(h) if h.startsWith("G\tdelta\t") =>
+          checkpointSidecar(path, version).getOrElse {
+            val base = h.split('\t')(2).toLong
+            GraftStorage.applyManifestDelta(
+              manifestEntries(path, base), raw)
+          }
+        case _ => raw
+      }
+      GraftStorage.manifestResolvedCache.putIfAbsent(key, resolved)
+      resolved
+    }
+  }
+
+  /** Read (and cache) the raw on-disk lines of `_manifest/v<N>` —
+    * a checkpoint's full list or a delta's header/X/fresh lines.
+    * Manifests are write-once (publishAtomic), so the parse caches
+    * keyed by FULL URI + (mtime, len): the status call replaces a
+    * read+parse per helper, and the mtime/len key keeps a table
+    * deleted-and-recreated at the same path (every test fixture does
+    * this) from serving stale entries.
+    */
+  private def rawManifest(path: String,
+      version: Long): ((String, Long, Long), Seq[String]) = {
     import org.apache.hadoop.fs.Path
     val mf = new Path(new Path(path), s"_manifest/v$version")
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // one pruned read consults files/stats/blooms/DVs/schema — five
-    // per-line helpers, each landing here. Manifests are write-once
-    // (publishAtomic), so cache the PARSE keyed by (path, mtime, len):
-    // the status call replaces a full read+parse per helper, and the
-    // mtime/len key keeps a table deleted-and-recreated at the same
-    // path (every test fixture does this) from serving stale entries.
     val st =
       try fs.getFileStatus(mf)
       catch {
@@ -1614,23 +1696,36 @@ final case class GraftStorage(
             s"requirement failed: version $version does not exist " +
               s"under $path")
       }
-    // FULL URI key (scheme+authority): file:/t and hdfs:/t at the
-    // same path are different tables and must not share cache entries
     val key = (mf.toUri.toString, st.getModificationTime, st.getLen)
-    if (GraftStorage.manifestCache.size > 4096)
+    if (GraftStorage.manifestCache.size > 4096) {
       GraftStorage.manifestCache.clear()
-    GraftStorage.manifestCache.computeIfAbsent(key, _ => {
-      val in = fs.open(mf)
-      val bytes = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var r = in.read(buf)
-        while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
-        bos.toByteArray
-      } finally in.close()
-      new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
-    })
+      GraftStorage.manifestResolvedCache.clear()
+    }
+    (key, GraftStorage.manifestCache.computeIfAbsent(key, _ =>
+      GraftStorage.readLines(fs, mf)))
   }
+
+  /** The full line list stored in `v<N>.ck`, if [[vacuumVersioned]]
+    * materialized one (content is the deterministic resolution of
+    * version N — equivalent to replaying its chain).
+    */
+  private def checkpointSidecar(path: String,
+      version: Long): Option[Seq[String]] = {
+    import org.apache.hadoop.fs.Path
+    val ck = new Path(new Path(path), s"_manifest/v$version.ck")
+    val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ck)) Some(GraftStorage.readLines(fs, ck)) else None
+  }
+
+  /** Delta-chain depth of one version's manifest: 0 for a checkpoint
+    * (full list), base's depth + 1 for a delta — read from the `G`
+    * header, never by walking the chain.
+    */
+  private def manifestDepth(path: String, version: Long): Int =
+    rawManifest(path, version)._2.headOption match {
+      case Some(h) if h.startsWith("G\tdelta\t") => h.split('\t')(3).toInt
+      case _ => 0
+    }
 
   private[graft] def manifestFiles(path: String, version: Long): Seq[String] =
     manifestEntries(path, version).filterNot(_.contains('\t'))
@@ -1934,8 +2029,8 @@ final case class GraftStorage(
     val n = vs.last + 1
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    publishManifest(fs, dir, n,
-      manifestEntries(path, vs.last) :+ s"H\t${cols.json}")
+    // metadata-only DDL as a one-line delta commit
+    publishManifestDelta(fs, dir, n, Seq.empty, Seq(s"H\t${cols.json}"))
     n
   }
 
@@ -2066,9 +2161,10 @@ final case class GraftStorage(
     val dvFiles = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
-    val carried = manifestEntries(path, n - 1)
-    publishManifest(fs, dir, n,
-      carried ++ dvFiles.map(f => s"D\t$keyCol\t$f"), Some(commitDir))
+    // a MoR delete is the purest delta commit: inherit everything,
+    // add only the DV lines — O(deleted keys) metadata AND data
+    publishManifestDelta(fs, dir, n, Seq.empty,
+      dvFiles.map(f => s"D\t$keyCol\t$f"), Some(commitDir))
     n
   }
 
@@ -2218,7 +2314,27 @@ final case class GraftStorage(
     val dead = drop.flatMap(manifestAllPaths(path, _)).map(key)
       .distinct.filterNot(live)
     dead.foreach(f => fs.delete(new Path(f), true)) // stats are dirs
-    drop.foreach(v => fs.delete(new Path(dir, s"_manifest/v$v"), false))
+    // delta chains reference their base BY VERSION — before retiring
+    // manifests, materialize the oldest KEPT version as a `v<N>.ck`
+    // checkpoint sidecar so every kept delta's replay stops there
+    // (bases always == version-1, so chains from later kept versions
+    // pass through the oldest kept one). Content is the deterministic
+    // resolution, so a racing double-write is harmless.
+    val oldestKept = keep.head
+    val ck = new Path(dir, s"_manifest/v$oldestKept.ck")
+    if (manifestDepth(path, oldestKept) > 0 && !fs.exists(ck)) {
+      val tmp = new Path(dir, s"_manifest/.v$oldestKept.ck." +
+        s"${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      out.write(manifestEntries(path, oldestKept)
+        .mkString("\n").getBytes("UTF-8"))
+      out.close()
+      if (!fs.rename(tmp, ck)) fs.delete(tmp, false)
+    }
+    drop.foreach { v =>
+      fs.delete(new Path(dir, s"_manifest/v$v"), false)
+      fs.delete(new Path(dir, s"_manifest/v$v.ck"), false)
+    }
     // sweep commit dirs the deletes emptied (cosmetic, metadata-scale)
     // — but NEVER a dir whose `_`-prefixed survivors include a
     // sidecar (_zonemap/_bloom) a kept manifest still pins via
@@ -3646,10 +3762,47 @@ object GraftStorage {
         lose(fs, tmp, s"commit conflict publishing $dst")
     }
   }
-  /** Write-once manifest parse cache — see manifestEntries. */
+  /** Write-once manifest parse caches — see manifestEntries. Raw
+    * holds the on-disk lines (delta or checkpoint); resolved holds
+    * the replayed snapshot list. Both key by (uri, mtime, len), both
+    * valid forever (manifests are write-once; deltas reference
+    * write-once bases), so a long-running streaming writer resolves
+    * each new commit incrementally: resolve(v) = cached resolve(v-1)
+    * + O(delta) replay.
+    */
   private[sources] val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[
       (String, Long, Long), Seq[String]]()
+  private[sources] val manifestResolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), Seq[String]]()
+
+  /** Replay one delta file over its base's resolved lines: inherited
+    * lines matching any `X` prefix drop, fresh lines append (same
+    * carried-then-fresh order the eager writer produced).
+    */
+  private[sources] def applyManifestDelta(base: Seq[String],
+      rawDelta: Seq[String]): Seq[String] = {
+    val body = rawDelta.drop(1) // G header
+    val removals = body.collect { case l if l.startsWith("X\t") =>
+      l.drop(2) }
+    val additions = body.filterNot(_.startsWith("X\t"))
+    base.filterNot(l => removals.exists(l.startsWith)) ++ additions
+  }
+
+  /** Slurp one small metadata file as non-empty UTF-8 lines. */
+  private[sources] def readLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+    new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+  }
 
   /** Rebuild a Hadoop Configuration from a snapshot Map INSIDE a
     * task. Lives on the companion so closures capture only the Map,

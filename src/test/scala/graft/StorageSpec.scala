@@ -1414,10 +1414,9 @@ class StorageSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
-  private def manifestLines(out: String, v: Long): Seq[String] = {
-    val src = scala.io.Source.fromFile(s"$out/_manifest/v$v")
-    try src.getLines().filter(_.nonEmpty).toList finally src.close()
-  }
+  // RESOLVED snapshot lines (delta manifests replay over their base)
+  private def manifestLines(out: String, v: Long): Seq[String] =
+    sources.GraftStorage(spark).manifestEntries(out, v)
 
   test("merge-on-read delete: zero data rewrite, DV carried through " +
     "append and clone, compact materializes, CoW ops self-materialize") {
