@@ -1502,9 +1502,17 @@ final case class GraftStorage(
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir,
       s".v$n.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    // exact-duplicate lines collapse to their FIRST occurrence —
+    // semantically idempotent for every line kind, and it keeps a
+    // checkpoint O(files + DISTINCT schemas): schema-stable appends
+    // contribute one identical `H` line per commit, which would
+    // otherwise make checkpoints (and every carriedMetaLines rewrite)
+    // grow O(commits). First-occurrence order preserves the H-merge
+    // first-seen column order.
+    val deduped = entries.distinct
     val out = fs.create(tmp, true)
-    out.write(entries.mkString("\n").getBytes("UTF-8"))
-    out.close()
+    try out.write(deduped.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     try publishAtomic(fs, tmp, new Path(manifestDir, s"v$n"))
     catch {
       case e: java.util.ConcurrentModificationException =>
@@ -1655,21 +1663,57 @@ final case class GraftStorage(
     */
   private[graft] def manifestEntries(path: String,
       version: Long): Seq[String] = {
-    val (key, raw) = rawManifest(path, version)
-    // get/putIfAbsent, NOT computeIfAbsent: resolving a delta recurses
-    // into this very cache for its base (CHM forbids recursive update)
-    val hit = GraftStorage.manifestResolvedCache.get(key)
-    if (hit != null) hit
-    else {
-      val resolved = raw.headOption match {
-        case Some(h) if h.startsWith("G\tdelta\t") =>
-          checkpointSidecar(path, version).getOrElse {
-            val base = h.split('\t')(2).toLong
-            GraftStorage.applyManifestDelta(
-              manifestEntries(path, base), raw)
-          }
-        case _ => raw
+    // ITERATIVE chain resolve — stack depth must NOT equal chain
+    // length (a user raising spark.graft.manifest.checkpointInterval
+    // to 10k+ would StackOverflow a recursive resolve): walk `G`
+    // headers DOWN until a checkpoint, a `v<N>.ck` sidecar, or a
+    // cached resolution, then fold FORWARD applying each delta
+    // (caching every intermediate so the next reader stops early).
+    // get/putIfAbsent, NOT computeIfAbsent: the fold re-enters the
+    // cache for intermediate versions (CHM forbids recursive update).
+    var chain = List.empty[(Long, (String, Long, Long), Seq[String])]
+    var base: Seq[String] = null
+    var v = version
+    while (base == null) {
+      val next =
+        try Some(rawManifest(path, v))
+        catch {
+          case e: IllegalArgumentException if chain.nonEmpty =>
+            // reader-vs-vacuum race: vacuum publishes the oldest KEPT
+            // version's .ck sidecar and only then deletes retired
+            // bases — a cold reader that sampled the sidecar as
+            // absent re-checks it once before failing a kept read
+            val (cv, ckey, _) = chain.head
+            checkpointSidecar(path, cv) match {
+              case Some(lines) =>
+                GraftStorage.manifestResolvedCache.putIfAbsent(ckey, lines)
+                base = lines
+                chain = chain.tail
+                None
+              case None => throw e
+            }
+        }
+      next.foreach { case (key, raw) =>
+        val hit = GraftStorage.manifestResolvedCache.get(key)
+        if (hit != null) base = hit
+        else raw.headOption match {
+          case Some(h) if h.startsWith("G\tdelta\t") =>
+            checkpointSidecar(path, v) match {
+              case Some(lines) =>
+                GraftStorage.manifestResolvedCache.putIfAbsent(key, lines)
+                base = lines
+              case None =>
+                chain = (v, key, raw) :: chain
+                v = h.split('\t')(2).toLong
+            }
+          case _ =>
+            GraftStorage.manifestResolvedCache.putIfAbsent(key, raw)
+            base = raw
+        }
       }
+    }
+    chain.foldLeft(base) { case (acc, (_, key, raw)) =>
+      val resolved = GraftStorage.applyManifestDelta(acc, raw)
       GraftStorage.manifestResolvedCache.putIfAbsent(key, resolved)
       resolved
     }
@@ -2325,11 +2369,25 @@ final case class GraftStorage(
     if (manifestDepth(path, oldestKept) > 0 && !fs.exists(ck)) {
       val tmp = new Path(dir, s"_manifest/.v$oldestKept.ck." +
         s"${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-      val out = fs.create(tmp, true)
-      out.write(manifestEntries(path, oldestKept)
-        .mkString("\n").getBytes("UTF-8"))
-      out.close()
-      if (!fs.rename(tmp, ck)) fs.delete(tmp, false)
+      var visible = false
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(manifestEntries(path, oldestKept)
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        // a failed rename is benign ONLY when a racing vacuum already
+        // published the (deterministic) sidecar — on any other
+        // failure (transient FS error, missing parent) retiring the
+        // chain below would strand every kept delta version, i.e.
+        // metadata loss, so verify visibility and abort loudly
+        val renamed = fs.rename(tmp, ck)
+        visible = renamed || fs.exists(ck)
+        if (!renamed) fs.delete(tmp, false)
+      } finally if (!visible) fs.delete(tmp, false)
+      if (!visible) throw new java.io.IOException(
+        s"vacuum: checkpoint sidecar $ck could not be materialized; " +
+          "aborting manifest retirement (kept versions stay readable; " +
+          "re-run vacuum)")
     }
     drop.foreach { v =>
       fs.delete(new Path(dir, s"_manifest/v$v"), false)

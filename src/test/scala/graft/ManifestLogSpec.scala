@@ -73,11 +73,17 @@ class ManifestLogSpec extends AnyFunSuite {
     // the exact streaming-append shape: one fresh file + R line +
     // txn-marker replacement per commit (the app's prior marker drops
     // via an X prefix, the new one appends)
+    // every commit also records its (identical) schema, exactly as
+    // writeVersioned's append path does — the checkpoint-dedupe bar
+    // below needs the schema-stable H-per-commit shape
+    val hLine = "H\t" + org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))).json
     (1 to n).foreach { i =>
       st.publishManifestDelta(fs, dir, i.toLong,
         removals = Seq("T\tapp\t"),
         additions = Seq(s"$out/data/c$i/f$i.parquet",
-          s"R\t10\t$out/data/c$i/f$i.parquet", s"T\tapp\t$i"))
+          s"R\t10\t$out/data/c$i/f$i.parquet", s"T\tapp\t$i", hLine))
     }
 
     // (a) WRITE COST: every non-checkpoint manifest is bounded by the
@@ -87,8 +93,16 @@ class ManifestLogSpec extends AnyFunSuite {
     val deltaVs = (1 to n).filter(v =>
       rawLines(out, v).head.startsWith("G\tdelta\t"))
     val deltaSizes = deltaVs.map(v => manifestSize(out, v.toLong))
-    assert(deltaSizes.max < 400,
-      s"a delta manifest grew with table size: max=${deltaSizes.max}B")
+    // independent of commit index (not an absolute byte cap, which
+    // embeds two scratch-dir paths and flakes on long CI paths):
+    // the v999 delta at 1000 files within digit-growth of the v1
+    // delta at 2 files, and far below the full checkpoint
+    assert(deltaSizes.max <= deltaSizes.min + 64,
+      s"delta manifests grew with table size: " +
+        s"min=${deltaSizes.min}B max=${deltaSizes.max}B")
+    assert(deltaSizes.max * 20 < manifestSize(out, 1000L),
+      s"a delta (${deltaSizes.max}B) is not far below the checkpoint " +
+        s"(${manifestSize(out, 1000L)}B)")
 
     // (b) CHECKPOINT CADENCE: default interval 20 => full manifests
     // at exactly v20, v40, ... (depth resets, chain replay bounded)
@@ -108,7 +122,19 @@ class ManifestLogSpec extends AnyFunSuite {
     val rls = resolved.filter(_.startsWith("R\t"))
     assert(rls.size == n + 1)
 
-    // (d) COLD RESOLVE matches the writer's cached resolve
+    // (d) CHECKPOINT DEDUPE: 1000 schema-stable commits each wrote
+    // an identical H line, but a checkpoint stores O(files +
+    // DISTINCT schemas) — exactly one H survives at v1000, and the
+    // checkpoint's line count is the file inventory + its R lines +
+    // the single T marker + that one H (NOT O(commits) H copies)
+    val ckLines = rawLines(out, n)
+    assert(ckLines.count(_.startsWith("H\t")) == 1,
+      s"checkpoint carries ${ckLines.count(_.startsWith("H\t"))} " +
+        "duplicate schema lines")
+    assert(ckLines.size == (n + 1) + (n + 1) + 1 + 1,
+      s"checkpoint is not O(files + distinct schemas): ${ckLines.size}")
+
+    // (e) COLD RESOLVE matches the writer's cached resolve
     val cached = resolved
     clearManifestCaches()
     assert(st.manifestEntries(out, n.toLong) == cached)
