@@ -405,6 +405,45 @@ object Sinks extends QueryModule {
       .orderBy($"version")
   }
 
+  /** WRITE-AUDIT-PUBLISH over the versioned log
+    * ([[graft.sources.GraftStorage.wapStage]]): the risky ingest
+    * commits as a full data write carrying an audit-pending `W`
+    * marker — DEFAULT readers keep resolving the prior published
+    * snapshot (`a_pre_publish` row: only the bootstrap half), the
+    * auditor reads the staged version EXPLICITLY (`b_audit_staged`:
+    * the full table), and `CALL graft.wap_publish` flips visibility
+    * with one metadata-only commit (`c_published`) — zero data bytes
+    * move at any table size. The reference's temp-parts → validate →
+    * splice-publish lifecycle (BamSink.java:82-138) lifted from one
+    * file to table commits.
+    */
+  def sinkVersionedWap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_wap")
+    val st = graft.sources.GraftStorage(s)
+    graft.sources.GraftCatalog.register(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.filter($"o_orderkey" % 2 === 0), out)
+    val staged = st.wapStage(
+      base.filter($"o_orderkey" % 2 === 1), out, "batch42")
+    def snap(label: String, v: Option[Long]): DataFrame =
+      st.readVersioned(out, v)
+        .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+        .select(lit(label).as("snap"), $"cnt", $"total")
+    // the pre-publish and audit views must MATERIALIZE before the
+    // publish flips default resolution
+    val pre = snap("a_pre_publish", None).localCheckpoint()
+    val audit = snap("b_audit_staged", Some(staged)).localCheckpoint()
+    s.sql(s"CALL graft.wap_publish('$out', 'batch42')").collect()
+    pre.unionByName(audit)
+      .unionByName(snap("c_published", None))
+      .orderBy($"snap")
+  }
+
   /** Metadata-rate COUNT(*): each commit logs its files' footer row
     * counts (`R` manifest lines), so `countVersioned` — and the
     * `graft_count('/t')` TVF — answer from manifest sums without
@@ -873,6 +912,7 @@ object Sinks extends QueryModule {
     "sink_versioned_evolve" -> (sinkVersionedEvolve(_, _)),
     "sink_versioned_count" -> (sinkVersionedCount(_, _)),
     "sink_versioned_restore" -> (sinkVersionedRestore(_, _)),
+    "sink_versioned_wap" -> (sinkVersionedWap(_, _)),
     "sink_versioned_bloom" -> (sinkVersionedBloom(_, _)),
     "sink_versioned_concurrent" -> (sinkVersionedConcurrent(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
@@ -1081,6 +1121,18 @@ object Sinks extends QueryModule {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey = 7
         |ORDER BY o_orderkey""".stripMargin,
+    "sink_versioned_wap" ->
+      s"""SELECT snap, cnt, total FROM (
+         |  SELECT 'a_pre_publish' AS snap, COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders WHERE o_orderkey % 2 = 0
+         |  UNION ALL
+         |  SELECT 'b_audit_staged', COUNT(*),
+         |    ${sqlDsum("o_totalprice")} FROM orders
+         |  UNION ALL
+         |  SELECT 'c_published', COUNT(*),
+         |    ${sqlDsum("o_totalprice")} FROM orders)
+         |ORDER BY snap""".stripMargin,
     "sink_versioned_restore" ->
       """SELECT version, cnt FROM (
         |  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS cnt FROM orders

@@ -411,7 +411,7 @@ final class GraftVersionedTable(path: String,
   override lazy val schema: StructType = {
     val vs = st.listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    st.versionedScanParts(path, pinnedVersion.getOrElse(vs.last)).schema
+    st.versionedScanParts(path, pinnedVersion.getOrElse(st.latestVisibleVersion(path))).schema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -442,7 +442,7 @@ final class GraftVersionedTable(path: String,
       : Array[org.apache.spark.sql.connector.expressions.Transform] = {
     val vs = st.listVersions(path)
     if (vs.isEmpty) Array.empty
-    else st.partitionSpec(path, pinnedVersion.getOrElse(vs.last))
+    else st.partitionSpec(path, pinnedVersion.getOrElse(st.latestVisibleVersion(path)))
       .map(s => GraftCatalog.v2Transform(GraftStorage.parsePartField(s)))
       .toArray
   }
@@ -453,7 +453,7 @@ final class GraftVersionedTable(path: String,
     require(vs.nonEmpty, s"no versions committed under $path")
     val v = pinnedVersion
       .orElse(Option(options.get("versionAsOf")).map(_.toLong))
-      .getOrElse(vs.last)
+      .getOrElse(st.latestVisibleVersion(path))
     // a V2 batch scan is one file relation; DV anti-joins cannot ride
     // it without silently resurrecting deleted rows (same contract as
     // the V1 front door)
@@ -1033,14 +1033,16 @@ private[sources] final class GraftCowScanBuilder(
     spark: SparkSession, path: String, op: GraftRowLevelOperation)
   extends ScanBuilder with SupportsPushDownFilters {
 
-  private lazy val zones: Map[String, Map[String, (Any, Any)]] =
+  private lazy val zones: ZoneSidecar =
     GraftStorage(spark).versionedScanParts(path, op.version).zones
 
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
     if (filters.nonEmpty && zones.nonEmpty) {
+      // scoped load: only the commands' referenced columns' stats
+      val zmap = zones.zonesFor(filters.flatMap(_.references).toSet)
       val kept = op.allFiles.filter { f =>
-        val stats = zones.getOrElse(new Path(f).toUri.getPath, Map.empty)
+        val stats = zmap.getOrElse(new Path(f).toUri.getPath, Map.empty)
         stats.isEmpty ||
           filters.forall(GraftFilters.mayMatch(stats, _))
       }

@@ -133,7 +133,45 @@ private[sources] object GraftProcedures {
         GraftStorage(spark).dropCheckConstraint(
           in.getUTF8String(0).toString, in.getUTF8String(1).toString)
         Seq(in.getUTF8String(1).toString)
-      })
+      }),
+    Proc("tag",
+      Seq(in("path", StringType), in("name", StringType),
+        inDefault("version", LongType, "-1")),
+      versionOut,
+      in => {
+        val v = in.getLong(2)
+        Seq(GraftStorage(spark).tagVersion(
+          in.getUTF8String(0).toString, in.getUTF8String(1).toString,
+          if (v < 0) None else Some(v)))
+      }),
+    Proc("branch",
+      Seq(in("path", StringType), in("name", StringType),
+        inDefault("version", LongType, "-1")),
+      versionOut,
+      in => {
+        val v = in.getLong(2)
+        Seq(GraftStorage(spark).branchVersion(
+          in.getUTF8String(0).toString, in.getUTF8String(1).toString,
+          if (v < 0) None else Some(v)))
+      }),
+    Proc("drop_ref",
+      Seq(in("path", StringType), in("name", StringType)),
+      StructType(Seq(StructField("name", StringType))),
+      in => {
+        GraftStorage(spark).dropRef(
+          in.getUTF8String(0).toString, in.getUTF8String(1).toString)
+        Seq(in.getUTF8String(1).toString)
+      }),
+    Proc("wap_publish",
+      Seq(in("path", StringType), in("wap_id", StringType)),
+      versionOut,
+      in => Seq(GraftStorage(spark).wapPublish(
+        in.getUTF8String(0).toString, in.getUTF8String(1).toString))),
+    Proc("wap_discard",
+      Seq(in("path", StringType), in("wap_id", StringType)),
+      versionOut,
+      in => Seq(GraftStorage(spark).wapDiscard(
+        in.getUTF8String(0).toString, in.getUTF8String(1).toString)))
   ).map(p => p.procName -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = procs.keys.toSeq.sorted

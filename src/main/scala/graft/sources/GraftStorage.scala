@@ -21,7 +21,8 @@ final case class GraftStorage(
     splitSize: Option[Long] = None,
     columns: Seq[String] = Nil,
     rowGroupBytes: Option[Long] = None,
-    failOnSchemaMismatch: Boolean = false) {
+    failOnSchemaMismatch: Boolean = false,
+    readaheadBytes: Option[Long] = None) {
 
   /** splitSize(n) ≈ HtsjdkReadsRddStorage.splitSize — bounds bytes
     * per input partition.
@@ -40,6 +41,37 @@ final case class GraftStorage(
   /** Projection pushed to the scan (lazy-decode analogue). */
   def select(cols: String*): GraftStorage = copy(columns = cols)
 
+  /** readahead(n) ≈ the reference's prefetching reader
+    * (SeekableByteChannelPrefetcher.java: a background thread keeps n
+    * buffers ahead of the consumer). On Spark the read path is the
+    * cloud connector's, so prefetch is DELEGATED to it (SURVEY §2.1
+    * S11): this option plumbs the readahead window to every
+    * connector's own knob through the scan's per-relation Hadoop
+    * conf — `fs.s3a.readahead.range` (S3A), `fs.azure.read.request
+    * .size` (ABFS), `fs.gs.inputstream.min.range.request.size`
+    * (GCS), and the generic `io.file.buffer.size` every
+    * FileSystem.open honors. Applies to [[read]], [[readPruned]] and
+    * [[readVersioned]] scans of THIS handle only (per-relation
+    * options, not session-global conf).
+    */
+  def readahead(bytes: Long): GraftStorage = {
+    require(bytes > 0 && bytes <= Int.MaxValue,
+      s"readahead bytes must be in (0, 2^31), got $bytes")
+    copy(readaheadBytes = Some(bytes))
+  }
+
+  /** Per-relation Hadoop-conf overlay of the facade's read options
+    * (Spark merges these into the scan's Hadoop conf via
+    * newHadoopConfWithOptions).
+    */
+  private def readerOptions: Map[String, String] =
+    readaheadBytes.map(b => Map(
+      "io.file.buffer.size" -> b.toString,
+      "fs.s3a.readahead.range" -> b.toString,
+      "fs.azure.read.request.size" -> b.toString,
+      "fs.gs.inputstream.min.range.request.size" -> b.toString
+    )).getOrElse(Map.empty)
+
   /** Refuse (rather than silently merge) directory reads whose files
     * disagree on schema — the engine-side analogue of the reference
     * erroring on mixed formats in one directory
@@ -57,7 +89,7 @@ final case class GraftStorage(
     splitSize.foreach(b =>
       spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
     if (failOnSchemaMismatch) checkUniformSchema(path)
-    val df = spark.read.parquet(path)
+    val df = spark.read.options(readerOptions).parquet(path)
     if (columns.nonEmpty) df.select(columns.map(col): _*) else df
   }
 
@@ -621,6 +653,60 @@ final case class GraftStorage(
     * user's own predicate is both the pruning key and the row filter,
     * exactly like parquet row-group stats pruning one level up.
     */
+  /** Lazy column-scoped [[ZoneSidecar]] over `_zonemap` parquet
+    * dir(s). The column inventory comes from the sidecar SCHEMA
+    * (footers only — no stats rows read); each load projects just
+    * `file` plus the requested columns' `__min`/`__max`, so the
+    * bytes a load moves scale with files × REQUESTED columns. Past
+    * [[zoneScopedThreshold]] on-disk bytes the load streams row-by-
+    * row via toLocalIterator instead of one collect, bounding driver
+    * heap the same way the Bloom loader does.
+    */
+  private[sources] def zoneSidecarFor(statDirs: Seq[String]): ZoneSidecar = {
+    import org.apache.hadoop.fs.Path
+    def reader = spark.read.option("mergeSchema", "true")
+      .parquet(statDirs: _*)
+    new ZoneSidecar(
+      () => reader.schema.fieldNames
+        .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSet,
+      cols => {
+        val zm = reader
+        val avail = zm.schema.fieldNames.toSet
+        val sel = cols.toSeq.sorted
+          .filter(c => avail(c + "__min") && avail(c + "__max"))
+        if (sel.isEmpty) Map.empty
+        else {
+          val proj = zm.select((col("file") +: sel.flatMap(c =>
+            Seq(col(c + "__min"), col(c + "__max")))): _*)
+          val big = {
+            val p = new Path(statDirs.head)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            statDirs.iterator.map(d =>
+              fs.getContentSummary(new Path(d)).getLength).sum >
+              zoneScopedThreshold
+          }
+          val rows: Iterator[org.apache.spark.sql.Row] =
+            if (big) {
+              import scala.jdk.CollectionConverters._
+              proj.toLocalIterator().asScala
+            } else proj.collect().iterator
+          val out = scala.collection.mutable.Map
+            .empty[String, Map[String, (Any, Any)]]
+          rows.foreach { r =>
+            val fkey = new Path(r.getAs[String]("file")).toUri.getPath
+            val stats = sel.map(c => c -> ((r.getAs[Any](s"${c}__min"),
+              r.getAs[Any](s"${c}__max")))).toMap
+            out(fkey) = out.getOrElse(fkey, Map.empty) ++ stats
+          }
+          out.toMap
+        }
+      })
+  }
+
+  private def zoneScopedThreshold: Long = spark.conf
+    .get("spark.graft.zoneSidecar.scopedLoadBytes",
+      (64L * 1024 * 1024).toString).toLong
+
   def readPruned(path: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -641,17 +727,13 @@ final case class GraftStorage(
     // — input_file_name() and FileStatus render file:///x vs file:/x),
     // never the bare file name: a hive partitionBy write reuses the
     // same part-file NAME in every partition directory, so name keys
-    // collide across partitions and point lookups would wrongly prune
-    val zones: Map[String, Map[String, (Any, Any)]] = if (!hasZm) Map.empty else {
-      val zm = spark.read.parquet(zmPath.toString)
-      val zoneCols = zm.schema.fieldNames
-        .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
-      zm.collect().map { r =>
-        val fkey = new Path(r.getAs[String]("file")).toUri.getPath
-        fkey -> zoneCols.map(c =>
-          c -> ((r.getAs[Any](s"${c}__min"), r.getAs[Any](s"${c}__max")))).toMap
-      }.toMap
-    }
+    // collide across partitions and point lookups would wrongly prune.
+    // Zone rows load LAZILY and COLUMN-SCOPED (same contract as the
+    // blooms below): nothing is read until a query filters, and each
+    // load selects only the referenced columns' __min/__max.
+    val zones: ZoneSidecar =
+      if (!hasZm) ZoneSidecar.empty
+      else zoneSidecarFor(Seq(zmPath.toString))
     // Bloom sidecar: filters are KB-sized per (file, column), so they
     // load LAZILY — the FileIndex consults the thunks only when a
     // query actually filters. Two regimes, gated on the sidecar's
@@ -704,7 +786,7 @@ final case class GraftStorage(
     val fileSchema = StructType(fullSchema.fields
       .filterNot(f => partSchema.fieldNames.contains(f.name)))
     val rel = HadoopFsRelation(index, partSchema, fileSchema, None,
-      new ParquetFileFormat(), Map.empty)(classic)
+      new ParquetFileFormat(), readerOptions)(classic)
     val df = Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
     if (columns.nonEmpty) df.select(columns.map(col): _*) else df
   }
@@ -1203,7 +1285,7 @@ final case class GraftStorage(
     }.getOrElse(Seq.empty)
 
   /** The latest manifest's raw `T` txn-marker lines. */
-  private def txnLines(path: String, v: Long): Seq[String] =
+  private[sources] def txnLines(path: String, v: Long): Seq[String] =
     manifestEntries(path, v).filter(_.startsWith("T\t"))
 
   /** Batch ids `appId` has committed to this table — the read half
@@ -1234,6 +1316,203 @@ final case class GraftStorage(
     */
   def txnCommitted(path: String, appId: String, batchId: Long): Boolean =
     txnBatchIds(path, appId).exists(_ >= batchId)
+
+  // ------------------------------------------------------------------
+  // Named refs (tags / branches) + write-audit-publish
+  // ------------------------------------------------------------------
+
+  private def refsDir(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(path),
+      "_refs")
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"ref name must be [A-Za-z0-9_-]+, got '$name'")
+
+  private def writeRef(path: String, kind: String, name: String,
+      version: Long, allowMove: Boolean): Long = {
+    import org.apache.hadoop.fs.Path
+    requireRefName(name)
+    val vs = listVersions(path)
+    require(vs.contains(version),
+      s"version $version does not exist under $path")
+    val dir = refsDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val dst = new Path(dir, s"$kind.$name")
+    if (!allowMove && fs.exists(dst))
+      throw new IllegalStateException(
+        s"tag '$name' already exists on $path (tags are immutable; " +
+          "use a branch for a movable ref)")
+    val tmp = new Path(dir, s".$kind.$name." +
+      s"${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8"))
+    finally out.close()
+    if (allowMove) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"ref '$kind.$name' on $path lost a concurrent publish race")
+    }
+    version
+  }
+
+  /** Create an IMMUTABLE named tag pinning `version` (default: the
+    * latest published version) — `_refs/tag.<name>`. Tagged versions
+    * survive [[vacuumVersioned]] regardless of `keepLast`: a tag is
+    * the retention contract of the lakehouse engines' named
+    * snapshots. Fails if the tag exists.
+    */
+  def tagVersion(path: String, name: String,
+      version: Option[Long] = None): Long =
+    writeRef(path, "tag", name,
+      version.getOrElse(latestVisibleVersion(path)), allowMove = false)
+
+  /** Create or MOVE a named branch pointer — `_refs/branch.<name>`.
+    * A branch is a movable published-state pointer (the Iceberg
+    * branch ref without divergent writes: the commit log stays
+    * linear; advance the pointer as commits land). Branch-pinned
+    * versions survive vacuum like tags.
+    */
+  def branchVersion(path: String, name: String,
+      version: Option[Long] = None): Long =
+    writeRef(path, "branch", name,
+      version.getOrElse(latestVisibleVersion(path)), allowMove = true)
+
+  /** All named refs of a table: `("tag.<n>" | "branch.<n>") ->
+    * version`, metadata-rate.
+    */
+  def listRefs(path: String): Seq[(String, Long)] = {
+    val dir = refsDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") &&
+        (p.getName.startsWith("tag.") || p.getName.startsWith("branch.")))
+      .map(p => p.getName ->
+        GraftStorage.readLines(fs, p).head.trim.toLong)
+      .sortBy(_._1)
+  }
+
+  /** Version a ref points at (tag first, then branch). */
+  def resolveRef(path: String, name: String): Long = {
+    requireRefName(name)
+    val refs = listRefs(path).toMap
+    refs.get(s"tag.$name").orElse(refs.get(s"branch.$name"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag or branch named '$name' under $path " +
+          s"(have: ${listRefs(path).map(_._1).mkString(", ")})"))
+  }
+
+  /** Drop a tag or branch (the versions it pinned become ordinary
+    * history, reclaimable by vacuum).
+    */
+  def dropRef(path: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    requireRefName(name)
+    val dir = refsDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hit = Seq(s"tag.$name", s"branch.$name")
+      .map(new Path(dir, _)).filter(fs.exists(_))
+    require(hit.nonEmpty, s"no tag or branch named '$name' under $path")
+    hit.foreach(fs.delete(_, false))
+  }
+
+  /** Snapshot read through a named ref. */
+  def readVersionedRef(path: String, name: String): DataFrame =
+    readVersioned(path, Some(resolveRef(path, name)))
+
+  /** Latest PUBLISHED version: trailing audit-pending commits
+    * ([[wapStage]]'s `W`-marked manifests) are invisible to default
+    * readers — the WAP contract's whole point. The audit gate only
+    * ever lets stages stack at the log HEAD, so the walk-back is
+    * bounded by one staging episode.
+    */
+  def latestVisibleVersion(path: String): Long = {
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    vs.reverse.find(v =>
+      !manifestEntries(path, v).exists(_.startsWith("W\t")))
+      .getOrElse(throw new IllegalStateException(
+        s"every version of $path is audit-pending (stage without " +
+          "publish); read an explicit version to audit, or publish"))
+  }
+
+  /** WRITE-AUDIT-PUBLISH stage: commit `df` as an ordinary append —
+    * full data write, stats/bloom sidecars, the works — but carrying
+    * a `W\t<wapId>` audit-pending marker, so DEFAULT readers still
+    * resolve the prior published snapshot. The staged version is
+    * readable EXPLICITLY (`readVersioned(path, Some(v))`) for audit
+    * queries; until it resolves, every non-stage commit on the table
+    * is rejected loudly (see [[requireNoPendingAudit]]) — the
+    * temp-then-splice publish discipline of the reference's
+    * single-file sink (BamSink.java:82-138) lifted to table commits.
+    * Stages stack: a multi-commit ingest stages several versions
+    * under one `wapId` and publishes them atomically-in-order.
+    */
+  def wapStage(df: DataFrame, path: String, wapId: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    require(wapId.nonEmpty && !wapId.exists(c => c == '\t' || c == '\n'),
+      s"wapId must be non-empty without tab/newline, got '$wapId'")
+    require(listVersions(path).nonEmpty,
+      s"WAP staging needs an existing table at $path (bootstrap with " +
+        "a normal commit first — there is no published state to " +
+        "shield yet)")
+    writeVersioned(df, path, append = true, statsCols, bloomCols,
+      Seq.empty, None, carryLines = Seq(s"W\t$wapId"), requireBase = None)
+  }
+
+  /** Publish the staged commits: one METADATA-ONLY commit whose
+    * manifest is the head's resolution minus the `W` markers — zero
+    * data bytes move at any scale. Verifies every pending marker
+    * matches `wapId` (two interleaved audits cannot publish each
+    * other's data). Returns the published version.
+    */
+  def wapPublish(path: String, wapId: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val head = vs.last
+    val pending = manifestEntries(path, head)
+      .collect { case e if e.startsWith("W\t") => e.drop(2) }.distinct
+    require(pending.nonEmpty, s"nothing is staged on $path")
+    require(pending.forall(_ == wapId),
+      s"staged wap ids ${pending.mkString(",")} do not all match " +
+        s"'$wapId' — publish them under their own id")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishManifestDelta(fs, dir, head + 1,
+      removals = Seq("W\t"), additions = Seq.empty, wapResolve = true)
+    head + 1
+  }
+
+  /** Discard the staged commits: republish the latest PUBLISHED
+    * snapshot as the new head (metadata-only; the staged data files
+    * stay until vacuum retires their manifests). The rejected-batch
+    * path of the audit workflow.
+    */
+  def wapDiscard(path: String, wapId: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val head = vs.last
+    val pending = manifestEntries(path, head)
+      .collect { case e if e.startsWith("W\t") => e.drop(2) }.distinct
+    require(pending.nonEmpty, s"nothing is staged on $path")
+    require(pending.forall(_ == wapId),
+      s"staged wap ids ${pending.mkString(",")} do not all match " +
+        s"'$wapId'")
+    val visible = latestVisibleVersion(path)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishManifest(fs, dir, head + 1,
+      manifestEntries(path, visible), wapResolve = true)
+    head + 1
+  }
 
   /** EXTERNAL key values of one partitioned file, parsed from its
     * `__gp_<col>=<value>` path segments; None when any segment is
@@ -1463,7 +1742,7 @@ final case class GraftStorage(
       version: Option[Long] = None): Option[Long] = {
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    val v = version.getOrElse(vs.last)
+    val v = version.getOrElse(latestVisibleVersion(path))
     val rcs = manifestEntries(path, v).collect {
       case e if e.startsWith("R\t") =>
         val p = e.split('\t'); (p(2), p(1).toLong)
@@ -1496,8 +1775,13 @@ final case class GraftStorage(
   private[sources] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       tablePath: org.apache.hadoop.fs.Path, n: Long,
       entries: Seq[String],
-      cleanup: Option[org.apache.hadoop.fs.Path] = None): Unit = {
+      cleanup: Option[org.apache.hadoop.fs.Path] = None,
+      wapResolve: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
+    try requireNoPendingAudit(tablePath.toString, n, entries, wapResolve)
+    catch { case e: IllegalStateException =>
+      cleanup.foreach(fs.delete(_, true)); throw e
+    }
     val manifestDir = new Path(tablePath, "_manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir,
@@ -1542,9 +1826,16 @@ final case class GraftStorage(
       fs: org.apache.hadoop.fs.FileSystem,
       tablePath: org.apache.hadoop.fs.Path, n: Long,
       removals: Seq[String], additions: Seq[String],
-      cleanup: Option[org.apache.hadoop.fs.Path] = None): Unit = {
+      cleanup: Option[org.apache.hadoop.fs.Path] = None,
+      wapResolve: Boolean = false): Unit = {
     require(n > 0, "a delta commit needs a base version")
     val path = tablePath.toString
+    // the audit gate must see the DELTA's own fresh lines (a stacked
+    // stage carries its W there), not the replayed resolution
+    try requireNoPendingAudit(path, n, additions, wapResolve)
+    catch { case e: IllegalStateException =>
+      cleanup.foreach(fs.delete(_, true)); throw e
+    }
     val k = manifestCheckpointInterval
     val depth = manifestDepth(path, n - 1) + 1
     if (depth >= k || k <= 1)
@@ -1553,12 +1844,12 @@ final case class GraftStorage(
           manifestEntries(path, n - 1),
           s"G\tdelta\t${n - 1}\t$depth" +:
             (removals.map("X\t" + _) ++ additions)),
-        cleanup)
+        cleanup, wapResolve = true)
     else
       publishManifest(fs, tablePath, n,
         s"G\tdelta\t${n - 1}\t$depth" +:
           (removals.map("X\t" + _) ++ additions),
-        cleanup)
+        cleanup, wapResolve = true)
   }
 
   /** The S/H/B metadata lines a rewriting commit (CoW/MERGE) carries
@@ -1580,6 +1871,25 @@ final case class GraftStorage(
         e.startsWith("T\t") ||
         (e.startsWith("R\t") && untouchedSet(e.split('\t')(2))))
   }
+
+  /** WRITE-AUDIT-PUBLISH gate: while the log HEAD is audit-pending
+    * (its manifest carries a `W` line from [[wapStage]]), the only
+    * legal next commits are further stages (their lines carry `W`
+    * forward) and the explicit resolutions ([[wapPublish]] /
+    * [[wapDiscard]], which pass `wapResolve`). Anything else —
+    * appends, DML, compaction, DDL — fails LOUDLY: un-audited data
+    * must never leak into a published snapshot by being inherited
+    * through an interleaved commit's manifest.
+    */
+  private def requireNoPendingAudit(path: String, n: Long,
+      entries: Seq[String], wapResolve: Boolean): Unit =
+    if (!wapResolve && n > 0 &&
+        !entries.exists(_.startsWith("W\t")) &&
+        manifestEntries(path, n - 1).exists(_.startsWith("W\t")))
+      throw new IllegalStateException(
+        s"commit rejected: version ${n - 1} of $path is audit-pending " +
+          "(write-audit-publish stage). CALL graft.wap_publish to " +
+          "publish it or wapDiscard to drop it first.")
 
   /** PUT-IF-ABSENT manifest publish — the optimistic-concurrency
     * gate of the commit protocol: two writers that race to the same
@@ -1642,7 +1952,10 @@ final case class GraftStorage(
     *  - `H<TAB><schema json>` = one commit's schema (schema-in-log;
     *    readers merge H lines by name);
     *  - `R<TAB><rows><TAB><path>` = a data file's row count
-    *    (metadata-rate COUNT(*), [[countVersioned]]).
+    *    (metadata-rate COUNT(*), [[countVersioned]]);
+    *  - `W<TAB><wapId>` = AUDIT-PENDING ([[wapStage]]): default
+    *    readers resolve past this version, and only further stages
+    *    or an explicit publish/discard may commit on top of it.
     *
     * ON DISK a `v<N>` file is either that full line list (a
     * CHECKPOINT — every overwrite/CoW/maintenance commit, plus every
@@ -1811,6 +2124,7 @@ final case class GraftStorage(
       else if (e.startsWith("H\t")) None
       else if (e.startsWith("R\t")) None // its path is a bare entry
       else if (e.startsWith("P\t")) None // partition spec, no path
+      else if (e.startsWith("W\t")) None // audit-pending marker
       else Some(e)
     }
 
@@ -2009,8 +2323,9 @@ final case class GraftStorage(
       case None => (Seq.empty, Seq.empty)
       case Some(v) =>
         val parts = versionedScanParts(path, v)
-        val stats = parts.zones.valuesIterator
-          .flatMap(_.keysIterator).toSet.toSeq.sorted
+        // metadata-only: the sidecar's column inventory (schema +
+        // partition spec), no stats rows materialized
+        val stats = parts.zones.columns.toSeq.sorted
         val blooms =
           if (parts.hasBlooms) parts.bloomMeta().toSeq.sorted
           else Seq.empty
@@ -2349,7 +2664,14 @@ final case class GraftStorage(
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    // named refs PIN their versions past any keepLast horizon: a tag
+    // is the retention contract of a published snapshot, so the keep
+    // set is the trailing window PLUS every tag/branch target (no
+    // longer necessarily contiguous)
+    val pinned = listRefs(path).map(_._2).filter(vs.contains).distinct
+    val keepSet = (vs.takeRight(keepLast) ++ pinned).toSet
+    val keep = vs.filter(keepSet)
+    val drop = vs.filterNot(keepSet)
     if (drop.isEmpty) return 0L
     def key(p: String): String = new Path(p).toUri.getPath
     // liveness spans data files AND deletion vectors: dropping a DV a
@@ -2359,36 +2681,41 @@ final case class GraftStorage(
       .distinct.filterNot(live)
     dead.foreach(f => fs.delete(new Path(f), true)) // stats are dirs
     // delta chains reference their base BY VERSION — before retiring
-    // manifests, materialize the oldest KEPT version as a `v<N>.ck`
-    // checkpoint sidecar so every kept delta's replay stops there
-    // (bases always == version-1, so chains from later kept versions
-    // pass through the oldest kept one). Content is the deterministic
-    // resolution, so a racing double-write is harmless.
-    val oldestKept = keep.head
-    val ck = new Path(dir, s"_manifest/v$oldestKept.ck")
-    if (manifestDepth(path, oldestKept) > 0 && !fs.exists(ck)) {
-      val tmp = new Path(dir, s"_manifest/.v$oldestKept.ck." +
-        s"${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-      var visible = false
-      try {
-        val out = fs.create(tmp, true)
-        try out.write(manifestEntries(path, oldestKept)
-          .mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        // a failed rename is benign ONLY when a racing vacuum already
-        // published the (deterministic) sidecar — on any other
-        // failure (transient FS error, missing parent) retiring the
-        // chain below would strand every kept delta version, i.e.
-        // metadata loss, so verify visibility and abort loudly
-        val renamed = fs.rename(tmp, ck)
-        visible = renamed || fs.exists(ck)
-        if (!renamed) fs.delete(tmp, false)
-      } finally if (!visible) fs.delete(tmp, false)
-      if (!visible) throw new java.io.IOException(
-        s"vacuum: checkpoint sidecar $ck could not be materialized; " +
-          "aborting manifest retirement (kept versions stay readable; " +
-          "re-run vacuum)")
-    }
+    // manifests, materialize a `v<N>.ck` checkpoint sidecar for every
+    // BOUNDARY kept version (a delta whose predecessor is being — or
+    // was already — dropped), so each kept delta's replay stops at a
+    // kept chain link or a sidecar. With only a trailing window that
+    // is the oldest kept version; ref-pinned keeps add one boundary
+    // per pinned island. Content is the deterministic resolution, so
+    // a racing double-write is harmless.
+    keep.filter(v => manifestDepth(path, v) > 0 && !keepSet(v - 1))
+      .foreach { boundary =>
+        val ck = new Path(dir, s"_manifest/v$boundary.ck")
+        if (!fs.exists(ck)) {
+          val tmp = new Path(dir, s"_manifest/.v$boundary.ck." +
+            s"${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+          var visible = false
+          try {
+            val out = fs.create(tmp, true)
+            try out.write(manifestEntries(path, boundary)
+              .mkString("\n").getBytes("UTF-8"))
+            finally out.close()
+            // a failed rename is benign ONLY when a racing vacuum
+            // already published the (deterministic) sidecar — on any
+            // other failure (transient FS error, missing parent)
+            // retiring the chain below would strand every kept delta
+            // version, i.e. metadata loss, so verify visibility and
+            // abort loudly
+            val renamed = fs.rename(tmp, ck)
+            visible = renamed || fs.exists(ck)
+            if (!renamed) fs.delete(tmp, false)
+          } finally if (!visible) fs.delete(tmp, false)
+          if (!visible) throw new java.io.IOException(
+            s"vacuum: checkpoint sidecar $ck could not be " +
+              "materialized; aborting manifest retirement (kept " +
+              "versions stay readable; re-run vacuum)")
+        }
+      }
     drop.foreach { v =>
       fs.delete(new Path(dir, s"_manifest/v$v"), false)
       fs.delete(new Path(dir, s"_manifest/v$v.ck"), false)
@@ -2515,7 +2842,8 @@ final case class GraftStorage(
       version: Option[Long] = None): Boolean = {
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    manifestDvs(path, version.getOrElse(vs.last)).nonEmpty
+    manifestDvs(path,
+      version.getOrElse(latestVisibleVersion(path))).nonEmpty
   }
 
   /** Snapshot read with MANIFEST-LEVEL DATA SKIPPING: resolve the
@@ -2538,7 +2866,7 @@ final case class GraftStorage(
     import org.apache.spark.sql.types.StructType
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    val v = version.getOrElse(vs.last)
+    val v = version.getOrElse(latestVisibleVersion(path))
     // identity-partitioned snapshots prune from path-derived zones
     // even with zero sidecars — only skip the pruning relation when
     // NO stats source exists (or DVs force the anti-join path).
@@ -2557,7 +2885,7 @@ final case class GraftStorage(
       parts.files.map(new Path(_)), Some(parts.schema), parts.zones,
       parts.hasBlooms, parts.bloomMeta, parts.bloomLoader)
     val rel = HadoopFsRelation(index, StructType(Nil), parts.schema,
-      None, new ParquetFileFormat(), Map.empty)(classic)
+      None, new ParquetFileFormat(), readerOptions)(classic)
     Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
   }
 
@@ -2574,19 +2902,13 @@ final case class GraftStorage(
     val statDirs = manifestStats(path, v)
     val bloomDirs = manifestBlooms(path, v)
     val files = manifestFiles(path, v)
-    val zones: Map[String, Map[String, (Any, Any)]] =
-      if (statDirs.isEmpty) Map.empty
-      else {
-        val zm = spark.read.parquet(statDirs: _*)
-        val zoneCols = zm.schema.fieldNames
-          .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
-        zm.collect().map { r =>
-          val fkey = new Path(r.getAs[String]("file")).toUri.getPath
-          fkey -> zoneCols.map(c =>
-            c -> ((r.getAs[Any](s"${c}__min"),
-              r.getAs[Any](s"${c}__max")))).toMap
-        }.toMap
-      }
+    // stats-in-log zone rows: LAZY and COLUMN-SCOPED (nothing read
+    // until a query filters; each load projects just the referenced
+    // columns' __min/__max) — plan-time driver bytes scale with the
+    // predicate, not files × indexed-cols (the 10⁶-file ceiling)
+    val sidecarZones: ZoneSidecar =
+      if (statDirs.isEmpty) ZoneSidecar.empty
+      else zoneSidecarFor(statDirs)
     // bloom-in-log (`B` lines): each commit's `_bloom` sidecar serves
     // point-predicate file pruning; loaded lazily, only when a query
     // filters on a bloomed column (same contract as readPruned)
@@ -2622,33 +2944,50 @@ final case class GraftStorage(
     val keyFn: String => Option[Seq[Any]] =
       if (partCols.isEmpty) _ => None
       else f => partKeyOf(fullSchema, partFields, f)
-    val zonesWithKeys =
-      if (partCols.isEmpty) zones
-      else files.foldLeft(zones) { (z, f) =>
-        val key = new Path(f).toUri.getPath
-        keyFn(key) match {
-          case Some(vals) =>
-            // synthesized entries WIN over sidecar rows for IDENTITY
-            // partition cols: [key,key] is exact where footer-derived
-            // string bounds may be truncation-widened. Bucket ids are
-            // NOT column values — no zone entry for them. Temporal
-            // ids bound the source column but only unit-wide — those
-            // LOSE to sidecar rows (footer min/max is tighter).
-            val synth = partFields.zip(vals).collect {
-              case (GraftStorage.IdentityPart(c), x) => c -> ((x, x))
-            }.toMap
-            val wide = partFields.zip(vals).collect {
-              case (GraftStorage.TemporalPart(u, c), id: Integer) =>
-                c -> GraftStorage.temporalBounds(
-                  u, fullSchema(c).dataType, id.intValue())
-            }.toMap
-            if (synth.isEmpty && wide.isEmpty) z
-            else z.updated(key,
-              wide ++ z.getOrElse(key, Map.empty) ++ synth)
-          case None => z
-        }
+    val zones: ZoneSidecar =
+      if (partCols.isEmpty) sidecarZones
+      else {
+        // identity-partitioned snapshot: each file's path-derived key
+        // IS an exact [min,max]==key zone entry — static pruning,
+        // runtime pruning, and partition-col MIN/MAX at manifest
+        // rate, with no sidecar built or read. Overlays are applied
+        // for ALL partition columns on EVERY load (path-derived, no
+        // bytes read), so precedence cannot regress across scoped
+        // loads: synthesized entries WIN over sidecar rows for
+        // IDENTITY partition cols ([key,key] is exact where footer-
+        // derived string bounds may be truncation-widened); bucket
+        // ids are NOT column values — no zone entry; temporal ids
+        // bound the source column only unit-wide — those LOSE to
+        // sidecar rows (footer min/max is tighter).
+        val identityCols = partFields.collect {
+          case GraftStorage.IdentityPart(c) => c }.toSet
+        val temporalCols = partFields.collect {
+          case GraftStorage.TemporalPart(_, c) => c }.toSet
+        def overlay(sidecar: Map[String, Map[String, (Any, Any)]])
+            : Map[String, Map[String, (Any, Any)]] =
+          files.foldLeft(sidecar) { (z, f) =>
+            val key = new Path(f).toUri.getPath
+            keyFn(key) match {
+              case Some(vals) =>
+                val synth = partFields.zip(vals).collect {
+                  case (GraftStorage.IdentityPart(c), x) => c -> ((x, x))
+                }.toMap
+                val wide = partFields.zip(vals).collect {
+                  case (GraftStorage.TemporalPart(u, c), id: Integer) =>
+                    c -> GraftStorage.temporalBounds(
+                      u, fullSchema(c).dataType, id.intValue())
+                }.toMap
+                if (synth.isEmpty && wide.isEmpty) z
+                else z.updated(key,
+                  wide ++ z.getOrElse(key, Map.empty) ++ synth)
+              case None => z
+            }
+          }
+        new ZoneSidecar(
+          () => sidecarZones.columns ++ identityCols ++ temporalCols,
+          cols => overlay(sidecarZones.zonesFor(cols)))
       }
-    VersionedScanParts(files, zonesWithKeys, bloomDirs.nonEmpty, bloomMeta,
+    VersionedScanParts(files, zones, bloomDirs.nonEmpty, bloomMeta,
       cols => loadBlooms(Some(cols)), fullSchema, partCols, keyFn,
       sortSpec(path, v))
   }
@@ -2672,16 +3011,19 @@ final case class GraftStorage(
       mergeSchema: Boolean = false): DataFrame = {
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    val v = version.getOrElse(vs.last)
+    // default = latest PUBLISHED: audit-pending staged commits stay
+    // invisible until wapPublish
+    val v = version.getOrElse(latestVisibleVersion(path))
     val files = manifestFiles(path, v)
     // schema-in-log first (KB metadata, fills columns absent from
     // older files with nulls); footer-based mergeSchema only for
     // legacy tables without H lines
-    val reader = mergedManifestSchema(path, v) match {
+    val reader0 = mergedManifestSchema(path, v) match {
       case Some(schema)          => spark.read.schema(schema)
       case None if mergeSchema   => spark.read.option("mergeSchema", "true")
       case None                  => spark.read
     }
+    val reader = reader0.options(readerOptions)
     val base =
       if (files.isEmpty) mergedManifestSchema(path, v) match {
         // schema-in-log: an empty snapshot still knows its shape
@@ -3433,7 +3775,7 @@ private[graft] final class BloomStringAgg(expected: Long, fpp: Double)
   */
 private[sources] final case class VersionedScanParts(
     files: Seq[String],
-    zones: Map[String, Map[String, (Any, Any)]],
+    zones: ZoneSidecar,
     hasBlooms: Boolean,
     bloomMeta: () => Set[String],
     bloomLoader: Set[String] =>

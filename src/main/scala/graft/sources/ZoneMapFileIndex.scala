@@ -45,10 +45,13 @@ final class ZoneMapFileIndex(
       */
     roots: Seq[Path],
     dataSchema: Option[StructType],
-    /** normalized file path → zone column → (min, max) as EXTERNAL
-      * row values.
+    /** lazy column-scoped zone-stats provider (normalized file path →
+      * zone column → (min, max) as EXTERNAL row values) — consulted
+      * only for the columns a pushed filter references, so plan-time
+      * driver bytes scale with the PREDICATE, not the table's full
+      * indexed-column inventory.
       */
-    zones: Map[String, Map[String, (Any, Any)]],
+    zones: ZoneSidecar,
     /** whether a `_bloom` sidecar exists, the lazy column-list thunk,
       * and the lazy per-column loader: cols → normalized file path →
       * col → Bloom filter (point-lookup pruning on columns the
@@ -63,6 +66,9 @@ final class ZoneMapFileIndex(
       Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
       _ => Map.empty)
   extends InMemoryFileIndex(session, roots, Map.empty, dataSchema) {
+
+  /** Test hook: the zone provider this index consults. */
+  private[graft] def zoneSidecarForTests: ZoneSidecar = zones
 
   /** Indexed columns, resolved on first filtered consult. */
   private lazy val bloomCols: Set[String] = bloomMeta()
@@ -109,13 +115,17 @@ final class ZoneMapFileIndex(
     if (dataFilters.isEmpty || (zones.isEmpty && !hasBlooms)) base
     else {
       val bloomed = bloomsFor(dataFilters)
+      // zone rows load scoped to the referenced columns (an already-
+      // loaded superset serves from the provider's cache)
+      val zoneStats = zones.zonesFor(
+        dataFilters.flatMap(_.references.map(_.name)).toSet)
       base.map { pd =>
         PartitionDirectory(pd.values, pd.files.filter { f =>
           // sidecar maps key by the normalized FULL path — bare names
           // collide across hive partition dirs (same part-file name
           // per partition) and would prune the wrong files
           val key = f.getPath.toUri.getPath
-          val stats = zones.getOrElse(key, Map.empty)
+          val stats = zoneStats.getOrElse(key, Map.empty)
           val bl = bloomed.getOrElse(key, Map.empty)
           // file unknown to both sidecars: never prune
           if (stats.isEmpty && bl.isEmpty) true
@@ -336,4 +346,72 @@ final class ZoneMapFileIndex(
         if (strict) ord.compare(mn, v) < 0 else ord.compare(mn, v) <= 0
       case None => !nullLit(l)
     }
+}
+
+/** Lazy, column-scoped, caching zone-map provider — the zone half of
+  * the sidecar-loading contract the Bloom half has had since round 6:
+  * nothing is read until a query actually filters, and each load is
+  * scoped to exactly the requested columns, so plan-time driver bytes
+  * are bounded by files × FILTERED columns instead of the table's
+  * whole stats inventory (a 10⁶-file table with a dozen indexed
+  * columns must not pay an O(files × indexed-cols) driver
+  * materialization before reading a byte).
+  *
+  * `meta` answers "which columns have zone stats" from metadata only
+  * (sidecar schema + partition spec — no stats rows read); `loader`
+  * materializes rows for a column subset. Loads accumulate: volatile
+  * double-checked like the Bloom cache — racing planner threads may
+  * redundantly keep files for one plan, never prune wrongly.
+  */
+final class ZoneSidecar(
+    meta: () => Set[String],
+    loader: Set[String] => Map[String, Map[String, (Any, Any)]]) {
+
+  /** Columns with zone stats (metadata-only; memoized). */
+  lazy val columns: Set[String] = meta()
+
+  def isEmpty: Boolean = columns.isEmpty
+  def nonEmpty: Boolean = !isEmpty
+
+  @volatile private var loadedCols: Set[String] = Set.empty
+  @volatile private var cache: Map[String, Map[String, (Any, Any)]] =
+    Map.empty
+
+  /** Test hook: which zone columns have been materialized so far. */
+  private[graft] def loadedZoneColumns: Set[String] = loadedCols
+
+  /** Zone rows covering (at least) `cols ∩ columns` — loads only the
+    * not-yet-cached subset; a query referencing no indexed column
+    * reads the sidecar zero times.
+    */
+  def zonesFor(cols: Set[String]): Map[String, Map[String, (Any, Any)]] = {
+    val wanted = cols.intersect(columns)
+    if (wanted.diff(loadedCols).nonEmpty) synchronized {
+      // recompute under the lock (double-checked): two concurrently
+      // planned queries must not each run the load job for the same
+      // columns
+      val missing = wanted.diff(loadedCols)
+      if (missing.nonEmpty) {
+        val fresh = loader(missing)
+        cache = (cache.keySet ++ fresh.keySet).iterator.map { f =>
+          f -> (cache.getOrElse(f, Map.empty) ++
+            fresh.getOrElse(f, Map.empty))
+        }.toMap
+        loadedCols ++= missing
+      }
+    }
+    cache
+  }
+}
+
+object ZoneSidecar {
+  /** No zone stats at all (unindexed, unpartitioned table). */
+  val empty: ZoneSidecar =
+    new ZoneSidecar(() => Set.empty, _ => Map.empty)
+
+  /** Wrap an already-materialized map (tests, synthetic fixtures). */
+  def eager(zones: Map[String, Map[String, (Any, Any)]]): ZoneSidecar =
+    new ZoneSidecar(
+      () => zones.valuesIterator.flatMap(_.keysIterator).toSet,
+      _ => zones)
 }

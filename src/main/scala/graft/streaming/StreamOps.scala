@@ -487,6 +487,46 @@ object StreamOps extends QueryModule {
     s.read.parquet(mvPath).orderBy(col("event_type"))
   }
 
+  /** BATCH incremental MV maintenance across two VERSIONED tables
+    * ([[graft.sources.IncrementalMv]]): the source ingests three
+    * append commits, the first refresh computes the MV in full and
+    * records the reflected source version as a `T __mv:<src> <v>`
+    * manifest marker; two more appends land and the second refresh
+    * reads ONLY the delta files (manifest set difference), merges the
+    * partial aggregate, and advances the marker — at 100 TB a
+    * refresh touches a day's commits, never the fact table. The
+    * marker makes replays idempotent and staleness a metadata-rate
+    * question; the oracle is the batch aggregate over all of orders.
+    */
+  def streamMvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.sources.GraftStorage(s)
+    val mv = graft.sources.IncrementalMv(s)
+    val src = T.scratch(dir, "mv_inc_src")
+    val mvP = T.scratch(dir, "mv_inc_mv")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(hconf)
+    Seq(src, mvP).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val base = T.t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("price"))
+    def slice(m: Int) = base.filter(col("o_orderkey") % 4 === m)
+      .repartition(2)
+    st.writeVersioned(slice(0), src)
+    st.writeVersioned(slice(1), src, append = true)
+    st.writeVersioned(slice(2), src, append = true)
+    mv.refresh(src, mvP, Seq("o_orderstatus"), Seq("price"))
+    // two more ingest commits: the next refresh is the INCREMENTAL
+    // path (delta files only) and must equal the full aggregate
+    st.writeVersioned(slice(3), src, append = true)
+    mv.refresh(src, mvP, Seq("o_orderstatus"), Seq("price"))
+    st.readVersioned(mvP)
+      .select(col("o_orderstatus"), col("cnt"),
+        col("sum_price").cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Stream a VERSIONED table's commit log (`GraftStorage
     * .streamVersioned`): three append commits land as distinct
     * micro-batches through a checkpointed file-stream over the
@@ -645,6 +685,7 @@ object StreamOps extends QueryModule {
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_pack" -> (streamPack(_, _)),
     "stream_mv_refresh" -> (streamMvRefresh(_, _)),
+    "stream_mv_incremental" -> (streamMvIncremental(_, _)),
     "stream_join_outer" -> (streamJoinOuter(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_dedup_watermark" -> (streamDedupWatermark(_, _)),
@@ -689,6 +730,11 @@ object StreamOps extends QueryModule {
       s"""SELECT event_type, COUNT(*) AS cnt,
          |  ${sqlDsum("value", 6)} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_mv_incremental" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     "stream_join_outer" ->
       """WITH c AS (
         |  SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts,

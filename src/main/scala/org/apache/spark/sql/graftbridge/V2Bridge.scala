@@ -129,7 +129,7 @@ final class ParquetTaskWriters(
 final class MetaAggScanBuilder(
     inner: ParquetScanBuilder,
     rowCount: () => Option[Long],
-    zones: Map[String, Map[String, (Any, Any)]],
+    zones: graft.sources.ZoneSidecar,
     files: Seq[String],
     mayMatch: Option[(Map[String, (Any, Any)],
       Filter) => Boolean] = None,
@@ -263,9 +263,11 @@ final class MetaAggScanBuilder(
     if (!exactStatType(dt) && !(isIdentityKey && dt == StringType))
       return None
     // every file must carry usable bounds for the column ((null,null)
-    // = a provably all-null file, which contributes nothing)
+    // = a provably all-null file, which contributes nothing); the
+    // sidecar load is scoped to exactly the aggregated column
+    val zmap = zones.zonesFor(Set(col))
     val perFile: Seq[Option[(Any, Any)]] = fileKeys.map(k =>
-      zones.get(k).flatMap(_.get(col)))
+      zmap.get(k).flatMap(_.get(col)))
     if (perFile.exists(_.isEmpty)) return None
     val present = perFile.flatten.filter {
       case (mn, mx) => mn != null && mx != null
@@ -321,7 +323,7 @@ final class MetaAggScanBuilder(
 final class RuntimeFilteredParquetScan(
     val initial: ParquetScan,
     val files: Seq[String],
-    zones: Map[String, Map[String, (Any, Any)]],
+    zones: graft.sources.ZoneSidecar,
     indexSchema: StructType,
     mayMatch: (Map[String, (Any, Any)], Filter) => Boolean,
     indexFactory: Option[Seq[String] =>
@@ -402,7 +404,7 @@ final class RuntimeFilteredParquetScan(
     * stays conservative for files that lack them.
     */
   override def filterAttributes(): Array[NamedReference] =
-    zones.valuesIterator.flatMap(_.keysIterator).toSet.toArray
+    zones.columns.toArray
       .map(org.apache.spark.sql.connector.expressions.FieldReference
         .column(_): NamedReference)
 
@@ -417,9 +419,11 @@ final class RuntimeFilteredParquetScan(
       // sidecar: zone ranges on an unclustered join key are wide, the
       // Bloom rejects per-key — loaded once, only for filtered columns
       val bloomed = blooms.map(_.load(v1)).getOrElse(Map.empty)
+      // zone rows load scoped to the runtime predicate's columns
+      val zmap = zones.zonesFor(v1.flatMap(_.references).toSet)
       val kept = files.filter { f =>
         val key = new org.apache.hadoop.fs.Path(f).toUri.getPath
-        val stats = zones.getOrElse(key, Map.empty)
+        val stats = zmap.getOrElse(key, Map.empty)
         val bl = bloomed.getOrElse(key, Map.empty)
         (stats.isEmpty && bl.isEmpty) || v1.forall(p =>
           mayMatch(stats, p) &&
@@ -587,7 +591,7 @@ final class KeyGroupedParquetScan(
     val partCols: Seq[PartFieldInfo],
     keySchema: StructType,
     keyOf: String => Option[Seq[Any]],
-    zones: Map[String, Map[String, (Any, Any)]] = Map.empty,
+    zones: graft.sources.ZoneSidecar = graft.sources.ZoneSidecar.empty,
     mayMatch: Option[(Map[String, (Any, Any)], Filter) => Boolean] = None,
     sortCols: Seq[String] = Seq.empty)
   extends Scan with org.apache.spark.sql.connector.read.Batch
@@ -706,7 +710,7 @@ final class KeyGroupedParquetScan(
       : String = pf.toPath.toUri.getPath
 
   override def filterAttributes(): Array[NamedReference] =
-    zones.valuesIterator.flatMap(_.keysIterator).toSet.toArray
+    zones.columns.toArray
       .map(org.apache.spark.sql.connector.expressions.FieldReference
         .column(_): NamedReference)
 
@@ -717,9 +721,12 @@ final class KeyGroupedParquetScan(
     val v1 = predicates.toSeq.flatMap(V2Bridge.toV1Filter)
     if (v1.nonEmpty && mayMatch.isDefined) {
       val mm = mayMatch.get
+      // scoped load: the join keys' columns only (identity keys are
+      // path-synthesized — zero sidecar bytes for a pure SPJ elision)
+      val zmap = zones.zonesFor(v1.flatMap(_.references).toSet)
       keptFiles = groups.iterator.flatMap(_.fp.files).map(pathOf)
         .filter { f =>
-          val stats = zones.getOrElse(f, Map.empty)
+          val stats = zmap.getOrElse(f, Map.empty)
           stats.isEmpty || v1.forall(mm(stats, _))
         }.toSet
     }
@@ -772,7 +779,7 @@ object V2Bridge {
       spark: SparkSession,
       files: Seq[String],
       schema: StructType,
-      zones: Map[String, Map[String, (Any, Any)]],
+      zones: graft.sources.ZoneSidecar,
       hasBlooms: Boolean,
       bloomMeta: () => Set[String],
       bloomLoader: Set[String] =>

@@ -313,6 +313,64 @@ class BgzfSpec extends AnyFunSuite {
     storage.writeSingleBgzf(lines.toDF("value").limit(0), empty)
     assert(storage.readBgzfLines(empty).collect().isEmpty)
   }
+
+  test("merged _bgzi byte-equals an independent re-index of the " +
+    "spliced file — multi-part merges incl. empty parts") {
+    // the BaiMergingTest oracle style: the offset-shifting merge
+    // (IndexFileMerger analogue) is verified against a from-scratch
+    // re-index of the FINAL artifact, so a shift bug cannot hide
+    // behind a read path that tolerates it
+    val dir = T.scratch(SF, "bgzf_bgzi_oracle")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+
+    def mergedSidecar(file: String): Array[Byte] = {
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(file).getParent,
+        s"_bgzi/${new org.apache.hadoop.fs.Path(file).getName}.bgzi")
+      val st = fs.getFileStatus(p)
+      val in = fs.open(p)
+      val b = new Array[Byte](st.getLen.toInt)
+      try in.readFully(b) finally in.close()
+      b
+    }
+    def reindex(file: String): Array[Byte] = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      val len = fs.getFileStatus(p).getLen
+      val in = fs.open(p)
+      val blocks = try sources.Bgzf.blockOffsets(in, len)
+      finally in.close()
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      sources.Bgzf.writeBgzi(dos, len, blocks); dos.close()
+      bos.toByteArray
+    }
+
+    // 6 hash partitions over 4 distinct keys → at least two EMPTY
+    // partitions interleaved among the part writers
+    val lines = (0 until 5000).map(i => s"ix-$i-" + ("w" * (i % 40)))
+    val df = lines.zipWithIndex.toDF("value", "i")
+      .withColumn("k", col("i") % 4)
+      .repartition(6, col("k")).select(col("value"))
+    val file = dir + "/merged.bgz"
+    storage.writeSingleBgzf(df, file, blockInput = 700)
+    val merged = mergedSidecar(file)
+    assert(java.util.Arrays.equals(merged, reindex(file)),
+      "merged sidecar differs from an independent re-index")
+    // sanity: many blocks from many parts were actually merged
+    val nBlocks = sources.Bgzf.readBgzi(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(merged))).get._2.size
+    assert(nBlocks > 20, s"expected a multi-block merge, got $nBlocks")
+    assert(storage.readBgzfLines(file, targetSplitBytes = 4096)
+      .collect().sorted.toSeq == lines.sorted)
+
+    // the ALL-EMPTY merge: EOF-marker-only file, zero-block index
+    val emptyF = dir + "/empty_oracle.bgz"
+    storage.writeSingleBgzf(lines.toDF("value").limit(0), emptyF)
+    assert(java.util.Arrays.equals(mergedSidecar(emptyF),
+      reindex(emptyF)),
+      "empty-merge sidecar differs from an independent re-index")
+  }
 }
 
 /** RawLocalFileSystem under a dedicated scheme that counts open()

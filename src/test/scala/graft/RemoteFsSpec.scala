@@ -191,6 +191,41 @@ class RemoteFsSpec extends AnyFunSuite {
     } finally GraftStorage.registerCommitPrimitive("graftows",
       GraftStorage.RenameIfAbsentPrimitive)
   }
+
+  test("readahead passthrough reaches the scan's per-relation Hadoop " +
+      "conf on every read route (S11 prefetch delegation)") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val out = remote("remote_readahead")
+    val li = T.t(spark, SF, "nation")
+      .select($"n_nationkey", $"n_name")
+    li.write.mode("overwrite").parquet(out)
+    storage.buildZoneMap(out, Seq("n_nationkey"))
+    def relOpts(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      org.apache.spark.sql.graftbridge.Bridge.analyzed(df).collect {
+        case l: LogicalRelation =>
+          l.relation.asInstanceOf[HadoopFsRelation].options
+      }.head
+    val rh = storage.readahead(4 * 1024 * 1024)
+    // Spark merges relation options into the scan's Hadoop conf
+    // (newHadoopConfWithOptions), which is where the cloud
+    // connectors read their prefetch knobs from
+    for (df <- Seq(rh.read(out), rh.readPruned(out))) {
+      val o = relOpts(df)
+      assert(o("fs.s3a.readahead.range") == "4194304")
+      assert(o("fs.azure.read.request.size") == "4194304")
+      assert(o("io.file.buffer.size") == "4194304")
+      assert(df.count() == li.count()) // the scan still reads
+    }
+    // versioned route
+    val vt = remote("remote_readahead_v")
+    graft.sources.GraftStorage(spark).writeVersioned(li, vt)
+    val vdf = rh.readVersioned(vt)
+    assert(relOpts(vdf)("fs.s3a.readahead.range") == "4194304")
+    assert(vdf.count() == li.count())
+    // a handle WITHOUT the option stays clean (per-relation, not
+    // session-global)
+    assert(!relOpts(storage.read(out)).contains("fs.s3a.readahead.range"))
+  }
 }
 
 /** RawLocalFileSystem whose rename OVERWRITES an existing destination

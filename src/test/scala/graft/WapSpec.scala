@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, T}
+
+/** Named refs (immutable tags / movable branches) and
+  * write-audit-publish over the versioned commit log: staged commits
+  * are invisible to default readers, block every non-stage commit
+  * loudly, publish/discard resolve them metadata-only, and
+  * tag-pinned versions survive vacuum past any keepLast horizon.
+  */
+class WapSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  private val st = GraftStorage(spark)
+
+  private def fresh(name: String): String = {
+    val out = T.scratch(SF, name)
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+    out
+  }
+
+  private def nation = T.t(spark, SF, "nation")
+    .select($"n_nationkey", $"n_name", $"n_regionkey")
+
+  test("wap lifecycle: staged commits are invisible by default, " +
+      "auditable explicitly, and publish is metadata-only") {
+    val out = fresh("wap_life")
+    st.writeVersioned(nation.filter($"n_nationkey" < 10), out)
+    val preCnt = st.readVersioned(out).count()
+    val staged = st.wapStage(
+      nation.filter($"n_nationkey" >= 10 && $"n_nationkey" < 20), out,
+      "wap1", statsCols = Seq("n_nationkey"))
+    assert(staged == 1L)
+    // default reads — plain, pruned, catalog-count — all resolve v0
+    assert(st.readVersioned(out).count() == preCnt)
+    assert(st.readVersionedPruned(out).count() == preCnt)
+    assert(st.countVersioned(out) == preCnt)
+    assert(st.latestVisibleVersion(out) == 0L)
+    // the auditor addresses the staged version explicitly
+    assert(st.readVersioned(out, Some(staged)).count() ==
+      nation.filter($"n_nationkey" < 20).count())
+    // any non-stage commit is rejected while the audit is pending
+    val e = intercept[IllegalStateException] {
+      st.writeVersioned(nation.limit(1), out, append = true)
+    }
+    assert(e.getMessage.contains("audit-pending"))
+    intercept[IllegalStateException] {
+      st.compactVersioned(out, 1)
+    }
+    // a second stage STACKS under the same id
+    val staged2 = st.wapStage(nation.filter($"n_nationkey" >= 20), out,
+      "wap1")
+    assert(staged2 == 2L)
+    assert(st.latestVisibleVersion(out) == 0L)
+    // wrong id cannot publish someone else's audit
+    intercept[IllegalArgumentException] {
+      st.wapPublish(out, "other")
+    }
+    val pub = st.wapPublish(out, "wap1")
+    assert(pub == 3L)
+    assert(st.readVersioned(out).count() == nation.count())
+    assert(st.latestVisibleVersion(out) == pub)
+    // post-publish the table accepts commits again
+    st.writeVersioned(nation.limit(1), out, append = true)
+    assert(st.readVersioned(out).count() == nation.count() + 1)
+    // the published manifest carries the staged stats sidecar: the
+    // pruned read over the published snapshot still prunes
+    assert(st.readVersionedPruned(out)
+      .filter($"n_nationkey" === 12).count() ==
+      nation.filter($"n_nationkey" === 12).count())
+  }
+
+  test("wap discard: the staged commit never becomes visible and the " +
+      "table unblocks") {
+    val out = fresh("wap_discard")
+    st.writeVersioned(nation, out)
+    st.wapStage(nation, out, "bad-batch") // a double-load, caught in audit
+    assert(st.readVersioned(out).count() == nation.count())
+    val v = st.wapDiscard(out, "bad-batch")
+    assert(st.latestVisibleVersion(out) == v)
+    assert(st.readVersioned(out).count() == nation.count())
+    // unblocked: normal commits proceed
+    st.writeVersioned(nation.limit(2), out, append = true)
+    assert(st.readVersioned(out).count() == nation.count() + 2)
+    // the discarded version stays time-travelable until vacuum
+    assert(st.readVersioned(out, Some(1L)).count() == 2 * nation.count())
+  }
+
+  test("tags are immutable pointers, branches move, and vacuum " +
+      "pins ref targets past keepLast") {
+    val out = fresh("wap_refs")
+    st.writeVersioned(nation.filter($"n_nationkey" < 5), out)
+    st.writeVersioned(nation.filter($"n_nationkey" === 5), out,
+      append = true)
+    st.tagVersion(out, "v0-gold", Some(0L))
+    st.branchVersion(out, "audit", Some(1L))
+    intercept[IllegalStateException] {
+      st.tagVersion(out, "v0-gold", Some(1L)) // tags never move
+    }
+    st.writeVersioned(nation.filter($"n_nationkey" === 6), out,
+      append = true)
+    st.branchVersion(out, "audit", Some(2L)) // branches do
+    assert(st.resolveRef(out, "v0-gold") == 0L)
+    assert(st.resolveRef(out, "audit") == 2L)
+    assert(st.readVersionedRef(out, "v0-gold").count() == 5)
+    st.writeVersioned(nation.filter($"n_nationkey" === 7), out,
+      append = true)
+    // vacuum keeps ONLY the last version... plus every ref target
+    st.vacuumVersioned(out, keepLast = 1)
+    assert(st.listVersions(out) == Seq(0L, 2L, 3L))
+    // pinned versions read byte-identically after vacuum
+    assert(st.readVersioned(out, Some(0L)).count() == 5)
+    assert(st.readVersioned(out, Some(2L)).count() == 7)
+    assert(st.readVersioned(out).count() == 8)
+    // dropping the tag releases the pin; the next vacuum reclaims
+    st.dropRef(out, "v0-gold")
+    st.dropRef(out, "audit")
+    st.vacuumVersioned(out, keepLast = 1)
+    assert(st.listVersions(out) == Seq(3L))
+    assert(st.readVersioned(out).count() == 8)
+  }
+
+  test("SQL console: CALL graft.tag/branch/wap_publish drive the " +
+      "same lifecycle") {
+    val out = fresh("wap_sql")
+    GraftCatalog.register(spark)
+    st.writeVersioned(nation.filter($"n_nationkey" < 20), out)
+    st.wapStage(nation.filter($"n_nationkey" >= 20), out, "nightly")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$out`")
+      .head().getLong(0) == nation.filter($"n_nationkey" < 20).count())
+    val pub = spark.sql(
+      s"CALL graft.wap_publish('$out', 'nightly')").head().getLong(0)
+    assert(pub == 2L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$out`")
+      .head().getLong(0) == nation.count())
+    assert(spark.sql(s"CALL graft.tag('$out', 'rel-1')")
+      .head().getLong(0) == pub)
+    assert(spark.sql(s"CALL graft.branch('$out', 'main', 0)")
+      .head().getLong(0) == 0L)
+    assert(st.listRefs(out).map(_._1) == Seq("branch.main", "tag.rel-1"))
+    assert(spark.sql(s"CALL graft.drop_ref('$out', 'main')")
+      .head().getString(0) == "main")
+    assert(st.listRefs(out).map(_._1) == Seq("tag.rel-1"))
+  }
+}
