@@ -664,29 +664,65 @@ final case class GraftStorage(
     */
   private[sources] def zoneSidecarFor(statDirs: Seq[String]): ZoneSidecar = {
     import org.apache.hadoop.fs.Path
-    def reader = spark.read.option("mergeSchema", "true")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // sidecar part-file inventory + per-part root field names from
+    // the parquet footers — computed ONCE per provider, driver-side,
+    // a footer per sidecar part (the realSidecarCoverage footprint).
+    // Per-PART (not per-dir) because an appended stats commit can add
+    // differently-columned parts into one `_zonemap` dir.
+    lazy val partFields: Seq[(String, Set[String])] = statDirs.flatMap { d =>
+      val p = new Path(d)
+      val fs = p.getFileSystem(hconf)
+      def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(dir).toSeq.flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            Seq(st)
+          else Seq.empty
+        }
+      walk(p).map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, hconf))
+        val names =
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSet
+          } finally r.close()
+        st.getPath.toUri.getPath -> names
+      }
+    }
+    lazy val allCols: Set[String] = partFields.iterator
+      .flatMap(_._2).filter(_.endsWith("__min"))
+      .map(_.stripSuffix("__min")).toSet
+    lazy val totalBytes: Long = {
+      val p = new Path(statDirs.head)
+      val fs = p.getFileSystem(hconf)
+      statDirs.iterator.map(d =>
+        fs.getContentSummary(new Path(d)).getLength).sum
+    }
+    lazy val zm = spark.read.option("mergeSchema", "true")
       .parquet(statDirs: _*)
     new ZoneSidecar(
-      () => reader.schema.fieldNames
-        .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSet,
+      () => allCols,
       cols => {
-        val zm = reader
-        val avail = zm.schema.fieldNames.toSet
-        val sel = cols.toSeq.sorted
-          .filter(c => avail(c + "__min") && avail(c + "__max"))
+        val sel = cols.toSeq.sorted.filter(allCols)
         if (sel.isEmpty) Map.empty
         else {
-          val proj = zm.select((col("file") +: sel.flatMap(c =>
-            Seq(col(c + "__min"), col(c + "__max")))): _*)
-          val big = {
-            val p = new Path(statDirs.head)
-            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            statDirs.iterator.map(d =>
-              fs.getContentSummary(new Path(d)).getLength).sum >
-              zoneScopedThreshold
-          }
+          // _src recovers which sidecar PART each row came from:
+          // mergeSchema surfaces a column missing from a part as
+          // null, INDISTINGUISHABLE from indexed-but-all-null — and
+          // downstream treats (null,null) as "provably all-null"
+          // (IsNotNull prune, MIN/MAX decline), so an entry is
+          // emitted ONLY for columns the row's part actually stores
+          val proj = zm.select((col("file") +:
+            input_file_name().as("__src") +:
+            sel.flatMap(c =>
+              Seq(col(c + "__min"), col(c + "__max")))): _*)
+          val coverage = partFields.toMap
           val rows: Iterator[org.apache.spark.sql.Row] =
-            if (big) {
+            if (totalBytes > zoneScopedThreshold) {
               import scala.jdk.CollectionConverters._
               proj.toLocalIterator().asScala
             } else proj.collect().iterator
@@ -694,8 +730,13 @@ final case class GraftStorage(
             .empty[String, Map[String, (Any, Any)]]
           rows.foreach { r =>
             val fkey = new Path(r.getAs[String]("file")).toUri.getPath
-            val stats = sel.map(c => c -> ((r.getAs[Any](s"${c}__min"),
-              r.getAs[Any](s"${c}__max")))).toMap
+            val covered = coverage.getOrElse(
+              new Path(r.getAs[String]("__src")).toUri.getPath,
+              Set.empty[String])
+            val stats = sel.iterator
+              .filter(c => covered(c + "__min") && covered(c + "__max"))
+              .map(c => c -> ((r.getAs[Any](s"${c}__min"),
+                r.getAs[Any](s"${c}__max")))).toMap
             out(fkey) = out.getOrElse(fkey, Map.empty) ++ stats
           }
           out.toMap
@@ -1350,11 +1391,26 @@ final case class GraftStorage(
     val out = fs.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8"))
     finally out.close()
-    if (allowMove) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"ref '$kind.$name' on $path lost a concurrent publish race")
+    if (allowMove) {
+      // branches move: replace-by-rename (last writer wins, benign)
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"ref '$kind.$name' on $path lost a concurrent publish race")
+      }
+    } else {
+      // tags are IMMUTABLE: go through the same put-if-absent commit
+      // primitive as manifests — a bare exists+rename is a TOCTOU
+      // race on stores whose rename replaces (two racing tagVersion
+      // calls would both 'succeed' and the tag would silently move)
+      try GraftStorage.commitPrimitiveFor(fs).putIfAbsent(fs, tmp, dst)
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          throw new IllegalStateException(
+            s"tag '$name' already exists on $path (tags are " +
+              "immutable; use a branch for a movable ref)")
+      }
     }
     version
   }
@@ -1458,10 +1514,19 @@ final case class GraftStorage(
       bloomCols: Seq[String] = Seq.empty): Long = {
     require(wapId.nonEmpty && !wapId.exists(c => c == '\t' || c == '\n'),
       s"wapId must be non-empty without tab/newline, got '$wapId'")
-    require(listVersions(path).nonEmpty,
+    val vs0 = listVersions(path)
+    require(vs0.nonEmpty,
       s"WAP staging needs an existing table at $path (bootstrap with " +
         "a normal commit first — there is no published state to " +
         "shield yet)")
+    // stages may stack, but only under ONE id: a second auditor's id
+    // would wedge the table (publish/discard require all pending ids
+    // to match, and the audit gate rejects everything else)
+    val pending = manifestEntries(path, vs0.last)
+      .collect { case e if e.startsWith("W\t") => e.drop(2) }.distinct
+    require(pending.forall(_ == wapId),
+      s"cannot stage '$wapId' on $path: audit '${pending.mkString(",")}' " +
+        "is pending — publish or discard it first")
     writeVersioned(df, path, append = true, statsCols, bloomCols,
       Seq.empty, None, carryLines = Seq(s"W\t$wapId"), requireBase = None)
   }
@@ -2669,7 +2734,14 @@ final case class GraftStorage(
     // set is the trailing window PLUS every tag/branch target (no
     // longer necessarily contiguous)
     val pinned = listRefs(path).map(_._2).filter(vs.contains).distinct
-    val keepSet = (vs.takeRight(keepLast) ++ pinned).toSet
+    // the latest PUBLISHED version is always pinned: a keepLast
+    // window counted over trailing audit-pending stages would
+    // otherwise retire the only snapshot default readers (and
+    // wapDiscard) can resolve
+    val pinnedVisible = vs.reverse.find(v =>
+      !manifestEntries(path, v).exists(_.startsWith("W\t")))
+    val keepSet =
+      (vs.takeRight(keepLast) ++ pinned ++ pinnedVisible).toSet
     val keep = vs.filter(keepSet)
     val drop = vs.filterNot(keepSet)
     if (drop.isEmpty) return 0L
@@ -2744,6 +2816,10 @@ final case class GraftStorage(
     * table" pattern. Contract: APPEND-ONLY histories (append=true
     * commits); a copy-on-write rewrite would re-surface carried rows,
     * exactly as file-based CDC consumers behave on rewritten parts.
+    * Same file-glob caveat for WAP: a [[wapStage]]d commit's files
+    * surface here BEFORE publish (the glob cannot see manifests) —
+    * do not point this consumer at a table that stages audits, or
+    * gate it on [[latestVisibleVersion]] externally.
     */
   def streamVersioned(path: String): DataFrame = {
     val schema = readVersioned(path).schema

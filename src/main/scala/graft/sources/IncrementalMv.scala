@@ -66,7 +66,7 @@ final class IncrementalMv private (spark: SparkSession) {
     */
   def staleness(mvPath: String, sourcePath: String): Option[Long] =
     reflectedVersion(mvPath, sourcePath).map(r =>
-      math.max(0L, st.listVersions(sourcePath).last - r))
+      math.max(0L, st.latestVisibleVersion(sourcePath) - r))
 
   /** Refresh `mvPath` to reflect `sourcePath`'s LATEST version:
     * `SELECT keyCols, COUNT(*) AS cnt, SUM(c) AS sum_<c>... GROUP BY
@@ -79,7 +79,11 @@ final class IncrementalMv private (spark: SparkSession) {
     require(keyCols.nonEmpty, "an MV needs at least one key column")
     val srcVersions = st.listVersions(sourcePath)
     require(srcVersions.nonEmpty, s"no versions under $sourcePath")
-    val srcV = srcVersions.last // pin FIRST; all reads address this
+    // pin FIRST; all reads address this. The latest PUBLISHED
+    // version, not the log head: refreshing from an audit-pending
+    // WAP stage would bake un-audited (possibly later discarded)
+    // source rows into the MV.
+    val srcV = st.latestVisibleVersion(sourcePath)
     val app = appId(sourcePath)
     val reflected = reflectedVersion(mvPath, sourcePath)
     if (reflected.exists(_ >= srcV))
@@ -107,8 +111,15 @@ final class IncrementalMv private (spark: SparkSession) {
       case Some(from) =>
         val before = st.manifestFiles(sourcePath, from).toSet
         val after = st.manifestFiles(sourcePath, srcV)
-        if (before.exists(f => !after.contains(f)))
-          full // files removed in the window: not append-only, recompute
+        // append-only check covers BOTH mutation surfaces: removed
+        // data files (CoW delete/update, compaction) AND deletion-
+        // vector drift (a merge-on-read delete adds a D line without
+        // touching the file set — the delta path would silently keep
+        // counting the DV-deleted rows)
+        if (before.exists(f => !after.contains(f)) ||
+            st.manifestDvs(sourcePath, from).toSet !=
+              st.manifestDvs(sourcePath, srcV).toSet)
+          full // not append-only in the window: recompute
         else {
           val delta = after.filterNot(before)
           if (delta.isEmpty) // metadata-only source commits

@@ -63,6 +63,12 @@ class WapSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       st.wapPublish(out, "other")
     }
+    // ...and a DIFFERENT id cannot stack a stage either: mixed
+    // pending ids would wedge the table (nothing could publish OR
+    // discard them)
+    intercept[IllegalArgumentException] {
+      st.wapStage(nation.limit(1), out, "other-id")
+    }
     val pub = st.wapPublish(out, "wap1")
     assert(pub == 3L)
     assert(st.readVersioned(out).count() == nation.count())
@@ -91,6 +97,23 @@ class WapSpec extends AnyFunSuite {
     assert(st.readVersioned(out).count() == nation.count() + 2)
     // the discarded version stays time-travelable until vacuum
     assert(st.readVersioned(out, Some(1L)).count() == 2 * nation.count())
+  }
+
+  test("vacuum during a pending audit pins the published snapshot") {
+    val out = fresh("wap_vacuum_staged")
+    st.writeVersioned(nation.filter($"n_nationkey" < 10), out) // v0
+    st.writeVersioned(nation.filter($"n_nationkey" === 10), out,
+      append = true) // v1 published head
+    st.wapStage(nation.filter($"n_nationkey" > 10), out, "night") // v2
+    // keepLast=1 counted over the raw log would keep only the staged
+    // v2 and retire v1 — stranding default readers AND wapDiscard
+    st.vacuumVersioned(out, keepLast = 1)
+    assert(st.listVersions(out).contains(1L),
+      "the published snapshot must survive vacuum during an audit")
+    assert(st.readVersioned(out).count() == 11)
+    val v = st.wapDiscard(out, "night")
+    assert(st.readVersioned(out).count() == 11)
+    assert(st.latestVisibleVersion(out) == v)
   }
 
   test("tags are immutable pointers, branches move, and vacuum " +

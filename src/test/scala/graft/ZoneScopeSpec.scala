@@ -185,6 +185,39 @@ class ZoneScopeSpec extends AnyFunSuite {
         s"got ${scan.metrics("numFiles").value}")
   }
 
+  test("mixed statsCols across commits: a column uncovered by an " +
+      "older sidecar is NOT mistaken for provably-all-null") {
+    // mergeSchema surfaces a missing column as null — identical to
+    // indexed-but-all-null. The loader must consult each sidecar
+    // part's own footer schema: otherwise MIN/MAX answers from the
+    // covered commits only (wrong when the true extremum lives in
+    // the uncovered one) and IsNotNull pruning drops live files.
+    val out = fresh("zonescope_mixed")
+    val o = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    // the true MIN(o_custkey) lives in commit 1 — which does NOT
+    // index o_custkey
+    val minCust = o.agg(min($"o_custkey")).head().getLong(0)
+    st.writeVersioned(o.filter($"o_custkey" <= 100), out,
+      append = false, statsCols = Seq("o_orderkey"))
+    st.writeVersioned(o.filter($"o_custkey" > 100), out,
+      append = true, statsCols = Seq("o_orderkey", "o_custkey"))
+    GraftCatalog.register(spark)
+    assert(spark.sql(s"SELECT MIN(o_custkey) FROM graft.`$out`")
+      .head().getLong(0) == minCust,
+      "meta MIN over a partially-covered column must not answer " +
+        "from the covered commits alone")
+    // the covered column still takes the manifest fast path
+    assert(spark.sql(s"SELECT MIN(o_orderkey) FROM graft.`$out`")
+      .head().getLong(0) == o.agg(min($"o_orderkey")).head().getLong(0))
+    // and IsNotNull / point filters keep commit-1 files alive
+    assert(st.readVersionedPruned(out)
+      .filter($"o_custkey".isNotNull).count() == o.count())
+    assert(st.readVersionedPruned(out)
+      .filter($"o_custkey" === minCust).count() ==
+      o.filter($"o_custkey" === minCust).count())
+  }
+
   test("versioned pruned read scopes its stats-in-log load to the " +
       "query's columns") {
     val out = fresh("zonescope_versioned")
