@@ -670,17 +670,19 @@ final case class GraftStorage(
     // a footer per sidecar part (the realSidecarCoverage footprint).
     // Per-PART (not per-dir) because an appended stats commit can add
     // differently-columned parts into one `_zonemap` dir.
-    lazy val partFields: Seq[(String, Set[String])] = statDirs.flatMap { d =>
-      val p = new Path(d)
-      val fs = p.getFileSystem(hconf)
-      def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-        fs.listStatus(dir).toSeq.flatMap { st =>
-          if (st.isDirectory) walk(st.getPath)
-          else if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-            Seq(st)
-          else Seq.empty
-        }
-      walk(p).map { st =>
+    lazy val partFields: Seq[(String, Set[String])] = {
+      val thunks = statDirs.flatMap { d =>
+        val p = new Path(d)
+        val fs = p.getFileSystem(hconf)
+        def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+          fs.listStatus(dir).toSeq.flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+              Seq(st)
+            else Seq.empty
+          }
+        walk(p)
+      }.map { st => () =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, hconf))
@@ -692,10 +694,29 @@ final case class GraftStorage(
           } finally r.close()
         st.getPath.toUri.getPath -> names
       }
+      // footer opens run on a bounded pool, not serially: at 10⁴
+      // stats-bearing commits on an object store a serial walk is
+      // parts × GET-latency of plan-time stall
+      if (thunks.isEmpty) Seq.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, thunks.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(thunks.map(t =>
+            new java.util.concurrent.Callable[(String, Set[String])] {
+              override def call(): (String, Set[String]) = t()
+            }).asJavaCollection).asScala.map(_.get()).toSeq
+        } finally pool.shutdown()
+      }
     }
-    lazy val allCols: Set[String] = partFields.iterator
-      .flatMap(_._2).filter(_.endsWith("__min"))
-      .map(_.stripSuffix("__min")).toSet
+    lazy val mergedFields: Set[String] =
+      partFields.iterator.flatMap(_._2).toSet
+    // a column is loadable only when BOTH bounds exist somewhere —
+    // selecting a lone `c__min`'s missing mate would throw
+    lazy val allCols: Set[String] = mergedFields
+      .filter(_.endsWith("__min")).map(_.stripSuffix("__min"))
+      .filter(c => mergedFields(c + "__max"))
     lazy val totalBytes: Long = {
       val p = new Path(statDirs.head)
       val fs = p.getFileSystem(hconf)
@@ -721,6 +742,20 @@ final case class GraftStorage(
             sel.flatMap(c =>
               Seq(col(c + "__min"), col(c + "__max")))): _*)
           val coverage = partFields.toMap
+          // __src is input_file_name(): URL-ENCODED on Spark 4.1,
+          // while the coverage map keys on decoded FileStatus paths
+          // — decode, and memoize per distinct part (one value per
+          // part, not per row)
+          val srcCoverage = scala.collection.mutable
+            .Map.empty[String, Set[String]]
+          def coverageOf(src: String): Set[String] =
+            srcCoverage.getOrElseUpdate(src, {
+              val decoded =
+                try new java.net.URI(src).getPath
+                catch { case _: java.net.URISyntaxException =>
+                  new Path(src).toUri.getPath }
+              coverage.getOrElse(decoded, Set.empty)
+            })
           val rows: Iterator[org.apache.spark.sql.Row] =
             if (totalBytes > zoneScopedThreshold) {
               import scala.jdk.CollectionConverters._
@@ -730,9 +765,7 @@ final case class GraftStorage(
             .empty[String, Map[String, (Any, Any)]]
           rows.foreach { r =>
             val fkey = new Path(r.getAs[String]("file")).toUri.getPath
-            val covered = coverage.getOrElse(
-              new Path(r.getAs[String]("__src")).toUri.getPath,
-              Set.empty[String])
+            val covered = coverageOf(r.getAs[String]("__src"))
             val stats = sel.iterator
               .filter(c => covered(c + "__min") && covered(c + "__max"))
               .map(c => c -> ((r.getAs[Any](s"${c}__min"),
@@ -1481,6 +1514,22 @@ final case class GraftStorage(
   def readVersionedRef(path: String, name: String): DataFrame =
     readVersioned(path, Some(resolveRef(path, name)))
 
+  /** Distinct audit-pending wap ids in version `v`'s manifest (the
+    * single accessor for the `W` line format — wapStage/Publish/
+    * Discard, vacuum, and latest-visible resolution all read it
+    * through here).
+    */
+  private def pendingWapIds(path: String, v: Long): Seq[String] =
+    manifestEntries(path, v)
+      .collect { case e if e.startsWith("W\t") => e.drop(2) }.distinct
+
+  /** Latest published version among `vs`, None when every version is
+    * audit-pending.
+    */
+  private def latestVisibleOption(path: String,
+      vs: Seq[Long]): Option[Long] =
+    vs.reverse.find(v => pendingWapIds(path, v).isEmpty)
+
   /** Latest PUBLISHED version: trailing audit-pending commits
     * ([[wapStage]]'s `W`-marked manifests) are invisible to default
     * readers — the WAP contract's whole point. The audit gate only
@@ -1490,8 +1539,7 @@ final case class GraftStorage(
   def latestVisibleVersion(path: String): Long = {
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    vs.reverse.find(v =>
-      !manifestEntries(path, v).exists(_.startsWith("W\t")))
+    latestVisibleOption(path, vs)
       .getOrElse(throw new IllegalStateException(
         s"every version of $path is audit-pending (stage without " +
           "publish); read an explicit version to audit, or publish"))
@@ -1522,13 +1570,17 @@ final case class GraftStorage(
     // stages may stack, but only under ONE id: a second auditor's id
     // would wedge the table (publish/discard require all pending ids
     // to match, and the audit gate rejects everything else)
-    val pending = manifestEntries(path, vs0.last)
-      .collect { case e if e.startsWith("W\t") => e.drop(2) }.distinct
+    val pending = pendingWapIds(path, vs0.last)
     require(pending.forall(_ == wapId),
       s"cannot stage '$wapId' on $path: audit '${pending.mkString(",")}' " +
         "is pending — publish or discard it first")
+    // requireBase pins the checked head: two RACING first stages
+    // with different ids would otherwise both pass the check and
+    // wedge the table with mixed pending ids (neither publishable
+    // nor discardable) — the loser must fail loudly instead
     writeVersioned(df, path, append = true, statsCols, bloomCols,
-      Seq.empty, None, carryLines = Seq(s"W\t$wapId"), requireBase = None)
+      Seq.empty, None, carryLines = Seq(s"W\t$wapId"),
+      requireBase = Some(vs0.last))
   }
 
   /** Publish the staged commits: one METADATA-ONLY commit whose
@@ -1542,8 +1594,7 @@ final case class GraftStorage(
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
     val head = vs.last
-    val pending = manifestEntries(path, head)
-      .collect { case e if e.startsWith("W\t") => e.drop(2) }.distinct
+    val pending = pendingWapIds(path, head)
     require(pending.nonEmpty, s"nothing is staged on $path")
     require(pending.forall(_ == wapId),
       s"staged wap ids ${pending.mkString(",")} do not all match " +
@@ -1565,8 +1616,7 @@ final case class GraftStorage(
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
     val head = vs.last
-    val pending = manifestEntries(path, head)
-      .collect { case e if e.startsWith("W\t") => e.drop(2) }.distinct
+    val pending = pendingWapIds(path, head)
     require(pending.nonEmpty, s"nothing is staged on $path")
     require(pending.forall(_ == wapId),
       s"staged wap ids ${pending.mkString(",")} do not all match " +
@@ -2738,8 +2788,7 @@ final case class GraftStorage(
     // window counted over trailing audit-pending stages would
     // otherwise retire the only snapshot default readers (and
     // wapDiscard) can resolve
-    val pinnedVisible = vs.reverse.find(v =>
-      !manifestEntries(path, v).exists(_.startsWith("W\t")))
+    val pinnedVisible = latestVisibleOption(path, vs)
     val keepSet =
       (vs.takeRight(keepLast) ++ pinned ++ pinnedVisible).toSet
     val keep = vs.filter(keepSet)

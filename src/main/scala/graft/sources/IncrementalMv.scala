@@ -56,6 +56,13 @@ final class IncrementalMv private (spark: SparkSession) {
   private def appId(sourcePath: String): String =
     "__mv:" + new Path(sourcePath).toUri.getPath
 
+  /** Whether `version`'s manifest still resolves (vacuum retires old
+    * manifests; a marker may outlive the version it names).
+    */
+  private def versionResolvable(path: String, version: Long): Boolean =
+    try { st.manifestFiles(path, version); true }
+    catch { case _: IllegalArgumentException => false }
+
   /** Source version the MV's latest snapshot reflects, if any. */
   def reflectedVersion(mvPath: String, sourcePath: String): Option[Long] =
     if (st.listVersions(mvPath).isEmpty) None
@@ -108,6 +115,11 @@ final class IncrementalMv private (spark: SparkSession) {
     val full: DataFrame =
       aggregate(st.readVersioned(sourcePath, Some(srcV)))
     val fresh: DataFrame = reflected match {
+      case Some(from) if !versionResolvable(sourcePath, from) =>
+        // a source vacuum retired the reflected version's manifest:
+        // the delta window cannot be derived — recompute the pinned
+        // snapshot instead of failing every future refresh
+        full
       case Some(from) =>
         val before = st.manifestFiles(sourcePath, from).toSet
         val after = st.manifestFiles(sourcePath, srcV)

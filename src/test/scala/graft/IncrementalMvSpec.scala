@@ -129,6 +129,21 @@ class IncrementalMvSpec extends AnyFunSuite {
     assert(read(m) == oracle(s))
   }
 
+  test("source vacuum that retires the reflected version forces a " +
+      "full recompute instead of failing every future refresh") {
+    val s = fresh("mv_vac_src"); val m = fresh("mv_vac_mv")
+    src(s) // v0..v2
+    mv.refresh(s, m, Seq("o_orderstatus"), Seq("price")) // reflects 2
+    st.writeVersioned(T.t(spark, SF, "orders").limit(3).select(
+      $"o_orderkey" + 30000000L as "o_orderkey", $"o_orderstatus",
+      $"o_totalprice".cast("decimal(18,2)").as("price")),
+      s, append = true) // v3
+    st.vacuumVersioned(s, keepLast = 1) // retires v0..v2 manifests
+    mv.refresh(s, m, Seq("o_orderstatus"), Seq("price"))
+    assert(read(m) == oracle(s))
+    assert(mv.reflectedVersion(m, s).contains(3L))
+  }
+
   test("refresh during a pending WAP stage on the source reflects " +
       "only the published snapshot") {
     val s = fresh("mv_wap_src"); val m = fresh("mv_wap_mv")
