@@ -120,6 +120,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
           .readVersionedAsOf(path, millis).queryExecution.analyzed
       }))
+    // Ref read TVF: `FROM graft_ref('/t', 'rel-1')` — snapshot read
+    // through a named tag or branch (the `_refs/` pointers); pruned
+    // like any pinned-version read.
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_ref"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_ref"),
+      (exprs: Seq[Expression]) => {
+        val path = GraftExtensions.literalString(exprs(0), "graft_ref")
+        val name = GraftExtensions.literalString(exprs(1), "graft_ref")
+        sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
+          .readVersionedRef(path, name).queryExecution.analyzed
+      }))
+    // Refs inventory TVF: `SELECT * FROM graft_refs('/t')` →
+    // (ref, version) per tag/branch, metadata-rate.
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_refs"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_refs"),
+      (exprs: Seq[Expression]) => {
+        val path = GraftExtensions.literalString(exprs.head, "graft_refs")
+        sources.GraftStorage(org.apache.spark.sql.SparkSession.active)
+          .refsVersioned(path).queryExecution.analyzed
+      }))
     // Snapshot inventory TVF: `SELECT * FROM graft_files('/t')` →
     // (version, file, bytes) per manifest entry — metadata-rate at
     // any table size (manifests, not listings of data).

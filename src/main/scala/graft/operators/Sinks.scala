@@ -444,6 +444,42 @@ object Sinks extends QueryModule {
       .orderBy($"snap")
   }
 
+  /** Named refs as a SQL read surface: tag the bootstrap snapshot,
+    * keep ingesting, and read BOTH worlds in one query —
+    * `graft_ref('/t','gold')` resolves the tag's pinned version
+    * (pruned read) while the plain read follows the advancing head.
+    * A tag is the retention/reproducibility contract: vacuum pins
+    * it, and a 100 TB training run can name the exact snapshot it
+    * consumed. The `graft_refs` TVF lists the pointers metadata-rate.
+    */
+  def sqlRefRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sql_ref_read")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base, out, append = false,
+      statsCols = Seq("o_orderkey"))
+    st.tagVersion(out, "gold")
+    st.writeVersioned(base.filter($"o_orderkey" % 7 === 0), out,
+      append = true, statsCols = Seq("o_orderkey"))
+    val nRefs = s.sql(s"SELECT COUNT(*) FROM graft_refs('$out')")
+      .head().getLong(0)
+    require(nRefs == 1, s"expected one ref, got $nRefs")
+    s.sql(
+      s"""SELECT 'a_tag_gold' AS snap, COUNT(*) AS cnt,
+         |  ${T.sqlDsum("o_totalprice")} AS total
+         |FROM graft_ref('$out', 'gold')
+         |UNION ALL
+         |SELECT 'b_latest', COUNT(*),
+         |  ${T.sqlDsum("o_totalprice")}
+         |FROM graft_versioned('$out')
+         |ORDER BY snap""".stripMargin)
+  }
+
   /** Metadata-rate COUNT(*): each commit logs its files' footer row
     * counts (`R` manifest lines), so `countVersioned` — and the
     * `graft_count('/t')` TVF — answer from manifest sums without
@@ -916,6 +952,7 @@ object Sinks extends QueryModule {
     "sink_versioned_bloom" -> (sinkVersionedBloom(_, _)),
     "sink_versioned_concurrent" -> (sinkVersionedConcurrent(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
+    "sql_ref_read" -> (sqlRefRead(_, _)),
     "sink_versioned_compact" -> (sinkVersionedCompact(_, _)),
     "sink_versioned_delete" -> (sinkVersionedDelete(_, _)),
     "sink_versioned_delete_mor" -> (sinkVersionedDeleteMor(_, _)),
@@ -1121,6 +1158,19 @@ object Sinks extends QueryModule {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey = 7
         |ORDER BY o_orderkey""".stripMargin,
+    "sql_ref_read" ->
+      s"""SELECT snap, cnt, total FROM (
+         |  SELECT 'a_tag_gold' AS snap, COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'b_latest', COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM (SELECT o_totalprice FROM orders
+         |        UNION ALL
+         |        SELECT o_totalprice FROM orders
+         |        WHERE o_orderkey % 7 = 0))
+         |ORDER BY snap""".stripMargin,
     "sink_versioned_wap" ->
       s"""SELECT snap, cnt, total FROM (
          |  SELECT 'a_pre_publish' AS snap, COUNT(*) AS cnt,

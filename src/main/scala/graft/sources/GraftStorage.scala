@@ -1510,9 +1510,17 @@ final case class GraftStorage(
     hit.foreach(fs.delete(_, false))
   }
 
-  /** Snapshot read through a named ref. */
+  /** Snapshot read through a named ref (pruned: stats-in-log file
+    * skipping applies to ref reads like any pinned-version read).
+    */
   def readVersionedRef(path: String, name: String): DataFrame =
-    readVersioned(path, Some(resolveRef(path, name)))
+    readVersionedPruned(path, Some(resolveRef(path, name)))
+
+  /** Named-refs inventory as a DataFrame — the `graft_refs('/t')`
+    * TVF surface (metadata-rate: one tiny file per ref).
+    */
+  def refsVersioned(path: String): DataFrame =
+    spark.createDataFrame(listRefs(path)).toDF("ref", "version")
 
   /** Distinct audit-pending wap ids in version `v`'s manifest (the
     * single accessor for the `W` line format — wapStage/Publish/
