@@ -2866,24 +2866,28 @@ final case class GraftStorage(
     dead.size.toLong
   }
 
-  /** Streaming source over a versioned table's commit log: each new
-    * commit's part files surface as micro-batches via a file-glob
-    * readStream over `data/c<N>/`, so a consumer with a checkpoint
-    * processes exactly the delta each run — the "stream a lakehouse
-    * table" pattern. Contract: APPEND-ONLY histories (append=true
-    * commits); a copy-on-write rewrite would re-surface carried rows,
-    * exactly as file-based CDC consumers behave on rewritten parts.
-    * Same file-glob caveat for WAP: a [[wapStage]]d commit's files
-    * surface here BEFORE publish (the glob cannot see manifests) —
-    * do not point this consumer at a table that stages audits, or
-    * gate it on [[latestVisibleVersion]] externally.
+  /** Streaming source over a versioned table's commit log — a
+    * checkpointed consumer processes exactly each commit's delta
+    * across runs (the "stream a lakehouse table" pattern).
     */
-  def streamVersioned(path: String): DataFrame = {
-    val schema = readVersioned(path).schema
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(path + "/data/*/*.parquet")
-  }
+  def streamVersioned(path: String): DataFrame =
+    streamVersioned(path, ignoreChanges = false)
+
+  /** MANIFEST-DRIVEN streaming (see [[GraftStreamSource]]): offsets
+    * are commit versions, each micro-batch reads exactly the files
+    * the manifests added in its range, audit-pending (WAP-staged)
+    * commits stay invisible until published, and non-append commits
+    * (copy-on-write rewrites, deletion-vector drift) fail loudly
+    * unless `ignoreChanges` opts into add-only delivery — the
+    * replacement for the earlier file-glob reader, whose two
+    * documented caveats (staged files surfacing pre-publish, CoW
+    * re-surfacing carried rows silently) this closes.
+    */
+  def streamVersioned(path: String,
+      ignoreChanges: Boolean): DataFrame =
+    spark.readStream.format("graft-stream")
+      .option("ignoreChanges", ignoreChanges.toString)
+      .load(path)
 
   /** Shared copy-on-write core: split the latest snapshot's file list
     * into affected (contain rows matching `predicate`) and untouched;

@@ -528,15 +528,17 @@ object StreamOps extends QueryModule {
   }
 
   /** Stream a VERSIONED table's commit log (`GraftStorage
-    * .streamVersioned`): three append commits land as distinct
-    * micro-batches through a checkpointed file-stream over the
-    * immutable `data/c<N>` part dirs — the "subscribe to a lakehouse
-    * table" pattern, where a consumer with a checkpoint processes
-    * exactly each commit's delta (StorageSpec pins the
-    * incremental-second-run contract). The query drains the full
-    * history (AvailableNow) into an append parquet sink and
-    * aggregates it; the oracle is the same aggregate over the batch
-    * union of the three commit slices = all of orders.
+    * .streamVersioned` → the manifest-driven [[graft.sources
+    * .GraftStreamSource]]): offsets are commit versions, each
+    * micro-batch reads exactly the files the manifests added in its
+    * range, WAP-staged commits stay invisible until published, and
+    * non-append commits fail loudly — the "subscribe to a lakehouse
+    * table" pattern (StorageSpec pins the incremental-second-run
+    * contract, GraftStreamSpec the WAP/change-commit semantics). The
+    * query drains the full history (AvailableNow) into an append
+    * parquet sink and aggregates it; the oracle is the same
+    * aggregate over the batch union of the three commit slices =
+    * all of orders.
     */
   def streamVersionedSource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger

@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, T}
+
+/** Manifest-driven streaming source ([[GraftStreamSource]]): offsets
+  * are commit versions, staged (WAP) commits are invisible until
+  * published, non-append commits fail loudly (or deliver add-only
+  * under ignoreChanges), and admission control bounds commits per
+  * micro-batch.
+  */
+class GraftStreamSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  private val st = GraftStorage(spark)
+
+  private def fresh(name: String): String = {
+    val out = T.scratch(SF, name)
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the sink/checkpoint dirs too — stale state from a prior run
+    // would alias a replayed offset log onto a fresh table
+    Seq(out, out + "_out", out + "_ckpt").foreach(p =>
+      fs.delete(new Path(p), true))
+    out
+  }
+
+  private def nation = T.t(spark, SF, "nation")
+    .select($"n_nationkey", $"n_name")
+
+  private def drainTo(src: DataFrame, outP: String, ckpt: String): Unit = {
+    val q = src.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outP)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("staged (WAP) commits never reach a streaming consumer; " +
+      "publish delivers them as the next delta") {
+    val src = fresh("gstream_wap")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.filter($"n_nationkey" < 10)
+      .repartition(2), src)
+    st.wapStage(nation.filter($"n_nationkey" >= 10), src, "night")
+    // drain DURING the audit: only the published bootstrap flows
+    drainTo(st.streamVersioned(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == 10,
+      "staged rows leaked to a streaming consumer before publish")
+    st.wapPublish(src, "night")
+    drainTo(st.streamVersioned(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == nation.count())
+    assert(spark.read.parquet(outP)
+      .select($"n_nationkey").distinct().count() == nation.count(),
+      "publish must deliver each staged row exactly once")
+  }
+
+  test("a discarded stage is never emitted") {
+    val src = fresh("gstream_discard")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.filter($"n_nationkey" < 10)
+      .repartition(2), src)
+    drainTo(st.streamVersioned(src), outP, ckpt)
+    st.wapStage(nation.filter($"n_nationkey" >= 10), src, "bad")
+    st.wapDiscard(src, "bad")
+    st.writeVersioned(nation.filter($"n_nationkey" === 10), src,
+      append = true)
+    drainTo(st.streamVersioned(src), outP, ckpt)
+    val got = spark.read.parquet(outP)
+    assert(got.count() == 11,
+      s"expected 11 rows (10 bootstrap + 1 append), got ${got.count()}")
+    assert(got.filter($"n_nationkey" > 10).count() == 0,
+      "discarded staged rows were emitted")
+  }
+
+  test("a copy-on-write rewrite in the range fails loudly; " +
+      "ignoreChanges delivers added files only") {
+    val src = fresh("gstream_cow")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.repartition(2), src)
+    drainTo(st.streamVersioned(src), outP, ckpt)
+    st.deleteVersioned(src, $"n_nationkey" >= 20) // CoW rewrite
+    val kType = nation.schema("n_nationkey").dataType
+    st.writeVersioned(nation.limit(1).select(
+      lit(100).cast(kType).as("n_nationkey"),
+      lit("newland").as("n_name")), src, append = true)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(st.streamVersioned(src), outP, ckpt)
+    }
+    assert(e.getMessage.contains("non-append change") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-append change")))
+    // opting in: only the ADDED file flows, carried rewrites are
+    // skipped (Delta's skipChangeCommits contract)
+    drainTo(st.streamVersioned(src, ignoreChanges = true), outP, ckpt)
+    val got = spark.read.parquet(outP)
+    assert(got.filter($"n_nationkey" === 100).count() == 1,
+      "the appended row must flow under ignoreChanges")
+    assert(got.count() == nation.count() + 1,
+      "carried rewrite files must not re-surface")
+  }
+
+  test("maxVersionsPerTrigger=1 drains one commit per micro-batch") {
+    val src = fresh("gstream_admission")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.filter($"n_nationkey" % 3 === 0)
+      .repartition(2), src)
+    st.writeVersioned(nation.filter($"n_nationkey" % 3 === 1)
+      .repartition(2), src, append = true)
+    st.writeVersioned(nation.filter($"n_nationkey" % 3 === 2)
+      .repartition(2), src, append = true)
+    val batches = new AtomicInteger(0)
+    val q = spark.readStream.format("graft-stream")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet()
+        b.write.mode("append").parquet(outP)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.get() == 3,
+      s"expected one micro-batch per commit, got ${batches.get()}")
+    assert(spark.read.parquet(outP).count() == nation.count())
+  }
+}
