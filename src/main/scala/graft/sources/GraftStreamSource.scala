@@ -63,7 +63,8 @@ final class GraftStreamSource extends TableProvider
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftStreamTable(properties.get("path"), schema)
+    new GraftStreamTable(
+      pathOf(new CaseInsensitiveStringMap(properties)), schema)
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -86,8 +87,17 @@ private[sources] final class GraftStreamTable(
         new GraftMicroBatchStream(path, tableSchema,
           ignoreChanges = Option(options.get("ignoreChanges"))
             .exists(_.toBoolean),
+          // bounded by default (Delta defaults maxFilesPerTrigger
+          // likewise): an unconsumed 10⁵-commit history must drain
+          // as bounded batches, not one mega-batch
           maxVersionsPerTrigger =
-            Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+            Option(options.get("maxVersionsPerTrigger")).map { v =>
+              val n = v.toInt
+              require(n > 0,
+                s"maxVersionsPerTrigger must be positive, got $n " +
+                  "(a non-positive cap would freeze the stream)")
+              n
+            }.orElse(Some(128)))
     }
   }
 }
@@ -126,21 +136,39 @@ private[sources] final class GraftMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Some(st.latestVisibleVersion(path))
 
-  /** Admission control: at most `maxVersionsPerTrigger` commits per
-    * micro-batch (bounded catch-up; also gives "one batch per
-    * commit" with the value 1).
+  private def isPublished(v: Long): Boolean =
+    !st.manifestEntries(path, v).exists(_.startsWith("W\t"))
+
+  /** Admission control: at most `maxVersionsPerTrigger` PUBLISHED
+    * commits per micro-batch (one batch per commit with the value
+    * 1). Offsets only ever take published-version values — a
+    * checkpoint landing ON a staged version would seed the next
+    * batch's diff from a manifest default readers never saw (staged
+    * rows silently lost at publish, discards misread as change
+    * commits).
     */
   override def latestOffset(startOffset: Offset, limit: ReadLimit)
       : Offset = {
     val latest = availableTarget
       .getOrElse(st.latestVisibleVersion(path))
     val start = startOffset.asInstanceOf[VOffset].v
-    maxVersionsPerTrigger match {
-      case Some(n) if start + n < latest => VOffset(start + n)
-      case _ => VOffset(latest)
+    val stepped = maxVersionsPerTrigger match {
+      case Some(n) =>
+        val pub = st.listVersions(path).iterator
+          .filter(v => v > start && v <= latest)
+          .filter(isPublished).take(n).toSeq
+        if (pub.isEmpty) start else pub.last
+      case _ => latest
     }
+    VOffset(stepped)
   }
 
+  // Pre-existing STABLE deletion vectors (no drift in the range) are
+  // sound to stream across: graft DVs are key-based with the
+  // appended-rows-never-reuse-deleted-keys contract, so a range's
+  // added files contain no DV-affected rows. Only DV DRIFT (a
+  // delete inside the range) and MoR INITIAL snapshots need the
+  // loud path.
   private def changeError(start: Long, end: Long, what: String) =
     new IllegalStateException(
       s"graft-stream on $path: versions ($start, $end] contain a " +
@@ -163,7 +191,17 @@ private[sources] final class GraftMicroBatchStream(
     */
   private def deltaFiles(start: Long, end: Long): Seq[String] = {
     val endFiles = st.manifestFiles(path, end)
-    if (start < 0) return endFiles
+    if (start < 0) {
+      // initial snapshot: a merge-on-read table cannot stream as a
+      // raw file scan — the DV anti-join would be silently skipped
+      // and deleted rows re-delivered as live (same refusal as the
+      // V1 front door). REORG/compact first.
+      require(st.manifestDvs(path, end).isEmpty,
+        s"graft-stream on $path: the snapshot carries merge-on-read " +
+          "deletion vectors; streaming raw files would resurrect " +
+          "deleted rows. Run compactVersioned (REORG) first.")
+      return endFiles
+    }
     val fine =
       try {
         val published = (start + 1 to end).filter(v =>
@@ -190,13 +228,14 @@ private[sources] final class GraftMicroBatchStream(
       } catch {
         case _: IllegalArgumentException => None // vacuumed interior
       }
-    val endSet = endFiles.toSet
     fine match {
-      // only files still present at END flow: a file added then
-      // removed within the range may be vacuumed, and its rows were
-      // superseded anyway
-      case Some(added) => added.distinct.filter(endSet)
+      // appends preceding an in-range change commit ARE delivered
+      // (their rows were live when committed — the skipChangeCommits
+      // contract); a racing vacuum of such a file fails the read
+      // loudly, never silently
+      case Some(added) => added.distinct
       case None =>
+        val endSet = endFiles.toSet
         val startFiles = st.manifestFiles(path, start).toSet
         val removed = startFiles.filterNot(endSet)
         val dvDrift = st.manifestDvs(path, start).toSet !=
@@ -205,8 +244,11 @@ private[sources] final class GraftMicroBatchStream(
           throw changeError(start, end,
             if (removed.nonEmpty) s"${removed.size} file(s) removed"
             else "deletion-vector drift")
-        if (removed.nonEmpty || dvDrift) Seq.empty // skip coarse change
-        else endFiles.filterNot(startFiles)
+        // coarse precision under ignoreChanges: per-commit skip is
+        // impossible without the interior manifests, so deliver the
+        // ADDED files (rewrite outputs may re-deliver carried rows —
+        // the documented ignoreChanges duplicate caveat; never loss)
+        endFiles.filterNot(startFiles)
     }
   }
 

@@ -107,6 +107,55 @@ class GraftStreamSpec extends AnyFunSuite {
       "carried rewrite files must not re-surface")
   }
 
+  test("a merge-on-read snapshot refuses to stream (raw files would " +
+      "resurrect DV-deleted rows)") {
+    val src = fresh("gstream_mor")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.repartition(2), src)
+    st.deleteVersionedMor(src, $"n_nationkey" >= 20, "n_nationkey")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(st.streamVersioned(src), outP, ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("deletion vectors")))
+  }
+
+  test("bounded catch-up steps only across PUBLISHED versions: " +
+      "staged versions are never checkpoint offsets, published " +
+      "stages deliver exactly once") {
+    val src = fresh("gstream_wap_admission")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.filter($"n_nationkey" < 10)
+      .repartition(2), src) // v0 published
+    st.wapStage(nation.filter($"n_nationkey" >= 10 &&
+      $"n_nationkey" < 15), src, "w1") // v1 staged
+    st.wapStage(nation.filter($"n_nationkey" >= 15), src, "w1") // v2
+    st.wapPublish(src, "w1") // v3
+    st.writeVersioned(nation.limit(0), src, append = true) // v4
+    val batches = new AtomicInteger(0)
+    val q = spark.readStream.format("graft-stream")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet()
+        b.write.mode("append").parquet(outP)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // offsets visited: 0, then 3 (1 and 2 are staged — a checkpoint
+    // landing on them would diff the publish out to nothing), then 4
+    val got = spark.read.parquet(outP)
+    assert(got.count() == nation.count(),
+      s"published staged rows lost: ${got.count()}")
+    assert(got.select($"n_nationkey").distinct().count() ==
+      nation.count(), "duplicate delivery across the publish")
+    assert(batches.get() == 2, // v0 batch + v3 batch (v4 empty)
+      s"expected 2 non-empty batches, got ${batches.get()}")
+  }
+
   test("maxVersionsPerTrigger=1 drains one commit per micro-batch") {
     val src = fresh("gstream_admission")
     val outP = src + "_out"; val ckpt = src + "_ckpt"
