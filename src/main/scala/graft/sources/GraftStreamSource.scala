@@ -202,6 +202,19 @@ private[sources] final class GraftMicroBatchStream(
           "deleted rows. Run compactVersioned (REORG) first.")
       return endFiles
     }
+    // the CONSUMER's own position must still resolve: if retention
+    // did not cover its lag, fail with the actionable message (the
+    // generic resolve error reads like corruption)
+    try st.manifestFiles(path, start)
+    catch {
+      case _: IllegalArgumentException =>
+        throw new IllegalStateException(
+          s"graft-stream on $path: checkpointed version $start was " +
+            "vacuumed — table retention must cover consumer lag " +
+            "(vacuum keepLast, or pin a tag/branch at or before the " +
+            "consumer's offset). Restart with a fresh checkpoint to " +
+            "re-read the current snapshot.")
+    }
     val fine =
       try {
         val published = (start + 1 to end).filter(v =>

@@ -156,6 +156,25 @@ class GraftStreamSpec extends AnyFunSuite {
       s"expected 2 non-empty batches, got ${batches.get()}")
   }
 
+  test("a vacuumed checkpoint offset fails with the retention " +
+      "guidance, not a generic resolve error") {
+    val src = fresh("gstream_vacuumed")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.filter($"n_nationkey" < 10)
+      .repartition(2), src)
+    drainTo(st.streamVersioned(src), outP, ckpt) // checkpoint at v0
+    st.writeVersioned(nation.filter($"n_nationkey" >= 10), src,
+      append = true)
+    st.vacuumVersioned(src, keepLast = 1) // retires v0
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(st.streamVersioned(src), outP, ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("retention must cover consumer")))
+  }
+
   test("maxVersionsPerTrigger=1 drains one commit per micro-batch") {
     val src = fresh("gstream_admission")
     val outP = src + "_out"; val ckpt = src + "_ckpt"
