@@ -78,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.TopKAgg(exprs.head, k, smallest)
       }))
     e.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    // merge-on-read catalog reads: rewrite a DV-carrying snapshot's
+    // relation into `scan ⟕̸ broadcast(DV keys)` at resolution —
+    // without this rule the catalog refuses MoR snapshots (loudly)
+    e.injectResolutionRule(s => new sources.MorReadRule(s))
     e.injectOptimizerRule(_ => FoldSelfCosine)
     e.injectOptimizerRule(_ => plans.BinnedIntervalRule)
     e.injectOptimizerRule(_ => plans.MaterializedViewRule)

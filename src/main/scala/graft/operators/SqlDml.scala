@@ -62,6 +62,28 @@ object SqlDml extends QueryModule {
     statusAgg(s, out)
   }
 
+  /** Merge-on-read read-through: two MoR DELETE commits write
+    * O(deleted keys) deletion vectors (no data rewrite), then the
+    * CATALOG SELECT applies them as broadcast anti joins injected at
+    * resolution ([[graft.sources.MorReadRule]]) — the scan side stays
+    * on the V2 manifest-pinned vectorized read, so a 100 TB table
+    * pays only the KB-scale DV broadcast for its deletes.
+    */
+  def sqlReadMor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_read_mor")
+    seed(s, dir, out)
+    val st = GraftStorage(s)
+    st.deleteVersionedMor(out, $"o_orderkey" % 10 === 0, "o_orderkey")
+    st.deleteVersionedMor(out, $"o_orderkey" % 13 === 0, "o_orderkey")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM graft.`$out`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** UPDATE through the group-based copy-on-write path (SET exprs on
     * matching rows, one committed version, snapshot isolation kept).
     */
@@ -495,6 +517,7 @@ object SqlDml extends QueryModule {
   override def queries
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_delete_versioned" -> (sqlDeleteVersioned(_, _)),
+    "sql_read_mor" -> (sqlReadMor(_, _)),
     "sql_update_versioned" -> (sqlUpdateVersioned(_, _)),
     "sql_merge_versioned" -> (sqlMergeVersioned(_, _)),
     "sql_insert_versioned" -> (sqlInsertVersioned(_, _)),
@@ -524,6 +547,13 @@ object SqlDml extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM survivors GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+    // MoR read = the base snapshot minus both modulo delete sets
+    "sql_read_mor" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderkey % 10 <> 0 AND o_orderkey % 13 <> 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // UPDATE = CASE projection of the base snapshot
     "sql_update_versioned" ->
       s"""WITH v1 AS (

@@ -390,8 +390,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   * copy-on-write row-level operations (UPDATE / MERGE / complex
   * DELETE).
   */
-final class GraftVersionedTable(path: String,
-    pinnedVersion: Option[Long] = None) extends Table
+final class GraftVersionedTable(
+    private[graft] val path: String,
+    private[graft] val pinnedVersion: Option[Long] = None,
+    private[graft] val dvApplied: Boolean = false) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsDeleteV2 {
 
@@ -455,13 +457,20 @@ final class GraftVersionedTable(path: String,
       .orElse(Option(options.get("versionAsOf")).map(_.toLong))
       .getOrElse(st.latestVisibleVersion(path))
     // a V2 batch scan is one file relation; DV anti-joins cannot ride
-    // it without silently resurrecting deleted rows (same contract as
-    // the V1 front door)
-    if (st.hasDeletionVectors(path, Some(v)))
+    // it without silently resurrecting deleted rows. With
+    // GraftExtensions registered, [[MorReadRule]] rewrites the
+    // relation into `scan ⟕̸ broadcast(DV keys)` at resolution and
+    // re-loads the table with dvApplied = true — this refusal is the
+    // safety net for sessions running the catalog WITHOUT the
+    // extensions (where no rule can inject the anti-join).
+    if (!dvApplied && st.hasDeletionVectors(path, Some(v)))
       throw new IllegalArgumentException(
         s"catalog read of $path: snapshot carries merge-on-read " +
-          "deletion vectors. Use GraftStorage.readVersioned, the " +
-          "graft_versioned() SQL function, or compactVersioned first.")
+          "deletion vectors and this session lacks GraftExtensions " +
+          "(which applies them as a broadcast anti-join at plan " +
+          "time). Register graft.GraftExtensions, or use " +
+          "GraftStorage.readVersioned / the graft_versioned() SQL " +
+          "function, or compactVersioned first.")
     val parts = st.versionedScanParts(path, v)
     // manifest-rate aggregate fast path: COUNT(*) from R lines,
     // MIN/MAX from zone stats — zero data files opened (the DV

@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.col
+
+/** Makes merge-on-read snapshots readable through the SQL catalog:
+  * an analyzer rule that rewrites every READ of a DV-carrying graft
+  * snapshot from
+  *
+  *   `DataSourceV2Relation(GraftVersionedTable)`
+  *
+  * into
+  *
+  *   `relation LEFT ANTI JOIN broadcast(distinct DV keys)`
+  *
+  * — one anti join per deletion-vector key column, the exact plan
+  * shape `GraftStorage.readVersioned` produces on the V1 path, but
+  * sitting ABOVE the V2 relation so the scan keeps everything the
+  * catalog read path earns: the manifest-pinned file list, plan-time
+  * zone/bloom pruning, vectorized parquet, runtime file filtering,
+  * and key-grouped (SPJ) partitioning. This is the standard lakehouse
+  * move — Delta resolves DV/CDC reads with analyzer plan rewrites the
+  * same way — and it is why the rewrite lives in the ANALYZER, not in
+  * the scan: a V2 batch scan is one file relation and cannot express
+  * a join, while a per-reader row filter would force the whole scan
+  * off the vectorized path.
+  *
+  * Scale shape: a DV is O(deleted keys) by construction (the MoR
+  * write path refuses anything else — `deleteVersionedMor`), so the
+  * build side is broadcast-sized however large the table is; the
+  * 100 TB scan side never re-shuffles. Aggregate pushdown into the
+  * scan is naturally blocked by the join (pre-DV MIN/MAX/COUNT would
+  * be wrong), and the manifest-count fast path independently refuses
+  * DV snapshots ([[GraftStorage.countVersionedFast]]).
+  *
+  * Soundness guards:
+  *   - the rewritten relation re-loads the table PINNED to the
+  *     version whose DVs were read (a racing commit between rule and
+  *     scan cannot mismatch file list vs DV set) and flagged
+  *     `dvApplied` so the rule is idempotent across analyzer passes
+  *     and the scan's no-extensions refusal stands down;
+  *   - only READ positions rewrite: the target relation of
+  *     INSERT / UPDATE / DELETE / MERGE stays raw — appends never
+  *     touch DVs, and the row-level machinery refuses DV snapshots
+  *     itself (a rewrite there would resurrect deleted rows through
+  *     the copy-on-write group scan). MERGE *sources*, INSERT-SELECT
+  *     sources, CTAS sources, and subqueries all rewrite.
+  *
+  * Reference analogue: the reference merges per-part indexes so that
+  * downstream readers see one coherent artifact
+  * (IndexFileMerger.java); here the "index" is the deletion set and
+  * coherence is enforced at plan rewrite instead of file merge.
+  */
+class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // row-level DML targets belong to the row-level machinery (which
+    // refuses DV snapshots loudly); rewrite only their read sides
+    case m: MergeIntoTable =>
+      m.copy(sourceTable = rewriteReads(m.sourceTable))
+    case _: UpdateTable | _: DeleteFromTable => plan
+    case i: InsertIntoStatement =>
+      // the INSERT target must stay a bare relation for
+      // ResolveInsertInto (appends to a MoR table are legal and
+      // DV-neutral); the SELECT side is a plain read
+      i.copy(query = rewriteReads(i.query))
+    case w: V2WriteCommand =>
+      // the query child is the obvious read side; row-level writes
+      // (ReplaceData/WriteDelta) ALSO carry a group-filter subquery
+      // expression on the command node itself that re-reads the
+      // MERGE/DELETE source — rewrite those plans too (the write
+      // TARGET is a NamedRelation field, not an expression, so it
+      // stays raw)
+      w.withNewQuery(rewriteReads(w.query)).transformExpressions {
+        case se: SubqueryExpression if se.plan.resolved =>
+          se.withNewPlan(rewriteReads(se.plan))
+      }
+    case cta: CreateTableAsSelect =>
+      cta.copy(query = rewriteReads(cta.query))
+    case rta: ReplaceTableAsSelect =>
+      rta.copy(query = rewriteReads(rta.query))
+    case c: Command => c
+    case read => rewriteReads(read)
+  }
+
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = plan.transformUp {
+      case rel: DataSourceV2Relation => maybeApplyDvs(rel)
+    }
+    rewritten.transformAllExpressions {
+      case se: SubqueryExpression if se.plan.resolved =>
+        se.withNewPlan(rewriteReads(se.plan))
+    }
+  }
+
+  private def maybeApplyDvs(rel: DataSourceV2Relation): LogicalPlan =
+    rel.table match {
+      case t: GraftVersionedTable if !t.dvApplied =>
+        val st = GraftStorage(session)
+        // the exact version-resolution order of
+        // GraftVersionedTable.newScanBuilder, so the rule and the
+        // scan agree on which snapshot is being read
+        val v = t.pinnedVersion
+          .orElse(Option(rel.options.get("versionAsOf")).map(_.toLong))
+          .getOrElse(st.latestVisibleVersion(t.path))
+        val dvs = st.manifestDvs(t.path, v)
+        if (dvs.isEmpty) rel
+        else {
+          val left = rel.copy(table =
+            new GraftVersionedTable(t.path, Some(v), dvApplied = true))
+          // one anti join per key column, however many MoR commits
+          // piled up on that key (same grouping as the V1 reader)
+          dvs.groupBy(_._1).toSeq.sortBy(_._1)
+            .foldLeft(left: LogicalPlan) {
+              case (acc, (keyCol, entries)) =>
+                val resolver = session.sessionState.analyzer.resolver
+                val leftKey = acc.output
+                  .find(a => resolver(a.name, keyCol))
+                  .getOrElse(throw new IllegalStateException(
+                    s"deletion-vector key column '$keyCol' is not in " +
+                      s"the schema of ${t.path} version $v"))
+                val dvPlan = session.read
+                  .parquet(entries.map(_._2): _*)
+                  .select(col(keyCol)).distinct()
+                  .queryExecution.analyzed
+                // non-null-safe equality: NULL-keyed rows survive by
+                // contract (the MoR write path rejects NULL-keyed
+                // victims), matching the V1 anti join exactly
+                Join(acc, dvPlan, LeftAnti,
+                  Some(EqualTo(leftKey, dvPlan.output.head)),
+                  JoinHint(None,
+                    Some(HintInfo(strategy = Some(BROADCAST)))))
+            }
+        }
+      case _ => rel
+    }
+}

@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, GraftStorage}
+
+/** Merge-on-read snapshots through the SQL catalog: [[MorReadRule]]
+  * rewrites the V2 relation into `scan ⟕̸ broadcast(DV keys)` at
+  * resolution, so catalog SELECTs agree with the V1 reader on every
+  * DV shape — while the scan itself keeps the manifest file list and
+  * its plan-time pruning.
+  */
+class MorReadSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  GraftCatalog.register(spark)
+  private val st = GraftStorage(spark)
+
+  private def fresh(name: String): String = {
+    val out = T.scratch(SF, name)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    out
+  }
+
+  private def seed(name: String, parts: Int = 4): String = {
+    val out = fresh(name)
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(parts, $"o_orderkey"), out)
+    out
+  }
+
+  test("catalog SELECT on a MoR snapshot equals the V1 reader") {
+    val out = seed("mor_select")
+    st.deleteVersionedMor(out, $"o_orderkey" % 7 === 0, "o_orderkey")
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS c, sum(o_orderkey) AS s FROM graft.`$out`").head()
+    val viaApi = st.readVersioned(out)
+      .agg(count(lit(1)), sum($"o_orderkey")).head()
+    assert(viaSql.getLong(0) == viaApi.getLong(0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+    // the plan really is an anti join over the V2 relation — not a
+    // fallback to some other read path
+    val plan = spark.sql(s"SELECT * FROM graft.`$out`")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("deleted rows are gone; survivors intact; NULL keys unaffected") {
+    val out = seed("mor_rows")
+    val before = st.readVersioned(out)
+      .filter($"o_orderkey" < 100).count()
+    st.deleteVersionedMor(out, $"o_orderkey" < 100, "o_orderkey")
+    assert(before > 0)
+    val hits = spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$out` WHERE o_orderkey < 100")
+      .head().getLong(0)
+    assert(hits == 0L)
+    // full-row agreement, not just counts
+    val sqlRows = spark.sql(
+      s"SELECT * FROM graft.`$out` ORDER BY o_orderkey").collect()
+    val apiRows = st.readVersioned(out)
+      .orderBy($"o_orderkey").collect()
+    assert(sqlRows.toSeq == apiRows.toSeq)
+  }
+
+  test("two MoR commits on different key columns stack (two anti joins)") {
+    val out = seed("mor_two_keys")
+    st.deleteVersionedMor(out, $"o_orderkey" % 5 === 0, "o_orderkey")
+    st.deleteVersionedMor(out, $"o_custkey" % 11 === 3, "o_custkey")
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$out`").head().getLong(0)
+    val viaApi = st.readVersioned(out).count()
+    assert(viaSql == viaApi)
+    val plan = spark.sql(s"SELECT * FROM graft.`$out`")
+      .queryExecution.optimizedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("VERSION AS OF: pre-DV snapshot is whole, DV snapshot applies") {
+    val out = seed("mor_travel")
+    val v0 = st.listVersions(out).last
+    val whole = st.readVersioned(out, Some(v0)).count()
+    val v1 = st.deleteVersionedMor(out, $"o_orderkey" % 3 === 0, "o_orderkey")
+    val pre = spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$out` VERSION AS OF $v0")
+      .head().getLong(0)
+    val post = spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$out` VERSION AS OF $v1")
+      .head().getLong(0)
+    assert(pre == whole)
+    assert(post == st.readVersioned(out, Some(v1)).count())
+    assert(post < pre)
+  }
+
+  test("a racing MoR commit between rule and scan cannot skew: the " +
+      "rewritten relation is version-pinned") {
+    val out = seed("mor_pin")
+    st.deleteVersionedMor(out, $"o_orderkey" % 2 === 0, "o_orderkey")
+    val df = spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+    val expect = st.readVersioned(out).count()
+    // commit MORE deletes after analysis but before execution
+    st.deleteVersionedMor(out, $"o_orderkey" % 3 === 0, "o_orderkey")
+    assert(df.head().getLong(0) == expect,
+      "analyzed plan must read the snapshot it resolved, not latest")
+  }
+
+  test("filters still push into the scan below the anti join") {
+    val out = seed("mor_pushdown")
+    st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
+    val df = spark.sql(
+      s"SELECT o_orderkey FROM graft.`$out` WHERE o_orderkey < 100")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(o_orderkey,100)"), plan)
+    assert(df.count() ==
+      st.readVersioned(out).filter($"o_orderkey" < 100).count())
+  }
+
+  test("aggregates are NOT answered from pre-DV metadata") {
+    val out = seed("mor_no_meta_agg")
+    // delete the row holding the global max: a pre-DV MIN/MAX or
+    // R-line COUNT fast path would answer wrong
+    val mx = st.readVersioned(out).agg(max($"o_orderkey")).head().getLong(0)
+    st.deleteVersionedMor(out, $"o_orderkey" === mx, "o_orderkey")
+    val got = spark.sql(
+      s"SELECT count(*) AS c, max(o_orderkey) AS mx FROM graft.`$out`")
+      .head()
+    val want = st.readVersioned(out)
+      .agg(count(lit(1)), max($"o_orderkey")).head()
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1) && got.getLong(1) < mx)
+  }
+
+  test("INSERT INTO a MoR table appends; SELECT side of INSERT-SELECT " +
+      "applies DVs") {
+    val tgt = seed("mor_insert_tgt")
+    val src = seed("mor_insert_src")
+    st.deleteVersionedMor(src, $"o_orderkey" =!= 2L, "o_orderkey")
+    val srcLive = st.readVersioned(src).count()
+    val before = st.readVersioned(tgt).count()
+    spark.sql(s"INSERT INTO graft.`$tgt` SELECT * FROM graft.`$src`")
+    assert(st.readVersioned(tgt).count() == before + srcLive)
+    // and the append is readable back through SQL (target had no DVs)
+    val c = spark.sql(s"SELECT count(*) AS c FROM graft.`$tgt`")
+      .head().getLong(0)
+    assert(c == before + srcLive)
+  }
+
+  test("MERGE with a MoR SOURCE reads the source post-DV") {
+    val tgt = seed("mor_merge_tgt")
+    val src = seed("mor_merge_src")
+    // in the source, delete everything except o_orderkey <= 32
+    st.deleteVersionedMor(src, $"o_orderkey" > 32L, "o_orderkey")
+    val liveSrc = st.readVersioned(src)
+      .select($"o_orderkey").as[Long].collect().toSet
+    spark.sql(
+      s"""MERGE INTO graft.`$tgt` t USING graft.`$src` s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET t.o_orderstatus = 'M'
+         |""".stripMargin)
+    val marked = st.readVersioned(tgt)
+      .filter($"o_orderstatus" === "M")
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(marked == liveSrc,
+      s"MERGE must see the DV-applied source (marked=${marked.size}, " +
+        s"live=${liveSrc.size})")
+  }
+
+  test("self-join of a MoR table: each occurrence applies its own DVs") {
+    val out = seed("mor_self")
+    st.deleteVersionedMor(out, $"o_orderkey" % 2 === 1, "o_orderkey")
+    val n = spark.sql(
+      s"""SELECT count(*) AS c FROM graft.`$out` a
+         |JOIN graft.`$out` b ON a.o_orderkey = b.o_orderkey
+         |""".stripMargin).head().getLong(0)
+    assert(n == st.readVersioned(out).count())
+  }
+
+  test("subquery over a MoR table applies DVs") {
+    val clean = seed("mor_subq_clean")
+    val mor = seed("mor_subq_mor")
+    st.deleteVersionedMor(mor, $"o_orderkey" > 10L, "o_orderkey")
+    val keep = st.readVersioned(mor).count()
+    val n = spark.sql(
+      s"""SELECT count(*) AS c FROM graft.`$clean`
+         |WHERE o_orderkey IN (SELECT o_orderkey FROM graft.`$mor`)
+         |""".stripMargin).head().getLong(0)
+    assert(n == keep)
+  }
+
+  test("CTAS from a MoR table materializes the DV-applied rows") {
+    val src = seed("mor_ctas_src")
+    st.deleteVersionedMor(src, $"o_orderkey" % 4 === 0, "o_orderkey")
+    val dst = fresh("mor_ctas_dst")
+    spark.sql(
+      s"CREATE TABLE graft.`$dst` AS SELECT * FROM graft.`$src`")
+    assert(st.readVersioned(dst).count() == st.readVersioned(src).count())
+    assert(!st.hasDeletionVectors(dst), "the copy must be clean CoW")
+  }
+
+  test("UPDATE on a MoR snapshot still refuses (row-level target " +
+      "is never rewritten)") {
+    val out = seed("mor_update_refuse")
+    st.deleteVersionedMor(out, $"o_orderkey" === 1L, "o_orderkey")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$out` SET o_orderstatus = 'X' " +
+        "WHERE o_orderkey = 2")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("deletion vectors")), e)
+  }
+
+  test("partitioned MoR table reads correctly through the catalog") {
+    val out = fresh("mor_partitioned")
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersionedPartitioned(base, out, Seq("o_orderstatus"))
+    st.deleteVersionedMor(out, $"o_orderkey" % 2 === 0, "o_orderkey")
+    val viaSql = spark.sql(
+      s"SELECT o_orderstatus, count(*) AS c FROM graft.`$out` " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus").collect()
+    val viaApi = st.readVersioned(out)
+      .groupBy($"o_orderstatus").agg(count(lit(1)))
+      .orderBy($"o_orderstatus").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("compaction clears the DVs and the anti join disappears") {
+    val out = seed("mor_compact_clears")
+    st.deleteVersionedMor(out, $"o_orderkey" % 2 === 0, "o_orderkey")
+    val live = st.readVersioned(out).count()
+    st.compactVersioned(out, 2)
+    assert(!st.hasDeletionVectors(out))
+    val df = spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+    assert(df.head().getLong(0) == live)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+  }
+}
