@@ -21,6 +21,7 @@ class StorageFuzzSpec extends AnyFunSuite {
   for (seed <- Seq(1234, 987)) {
   test("30 random versioned operations agree with the in-memory model " +
     s"at every step (seed $seed)") {
+    sources.GraftCatalog.register(spark)
     val st = sources.GraftStorage(spark)
     val out = T.scratch(SF, s"fuzz_versioned_$seed")
     val p = new org.apache.hadoop.fs.Path(out)
@@ -49,11 +50,22 @@ class StorageFuzzSpec extends AnyFunSuite {
       assert(got == cur, s"after $opName: snapshot mismatch")
       assert(st.countVersioned(out) == cur.size,
         s"after $opName: countVersioned mismatch")
+      // the SQL catalog must agree at every step — on MoR-carrying
+      // snapshots this exercises MorReadRule's anti-join rewrite
+      // under arbitrary DV/CoW/compact/restore interleavings
+      val viaSql = spark.sql(s"SELECT k, v FROM graft.`$out`").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSql == cur, s"after $opName: catalog SQL read mismatch")
       // a random historical version must read as it was committed
       val v = rnd.nextInt(history.size)
       val hist = st.readVersioned(out, Some(v.toLong)).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(hist == history(v), s"after $opName: version $v drifted")
+      val histSql = spark.sql(
+        s"SELECT k, v FROM graft.`$out` VERSION AS OF $v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(histSql == history(v),
+        s"after $opName: catalog time travel to $v drifted")
     }
 
     for (step <- 1 to 30) {
