@@ -84,6 +84,41 @@ object SqlDml extends QueryModule {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** SQL DELETE routed to merge-on-read by table property
+    * (`TBLPROPERTIES('delete_mode'='merge-on-read','mor_key'=…)`,
+    * Iceberg's write.delete.mode): each DELETE publishes an
+    * O(deleted keys) deletion vector — zero data files move — and
+    * the final SELECT reads through the MorReadRule anti joins. The
+    * 100 TB delete shape: scattered victims cost KBs of DV, not a
+    * 10k-file rewrite.
+    */
+  def sqlDeleteMor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_delete_mor")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    s.sql(
+      s"""CREATE TABLE graft.`$out`
+         |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+         |USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read',
+         |               'mor_key'='o_orderkey')""".stripMargin)
+    T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .createOrReplaceTempView("sqldml_mor_src")
+    s.sql(s"INSERT INTO graft.`$out` SELECT * FROM sqldml_mor_src")
+    s.sql(s"DELETE FROM graft.`$out` WHERE o_orderkey < 2000")
+    s.sql(s"DELETE FROM graft.`$out` " +
+      "WHERE o_totalprice > 100000.0 AND o_totalprice < 200000.0")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM graft.`$out`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** UPDATE through the group-based copy-on-write path (SET exprs on
     * matching rows, one committed version, snapshot isolation kept).
     */
@@ -518,6 +553,7 @@ object SqlDml extends QueryModule {
       : Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_delete_versioned" -> (sqlDeleteVersioned(_, _)),
     "sql_read_mor" -> (sqlReadMor(_, _)),
+    "sql_delete_mor" -> (sqlDeleteMor(_, _)),
     "sql_update_versioned" -> (sqlUpdateVersioned(_, _)),
     "sql_merge_versioned" -> (sqlMergeVersioned(_, _)),
     "sql_insert_versioned" -> (sqlInsertVersioned(_, _)),
@@ -547,6 +583,14 @@ object SqlDml extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM survivors GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+    // MoR-mode DELETE = base minus both translatable predicates
+    "sql_delete_mor" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE NOT (o_orderkey < 2000)
+         |  AND NOT (o_totalprice > 100000.0 AND o_totalprice < 200000.0)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // MoR read = the base snapshot minus both modulo delete sets
     "sql_read_mor" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

@@ -305,6 +305,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         p, append = false, Seq.empty, Seq.empty, sortCols)
     else
       st.createVersionedPartitioned(p, schema, idCols, sortCols)
+    // TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k'):
+    // route SQL DELETE to the O(deleted keys) deletion-vector commit
+    // instead of copy-on-write — Iceberg's write.delete.mode shape.
+    // mor_key must identify rows uniquely (the deleteVersionedMor /
+    // mergeVersioned key contract); both persist as _props side files.
+    Option(properties.get("delete_mode")).foreach { m =>
+      require(m == "copy-on-write" || m == "merge-on-read",
+        s"delete_mode must be copy-on-write or merge-on-read, got '$m'")
+      require(m == "copy-on-write" ||
+          Option(properties.get("mor_key")).exists(_.nonEmpty),
+        "delete_mode=merge-on-read requires TBLPROPERTIES mor_key " +
+          "(the row-identity column deletion vectors key on)")
+      st.setTableProperty(p, "delete_mode", m)
+    }
+    Option(properties.get("mor_key")).foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"mor_key '$k' is not a column of the table")
+      st.setTableProperty(p, "mor_key", k)
+    }
     new GraftVersionedTable(p)
   }
 
@@ -430,7 +449,8 @@ final class GraftVersionedTable(
       .getOrElse(Seq.empty)
     (Map("path" -> path, "provider" -> "graft") ++
       (if (sorted.nonEmpty) Map("sorted_by" -> sorted.mkString(","))
-       else Map.empty)).asJava
+       else Map.empty) ++
+      st.tablePropertiesOf(path)).asJava
   }
 
   override def properties(): util.Map[String, String] = tableProperties
@@ -512,13 +532,29 @@ final class GraftVersionedTable(
   // deleteVersioned (rewrites only files holding matching rows) —
   // strictly better than the whole-scan group path. Untranslatable
   // conditions (subqueries) stay on the row-level path.
+  /** TBLPROPERTIES('delete_mode'='merge-on-read','mor_key'=k) routes
+    * SQL DELETE to the O(deleted keys) DV commit (Iceberg's
+    * write.delete.mode). Read through its own dir-less lookup each
+    * time: ALTER-free property changes must take effect on the next
+    * DELETE, not the next table reload.
+    */
+  private def morDeleteKey: Option[String] = {
+    val props = st.tablePropertiesOf(path)
+    if (props.get("delete_mode").contains("merge-on-read"))
+      props.get("mor_key")
+    else None
+  }
+
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    // partitioned tables decline the metadata-delete shortcut: its
-    // copy-on-write rewrite writes an unpartitioned layout, which
-    // would silently degrade the storage-partitioned join — the
-    // group-based row-level path below writes key-rolled files
-    st.listVersions(path).lastOption
-      .forall(v => st.partitionSpec(path, v).isEmpty) &&
+    // partitioned tables decline the COPY-ON-WRITE shortcut (its
+    // rewrite writes an unpartitioned layout, which would silently
+    // degrade the storage-partitioned join — the group-based
+    // row-level path below writes key-rolled files); the MoR route
+    // is layout-neutral (a DV commit adds no data files), so a
+    // partitioned table with delete_mode=merge-on-read accepts
+    (morDeleteKey.isDefined ||
+      st.listVersions(path).lastOption
+        .forall(v => st.partitionSpec(path, v).isEmpty)) &&
     predicates.forall(p =>
       V2Bridge.toV1Filter(p).exists(f =>
         GraftFilters.toColumn(f).isDefined))
@@ -528,7 +564,10 @@ final class GraftVersionedTable(
     val cond = predicates.toSeq
       .flatMap(p => V2Bridge.toV1Filter(p).flatMap(GraftFilters.toColumn))
       .reduceOption(_ && _).getOrElse(lit(true))
-    st.deleteVersioned(path, cond)
+    morDeleteKey match {
+      case Some(k) => st.deleteVersionedMor(path, cond, k): Unit
+      case None => st.deleteVersioned(path, cond): Unit
+    }
   }
 
   override def truncateTable(): Boolean = {
@@ -997,11 +1036,17 @@ private[sources] final class GraftRowLevelOperation(
   require(st.listVersions(path).nonEmpty,
     s"no versions committed under $path")
   // merge-on-read snapshots: the raw group scan would resurrect
-  // DV-deleted rows — refuse with guidance (compact applies the DVs)
-  require(!st.hasDeletionVectors(path),
-    s"row-level SQL on $path: snapshot carries merge-on-read " +
-      "deletion vectors; run compactVersioned (REORG APPLY DELETES) " +
-      "first")
+  // DV-deleted rows — refuse with guidance (compact applies the DVs).
+  // Checked at first USE, not construction: Spark builds the
+  // operation eagerly while ANALYZING every DELETE, including ones
+  // the optimizer then routes to the metadata-delete hook (which on
+  // a delete_mode=merge-on-read table is how DVs stack on a
+  // DV-carrying snapshot); only a scan/write actually read raw files.
+  private def requireNoDvs(): Unit =
+    require(!st.hasDeletionVectors(path),
+      s"row-level SQL on $path: snapshot carries merge-on-read " +
+        "deletion vectors; run compactVersioned (REORG APPLY DELETES) " +
+        "first")
   val version: Long = st.listVersions(path).last
   val allFiles: Seq[String] = st.manifestFiles(path, version)
   @volatile var scannedFiles: Seq[String] = allFiles
@@ -1009,10 +1054,13 @@ private[sources] final class GraftRowLevelOperation(
   override def command: RowLevelOperation.Command = cmd
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    requireNoDvs()
     new GraftCowScanBuilder(SparkSession.active, path, this)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireNoDvs()
     val op = this
     new WriteBuilder {
       override def build(): Write = {

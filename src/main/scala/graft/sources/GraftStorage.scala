@@ -1761,6 +1761,59 @@ final case class GraftStorage(
     fs.delete(f, false)
   }
 
+  /** Set (or replace) one table property — a `_props/<name>` side
+    * file, the `_constraints` machinery's shape: root-level `_` dirs
+    * ride clone/vacuum untouched and need no manifest commit (a
+    * property is writer CONFIGURATION, not snapshot state — Iceberg's
+    * `write.delete.mode` contract, which `delete_mode` + `mor_key`
+    * mirror for SQL DELETE routing).
+    */
+  def setTableProperty(path: String, name: String, value: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(name.matches("[A-Za-z0-9_.]+"),
+      s"property name must be [A-Za-z0-9_.]+, got '$name'")
+    val pdir = new Path(new Path(path), "_props")
+    val fs = pdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(pdir)
+    val tmp = new Path(pdir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(pdir, name)
+    if (fs.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    } else if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"failed to set property '$name' at $dst")
+      }
+    }
+  }
+
+  /** Declared table properties: name → value (empty when none). */
+  def tablePropertiesOf(path: String): Map[String, String] = {
+    import org.apache.hadoop.fs.Path
+    val pdir = new Path(new Path(path), "_props")
+    val fs = pdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pdir)) Map.empty
+    else fs.listStatus(pdir).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("."))
+      .map { f =>
+        val in = fs.open(f.getPath)
+        val body = try {
+          val buf = new Array[Byte](f.getLen.toInt)
+          in.readFully(0, buf)
+          new String(buf, "UTF-8")
+        } finally in.close()
+        f.getPath.getName -> body
+      }.toMap
+  }
+
   /** One aggregate pass counting FALSE evaluations per constraint;
     * throws [[ConstraintViolationException]] if any row violates.
     */

@@ -401,12 +401,19 @@ final class RuntimeFilteredParquetScan(
     current.columnarSupportMode()
 
   /** Columns with zone stats on at least one file: per-file pruning
-    * stays conservative for files that lack them.
+    * stays conservative for files that lack them. Restricted to the
+    * PRUNED read schema: PartitionPruning resolves these refs against
+    * the relation's (column-pruned) output and THROWS on a miss, so
+    * advertising a zone column the query never reads would crash any
+    * join over this scan (runtime filters on a pruned-away column
+    * cannot be pushed anyway — no join key maps to it).
     */
-  override def filterAttributes(): Array[NamedReference] =
-    zones.columns.toArray
+  override def filterAttributes(): Array[NamedReference] = {
+    val visible = readSchema().fieldNames.toSet
+    zones.columns.filter(visible).toArray
       .map(org.apache.spark.sql.connector.expressions.FieldReference
         .column(_): NamedReference)
+  }
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions
@@ -709,10 +716,15 @@ final class KeyGroupedParquetScan(
       pf: org.apache.spark.sql.execution.datasources.PartitionedFile)
       : String = pf.toPath.toUri.getPath
 
-  override def filterAttributes(): Array[NamedReference] =
-    zones.columns.toArray
+  // restricted to the pruned read schema — see the unpartitioned
+  // scan's filterAttributes note (PartitionPruning throws on a ref
+  // absent from the relation output)
+  override def filterAttributes(): Array[NamedReference] = {
+    val visible = readSchema().fieldNames.toSet
+    zones.columns.filter(visible).toArray
       .map(org.apache.spark.sql.connector.expressions.FieldReference
         .column(_): NamedReference)
+  }
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions

@@ -232,6 +232,69 @@ class MorReadSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaApi.toSeq)
   }
 
+  test("delete_mode=merge-on-read routes SQL DELETE to a DV commit") {
+    val out = fresh("mor_delete_mode")
+    spark.sql(
+      s"""CREATE TABLE graft.`$out` (k BIGINT, v STRING) USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT id AS k, CAST(id % 5 AS STRING) AS v FROM range(0, 1000)")
+    def dataFiles: Seq[String] =
+      st.manifestFiles(out, st.listVersions(out).last)
+    val filesBefore = dataFiles
+    // source-translatable predicate: the metadata-delete hook routes
+    // it to deleteVersionedMor (an untranslatable shape, e.g. k % 3,
+    // falls to the group-based copy-on-write path — documented)
+    spark.sql(s"DELETE FROM graft.`$out` WHERE k < 334")
+    assert(st.hasDeletionVectors(out),
+      "SQL DELETE must publish a deletion vector, not rewrite files")
+    assert(dataFiles == filesBefore,
+      "MoR delete must carry every data file verbatim")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+      .head().getLong(0) == 666L)
+    // stacked second delete on the same key column: one anti join
+    spark.sql(s"DELETE FROM graft.`$out` WHERE k >= 900")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+      .head().getLong(0) == 566L)
+    val plan = spark.sql(s"SELECT * FROM graft.`$out`")
+      .queryExecution.optimizedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 1,
+      s"same-key DVs must group into ONE anti join:\n$plan")
+  }
+
+  test("delete_mode=merge-on-read on a PARTITIONED table keeps the " +
+      "layout (DELETE is accepted and moves zero files)") {
+    val out = fresh("mor_delete_mode_part")
+    spark.sql(
+      s"""CREATE TABLE graft.`$out` (k BIGINT, st STRING, v DOUBLE)
+         |USING graft PARTITIONED BY (st)
+         |TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT id AS k, CAST(id % 3 AS STRING) AS st, " +
+      "CAST(id AS DOUBLE) AS v FROM range(0, 300)")
+    spark.sql(s"DELETE FROM graft.`$out` WHERE k < 100")
+    assert(st.hasDeletionVectors(out))
+    assert(st.partitionSpec(out, st.listVersions(out).last) == Seq("st"),
+      "partition spec must survive the MoR delete")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+      .head().getLong(0) == 200L)
+  }
+
+  test("delete_mode=merge-on-read without mor_key is refused at CREATE") {
+    val out = fresh("mor_delete_mode_nokey")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE graft.`$out` (k BIGINT) USING graft
+           |TBLPROPERTIES ('delete_mode'='merge-on-read')""".stripMargin)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("mor_key")), e)
+  }
+
   test("compaction clears the DVs and the anti join disappears") {
     val out = seed("mor_compact_clears")
     st.deleteVersionedMor(out, $"o_orderkey" % 2 === 0, "o_orderkey")
