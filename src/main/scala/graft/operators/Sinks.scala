@@ -747,6 +747,38 @@ object Sinks extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** The MERGE-ON-READ upsert (`mergeVersionedMor`): the same merged
+    * state as [[sinkVersionedMerge]], reached as ONE O(delta) commit —
+    * a deletion vector of the upserted keys plus fresh files, zero
+    * pre-existing files rewritten (the CoW variant rewrites every
+    * file holding a matched key). The read applies the DV anti join;
+    * the sequence rule keeps the commit's own rows alive. The 100 TB
+    * CDC-apply shape: write cost tracks the update batch, not the
+    * table.
+    */
+  def sinkVersionedMergeMor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_merge_mor")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.repartitionByRange(8, $"o_orderkey"), out)
+    val updates = base.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", lit("X").as("o_orderstatus"),
+        ($"o_totalprice" * 2).as("o_totalprice"))
+      .union(base.filter($"o_orderkey" % 97 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+    st.mergeVersionedMor(out, updates, "o_orderkey")
+    st.readVersioned(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** CDC over a versioned table: v0 = base orders, v1 = copy-on-write
     * UPDATE (keys < 1000 restatused + repriced), v2 = copy-on-write
     * DELETE (every 50th key). `changesVersioned(0, 2)` reads ONLY the
@@ -959,6 +991,7 @@ object Sinks extends QueryModule {
     "sink_versioned_pruned" -> (sinkVersionedPruned(_, _)),
     "sink_versioned_update" -> (sinkVersionedUpdate(_, _)),
     "sink_versioned_merge" -> (sinkVersionedMerge(_, _)),
+    "sink_versioned_merge_mor" -> (sinkVersionedMergeMor(_, _)),
     "sink_versioned_changes" -> (sinkVersionedChanges(_, _)),
     "sink_versioned_vacuum" -> (sinkVersionedVacuum(_, _)),
     "sink_versioned_zorder" -> (sinkVersionedZorder(_, _)),
@@ -1003,6 +1036,25 @@ object Sinks extends QueryModule {
     // MERGE = the upsert workload through one copy-on-write commit;
     // the merged state is identical to sink_upsert's
     "sink_versioned_merge" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |upd AS (
+         |  SELECT o_orderkey, 'X' AS o_orderstatus,
+         |    o_totalprice * 2 AS o_totalprice
+         |  FROM base WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, 'N', 1.0
+         |  FROM base WHERE o_orderkey % 97 = 0),
+         |merged AS (
+         |  SELECT * FROM upd
+         |  UNION ALL
+         |  SELECT * FROM base
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // MoR MERGE = the identical upsert state (delta commit, DV read)
+    "sink_versioned_merge_mor" ->
       s"""WITH base AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
          |upd AS (

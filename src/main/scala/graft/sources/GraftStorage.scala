@@ -959,7 +959,7 @@ final case class GraftStorage(
       bloomCols: Seq[String], sortedBy: Seq[String],
       txn: Option[(String, Long)]): Long =
     writeVersioned(df, path, append, statsCols, bloomCols, sortedBy,
-      txn, Seq.empty, None)
+      txn, Seq.empty, None, None)
 
   def writeVersioned(df: DataFrame, path: String,
       append: Boolean, statsCols: Seq[String],
@@ -978,7 +978,13 @@ final case class GraftStorage(
         * snapshot built from stale inputs. The residual race after
         * this check loses at the put-if-absent publish, also loudly.
         */
-      requireBase: Option[Long]): Long = {
+      requireBase: Option[Long],
+      /** internal ([[mergeVersionedMor]]): also publish a deletion
+        * vector of this commit's `morKey` values, its `D` lines
+        * placed BEFORE the fresh file lines — by the sequence rule
+        * the commit deletes the keys' OLD copies and keeps its own.
+        */
+      morKey: Option[String]): Long = {
     import org.apache.hadoop.fs.Path
     GraftStorage.requireTxn(txn)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1026,17 +1032,40 @@ final case class GraftStorage(
     val freshFiles = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
+    // MoR upsert: the commit's own keys become a DV over everything
+    // OLDER (D lines precede the fresh file lines — sequence rule)
+    val dvLines: Seq[String] = morKey match {
+      case Some(k) =>
+        val dvDir = new Path(commitDir, "_dv")
+        // keys re-read from the COMMITTED files, not the input plan:
+        // one deterministic pass over exactly what landed
+        spark.read.schema(df.schema).parquet(freshFiles: _*)
+          .select(col(k)).distinct()
+          .write.mode("overwrite").parquet(dvDir.toString)
+        if (!spark.read.parquet(dvDir.toString)
+            .filter(col(k).isNull).isEmpty) {
+          fs.delete(commitDir, true)
+          throw new IllegalArgumentException(
+            s"mergeVersionedMor: updates carry a NULL '$k' — a " +
+              "key-based deletion vector cannot delete the old copy; " +
+              "route NULL-keyed rows through mergeVersioned")
+        }
+        fs.listStatus(dvDir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"D\t$k\t${f.getPath.toUri.getPath}")
+      case None => Seq.empty
+    }
     val order = GraftStorage.oLine(sortedBy, append,
       if (append) sortSpec(path, n - 1) else Seq.empty)
-    val fresh = freshFiles ++ stats ++ blooms ++ order ++
+    val fresh = dvLines ++ freshFiles ++ stats ++ blooms ++ order ++
       txn.map(t => s"T\t${t._1}\t${t._2}").toSeq ++ carryLines ++
       rowCountLines(freshFiles) ++ Seq(s"H\t${df.schema.json}")
     // append inherits the RAW prior entries via a LOG-STRUCTURED
     // delta (O(delta) metadata written per commit): deletion vectors
-    // keep applying to the files they were committed against.
-    // (Key-based DV contract: an appended row must not REUSE a
-    // deleted key — materialize via compactVersioned before
-    // re-inserting keys.) The delta DROPS the prior O line (fresh
+    // keep applying to the files they were committed against —
+    // and ONLY those: the appended file lines land AFTER every prior
+    // D line, so by the sequence rule (manifestFilesDvs) a re-inserted
+    // key survives earlier deletes. The delta DROPS the prior O line (fresh
     // re-declares it when upheld) and this app's prior txn marker (a
     // txn commit REPLACES it — one T line per appId, so manifests
     // stay O(apps), not O(batches)).
@@ -1588,7 +1617,7 @@ final case class GraftStorage(
     // nor discardable) — the loser must fail loudly instead
     writeVersioned(df, path, append = true, statsCols, bloomCols,
       Seq.empty, None, carryLines = Seq(s"W\t$wapId"),
-      requireBase = Some(vs0.last))
+      requireBase = Some(vs0.last), morKey = None)
   }
 
   /** Publish the staged commits: one METADATA-ONLY commit whose
@@ -2272,6 +2301,35 @@ final case class GraftStorage(
         (parts(1), parts(2))
     }
 
+  /** Ordered view of one version's data files and deletion vectors:
+    * each file paired with the count of `D` lines ABOVE it in the
+    * resolved manifest. POSITION IS THE SEQUENCE NUMBER — a DV
+    * deletes keys only from files that appear BEFORE it (Iceberg's
+    * equality-delete sequence rule, expressed by line order): append
+    * commits land their file lines after every prior `D` line, so a
+    * re-inserted key SURVIVES earlier deletes; a MoR upsert commit
+    * writes its `D` lines before its fresh file lines, so the upsert
+    * deletes the old copies and keeps its own. Line order survives
+    * the whole manifest algebra — delta replay appends, checkpoints
+    * materialize the resolved order, restore/clone republish it, and
+    * `X` drops remove lines without reordering survivors.
+    */
+  private[sources] def manifestFilesDvs(path: String, version: Long)
+      : (Seq[(String, Int)], Seq[(String, String)]) = {
+    var dvSeen = 0
+    val files = Seq.newBuilder[(String, Int)]
+    val dvs = Seq.newBuilder[(String, String)]
+    manifestEntries(path, version).foreach {
+      case e if e.startsWith("D\t") =>
+        val parts = e.split('\t')
+        dvs += ((parts(1), parts(2)))
+        dvSeen += 1
+      case e if !e.contains('\t') => files += ((e, dvSeen))
+      case _ => ()
+    }
+    (files.result(), dvs.result())
+  }
+
   /** `_zonemap` stats directories a version's manifest references
     * (`S` lines — one per stats-bearing commit).
     */
@@ -2377,7 +2435,7 @@ final case class GraftStorage(
         if (sortCols.isEmpty) cur.coalesce(targetFiles)
         else cur.repartitionByRange(targetFiles, sortCols.map(col): _*)
       writeVersioned(clustered, path, append = false, sc, bc, sortCols,
-        None, tLines, lastV)
+        None, tLines, lastV, None)
     }
   }
 
@@ -2701,6 +2759,46 @@ final case class GraftStorage(
     publishManifestDelta(fs, dir, n, Seq.empty,
       dvFiles.map(f => s"D\t$keyCol\t$f"), Some(commitDir))
     n
+  }
+
+  /** MERGE-ON-READ upsert — MERGE at O(delta) write cost: ONE commit
+    * holding a deletion vector of the upserted keys plus the fresh
+    * rows as new data files, the `D` lines placed before the file
+    * lines so the sequence rule ([[manifestFilesDvs]]) deletes
+    * exactly the keys' OLD copies and keeps the commit's own. Zero
+    * existing files move — where [[mergeVersioned]] rewrites every
+    * file holding a matched key (copy-on-write), this writes
+    * O(|updates|) bytes however scattered the matches are: the
+    * 100 TB CDC-apply shape (Iceberg's equality-delete upsert).
+    * The read tax is the standard DV anti join (readVersioned /
+    * MorReadRule), cleared by compactVersioned; MoR upserts stack —
+    * each generation's rows survive later generations' deletes only
+    * if their keys differ. `key` must identify rows uniquely and be
+    * non-null on every updates row (NULL-keyed rows are rejected
+    * loudly). Partitioned tables are refused: fresh rows would land
+    * outside the identity layout — use [[mergeVersioned]] there.
+    * `txn` gives streaming upsert sinks the same exactly-once marker
+    * as the append sinks.
+    */
+  def mergeVersionedMor(path: String, updates: DataFrame, key: String,
+      txn: Option[(String, Long)] = None): Long = {
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    require(partitionSpec(path, vs.last).isEmpty,
+      s"mergeVersionedMor on $path: the table is partitioned — " +
+        "fresh rows would land outside the identity layout; use " +
+        "mergeVersioned (copy-on-write) instead")
+    val cols = readVersioned(path, Some(vs.last)).columns
+    require(cols.toSet == updates.columns.toSet,
+      s"merge schema mismatch: table ${cols.toSeq} vs " +
+        s"updates ${updates.columns.toSeq}")
+    require(cols.contains(key), s"key '$key' is not a column")
+    // stats/bloom coverage carries: the fresh files index like any
+    // append so pruned reads keep skipping after the upsert
+    val (sc, bc) = priorSidecarCoverage(path)
+    writeVersioned(updates.select(cols.map(col).toIndexedSeq: _*),
+      path, append = true, sc, bc, Seq.empty, txn, Seq.empty, None,
+      morKey = Some(key))
   }
 
   /** Row-level UPDATE, same copy-on-write machinery as
@@ -3228,11 +3326,33 @@ final case class GraftStorage(
     // DVs are O(deleted keys) so the build sides stay broadcast-sized
     // by construction; grouped per key column so a table deleted on
     // one key pays ONE anti join however many MoR commits piled up.
-    manifestDvs(path, v).groupBy(_._1).foldLeft(base) {
-      case (df, (keyCol, entries)) =>
-        df.join(broadcast(
-          spark.read.parquet(entries.map(_._2): _*).distinct()),
-          Seq(keyCol), "left_anti")
+    // SEQUENCE-SCOPED (manifest line order): a DV applies only to
+    // files listed ABOVE it — appends after a delete resurrect their
+    // keys, and a MoR upsert's fresh rows survive its own delete.
+    val (orderedFiles, dvs) = manifestFilesDvs(path, v)
+    def applyDvs(df: DataFrame, which: Seq[(String, String)]): DataFrame =
+      which.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(df) {
+        case (d, (keyCol, entries)) =>
+          d.join(broadcast(
+            spark.read.parquet(entries.map(_._2): _*).distinct()),
+            Seq(keyCol), "left_anti")
+      }
+    if (dvs.isEmpty) base
+    else if (orderedFiles.forall(_._2 == 0) || files.isEmpty)
+      // every file precedes every DV (pure-delete history) — one
+      // segment, exactly the single-scan plan as before
+      applyDvs(base, dvs)
+    else {
+      // mixed generations: group files by how many DVs precede them;
+      // each group anti-joins only the DVs that came AFTER it. Group
+      // count is O(MoR generations) — compaction folds them away.
+      // Reads pin one schema so segment unions cannot drift.
+      val schema = mergedManifestSchema(path, v).getOrElse(base.schema)
+      orderedFiles.groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (g, fsG) =>
+          applyDvs(spark.read.schema(schema).options(readerOptions)
+            .parquet(fsG.map(_._1): _*), dvs.drop(g))
+      }.reduce(_ unionByName _)
     }
   }
 
@@ -3447,7 +3567,7 @@ final case class GraftStorage(
       append = false, (sc ++ zcols).distinct.sorted, bc,
       // a z-order rewrite breaks any declared row order — drop O,
       // but keep the streaming txn markers alive
-      Seq.empty, None, tLines, base)
+      Seq.empty, None, tLines, base, None)
   }
 
   /** MULTI-dimension clustered write — the Z-ORDER analogue of

@@ -159,7 +159,7 @@ final class IncrementalMv private (spark: SparkSession) {
       .filterNot(_.startsWith(s"T\t$app\t"))).getOrElse(Seq.empty)
     st.writeVersioned(canonicalize(fresh), mvPath, append = false,
       Seq.empty, Seq.empty, Seq.empty, txn = Some(app -> srcV),
-      carryLines = carried, requireBase = mvBase)
+      carryLines = carried, requireBase = mvBase, morKey = None)
   }
 }
 

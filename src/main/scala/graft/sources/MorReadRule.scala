@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.LeftAnti
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -108,8 +108,27 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         val v = t.pinnedVersion
           .orElse(Option(rel.options.get("versionAsOf")).map(_.toLong))
           .getOrElse(st.latestVisibleVersion(t.path))
-        val dvs = st.manifestDvs(t.path, v)
+        val (orderedFiles, dvs) = st.manifestFilesDvs(t.path, v)
         if (dvs.isEmpty) rel
+        else if (orderedFiles.exists(_._2 > 0)) {
+          // mixed DV generations (files committed AFTER a delete, or
+          // MoR upserts): the sequence-scoped read needs per-segment
+          // anti joins over file SUBSETS, which one V2 relation
+          // cannot express — plan through the V1 reader and graft its
+          // output onto the relation's attribute ids so parents
+          // resolve unchanged. Compaction folds the generations away
+          // and restores the single-relation V2 plan.
+          val inner = st.readVersioned(t.path, Some(v))
+            .queryExecution.analyzed
+          val byName = inner.output.map(a => a.name -> a).toMap
+          Project(rel.output.map { o =>
+            val a = byName.getOrElse(o.name,
+              throw new IllegalStateException(
+                s"column '${o.name}' missing from the MoR read of " +
+                  s"${t.path} version $v"))
+            Alias(a, o.name)(exprId = o.exprId)
+          }, inner)
+        }
         else {
           val left = rel.copy(table =
             new GraftVersionedTable(t.path, Some(v), dvApplied = true))

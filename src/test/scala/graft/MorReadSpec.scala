@@ -295,6 +295,125 @@ class MorReadSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("mor_key")), e)
   }
 
+  // ---- sequence-scoped DVs (Iceberg equality-delete rule) ----
+
+  test("a key re-inserted AFTER a MoR delete survives: DVs apply only " +
+      "to files committed before them") {
+    val out = fresh("mor_seq_reinsert")
+    st.writeVersioned(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), out)
+    st.deleteVersionedMor(out, $"k" === 2L, "k")
+    assert(st.readVersioned(out).count() == 2)
+    // re-insert the deleted key in a LATER commit
+    st.writeVersioned(Seq((2L, "b2")).toDF("k", "v"), out, append = true)
+    val got = st.readVersioned(out).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")),
+      s"the re-inserted key must survive the earlier DV: $got")
+    // and the SQL catalog (multi-generation fallback plan) agrees
+    val viaSql = spark.sql(
+      s"SELECT k, v FROM graft.`$out` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql == got)
+    // a SECOND MoR delete still kills both old and re-inserted copies
+    st.deleteVersionedMor(out, $"k" === 2L, "k")
+    assert(st.readVersioned(out).count() == 2)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+      .head().getLong(0) == 2)
+  }
+
+  test("mergeVersionedMor: upsert as one DV+files commit, zero data " +
+      "files moved") {
+    val out = fresh("mor_merge_upsert")
+    st.writeVersioned(
+      spark.range(0, 100).select($"id".as("k"),
+        concat(lit("old"), $"id".cast("string")).as("v"))
+        .repartition(4), out)
+    val filesBefore = st.manifestFiles(out, st.listVersions(out).last)
+    // update half the keys + insert new ones
+    val updates = spark.range(0, 50).select($"id".as("k"),
+      lit("upd").as("v"))
+      .union(spark.range(100, 120).select($"id".as("k"),
+        lit("new").as("v")))
+    st.mergeVersionedMor(out, updates, "k")
+    val after = st.manifestFiles(out, st.listVersions(out).last)
+    assert(filesBefore.forall(after.contains),
+      "every pre-merge data file must carry verbatim")
+    val got = st.readVersioned(out)
+    assert(got.count() == 120)
+    assert(got.filter($"v" === "upd").count() == 50)
+    assert(got.filter($"v" === "new").count() == 20)
+    assert(got.filter($"v".startsWith("old")).count() == 50)
+    // equals the copy-on-write MERGE of the same inputs
+    val cow = fresh("mor_merge_upsert_cow")
+    st.writeVersioned(
+      spark.range(0, 100).select($"id".as("k"),
+        concat(lit("old"), $"id".cast("string")).as("v"))
+        .repartition(4), cow)
+    st.mergeVersioned(cow, updates, "k")
+    assert(st.readVersioned(out).orderBy($"k").collect().toSeq ==
+      st.readVersioned(cow).orderBy($"k").collect().toSeq)
+  }
+
+  test("stacked MoR upserts: later generations win, SQL agrees, " +
+      "compaction folds them away") {
+    val out = fresh("mor_merge_stack")
+    st.writeVersioned(
+      spark.range(0, 30).select($"id".as("k"), lit(0L).as("gen")), out)
+    st.mergeVersionedMor(out,
+      spark.range(10, 40).select($"id".as("k"), lit(1L).as("gen")), "k")
+    st.mergeVersionedMor(out,
+      spark.range(20, 50).select($"id".as("k"), lit(2L).as("gen")), "k")
+    def expectGen(k: Long): Long =
+      if (k >= 20) 2L else if (k >= 10) 1L else 0L
+    val got = st.readVersioned(out).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 50L).map(k => (k, expectGen(k))))
+    val viaSql = spark.sql(s"SELECT k, gen FROM graft.`$out` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == got)
+    // time travel: the middle generation reads as committed
+    val v1 = st.listVersions(out)(1)
+    assert(st.readVersioned(out, Some(v1)).count() == 40)
+    st.compactVersioned(out, 2)
+    assert(!st.hasDeletionVectors(out))
+    assert(st.readVersioned(out).orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == got)
+  }
+
+  test("mergeVersionedMor refuses NULL keys and partitioned tables") {
+    val out = fresh("mor_merge_refuse")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
+    val e1 = intercept[IllegalArgumentException] {
+      st.mergeVersionedMor(out,
+        Seq((Option.empty[Long], "x")).toDF("k", "v"), "k")
+    }
+    assert(e1.getMessage.contains("NULL"), e1.getMessage)
+    // the refused commit must leave no trace
+    assert(st.listVersions(out).size == 1)
+    assert(st.readVersioned(out).count() == 1)
+    val part = fresh("mor_merge_refuse_part")
+    st.writeVersionedPartitioned(
+      Seq((1L, "x", 1.0)).toDF("k", "st", "v"), part, Seq("st"))
+    val e2 = intercept[IllegalArgumentException] {
+      st.mergeVersionedMor(part, Seq((1L, "x", 2.0)).toDF("k", "st", "v"), "k")
+    }
+    assert(e2.getMessage.contains("partitioned"), e2.getMessage)
+  }
+
+  test("CDC across a MoR upsert commit diffs the snapshots exactly") {
+    val out = fresh("mor_merge_cdc")
+    st.writeVersioned(
+      spark.range(0, 10).select($"id".as("k"), lit("a").as("v")), out)
+    val v0 = st.listVersions(out).last
+    val v1 = st.mergeVersionedMor(out,
+      Seq((3L, "b"), (42L, "b")).toDF("k", "v"), "k")
+    val ch = st.changesVersioned(out, v0, v1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(ch == Set((3L, "a", "delete"), (3L, "b", "insert"),
+      (42L, "b", "insert")), ch)
+  }
+
   test("compaction clears the DVs and the anti join disappears") {
     val out = seed("mor_compact_clears")
     st.deleteVersionedMor(out, $"o_orderkey" % 2 === 0, "o_orderkey")

@@ -71,7 +71,7 @@ class StorageFuzzSpec extends AnyFunSuite {
     for (step <- 1 to 30) {
       // a fully emptied table can only grow back (the file-wise ops
       // need at least one data file to read)
-      val op = if (cur.isEmpty) 0 else rnd.nextInt(7)
+      val op = if (cur.isEmpty) 0 else rnd.nextInt(9)
       val name = op match {
         case 0 => // append fresh keys
           val b = freshBatch(1 + rnd.nextInt(10))
@@ -84,7 +84,7 @@ class StorageFuzzSpec extends AnyFunSuite {
           st.deleteVersioned(out, $"k" % m === r)
           cur = cur.filter { case (k, _) => k % m != r }
           "deleteCow"
-        case 2 => // MoR delete (key-based DV); keys never reused
+        case 2 => // MoR delete (key-based DV)
           val m = 2 + rnd.nextInt(5)
           val r = rnd.nextInt(m)
           st.deleteVersionedMor(out, $"k" % m === r, "k")
@@ -117,6 +117,29 @@ class StorageFuzzSpec extends AnyFunSuite {
           st.restoreVersioned(out, v.toLong)
           cur = history(v)
           "restore"
+        case 7 => // MoR upsert: DV+files commit (sequence-scoped)
+          val upd = cur.keys.toSeq.sorted.takeRight(cur.size / 3)
+            .map(k => k -> rnd.nextLong(1000)).toMap
+          val ins = freshBatch(1 + rnd.nextInt(4))
+          if ((upd ++ ins).nonEmpty) {
+            st.mergeVersionedMor(out, df(upd ++ ins), "k")
+            cur = cur ++ upd ++ ins
+          } else st.writeVersioned(df(cur), out)
+          "mergeMor"
+        case 8 => // RE-INSERT keys a past delete removed: the
+          // sequence rule must let them survive the old DVs
+          val gone = history.flatMap(_.keys).distinct
+            .filterNot(cur.contains).take(3)
+          if (gone.isEmpty) {
+            val b = freshBatch(1 + rnd.nextInt(4))
+            st.writeVersioned(df(b), out, append = true)
+            cur = cur ++ b
+          } else {
+            val back = gone.map(k => k -> rnd.nextLong(1000)).toMap
+            st.writeVersioned(df(back), out, append = true)
+            cur = cur ++ back
+          }
+          "reinsert"
       }
       // compact/MoR-materialize may publish intermediate versions;
       // resync the model history to the actual version list
