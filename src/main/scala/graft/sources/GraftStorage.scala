@@ -2801,6 +2801,24 @@ final case class GraftStorage(
       morKey = Some(key))
   }
 
+  /** Row-level UPDATE as a MERGE-ON-READ commit: the matching rows,
+    * with `set` applied, upsert through [[mergeVersionedMor]] — one
+    * O(matched rows) commit (DV of their keys + their new copies),
+    * zero files rewritten, where [[updateVersioned]] rewrites every
+    * file holding a match. Non-matching rows live untouched in their
+    * original files and are not in the DV, so they survive — the
+    * sequence rule keeps the fresh copies alive. Same key contract
+    * as the MoR family (unique, non-null on matches).
+    */
+  def updateVersionedMor(path: String, predicate: Column,
+      set: Map[String, Column], key: String): Long = {
+    val cur = readVersioned(path)
+    val updated = cur.filter(predicate).select(cur.columns.map { c =>
+      set.get(c).map(e => e.as(c)).getOrElse(col(c))
+    }.toIndexedSeq: _*)
+    mergeVersionedMor(path, updated, key)
+  }
+
   /** Row-level UPDATE, same copy-on-write machinery as
     * [[deleteVersioned]]: files containing matching rows are
     * rewritten with `set` applied to the matching rows and the rest

@@ -400,6 +400,30 @@ class MorReadSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partitioned"), e2.getMessage)
   }
 
+  test("updateVersionedMor equals the copy-on-write UPDATE, moving " +
+      "zero files") {
+    val mor = fresh("mor_update_api")
+    val cow = fresh("mor_update_api_cow")
+    val mk = spark.range(0, 200).select($"id".as("k"),
+      ($"id" % 7).as("v"))
+    Seq(mor, cow).foreach(p =>
+      st.writeVersioned(mk.repartition(4), p))
+    val filesBefore = st.manifestFiles(mor, st.listVersions(mor).last)
+    st.updateVersionedMor(mor, $"k" % 3 === 0,
+      Map("v" -> (col("v") + 100L)), "k")
+    st.updateVersioned(cow, $"k" % 3 === 0,
+      Map("v" -> (col("v") + 100L)))
+    assert(st.manifestFiles(mor, st.listVersions(mor).last)
+      .take(filesBefore.size) == filesBefore,
+      "MoR update must carry every pre-update file verbatim")
+    assert(st.readVersioned(mor).orderBy($"k").collect().toSeq ==
+      st.readVersioned(cow).orderBy($"k").collect().toSeq)
+    // SQL catalog read of the mixed-generation snapshot agrees too
+    assert(spark.sql(s"SELECT k, v FROM graft.`$mor` ORDER BY k")
+      .collect().toSeq ==
+      st.readVersioned(cow).orderBy($"k").collect().toSeq)
+  }
+
   test("CDC across a MoR upsert commit diffs the snapshots exactly") {
     val out = fresh("mor_merge_cdc")
     st.writeVersioned(
