@@ -299,31 +299,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       Option(properties.get("sorted_by")).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     GraftStorage.requireSortCols(schema, sortCols)
+    // TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k'):
+    // route SQL DELETE to the O(deleted keys) deletion-vector commit
+    // instead of copy-on-write — Iceberg's write.delete.mode shape.
+    // mor_key must identify rows uniquely (the deleteVersionedMor /
+    // mergeVersioned key contract); both persist as _props side
+    // files. VALIDATED BEFORE the v0 commit like every other CREATE
+    // check: a refused CREATE must not leave a half-created table
+    // that blocks the corrected retry with TableAlreadyExists.
+    val deleteMode = Option(properties.get("delete_mode"))
+    val morKeyProp = Option(properties.get("mor_key"))
+    deleteMode.foreach { m =>
+      require(m == "copy-on-write" || m == "merge-on-read",
+        s"delete_mode must be copy-on-write or merge-on-read, got '$m'")
+      require(m == "copy-on-write" || morKeyProp.exists(_.nonEmpty),
+        "delete_mode=merge-on-read requires TBLPROPERTIES mor_key " +
+          "(the row-identity column deletion vectors key on)")
+    }
+    morKeyProp.foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"mor_key '$k' is not a column of the table")
+    }
     if (idCols.isEmpty)
       st.writeVersioned(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
         p, append = false, Seq.empty, Seq.empty, sortCols)
     else
       st.createVersionedPartitioned(p, schema, idCols, sortCols)
-    // TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k'):
-    // route SQL DELETE to the O(deleted keys) deletion-vector commit
-    // instead of copy-on-write — Iceberg's write.delete.mode shape.
-    // mor_key must identify rows uniquely (the deleteVersionedMor /
-    // mergeVersioned key contract); both persist as _props side files.
-    Option(properties.get("delete_mode")).foreach { m =>
-      require(m == "copy-on-write" || m == "merge-on-read",
-        s"delete_mode must be copy-on-write or merge-on-read, got '$m'")
-      require(m == "copy-on-write" ||
-          Option(properties.get("mor_key")).exists(_.nonEmpty),
-        "delete_mode=merge-on-read requires TBLPROPERTIES mor_key " +
-          "(the row-identity column deletion vectors key on)")
-      st.setTableProperty(p, "delete_mode", m)
-    }
-    Option(properties.get("mor_key")).foreach { k =>
-      require(schema.fieldNames.contains(k),
-        s"mor_key '$k' is not a column of the table")
-      st.setTableProperty(p, "mor_key", k)
-    }
+    deleteMode.foreach(m => st.setTableProperty(p, "delete_mode", m))
+    morKeyProp.foreach(k => st.setTableProperty(p, "mor_key", k))
     new GraftVersionedTable(p)
   }
 
@@ -565,7 +569,17 @@ final class GraftVersionedTable(
       .flatMap(p => V2Bridge.toV1Filter(p).flatMap(GraftFilters.toColumn))
       .reduceOption(_ && _).getOrElse(lit(true))
     morDeleteKey match {
-      case Some(k) => st.deleteVersionedMor(path, cond, k): Unit
+      case Some(k) =>
+        try st.deleteVersionedMor(path, cond, k): Unit
+        catch {
+          // a DV over the broadcast ceiling would tax every read
+          // more than one rewrite costs — fall back to copy-on-write
+          // (on a partitioned table the rewrite drops the identity
+          // layout, the documented maintenance-rewrite tradeoff; a
+          // delete this broad is compaction-scale work regardless)
+          case _: DvTooLargeException =>
+            st.deleteVersioned(path, cond): Unit
+        }
       case None => st.deleteVersioned(path, cond): Unit
     }
   }

@@ -1050,9 +1050,12 @@ final case class GraftStorage(
               "key-based deletion vector cannot delete the old copy; " +
               "route NULL-keyed rows through mergeVersioned")
         }
-        fs.listStatus(dvDir).toSeq
+        val dvStatus = fs.listStatus(dvDir).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"D\t$k\t${f.getPath.toUri.getPath}")
+        requireDvSmall(dvStatus.map(_.getLen).sum,
+          { fs.delete(commitDir, true); () },
+          "mergeVersionedMor", "mergeVersioned (copy-on-write)")
+        dvStatus.map(f => s"D\t$k\t${f.getPath.toUri.getPath}")
       case None => Seq.empty
     }
     val order = GraftStorage.oLine(sortedBy, append,
@@ -2751,14 +2754,39 @@ final case class GraftStorage(
           "key-based deletion vector cannot express them; use the " +
           "copy-on-write deleteVersioned for NULL-keyed victims")
     }
-    val dvFiles = fs.listStatus(commitDir).toSeq
+    val dvStatus = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath)
+    requireDvSmall(dvStatus.map(_.getLen).sum,
+      { fs.delete(commitDir, true); () },
+      "deleteVersionedMor", "deleteVersioned (copy-on-write)")
+    val dvFiles = dvStatus.map(_.getPath.toUri.getPath)
     // a MoR delete is the purest delta commit: inherit everything,
     // add only the DV lines — O(deleted keys) metadata AND data
     publishManifestDelta(fs, dir, n, Seq.empty,
       dvFiles.map(f => s"D\t$keyCol\t$f"), Some(commitDir))
     n
+  }
+
+  /** Guard the 'DVs are broadcast-sized by construction' invariant
+    * every MoR read plan relies on: a deletion vector over the
+    * `spark.graft.mor.maxDvBytes` ceiling (default 64 MB) would make
+    * EVERY subsequent read broadcast it — refuse at write time (the
+    * cleanup thunk removes the staged commit first) and point at the
+    * copy-on-write route, which is the right plan for deletes/upserts
+    * that big anyway.
+    */
+  private def requireDvSmall(dvBytes: Long, cleanup: => Unit,
+      what: String, alt: String): Unit = {
+    val max = spark.conf.getOption("spark.graft.mor.maxDvBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (dvBytes > max) {
+      cleanup
+      throw new DvTooLargeException(dvBytes, max,
+        s"$what: the deletion vector is $dvBytes bytes, over the " +
+          s"spark.graft.mor.maxDvBytes ceiling of $max — every read " +
+          s"would broadcast it; use $alt for changes this large " +
+          "(or raise the ceiling)")
+    }
   }
 
   /** MERGE-ON-READ upsert — MERGE at O(delta) write cost: ONE commit
@@ -2812,6 +2840,14 @@ final case class GraftStorage(
     */
   def updateVersionedMor(path: String, predicate: Column,
       set: Map[String, Column], key: String): Long = {
+    // rewriting the key would build the DV from POST-update values:
+    // it would delete an unrelated row that already held the new key
+    // and leave the matched row's old copy alive — silent corruption,
+    // so refuse (key changes are a delete+insert, or CoW update)
+    require(!set.keys.exists(_.equalsIgnoreCase(key)),
+      s"updateVersionedMor cannot SET the key column '$key': the " +
+        "deletion vector must target the OLD key values; use " +
+        "updateVersioned (copy-on-write) to rewrite keys")
     val cur = readVersioned(path)
     val updated = cur.filter(predicate).select(cur.columns.map { c =>
       set.get(c).map(e => e.as(c)).getOrElse(col(c))
@@ -4593,6 +4629,14 @@ object GraftStorage {
   */
 final class ConstraintViolationException(val counts: Map[String, Long],
     msg: String) extends IllegalStateException(msg)
+
+/** A merge-on-read commit's deletion vector exceeded
+  * `spark.graft.mor.maxDvBytes`: every subsequent read would
+  * broadcast it, so the writer refuses instead (typed so the SQL
+  * DELETE route can fall back to copy-on-write).
+  */
+final class DvTooLargeException(val dvBytes: Long, val maxBytes: Long,
+    msg: String) extends IllegalArgumentException(msg)
 
 sealed trait WriteOption
 /** K1: spec-valid single file (coalesce-1 commit). */

@@ -164,11 +164,12 @@ private[sources] final class GraftMicroBatchStream(
   }
 
   // Pre-existing STABLE deletion vectors (no drift in the range) are
-  // sound to stream across: graft DVs are key-based with the
-  // appended-rows-never-reuse-deleted-keys contract, so a range's
-  // added files contain no DV-affected rows. Only DV DRIFT (a
-  // delete inside the range) and MoR INITIAL snapshots need the
-  // loud path.
+  // sound to stream across: by the sequence rule
+  // (GraftStorage.manifestFilesDvs) a DV deletes only from files
+  // committed BEFORE it, so every file a later append adds is live
+  // in full — including rows that re-use a previously deleted key.
+  // Only DV DRIFT (a delete/upsert inside the range) and MoR INITIAL
+  // snapshots need the loud path.
   private def changeError(start: Long, end: Long, what: String) =
     new IllegalStateException(
       s"graft-stream on $path: versions ($start, $end] contain a " +

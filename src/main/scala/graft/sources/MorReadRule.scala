@@ -100,7 +100,8 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def maybeApplyDvs(rel: DataSourceV2Relation): LogicalPlan =
     rel.table match {
-      case t: GraftVersionedTable if !t.dvApplied =>
+      case t: GraftVersionedTable if !t.dvApplied &&
+          rel.getTagValue(MorReadRule.NoDvsTag).isEmpty =>
         val st = GraftStorage(session)
         // the exact version-resolution order of
         // GraftVersionedTable.newScanBuilder, so the rule and the
@@ -109,7 +110,15 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
           .orElse(Option(rel.options.get("versionAsOf")).map(_.toLong))
           .getOrElse(st.latestVisibleVersion(t.path))
         val (orderedFiles, dvs) = st.manifestFilesDvs(t.path, v)
-        if (dvs.isEmpty) rel
+        if (dvs.isEmpty) {
+          // tag THIS plan instance so later analyzer fixpoint
+          // iterations skip the version/manifest metadata round-trips
+          // — per-instance, so a fresh query (fresh relation node)
+          // always re-resolves and a racing MoR commit is never
+          // masked by a stale cache
+          rel.setTagValue(MorReadRule.NoDvsTag, ())
+          rel
+        }
         else if (orderedFiles.exists(_._2 > 0)) {
           // mixed DV generations (files committed AFTER a delete, or
           // MoR upserts): the sequence-scoped read needs per-segment
@@ -158,4 +167,14 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => rel
     }
+}
+
+object MorReadRule {
+  /** Plan-instance marker: this relation was examined and its
+    * snapshot carries no DVs — skip re-resolving on later analyzer
+    * fixpoint iterations (tags don't survive into new plan instances,
+    * so every new query re-checks).
+    */
+  private[sources] val NoDvsTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graftNoDvs")
 }

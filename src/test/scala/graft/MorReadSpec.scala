@@ -424,6 +424,60 @@ class MorReadSpec extends AnyFunSuite {
       st.readVersioned(cow).orderBy($"k").collect().toSeq)
   }
 
+  test("updateVersionedMor refuses to SET the key column (the DV " +
+      "would target post-update values)") {
+    val out = fresh("mor_update_setkey")
+    st.writeVersioned(Seq((5L, 1L), (6L, 2L)).toDF("k", "v"), out)
+    val e = intercept[IllegalArgumentException] {
+      st.updateVersionedMor(out, $"k" === 5L, Map("k" -> lit(6L)), "k")
+    }
+    assert(e.getMessage.contains("key column"), e.getMessage)
+    assert(st.readVersioned(out).count() == 2)
+  }
+
+  test("a refused CREATE (bad MoR properties) leaves no half-created " +
+      "table; the corrected retry succeeds") {
+    val out = fresh("mor_create_retry")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$out` (k BIGINT) USING graft " +
+        "TBLPROPERTIES ('delete_mode'='merge-on-read')")
+    }
+    assert(st.listVersions(out).isEmpty,
+      "refused CREATE must not publish v0")
+    assert(st.tablePropertiesOf(out).isEmpty,
+      "refused CREATE must not persist properties")
+    spark.sql(s"CREATE TABLE graft.`$out` (k BIGINT) USING graft " +
+      "TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k')")
+    assert(st.tablePropertiesOf(out).get("mor_key").contains("k"))
+  }
+
+  test("an over-ceiling DV is refused loudly (API) and the SQL route " +
+      "falls back to copy-on-write") {
+    val out = fresh("mor_dv_ceiling")
+    spark.sql(
+      s"""CREATE TABLE graft.`$out` (k BIGINT, v STRING) USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k')
+         |""".stripMargin)
+    spark.sql(s"INSERT INTO graft.`$out` " +
+      "SELECT id AS k, CAST(id AS STRING) AS v FROM range(0, 5000)")
+    spark.conf.set("spark.graft.mor.maxDvBytes", "1024")
+    try {
+      val e = intercept[graft.sources.DvTooLargeException] {
+        st.deleteVersionedMor(out, $"k" >= 0L, "k")
+      }
+      assert(e.dvBytes > e.maxBytes)
+      assert(st.listVersions(out).size == 2,
+        "the refused MoR delete must leave no commit")
+      assert(!st.hasDeletionVectors(out))
+      // the SQL route silently takes the copy-on-write path instead
+      spark.sql(s"DELETE FROM graft.`$out` WHERE k < 4000")
+      assert(!st.hasDeletionVectors(out),
+        "oversize DELETE must have fallen back to CoW")
+      assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$out`")
+        .head().getLong(0) == 1000L)
+    } finally spark.conf.unset("spark.graft.mor.maxDvBytes")
+  }
+
   test("CDC across a MoR upsert commit diffs the snapshots exactly") {
     val out = fresh("mor_merge_cdc")
     st.writeVersioned(
