@@ -620,6 +620,61 @@ object StreamOps extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Streaming CDC-APPLY: a checkpointed stream of keyed updates
+    * upserts into a versioned table, each micro-batch as ONE
+    * merge-on-read commit ([[graft.sources.GraftStorage
+    * .mergeVersionedMor]]) — a DV of the batch's keys plus the
+    * batch's rows, zero existing files rewritten. The txn marker
+    * makes replays idempotent exactly as the append sinks
+    * (foreachBatch is at-least-once); each batch is its own DV
+    * generation, so the final read exercises the sequence-scoped
+    * multi-generation plan. At 100 TB this is how a CDC feed applies
+    * to a lakehouse table: per-batch write cost tracks the batch,
+    * and nightly compaction folds the generations.
+    */
+  def streamUpsertMor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val st = graft.sources.GraftStorage(s)
+    val base = T.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // keyed update feed: restatused keys (%7) + brand-new keys (%97);
+    // keys are UNIQUE across the feed, so the final state is
+    // independent of how the files split into micro-batches
+    val src = graft.Fixtures.ensure(dir, "stream_upsert_src") { p =>
+      base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .union(base.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+        .repartition(4).write.mode("overwrite").parquet(p)
+    }
+    val outP = T.scratch(dir, "stream_upsert_mor")
+    val ckpt = outP + "_ckpt"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(outP).getFileSystem(hconf)
+    Seq(outP, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    st.writeVersioned(base.repartitionByRange(8, col("o_orderkey")), outP)
+    val schema = s.read.parquet(src).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!st.txnCommitted(outP, "stream_upsert_mor", id))
+          st.mergeVersionedMor(outP, batch, "o_orderkey",
+            Some("stream_upsert_mor" -> id)): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    st.readVersioned(outP)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Streaming ingest INTO A PARTITIONED versioned table — the
     * streaming-lakehouse shape: a `CREATE ... PARTITIONED BY
     * (days(ts))` metadata commit (v0), then each micro-batch lands as
@@ -693,6 +748,7 @@ object StreamOps extends QueryModule {
     "stream_dedup_watermark" -> (streamDedupWatermark(_, _)),
     "stream_versioned_source" -> (streamVersionedSource(_, _)),
     "stream_versioned_sink" -> (streamVersionedSink(_, _)),
+    "stream_upsert_mor" -> (streamUpsertMor(_, _)),
     "stream_sink_partitioned" -> (streamSinkPartitioned(_, _)))
 
   // DuckDB mirrors: ts is TIMESTAMP_NS in DuckDB — CAST to TIMESTAMP
@@ -718,6 +774,25 @@ object StreamOps extends QueryModule {
         |FROM events
         |WHERE CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-25'
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    // streaming MoR upsert = the sink_versioned_merge final state
+    "stream_upsert_mor" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |upd AS (
+         |  SELECT o_orderkey, 'X' AS o_orderstatus,
+         |    o_totalprice * 2 AS o_totalprice
+         |  FROM base WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, 'N', 1.0
+         |  FROM base WHERE o_orderkey % 97 = 0),
+         |merged AS (
+         |  SELECT * FROM upd
+         |  UNION ALL
+         |  SELECT * FROM base
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "stream_versioned_sink" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
