@@ -160,6 +160,85 @@ object SqlDml extends QueryModule {
     statusAgg(s, out)
   }
 
+  /** Fresh `delete_mode=merge-on-read` table seeded from orders —
+    * the delta row-level surface's fixture (mor_key is declared
+    * non-null through the catalog schema, the identifier-field rule).
+    */
+  private def seedMor(s: SparkSession, dir: String, out: String): Unit = {
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    s.sql(
+      s"""CREATE TABLE graft.`$out`
+         |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+         |USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read',
+         |               'mor_key'='o_orderkey')""".stripMargin)
+    T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .repartitionByRange(8, $"o_orderkey")
+      .createOrReplaceTempView("sqldml_mor_orders")
+    s.sql(s"INSERT INTO graft.`$out` SELECT * FROM sqldml_mor_orders")
+  }
+
+  /** UPDATE on a merge-on-read table — the DSv2 DELTA row-level path
+    * ([[graft.sources.GraftMorDeltaOperation]], `SupportsDelta`):
+    * each UPDATE commits ONE deletion vector + the matched rows'
+    * fresh copies, zero existing files rewritten (where the CoW
+    * `sql_update_versioned` rewrites every file holding a match).
+    * The second UPDATE runs ON the DV-carrying snapshot — the shape
+    * the group-based path must refuse — and its read is
+    * sequence-scoped (the first commit's fresh rows are visible, its
+    * deleted copies are not). The 100 TB shape: scattered updates
+    * cost O(matched rows), not O(affected files × file size).
+    */
+  def sqlUpdateMor(s: SparkSession, dir: String): DataFrame = {
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_update_mor")
+    seedMor(s, dir, out)
+    s.sql(
+      s"""UPDATE graft.`$out`
+         |SET o_orderstatus = 'U', o_totalprice = o_totalprice + 1.0
+         |WHERE o_orderkey % 31 = 4""".stripMargin)
+    s.sql(
+      s"""UPDATE graft.`$out`
+         |SET o_totalprice = o_totalprice * 2.0
+         |WHERE o_orderstatus = 'U'""".stripMargin)
+    statusAgg(s, out)
+  }
+
+  /** MERGE INTO on a merge-on-read table — the CDC-apply upsert as
+    * ONE O(delta) commit (DV of the matched keys + fresh rows; the
+    * CoW `sql_merge_versioned` rewrites every file holding a matched
+    * key). UPDATEs arrive as DELETE+REINSERT pairs
+    * (`representUpdateAsDeleteAndInsert`), so the DV always targets
+    * the OLD keys. Same merged state as the CoW MERGE, reached
+    * without moving a single existing file.
+    */
+  def sqlMergeMor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_merge_mor")
+    seedMor(s, dir, out)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    base.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", lit("X").as("o_orderstatus"),
+        ($"o_totalprice" * 2).as("o_totalprice"))
+      .union(base.filter($"o_orderkey" % 97 === 0)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+      .createOrReplaceTempView("sqldml_merge_mor_src")
+    s.sql(
+      s"""MERGE INTO graft.`$out` t
+         |USING sqldml_merge_mor_src v
+         |ON t.o_orderkey = v.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    statusAgg(s, out)
+  }
+
   /** CREATE TABLE + INSERT INTO (append commit) + INSERT OVERWRITE
     * (replace commit) through the catalog; the result reads the final
     * snapshot back via catalog SQL (scan served by the manifest file
@@ -556,6 +635,8 @@ object SqlDml extends QueryModule {
     "sql_delete_mor" -> (sqlDeleteMor(_, _)),
     "sql_update_versioned" -> (sqlUpdateVersioned(_, _)),
     "sql_merge_versioned" -> (sqlMergeVersioned(_, _)),
+    "sql_update_mor" -> (sqlUpdateMor(_, _)),
+    "sql_merge_mor" -> (sqlMergeMor(_, _)),
     "sql_insert_versioned" -> (sqlInsertVersioned(_, _)),
     "sql_catalog_travel" -> (sqlCatalogTravel(_, _)),
     "sql_call_maintenance" -> (sqlCallMaintenance(_, _)),
@@ -612,6 +693,42 @@ object SqlDml extends QueryModule {
          |FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // MERGE = upsert semantics (updates win on key, inserts append)
     "sql_merge_versioned" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |upd AS (
+         |  SELECT o_orderkey, 'X' AS o_orderstatus,
+         |    o_totalprice * 2 AS o_totalprice
+         |  FROM base WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, 'N', 1.0
+         |  FROM base WHERE o_orderkey % 97 = 0),
+         |merged AS (
+         |  SELECT * FROM upd
+         |  UNION ALL
+         |  SELECT * FROM base
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // two stacked MoR UPDATEs = two CASE layers over the base
+    "sql_update_mor" ->
+      s"""WITH v1 AS (
+         |  SELECT
+         |    CASE WHEN o_orderkey % 31 = 4 THEN 'U'
+         |         ELSE o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN o_orderkey % 31 = 4 THEN o_totalprice + 1.0
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders),
+         |v2 AS (
+         |  SELECT o_orderstatus,
+         |    CASE WHEN o_orderstatus = 'U' THEN o_totalprice * 2.0
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM v1)
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // MoR MERGE reaches the same merged state as the CoW MERGE
+    "sql_merge_mor" ->
       s"""WITH base AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
          |upd AS (

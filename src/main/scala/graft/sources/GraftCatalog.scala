@@ -433,10 +433,24 @@ final class GraftVersionedTable(
   override def name(): String = pinnedVersion
     .fold(s"graft.`$path`")(v => s"graft.`$path` VERSION AS OF $v")
 
+  /** On a `delete_mode=merge-on-read` table the `mor_key` column is
+    * declared NON-NULL (Iceberg's identifier-field rule): Spark's
+    * delta row-level rewrites require a non-nullable row id, and the
+    * ANSI write path then enforces the contract on every SQL insert
+    * (a NULL key could never ride a key-based deletion vector — the
+    * Scala MoR writers refuse it row-by-row for the same reason).
+    * Scala-API writers bypassing the catalog must honor it too.
+    */
   override lazy val schema: StructType = {
     val vs = st.listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    st.versionedScanParts(path, pinnedVersion.getOrElse(st.latestVisibleVersion(path))).schema
+    val base = st.versionedScanParts(path,
+      pinnedVersion.getOrElse(st.latestVisibleVersion(path))).schema
+    morDeleteKey match {
+      case Some(k) => StructType(base.map(f =>
+        if (f.name.equalsIgnoreCase(k)) f.copy(nullable = false) else f))
+      case None => base
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -524,10 +538,25 @@ final class GraftVersionedTable(
     new GraftWriteBuilder(path, info.schema())
   }
 
+  /** `delete_mode=merge-on-read` routes row-level SQL to the DELTA
+    * operation ([[GraftMorDeltaOperation]]): one O(changed rows)
+    * DV + fresh-files commit instead of a copy-on-write file rewrite.
+    * Partitioned tables take the delta path only for DELETE (a pure
+    * DV commit is layout-neutral; UPDATE/MERGE fresh rows would land
+    * outside the identity layout, so they keep the group-based path,
+    * whose writer re-rolls the layout). Everything else — and every
+    * copy-on-write table — keeps the proven group-based operation.
+    */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireLatest(s"${info.command}")
-    () => new GraftRowLevelOperation(spark, path, info.command)
+    () => morDeleteKey match {
+      case Some(k) if st.listVersions(path).lastOption.exists(v =>
+          st.partitionSpec(path, v).isEmpty) ||
+          info.command == RowLevelOperation.Command.DELETE =>
+        new GraftMorDeltaOperation(spark, path, info.command, k)
+      case _ => new GraftRowLevelOperation(spark, path, info.command)
+    }
   }
 
   // ---- SupportsDeleteV2: the metadata-delete hook. Spark's

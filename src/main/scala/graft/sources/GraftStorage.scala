@@ -1013,6 +1013,8 @@ final case class GraftStorage(
       else df.sortWithinPartitions(sortedBy.map(col): _*)
     toWrite.write.mode("overwrite").parquet(commitDir.toString)
     validateCommitDir(path, commitDir, fs)
+    if (append && morKey.isEmpty)
+      requireMorKeyNonNull(path, df.schema, commitDir, fs)
     val stats: Seq[String] =
       if (statsCols.isEmpty) Seq.empty
       else {
@@ -1153,6 +1155,9 @@ final case class GraftStorage(
         } ++ sortedBy.map(col)): _*)
     val freshFiles = writeCommitData(toWrite, commitDir, partCols, fs)
     validateCommitFiles(path, freshFiles, commitDir, fs)
+    if (append)
+      requireMorKeyNonNull(path, df.schema, commitDir, fs,
+        Some(freshFiles.filter(_.endsWith(".parquet"))))
     val order = GraftStorage.oLine(sortedBy, append,
       if (append) sortSpec(path, n - 1) else Seq.empty)
     val fresh = freshFiles ++ rowCountLines(freshFiles) ++ order ++
@@ -1882,6 +1887,50 @@ final case class GraftStorage(
     * from a crashed attempt in the same dir can neither fail the
     * commit nor sneak rows into validation.
     */
+  /** Identifier-field contract of `delete_mode=merge-on-read` tables
+    * (Iceberg's rule, enforced on EVERY write path): the `mor_key`
+    * column must be present and non-null in each appended row. The
+    * SQL surface already enforces it through the catalog's
+    * non-nullable declared schema; this is the same gate for Scala
+    * writers — a NULL key could never ride a key-based deletion
+    * vector, and worse, a non-null declared column holding a stored
+    * NULL reads back as GARBAGE under codegen (null checks elided).
+    * Costs one O(delta) pass over the commit's own files, and only on
+    * tables that opted into MoR.
+    */
+  private def requireMorKeyNonNull(path: String,
+      writeSchema: org.apache.spark.sql.types.StructType,
+      commitDir: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      /** explicit fresh-file list (partitioned commits nest files in
+        * key subdirs — a bare dir read would misparse them).
+        */
+      files: Option[Seq[String]] = None): Unit = {
+    val props = tablePropertiesOf(path)
+    if (!props.get("delete_mode").contains("merge-on-read")) return
+    props.get("mor_key").foreach { k =>
+      def refuse(what: String): Nothing = {
+        fs.delete(commitDir, true)
+        throw new IllegalArgumentException(
+          s"append to $path: $what — the table is " +
+            s"delete_mode=merge-on-read and its mor_key '$k' is an " +
+            "identifier column (non-null on every row); deletion " +
+            "vectors cannot address NULL keys")
+      }
+      if (!writeSchema.fieldNames.exists(_.equalsIgnoreCase(k)))
+        refuse(s"the append's schema lacks the key column '$k'")
+      val data = files match {
+        case Some(fs) if fs.isEmpty => return
+        case Some(fs) =>
+          spark.read.schema(writeSchema).parquet(fs: _*)
+        case None =>
+          spark.read.schema(writeSchema).parquet(commitDir.toString)
+      }
+      if (!data.filter(col(k).isNull).isEmpty)
+        refuse(s"appended rows carry a NULL '$k'")
+    }
+  }
+
   private[sources] def validateCommitFiles(path: String,
       files: Seq[String], commitDir: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
@@ -2775,7 +2824,7 @@ final case class GraftStorage(
     * copy-on-write route, which is the right plan for deletes/upserts
     * that big anyway.
     */
-  private def requireDvSmall(dvBytes: Long, cleanup: => Unit,
+  private[sources] def requireDvSmall(dvBytes: Long, cleanup: => Unit,
       what: String, alt: String): Unit = {
     val max = spark.conf.getOption("spark.graft.mor.maxDvBytes")
       .map(_.toLong).getOrElse(64L << 20)

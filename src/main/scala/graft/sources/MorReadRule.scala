@@ -100,6 +100,51 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def maybeApplyDvs(rel: DataSourceV2Relation): LogicalPlan =
     rel.table match {
+      // the read side of a DELTA row-level command
+      // ([[GraftMorDeltaOperation]]): Spark's rewrite rules read the
+      // target through a RowLevelOperationTable-wrapped relation, and
+      // a raw scan there would resurrect DV-deleted rows as UPDATE
+      // matches. Same two plans as the plain read below — anti-joins
+      // above the relation (pure-delete DVs) or the V1 sequence-
+      // scoped plan (mixed generations) — except the relation itself
+      // is kept (the write machinery owns it), so idempotence rides a
+      // plan-instance tag and the scan permission rides the op flag.
+      // Group-based (CoW) operations stay raw: they refuse DV
+      // snapshots themselves, and their group scan must see raw rows.
+      case rt if org.apache.spark.sql.graftbridge.V2Bridge
+          .rowLevelOperationOf(rt).isDefined =>
+        org.apache.spark.sql.graftbridge.V2Bridge
+          .rowLevelOperationOf(rt).get match {
+          case op: GraftMorDeltaOperation
+              if rel.getTagValue(MorReadRule.NoDvsTag).isEmpty &&
+                rel.getTagValue(MorReadRule.DvWrappedTag).isEmpty =>
+            val st = GraftStorage(session)
+            val (orderedFiles, dvs) =
+              st.manifestFilesDvs(op.path, op.version)
+            if (dvs.isEmpty) {
+              rel.setTagValue(MorReadRule.NoDvsTag, ())
+              rel
+            } else if (orderedFiles.exists(_._2 > 0)) {
+              // mixed DV generations: plan through the V1 reader and
+              // graft its output onto the relation's attribute ids
+              // (the op's own scan is never built on this path)
+              val inner = st.readVersioned(op.path, Some(op.version))
+                .queryExecution.analyzed
+              val byName = inner.output.map(a => a.name -> a).toMap
+              Project(rel.output.map { o =>
+                val a = byName.getOrElse(o.name,
+                  throw new IllegalStateException(
+                    s"column '${o.name}' missing from the MoR read " +
+                      s"of ${op.path} version ${op.version}"))
+                Alias(a, o.name)(exprId = o.exprId)
+              }, inner)
+            } else {
+              rel.setTagValue(MorReadRule.DvWrappedTag, ())
+              op.dvApplied = true
+              antiJoinDvs(rel, dvs, op.path, op.version)
+            }
+          case _ => rel
+        }
       case t: GraftVersionedTable if !t.dvApplied &&
           rel.getTagValue(MorReadRule.NoDvsTag).isEmpty =>
         val st = GraftStorage(session)
@@ -141,32 +186,38 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         else {
           val left = rel.copy(table =
             new GraftVersionedTable(t.path, Some(v), dvApplied = true))
-          // one anti join per key column, however many MoR commits
-          // piled up on that key (same grouping as the V1 reader)
-          dvs.groupBy(_._1).toSeq.sortBy(_._1)
-            .foldLeft(left: LogicalPlan) {
-              case (acc, (keyCol, entries)) =>
-                val resolver = session.sessionState.analyzer.resolver
-                val leftKey = acc.output
-                  .find(a => resolver(a.name, keyCol))
-                  .getOrElse(throw new IllegalStateException(
-                    s"deletion-vector key column '$keyCol' is not in " +
-                      s"the schema of ${t.path} version $v"))
-                val dvPlan = session.read
-                  .parquet(entries.map(_._2): _*)
-                  .select(col(keyCol)).distinct()
-                  .queryExecution.analyzed
-                // non-null-safe equality: NULL-keyed rows survive by
-                // contract (the MoR write path rejects NULL-keyed
-                // victims), matching the V1 anti join exactly
-                Join(acc, dvPlan, LeftAnti,
-                  Some(EqualTo(leftKey, dvPlan.output.head)),
-                  JoinHint(None,
-                    Some(HintInfo(strategy = Some(BROADCAST)))))
-            }
+          antiJoinDvs(left, dvs, t.path, v)
         }
       case _ => rel
     }
+
+  /** One anti join per DV key column above `left`, however many MoR
+    * commits piled up on that key (same grouping as the V1 reader).
+    */
+  private def antiJoinDvs(left: LogicalPlan,
+      dvs: Seq[(String, String)], path: String,
+      v: Long): LogicalPlan =
+    dvs.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(left) {
+        case (acc, (keyCol, entries)) =>
+          val resolver = session.sessionState.analyzer.resolver
+          val leftKey = acc.output
+            .find(a => resolver(a.name, keyCol))
+            .getOrElse(throw new IllegalStateException(
+              s"deletion-vector key column '$keyCol' is not in " +
+                s"the schema of $path version $v"))
+          val dvPlan = session.read
+            .parquet(entries.map(_._2): _*)
+            .select(col(keyCol)).distinct()
+            .queryExecution.analyzed
+          // non-null-safe equality: NULL-keyed rows survive by
+          // contract (the MoR write path rejects NULL-keyed
+          // victims), matching the V1 anti join exactly
+          Join(acc, dvPlan, LeftAnti,
+            Some(EqualTo(leftKey, dvPlan.output.head)),
+            JoinHint(None,
+              Some(HintInfo(strategy = Some(BROADCAST)))))
+      }
 }
 
 object MorReadRule {
@@ -177,4 +228,13 @@ object MorReadRule {
     */
   private[sources] val NoDvsTag =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graftNoDvs")
+
+  /** Plan-instance marker for a row-level command's read relation
+    * whose DVs this rule already applied IN PLACE (the relation
+    * itself is kept for the write machinery, so — unlike the plain
+    * read path's dvApplied table copy — re-runs need a tag to stay
+    * idempotent).
+    */
+  private[sources] val DvWrappedTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graftDvWrapped")
 }

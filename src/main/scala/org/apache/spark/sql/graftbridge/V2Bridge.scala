@@ -765,6 +765,20 @@ object V2Bridge {
   private def classic(spark: SparkSession) =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
+  /** The RowLevelOperation behind a row-level command's read
+    * relation, if `t` is Spark's (private[sql])
+    * RowLevelOperationTable wrapper — lets graft's analyzer rules
+    * recognize the target read of an UPDATE/MERGE/DELETE delta plan
+    * without naming the type.
+    */
+  def rowLevelOperationOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.write.RowLevelOperation] =
+    t match {
+      case rt: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+        Some(rt.operation)
+      case _ => None
+    }
+
   /** Connector SortOrders for a declared sort, restricted to the
     * longest prefix surviving column pruning (Spark resolves the
     * references against the scan's output; a pruned column would be

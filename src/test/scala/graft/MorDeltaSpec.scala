@@ -1,0 +1,343 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, GraftStorage}
+
+/** Delta-based row-level SQL on merge-on-read tables
+  * ([[graft.sources.GraftMorDeltaOperation]] — DSv2 `SupportsDelta`):
+  * UPDATE / MERGE INTO / untranslatable DELETE on a
+  * `delete_mode=merge-on-read` table commit ONE deletion vector +
+  * fresh rows, zero existing files rewritten; results agree with the
+  * copy-on-write answer on every shape.
+  */
+class MorDeltaSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  GraftCatalog.register(spark)
+  private val st = GraftStorage(spark)
+
+  /** All messages down the cause chain (driver commits wrap the
+    * writer's exception several layers deep).
+    */
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else String.valueOf(t.getMessage) +: messages(t.getCause)
+
+  private def fresh(name: String): String = {
+    val out = T.scratch(SF, name)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    out
+  }
+
+  /** MoR-mode table seeded from orders (4 files). */
+  private def seedMor(name: String, parts: Int = 4): String = {
+    val out = fresh(name)
+    spark.sql(
+      s"""CREATE TABLE graft.`$out`
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         | o_totalprice DOUBLE)
+         |USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read',
+         |               'mor_key'='o_orderkey')""".stripMargin)
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .repartitionByRange(parts, $"o_orderkey")
+    base.createOrReplaceTempView(s"mor_delta_seed_$name")
+    spark.sql(
+      s"INSERT INTO graft.`$out` SELECT * FROM mor_delta_seed_$name")
+    out
+  }
+
+  /** Same data, copy-on-write mode — the oracle table. */
+  private def seedCow(name: String): String = {
+    val out = fresh(name)
+    st.writeVersioned(T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .repartitionByRange(4, $"o_orderkey"), out)
+    out
+  }
+
+  private def snapshotFiles(path: String): Set[String] =
+    st.manifestFiles(path, st.listVersions(path).last).toSet
+
+  test("UPDATE on a MoR table is one DV commit: zero files rewritten, " +
+    "rows agree with the CoW UPDATE") {
+    val mor = seedMor("mordelta_update")
+    val cow = seedCow("mordelta_update_cow")
+    val before = snapshotFiles(mor)
+    val v0 = st.listVersions(mor).last
+
+    val set = "SET o_totalprice = o_totalprice * 2.0"
+    val where = "WHERE o_orderkey % 13 = 0"
+    spark.sql(s"UPDATE graft.`$mor` $set $where")
+    spark.sql(s"UPDATE graft.`$cow` $set $where")
+
+    // exactly one new version; every pre-existing data file carried
+    val v1 = st.listVersions(mor).last
+    assert(v1 == v0 + 1)
+    assert(before.subsetOf(snapshotFiles(mor)),
+      "a MoR UPDATE must not rewrite existing files")
+    assert(st.hasDeletionVectors(mor), "the commit should carry a DV")
+
+    val got = spark.sql(s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey")
+      .collect().toSeq
+    val want = spark.sql(s"SELECT * FROM graft.`$cow` ORDER BY o_orderkey")
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("UPDATE SET on the key column is legal on the delta path " +
+    "(delete old key + reinsert new row)") {
+    val mor = seedMor("mordelta_update_key")
+    val cow = seedCow("mordelta_update_key_cow")
+    // shift a sparse slice of keys into unoccupied space
+    val stmt = "SET o_orderkey = o_orderkey + 90000000 " +
+      "WHERE o_orderkey % 17 = 3"
+    spark.sql(s"UPDATE graft.`$mor` $stmt")
+    spark.sql(s"UPDATE graft.`$cow` $stmt")
+    val got = spark.sql(
+      s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey, o_custkey")
+      .collect().toSeq
+    val want = spark.sql(
+      s"SELECT * FROM graft.`$cow` ORDER BY o_orderkey, o_custkey")
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("MERGE INTO upsert on a MoR table: one commit, no rewrites, " +
+    "agrees with the CoW MERGE") {
+    val mor = seedMor("mordelta_merge")
+    val cow = seedCow("mordelta_merge_cow")
+    val before = snapshotFiles(mor)
+    // updates for a scattered key slice + brand-new keys
+    T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .filter($"o_orderkey" % 11 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+      .union(Seq((91000001L, 7L, "Z", 1.5),
+        (91000002L, 8L, "Z", 2.5)).toDF(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+      .createOrReplaceTempView("mordelta_merge_src")
+    val merge =
+      """USING mordelta_merge_src s ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    spark.sql(s"MERGE INTO graft.`$mor` t $merge")
+    spark.sql(s"MERGE INTO graft.`$cow` t $merge")
+    assert(before.subsetOf(snapshotFiles(mor)),
+      "a MoR MERGE must not rewrite existing files")
+    val got = spark.sql(s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey")
+      .collect().toSeq
+    val want = spark.sql(s"SELECT * FROM graft.`$cow` ORDER BY o_orderkey")
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("MERGE WHEN MATCHED DELETE / NOT MATCHED BY SOURCE shapes run " +
+    "on the delta path and agree with CoW") {
+    val mor = seedMor("mordelta_merge_shapes")
+    val cow = seedCow("mordelta_merge_shapes_cow")
+    T.t(spark, SF, "orders").select($"o_orderkey")
+      .filter($"o_orderkey" % 9 === 0)
+      .createOrReplaceTempView("mordelta_shape_src")
+    val merge =
+      """USING mordelta_shape_src s ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND t.o_totalprice < 50000.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'""".stripMargin
+    spark.sql(s"MERGE INTO graft.`$mor` t $merge")
+    spark.sql(s"MERGE INTO graft.`$cow` t $merge")
+    val got = spark.sql(s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey")
+      .collect().toSeq
+    val want = spark.sql(s"SELECT * FROM graft.`$cow` ORDER BY o_orderkey")
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("row-level SQL works ON a DV-carrying snapshot (stacked MoR " +
+    "generations), sequence-scoped") {
+    val mor = seedMor("mordelta_stacked")
+    val cow = seedCow("mordelta_stacked_cow")
+    // generation 1: MoR delete
+    spark.sql(s"DELETE FROM graft.`$mor` WHERE o_orderkey % 7 = 0")
+    spark.sql(s"DELETE FROM graft.`$cow` WHERE o_orderkey % 7 = 0")
+    assert(st.hasDeletionVectors(mor))
+    // generation 2: UPDATE on the DV-carrying snapshot — the exact
+    // shape the group-based path refuses
+    val upd = "SET o_orderstatus = 'X' WHERE o_custkey % 5 = 1"
+    spark.sql(s"UPDATE graft.`$mor` $upd")
+    spark.sql(s"UPDATE graft.`$cow` $upd")
+    // generation 3: MERGE on the stacked snapshot, touching keys that
+    // were re-inserted by the UPDATE's fresh files
+    T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .filter($"o_custkey" % 5 === 1 && $"o_orderkey" % 3 === 0)
+      .withColumn("o_orderstatus", lit("Y"))
+      .createOrReplaceTempView("mordelta_stacked_src")
+    val merge =
+      """USING mordelta_stacked_src s ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    spark.sql(s"MERGE INTO graft.`$mor` t $merge")
+    spark.sql(s"MERGE INTO graft.`$cow` t $merge")
+    val got = spark.sql(s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey")
+      .collect().toSeq
+    val want = spark.sql(s"SELECT * FROM graft.`$cow` ORDER BY o_orderkey")
+      .collect().toSeq
+    assert(got == want)
+    // and both readers agree on the stacked result
+    assert(got == st.readVersioned(mor).orderBy($"o_orderkey")
+      .collect().toSeq)
+  }
+
+  test("DELETE with an IN-subquery (untranslatable predicate) takes " +
+    "the delta path: DV only, no files moved") {
+    val mor = seedMor("mordelta_del_subq")
+    val before = snapshotFiles(mor)
+    T.t(spark, SF, "customer").select($"c_custkey")
+      .filter($"c_custkey" % 4 === 0)
+      .createOrReplaceTempView("mordelta_del_keys")
+    spark.sql(s"DELETE FROM graft.`$mor` WHERE o_custkey IN " +
+      "(SELECT c_custkey FROM mordelta_del_keys)")
+    assert(snapshotFiles(mor) == before,
+      "a MoR DELETE must carry every data file verbatim")
+    assert(st.hasDeletionVectors(mor))
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$mor` " +
+      "WHERE o_custkey % 4 = 0").head().getLong(0) == 0L)
+    // survivors intact vs the raw first version
+    val want = st.readVersioned(mor, Some(st.listVersions(mor).head + 1))
+      .filter($"o_custkey" % 4 =!= 0).count()
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$mor`")
+      .head().getLong(0) == want)
+  }
+
+  test("a command matching nothing commits no new version") {
+    val mor = seedMor("mordelta_noop")
+    val v = st.listVersions(mor).last
+    spark.sql(s"UPDATE graft.`$mor` SET o_orderstatus = 'Q' " +
+      "WHERE o_orderkey = -1")
+    assert(st.listVersions(mor).last == v,
+      "an UPDATE matching no rows must not advance the log")
+  }
+
+  test("NULL key in matched rows is refused loudly") {
+    val mor = fresh("mordelta_nullkey")
+    spark.sql(
+      s"""CREATE TABLE graft.`$mor` (k BIGINT, v STRING) USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k')
+         |""".stripMargin)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .createOrReplaceTempView("mordelta_null_seed")
+    spark.sql(s"INSERT INTO graft.`$mor` SELECT * FROM mordelta_null_seed")
+    // the mor_key column is declared NON-NULL (identifier-field
+    // rule), so the SQL surface refuses the NULL at insert time
+    val ein = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$mor` SELECT CAST(NULL AS BIGINT), 'n'")
+    }
+    assert(messages(ein).exists(m =>
+      m.toUpperCase.contains("NULL")), s"unexpected: ${messages(ein)}")
+    // Scala-API appends enforce the same identifier contract (a
+    // stored NULL under a non-null declared column would read back as
+    // garbage once codegen elides the null checks)
+    import org.apache.spark.sql.types._
+    val sneaky = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(null, "n")),
+      StructType(Seq(StructField("k", LongType, nullable = true),
+        StructField("v", StringType, nullable = true))))
+    val v = st.listVersions(mor).last
+    val e = intercept[IllegalArgumentException] {
+      st.writeVersioned(sneaky, mor, append = true)
+    }
+    assert(messages(e).exists(_.contains("NULL")),
+      s"unexpected error: ${messages(e)}")
+    assert(st.listVersions(mor).last == v, "refused append must not land")
+    // and an append whose schema LACKS the key column is refused too
+    val e2 = intercept[IllegalArgumentException] {
+      st.writeVersioned(Seq("x").toDF("v"), mor, append = true)
+    }
+    assert(messages(e2).exists(_.contains("lacks the key column")),
+      s"unexpected error: ${messages(e2)}")
+  }
+
+  test("time travel pins pre-DML snapshots; CDC sees the MoR commit " +
+    "as a change commit") {
+    val mor = seedMor("mordelta_travel")
+    val v0 = st.listVersions(mor).last
+    val n0 = st.readVersioned(mor, Some(v0)).count()
+    spark.sql(s"UPDATE graft.`$mor` SET o_orderstatus = 'T' " +
+      "WHERE o_orderkey % 19 = 0")
+    // pre-DML version unchanged
+    assert(st.readVersioned(mor, Some(v0)).count() == n0)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft_versioned('$mor', $v0) " +
+        "WHERE o_orderstatus = 'T'").head().getLong(0) == 0L)
+    // row count preserved by an upsert-style UPDATE
+    assert(st.readVersioned(mor).count() == n0)
+  }
+
+  test("partitioned MoR table: DELETE takes the DV path, UPDATE keeps " +
+    "the layout-preserving group path") {
+    val mor = fresh("mordelta_part")
+    spark.sql(
+      s"""CREATE TABLE graft.`$mor`
+         |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+         |USING graft PARTITIONED BY (o_orderstatus)
+         |TBLPROPERTIES ('delete_mode'='merge-on-read',
+         |               'mor_key'='o_orderkey')""".stripMargin)
+    T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .createOrReplaceTempView("mordelta_part_seed")
+    spark.sql(s"INSERT INTO graft.`$mor` SELECT * FROM mordelta_part_seed")
+    val before = snapshotFiles(mor)
+    // subquery DELETE (hook can't take it) → delta path, files carried
+    spark.sql(s"DELETE FROM graft.`$mor` WHERE o_orderkey IN " +
+      s"(SELECT o_orderkey FROM mordelta_part_seed WHERE o_orderkey % 6 = 0)")
+    assert(snapshotFiles(mor) == before)
+    assert(st.hasDeletionVectors(mor))
+    // UPDATE on the DV-carrying partitioned snapshot: group path
+    // refuses DVs — the guidance error, not silent wrong answers
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$mor` SET o_totalprice = 0.0 " +
+        "WHERE o_orderkey = 3")
+    }
+    assert(messages(e).exists(_.contains("deletion vectors")),
+      s"unexpected error: ${messages(e)}")
+    // after compaction the group path serves the UPDATE again
+    st.compactVersioned(mor)
+    spark.sql(s"UPDATE graft.`$mor` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey = 3")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$mor` " +
+      "WHERE o_totalprice = 0.0 AND o_orderkey = 3").head()
+      .getLong(0) <= 1L)
+  }
+
+  test("CHECK constraint gates the fresh rows of a MoR UPDATE") {
+    val mor = seedMor("mordelta_check")
+    st.addCheckConstraint(mor, "price_pos", "o_totalprice >= 0.0")
+    val v = st.listVersions(mor).last
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$mor` SET o_totalprice = -1.0 " +
+        "WHERE o_orderkey % 23 = 0")
+    }
+    assert(messages(e).exists(_.toLowerCase.contains("constraint")),
+      s"unexpected error: ${messages(e)}")
+    assert(st.listVersions(mor).last == v, "refused commit must not land")
+  }
+
+  test("compaction folds delta-DML generations back to a clean " +
+    "single-scan snapshot") {
+    val mor = seedMor("mordelta_compact")
+    spark.sql(s"UPDATE graft.`$mor` SET o_orderstatus = 'C' " +
+      "WHERE o_orderkey % 8 = 1")
+    val want = spark.sql(s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey")
+      .collect().toSeq
+    st.compactVersioned(mor)
+    assert(!st.hasDeletionVectors(mor))
+    assert(spark.sql(s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey")
+      .collect().toSeq == want)
+  }
+}
