@@ -541,19 +541,16 @@ final class GraftVersionedTable(
   /** `delete_mode=merge-on-read` routes row-level SQL to the DELTA
     * operation ([[GraftMorDeltaOperation]]): one O(changed rows)
     * DV + fresh-files commit instead of a copy-on-write file rewrite.
-    * Partitioned tables take the delta path only for DELETE (a pure
-    * DV commit is layout-neutral; UPDATE/MERGE fresh rows would land
-    * outside the identity layout, so they keep the group-based path,
-    * whose writer re-rolls the layout). Everything else — and every
-    * copy-on-write table — keeps the proven group-based operation.
+    * Partitioned/sorted tables included — the delta write declares
+    * the layout's distribution + ordering and key-rolls its fresh
+    * files, so the SPJ layout and sort claim survive. Copy-on-write
+    * tables keep the proven group-based operation.
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     requireLatest(s"${info.command}")
     () => morDeleteKey match {
-      case Some(k) if st.listVersions(path).lastOption.exists(v =>
-          st.partitionSpec(path, v).isEmpty) ||
-          info.command == RowLevelOperation.Command.DELETE =>
+      case Some(k) =>
         new GraftMorDeltaOperation(spark, path, info.command, k)
       case _ => new GraftRowLevelOperation(spark, path, info.command)
     }
@@ -651,6 +648,24 @@ private[sources] object GraftWrites {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
+  /** The task-writer key descriptors of a partition spec, resolved
+    * against one write schema — shared by the INSERT batch write and
+    * the MoR delta write (both roll files per key).
+    */
+  def writeKeysFor(partCols: Seq[String],
+      writeSchema: StructType): Seq[GraftWriteKey] =
+    partCols.map(GraftStorage.parsePartField).map {
+      case f @ GraftStorage.IdentityPart(c) =>
+        GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
+          writeSchema(c).dataType, None)
+      case f @ GraftStorage.BucketPart(n, c) =>
+        GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
+          writeSchema(c).dataType, Some(n))
+      case f @ GraftStorage.TemporalPart(u, c) =>
+        GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
+          writeSchema(c).dataType, None, Some(u))
+    }
+
   def forTable(path: String, writeSchema: StructType,
       mode: GraftCommitMode, partCols: Seq[String],
       sortCols: Seq[String] = Seq.empty): Write =
@@ -737,17 +752,7 @@ private[sources] final class GraftBatchWrite(
     new GraftDataWriterFactory(
       new ParquetTaskWriters(spark, writeSchema, commitDir.toString),
       writeSchema.length,
-      partCols.map(GraftStorage.parsePartField).map {
-        case f @ GraftStorage.IdentityPart(c) =>
-          GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
-            writeSchema(c).dataType, None)
-        case f @ GraftStorage.BucketPart(n, c) =>
-          GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
-            writeSchema(c).dataType, Some(n))
-        case f @ GraftStorage.TemporalPart(u, c) =>
-          GraftWriteKey(f.dirName, writeSchema.fieldIndex(c),
-            writeSchema(c).dataType, None, Some(u))
-      })
+      GraftWrites.writeKeysFor(partCols, writeSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val s = SparkSession.active

@@ -67,6 +67,14 @@ private[sources] final class GraftMorDeltaOperation(
   // would pay a schema resolve on EVERY analyzed row-level command
   // (Spark builds the operation eagerly even for DELETEs the
   // optimizer then routes to the metadata hook)
+  /** The table's layout at the pinned version: fresh rows of an
+    * UPDATE/MERGE must land in the SAME identity layout (clustered +
+    * key-rolled files), or the commit would silently degrade the
+    * storage-partitioned join — the write declares the distribution
+    * and Spark shuffles the delta rows accordingly.
+    */
+  val partCols: Seq[String] = st.partitionSpec(path, version)
+  val sortCols: Seq[String] = st.sortSpec(path, version)
   /** Set by [[MorReadRule]] when it wrapped the delta plan's read of
     * this snapshot with the DV application (anti-join / V1 plan).
     * Volatile: the rule runs on the analyzer thread, the scan build
@@ -109,13 +117,40 @@ private[sources] final class GraftMorDeltaOperation(
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = {
         val op = GraftMorDeltaOperation.this
-        new DeltaWrite {
-          override def toBatch: DeltaBatchWrite =
-            new GraftMorDeltaBatchWrite(SparkSession.active, op,
-              info.schema(),
-              info.rowIdSchema().orElseThrow(() =>
-                new IllegalStateException(
-                  "delta write without a row-id schema")))
+        def batch = new GraftMorDeltaBatchWrite(SparkSession.active, op,
+          info.schema(),
+          info.rowIdSchema().orElseThrow(() =>
+            new IllegalStateException(
+              "delta write without a row-id schema")))
+        // a command writing fresh rows into a partitioned/sorted
+        // table declares the layout's distribution + ordering
+        // (V2Writes applies it to the WriteDelta query), so the
+        // key-rolled files keep the SPJ layout and the sort claim —
+        // the same contract as the SQL INSERT path. DELETE writes no
+        // rows (and its query carries no data columns to cluster on).
+        if (cmd == RowLevelOperation.Command.DELETE ||
+            (partCols.isEmpty && sortCols.isEmpty))
+          new DeltaWrite {
+            override def toBatch: DeltaBatchWrite = batch
+          }
+        else {
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+          val fields = partCols.map(GraftStorage.parsePartField)
+          new DeltaWrite with RequiresDistributionAndOrdering {
+            override def requiredDistribution(): Distribution =
+              if (fields.isEmpty) Distributions.unspecified()
+              else Distributions.clustered(
+                fields.map(GraftCatalog.v2Transform(_)
+                  : org.apache.spark.sql.connector.expressions.Expression)
+                  .toArray)
+            override def requiredOrdering(): Array[SortOrder] =
+              (fields.map(f => Expressions.sort(
+                GraftCatalog.v2Transform(f), SortDirection.ASCENDING)) ++
+               sortCols.map(c => Expressions.sort(
+                 Expressions.column(c), SortDirection.ASCENDING))).toArray
+            override def toBatch: DeltaBatchWrite = batch
+          }
         }
       }
     }
@@ -145,7 +180,10 @@ private[sources] final class GraftMorDeltaBatchWrite(
       info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftMorDeltaWriterFactory(
       if (rowSchema.isEmpty) null
-      else new ParquetTaskWriters(spark, rowSchema, commitDir.toString),
+      else new GraftDataWriterFactory(
+        new ParquetTaskWriters(spark, rowSchema, commitDir.toString),
+        rowSchema.length,
+        GraftWrites.writeKeysFor(op.partCols, rowSchema)),
       rowIdSchema.head.dataType, op.key, maxDvBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -192,12 +230,15 @@ private[sources] final class GraftMorDeltaBatchWrite(
       }
     // D lines FIRST, fresh file lines after — the sequence rule makes
     // this commit delete the keys' old copies and keep its own rows.
-    // Fresh files arrive unsorted, so a prior sort claim is dropped
-    // (same contract as an unsorted Scala append).
+    // A sorted table's write enforced (layout keys, sort cols)
+    // ordering, so the O claim survives; otherwise fresh files arrive
+    // unsorted and a prior claim is dropped (same contract as an
+    // unsorted Scala append). The P spec line is inherited verbatim —
+    // fresh files were key-rolled into the same identity layout.
     val additions = dvLines ++ fresh ++ store.rowCountLines(fresh) ++
       (if (fresh.nonEmpty) Seq(s"H\t${rowSchema.json}") else Seq.empty)
     store.publishManifestDelta(fs, new Path(op.path), op.version + 1,
-      if (fresh.nonEmpty) Seq("O\t") else Seq.empty,
+      if (fresh.nonEmpty && op.sortCols.isEmpty) Seq("O\t") else Seq.empty,
       additions, Some(commitDir))
   }
 
@@ -217,16 +258,19 @@ private[sources] final case class GraftMorDeltaCommitMessage(
     deletedKeys: Array[UnsafeRow]) extends WriterCommitMessage
 
 private[sources] final class GraftMorDeltaWriterFactory(
-    writers: ParquetTaskWriters, // null when the command writes no rows
+    /** Keyed-rolling row writer (the INSERT path's own factory, so
+      * partitioned fresh rows roll one file per key); null when the
+      * command writes no rows (DELETE).
+      */
+    inner: GraftDataWriterFactory,
     keyDt: org.apache.spark.sql.types.DataType,
     keyName: String, maxDvBytes: Long) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
-      private var w: org.apache.spark.sql.graftbridge.PartFileWriter = _
-      private var rowsInFile = 0L
-      private var finished: List[(String, Long)] = Nil
+      private val rows: DataWriter[InternalRow] =
+        if (inner == null) null else inner.createWriter(partitionId, taskId)
       // one-field UnsafeRow per key: stable bytes to dedupe on and to
       // replay into the DV parquet driver-side
       private lazy val keyProj = UnsafeProjection.create(Array(keyDt))
@@ -267,30 +311,25 @@ private[sources] final class GraftMorDeltaWriterFactory(
       }
 
       override def insert(row: InternalRow): Unit = {
-        if (w == null) {
-          require(writers != null,
-            "delta write received a row but declared no row schema")
-          w = writers.session(partitionId, taskId).open("")
-        }
-        w.write(row)
-        rowsInFile += 1
+        require(rows != null,
+          "delta write received a row but declared no row schema")
+        rows.write(row)
       }
 
       override def commit(): WriterCommitMessage = {
-        if (w != null) { w.close(); finished ::= (w.path, rowsInFile) }
-        w = null
-        GraftMorDeltaCommitMessage(finished.reverse,
+        val files =
+          if (rows == null) Seq.empty[(String, Long)]
+          else rows.commit() match {
+            case GraftCommitMessage(fs) => fs
+            case other => throw new IllegalStateException(
+              s"unexpected inner commit message: $other")
+          }
+        GraftMorDeltaCommitMessage(files,
           keys.toArray(new Array[UnsafeRow](keys.size)))
       }
 
-      override def abort(): Unit = {
-        if (w != null) w.abort()
-        if (writers != null) {
-          val sess = writers.session(partitionId, taskId)
-          finished.foreach { case (p, _) => sess.delete(p) }
-        }
-      }
+      override def abort(): Unit = if (rows != null) rows.abort()
 
-      override def close(): Unit = ()
+      override def close(): Unit = if (rows != null) rows.close()
     }
 }

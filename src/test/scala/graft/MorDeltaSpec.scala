@@ -279,8 +279,8 @@ class MorDeltaSpec extends AnyFunSuite {
     assert(st.readVersioned(mor).count() == n0)
   }
 
-  test("partitioned MoR table: DELETE takes the DV path, UPDATE keeps " +
-    "the layout-preserving group path") {
+  test("partitioned MoR table: DELETE and UPDATE both take the delta " +
+    "path; fresh rows key-roll into the identity layout") {
     val mor = fresh("mordelta_part")
     spark.sql(
       s"""CREATE TABLE graft.`$mor`
@@ -298,21 +298,111 @@ class MorDeltaSpec extends AnyFunSuite {
       s"(SELECT o_orderkey FROM mordelta_part_seed WHERE o_orderkey % 6 = 0)")
     assert(snapshotFiles(mor) == before)
     assert(st.hasDeletionVectors(mor))
-    // UPDATE on the DV-carrying partitioned snapshot: group path
-    // refuses DVs — the guidance error, not silent wrong answers
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE graft.`$mor` SET o_totalprice = 0.0 " +
-        "WHERE o_orderkey = 3")
-    }
-    assert(messages(e).exists(_.contains("deletion vectors")),
-      s"unexpected error: ${messages(e)}")
-    // after compaction the group path serves the UPDATE again
-    st.compactVersioned(mor)
+    // UPDATE on the DV-carrying partitioned snapshot: one delta
+    // commit, carried files, fresh rows key-rolled into the layout
     spark.sql(s"UPDATE graft.`$mor` SET o_totalprice = 0.0 " +
-      "WHERE o_orderkey = 3")
-    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$mor` " +
-      "WHERE o_totalprice = 0.0 AND o_orderkey = 3").head()
-      .getLong(0) <= 1L)
+      "WHERE o_orderkey % 6 = 3")
+    val now = snapshotFiles(mor)
+    assert(before.subsetOf(now),
+      "a partitioned MoR UPDATE must not rewrite existing files")
+    val freshFiles = now -- before
+    assert(freshFiles.nonEmpty &&
+      freshFiles.forall(_.contains("__gp_o_orderstatus=")),
+      s"fresh files must land in the identity layout: $freshFiles")
+    // the spec line survives the delta commit
+    assert(st.partitionSpec(mor, st.listVersions(mor).last).nonEmpty)
+    // row-level agreement with the computed expectation
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .filter($"o_orderkey" % 6 =!= 0)
+    val want = base.withColumn("o_totalprice",
+      when($"o_orderkey" % 6 === 3, 0.0).otherwise($"o_totalprice"))
+      .orderBy($"o_orderkey").collect().toSeq
+    assert(spark.sql(s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey")
+      .collect().toSeq == want)
+    assert(st.readVersioned(mor).orderBy($"o_orderkey")
+      .collect().toSeq == want)
+  }
+
+  test("MERGE on a partitioned MoR table: inserts spread across " +
+    "partitions, every fresh file key-rolled, spec intact") {
+    val mor = fresh("mordelta_part_merge")
+    spark.sql(
+      s"""CREATE TABLE graft.`$mor`
+         |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+         |USING graft PARTITIONED BY (o_orderstatus)
+         |TBLPROPERTIES ('delete_mode'='merge-on-read',
+         |               'mor_key'='o_orderkey')""".stripMargin)
+    T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .createOrReplaceTempView("mordelta_pm_seed")
+    spark.sql(s"INSERT INTO graft.`$mor` SELECT * FROM mordelta_pm_seed")
+    val before = snapshotFiles(mor)
+    // matched updates keep their partition; inserts span partitions
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus,
+        |  o_totalprice + 5.0 AS o_totalprice
+        |FROM mordelta_pm_seed WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT o_orderkey + 95000000, o_orderstatus, 9.99
+        |FROM mordelta_pm_seed WHERE o_orderkey % 50 = 2
+        |""".stripMargin).createOrReplaceTempView("mordelta_pm_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$mor` t USING mordelta_pm_src v
+         |ON t.o_orderkey = v.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val now = snapshotFiles(mor)
+    assert(before.subsetOf(now))
+    val freshFiles = now -- before
+    assert(freshFiles.forall(_.contains("__gp_o_orderstatus=")),
+      s"un-rolled fresh files: ${freshFiles.filterNot(_.contains("__gp_"))}")
+    assert(freshFiles.map(f =>
+      f.split("__gp_o_orderstatus=")(1).split("/")(0)).size >= 2,
+      "inserts should span several partitions")
+    // merged state agrees with the computed expectation
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val upd = base.filter($"o_orderkey" % 10 === 1)
+      .withColumn("o_totalprice", $"o_totalprice" + 5.0)
+      .union(base.filter($"o_orderkey" % 50 === 2)
+        .select(($"o_orderkey" + 95000000L).as("o_orderkey"),
+          $"o_orderstatus", lit(9.99).as("o_totalprice")))
+    val want = upd.union(base.join(upd.select($"o_orderkey"),
+      Seq("o_orderkey"), "left_anti"))
+      .orderBy($"o_orderkey").collect().toSeq
+    assert(spark.sql(s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey")
+      .collect().toSeq == want)
+  }
+
+  test("sorted MoR table: the delta UPDATE enforces the sort order " +
+    "and keeps the manifest's O claim") {
+    val mor = fresh("mordelta_sorted")
+    spark.sql(
+      s"""CREATE TABLE graft.`$mor` (k BIGINT, v DOUBLE) USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k',
+         |               'sorted_by'='k')""".stripMargin)
+    T.t(spark, SF, "orders")
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("v"))
+      .createOrReplaceTempView("mordelta_sorted_seed")
+    spark.sql(s"INSERT INTO graft.`$mor` SELECT * FROM mordelta_sorted_seed")
+    assert(st.sortSpec(mor, st.listVersions(mor).last) == Seq("k"))
+    spark.sql(s"UPDATE graft.`$mor` SET v = 0.0 WHERE k % 11 = 5")
+    // the sort claim survives the delta commit (the write enforced
+    // per-file ordering on the fresh rows)
+    assert(st.sortSpec(mor, st.listVersions(mor).last) == Seq("k"),
+      "delta UPDATE dropped the sort claim")
+    // and each fresh file really is internally sorted (diff against
+    // the INSERT version, not the empty CREATE version)
+    val vs = st.listVersions(mor)
+    val freshFiles = st.manifestFiles(mor, vs.last)
+      .filterNot(st.manifestFiles(mor, vs(vs.length - 2)).toSet)
+    assert(freshFiles.nonEmpty)
+    freshFiles.foreach { f =>
+      val ks = spark.read.parquet(f)
+        .select($"k").collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"fresh delta file $f is not sorted by k")
+    }
   }
 
   test("CHECK constraint gates the fresh rows of a MoR UPDATE") {
