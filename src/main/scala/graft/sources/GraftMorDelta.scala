@@ -73,8 +73,12 @@ private[sources] final class GraftMorDeltaOperation(
     * storage-partitioned join — the write declares the distribution
     * and Spark shuffles the delta rows accordingly.
     */
-  val partCols: Seq[String] = st.partitionSpec(path, version)
-  val sortCols: Seq[String] = st.sortSpec(path, version)
+  // lazy: only the write path needs them, and Spark constructs this
+  // operation eagerly for every analyzed row-level command — incl.
+  // DELETEs the optimizer immediately reroutes to the metadata hook,
+  // which must not pay two manifest spec resolutions for nothing
+  lazy val partCols: Seq[String] = st.partitionSpec(path, version)
+  lazy val sortCols: Seq[String] = st.sortSpec(path, version)
   /** Set by [[MorReadRule]] when it wrapped the delta plan's read of
     * this snapshot with the DV application (anti-join / V1 plan).
     * Volatile: the rule runs on the analyzer thread, the scan build
@@ -235,7 +239,12 @@ private[sources] final class GraftMorDeltaBatchWrite(
     // unsorted and a prior claim is dropped (same contract as an
     // unsorted Scala append). The P spec line is inherited verbatim —
     // fresh files were key-rolled into the same identity layout.
-    val additions = dvLines ++ fresh ++ store.rowCountLines(fresh) ++
+    // R lines from the writers' own tallies — no commit-time footer
+    // re-reads (the INSERT path's contract; each re-read is a
+    // serialized driver GET on an object store)
+    val additions = dvLines ++ fresh ++
+      tallies.map(t =>
+        s"R\t${t._2}\t${new Path(t._1).toUri.getPath}") ++
       (if (fresh.nonEmpty) Seq(s"H\t${rowSchema.json}") else Seq.empty)
     store.publishManifestDelta(fs, new Path(op.path), op.version + 1,
       if (fresh.nonEmpty && op.sortCols.isEmpty) Seq("O\t") else Seq.empty,

@@ -1013,7 +1013,10 @@ final case class GraftStorage(
       else df.sortWithinPartitions(sortedBy.map(col): _*)
     toWrite.write.mode("overwrite").parquet(commitDir.toString)
     validateCommitDir(path, commitDir, fs)
-    if (append && morKey.isEmpty)
+    // appends AND overwrites: a replaced snapshot must honor the
+    // identifier contract too (the mergeVersionedMor path checks its
+    // own input row-by-row — morKey nonEmpty skips the re-read)
+    if (morKey.isEmpty)
       requireMorKeyNonNull(path, df.schema, commitDir, fs)
     val stats: Seq[String] =
       if (statsCols.isEmpty) Seq.empty
@@ -1155,9 +1158,8 @@ final case class GraftStorage(
         } ++ sortedBy.map(col)): _*)
     val freshFiles = writeCommitData(toWrite, commitDir, partCols, fs)
     validateCommitFiles(path, freshFiles, commitDir, fs)
-    if (append)
-      requireMorKeyNonNull(path, df.schema, commitDir, fs,
-        Some(freshFiles.filter(_.endsWith(".parquet"))))
+    requireMorKeyNonNull(path, df.schema, commitDir, fs,
+      Some(freshFiles.filter(_.endsWith(".parquet"))))
     val order = GraftStorage.oLine(sortedBy, append,
       if (append) sortSpec(path, n - 1) else Seq.empty)
     val fresh = freshFiles ++ rowCountLines(freshFiles) ++ order ++
@@ -1809,6 +1811,28 @@ final case class GraftStorage(
     import org.apache.hadoop.fs.Path
     require(name.matches("[A-Za-z0-9_.]+"),
       s"property name must be [A-Za-z0-9_.]+, got '$name'")
+    // flipping a table INTO merge-on-read mode makes the catalog
+    // declare mor_key non-nullable — unsound over stored NULLs
+    // (codegen elides the null checks and reads garbage), so the flip
+    // validates the CURRENT snapshot once, loudly, O(table) at flip
+    // time. CREATE TABLE hits this with zero versions (free).
+    if (name == "delete_mode" || name == "mor_key") {
+      val props = tablePropertiesOf(path) + (name -> value)
+      if (props.get("delete_mode").contains("merge-on-read"))
+        props.get("mor_key").foreach { k =>
+          listVersions(path).lastOption.foreach { v =>
+            val snap = readVersioned(path, Some(v))
+            require(snap.columns.exists(_.equalsIgnoreCase(k)),
+              s"cannot set $name on $path: mor_key '$k' is not a " +
+                "column of the current snapshot")
+            require(snap.filter(col(k).isNull).isEmpty,
+              s"cannot set $name on $path: stored rows carry a NULL " +
+                s"'$k' — a merge-on-read key is an identifier column " +
+                "(declared non-null to readers); delete or rewrite " +
+                "the NULL-keyed rows first")
+          }
+        }
+    }
     val pdir = new Path(new Path(path), "_props")
     val fs = pdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(pdir)

@@ -111,39 +111,23 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       // plan-instance tag and the scan permission rides the op flag.
       // Group-based (CoW) operations stay raw: they refuse DV
       // snapshots themselves, and their group scan must see raw rows.
-      case rt if org.apache.spark.sql.graftbridge.V2Bridge
-          .rowLevelOperationOf(rt).isDefined =>
-        org.apache.spark.sql.graftbridge.V2Bridge
-          .rowLevelOperationOf(rt).get match {
-          case op: GraftMorDeltaOperation
-              if rel.getTagValue(MorReadRule.NoDvsTag).isEmpty &&
-                rel.getTagValue(MorReadRule.DvWrappedTag).isEmpty =>
-            val st = GraftStorage(session)
-            val (orderedFiles, dvs) =
-              st.manifestFilesDvs(op.path, op.version)
-            if (dvs.isEmpty) {
-              rel.setTagValue(MorReadRule.NoDvsTag, ())
-              rel
-            } else if (orderedFiles.exists(_._2 > 0)) {
-              // mixed DV generations: plan through the V1 reader and
-              // graft its output onto the relation's attribute ids
-              // (the op's own scan is never built on this path)
-              val inner = st.readVersioned(op.path, Some(op.version))
-                .queryExecution.analyzed
-              val byName = inner.output.map(a => a.name -> a).toMap
-              Project(rel.output.map { o =>
-                val a = byName.getOrElse(o.name,
-                  throw new IllegalStateException(
-                    s"column '${o.name}' missing from the MoR read " +
-                      s"of ${op.path} version ${op.version}"))
-                Alias(a, o.name)(exprId = o.exprId)
-              }, inner)
-            } else {
-              rel.setTagValue(MorReadRule.DvWrappedTag, ())
-              op.dvApplied = true
-              antiJoinDvs(rel, dvs, op.path, op.version)
-            }
-          case _ => rel
+      case MorReadRule.DeltaOpTable(op)
+          if rel.getTagValue(MorReadRule.NoDvsTag).isEmpty &&
+            rel.getTagValue(MorReadRule.DvWrappedTag).isEmpty =>
+        val st = GraftStorage(session)
+        val (orderedFiles, dvs) =
+          st.manifestFilesDvs(op.path, op.version)
+        if (dvs.isEmpty) {
+          rel.setTagValue(MorReadRule.NoDvsTag, ())
+          rel
+        } else if (orderedFiles.exists(_._2 > 0)) {
+          // mixed DV generations: the op's own scan is never built
+          // on this path, the V1 plan replaces the relation outright
+          graftV1Plan(rel, op.path, op.version)
+        } else {
+          rel.setTagValue(MorReadRule.DvWrappedTag, ())
+          op.dvApplied = true
+          antiJoinDvs(rel, dvs, op.path, op.version)
         }
       case t: GraftVersionedTable if !t.dvApplied &&
           rel.getTagValue(MorReadRule.NoDvsTag).isEmpty =>
@@ -172,16 +156,7 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
           // output onto the relation's attribute ids so parents
           // resolve unchanged. Compaction folds the generations away
           // and restores the single-relation V2 plan.
-          val inner = st.readVersioned(t.path, Some(v))
-            .queryExecution.analyzed
-          val byName = inner.output.map(a => a.name -> a).toMap
-          Project(rel.output.map { o =>
-            val a = byName.getOrElse(o.name,
-              throw new IllegalStateException(
-                s"column '${o.name}' missing from the MoR read of " +
-                  s"${t.path} version $v"))
-            Alias(a, o.name)(exprId = o.exprId)
-          }, inner)
+          graftV1Plan(rel, t.path, v)
         }
         else {
           val left = rel.copy(table =
@@ -190,6 +165,24 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => rel
     }
+
+  /** The V1 sequence-scoped read of `path` at `v`, its output
+    * grafted onto `rel`'s attribute ids so parents resolve unchanged
+    * (the mixed-generation plan both read surfaces share).
+    */
+  private def graftV1Plan(rel: DataSourceV2Relation, path: String,
+      v: Long): LogicalPlan = {
+    val inner = GraftStorage(session).readVersioned(path, Some(v))
+      .queryExecution.analyzed
+    val byName = inner.output.map(a => a.name -> a).toMap
+    Project(rel.output.map { o =>
+      val a = byName.getOrElse(o.name,
+        throw new IllegalStateException(
+          s"column '${o.name}' missing from the MoR read of " +
+            s"$path version $v"))
+      Alias(a, o.name)(exprId = o.exprId)
+    }, inner)
+  }
 
   /** One anti join per DV key column above `left`, however many MoR
     * commits piled up on that key (same grouping as the V1 reader).
@@ -237,4 +230,15 @@ object MorReadRule {
     */
   private[sources] val DvWrappedTag =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graftDvWrapped")
+
+  /** Extractor: the MoR delta operation behind a row-level command's
+    * read relation (Spark's RowLevelOperationTable wrapper, reached
+    * through the bridge so its private[sql] type is never named).
+    */
+  private[sources] object DeltaOpTable {
+    def unapply(t: org.apache.spark.sql.connector.catalog.Table)
+        : Option[GraftMorDeltaOperation] =
+      org.apache.spark.sql.graftbridge.V2Bridge.rowLevelOperationOf(t)
+        .collect { case op: GraftMorDeltaOperation => op }
+  }
 }

@@ -263,6 +263,46 @@ class MorDeltaSpec extends AnyFunSuite {
       s"unexpected error: ${messages(e2)}")
   }
 
+  test("identifier contract on the OVERWRITE path and on the " +
+    "property flip: stored NULL keys can never meet a non-null " +
+    "declared schema") {
+    val mor = fresh("mordelta_nullflip")
+    spark.sql(
+      s"""CREATE TABLE graft.`$mor` (k BIGINT, v STRING) USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k')
+         |""".stripMargin)
+    Seq((1L, "a")).toDF("k", "v")
+      .createOrReplaceTempView("mordelta_flip_seed")
+    spark.sql(s"INSERT INTO graft.`$mor` SELECT * FROM mordelta_flip_seed")
+    import org.apache.spark.sql.types._
+    val nulled = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(null, "n")),
+      StructType(Seq(StructField("k", LongType, nullable = true),
+        StructField("v", StringType, nullable = true))))
+    // a Scala OVERWRITE is gated like the append
+    val e = intercept[IllegalArgumentException] {
+      st.writeVersioned(nulled, mor) // append = false
+    }
+    assert(messages(e).exists(_.contains("NULL")))
+    // and flipping a NULL-carrying COW table into MoR mode refuses
+    val cow = fresh("mordelta_flip_cow")
+    st.writeVersioned(nulled, cow)
+    st.setTableProperty(cow, "delete_mode", "merge-on-read")
+    val e2 = intercept[IllegalArgumentException] {
+      st.setTableProperty(cow, "mor_key", "k")
+    }
+    assert(messages(e2).exists(_.contains("NULL")),
+      s"unexpected: ${messages(e2)}")
+    // a clean table flips fine, in either property order
+    val ok = fresh("mordelta_flip_ok")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), ok)
+    st.setTableProperty(ok, "mor_key", "k")
+    st.setTableProperty(ok, "delete_mode", "merge-on-read")
+    spark.sql(s"DELETE FROM graft.`$ok` WHERE k = 1")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$ok`")
+      .head().getLong(0) == 0L)
+  }
+
   test("time travel pins pre-DML snapshots; CDC sees the MoR commit " +
     "as a change commit") {
     val mor = seedMor("mordelta_travel")
