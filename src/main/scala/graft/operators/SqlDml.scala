@@ -239,6 +239,27 @@ object SqlDml extends QueryModule {
     statusAgg(s, out)
   }
 
+  /** REORG APPLY DELETES at O(affected files): after delta DML piles
+    * deletion vectors on a merge-on-read table, `CALL
+    * graft.apply_deletes` rewrites ONLY the files that hold
+    * applicably-deleted rows (position + zone pruning pick them, a
+    * columnar key probe confirms) and drops every `D` line — the MoR
+    * read tax is gone without the full-table rewrite `compact` pays.
+    * The final SELECT runs on the clean snapshot: single-scan plan,
+    * no anti joins.
+    */
+  def sqlApplyDeletes(s: SparkSession, dir: String): DataFrame = {
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_apply_deletes")
+    seedMor(s, dir, out)
+    s.sql(s"DELETE FROM graft.`$out` WHERE o_orderkey % 9 = 2")
+    s.sql(
+      s"""UPDATE graft.`$out` SET o_orderstatus = 'A'
+         |WHERE o_orderkey % 9 = 4""".stripMargin)
+    s.sql(s"CALL graft.apply_deletes('$out')").collect()
+    statusAgg(s, out)
+  }
+
   /** CREATE TABLE + INSERT INTO (append commit) + INSERT OVERWRITE
     * (replace commit) through the catalog; the result reads the final
     * snapshot back via catalog SQL (scan served by the manifest file
@@ -637,6 +658,7 @@ object SqlDml extends QueryModule {
     "sql_merge_versioned" -> (sqlMergeVersioned(_, _)),
     "sql_update_mor" -> (sqlUpdateMor(_, _)),
     "sql_merge_mor" -> (sqlMergeMor(_, _)),
+    "sql_apply_deletes" -> (sqlApplyDeletes(_, _)),
     "sql_insert_versioned" -> (sqlInsertVersioned(_, _)),
     "sql_catalog_travel" -> (sqlCatalogTravel(_, _)),
     "sql_call_maintenance" -> (sqlCallMaintenance(_, _)),
@@ -727,6 +749,18 @@ object SqlDml extends QueryModule {
          |SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // MoR DELETE + UPDATE, then apply_deletes (a maintenance rewrite:
+    // the visible rows are unchanged by construction)
+    "sql_apply_deletes" ->
+      s"""WITH v1 AS (
+         |  SELECT
+         |    CASE WHEN o_orderkey % 9 = 4 THEN 'A'
+         |         ELSE o_orderstatus END AS o_orderstatus,
+         |    o_totalprice
+         |  FROM orders WHERE o_orderkey % 9 <> 2)
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // MoR MERGE reaches the same merged state as the CoW MERGE
     "sql_merge_mor" ->
       s"""WITH base AS (

@@ -111,6 +111,11 @@ private[sources] object GraftProcedures {
           in.getUTF8String(2).toString)
         Seq(in.getUTF8String(1).toString)
       }),
+    Proc("apply_deletes",
+      Seq(in("path", StringType)),
+      versionOut,
+      in => Seq(GraftStorage(spark).applyDeletesVersioned(
+        in.getUTF8String(0).toString))),
     Proc("compact_where",
       Seq(in("path", StringType), in("predicate", StringType),
         inDefault("target_files", IntegerType, "1")),

@@ -2599,6 +2599,156 @@ final case class GraftStorage(
     n
   }
 
+  /** REORG APPLY DELETES at O(affected files) — the scoped MoR
+    * maintenance op ([[compactVersioned]] clears DVs too, but by
+    * rewriting the WHOLE table; at 100 TB with 0.1% of files holding
+    * deleted rows that is the wrong cost model — Iceberg's
+    * rewrite_data_files delete-compaction serves the same need).
+    *
+    * Three-phase, all sequence-rule-exact ([[manifestFilesDvs]]):
+    *
+    *  1. DISCOVER: per DV key column, the deleted keys load once
+    *     (broadcast-sized by the MoR write invariant) and candidate
+    *     files prune FIRST by position (a file after the last `D`
+    *     line has no applicable deletes — a fresh MoR upsert's own
+    *     rows never scan) then by zone stats (key range vs per-file
+    *     [min,max]); one columnar probe job over the survivors reads
+    *     just the key column and keeps files where some matched key's
+    *     DV index ≥ the file's sequence position.
+    *  2. REWRITE: affected files group by sequence position; each
+    *     group anti-joins exactly its applicable DV suffix, and the
+    *     survivors write layout-aware (key-rolled for partitioned
+    *     specs, re-sorted for sort claims) into one fresh commit.
+    *  3. PUBLISH: untouched files + their meta carry verbatim, fresh
+    *     files restate sidecar coverage, and NO `D` line survives —
+    *     the read tax is gone while every historical version still
+    *     resolves its own DVs. DVs that deleted nothing fold into a
+    *     metadata-only commit (zero data bytes moved).
+    */
+  def applyDeletesVersioned(path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val v = vs.last
+    val (orderedFiles, dvs) = manifestFilesDvs(path, v)
+    if (dvs.isEmpty) return v
+    def key(p: String): String = new Path(p).toUri.getPath
+    val gen: Map[String, Int] =
+      orderedFiles.map { case (f, g) => key(f) -> g }.toMap
+    val dvIdx: Seq[((String, String), Int)] = dvs.zipWithIndex
+
+    // ---- 1. discover the affected files, metadata-first
+    lazy val zones = versionedScanParts(path, v).zones
+    val affected = scala.collection.mutable.Set[String]()
+    dvIdx.groupBy(_._1._1).foreach { case (c, entries) =>
+      val maxIdx = entries.map(_._2).max
+      // position pruning: only files BEFORE some D line of this
+      // column can hold an applicably-deleted row
+      val cands0 = orderedFiles.collect {
+        case (f, g) if g <= maxIdx => f
+      }
+      if (cands0.nonEmpty) {
+        val keyDf = entries.map { case ((_, f), idx) =>
+          spark.read.parquet(f).select(col(c).as("__gk")).distinct()
+            .withColumn("__gidx", lit(idx))
+        }.reduce(_.unionByName(_))
+        val bounds = keyDf.agg(min(col("__gk")), max(col("__gk"))).head()
+        val cands =
+          if (bounds.isNullAt(0)) Seq.empty // empty DV: nothing deleted
+          else {
+            // zone pruning: per-file [min,max] vs the key range
+            val rangeF: org.apache.spark.sql.sources.Filter =
+              org.apache.spark.sql.sources.And(
+                org.apache.spark.sql.sources
+                  .GreaterThanOrEqual(c, bounds.get(0)),
+                org.apache.spark.sql.sources
+                  .LessThanOrEqual(c, bounds.get(1)))
+            val zmap = zones.zonesFor(Set(c))
+            cands0.filter { f =>
+              val stats = zmap.getOrElse(key(f), Map.empty)
+              stats.isEmpty || GraftFilters.mayMatch(stats, rangeF)
+            }
+          }
+        if (cands.nonEmpty) {
+          // one columnar probe: key column + file name only. A file
+          // is affected iff some row's key matches a DV entry whose
+          // index is at or past the file's sequence position.
+          val hit = readRawFiles(path, v, cands)
+            .select(col(c).as("__gk"), input_file_name().as("__gf"))
+            .join(broadcast(keyDf), "__gk")
+            .groupBy(col("__gf"))
+            .agg(max(col("__gidx")).as("__gmax"))
+            .collect()
+          hit.foreach { r =>
+            val f = key(r.getString(0))
+            if (r.getInt(1) >= gen(f)) affected += f
+          }
+        }
+      }
+    }
+
+    val n = v + 1
+    if (affected.isEmpty) {
+      // DVs deleted nothing that still exists — fold them away as a
+      // metadata-only commit (O(delta): one X drop-prefix replays)
+      publishManifestDelta(fs, dir, n, Seq("D\t"), Seq.empty, None)
+      return n
+    }
+
+    // ---- 2. rewrite exactly the affected files, per sequence group
+    val spec = partitionSpec(path, v)
+    val sortCols = sortSpec(path, v)
+    val (sc, bc) = realSidecarCoverage(path, v)
+    val survivors = affected.toSeq.sorted
+      .map(f => orderedFiles.find(of => key(of._1) == f).get)
+      .groupBy(_._2).toSeq.map { case (g, group) =>
+        val base = readRawFiles(path, v, group.map(_._1))
+        dvIdx.filter(_._2 >= g).groupBy(_._1._1)
+          .foldLeft(base) { case (acc, (c, es)) =>
+            val keys = es.map { case ((_, f), _) =>
+              spark.read.parquet(f).select(col(c))
+            }.reduce(_ union _).distinct()
+            acc.join(broadcast(keys), Seq(c), "left_anti")
+          }
+      }.reduce(_.unionByName(_))
+    val specKeys = spec.map { s =>
+      val f = GraftStorage.parsePartField(s)
+      f.keyExpr(survivors.schema(f.col).dataType)
+    }
+    val relaid =
+      if (sortCols.isEmpty) survivors
+      else survivors.sortWithinPartitions(
+        (specKeys ++ sortCols.map(col)): _*)
+    val commitDir = newCommitDir(dir, n)
+    val fresh = writeCommitData(relaid, commitDir, spec, fs)
+    validateCommitFiles(path, fresh, commitDir, fs)
+    val stats: Seq[String] =
+      if (sc.isEmpty || fresh.isEmpty) Seq.empty
+      else {
+        buildZoneMap(commitDir.toString, sc)
+        Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
+      }
+    val blooms: Seq[String] =
+      if (bc.isEmpty || fresh.isEmpty) Seq.empty
+      else {
+        buildBloomIndex(commitDir.toString, bc)
+        Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
+      }
+
+    // ---- 3. publish: no D line survives; untouched files carry
+    val untouched = orderedFiles.map(_._1)
+      .filterNot(f => affected(key(f)))
+    val meta = carriedMetaLines(path, v, untouched) ++
+      rowCountLines(fresh) ++ stats ++ blooms ++
+      GraftStorage.oLine(sortCols, append = false, Seq.empty)
+    publishManifest(fs, dir, n, untouched ++ fresh ++ meta,
+      Some(commitDir))
+    n
+  }
+
   /** Columns the CURRENT snapshot's stats-in-log / bloom-in-log
     * sidecars cover — maintenance rewrites (compact, z-order) must
     * carry this coverage forward, or the op that is advertised to

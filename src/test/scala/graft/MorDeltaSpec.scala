@@ -458,6 +458,91 @@ class MorDeltaSpec extends AnyFunSuite {
     assert(st.listVersions(mor).last == v, "refused commit must not land")
   }
 
+  test("apply_deletes rewrites ONLY the affected files and drops " +
+    "every D line; re-inserted keys survive (sequence rule)") {
+    val mor = seedMor("mordelta_applydel")
+    // gen 1: delete a narrow key slice (affects SOME of the 4 files)
+    spark.sql(s"DELETE FROM graft.`$mor` WHERE o_orderkey < 400")
+    // gen 2: upsert re-inserts some of those keys — they must SURVIVE
+    spark.sql(
+      s"""MERGE INTO graft.`$mor` t USING
+         |  (SELECT o_orderkey, 'R' AS o_orderstatus, 1.0 AS o_totalprice,
+         |     CAST(1 AS BIGINT) AS o_custkey
+         |   FROM mor_delta_seed_mordelta_applydel WHERE o_orderkey < 100)
+         |  v ON t.o_orderkey = v.o_orderkey
+         |WHEN NOT MATCHED THEN
+         |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+         |  VALUES (v.o_orderkey, v.o_custkey, v.o_orderstatus,
+         |          v.o_totalprice)""".stripMargin)
+    assert(st.hasDeletionVectors(mor))
+    val before = spark.sql(
+      s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey").collect().toSeq
+    val filesBefore = snapshotFiles(mor)
+    val vNew = st.applyDeletesVersioned(mor)
+    assert(vNew == st.listVersions(mor).last)
+    assert(!st.hasDeletionVectors(mor), "D lines must be gone")
+    // untouched files carried verbatim; something was rewritten, but
+    // not everything (the delete touched a key-range slice)
+    val filesAfter = snapshotFiles(mor)
+    val carried = filesBefore.intersect(filesAfter)
+    assert(carried.nonEmpty, "apply_deletes must carry unaffected files")
+    assert(filesAfter != filesBefore, "affected files must be rewritten")
+    // visible rows unchanged — including the re-inserted keys
+    val after = spark.sql(
+      s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey").collect().toSeq
+    assert(after == before)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$mor` " +
+      "WHERE o_orderkey < 100 AND o_orderstatus = 'R'")
+      .head().getLong(0) > 0, "re-inserted keys lost")
+    // the clean snapshot reads single-scan (no anti join)
+    val plan = spark.sql(s"SELECT * FROM graft.`$mor`")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LeftAnti"), plan)
+  }
+
+  test("apply_deletes with DVs that delete nothing folds to a " +
+    "metadata-only commit; partitioned layout survives the rewrite") {
+    // (a) metadata-only: deleteVersionedMor of keys already gone
+    val mor = seedMor("mordelta_applydel_meta")
+    spark.sql(s"DELETE FROM graft.`$mor` WHERE o_orderkey < 300")
+    st.applyDeletesVersioned(mor)
+    // the earlier DVs are applied; delete the SAME range again — the
+    // new DV matches nothing
+    spark.sql(s"DELETE FROM graft.`$mor` WHERE o_orderkey < 300")
+    val filesBefore = snapshotFiles(mor)
+    if (st.hasDeletionVectors(mor)) {
+      val v0 = st.listVersions(mor).last
+      st.applyDeletesVersioned(mor)
+      assert(!st.hasDeletionVectors(mor))
+      assert(snapshotFiles(mor) == filesBefore,
+        "a no-op apply must move zero data files")
+      assert(st.listVersions(mor).last == v0 + 1)
+    }
+    // (b) partitioned: fresh survivor files stay in the identity dirs
+    val part = fresh("mordelta_applydel_part")
+    spark.sql(
+      s"""CREATE TABLE graft.`$part`
+         |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+         |USING graft PARTITIONED BY (o_orderstatus)
+         |TBLPROPERTIES ('delete_mode'='merge-on-read',
+         |               'mor_key'='o_orderkey')""".stripMargin)
+    T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .createOrReplaceTempView("mordelta_adp_seed")
+    spark.sql(s"INSERT INTO graft.`$part` SELECT * FROM mordelta_adp_seed")
+    spark.sql(s"DELETE FROM graft.`$part` WHERE o_orderkey IN " +
+      "(SELECT o_orderkey FROM mordelta_adp_seed WHERE o_orderkey % 4 = 1)")
+    val want = spark.sql(
+      s"SELECT * FROM graft.`$part` ORDER BY o_orderkey").collect().toSeq
+    st.applyDeletesVersioned(part)
+    assert(!st.hasDeletionVectors(part))
+    assert(st.partitionSpec(part, st.listVersions(part).last).nonEmpty)
+    assert(snapshotFiles(part).forall(_.contains("__gp_o_orderstatus=")),
+      "survivor files must stay in the identity layout")
+    assert(spark.sql(s"SELECT * FROM graft.`$part` ORDER BY o_orderkey")
+      .collect().toSeq == want)
+  }
+
   test("compaction folds delta-DML generations back to a clean " +
     "single-scan snapshot") {
     val mor = seedMor("mordelta_compact")
