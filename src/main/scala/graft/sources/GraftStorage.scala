@@ -3166,17 +3166,72 @@ final case class GraftStorage(
     * both sides of the file diff and cancel in the multiset except —
     * the result equals the global snapshot diff while reading only
     * the churned files, so cost scales with churn, not table size.
+    *
+    * Merge-on-read ranges take an O(churn) path of their own (see
+    * inline) with one deliberate CDF-standard deviation from a pure
+    * snapshot diff: a key deleted and re-inserted with IDENTICAL
+    * values inside the range reports as a delete+insert pair (the
+    * row-level change really happened; Delta's CDF does the same)
+    * rather than cancelling.
     */
   def changesVersioned(path: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
     import org.apache.hadoop.fs.Path
     def key(p: String): String = new Path(p).toUri.getPath
     // merge-on-read commits change NO data file, so the file-delta
-    // fast path below would read them as empty changes — when the DV
-    // set moved, diff the resolved snapshots instead (DV anti-joins
-    // applied by readVersioned; cost is a full-snapshot compare,
-    // which is what a row-accurate CDC over MoR deletes costs)
-    if (manifestDvs(path, fromVersion) != manifestDvs(path, toVersion)) {
+    // fast path below would read them as empty changes. When the
+    // range is APPEND-SHAPED (old files and old D lines carried in
+    // position, new ones only appended — every delta-DML/upsert/
+    // append chain looks like this), the diff is O(churn):
+    //   deletes = `from` rows whose key a NEW DV names (all `from`
+    //     files precede every new D line, so the sequence rule makes
+    //     this exact — and already-deleted rows are absent from the
+    //     resolved `from` read);
+    //   inserts = the NEW files' rows, each anti-joined with exactly
+    //     the new DVs past its own position (an upsert chain's
+    //     intermediate rows cancel; old DVs never apply to new files).
+    // Anything else (CoW rewrites, compaction, restore) falls to the
+    // file-delta diff below or — if DV sets moved non-monotonically —
+    // the full snapshot compare, which is what a row-accurate CDC
+    // over arbitrary history costs.
+    val (filesF, dvsF) = manifestFilesDvs(path, fromVersion)
+    val (filesT, dvsT) = manifestFilesDvs(path, toVersion)
+    val appendShaped =
+      dvsT.take(dvsF.size) == dvsF &&
+        filesT.take(filesF.size) == filesF
+    if (dvsT.size > dvsF.size && appendShaped) {
+      val newDvs = dvsT.zipWithIndex.drop(dvsF.size)
+      val newFiles = filesT.drop(filesF.size)
+      val fromDf = readVersioned(path, Some(fromVersion))
+      // deletes: chain per key column so a row matching two columns'
+      // DVs still surfaces exactly once (multiset contract)
+      val byCol = newDvs.groupBy(_._1._1).toSeq.sortBy(_._1)
+      val (deletes, _) = byCol.foldLeft(
+          (fromDf.limit(0), fromDf)) {
+        case ((acc, remaining), (c, entries)) =>
+          val keys = entries.map { case ((_, f), _) =>
+            spark.read.parquet(f).select(col(c))
+          }.reduce(_ union _).distinct()
+          (acc.unionByName(
+            remaining.join(broadcast(keys), Seq(c), "left_semi")),
+            remaining.join(broadcast(keys), Seq(c), "left_anti"))
+      }
+      val inserts =
+        if (newFiles.isEmpty) fromDf.limit(0)
+        else newFiles.groupBy(_._2).toSeq.map { case (g, group) =>
+          val base = readRawFiles(path, toVersion, group.map(_._1))
+          newDvs.filter(_._2 >= g).groupBy(_._1._1)
+            .foldLeft(base) { case (acc, (c, es)) =>
+              val keys = es.map { case ((_, f), _) =>
+                spark.read.parquet(f).select(col(c))
+              }.reduce(_ union _).distinct()
+              acc.join(broadcast(keys), Seq(c), "left_anti")
+            }
+        }.reduce(_.unionByName(_))
+      return inserts.withColumn("_change_type", lit("insert"))
+        .unionByName(deletes.withColumn("_change_type", lit("delete")))
+    }
+    if (dvsF != dvsT) {
       val fromDf = readVersioned(path, Some(fromVersion))
       val toDf = readVersioned(path, Some(toVersion))
       return toDf.exceptAll(fromDf)
@@ -3315,6 +3370,25 @@ final case class GraftStorage(
       ignoreChanges: Boolean): DataFrame =
     spark.readStream.format("graft-stream")
       .option("ignoreChanges", ignoreChanges.toString)
+      .load(path)
+
+  /** STREAMING CHANGE DATA FEED (Delta's `readChangeFeed` contract):
+    * each micro-batch delivers the commits' CHANGE ROWS — table
+    * columns plus `_change_type` ('insert'/'delete'; an UPDATE is the
+    * delete pre-image + insert post-image pair) and
+    * `_commit_version` — instead of raw added files. The first batch
+    * is the current snapshot as inserts (DV-resolved, so
+    * merge-on-read tables stream WITHOUT a compact); each later
+    * commit contributes its own O(churn) diff
+    * ([[changesVersioned]]'s fast paths: a delta-DML commit costs its
+    * DV + matched files, a maintenance rewrite cancels to zero
+    * rows). The downstream CDC-apply shape: feed these rows to a
+    * [[mergeVersionedMor]] sink and two tables stay in sync at
+    * O(churn) per trigger.
+    */
+  def streamVersionedChanges(path: String): DataFrame =
+    spark.readStream.format("graft-stream")
+      .option("readChangeFeed", "true")
       .load(path)
 
   /** Shared copy-on-write core: split the latest snapshot's file list

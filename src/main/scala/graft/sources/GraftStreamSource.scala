@@ -57,7 +57,11 @@ final class GraftStreamSource extends TableProvider
     val spark = SparkSession.active
     val st = GraftStorage(spark)
     val path = pathOf(options)
-    st.readVersioned(path, Some(st.latestVisibleVersion(path))).schema
+    val base =
+      st.readVersioned(path, Some(st.latestVisibleVersion(path))).schema
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      GraftStreamSource.cdfSchema(base)
+    else base
   }
 
   override def getTable(schema: StructType,
@@ -67,6 +71,18 @@ final class GraftStreamSource extends TableProvider
       pathOf(new CaseInsensitiveStringMap(properties)), schema)
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] object GraftStreamSource {
+  /** Change-feed schema: the table's columns plus the CDF metadata
+    * pair (Delta's column names, so downstream consumers port).
+    */
+  def cdfSchema(base: StructType): StructType =
+    StructType(base.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType))
 }
 
 private[sources] final class GraftStreamTable(
@@ -87,6 +103,9 @@ private[sources] final class GraftStreamTable(
         new GraftMicroBatchStream(path, tableSchema,
           ignoreChanges = Option(options.get("ignoreChanges"))
             .exists(_.toBoolean),
+          changeFeed = Option(options.get("readChangeFeed"))
+            .exists(_.toBoolean),
+          checkpointLocation = checkpointLocation,
           // bounded by default (Delta defaults maxFilesPerTrigger
           // likewise): an unconsumed 10⁵-commit history must drain
           // as bounded batches, not one mega-batch
@@ -104,7 +123,9 @@ private[sources] final class GraftStreamTable(
 
 private[sources] final class GraftMicroBatchStream(
     path: String, schema: StructType, ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Int])
+    maxVersionsPerTrigger: Option[Int],
+    changeFeed: Boolean = false,
+    checkpointLocation: String = "")
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -119,7 +140,6 @@ private[sources] final class GraftMicroBatchStream(
   override def initialOffset(): Offset = VOffset(-1L)
   override def deserializeOffset(json: String): Offset =
     VOffset(json.trim.toLong)
-  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def latestOffset(): Offset =
@@ -266,6 +286,93 @@ private[sources] final class GraftMicroBatchStream(
     }
   }
 
+  /** CHANGE-FEED batch (readChangeFeed=true): instead of the added
+    * FILES, the batch delivers the range's CHANGE ROWS — per
+    * published commit step, [[GraftStorage.changesVersioned]]'s
+    * result (O(churn): MoR delta steps read the DV keys + matched
+    * files, append steps read the fresh files, maintenance steps
+    * cancel to zero rows) stamped with Delta's CDF metadata columns.
+    * A DSv2 micro-batch must hand Spark InputPartitions, and a
+    * change set is a computed PLAN (anti/semi joins), so the batch
+    * materializes its rows once under the stream's own checkpoint
+    * directory and scans that — deterministic inputs make crash
+    * replays byte-stable, and `commit(end)` retires spent batch
+    * dirs. The initial batch (start = -1) is the current snapshot as
+    * inserts (DV-resolved — a MoR table streams its LIVE rows, no
+    * compact needed on this mode). Falls back to the whole-range net
+    * diff when vacuum retired an interior manifest.
+    */
+  private def changeRows(start: Long, end: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    val outDir = new Path(new Path(checkpointLocation),
+      s"_graft_cdf/b${start}_$end")
+    val fs = outDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df =
+      if (start < 0)
+        st.readVersioned(path, Some(end))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(end))
+      else {
+        val steps =
+          try {
+            val committed = st.listVersions(path).toSet
+            val published = (start + 1 to end)
+              .filter(committed).filter(isPublished)
+            var prev = start
+            val parts = published.map { v =>
+              val d = st.changesVersioned(path, prev, v)
+                .withColumn("_commit_version", lit(v))
+              prev = v
+              d
+            }
+            Some(parts)
+          } catch {
+            case _: IllegalArgumentException => None // vacuumed interior
+          }
+        steps match {
+          case Some(parts) if parts.nonEmpty =>
+            parts.reduce(_.unionByName(_))
+          case Some(_) =>
+            st.readVersioned(path, Some(end)).limit(0)
+              .withColumn("_change_type", lit(""))
+              .withColumn("_commit_version", lit(end))
+          case None =>
+            st.changesVersioned(path, start, end)
+              .withColumn("_commit_version", lit(end))
+        }
+      }
+    // write ONCE per batch range: Spark may plan the same batch more
+    // than once, and an overwrite would delete the files an earlier
+    // plan's partitions still reference mid-read. The content is
+    // deterministic, so reusing a completed materialization is exact;
+    // a torn dir from a crashed attempt (no _SUCCESS) rewrites.
+    this.synchronized {
+      if (!fs.exists(new Path(outDir, "_SUCCESS")))
+        df.write.mode("overwrite").parquet(outDir.toString)
+    }
+    fs.listStatus(outDir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath)
+  }
+
+  /** Spent change-feed batch dirs retire once the engine commits the
+    * offset (a committed batch is never replanned).
+    */
+  override def commit(end: Offset): Unit = if (changeFeed) {
+    val e = end.asInstanceOf[VOffset].v
+    val root = new Path(new Path(checkpointLocation), "_graft_cdf")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { d =>
+          val name = d.getPath.getName
+          if (name.startsWith("b") &&
+              name.split('_').last.toLong < e)
+            fs.delete(d.getPath, true): Unit
+        }
+    } catch { case _: Exception => () } // best-effort cleanup
+  }
+
   private def parquetScanOver(files: Seq[String])
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
     val index = new InMemoryFileIndex(classic,
@@ -281,7 +388,7 @@ private[sources] final class GraftMicroBatchStream(
     val s = start.asInstanceOf[VOffset].v
     val e = end.asInstanceOf[VOffset].v
     if (e <= s) return Array.empty
-    val files = deltaFiles(s, e)
+    val files = if (changeFeed) changeRows(s, e) else deltaFiles(s, e)
     if (files.isEmpty) Array.empty
     else parquetScanOver(files).toBatch.planInputPartitions()
   }

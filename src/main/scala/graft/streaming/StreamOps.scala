@@ -540,6 +540,51 @@ object StreamOps extends QueryModule {
     * aggregate over the batch union of the three commit slices =
     * all of orders.
     */
+  /** STREAMING CHANGE DATA FEED (`readChangeFeed`, Delta's contract):
+    * the consumer subscribes to a versioned table's CHANGE ROWS —
+    * first batch is the snapshot as inserts, every later commit
+    * contributes its own O(churn) diff (`_change_type` insert/delete,
+    * an UPDATE as the pre-image/post-image pair, `_commit_version`
+    * stamped). Here: bootstrap, then a MoR DELETE and a MoR UPDATE
+    * commit, a second AvailableNow drain picking up exactly those two
+    * commits' rows; the result aggregates the accumulated feed. At
+    * 100 TB each trigger costs the commits' DV + matched files, never
+    * a table scan — the downstream CDC-apply pipeline shape.
+    */
+  def streamCdf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val st = graft.sources.GraftStorage(s)
+    val src = T.scratch(dir, "stream_cdf_src")
+    val outP = T.scratch(dir, "stream_cdf_out")
+    val ckpt = outP + "_ckpt"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(hconf)
+    Seq(src, outP, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val base = T.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    st.writeVersioned(base.repartition(4), src)
+    def drain(): Unit = {
+      val q = st.streamVersionedChanges(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outP)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // bootstrap: snapshot as inserts
+    st.deleteVersionedMor(src, col("o_orderkey") % 11 === 4, "o_orderkey")
+    st.updateVersionedMor(src, col("o_orderkey") % 11 === 6,
+      Map("o_totalprice" -> (col("o_totalprice") * 3)), "o_orderkey")
+    drain() // the two commits' change rows
+    s.read.parquet(outP)
+      .groupBy(col("_change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("_change_type"), col("o_orderstatus"))
+  }
+
+
   def streamVersionedSource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val st = graft.sources.GraftStorage(s)
@@ -747,6 +792,7 @@ object StreamOps extends QueryModule {
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_dedup_watermark" -> (streamDedupWatermark(_, _)),
     "stream_versioned_source" -> (streamVersionedSource(_, _)),
+    "stream_cdf" -> (streamCdf(_, _)),
     "stream_versioned_sink" -> (streamVersionedSink(_, _)),
     "stream_upsert_mor" -> (streamUpsertMor(_, _)),
     "stream_sink_partitioned" -> (streamSinkPartitioned(_, _)))
@@ -798,6 +844,25 @@ object StreamOps extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+    "stream_cdf" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |cdf AS (
+         |  SELECT 'insert' AS _change_type, o_orderstatus, o_totalprice
+         |  FROM base
+         |  UNION ALL
+         |  SELECT 'delete', o_orderstatus, o_totalprice FROM base
+         |  WHERE o_orderkey % 11 = 4
+         |  UNION ALL
+         |  SELECT 'delete', o_orderstatus, o_totalprice FROM base
+         |  WHERE o_orderkey % 11 = 6
+         |  UNION ALL
+         |  SELECT 'insert', o_orderstatus, o_totalprice * 3 FROM base
+         |  WHERE o_orderkey % 11 = 6)
+         |SELECT _change_type, o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM cdf GROUP BY _change_type, o_orderstatus
+         |ORDER BY _change_type, o_orderstatus""".stripMargin,
     "stream_versioned_source" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total

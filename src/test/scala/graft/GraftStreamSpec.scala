@@ -199,4 +199,82 @@ class GraftStreamSpec extends AnyFunSuite {
       s"expected one micro-batch per commit, got ${batches.get()}")
     assert(spark.read.parquet(outP).count() == nation.count())
   }
+
+  test("change feed: initial snapshot as inserts, then per-commit " +
+    "delete/insert rows with _commit_version") {
+    val src = fresh("gstream_cdf")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    GraftCatalog.register(spark)
+    spark.sql(
+      s"""CREATE TABLE graft.`$src` (k BIGINT, v STRING) USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k')
+         |""".stripMargin)
+    spark.range(0, 20).select($"id".as("k"), lit("a").as("v"))
+      .createOrReplaceTempView("gstream_cdf_seed")
+    spark.sql(s"INSERT INTO graft.`$src` SELECT * FROM gstream_cdf_seed")
+    // batch 1: bootstrap — snapshot as inserts
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val boot = spark.read.parquet(outP)
+    assert(boot.count() == 20)
+    assert(boot.filter($"_change_type" =!= "insert").count() == 0)
+    // commits: a MoR delete, a delta UPDATE, and an append
+    spark.sql(s"DELETE FROM graft.`$src` WHERE k % 5 = 0")
+    spark.sql(s"UPDATE graft.`$src` SET v = 'u' WHERE k % 5 = 1")
+    st.writeVersioned(Seq((100L, "n")).toDF("k", "v"), src,
+      append = true)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val all = spark.read.parquet(outP)
+    val changes = all.join(boot.select($"k", $"v", $"_change_type"),
+      Seq("k", "v", "_change_type"), "left_anti")
+    // delete commit: 4 delete rows (k=0,5,10,15)
+    assert(changes.filter($"_change_type" === "delete" && $"v" === "a" &&
+      $"k" % 5 === 0).count() == 4)
+    // update commit: delete pre-image + insert post-image per row
+    assert(changes.filter($"_change_type" === "delete" &&
+      $"k" % 5 === 1).count() == 4)
+    assert(changes.filter($"_change_type" === "insert" &&
+      $"v" === "u").count() == 4)
+    // append commit: one insert
+    assert(changes.filter($"_change_type" === "insert" &&
+      $"k" === 100).count() == 1)
+    // commit versions are distinct per step and monotone
+    val vs = changes.select($"_commit_version").distinct()
+      .as[Long].collect().sorted
+    assert(vs.length == 3, vs.toSeq)
+    // exactly-once across an idle re-drain
+    val n = all.count()
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == n)
+  }
+
+  test("change feed: a maintenance rewrite (apply_deletes) emits " +
+    "ZERO change rows; WAP stages stay invisible until publish") {
+    val src = fresh("gstream_cdf_maint")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    GraftCatalog.register(spark)
+    spark.sql(
+      s"""CREATE TABLE graft.`$src` (k BIGINT, v STRING) USING graft
+         |TBLPROPERTIES ('delete_mode'='merge-on-read','mor_key'='k')
+         |""".stripMargin)
+    spark.range(0, 30).select($"id".as("k"), lit("a").as("v"))
+      .createOrReplaceTempView("gstream_cdfm_seed")
+    spark.sql(s"INSERT INTO graft.`$src` SELECT * FROM gstream_cdfm_seed")
+    spark.sql(s"DELETE FROM graft.`$src` WHERE k < 3")
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val n0 = spark.read.parquet(outP).count()
+    // maintenance: apply the DVs — logically nothing changes
+    st.applyDeletesVersioned(src)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == n0,
+      "a maintenance rewrite must emit no change rows")
+    // WAP: staged rows invisible, visible as inserts after publish
+    st.wapStage(Seq((200L, "w")).toDF("k", "v"), src, "audit1")
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == n0)
+    st.wapPublish(src, "audit1")
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val ins = spark.read.parquet(outP)
+      .filter($"k" === 200 && $"_change_type" === "insert")
+    assert(ins.count() == 1, "published stage must arrive as insert")
+  }
 }

@@ -543,6 +543,46 @@ class MorDeltaSpec extends AnyFunSuite {
       .collect().toSeq == want)
   }
 
+  test("CDC over an append-shaped MoR range is O(churn) and equals " +
+    "the snapshot diff; identical re-inserts surface as a pair") {
+    val mor = seedMor("mordelta_cdc")
+    val v0 = st.listVersions(mor).last
+    spark.sql(s"DELETE FROM graft.`$mor` WHERE o_orderkey % 21 = 6")
+    spark.sql(s"UPDATE graft.`$mor` SET o_totalprice = 7.5 " +
+      "WHERE o_orderkey % 21 = 9")
+    val v2 = st.listVersions(mor).last
+    val cols = st.readVersioned(mor).columns.map(col).toIndexedSeq
+    val ch = st.changesVersioned(mor, v0, v2)
+    // values changed on every touched row, so the O(churn) path must
+    // equal the plain snapshot diff exactly (multiset compare)
+    val from = st.readVersioned(mor, Some(v0))
+    val to = st.readVersioned(mor, Some(v2))
+    assert(ch.filter($"_change_type" === "insert").select(cols: _*)
+      .exceptAll(to.exceptAll(from)).isEmpty)
+    assert(to.exceptAll(from).exceptAll(
+      ch.filter($"_change_type" === "insert").select(cols: _*)).isEmpty)
+    assert(ch.filter($"_change_type" === "delete").select(cols: _*)
+      .exceptAll(from.exceptAll(to)).isEmpty)
+    assert(from.exceptAll(to).exceptAll(
+      ch.filter($"_change_type" === "delete").select(cols: _*)).isEmpty)
+    // the documented CDF deviation: delete + re-insert of IDENTICAL
+    // values reports the pair (the row-level change really happened)
+    val one = st.readVersioned(mor).filter($"o_orderkey" % 31 === 7)
+      .limit(1).collect().head
+    val k = one.getLong(one.fieldIndex("o_orderkey"))
+    val vPre = st.listVersions(mor).last
+    spark.sql(s"DELETE FROM graft.`$mor` WHERE o_orderkey = $k")
+    st.readVersioned(mor, Some(vPre)).filter($"o_orderkey" === k)
+      .createOrReplaceTempView("mordelta_cdc_reinsert")
+    spark.sql(s"INSERT INTO graft.`$mor` " +
+      "SELECT * FROM mordelta_cdc_reinsert")
+    val pair = st.changesVersioned(mor, vPre, st.listVersions(mor).last)
+    assert(pair.filter($"o_orderkey" === k &&
+      $"_change_type" === "delete").count() == 1L)
+    assert(pair.filter($"o_orderkey" === k &&
+      $"_change_type" === "insert").count() == 1L)
+  }
+
   test("compaction folds delta-DML generations back to a clean " +
     "single-scan snapshot") {
     val mor = seedMor("mordelta_compact")
