@@ -585,6 +585,89 @@ object StreamOps extends QueryModule {
   }
 
 
+  /** END-TO-END CDC REPLICATION — the loop the whole MoR family
+    * exists for: a `readChangeFeed` stream over the SOURCE table
+    * net-applies each micro-batch into a REPLICA with O(churn)
+    * merge-on-read commits, and the replica converges to the source
+    * through any mix of deletes, updates, and appends. Net-apply per
+    * batch: the LATEST change per key wins (`_commit_version` desc,
+    * then 'insert' over 'delete' — a commit's post-image supersedes
+    * its own pre-image); surviving inserts upsert via ONE
+    * [[graft.sources.GraftStorage.mergeVersionedMor]] commit
+    * (txn-marked, so replays are exactly-once), pure deletes ride a
+    * DV commit, and the bootstrap batch lands as a plain append
+    * (the replica is empty — no DV needed). `maxVersionsPerTrigger=1`
+    * keeps one source commit per batch. At 100 TB each trigger moves
+    * the CHANGED rows only: the feed costs the commits' DV + matched
+    * files, the apply costs the batch + a KB-scale DV — neither side
+    * ever rescans its table.
+    */
+  def streamCdcReplica(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val st = graft.sources.GraftStorage(s)
+    val src = T.scratch(dir, "stream_cdc_replica_src")
+    val dst = T.scratch(dir, "stream_cdc_replica_dst")
+    val ckpt = dst + "_ckpt"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(hconf)
+    Seq(src, dst, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val base = T.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // source history: snapshot, MoR delete, MoR update, append
+    st.writeVersioned(base.repartition(4), src)
+    st.deleteVersionedMor(src, col("o_orderkey") % 13 === 2, "o_orderkey")
+    st.updateVersionedMor(src, col("o_orderkey") % 13 === 5,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)), "o_orderkey")
+    st.writeVersioned(base.filter(col("o_orderkey") % 89 === 3)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+        lit("E").as("o_orderstatus"), lit(3.0).as("o_totalprice")),
+      src, append = true)
+    st.writeVersioned(base.limit(0), dst) // empty replica, v0
+    val q = s.readStream.format("graft-stream")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!st.txnCommitted(dst, "cdc_replica", id)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderkey"))
+            .orderBy(col("_commit_version").desc, col("_change_type").desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", "_commit_version")
+          val ups = latest.filter(col("_change_type") === "insert")
+            .drop("_change_type").localCheckpoint()
+          val delKeys = latest.filter(col("_change_type") === "delete")
+            .select(col("o_orderkey")).as[Long](s.implicits.newLongEncoder)
+            .collect().toSeq
+          if (delKeys.nonEmpty)
+            st.deleteVersionedMor(dst,
+              col("o_orderkey").isInCollection(delKeys), "o_orderkey"): Unit
+          if (!ups.isEmpty) {
+            if (st.countVersionedFast(dst).contains(0L))
+              st.writeVersioned(ups, dst, append = true, Seq.empty,
+                Seq.empty, Seq.empty, Some("cdc_replica" -> id)): Unit
+            else
+              st.mergeVersionedMor(dst, ups, "o_orderkey",
+                Some("cdc_replica" -> id)): Unit
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the replica's state IS the result — its oracle is the SOURCE's
+    // final state, which is the convergence claim
+    st.readVersioned(dst)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+
   def streamVersionedSource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val st = graft.sources.GraftStorage(s)
@@ -793,6 +876,7 @@ object StreamOps extends QueryModule {
     "stream_dedup_watermark" -> (streamDedupWatermark(_, _)),
     "stream_versioned_source" -> (streamVersionedSource(_, _)),
     "stream_cdf" -> (streamCdf(_, _)),
+    "stream_cdc_replica" -> (streamCdcReplica(_, _)),
     "stream_versioned_sink" -> (streamVersionedSink(_, _)),
     "stream_upsert_mor" -> (streamUpsertMor(_, _)),
     "stream_sink_partitioned" -> (streamSinkPartitioned(_, _)))
@@ -843,6 +927,22 @@ object StreamOps extends QueryModule {
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+    "stream_cdc_replica" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |v2 AS (
+         |  SELECT o_orderstatus,
+         |    CASE WHEN o_orderkey % 13 = 5 THEN o_totalprice * 2
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM base WHERE o_orderkey % 13 <> 2),
+         |fin AS (
+         |  SELECT * FROM v2
+         |  UNION ALL
+         |  SELECT 'E', 3.0 FROM base WHERE o_orderkey % 89 = 3)
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM fin GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
     "stream_cdf" ->
       s"""WITH base AS (
