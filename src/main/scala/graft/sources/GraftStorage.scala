@@ -2491,7 +2491,7 @@ final case class GraftStorage(
     // streaming txn markers ride maintenance rewrites: losing one
     // would make a checkpointed sink re-commit its batch (duplicates)
     val tLines = lastV.map(txnLines(path, _)).getOrElse(Seq.empty)
-    if (spec.nonEmpty) {
+    val n = if (spec.nonEmpty) {
       // repartition by the LAYOUT key (bucket id, not the raw key):
       // clustering by the raw column would scatter each bucket over
       // every task and multiply files instead of compacting them
@@ -2513,6 +2513,7 @@ final case class GraftStorage(
       writeVersioned(clustered, path, append = false, sc, bc, sortCols,
         None, tLines, lastV, None)
     }
+    tagMaintenance(path, n, "compact")
   }
 
   /** SCOPED compaction — `OPTIMIZE ... WHERE`: rewrite into
@@ -2596,7 +2597,7 @@ final case class GraftStorage(
       GraftStorage.oLine(sortCols, append = false, Seq.empty)
     publishManifest(fs, dir, n, untouched ++ fresh ++ meta,
       Some(commitDir))
-    n
+    tagMaintenance(path, n, "compact_where")
   }
 
   /** REORG APPLY DELETES at O(affected files) — the scoped MoR
@@ -2695,7 +2696,7 @@ final case class GraftStorage(
       // DVs deleted nothing that still exists — fold them away as a
       // metadata-only commit (O(delta): one X drop-prefix replays)
       publishManifestDelta(fs, dir, n, Seq("D\t"), Seq.empty, None)
-      return n
+      return tagMaintenance(path, n, "apply_deletes")
     }
 
     // ---- 2. rewrite exactly the affected files, per sequence group
@@ -2705,14 +2706,8 @@ final case class GraftStorage(
     val survivors = affected.toSeq.sorted
       .map(f => orderedFiles.find(of => key(of._1) == f).get)
       .groupBy(_._2).toSeq.map { case (g, group) =>
-        val base = readRawFiles(path, v, group.map(_._1))
-        dvIdx.filter(_._2 >= g).groupBy(_._1._1)
-          .foldLeft(base) { case (acc, (c, es)) =>
-            val keys = es.map { case ((_, f), _) =>
-              spark.read.parquet(f).select(col(c))
-            }.reduce(_ union _).distinct()
-            acc.join(broadcast(keys), Seq(c), "left_anti")
-          }
+        antiJoinDvEntries(readRawFiles(path, v, group.map(_._1)),
+          dvIdx.filter(_._2 >= g).map(_._1))
       }.reduce(_.unionByName(_))
     val specKeys = spec.map { s =>
       val f = GraftStorage.parsePartField(s)
@@ -2746,7 +2741,7 @@ final case class GraftStorage(
       GraftStorage.oLine(sortCols, append = false, Seq.empty)
     publishManifest(fs, dir, n, untouched ++ fresh ++ meta,
       Some(commitDir))
-    n
+    tagMaintenance(path, n, "apply_deletes")
   }
 
   /** Columns the CURRENT snapshot's stats-in-log / bloom-in-log
@@ -2951,8 +2946,14 @@ final case class GraftStorage(
     * route NULL-keyed deletes through [[deleteVersioned]].
     */
   def deleteVersionedMor(path: String, predicate: Column,
-      keyCol: String): Long = {
+      keyCol: String,
+      /** exactly-once marker for streaming CDC-apply sinks whose
+        * batch holds only deletes (same contract as the append/merge
+        * txn markers).
+        */
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.hadoop.fs.Path
+    GraftStorage.requireTxn(txn)
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
@@ -2985,8 +2986,10 @@ final case class GraftStorage(
     val dvFiles = dvStatus.map(_.getPath.toUri.getPath)
     // a MoR delete is the purest delta commit: inherit everything,
     // add only the DV lines — O(deleted keys) metadata AND data
-    publishManifestDelta(fs, dir, n, Seq.empty,
-      dvFiles.map(f => s"D\t$keyCol\t$f"), Some(commitDir))
+    publishManifestDelta(fs, dir, n,
+      txn.map(t => s"T\t${t._1}\t").toSeq,
+      dvFiles.map(f => s"D\t$keyCol\t$f") ++
+        txn.map(t => s"T\t${t._1}\t${t._2}").toSeq, Some(commitDir))
     n
   }
 
@@ -3202,31 +3205,41 @@ final case class GraftStorage(
     if (dvsT.size > dvsF.size && appendShaped) {
       val newDvs = dvsT.zipWithIndex.drop(dvsF.size)
       val newFiles = filesT.drop(filesF.size)
-      val fromDf = readVersioned(path, Some(fromVersion))
-      // deletes: chain per key column so a row matching two columns'
-      // DVs still surfaces exactly once (multiset contract)
+      lazy val fromDf = readVersioned(path, Some(fromVersion))
       val byCol = newDvs.groupBy(_._1._1).toSeq.sortBy(_._1)
-      val (deletes, _) = byCol.foldLeft(
-          (fromDf.limit(0), fromDf)) {
-        case ((acc, remaining), (c, entries)) =>
-          val keys = entries.map { case ((_, f), _) =>
-            spark.read.parquet(f).select(col(c))
-          }.reduce(_ union _).distinct()
-          (acc.unionByName(
-            remaining.join(broadcast(keys), Seq(c), "left_semi")),
-            remaining.join(broadcast(keys), Seq(c), "left_anti"))
+      val deletes = byCol match {
+        case Seq((c, entries)) =>
+          // single key column (the overwhelmingly common shape): the
+          // pre-image scan prunes by the DV key RANGE through the
+          // stats-in-log reader, so a KB-scale delete commit reads
+          // only the files that can hold a matched key — not the
+          // whole `from` snapshot
+          val keys = spark.read
+            .parquet(entries.map(_._1._2): _*).select(col(c)).distinct()
+          val b = keys.agg(min(col(c)), max(col(c))).head()
+          if (b.isNullAt(0)) fromDf.limit(0)
+          else readVersionedPruned(path, Some(fromVersion))
+            .filter(col(c) >= lit(b.get(0)) && col(c) <= lit(b.get(1)))
+            .join(broadcast(keys), Seq(c), "left_semi")
+        case _ =>
+          // several key columns: chain semi/anti per column so a row
+          // matching two columns' DVs surfaces exactly once
+          byCol.foldLeft((fromDf.limit(0), fromDf)) {
+            case ((acc, remaining), (c, entries)) =>
+              val keys = entries.map { case ((_, f), _) =>
+                spark.read.parquet(f).select(col(c))
+              }.reduce(_ union _).distinct()
+              (acc.unionByName(
+                remaining.join(broadcast(keys), Seq(c), "left_semi")),
+                remaining.join(broadcast(keys), Seq(c), "left_anti"))
+          }._1
       }
       val inserts =
         if (newFiles.isEmpty) fromDf.limit(0)
         else newFiles.groupBy(_._2).toSeq.map { case (g, group) =>
-          val base = readRawFiles(path, toVersion, group.map(_._1))
-          newDvs.filter(_._2 >= g).groupBy(_._1._1)
-            .foldLeft(base) { case (acc, (c, es)) =>
-              val keys = es.map { case ((_, f), _) =>
-                spark.read.parquet(f).select(col(c))
-              }.reduce(_ union _).distinct()
-              acc.join(broadcast(keys), Seq(c), "left_anti")
-            }
+          antiJoinDvEntries(
+            readRawFiles(path, toVersion, group.map(_._1)),
+            newDvs.filter(_._2 >= g).map(_._1))
         }.reduce(_.unionByName(_))
       return inserts.withColumn("_change_type", lit("insert"))
         .unionByName(deletes.withColumn("_change_type", lit("delete")))
@@ -3331,6 +3344,7 @@ final case class GraftStorage(
     drop.foreach { v =>
       fs.delete(new Path(dir, s"_manifest/v$v"), false)
       fs.delete(new Path(dir, s"_manifest/v$v.ck"), false)
+      fs.delete(new Path(dir, s"_manifest/v$v.op"), false)
     }
     // sweep commit dirs the deletes emptied (cosmetic, metadata-scale)
     // — but NEVER a dir whose `_`-prefixed survivors include a
@@ -3681,18 +3695,11 @@ final case class GraftStorage(
     // files listed ABOVE it — appends after a delete resurrect their
     // keys, and a MoR upsert's fresh rows survive its own delete.
     val (orderedFiles, dvs) = manifestFilesDvs(path, v)
-    def applyDvs(df: DataFrame, which: Seq[(String, String)]): DataFrame =
-      which.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(df) {
-        case (d, (keyCol, entries)) =>
-          d.join(broadcast(
-            spark.read.parquet(entries.map(_._2): _*).distinct()),
-            Seq(keyCol), "left_anti")
-      }
     if (dvs.isEmpty) base
     else if (orderedFiles.forall(_._2 == 0) || files.isEmpty)
       // every file precedes every DV (pure-delete history) — one
       // segment, exactly the single-scan plan as before
-      applyDvs(base, dvs)
+      antiJoinDvEntries(base, dvs)
     else {
       // mixed generations: group files by how many DVs precede them;
       // each group anti-joins only the DVs that came AFTER it. Group
@@ -3701,9 +3708,72 @@ final case class GraftStorage(
       val schema = mergedManifestSchema(path, v).getOrElse(base.schema)
       orderedFiles.groupBy(_._2).toSeq.sortBy(_._1).map {
         case (g, fsG) =>
-          applyDvs(spark.read.schema(schema).options(readerOptions)
+          antiJoinDvEntries(spark.read.schema(schema)
+            .options(readerOptions)
             .parquet(fsG.map(_._1): _*), dvs.drop(g))
       }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Anti-join `df` against deletion-vector entries, grouped per key
+    * column — THE single definition of what a DV removes. Resolved
+    * reads ([[readVersioned]]), CDC ([[changesVersioned]]) and
+    * [[applyDeletesVersioned]] all route here, so DV semantics (null
+    * keys survive, per-column broadcast, distinct keys) cannot
+    * diverge between surfaces.
+    */
+  private[sources] def antiJoinDvEntries(df: DataFrame,
+      entries: Seq[(String, String)]): DataFrame =
+    entries.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (keyCol, es)) =>
+        d.join(broadcast(
+          spark.read.parquet(es.map(_._2): _*).distinct()),
+          Seq(keyCol), "left_anti")
+    }
+
+  /** Commit-scoped OP TAG (`_manifest/v<N>.op`): row-preserving
+    * maintenance rewrites (compact, z-order, apply_deletes) record
+    * their name so change consumers can SKIP the commit outright —
+    * its logical row state is identical by construction, and
+    * computing the guaranteed-empty diff would cost two snapshot
+    * scans. Outside the manifest replay algebra on purpose (the tag
+    * describes ONE commit, never a snapshot); written best-effort
+    * AFTER the publish (a missing tag degrades to the slow exact
+    * diff, never to wrong results); vacuum retires it with its
+    * manifest.
+    */
+  private def writeCommitOp(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, n: Long, op: String): Unit =
+    try {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, s"_manifest/v$n.op"), true)
+      try out.write(op.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+
+  /** Publish-side half of the op tag: returns `n` for chaining. */
+  private def tagMaintenance(path: String, n: Long, op: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    writeCommitOp(dir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration), dir, n, op)
+    n
+  }
+
+  /** The op tag of one commit, if a maintenance rewrite left one. */
+  private[sources] def commitOpOf(path: String,
+      version: Long): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val f = new Path(new Path(path), s"_manifest/v$version.op")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val len = fs.getFileStatus(f).getLen.toInt
+      val in = fs.open(f)
+      try {
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        Some(new String(buf, "UTF-8"))
+      } finally in.close()
     }
   }
 
@@ -3911,14 +3981,16 @@ final case class GraftStorage(
     // per-file [min,max] narrow
     val (sc, bc) = priorSidecarCoverage(path)
     val tLines = base.map(txnLines(path, _)).getOrElse(Seq.empty)
-    writeVersioned(cur.withColumn("__graft_z", z)
-      .repartitionByRange(targetFiles, col("__graft_z"))
-      .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z"), path,
-      append = false, (sc ++ zcols).distinct.sorted, bc,
-      // a z-order rewrite breaks any declared row order — drop O,
-      // but keep the streaming txn markers alive
-      Seq.empty, None, tLines, base, None)
+    tagMaintenance(path,
+      writeVersioned(cur.withColumn("__graft_z", z)
+        .repartitionByRange(targetFiles, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z"), path,
+        append = false, (sc ++ zcols).distinct.sorted, bc,
+        // a z-order rewrite breaks any declared row order — drop O,
+        // but keep the streaming txn markers alive
+        Seq.empty, None, tLines, base, None),
+      "zorder")
   }
 
   /** MULTI-dimension clustered write — the Z-ORDER analogue of

@@ -313,33 +313,39 @@ private[sources] final class GraftMicroBatchStream(
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(end))
       else {
-        val steps =
-          try {
-            val committed = st.listVersions(path).toSet
-            val published = (start + 1 to end)
-              .filter(committed).filter(isPublished)
-            var prev = start
-            val parts = published.map { v =>
-              val d = st.changesVersioned(path, prev, v)
-                .withColumn("_commit_version", lit(v))
-              prev = v
-              d
-            }
-            Some(parts)
-          } catch {
-            case _: IllegalArgumentException => None // vacuumed interior
-          }
-        steps match {
-          case Some(parts) if parts.nonEmpty =>
-            parts.reduce(_.unionByName(_))
-          case Some(_) =>
-            st.readVersioned(path, Some(end)).limit(0)
-              .withColumn("_change_type", lit(""))
-              .withColumn("_commit_version", lit(end))
-          case None =>
-            st.changesVersioned(path, start, end)
-              .withColumn("_commit_version", lit(end))
+        // the consumer's own offset must still resolve — surface the
+        // retention guidance, not a raw manifest error (interior
+        // vacuumed versions simply drop out of listVersions and the
+        // surviving pairs diff across the gap)
+        try st.manifestFiles(path, start)
+        catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalStateException(
+              s"graft-stream on $path: checkpointed version $start " +
+                "was vacuumed — table retention must cover consumer " +
+                "lag (vacuum keepLast, or pin a tag/branch at or " +
+                "before the consumer's offset). Restart with a fresh " +
+                "checkpoint to re-read the current snapshot.")
         }
+        val committed = st.listVersions(path).toSet
+        val published = (start + 1 to end)
+          .filter(committed).filter(isPublished)
+          // row-preserving maintenance rewrites (compact / z-order /
+          // apply_deletes leave a commit op tag) contribute ZERO
+          // change rows by construction — skip them outright instead
+          // of computing the guaranteed-empty diff
+          .filter(v => st.commitOpOf(path, v).isEmpty)
+        var prev = start
+        val parts = published.map { v =>
+          val d = st.changesVersioned(path, prev, v)
+            .withColumn("_commit_version", lit(v))
+          prev = v
+          d
+        }
+        if (parts.nonEmpty) parts.reduce(_.unionByName(_))
+        else st.readVersioned(path, Some(end)).limit(0)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(end))
       }
     // write ONCE per batch range: Spark may plan the same batch more
     // than once, and an overwrite would delete the files an earlier
@@ -358,8 +364,16 @@ private[sources] final class GraftMicroBatchStream(
   /** Spent change-feed batch dirs retire once the engine commits the
     * offset (a committed batch is never replanned).
     */
-  override def commit(end: Offset): Unit = if (changeFeed) {
-    val e = end.asInstanceOf[VOffset].v
+  override def commit(end: Offset): Unit =
+    if (changeFeed) cleanSpentCdfDirs(end.asInstanceOf[VOffset].v)
+
+  /** Drop materialized batch dirs whose range ends at or before a
+    * committed offset (a committed batch is never replanned); a
+    * one-shot bootstrap drain must not leave a snapshot copy in the
+    * checkpoint. Best-effort: a missed delete costs disk, never
+    * correctness.
+    */
+  private def cleanSpentCdfDirs(committed: Long): Unit = {
     val root = new Path(new Path(checkpointLocation), "_graft_cdf")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -367,10 +381,10 @@ private[sources] final class GraftMicroBatchStream(
         fs.listStatus(root).foreach { d =>
           val name = d.getPath.getName
           if (name.startsWith("b") &&
-              name.split('_').last.toLong < e)
+              name.split('_').last.toLong <= committed)
             fs.delete(d.getPath, true): Unit
         }
-    } catch { case _: Exception => () } // best-effort cleanup
+    } catch { case _: Exception => () }
   }
 
   private def parquetScanOver(files: Seq[String])
@@ -388,6 +402,13 @@ private[sources] final class GraftMicroBatchStream(
     val s = start.asInstanceOf[VOffset].v
     val e = end.asInstanceOf[VOffset].v
     if (e <= s) return Array.empty
+    // housekeeping at plan time too: ranges ending at or before this
+    // batch's START offset are durably committed (the engine logged
+    // their commit before constructing this batch) and never replan —
+    // the engine only invokes commit(end) when a NEXT batch starts,
+    // so a one-shot AvailableNow drain would otherwise strand its
+    // last batch's materialization until the following drain
+    if (changeFeed) cleanSpentCdfDirs(s)
     val files = if (changeFeed) changeRows(s, e) else deltaFiles(s, e)
     if (files.isEmpty) Array.empty
     else parquetScanOver(files).toBatch.planInputPartitions()

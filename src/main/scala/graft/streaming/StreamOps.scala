@@ -643,10 +643,16 @@ object StreamOps extends QueryModule {
           val delKeys = latest.filter(col("_change_type") === "delete")
             .select(col("o_orderkey")).as[Long](s.implicits.newLongEncoder)
             .collect().toSeq
+          // the txn marker rides the batch's LAST commit: delete-only
+          // batches mark the delete itself; mixed batches mark the
+          // merge (a replay between the two re-runs the delete —
+          // content-idempotent, the DV names already-deleted keys)
+          val upsEmpty = ups.isEmpty
           if (delKeys.nonEmpty)
             st.deleteVersionedMor(dst,
-              col("o_orderkey").isInCollection(delKeys), "o_orderkey"): Unit
-          if (!ups.isEmpty) {
+              col("o_orderkey").isInCollection(delKeys), "o_orderkey",
+              if (upsEmpty) Some("cdc_replica" -> id) else None): Unit
+          if (!upsEmpty) {
             if (st.countVersionedFast(dst).contains(0L))
               st.writeVersioned(ups, dst, append = true, Seq.empty,
                 Seq.empty, Seq.empty, Some("cdc_replica" -> id)): Unit

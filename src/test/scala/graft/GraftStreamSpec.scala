@@ -262,11 +262,19 @@ class GraftStreamSpec extends AnyFunSuite {
     spark.sql(s"DELETE FROM graft.`$src` WHERE k < 3")
     drainTo(st.streamVersionedChanges(src), outP, ckpt)
     val n0 = spark.read.parquet(outP).count()
-    // maintenance: apply the DVs — logically nothing changes
-    st.applyDeletesVersioned(src)
+    // maintenance: apply the DVs — logically nothing changes; the
+    // commit op tag makes the step SKIP outright (no diff computed)
+    val vApply = st.applyDeletesVersioned(src)
+    assert(st.commitOpOf(src, vApply).contains("apply_deletes"))
     drainTo(st.streamVersionedChanges(src), outP, ckpt)
     assert(spark.read.parquet(outP).count() == n0,
       "a maintenance rewrite must emit no change rows")
+    // compaction likewise
+    val vCompact = st.compactVersioned(src, 2)
+    assert(st.commitOpOf(src, vCompact).contains("compact"))
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == n0,
+      "a compaction must emit no change rows")
     // WAP: staged rows invisible, visible as inserts after publish
     st.wapStage(Seq((200L, "w")).toDF("k", "v"), src, "audit1")
     drainTo(st.streamVersionedChanges(src), outP, ckpt)
@@ -276,5 +284,38 @@ class GraftStreamSpec extends AnyFunSuite {
     val ins = spark.read.parquet(outP)
       .filter($"k" === 200 && $"_change_type" === "insert")
     assert(ins.count() == 1, "published stage must arrive as insert")
+  }
+
+  test("change feed housekeeping: spent batch dirs retire at offset " +
+    "commit; a vacuumed CDF offset fails with retention guidance") {
+    val src = fresh("gstream_cdf_clean")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.repartition(2), src)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    st.writeVersioned(nation.limit(4), src, append = true)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    // planning of the second drain's batch retires the bootstrap
+    // dir; at most the FINAL batch's dir may remain (the engine only
+    // fires commit(end) when a next batch starts)
+    val fs = new Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cdfDir = new Path(ckpt, "sources/0/_graft_cdf")
+    val left =
+      if (!fs.exists(cdfDir)) 0 else fs.listStatus(cdfDir).length
+    assert(left <= 1,
+      s"spent CDF batch dirs must retire, found $left")
+    // advance the table twice, vacuum past the consumer's offset
+    st.writeVersioned(nation.limit(3), src, append = true)
+    st.compactVersioned(src, 1)
+    st.writeVersioned(nation.limit(2), src, append = true)
+    st.vacuumVersioned(src, keepLast = 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("retention must cover consumer")),
+      s"unexpected: ${msgs(e)}")
   }
 }
