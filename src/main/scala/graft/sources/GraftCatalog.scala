@@ -341,6 +341,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val p = pathOf(ident)
+    val st = GraftStorage(spark)
     val adds = changes.collect {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -349,12 +350,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, a.isNullable)
     }
-    require(adds.length == changes.length,
-      "graft ALTER TABLE supports ADD COLUMNS only (immutable data " +
-        "files rule out type changes/renames/drops; constraints go " +
-        "through GraftStorage.addCheckConstraint)")
-    GraftStorage(spark).addColumnsVersioned(p,
-      org.apache.spark.sql.types.StructType(adds))
+    val sets = changes.collect {
+      case sp: TableChange.SetProperty => sp }
+    val unsets = changes.collect {
+      case rp: TableChange.RemoveProperty => rp }
+    require(adds.length + sets.length + unsets.length == changes.length,
+      "graft ALTER TABLE supports ADD COLUMNS and SET/UNSET " +
+        "TBLPROPERTIES only (immutable data files rule out type " +
+        "changes/renames/drops; constraints go through " +
+        "GraftStorage.addCheckConstraint)")
+    // SET TBLPROPERTIES rides the validated property path: flipping
+    // delete_mode=merge-on-read scans the snapshot once for NULL /
+    // missing keys (the identifier-field rule) and refuses loudly
+    sets.foreach(sp => st.setTableProperty(p, sp.property, sp.value))
+    unsets.foreach(rp => st.removeTableProperty(p, rp.property))
+    if (adds.nonEmpty)
+      st.addColumnsVersioned(p,
+        org.apache.spark.sql.types.StructType(adds))
     loadTable(ident)
   }
 

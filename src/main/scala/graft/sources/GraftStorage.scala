@@ -1856,6 +1856,20 @@ final case class GraftStorage(
     }
   }
 
+  /** Drop one declared table property (UNSET TBLPROPERTIES). Removing
+    * `delete_mode`/`mor_key` is always legal — the table falls back
+    * to copy-on-write routing and the catalog schema drops the
+    * non-null key declaration on the next load; existing DVs keep
+    * applying through the manifest (they are snapshot state, not
+    * configuration).
+    */
+  def removeTableProperty(path: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f = new Path(new Path(path), s"_props/$name")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(f, false): Unit
+  }
+
   /** Declared table properties: name → value (empty when none). */
   def tablePropertiesOf(path: String): Map[String, String] = {
     import org.apache.hadoop.fs.Path

@@ -303,6 +303,43 @@ class MorDeltaSpec extends AnyFunSuite {
       .head().getLong(0) == 0L)
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES flips MoR mode through " +
+    "SQL, with the identifier validation") {
+    val t = fresh("mordelta_alter_props")
+    spark.sql(s"CREATE TABLE graft.`$t` (k BIGINT, v STRING) USING graft")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("mordelta_alter_seed")
+    spark.sql(s"INSERT INTO graft.`$t` SELECT * FROM mordelta_alter_seed")
+    spark.sql(s"ALTER TABLE graft.`$t` SET TBLPROPERTIES " +
+      "('delete_mode'='merge-on-read','mor_key'='k')")
+    val before = snapshotFiles(t)
+    spark.sql(s"DELETE FROM graft.`$t` WHERE k = 2")
+    assert(st.hasDeletionVectors(t), "flip must route DELETE to MoR")
+    assert(snapshotFiles(t) == before)
+    // UNSET falls back to copy-on-write; existing DVs keep applying
+    spark.sql(s"ALTER TABLE graft.`$t` UNSET TBLPROPERTIES " +
+      "('delete_mode','mor_key')")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$t`")
+      .head().getLong(0) == 2L)
+    st.compactVersioned(t)
+    spark.sql(s"DELETE FROM graft.`$t` WHERE k = 3")
+    assert(!st.hasDeletionVectors(t),
+      "after UNSET a DELETE must take the copy-on-write route")
+    // the flip validation rides the SQL route too: a NULL-keyed
+    // table refuses merge-on-read
+    val bad = fresh("mordelta_alter_bad")
+    spark.sql(s"CREATE TABLE graft.`$bad` (k BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO graft.`$bad` SELECT CAST(NULL AS BIGINT), 'n'")
+    spark.sql(s"ALTER TABLE graft.`$bad` SET TBLPROPERTIES " +
+      "('delete_mode'='merge-on-read')")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$bad` SET TBLPROPERTIES " +
+        "('mor_key'='k')")
+    }
+    assert(messages(e).exists(_.contains("NULL")),
+      s"unexpected: ${messages(e)}")
+  }
+
   test("time travel pins pre-DML snapshots; CDC sees the MoR commit " +
     "as a change commit") {
     val mor = seedMor("mordelta_travel")
