@@ -444,6 +444,51 @@ object Sinks extends QueryModule {
       .orderBy($"snap")
   }
 
+  /** WRITABLE BRANCH — write-audit-publish at COMMIT-SEQUENCE scale
+    * ([[graft.sources.GraftStorage.branchAppend]]): a multi-commit
+    * ingest stages on a named branch (additions-only deltas in
+    * `_branchlog/`, invisible to default readers), main keeps taking
+    * unrelated commits concurrently, the audit reads the BRANCH
+    * state, and `branchPublish` fast-forwards the sequence into main
+    * — each replayed commit byte-identical to what a serial append
+    * would have published. Iceberg's branch-write / Delta's
+    * shadow-table pattern; the reference's analogue is the
+    * temp-parts → validate → splice publish of BamSink.java:82-138.
+    */
+  def sinkVersionedBranchWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sink_versioned_branch_write")
+    val st = graft.sources.GraftStorage(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.filter($"o_orderkey" % 3 === 0), out)
+    st.branchVersion(out, "ingest")
+    // two branch commits…
+    st.branchAppend(base.filter($"o_orderkey" % 3 === 1), out, "ingest")
+    // …with a CONCURRENT main commit interleaved mid-sequence (no
+    // WAP-style table lock: main and the branch advance independently)
+    st.writeVersioned(base.filter($"o_orderkey" % 3 === 2 &&
+      $"o_orderkey" % 5 === 0), out, append = true)
+    st.branchAppend(base.filter($"o_orderkey" % 3 === 2 &&
+      $"o_orderkey" % 5 =!= 0), out, "ingest")
+    def snap(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("total"))
+        .select(lit(label).as("snap"), $"cnt", $"total")
+    // main never saw the branch's rows; the audit sees base + branch
+    val preMain = snap("a_main_pre",
+      st.readVersioned(out)).localCheckpoint()
+    val audit = snap("b_branch_audit",
+      st.readVersionedBranch(out, "ingest")).localCheckpoint()
+    st.branchPublish(out, "ingest")
+    // published = main's own commits + the branch sequence, complete
+    preMain.unionByName(audit)
+      .unionByName(snap("c_published", st.readVersioned(out)))
+      .orderBy($"snap")
+  }
+
   /** Named refs as a SQL read surface: tag the bootstrap snapshot,
     * keep ingesting, and read BOTH worlds in one query —
     * `graft_ref('/t','gold')` resolves the tag's pinned version
@@ -981,6 +1026,7 @@ object Sinks extends QueryModule {
     "sink_versioned_count" -> (sinkVersionedCount(_, _)),
     "sink_versioned_restore" -> (sinkVersionedRestore(_, _)),
     "sink_versioned_wap" -> (sinkVersionedWap(_, _)),
+    "sink_versioned_branch_write" -> (sinkVersionedBranchWrite(_, _)),
     "sink_versioned_bloom" -> (sinkVersionedBloom(_, _)),
     "sink_versioned_concurrent" -> (sinkVersionedConcurrent(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
@@ -1231,6 +1277,21 @@ object Sinks extends QueryModule {
          |  UNION ALL
          |  SELECT 'b_audit_staged', COUNT(*),
          |    ${sqlDsum("o_totalprice")} FROM orders
+         |  UNION ALL
+         |  SELECT 'c_published', COUNT(*),
+         |    ${sqlDsum("o_totalprice")} FROM orders)
+         |ORDER BY snap""".stripMargin,
+    "sink_versioned_branch_write" ->
+      s"""SELECT snap, cnt, total FROM (
+         |  SELECT 'a_main_pre' AS snap, COUNT(*) AS cnt,
+         |    ${sqlDsum("o_totalprice")} AS total
+         |  FROM orders WHERE o_orderkey % 3 = 0
+         |    OR (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0)
+         |  UNION ALL
+         |  SELECT 'b_branch_audit', COUNT(*),
+         |    ${sqlDsum("o_totalprice")} FROM orders
+         |  WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
+         |    OR (o_orderkey % 3 = 2 AND o_orderkey % 5 <> 0)
          |  UNION ALL
          |  SELECT 'c_published', COUNT(*),
          |    ${sqlDsum("o_totalprice")} FROM orders)

@@ -456,12 +456,19 @@ final class GraftVersionedTable(
   override lazy val schema: StructType = {
     val vs = st.listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    val base = st.versionedScanParts(path,
-      pinnedVersion.getOrElse(st.latestVisibleVersion(path))).schema
+    val effective = pinnedVersion.getOrElse(st.latestVisibleVersion(path))
+    val base = st.versionedScanParts(path, effective).schema
+    // the flip into merge-on-read validated only the CURRENT snapshot
+    // (setTableProperty) — a time-travel read of a PRE-FLIP version
+    // may hold stored NULL keys, and declaring non-null over them is
+    // the codegen-reads-garbage failure mode. Only current-or-later
+    // snapshots get the identifier declaration; historical versions
+    // stay honestly nullable (they are read-only anyway).
     morDeleteKey match {
-      case Some(k) => StructType(base.map(f =>
-        if (f.name.equalsIgnoreCase(k)) f.copy(nullable = false) else f))
-      case None => base
+      case Some(k) if effective >= st.latestVisibleVersion(path) =>
+        StructType(base.map(f =>
+          if (f.name.equalsIgnoreCase(k)) f.copy(nullable = false) else f))
+      case _ => base
     }
   }
 

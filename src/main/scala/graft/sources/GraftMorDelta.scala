@@ -215,6 +215,34 @@ private[sources] final class GraftMorDeltaBatchWrite(
     }
     try store.validateCommitFiles(op.path, fresh, commitDir, fs)
     catch { case e: Throwable => fs.delete(commitDir, true); throw e }
+    // stats/bloom coverage carries (same contract as the Scala MoR
+    // merge path): the fresh files index like any append, so pruned
+    // reads, applyDeletesVersioned discovery, and the CDC pre-image
+    // scan keep skipping after a delta UPDATE/MERGE — without this
+    // every delta-written file is a skipping hole until a compact.
+    val coverageLines: Seq[String] =
+      if (fresh.isEmpty) Seq.empty
+      else try {
+        val (sc, bc) = store.priorSidecarCoverage(op.path)
+        def isCol(c: String) =
+          rowSchema.fieldNames.exists(_.equalsIgnoreCase(c))
+        val scK = sc.filter(isCol)
+        val bcK = bc.filter(c =>
+          isCol(c.stripPrefix(GraftStorage.TokenBloomPrefix)))
+        val sLine =
+          if (scK.isEmpty) Seq.empty
+          else {
+            store.buildZoneMap(commitDir.toString, scK)
+            Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
+          }
+        val bLine =
+          if (bcK.isEmpty) Seq.empty
+          else {
+            store.buildBloomIndex(commitDir.toString, bcK)
+            Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
+          }
+        sLine ++ bLine
+      } catch { case e: Throwable => fs.delete(commitDir, true); throw e }
     val dvLines: Seq[String] =
       if (keys.isEmpty) Seq.empty
       else {
@@ -242,7 +270,7 @@ private[sources] final class GraftMorDeltaBatchWrite(
     // R lines from the writers' own tallies — no commit-time footer
     // re-reads (the INSERT path's contract; each re-read is a
     // serialized driver GET on an object store)
-    val additions = dvLines ++ fresh ++
+    val additions = dvLines ++ fresh ++ coverageLines ++
       tallies.map(t =>
         s"R\t${t._2}\t${new Path(t._1).toUri.getPath}") ++
       (if (fresh.nonEmpty) Seq(s"H\t${rowSchema.json}") else Seq.empty)

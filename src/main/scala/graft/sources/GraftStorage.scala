@@ -1561,6 +1561,212 @@ final case class GraftStorage(
   def refsVersioned(path: String): DataFrame =
     spark.createDataFrame(listRefs(path)).toDF("ref", "version")
 
+  // -------------------- WRITABLE BRANCHES --------------------
+  //
+  // WAP-at-scale: stage a SEQUENCE of commits on a named branch,
+  // audit the branch state, then FAST-FORWARD publish to main —
+  // while main keeps taking unrelated commits (Iceberg's branch
+  // write / Delta's shadow-table pattern; the reference's analogous
+  // mechanism is the temp-parts → validate → splice publish of
+  // BamSink.java:82-138, lifted from one file to a commit sequence).
+  // A branch commit is an ADDITIONS-ONLY manifest delta (appends /
+  // fresh files + sidecars) recorded under `_branchlog/<name>/b<K>`,
+  // NEVER in the main log: default readers cannot see it, vacuum
+  // cannot reap it (its files are invisible to manifest liveness
+  // until publish), and main commits interleave freely — because the
+  // deltas only ADD lines, replaying them on ANY later main head is
+  // exactly the commit a serial append would have produced there.
+
+  private def branchLogDir(path: String,
+      name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), s"_branchlog/$name")
+
+  /** Ordered pending branch-delta files (`b<K>`, zero-padded). */
+  private def branchDeltas(fs: org.apache.hadoop.fs.FileSystem,
+      logDir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("b") &&
+        p.getName.drop(1).forall(_.isDigit))
+      .sortBy(_.getName)
+
+  private def requireBranchRef(path: String, name: String): Long = {
+    requireRefName(name)
+    listRefs(path).toMap.getOrElse(s"branch.$name",
+      throw new IllegalArgumentException(
+        s"no branch named '$name' under $path — create it with " +
+          "branchVersion first"))
+  }
+
+  /** The branch's resolved entry list: its base version's manifest
+    * with every pending branch delta replayed on top — the same
+    * algebra main's delta commits use.
+    */
+  private[sources] def branchEntries(path: String,
+      name: String): Seq[String] = {
+    val base = requireBranchRef(path, name)
+    val logDir = branchLogDir(path, name)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    branchDeltas(fs, logDir).foldLeft(manifestEntries(path, base)) {
+      (acc, d) => GraftStorage.applyManifestDelta(
+        acc, GraftStorage.readLines(fs, d))
+    }
+  }
+
+  /** Audit read of the branch STATE (base snapshot + pending branch
+    * commits) — what [[branchPublish]] would make the table say.
+    */
+  def readVersionedBranch(path: String, name: String): DataFrame =
+    readResolvedEntries(path, branchEntries(path, name))
+
+  /** Append `df` as one BRANCH COMMIT: full data write (stats/bloom
+    * sidecars, row tallies, schema line — byte-identical to what a
+    * serial append would commit), recorded as an additions-only
+    * delta in the branch log instead of the main manifest. Default
+    * readers stay on main; the audit reads the branch. Returns the
+    * branch commit index.
+    */
+  def branchAppend(df: DataFrame, path: String, branch: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = branchEntries(path, branch) // validates the ref
+    // fail fast on type-conflicting evolution against the BRANCH
+    // state (same gate as a main append)
+    GraftStorage.mergeSchemaJsons(state.collect {
+      case e if e.startsWith("H\t") => e.drop(2)
+    } :+ df.schema.json)
+    val commitDir = newCommitDir(dir, listVersions(path).last + 1)
+    df.write.mode("overwrite").parquet(commitDir.toString)
+    validateCommitDir(path, commitDir, fs)
+    requireMorKeyNonNull(path, df.schema, commitDir, fs)
+    val stats: Seq[String] =
+      if (statsCols.isEmpty) Seq.empty
+      else {
+        buildZoneMap(commitDir.toString, statsCols)
+        Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
+      }
+    val blooms: Seq[String] =
+      if (bloomCols.isEmpty) Seq.empty
+      else {
+        buildBloomIndex(commitDir.toString, bloomCols)
+        Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
+      }
+    val freshFiles = fs.listStatus(commitDir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath)
+    val additions = freshFiles ++ stats ++ blooms ++
+      rowCountLines(freshFiles) ++ Seq(s"H\t${df.schema.json}")
+    // an unsorted append drops a prior sort-order claim, on a branch
+    // exactly as on main (the claim is table-wide)
+    val removals = Seq("O\t")
+    val logDir = branchLogDir(path, branch)
+    fs.mkdirs(logDir)
+    // put-if-absent on the next slot; racing branch writers retry
+    // with the advanced index (data dirs are writer-unique)
+    var attempt = 0
+    while (true) {
+      val k = branchDeltas(fs, logDir).size
+      val body = s"G\tbranch\t$k" +:
+        (removals.map("X\t" + _) ++ additions)
+      val tmp = new Path(logDir,
+        s".b$k.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      try {
+        GraftStorage.commitPrimitiveFor(fs).putIfAbsent(fs, tmp,
+          new Path(logDir, f"b$k%05d"))
+        return k
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 10) { fs.delete(commitDir, true); throw e }
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** FAST-FORWARD the audited branch into main: replay each pending
+    * branch delta, in order, as a real main commit (optimistic
+    * put-if-absent per commit; a concurrent main commit just advances
+    * the head the next replay lands on — sound because branch deltas
+    * only ADD lines). The published manifests are byte-identical to
+    * what serial appends of the same data would have produced. Moves
+    * the branch pointer to the final published version and retires
+    * the branch log. Refuses loudly when main's head is audit-pending
+    * (WAP) or when main evolved a type-conflicting schema since the
+    * branch was cut — the branch stays intact for a retry/discard.
+    */
+  def branchPublish(path: String, branch: String,
+      maxRetries: Int = 10): Long = {
+    import org.apache.hadoop.fs.Path
+    requireBranchRef(path, branch): Unit
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = branchLogDir(path, branch)
+    val deltas = branchDeltas(fs, logDir)
+    require(deltas.nonEmpty,
+      s"branch '$branch' on $path has no pending commits to publish")
+    var head = listVersions(path).last
+    deltas.foreach { d =>
+      val body = GraftStorage.readLines(fs, d).drop(1) // G header
+      val removals = body.collect { case l if l.startsWith("X\t") =>
+        l.drop(2) }
+      val additions = body.filterNot(_.startsWith("X\t"))
+      // type-conflict gate BEFORE the publish (a conflicting merge
+      // must not poison the log — same contract as a main append)
+      GraftStorage.mergeSchemaJsons(
+        manifestEntries(path, head).collect {
+          case e if e.startsWith("H\t") => e.drop(2)
+        } ++ additions.collect {
+          case e if e.startsWith("H\t") => e.drop(2) })
+      var attempt = 0
+      var published = false
+      while (!published) {
+        try {
+          publishManifestDelta(fs, dir, head + 1, removals, additions)
+          published = true
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+        }
+        head = listVersions(path).last
+      }
+    }
+    // the branch pointer fast-forwards to the published head; the
+    // log retires (its data files are now owned by main manifests)
+    branchVersion(path, branch, Some(head)): Unit
+    fs.delete(logDir, true)
+    head
+  }
+
+  /** Discard the branch's pending commits: delete the staged data
+    * dirs and the branch log — main is NEVER touched (nothing was
+    * published), and the branch pointer stays at its base. Returns
+    * the number of discarded branch commits.
+    */
+  def branchDiscardWrites(path: String, branch: String): Long = {
+    import org.apache.hadoop.fs.Path
+    requireBranchRef(path, branch): Unit
+    val logDir = branchLogDir(path, branch)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = branchDeltas(fs, logDir)
+    val staged = deltas.flatMap { d =>
+      GraftStorage.readLines(fs, d).drop(1)
+        .filterNot(_.startsWith("X\t"))
+        .collect { case e if !e.contains('\t') =>
+          new Path(e).getParent }
+    }.distinct
+    staged.foreach(p => fs.delete(p, true))
+    fs.delete(logDir, true)
+    deltas.size.toLong
+  }
+
   /** Distinct audit-pending wap ids in version `v`'s manifest (the
     * single accessor for the `W` line format — wapStage/Publish/
     * Discard, vacuum, and latest-visible resolution all read it
@@ -1809,8 +2015,7 @@ final case class GraftStorage(
     */
   def setTableProperty(path: String, name: String, value: String): Unit = {
     import org.apache.hadoop.fs.Path
-    require(name.matches("[A-Za-z0-9_.]+"),
-      s"property name must be [A-Za-z0-9_.]+, got '$name'")
+    GraftStorage.requirePropName(name)
     // flipping a table INTO merge-on-read mode makes the catalog
     // declare mor_key non-nullable — unsound over stored NULLs
     // (codegen elides the null checks and reads garbage), so the flip
@@ -1865,6 +2070,10 @@ final case class GraftStorage(
     */
   def removeTableProperty(path: String, name: String): Unit = {
     import org.apache.hadoop.fs.Path
+    // same gate as setTableProperty: a path-shaped name (e.g.
+    // '../_manifest/v12') would normalize OUTSIDE _props and delete
+    // arbitrary table files
+    GraftStorage.requirePropName(name)
     val f = new Path(new Path(path), s"_props/$name")
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(f, false): Unit
@@ -2405,20 +2614,8 @@ final case class GraftStorage(
     * `X` drops remove lines without reordering survivors.
     */
   private[sources] def manifestFilesDvs(path: String, version: Long)
-      : (Seq[(String, Int)], Seq[(String, String)]) = {
-    var dvSeen = 0
-    val files = Seq.newBuilder[(String, Int)]
-    val dvs = Seq.newBuilder[(String, String)]
-    manifestEntries(path, version).foreach {
-      case e if e.startsWith("D\t") =>
-        val parts = e.split('\t')
-        dvs += ((parts(1), parts(2)))
-        dvSeen += 1
-      case e if !e.contains('\t') => files += ((e, dvSeen))
-      case _ => ()
-    }
-    (files.result(), dvs.result())
-  }
+      : (Seq[(String, Int)], Seq[(String, String)]) =
+    GraftStorage.filesDvsOfEntries(manifestEntries(path, version))
 
   /** `_zonemap` stats directories a version's manifest references
     * (`S` lines — one per stats-bearing commit).
@@ -2787,7 +2984,8 @@ final case class GraftStorage(
     (sc, bc)
   }
 
-  private def priorSidecarCoverage(path: String): (Seq[String], Seq[String]) =
+  private[sources] def priorSidecarCoverage(
+      path: String): (Seq[String], Seq[String]) =
     listVersions(path).lastOption match {
       case None => (Seq.empty, Seq.empty)
       case Some(v) =>
@@ -2984,11 +3182,67 @@ final case class GraftStorage(
     // equi anti-join never matches NULL, so the row would silently
     // survive the DELETE (and compaction would make that permanent).
     // The DV is O(deleted keys), so this readback is metadata-cheap.
+    publishDvOnlyCommit(dir, fs, commitDir, n, keyCol, txn,
+      "deleteVersionedMor")
+  }
+
+  /** Keyed MoR DELETE from a KEYS DataFrame — the CDC-apply shape:
+    * the caller already HOLDS the victim keys (a change-feed batch's
+    * delete rows, say), so the keys ARE the deletion vector. Writes
+    * them directly as the DV parquet and publishes the one-line delta
+    * commit — the TABLE IS NEVER SCANNED (no predicate evaluation, no
+    * snapshot read), and the keys never round-trip through the
+    * driver: a streaming replica applies a delete batch as one
+    * distributed write of the batch itself. Keys absent from the
+    * table are legal no-ops (the read-side anti-join simply never
+    * matches — Iceberg's equality-delete contract); NULL keys are
+    * rejected loudly (same reason as the predicate variant); the key
+    * column must exist on the current snapshot with the same type, or
+    * the anti-join would silently compare across casts.
+    */
+  def deleteVersionedMorKeys(path: String, keys: DataFrame,
+      keyCol: String, txn: Option[(String, Long)] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    GraftStorage.requireTxn(txn)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val schema = mergedManifestSchema(path, vs.last)
+      .getOrElse(readVersioned(path, Some(vs.last)).schema)
+    val tableField = schema.fields.find(_.name.equalsIgnoreCase(keyCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"deleteVersionedMorKeys: '$keyCol' is not a column of $path"))
+    val keyField = keys.schema.fields
+      .find(_.name.equalsIgnoreCase(keyCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"deleteVersionedMorKeys: keys DataFrame has no '$keyCol' " +
+          s"column (${keys.columns.toSeq})"))
+    require(keyField.dataType == tableField.dataType,
+      s"deleteVersionedMorKeys: key type ${keyField.dataType} does " +
+        s"not match table column type ${tableField.dataType} — the " +
+        "read-side anti-join must compare without casts")
+    val n: Long = vs.last + 1
+    val commitDir = newCommitDir(dir, n)
+    keys.select(col(keyCol)).distinct()
+      .write.mode("overwrite").parquet(commitDir.toString)
+    publishDvOnlyCommit(dir, fs, commitDir, n, keyCol, txn,
+      "deleteVersionedMorKeys")
+  }
+
+  /** Shared tail of the DV-only delete commits: NULL-key readback
+    * gate, broadcast-ceiling gate, and the pure-delta publish (D
+    * lines + optional txn marker, everything else inherited).
+    */
+  private def publishDvOnlyCommit(dir: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      commitDir: org.apache.hadoop.fs.Path, n: Long, keyCol: String,
+      txn: Option[(String, Long)], what: String): Long = {
     if (!spark.read.parquet(commitDir.toString)
         .filter(col(keyCol).isNull).isEmpty) {
       fs.delete(commitDir, true)
       throw new IllegalArgumentException(
-        s"deleteVersionedMor: matching rows carry a NULL '$keyCol' — a " +
+        s"$what: matching rows carry a NULL '$keyCol' — a " +
           "key-based deletion vector cannot express them; use the " +
           "copy-on-write deleteVersioned for NULL-keyed victims")
     }
@@ -2996,7 +3250,7 @@ final case class GraftStorage(
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     requireDvSmall(dvStatus.map(_.getLen).sum,
       { fs.delete(commitDir, true); () },
-      "deleteVersionedMor", "deleteVersioned (copy-on-write)")
+      what, "deleteVersioned (copy-on-write)")
     val dvFiles = dvStatus.map(_.getPath.toUri.getPath)
     // a MoR delete is the purest delta commit: inherit everything,
     // add only the DV lines — O(deleted keys) metadata AND data
@@ -3216,6 +3470,21 @@ final case class GraftStorage(
     val appendShaped =
       dvsT.take(dvsF.size) == dvsF &&
         filesT.take(filesF.size) == filesF
+    // change rows surface in the TO-version's shape: an ADD COLUMNS
+    // commit inside the range widens the snapshot, and a pre-image
+    // read at `from` lacks the new columns — align it (missing
+    // columns null-filled, the same value schema-in-log gives the
+    // stored rows) or the insert/delete union throws mid-stream.
+    def alignedToTarget(df: DataFrame): DataFrame =
+      mergedManifestSchema(path, toVersion) match {
+        case Some(target)
+            if !df.schema.fieldNames.sameElements(target.fieldNames) =>
+          df.select(target.fields.map { f =>
+            if (df.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        case _ => df
+      }
     if (dvsT.size > dvsF.size && appendShaped) {
       val newDvs = dvsT.zipWithIndex.drop(dvsF.size)
       val newFiles = filesT.drop(filesF.size)
@@ -3249,17 +3518,18 @@ final case class GraftStorage(
           }._1
       }
       val inserts =
-        if (newFiles.isEmpty) fromDf.limit(0)
+        if (newFiles.isEmpty) alignedToTarget(fromDf.limit(0))
         else newFiles.groupBy(_._2).toSeq.map { case (g, group) =>
           antiJoinDvEntries(
             readRawFiles(path, toVersion, group.map(_._1)),
             newDvs.filter(_._2 >= g).map(_._1))
         }.reduce(_.unionByName(_))
       return inserts.withColumn("_change_type", lit("insert"))
-        .unionByName(deletes.withColumn("_change_type", lit("delete")))
+        .unionByName(alignedToTarget(deletes)
+          .withColumn("_change_type", lit("delete")))
     }
     if (dvsF != dvsT) {
-      val fromDf = readVersioned(path, Some(fromVersion))
+      val fromDf = alignedToTarget(readVersioned(path, Some(fromVersion)))
       val toDf = readVersioned(path, Some(toVersion))
       return toDf.exceptAll(fromDf)
         .withColumn("_change_type", lit("insert"))
@@ -3681,18 +3951,30 @@ final case class GraftStorage(
     // default = latest PUBLISHED: audit-pending staged commits stay
     // invisible until wapPublish
     val v = version.getOrElse(latestVisibleVersion(path))
-    val files = manifestFiles(path, v)
+    readResolvedEntries(path, manifestEntries(path, v), mergeSchema)
+  }
+
+  /** DV-resolved read of one RESOLVED ENTRY LIST — the core of
+    * [[readVersioned]], shared with branch-state reads (which replay
+    * branch deltas over a base manifest and have no version number
+    * to key on).
+    */
+  private[sources] def readResolvedEntries(path: String,
+      entries: Seq[String], mergeSchema: Boolean = false): DataFrame = {
+    val files = entries.filterNot(_.contains('\t'))
+    val schemaOpt = GraftStorage.mergeSchemaJsons(entries.collect {
+      case e if e.startsWith("H\t") => e.drop(2) })
     // schema-in-log first (KB metadata, fills columns absent from
     // older files with nulls); footer-based mergeSchema only for
     // legacy tables without H lines
-    val reader0 = mergedManifestSchema(path, v) match {
+    val reader0 = schemaOpt match {
       case Some(schema)          => spark.read.schema(schema)
       case None if mergeSchema   => spark.read.option("mergeSchema", "true")
       case None                  => spark.read
     }
     val reader = reader0.options(readerOptions)
     val base =
-      if (files.isEmpty) mergedManifestSchema(path, v) match {
+      if (files.isEmpty) schemaOpt match {
         // schema-in-log: an empty snapshot still knows its shape
         case Some(schema) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -3708,7 +3990,7 @@ final case class GraftStorage(
     // SEQUENCE-SCOPED (manifest line order): a DV applies only to
     // files listed ABOVE it — appends after a delete resurrect their
     // keys, and a MoR upsert's fresh rows survive its own delete.
-    val (orderedFiles, dvs) = manifestFilesDvs(path, v)
+    val (orderedFiles, dvs) = GraftStorage.filesDvsOfEntries(entries)
     if (dvs.isEmpty) base
     else if (orderedFiles.forall(_._2 == 0) || files.isEmpty)
       // every file precedes every DV (pure-delete history) — one
@@ -3719,7 +4001,7 @@ final case class GraftStorage(
       // each group anti-joins only the DVs that came AFTER it. Group
       // count is O(MoR generations) — compaction folds them away.
       // Reads pin one schema so segment unions cannot drift.
-      val schema = mergedManifestSchema(path, v).getOrElse(base.schema)
+      val schema = schemaOpt.getOrElse(base.schema)
       orderedFiles.groupBy(_._2).toSeq.sortBy(_._1).map {
         case (g, fsG) =>
           antiJoinDvEntries(spark.read.schema(schema)
@@ -4718,6 +5000,15 @@ object GraftStorage {
     * comma would silently split into two bogus sort columns; a line
     * break would corrupt the manifest itself).
     */
+  /** Property names are single path segments under `_props` — a
+    * path-shaped or all-dots name ('..') would Path-normalize OUTSIDE
+    * the directory and read/delete arbitrary table files.
+    */
+  private[sources] def requirePropName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_.]+") && !name.forall(_ == '.'),
+      s"property name must be [A-Za-z0-9_.]+ (and not all dots), " +
+        s"got '$name'")
+
   private[sources] def requireSortCols(
       schema: org.apache.spark.sql.types.StructType,
       sortedBy: Seq[String]): Unit = {
@@ -4928,6 +5219,28 @@ object GraftStorage {
     * lines matching any `X` prefix drop, fresh lines append (same
     * carried-then-fresh order the eager writer produced).
     */
+  /** Sequence-ordered (file, #preceding-D-lines) pairs and DV entries
+    * of a resolved entry list — the entry-list core of
+    * [[GraftStorage.manifestFilesDvs]], shared with branch-state
+    * resolution (which replays branch deltas over a base manifest
+    * without a version number to key on).
+    */
+  private[sources] def filesDvsOfEntries(entries: Seq[String])
+      : (Seq[(String, Int)], Seq[(String, String)]) = {
+    var dvSeen = 0
+    val files = Seq.newBuilder[(String, Int)]
+    val dvs = Seq.newBuilder[(String, String)]
+    entries.foreach {
+      case e if e.startsWith("D\t") =>
+        val parts = e.split('\t')
+        dvs += ((parts(1), parts(2)))
+        dvSeen += 1
+      case e if !e.contains('\t') => files += ((e, dvSeen))
+      case _ => ()
+    }
+    (files.result(), dvs.result())
+  }
+
   private[sources] def applyManifestDelta(base: Seq[String],
       rawDelta: Seq[String]): Seq[String] = {
     val body = rawDelta.drop(1) // G header

@@ -6,12 +6,15 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** MANIFEST-DRIVEN streaming source over a versioned table's commit
   * log — `spark.readStream.format("graft-stream").load(path)` (the
@@ -116,7 +119,18 @@ private[sources] final class GraftStreamTable(
                 s"maxVersionsPerTrigger must be positive, got $n " +
                   "(a non-positive cap would freeze the stream)")
               n
-            }.orElse(Some(128)))
+            }.orElse(Some(128)),
+          // file-grained admission: one GIANT commit (or the
+          // bootstrap snapshot) drains across several batches instead
+          // of becoming one mega-batch — Delta's maxFilesPerTrigger
+          maxFilesPerTrigger =
+            Option(options.get("maxFilesPerTrigger")).map { v =>
+              val n = v.toInt
+              require(n > 0,
+                s"maxFilesPerTrigger must be positive, got $n " +
+                  "(a non-positive cap would freeze the stream)")
+              n
+            })
     }
   }
 }
@@ -125,7 +139,8 @@ private[sources] final class GraftMicroBatchStream(
     path: String, schema: StructType, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Int],
     changeFeed: Boolean = false,
-    checkpointLocation: String = "")
+    checkpointLocation: String = "",
+    maxFilesPerTrigger: Option[Int] = None)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -133,13 +148,30 @@ private[sources] final class GraftMicroBatchStream(
   private def classic = spark
     .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
-  private case class VOffset(v: Long) extends Offset {
-    override def json(): String = v.toString
+  /** Offset = (version, files-consumed-of-that-version). `f == 0`
+    * means version `v` is FULLY consumed (the classic shape, and the
+    * checkpoint-compatible JSON `"<v>"`); `f > 0` means the batch
+    * boundary sits INSIDE version `v`'s file delta — its first `f`
+    * files (manifest order, deterministic) are consumed. Mid-version
+    * offsets only arise under `maxFilesPerTrigger`.
+    */
+  private case class VOffset(v: Long, f: Long = 0L) extends Offset {
+    override def json(): String = if (f == 0L) v.toString else s"$v#$f"
   }
+  /** Within one version, fully-consumed (f=0) ranks past any split. */
+  private def fRank(o: VOffset): Long =
+    if (o.f == 0L) Long.MaxValue else o.f
+  private def reached(e: VOffset, s: VOffset): Boolean =
+    e.v < s.v || (e.v == s.v && fRank(e) <= fRank(s))
 
   override def initialOffset(): Offset = VOffset(-1L)
-  override def deserializeOffset(json: String): Offset =
-    VOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    t.indexOf('#') match {
+      case -1 => VOffset(t.toLong)
+      case i  => VOffset(t.take(i).toLong, t.drop(i + 1).toLong)
+    }
+  }
   override def stop(): Unit = ()
 
   override def latestOffset(): Offset =
@@ -171,16 +203,79 @@ private[sources] final class GraftMicroBatchStream(
       : Offset = {
     val latest = availableTarget
       .getOrElse(st.latestVisibleVersion(path))
-    val start = startOffset.asInstanceOf[VOffset].v
-    val stepped = maxVersionsPerTrigger match {
-      case Some(n) =>
-        val pub = st.listVersions(path).iterator
-          .filter(v => v > start && v <= latest)
-          .filter(isPublished).take(n).toSeq
-        if (pub.isEmpty) start else pub.last
-      case _ => latest
+    val start = startOffset.asInstanceOf[VOffset]
+    maxFilesPerTrigger match {
+      case Some(mf) => fileSteppedOffset(start, latest, mf)
+      case None if start.f > 0 =>
+        // splitting was turned off mid-drain: complete the version
+        VOffset(start.v)
+      case None =>
+        val stepped = maxVersionsPerTrigger match {
+          case Some(n) =>
+            val pub = st.listVersions(path).iterator
+              .filter(v => v > start.v && v <= latest)
+              .filter(isPublished).take(n).toSeq
+            if (pub.isEmpty) start.v else pub.last
+          case _ => latest
+        }
+        VOffset(stepped)
     }
-    VOffset(stepped)
+  }
+
+  /** FILE-GRAINED admission (`maxFilesPerTrigger`): one version at a
+    * time, and a version whose file delta exceeds the cap drains as
+    * SEVERAL batches — offsets land INSIDE the version (`v#f`), each
+    * batch a deterministic manifest-order slice, so one giant commit
+    * (or the bootstrap snapshot) can never become one giant batch.
+    * Change-shaped versions (CoW rewrite, DV drift, DV-carrying
+    * bootstrap) are not file-served and deliver whole.
+    */
+  private def fileSteppedOffset(start: VOffset, latest: Long,
+      mf: Int): Offset =
+    if (start.f > 0) {
+      // mid-version: advance the slice, or close the version
+      sliceableFiles(start.v) match {
+        case Some(fl) if start.f + mf < fl.size =>
+          VOffset(start.v, start.f + mf)
+        case _ => VOffset(start.v)
+      }
+    } else {
+      st.listVersions(path).iterator
+        .filter(v => v > start.v && v <= latest)
+        .filter(isPublished).take(1).toSeq.headOption match {
+        case None => start
+        case Some(v) =>
+          sliceableFiles(v) match {
+            case Some(fl) if fl.size > mf => VOffset(v, mf)
+            case _                        => VOffset(v)
+          }
+      }
+    }
+
+  /** The version's SLICEABLE file delta relative to its consumed
+    * predecessor (the previous published version, or the bootstrap):
+    * Some(added files, manifest order — deterministic across replays)
+    * when the step is PURE APPEND; None when it is change-shaped
+    * (removals / DV drift / a DV-carrying bootstrap) and must
+    * deliver whole. Predecessor resolution fails LOUDLY if vacuum
+    * retired it mid-drain (retention must cover consumer lag).
+    */
+  private def sliceableFiles(v: Long): Option[Seq[String]] = {
+    val prev = st.listVersions(path)
+      .filter(p => p < v && isPublished(p)).lastOption.getOrElse(-1L)
+    if (prev < 0) {
+      if (st.manifestDvs(path, v).isEmpty)
+        Some(st.manifestFiles(path, v))
+      else None
+    } else {
+      val prevFiles = st.manifestFiles(path, prev)
+      val cur = st.manifestFiles(path, v)
+      val prevSet = prevFiles.toSet
+      val removed = prevSet.diff(cur.toSet)
+      val dvDrift = st.manifestDvs(path, prev) != st.manifestDvs(path, v)
+      if (removed.isEmpty && !dvDrift) Some(cur.filterNot(prevSet))
+      else None
+    }
   }
 
   // Pre-existing STABLE deletion vectors (no drift in the range) are
@@ -309,6 +404,10 @@ private[sources] final class GraftMicroBatchStream(
     val fs = outDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df =
       if (start < 0)
+        // only the DV-RESOLVED bootstrap materializes (the anti-join
+        // is a computed plan); a DV-free snapshot never reaches here —
+        // planInputPartitions serves it zero-copy from the table's
+        // own files with the CDF columns synthesized as constants
         st.readVersioned(path, Some(end))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(end))
@@ -342,7 +441,11 @@ private[sources] final class GraftMicroBatchStream(
           prev = v
           d
         }
-        if (parts.nonEmpty) parts.reduce(_.unionByName(_))
+        // allowMissingColumns: an ADD COLUMNS commit inside the batch
+        // range widens later parts' schemas — earlier commits' change
+        // rows null-fill the new columns instead of failing the batch
+        if (parts.nonEmpty)
+          parts.reduce(_.unionByName(_, allowMissingColumns = true))
         else st.readVersioned(path, Some(end)).limit(0)
           .withColumn("_change_type", lit(""))
           .withColumn("_commit_version", lit(end))
@@ -365,7 +468,12 @@ private[sources] final class GraftMicroBatchStream(
     * offset (a committed batch is never replanned).
     */
   override def commit(end: Offset): Unit =
-    if (changeFeed) cleanSpentCdfDirs(end.asInstanceOf[VOffset].v)
+    if (changeFeed) {
+      val e = end.asInstanceOf[VOffset]
+      // a mid-version offset has not fully consumed its version —
+      // only ranges ending strictly before it are durably spent
+      cleanSpentCdfDirs(if (e.f == 0L) e.v else e.v - 1)
+    }
 
   /** Drop materialized batch dirs whose range ends at or before a
     * committed offset (a committed batch is never replanned); a
@@ -397,28 +505,166 @@ private[sources] final class GraftMicroBatchStream(
         .v2.parquet.ParquetScan]
   }
 
+  /** The table's own columns — the CDF metadata pair is synthesized,
+    * never read from data files.
+    */
+  private def dataSchemaOf(full: StructType): StructType =
+    StructType(full.fields.filterNot(f =>
+      f.name == "_change_type" || f.name == "_commit_version"))
+
+  /** ZERO-COPY CDF bootstrap scan: the snapshot's OWN data files with
+    * `_change_type='insert'` / `_commit_version=<version>` riding the
+    * standard partition-value mechanism — each `PartitionedFile`
+    * carries the two constants, the vectorized parquet reader appends
+    * them per batch, and NOT ONE ROW is copied into the checkpoint
+    * (the old path rewrote the full table under `_graft_cdf/` before
+    * the first change row flowed — a full-table copy at 100 TB).
+    * Only legal when the snapshot carries no deletion vectors (a DV
+    * bootstrap is a computed anti-join plan and still materializes).
+    */
+  private def constantScanOver(files: Seq[String], version: Long)
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val cdfCols = StructType(schema.fields.filter(f =>
+      f.name == "_change_type" || f.name == "_commit_version"))
+    val values = new GenericInternalRow(Array[Any](
+      UTF8String.fromString("insert"), version))
+    val index = new ConstantPartitionIndex(classic,
+      files.map(new Path(_)), dataSchemaOf(schema), cdfCols, values)
+    val b = ParquetScanBuilder(classic, index, schema,
+      dataSchemaOf(schema), CaseInsensitiveStringMap.empty())
+    // the full CDF schema is "required": readDataSchema resolves to
+    // the data columns, readPartitionSchema to the synthesized pair
+    b.pruneColumns(schema)
+    b.build().asInstanceOf[org.apache.spark.sql.execution.datasources
+      .v2.parquet.ParquetScan]
+  }
+
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[VOffset].v
-    val e = end.asInstanceOf[VOffset].v
-    if (e <= s) return Array.empty
+    val so = start.asInstanceOf[VOffset]
+    val eo = end.asInstanceOf[VOffset]
+    if (reached(eo, so)) return Array.empty
+    // SLICED batch (maxFilesPerTrigger): the range sits inside one
+    // version's file delta — a deterministic manifest-order slice,
+    // served zero-copy (CDF rows get the synthesized constants, the
+    // slice is pure-append by construction so inserts-only is exact)
+    if (so.f > 0 || eo.f > 0) {
+      val fl = sliceableFiles(eo.v).getOrElse(
+        throw new IllegalStateException(
+          s"graft-stream on $path: offset ${eo.json()} slices a " +
+            "change-shaped version — the commit log moved under the " +
+            "checkpoint; restart with a fresh checkpoint"))
+      val from = if (so.v == eo.v) so.f else 0L
+      val until = if (eo.f == 0L) fl.size.toLong else eo.f
+      val slice = fl.slice(from.toInt, until.toInt)
+      if (slice.isEmpty) return Array.empty
+      return if (changeFeed)
+        constantScanOver(slice, eo.v).toBatch.planInputPartitions()
+          .map(p => CdfPartition(p, boot = true): InputPartition)
+      else parquetScanOver(slice).toBatch.planInputPartitions()
+    }
+    val s = so.v
+    val e = eo.v
+    if (!changeFeed) {
+      val files = deltaFiles(s, e)
+      if (files.isEmpty) return Array.empty
+      return parquetScanOver(files).toBatch.planInputPartitions()
+    }
     // housekeeping at plan time too: ranges ending at or before this
     // batch's START offset are durably committed (the engine logged
     // their commit before constructing this batch) and never replan —
     // the engine only invokes commit(end) when a NEXT batch starts,
     // so a one-shot AvailableNow drain would otherwise strand its
     // last batch's materialization until the following drain
-    if (changeFeed) cleanSpentCdfDirs(s)
-    val files = if (changeFeed) changeRows(s, e) else deltaFiles(s, e)
-    if (files.isEmpty) Array.empty
-    else parquetScanOver(files).toBatch.planInputPartitions()
+    cleanSpentCdfDirs(s)
+    if (s < 0 && st.manifestDvs(path, e).isEmpty) {
+      val files = st.manifestFiles(path, e)
+      if (files.isEmpty) return Array.empty
+      constantScanOver(files, e).toBatch.planInputPartitions()
+        .map(p => CdfPartition(p, boot = true): InputPartition)
+    } else {
+      val files = changeRows(s, e)
+      if (files.isEmpty) return Array.empty
+      parquetScanOver(files).toBatch.planInputPartitions()
+        .map(p => CdfPartition(p, boot = false): InputPartition)
+    }
   }
 
   /** Reader factory binds schema + conf, not a file list — one
-    * factory serves every batch's partitions.
+    * factory serves every batch's partitions. Change-feed partitions
+    * carry a bootstrap/materialized tag: bootstrap batches read the
+    * table's data columns + synthesized constants, materialized
+    * batches read all columns from the batch parquet.
     */
   override def createReaderFactory(): PartitionReaderFactory =
-    parquetScanOver(Seq.empty).toBatch.createReaderFactory()
+    if (!changeFeed)
+      parquetScanOver(Seq.empty).toBatch.createReaderFactory()
+    else new CdfReaderFactory(
+      constantScanOver(Seq.empty, 0L).toBatch.createReaderFactory(),
+      parquetScanOver(Seq.empty).toBatch.createReaderFactory())
 
   override def toString: String = s"GraftMicroBatchStream($path)"
+}
+
+/** File index serving a FIXED file list where every file shares ONE
+  * synthesized partition-values row — the CDF bootstrap's constant
+  * `_change_type`/`_commit_version` pair. The files themselves are
+  * unpartitioned data files; the "partition columns" exist only in
+  * the scan's read schema.
+  */
+private[sources] final class ConstantPartitionIndex(
+    sess: org.apache.spark.sql.classic.SparkSession,
+    files: Seq[Path], dataSchema: StructType,
+    partCols: StructType, values: InternalRow)
+  extends InMemoryFileIndex(sess, files, Map.empty, Some(dataSchema)) {
+
+  override def partitionSpec(): PartitionSpec =
+    PartitionSpec(partCols, Nil)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(values, allFiles().toArray))
+}
+
+/** A change-feed batch partition, tagged with which reader shape it
+  * needs (bootstrap constants vs materialized change rows).
+  */
+private[sources] final case class CdfPartition(
+    inner: InputPartition, boot: Boolean) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Dispatches each tagged partition to the factory whose read schema
+  * shape built it — one serializable factory pair serves every batch
+  * of the stream.
+  */
+private[sources] final class CdfReaderFactory(
+    bootF: PartitionReaderFactory, rowsF: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+
+  private def pick(p: InputPartition): (PartitionReaderFactory, InputPartition) =
+    p match {
+      case CdfPartition(inner, true)  => (bootF, inner)
+      case CdfPartition(inner, false) => (rowsF, inner)
+      case other                      => (rowsF, other)
+    }
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val (f, inner) = pick(p)
+    f.createReader(inner)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (f, inner) = pick(p)
+    f.createColumnarReader(inner)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (f, inner) = pick(p)
+    f.supportColumnarReads(inner)
+  }
 }

@@ -640,17 +640,20 @@ object StreamOps extends QueryModule {
             .filter(col("__rn") === 1).drop("__rn", "_commit_version")
           val ups = latest.filter(col("_change_type") === "insert")
             .drop("_change_type").localCheckpoint()
+          // delete keys stay a DATAFRAME end to end: the batch's
+          // delete rows ARE the deletion vector
+          // (deleteVersionedMorKeys writes them straight to the DV
+          // parquet) — no driver collect(), and the replica table is
+          // never scanned to apply a delete
           val delKeys = latest.filter(col("_change_type") === "delete")
-            .select(col("o_orderkey")).as[Long](s.implicits.newLongEncoder)
-            .collect().toSeq
+            .select(col("o_orderkey"))
           // the txn marker rides the batch's LAST commit: delete-only
           // batches mark the delete itself; mixed batches mark the
           // merge (a replay between the two re-runs the delete —
           // content-idempotent, the DV names already-deleted keys)
           val upsEmpty = ups.isEmpty
-          if (delKeys.nonEmpty)
-            st.deleteVersionedMor(dst,
-              col("o_orderkey").isInCollection(delKeys), "o_orderkey",
+          if (!delKeys.isEmpty)
+            st.deleteVersionedMorKeys(dst, delKeys, "o_orderkey",
               if (upsEmpty) Some("cdc_replica" -> id) else None): Unit
           if (!upsEmpty) {
             if (st.countVersionedFast(dst).contains(0L))

@@ -655,7 +655,7 @@ final class KeyGroupedParquetScan(
         throw new IllegalStateException(
           s"unkeyed file in a key-grouped scan: ${pf.filePath}"))
     }
-    byKey.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+    byKey.toSeq.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
       .zipWithIndex.map { case ((key, pfs), i) =>
         val row = InternalRow.fromSeq(
           key.zip(convs).map { case (v, c) => c(v) })

@@ -286,6 +286,145 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(ins.count() == 1, "published stage must arrive as insert")
   }
 
+  test("maxFilesPerTrigger splits one giant commit across batches " +
+    "— exactly-once, deterministic slices") {
+    val src = fresh("gstream_maxfiles")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.repartition(6), src)              // v0: 6 files
+    st.writeVersioned(nation.limit(4).repartition(4), src,
+      append = true)                                           // v1: 4 files
+    drainTo(spark.readStream.format("graft-stream")
+      .option("maxFilesPerTrigger", "2").load(src), outP, ckpt)
+    val out = spark.read.parquet(outP)
+    assert(out.count() == 29, "no loss, no duplicates across slices")
+    assert(out.select($"n_nationkey").distinct().count() == 25)
+    // the drain really was split: ≥5 offset entries (3 for the
+    // 6-file bootstrap, 2 for the 4-file append)
+    val fs = new Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val offsets = fs.listStatus(new Path(ckpt, "offsets"))
+      .count(f => !f.getPath.getName.startsWith("."))
+    assert(offsets >= 5, s"expected a split drain, got $offsets batches")
+    // exactly-once across a follow-up drain
+    st.writeVersioned(nation.limit(3), src, append = true)
+    drainTo(spark.readStream.format("graft-stream")
+      .option("maxFilesPerTrigger", "2").load(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == 32)
+  }
+
+  test("CDF maxFilesPerTrigger: the bootstrap and a giant append " +
+    "drain across batches, still zero-copy, exactly-once") {
+    val src = fresh("gstream_cdf_maxfiles")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.repartition(5), src)              // v0: 5 files
+    def drainCdf(): Unit = drainTo(
+      spark.readStream.format("graft-stream")
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "2").load(src), outP, ckpt)
+    drainCdf()
+    val boot = spark.read.parquet(outP)
+    assert(boot.count() == 25)
+    assert(boot.filter($"_change_type" =!= "insert").count() == 0)
+    // sliced bootstrap batches all stamp the SAME snapshot version
+    assert(boot.select($"_commit_version").distinct().count() == 1)
+    val fs = new Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(ckpt, "offsets"))
+      .count(f => !f.getPath.getName.startsWith(".")) >= 3,
+      "5 files at cap 2 must take >= 3 batches")
+    // zero-copy: slices never materialize under _graft_cdf
+    val cdfDir = new Path(ckpt, "sources/0/_graft_cdf")
+    assert(!fs.exists(cdfDir) || fs.listStatus(cdfDir).isEmpty)
+    // a change-shaped commit (MoR delete) delivers WHOLE; a giant
+    // append after it splits again — both exactly-once
+    st.deleteVersionedMor(src, $"n_nationkey" < 3, "n_nationkey")
+    st.writeVersioned(nation.limit(4).repartition(4), src,
+      append = true)
+    drainCdf()
+    val all = spark.read.parquet(outP)
+    assert(all.filter($"_change_type" === "delete").count() == 3)
+    assert(all.count() == 25 + 3 + 4)
+    // replays of the split ranges are byte-stable: re-drain adds 0
+    drainCdf()
+    assert(spark.read.parquet(outP).count() == 32)
+  }
+
+  test("DV-free CDF bootstrap is ZERO-COPY: served from the table's " +
+    "own files, nothing materialized under _graft_cdf") {
+    val src = fresh("gstream_cdf_zerocopy")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.repartition(3), src)
+    st.writeVersioned(nation.limit(5), src, append = true)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val fs = new Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cdfDir = new Path(ckpt, "sources/0/_graft_cdf")
+    assert(!fs.exists(cdfDir) || fs.listStatus(cdfDir).isEmpty,
+      "a DV-free bootstrap must not copy the snapshot into the " +
+        "checkpoint — it reads the table's own files")
+    val boot = spark.read.parquet(outP)
+    assert(boot.count() == 30)
+    assert(boot.filter($"_change_type" =!= "insert").count() == 0)
+    // one synthesized commit version: the bootstrap's end offset
+    val v = st.latestVisibleVersion(src)
+    assert(boot.select($"_commit_version").distinct()
+      .as[Long].collect().toSeq == Seq(v))
+    // the rows are the snapshot, exactly
+    assert(boot.select($"n_nationkey", $"n_name")
+      .exceptAll(st.readVersioned(src)).count() == 0)
+    assert(st.readVersioned(src)
+      .exceptAll(boot.select($"n_nationkey", $"n_name")).count() == 0)
+    // incremental batches after the zero-copy bootstrap still flow
+    st.writeVersioned(nation.limit(2), src, append = true)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == 32)
+  }
+
+  test("CDF bootstrap of a DV-carrying snapshot resolves the DVs " +
+    "(materialized path): deleted rows never surface") {
+    val src = fresh("gstream_cdf_dvboot")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(spark.range(0, 20)
+      .select($"id".as("k"), lit("a").as("v")).repartition(2), src)
+    st.deleteVersionedMor(src, $"k" < 5, "k")
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val boot = spark.read.parquet(outP)
+    assert(boot.count() == 15, "bootstrap must serve LIVE rows only")
+    assert(boot.filter($"k" < 5).count() == 0,
+      "DV-deleted rows must not surface in the bootstrap")
+    assert(boot.filter($"_change_type" =!= "insert").count() == 0)
+  }
+
+  test("a CDF batch spanning an ADD COLUMNS widen null-fills " +
+    "earlier commits' change rows instead of failing the stream") {
+    val src = fresh("gstream_cdf_widen")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v"), src)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    // one batch range holding: a (k,v) append, the widen, a MoR
+    // delete, and a (k,v,w) append — schemas drift inside the range
+    st.writeVersioned(Seq((4L, "d")).toDF("k", "v"), src,
+      append = true)
+    st.addColumnsVersioned(src, org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType))))
+    st.deleteVersionedMor(src, $"k" === 2L, "k")
+    st.writeVersioned(Seq((5L, "e", "W")).toDF("k", "v", "w"), src,
+      append = true)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val all = spark.read.option("mergeSchema", "true").parquet(outP)
+    assert(all.columns.contains("w"), all.columns.toSeq.toString)
+    // pre-widen append arrived with w null
+    assert(all.filter($"k" === 4L && $"_change_type" === "insert" &&
+      $"w".isNull).count() == 1)
+    // the delete pre-image aligned to the widened schema
+    assert(all.filter($"k" === 2L && $"_change_type" === "delete")
+      .count() == 1)
+    // the post-widen append carries its value
+    assert(all.filter($"k" === 5L && $"w" === "W").count() == 1)
+  }
+
   test("change feed housekeeping: spent batch dirs retire at offset " +
     "commit; a vacuumed CDF offset fails with retention guidance") {
     val src = fresh("gstream_cdf_clean")

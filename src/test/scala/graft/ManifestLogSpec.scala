@@ -279,4 +279,41 @@ class ManifestLogSpec extends AnyFunSuite {
       assert(ch.filter($"_change_type" === "delete").count() == 0L)
     }
   }
+
+  test("changesVersioned spans an ADD COLUMNS commit: pre-images " +
+    "align to the to-version schema (missing columns null)") {
+    val out = fresh("mlog_changes_evolved")
+    st.writeVersioned(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), out)
+    st.addColumnsVersioned(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType))))
+    // MoR delete after the widen: the range (0, last] is
+    // append-shaped, and the delete pre-image reads at version 0
+    // where `w` does not exist — the union must null-fill, not throw
+    st.deleteVersionedMor(out, col("k") === 2L, "k")
+    val ch = st.changesVersioned(out, 0L, st.listVersions(out).last)
+    assert(ch.columns.contains("w"),
+      s"change rows must carry the to-version schema: ${ch.columns.toSeq}")
+    val del = ch.filter($"_change_type" === "delete").collect()
+    assert(del.length == 1 && del.head.getLong(del.head.fieldIndex("k")) == 2L)
+    assert(del.head.isNullAt(del.head.fieldIndex("w")))
+    // the DV-drift fallback (non-append shape) aligns too: a second
+    // table deletes BEFORE the widen, then compacts — the diff from
+    // the DV-carrying pre-widen version to the clean post-widen one
+    // compares a (k,v) snapshot against a (k,v,w) snapshot
+    val out2 = fresh("mlog_changes_evolved_fb")
+    st.writeVersioned(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), out2)
+    st.deleteVersionedMor(out2, col("k") === 2L, "k") // v1: DV
+    st.addColumnsVersioned(out2, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType))))      // v2: widen
+    st.compactVersioned(out2)                          // v3: DV folded
+    val ch2 = st.changesVersioned(out2, 1L, st.listVersions(out2).last)
+    assert(ch2.columns.contains("w"))
+    // v1's resolved rows equal v3's resolved rows — zero change rows,
+    // computed across the schema widen without throwing
+    assert(ch2.count() == 0L)
+  }
 }

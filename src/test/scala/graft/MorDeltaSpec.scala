@@ -632,4 +632,97 @@ class MorDeltaSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM graft.`$mor` ORDER BY o_orderkey")
       .collect().toSeq == want)
   }
+
+  test("property names are single path segments: a path-shaped or " +
+    "all-dots name is refused by SET and UNSET alike") {
+    val t = fresh("mordelta_prop_names")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), t)
+    // UNSET with a traversal-shaped name must not resolve outside
+    // _props (it would delete manifest files after normalization)
+    for (bad <- Seq("../_manifest/v0", "..", ".", "a/b")) {
+      intercept[IllegalArgumentException] {
+        st.removeTableProperty(t, bad)
+      }
+      intercept[IllegalArgumentException] {
+        st.setTableProperty(t, bad, "x")
+      }
+    }
+    // the manifest survived the attempts
+    assert(st.readVersioned(t).count() == 1L)
+    // legal names still round-trip
+    st.setTableProperty(t, "owner.team_1", "graft")
+    assert(st.tablePropertiesOf(t).get("owner.team_1").contains("graft"))
+    st.removeTableProperty(t, "owner.team_1")
+    assert(!st.tablePropertiesOf(t).contains("owner.team_1"))
+  }
+
+  test("time travel to a pre-flip version keeps mor_key NULLABLE: " +
+    "the flip validated only the current snapshot") {
+    val t = fresh("mordelta_preflip_nulls")
+    // v0 holds a NULL key — legal, the table is copy-on-write
+    st.writeVersioned(
+      Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "n"))
+        .toDF("k", "v"), t)
+    // purge the NULL-keyed row, then flip into merge-on-read
+    st.deleteVersioned(t, $"k".isNull)
+    st.setTableProperty(t, "delete_mode", "merge-on-read")
+    st.setTableProperty(t, "mor_key", "k")
+    // current snapshot declares the identifier non-null…
+    val cur = spark.sql(s"SELECT * FROM graft.`$t`")
+    assert(!cur.schema("k").nullable,
+      "current MoR snapshot must declare mor_key non-null")
+    // …but the pre-flip snapshot holds a stored NULL: declaring
+    // non-null over it is the codegen-reads-garbage hole. It must
+    // stay nullable and read the NULL row faithfully.
+    val old = spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 0")
+    assert(old.schema("k").nullable,
+      "pre-flip time travel must not declare non-null over stored NULLs")
+    assert(old.filter($"k".isNull).count() == 1L)
+    assert(old.count() == 3L)
+  }
+
+  test("delta row-level commits restate zone/bloom sidecar coverage " +
+    "for their fresh files (no skipping holes until compact)") {
+    val t = fresh("mordelta_sidecar_carry")
+    val base = T.t(spark, SF, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .repartitionByRange(4, $"o_orderkey")
+    st.writeVersioned(base, t, false,
+      Seq("o_orderkey"), Seq("o_orderstatus"))
+    st.setTableProperty(t, "delete_mode", "merge-on-read")
+    st.setTableProperty(t, "mor_key", "o_orderkey")
+    val before = snapshotFiles(t)
+    spark.sql(s"UPDATE graft.`$t` SET o_totalprice = o_totalprice + 1 " +
+      "WHERE o_orderkey % 17 = 3")
+    val freshFiles = (snapshotFiles(t) -- before).toSeq
+    assert(freshFiles.nonEmpty, "the UPDATE must write fresh files")
+    // every fresh file sits in the latest commit dir, and that dir
+    // now carries _zonemap + _bloom sidecars covering them
+    val commitDirs = freshFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent).distinct
+    assert(commitDirs.size == 1)
+    val cd = commitDirs.head
+    val zm = spark.read.parquet(s"$cd/_zonemap")
+    assert(zm.columns.contains("o_orderkey__min"),
+      s"zonemap must cover the prior stats column: ${zm.columns.toSeq}")
+    val zoneFiles = zm.select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+        .toUri.getPath).toSet
+    val bl = spark.read.parquet(s"$cd/_bloom")
+    assert(bl.select("col").distinct().collect()
+      .map(_.getString(0)).toSet == Set("o_orderstatus"))
+    val bloomFiles = bl.select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+        .toUri.getPath).toSet
+    for (f <- freshFiles) {
+      val key = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      assert(zoneFiles.contains(key), s"zonemap misses fresh file $f")
+      assert(bloomFiles.contains(key), s"bloom misses fresh file $f")
+    }
+    // and the content still agrees with a straight read
+    assert(st.readVersionedPruned(t).filter($"o_orderkey" % 17 === 3)
+      .agg(sum($"o_totalprice")).head().getDouble(0) ==
+      st.readVersioned(t).filter($"o_orderkey" % 17 === 3)
+        .agg(sum($"o_totalprice")).head().getDouble(0))
+  }
 }

@@ -1474,6 +1474,62 @@ class StorageSpec extends AnyFunSuite {
     assert(st.readVersioned(out3).count() == 900)
   }
 
+  test("deleteVersionedMorKeys: the keys ARE the deletion vector — " +
+    "no table scan, absent keys no-op, type/NULL/column gates") {
+    import spark.implicits._
+    val out = T.scratch(SF, "mor_keys_delete")
+    val st = sources.GraftStorage(spark)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = spark.range(0, 1000)
+      .select($"id".as("k"), ($"id" % 7).as("g"))
+    st.writeVersioned(base.repartition(4), out)
+    // metadata-only proof: hide one DATA file — the keys commit must
+    // still succeed, because it never opens table data (the keys are
+    // written straight to the DV parquet)
+    val victim = new org.apache.hadoop.fs.Path(
+      st.manifestFiles(out, 0).head)
+    val hidden = new org.apache.hadoop.fs.Path(
+      victim.getParent, victim.getName + ".hidden")
+    assert(fs.rename(victim, hidden))
+    val keys = spark.range(0, 50).select($"id".as("k"))
+      .unionAll(spark.range(5000, 5010).select($"id".as("k"))) // absent
+    val v1 =
+      try st.deleteVersionedMorKeys(out, keys, "k")
+      finally { fs.rename(hidden, victim): Unit }
+    // zero rewrite: v1's data files are exactly v0's, D line added
+    val dataOf = (v: Long) => manifestLines(out, v)
+      .filterNot(_.startsWith("D\t")).toSet
+    assert(dataOf(v1) == dataOf(0))
+    assert(manifestLines(out, v1).exists(_.startsWith("D\tk\t")))
+    // absent keys were legal no-ops: exactly the 50 present keys gone
+    assert(st.readVersioned(out, Some(v1)).count() == 950)
+    assert(st.readVersioned(out).filter($"k" < 50).count() == 0)
+    // type mismatch is refused (the anti-join must not cast)
+    intercept[IllegalArgumentException] {
+      st.deleteVersionedMorKeys(out, Seq(1, 2).toDF("k"), "k")
+    }
+    // NULL keys are refused and leave no version behind
+    val before = st.listVersions(out)
+    intercept[IllegalArgumentException] {
+      st.deleteVersionedMorKeys(out,
+        Seq(Option(60L), Option.empty[Long]).toDF("k"), "k")
+    }
+    assert(st.listVersions(out) == before)
+    // a keys frame without the column is refused
+    intercept[IllegalArgumentException] {
+      st.deleteVersionedMorKeys(out,
+        spark.range(1).select($"id".as("z")), "k")
+    }
+    // the txn marker rides the commit (streaming exactly-once)
+    val v2 = st.deleteVersionedMorKeys(out,
+      spark.range(50, 60).select($"id".as("k")), "k",
+      Some("morkeys_app" -> 7L))
+    assert(st.txnCommitted(out, "morkeys_app", 7L))
+    assert(st.readVersioned(out, Some(v2)).count() == 940)
+  }
+
   test("MoR delete rejects NULL-keyed victims loudly; CoW handles them; " +
     "constraint re-declare replaces the predicate") {
     import spark.implicits._

@@ -172,4 +172,89 @@ class WapSpec extends AnyFunSuite {
       .head().getString(0) == "main")
     assert(st.listRefs(out).map(_._1) == Seq("tag.rel-1"))
   }
+
+  test("writable branch lifecycle: multi-commit stage, audit, " +
+    "fast-forward publish byte-identical to serial commits; main " +
+    "commits interleave freely") {
+    val out = fresh("branch_write_life")
+    val serial = fresh("branch_write_serial")
+    val a = nation.filter($"n_nationkey" % 3 === 0)
+    val b = nation.filter($"n_nationkey" % 3 === 1)
+    val c = nation.filter($"n_nationkey" % 3 === 2)
+    st.writeVersioned(a.repartition(1), out)
+    st.branchVersion(out, "ingest")
+    // two branch commits; a concurrent MAIN append between them
+    st.branchAppend(b.repartition(1), out, "ingest",
+      statsCols = Seq("n_nationkey"))
+    val mainRows = nation.filter($"n_nationkey" === 99) // none at SF
+      .unionByName(nation.limit(2))
+    st.writeVersioned(mainRows.repartition(1), out, append = true)
+    st.branchAppend(c.repartition(1), out, "ingest")
+    // default readers never see branch rows
+    assert(st.readVersioned(out).count() == a.count() + 2)
+    // the audit reads base + branch (NOT main's interleaved commit —
+    // the branch pointer pins its base)
+    val audit = st.readVersionedBranch(out, "ingest")
+    assert(audit.count() == a.count() + b.count() + c.count())
+    // fast-forward: branch commits land on top of the advanced main
+    val head = st.branchPublish(out, "ingest")
+    assert(st.listRefs(out).toMap.get("branch.ingest").contains(head))
+    val got = st.readVersioned(out)
+    assert(got.count() == 25 + 2)
+    // byte-identical to serial commits: the same appends done
+    // serially resolve to the same manifest SHAPE (same line kinds,
+    // same row counts per commit) and the same rows
+    st.writeVersioned(a.repartition(1), serial)
+    st.writeVersioned(mainRows.repartition(1), serial, append = true)
+    st.writeVersioned(b.repartition(1), serial, append = true,
+      statsCols = Seq("n_nationkey"))
+    st.writeVersioned(c.repartition(1), serial, append = true)
+    val sGot = st.readVersioned(serial)
+    assert(got.exceptAll(sGot).isEmpty && sGot.exceptAll(got).isEmpty)
+    def shape(p: String) = st.manifestEntries(p,
+      st.listVersions(p).last).map(l =>
+        if (l.contains('\t')) l.takeWhile(_ != '\t') else "FILE")
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(shape(out) == shape(serial),
+      s"${shape(out)} vs ${shape(serial)}")
+    // the stats sidecar the branch commit built is live after publish
+    assert(st.readVersionedPruned(out).filter($"n_nationkey" === 7)
+      .count() == 1)
+    // vacuum keeps the published files readable
+    st.vacuumVersioned(out, keepLast = 1)
+    assert(st.readVersioned(out).count() == 27)
+  }
+
+  test("writable branch: discard leaves main untouched and removes " +
+    "the staged data; WAP-pending main refuses a branch publish") {
+    val out = fresh("branch_write_discard")
+    st.writeVersioned(nation.repartition(1), out)
+    st.branchVersion(out, "dev")
+    st.branchAppend(nation.limit(3), out, "dev")
+    st.branchAppend(nation.limit(4), out, "dev")
+    val headBefore = st.listVersions(out).last
+    val discarded = st.branchDiscardWrites(out, "dev")
+    assert(discarded == 2L)
+    assert(st.listVersions(out).last == headBefore,
+      "discard must not publish anything to main")
+    assert(st.readVersioned(out).count() == 25)
+    // the branch pointer survives as a plain movable ref; its state
+    // is back to the base snapshot
+    assert(st.readVersionedBranch(out, "dev").count() == 25)
+    // staged data dirs were reclaimed
+    val fs = new Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(out, "_branchlog/dev")))
+    // a WAP-pending main head refuses the fast-forward loudly
+    st.branchAppend(nation.limit(5), out, "dev")
+    st.wapStage(nation.limit(1), out, "audit9")
+    val e = intercept[IllegalStateException] {
+      st.branchPublish(out, "dev")
+    }
+    assert(e.getMessage.contains("audit-pending"), e.getMessage)
+    st.wapDiscard(out, "audit9")
+    // after the audit resolves, the branch publishes fine
+    st.branchPublish(out, "dev")
+    assert(st.readVersioned(out).count() == 30)
+  }
 }
