@@ -444,6 +444,82 @@ object Sinks extends QueryModule {
       .orderBy($"snap")
   }
 
+  /** POSITION-DELETE deletion vectors — merge-on-read for KEYLESS
+    * tables ([[graft.sources.GraftStorage.deleteVersionedMorPos]]):
+    * `delete_mode=merge-on-read` WITHOUT a `mor_key` routes SQL
+    * DELETE to a (file, row-position) DV materialized from the
+    * scan's `_metadata` columns — O(matched rows) write cost with NO
+    * identifier contract, duplicate rows delete exactly as matched
+    * (Iceberg's position-delete form; the keyed DV is the equality-
+    * delete form). Readers anti-join on (file, position); compaction
+    * and apply_deletes fold the DVs away.
+    */
+  def sqlDeleteMorPos(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sql_delete_mor_pos")
+    val st = graft.sources.GraftStorage(s)
+    graft.sources.GraftCatalog.register(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    // KEYLESS: (l_orderkey, l_quantity) has genuine duplicates —
+    // no column identifies a row, the shape key-based DVs cannot serve
+    st.writeVersioned(T.t(s, dir, "lineitem")
+      .filter($"l_orderkey" % 7 < 2)
+      .select($"l_orderkey", $"l_quantity").repartition(4), out)
+    st.setTableProperty(out, "delete_mode", "merge-on-read")
+    s.sql(s"DELETE FROM graft.`$out` WHERE l_quantity < 10")
+    // the delete was merge-on-read: a DV commit, zero files rewritten
+    require(st.hasDeletionVectors(out),
+      "keyless MoR DELETE must commit a position DV")
+    s.sql(
+      s"""SELECT CAST(l_orderkey % 5 AS BIGINT) AS grp,
+         |  COUNT(*) AS cnt, ${T.sqlDsum("l_quantity")} AS qty
+         |FROM graft.`$out`
+         |GROUP BY l_orderkey % 5
+         |ORDER BY grp""".stripMargin)
+  }
+
+  /** ALTER TABLE RENAME/DROP COLUMN — METADATA-ONLY schema evolution
+    * via column mapping ([[graft.sources.GraftStorage
+    * .renameColumnVersioned]]): the manifest's `N` line binds logical
+    * names to the files' stable physical names, so a rename moves
+    * zero bytes at any table size, pre-rename files read correctly
+    * under the new name, a drop hides stored data without rewrite,
+    * and appends after the rename translate back to the physical
+    * schema. Reads through the SQL catalog resolve via the analyzer
+    * rule's V1 projected plan; time travel keeps each version's own
+    * names (the spec pins that). Iceberg column-ids / Delta
+    * name-mapping, expressed over the schema-in-log.
+    */
+  def sqlAlterRename(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = T.scratch(dir, "sql_alter_rename")
+    val st = graft.sources.GraftStorage(s)
+    graft.sources.GraftCatalog.register(s)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.filter($"o_orderkey" % 2 === 0), out)
+    // metadata-only DDL: rename a column, drop another
+    s.sql(s"ALTER TABLE graft.`$out` RENAME COLUMN o_totalprice TO price")
+    s.sql(s"ALTER TABLE graft.`$out` DROP COLUMN o_orderstatus")
+    // appends arrive in the NEW logical schema and translate back to
+    // the files' physical names
+    st.writeVersioned(T.t(s, dir, "orders")
+      .filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", ($"o_totalprice" + 1000.0).as("price")),
+      out, append = true)
+    s.sql(
+      s"""SELECT CAST(o_orderkey % 3 AS BIGINT) AS grp,
+         |  COUNT(*) AS cnt, ${T.sqlDsum("price")} AS total
+         |FROM graft.`$out`
+         |GROUP BY o_orderkey % 3
+         |ORDER BY grp""".stripMargin)
+  }
+
   /** WRITABLE BRANCH — write-audit-publish at COMMIT-SEQUENCE scale
     * ([[graft.sources.GraftStorage.branchAppend]]): a multi-commit
     * ingest stages on a named branch (additions-only deltas in
@@ -1027,6 +1103,8 @@ object Sinks extends QueryModule {
     "sink_versioned_restore" -> (sinkVersionedRestore(_, _)),
     "sink_versioned_wap" -> (sinkVersionedWap(_, _)),
     "sink_versioned_branch_write" -> (sinkVersionedBranchWrite(_, _)),
+    "sql_alter_rename" -> (sqlAlterRename(_, _)),
+    "sql_delete_mor_pos" -> (sqlDeleteMorPos(_, _)),
     "sink_versioned_bloom" -> (sinkVersionedBloom(_, _)),
     "sink_versioned_concurrent" -> (sinkVersionedConcurrent(_, _)),
     "sql_time_travel" -> (sqlTimeTravel(_, _)),
@@ -1281,6 +1359,24 @@ object Sinks extends QueryModule {
          |  SELECT 'c_published', COUNT(*),
          |    ${sqlDsum("o_totalprice")} FROM orders)
          |ORDER BY snap""".stripMargin,
+    "sql_delete_mor_pos" ->
+      s"""SELECT CAST(l_orderkey % 5 AS BIGINT) AS grp,
+         |  COUNT(*) AS cnt, ${sqlDsum("l_quantity")} AS qty
+         |FROM lineitem
+         |WHERE l_orderkey % 7 < 2 AND NOT (l_quantity < 10)
+         |GROUP BY l_orderkey % 5
+         |ORDER BY grp""".stripMargin,
+    "sql_alter_rename" ->
+      s"""SELECT CAST(o_orderkey % 3 AS BIGINT) AS grp,
+         |  COUNT(*) AS cnt, ${sqlDsum("price")} AS total
+         |FROM (
+         |  SELECT o_orderkey, o_totalprice AS price FROM orders
+         |  WHERE o_orderkey % 2 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice + 1000.0 FROM orders
+         |  WHERE o_orderkey % 2 = 1)
+         |GROUP BY o_orderkey % 3
+         |ORDER BY grp""".stripMargin,
     "sink_versioned_branch_write" ->
       s"""SELECT snap, cnt, total FROM (
          |  SELECT 'a_main_pre' AS snap, COUNT(*) AS cnt,

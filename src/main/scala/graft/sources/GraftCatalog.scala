@@ -354,10 +354,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case sp: TableChange.SetProperty => sp }
     val unsets = changes.collect {
       case rp: TableChange.RemoveProperty => rp }
-    require(adds.length + sets.length + unsets.length == changes.length,
-      "graft ALTER TABLE supports ADD COLUMNS and SET/UNSET " +
-        "TBLPROPERTIES only (immutable data files rule out type " +
-        "changes/renames/drops; constraints go through " +
+    val renames = changes.collect {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames.length == 1,
+          "graft RENAME COLUMN supports top-level columns only")
+        (rc.fieldNames.head, rc.newName)
+    }
+    val drops = changes.collect {
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1,
+          "graft DROP COLUMN supports top-level columns only")
+        dc.fieldNames.head
+    }
+    require(adds.length + sets.length + unsets.length +
+        renames.length + drops.length == changes.length,
+      "graft ALTER TABLE supports ADD COLUMNS, RENAME COLUMN, DROP " +
+        "COLUMN and SET/UNSET TBLPROPERTIES only (immutable data " +
+        "files rule out type changes; constraints go through " +
         "GraftStorage.addCheckConstraint)")
     // SET TBLPROPERTIES rides the validated property path: flipping
     // delete_mode=merge-on-read scans the snapshot once for NULL /
@@ -367,6 +380,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (adds.nonEmpty)
       st.addColumnsVersioned(p,
         org.apache.spark.sql.types.StructType(adds))
+    renames.foreach { case (from, to) =>
+      st.renameColumnVersioned(p, from, to): Unit }
+    drops.foreach(c => st.dropColumnVersioned(p, c): Unit)
     loadTable(ident)
   }
 
@@ -457,7 +473,11 @@ final class GraftVersionedTable(
     val vs = st.listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
     val effective = pinnedVersion.getOrElse(st.latestVisibleVersion(path))
-    val base = st.versionedScanParts(path, effective).schema
+    // RENAME/DROP mapping: the catalog declares LOGICAL names; the
+    // physical (stored) schema stays inside the scan machinery
+    val base = st.logicalSchemaOf(
+      st.versionedScanParts(path, effective).schema,
+      st.columnMapping(path, effective))
     // the flip into merge-on-read validated only the CURRENT snapshot
     // (setTableProperty) — a time-travel read of a PRE-FLIP version
     // may hold stored NULL keys, and declaring non-null over them is
@@ -528,6 +548,17 @@ final class GraftVersionedTable(
           "time). Register graft.GraftExtensions, or use " +
           "GraftStorage.readVersioned / the graft_versioned() SQL " +
           "function, or compactVersioned first.")
+    // a RENAME/DROP mapping cannot ride a V2 batch scan (files store
+    // physical names; the scan schema is logical) — GraftExtensions
+    // substitutes the V1 projected plan at analysis; without it,
+    // refuse rather than surface nulls under renamed columns
+    if (st.hasColumnMapping(path, Some(v)))
+      throw new IllegalArgumentException(
+        s"catalog read of $path: snapshot renames/drops columns " +
+          "(column mapping) and a V2 scan cannot project stored " +
+          "names. Register graft.GraftExtensions, or use " +
+          "GraftStorage.readVersioned / the graft_versioned() SQL " +
+          "function, or compact (REORG) to rewrite the mapping away.")
     val parts = st.versionedScanParts(path, v)
     // manifest-rate aggregate fast path: COUNT(*) from R lines,
     // MIN/MAX from zone stats — zero data files opened (the DV
@@ -594,14 +625,24 @@ final class GraftVersionedTable(
     else None
   }
 
+  /** merge-on-read WITHOUT a declared key: DELETE routes to POSITION
+    * deletion vectors (no identifier contract — the keyless-table
+    * form). Dir-less lookup like [[morDeleteKey]].
+    */
+  private def morPositional: Boolean = {
+    val props = st.tablePropertiesOf(path)
+    props.get("delete_mode").contains("merge-on-read") &&
+      !props.contains("mor_key")
+  }
+
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     // partitioned tables decline the COPY-ON-WRITE shortcut (its
     // rewrite writes an unpartitioned layout, which would silently
     // degrade the storage-partitioned join — the group-based
-    // row-level path below writes key-rolled files); the MoR route
-    // is layout-neutral (a DV commit adds no data files), so a
+    // row-level path below writes key-rolled files); the MoR routes
+    // are layout-neutral (a DV commit adds no data files), so a
     // partitioned table with delete_mode=merge-on-read accepts
-    (morDeleteKey.isDefined ||
+    (morDeleteKey.isDefined || morPositional ||
       st.listVersions(path).lastOption
         .forall(v => st.partitionSpec(path, v).isEmpty)) &&
     predicates.forall(p =>
@@ -613,6 +654,14 @@ final class GraftVersionedTable(
     val cond = predicates.toSeq
       .flatMap(p => V2Bridge.toV1Filter(p).flatMap(GraftFilters.toColumn))
       .reduceOption(_ && _).getOrElse(lit(true))
+    if (morDeleteKey.isEmpty && morPositional) {
+      try { st.deleteVersionedMorPos(path, cond): Unit; return }
+      catch {
+        case e: DvTooLargeException =>
+          throw new UnsupportedOperationException(
+            s"DELETE on $path: ${e.getMessage}", e)
+      }
+    }
     morDeleteKey match {
       case Some(k) =>
         try st.deleteVersionedMor(path, cond, k): Unit
@@ -766,12 +815,39 @@ private[sources] final class GraftBatchWrite(
   private val commitDir: Path = st.newCommitDir(new Path(path),
     baseVersion.map(_ + 1).getOrElse(0L))
 
+  /** RENAME/DROP mapping of the base snapshot: SQL writes arrive in
+    * LOGICAL names and the files must store the stable PHYSICAL
+    * schema (rows are positional — only field names translate).
+    */
+  private val physicalSchema: StructType = baseVersion match {
+    case Some(v) if mode == GraftCommitMode.Append =>
+      val st2 = GraftStorage(SparkSession.active)
+      st2.columnMapping(path, v) match {
+        case Some((map, dropped)) =>
+          val reserved = map.values.toSeq ++ dropped
+          StructType(writeSchema.fields.map { f =>
+            map.find(_._1.equalsIgnoreCase(f.name)) match {
+              case Some((_, phys)) => f.copy(name = phys)
+              case None =>
+                if (reserved.exists(_.equalsIgnoreCase(f.name)))
+                  throw new IllegalArgumentException(
+                    s"INSERT into $path: column '${f.name}' is a " +
+                      "renamed-away or dropped stored column — " +
+                      "compact (REORG) first")
+                f
+            }
+          })
+        case None => writeSchema
+      }
+    case _ => writeSchema
+  }
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftDataWriterFactory(
-      new ParquetTaskWriters(spark, writeSchema, commitDir.toString),
-      writeSchema.length,
-      GraftWrites.writeKeysFor(partCols, writeSchema))
+      new ParquetTaskWriters(spark, physicalSchema, commitDir.toString),
+      physicalSchema.length,
+      GraftWrites.writeKeysFor(partCols, physicalSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val s = SparkSession.active
@@ -794,7 +870,7 @@ private[sources] final class GraftBatchWrite(
       GraftStorage.mergeSchemaJsons(
         store.manifestEntries(path, baseVersion.get).collect {
           case e if e.startsWith("H\t") => e.drop(2)
-        } :+ writeSchema.json)
+        } :+ physicalSchema.json)
     val tallies = messages.collect { case m: GraftCommitMessage => m }
       .toSeq.flatMap(_.files)
     val fresh = tallies.map(t => new Path(t._1).toUri.getPath)
@@ -825,7 +901,7 @@ private[sources] final class GraftBatchWrite(
       // reason — this write's files arrive sorted
       (if (sortCols.nonEmpty && mode != GraftCommitMode.Append)
         Seq(s"O\t${sortCols.mkString(",")}") else Seq.empty) ++
-      Seq(s"H\t${writeSchema.json}")
+      Seq(s"H\t${physicalSchema.json}")
     val n = vsNow.lastOption.map(_ + 1).getOrElse(0L)
     mode match {
       case GraftCommitMode.Append if baseVersion.nonEmpty =>

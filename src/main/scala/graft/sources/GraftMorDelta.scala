@@ -101,6 +101,12 @@ private[sources] final class GraftMorDeltaOperation(
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (st.hasColumnMapping(path, Some(version)))
+      throw new IllegalArgumentException(
+        s"row-level SQL on $path: the snapshot renames/drops columns " +
+          "(column mapping); the delta write path stores physical " +
+          "names and cannot serve it — compact (REORG) first, or use " +
+          "the Scala MoR API (deleteVersionedMor/mergeVersionedMor).")
     if (!dvApplied && st.hasDeletionVectors(path, Some(version)))
       throw new IllegalArgumentException(
         s"row-level SQL on $path: snapshot carries merge-on-read " +
@@ -117,7 +123,12 @@ private[sources] final class GraftMorDeltaOperation(
   }
 
   override def newWriteBuilder(
-      info: LogicalWriteInfo): DeltaWriteBuilder =
+      info: LogicalWriteInfo): DeltaWriteBuilder = {
+    if (st.hasColumnMapping(path, Some(version)))
+      throw new IllegalArgumentException(
+        s"row-level SQL on $path: the snapshot renames/drops columns " +
+          "(column mapping) — compact (REORG) first, or use the " +
+          "Scala MoR API (deleteVersionedMor/mergeVersionedMor).")
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = {
         val op = GraftMorDeltaOperation.this
@@ -158,6 +169,7 @@ private[sources] final class GraftMorDeltaOperation(
         }
       }
     }
+  }
 }
 
 /** Driver side of the MoR delta write: stage dir allocation, loud
@@ -194,12 +206,6 @@ private[sources] final class GraftMorDeltaBatchWrite(
     val s = SparkSession.active
     val store = GraftStorage(s)
     val fs = commitDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (store.listVersions(op.path).lastOption != Some(op.version)) {
-      fs.delete(commitDir, true)
-      throw new java.util.ConcurrentModificationException(
-        s"commit conflict: ${op.path} advanced past version " +
-          s"${op.version} while this row-level command ran")
-    }
     val ms = messages.collect { case m: GraftMorDeltaCommitMessage => m }
     val tallies = ms.toSeq.flatMap(_.files)
     val fresh = tallies.map(t => new Path(t._1).toUri.getPath)
@@ -274,9 +280,77 @@ private[sources] final class GraftMorDeltaBatchWrite(
       tallies.map(t =>
         s"R\t${t._2}\t${new Path(t._1).toUri.getPath}") ++
       (if (fresh.nonEmpty) Seq(s"H\t${rowSchema.json}") else Seq.empty)
-    store.publishManifestDelta(fs, new Path(op.path), op.version + 1,
-      if (fresh.nonEmpty && op.sortCols.isEmpty) Seq("O\t") else Seq.empty,
-      additions, Some(commitDir))
+    val removals =
+      if (fresh.nonEmpty && op.sortCols.isEmpty) Seq("O\t") else Seq.empty
+    // OPTIMISTIC REBASE-AND-RETRY: a table that advanced past the
+    // pinned snapshot does NOT abort outright — if every interleaved
+    // commit is a DISJOINT append (no removed files, no DV drift, no
+    // appended row carrying a key this command deletes), the delta
+    // commit replays verbatim on the new head: the DV still targets
+    // exactly the same old copies (sequence rule — interleaved files
+    // land BEFORE our D lines, so the key-overlap check is what makes
+    // this sound) and the fresh files are new either way. True
+    // conflicts (interleaved DML/compaction, or an append re-using a
+    // deleted key) still abort loudly — the Delta/Iceberg
+    // serializable-isolation validation for row-level commits.
+    var attempt = 0
+    while (true) {
+      val head = store.listVersions(op.path).last
+      if (head != op.version)
+        validateRebase(s, store, fs, head, keys.size)
+      try {
+        store.publishManifestDelta(fs, new Path(op.path), head + 1,
+          removals, additions, Some(commitDir))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) { fs.delete(commitDir, true); throw e }
+      }
+    }
+  }
+
+  /** Serializable-isolation validation for a rebase onto `head`:
+    * every commit in `(op.version, head]` must be PURE APPEND (no
+    * removed files — a rewrite may have rewritten our victims; no DV
+    * drift — a concurrent delete may overlap), and no appended file
+    * may hold a key this command deletes (our D lines would
+    * incorrectly delete the fresh row). O(interleaved appends) work:
+    * one key-column-only scan of the appended files semi-checked
+    * against the broadcast-sized DV.
+    */
+  private def validateRebase(s: SparkSession, store: GraftStorage,
+      fs: org.apache.hadoop.fs.FileSystem, head: Long,
+      deletedKeyCount: Int): Unit = {
+    def conflict(what: String): Nothing = {
+      fs.delete(commitDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict: ${op.path} advanced past version " +
+          s"${op.version} while this row-level command ran, and the " +
+          s"interleaved commits are not disjoint appends ($what) — " +
+          "re-run the command")
+    }
+    val (fBase, dBase) = store.manifestFilesDvs(op.path, op.version)
+    val (fHead, dHead) = store.manifestFilesDvs(op.path, head)
+    if (dHead != dBase) conflict("deletion vectors drifted")
+    if (fHead.take(fBase.size) != fBase)
+      conflict("files were removed or reordered")
+    // fresh rows were key-rolled under the pinned version's layout
+    if (store.partitionSpec(op.path, head) != op.partCols)
+      conflict("the partition spec changed")
+    val appended = fHead.drop(fBase.size).map(_._1)
+    if (appended.nonEmpty && deletedKeyCount > 0) {
+      val keyField = rowIdSchema.head
+      val dvDf = s.read.parquet(
+        new Path(commitDir, "_dv").toString)
+      val overlap = s.read
+        .schema(StructType(Seq(StructField(op.key, keyField.dataType))))
+        .parquet(appended: _*)
+        .join(dvDf, Seq(op.key), "left_semi")
+      if (!overlap.isEmpty)
+        conflict("a concurrent append added rows whose keys this " +
+          "command deletes")
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

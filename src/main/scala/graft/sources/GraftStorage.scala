@@ -996,6 +996,15 @@ final case class GraftStorage(
         "maintenance rewrite was reading it — re-run the rewrite"))
     require(!append || vs.nonEmpty,
       s"append to $path requires an existing version")
+    // mapped table (RENAME/DROP history): logical→physical BEFORE
+    // anything — files, the H line, the schema gate, and the DV key
+    // all live in the stable physical space. Overwrites reset the
+    // mapping (fresh full manifest, logical becomes physical).
+    val mapping =
+      if (append) columnMapping(path, vs.last) else None
+    val dfP = toPhysicalDf(df, mapping, s"append to $path")
+    val sortedByP = sortedBy.map(physicalNameOf(_, mapping))
+    val morKeyP = morKey.map(physicalNameOf(_, mapping))
     // fail fast on type-conflicting evolution BEFORE any data is
     // written: the conflict is decidable from df.schema + the prior
     // H lines alone, and it must not poison the log (readers would
@@ -1004,30 +1013,38 @@ final case class GraftStorage(
       GraftStorage.mergeSchemaJsons(
         manifestEntries(path, vs.last).collect {
           case e if e.startsWith("H\t") => e.drop(2)
-        } :+ df.schema.json)
-    GraftStorage.requireSortCols(df.schema, sortedBy)
+        } :+ dfP.schema.json)
+    GraftStorage.requireSortCols(dfP.schema, sortedByP)
     val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
     val commitDir = newCommitDir(dir, n)
     val toWrite =
-      if (sortedBy.isEmpty) df
-      else df.sortWithinPartitions(sortedBy.map(col): _*)
+      if (sortedByP.isEmpty) dfP
+      else dfP.sortWithinPartitions(sortedByP.map(col): _*)
     toWrite.write.mode("overwrite").parquet(commitDir.toString)
     validateCommitDir(path, commitDir, fs)
     // appends AND overwrites: a replaced snapshot must honor the
     // identifier contract too (the mergeVersionedMor path checks its
     // own input row-by-row — morKey nonEmpty skips the re-read)
     if (morKey.isEmpty)
-      requireMorKeyNonNull(path, df.schema, commitDir, fs)
+      requireMorKeyNonNull(path, dfP.schema, commitDir, fs)
+    // sidecars index the PHYSICAL (stored) columns
+    val statsColsP = statsCols.map(physicalNameOf(_, mapping))
+    val bloomColsP = bloomCols.map { c =>
+      if (c.startsWith(GraftStorage.TokenBloomPrefix))
+        GraftStorage.TokenBloomPrefix + physicalNameOf(
+          c.stripPrefix(GraftStorage.TokenBloomPrefix), mapping)
+      else physicalNameOf(c, mapping)
+    }
     val stats: Seq[String] =
-      if (statsCols.isEmpty) Seq.empty
+      if (statsColsP.isEmpty) Seq.empty
       else {
-        buildZoneMap(commitDir.toString, statsCols)
+        buildZoneMap(commitDir.toString, statsColsP)
         Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
       }
     val blooms: Seq[String] =
-      if (bloomCols.isEmpty) Seq.empty
+      if (bloomColsP.isEmpty) Seq.empty
       else {
-        buildBloomIndex(commitDir.toString, bloomCols)
+        buildBloomIndex(commitDir.toString, bloomColsP)
         Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
       }
     // schema-in-log: the commit records its own schema (`H` line);
@@ -1039,12 +1056,12 @@ final case class GraftStorage(
       .map(_.getPath.toUri.getPath)
     // MoR upsert: the commit's own keys become a DV over everything
     // OLDER (D lines precede the fresh file lines — sequence rule)
-    val dvLines: Seq[String] = morKey match {
+    val dvLines: Seq[String] = morKeyP match {
       case Some(k) =>
         val dvDir = new Path(commitDir, "_dv")
         // keys re-read from the COMMITTED files, not the input plan:
         // one deterministic pass over exactly what landed
-        spark.read.schema(df.schema).parquet(freshFiles: _*)
+        spark.read.schema(dfP.schema).parquet(freshFiles: _*)
           .select(col(k)).distinct()
           .write.mode("overwrite").parquet(dvDir.toString)
         if (!spark.read.parquet(dvDir.toString)
@@ -1063,11 +1080,11 @@ final case class GraftStorage(
         dvStatus.map(f => s"D\t$k\t${f.getPath.toUri.getPath}")
       case None => Seq.empty
     }
-    val order = GraftStorage.oLine(sortedBy, append,
+    val order = GraftStorage.oLine(sortedByP, append,
       if (append) sortSpec(path, n - 1) else Seq.empty)
     val fresh = dvLines ++ freshFiles ++ stats ++ blooms ++ order ++
       txn.map(t => s"T\t${t._1}\t${t._2}").toSeq ++ carryLines ++
-      rowCountLines(freshFiles) ++ Seq(s"H\t${df.schema.json}")
+      rowCountLines(freshFiles) ++ Seq(s"H\t${dfP.schema.json}")
     // append inherits the RAW prior entries via a LOG-STRUCTURED
     // delta (O(delta) metadata written per commit): deletion vectors
     // keep applying to the files they were committed against —
@@ -1294,9 +1311,16 @@ final case class GraftStorage(
     */
   private def writeCommitData(df: DataFrame,
       commitDir: org.apache.hadoop.fs.Path, partCols: Seq[String],
-      fs: org.apache.hadoop.fs.FileSystem): Seq[String] =
+      fs: org.apache.hadoop.fs.FileSystem,
+      /** column mapping of the snapshot being rewritten: a PARTIAL
+        * rewrite's fresh files must keep the stable PHYSICAL names or
+        * they would drift from the carried files' schema.
+        */
+      mapping: Option[(Map[String, String], Seq[String])] = None)
+      : Seq[String] = {
+    val out = toPhysicalDf(df, mapping, "partial rewrite")
     if (partCols.isEmpty) {
-      df.write.mode("overwrite").parquet(commitDir.toString)
+      out.write.mode("overwrite").parquet(commitDir.toString)
       fs.listStatus(commitDir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toUri.getPath)
@@ -1306,13 +1330,14 @@ final case class GraftStorage(
       // buckets: Spark's hash() = Murmur3 seed 42, the same function
       // the catalog's V2 `graft.bucket` reports, so co-bucketed
       // tables align for the SPJ)
-      val pdf = fields.foldLeft(df)((d, f) =>
-        d.withColumn(f.dirName, f.keyExpr(df.schema(f.col).dataType)))
+      val pdf = fields.foldLeft(out)((d, f) =>
+        d.withColumn(f.dirName, f.keyExpr(out.schema(f.col).dataType)))
       pdf.write.mode("overwrite")
         .partitionBy(fields.map(_.dirName): _*)
         .parquet(commitDir.toString)
       listParquetRecursive(fs, commitDir)
     }
+  }
 
   /** Leaf data files under a partitioned commit dir (recursive;
     * sidecars and hidden files excluded), manifest-normalized.
@@ -1634,32 +1659,37 @@ final case class GraftStorage(
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state = branchEntries(path, branch) // validates the ref
+    // branch writes live in the branch STATE's physical space
+    val mapping = mappingOfEntries(state)
+    val dfP = toPhysicalDf(df, mapping, s"branch append to $path")
     // fail fast on type-conflicting evolution against the BRANCH
     // state (same gate as a main append)
     GraftStorage.mergeSchemaJsons(state.collect {
       case e if e.startsWith("H\t") => e.drop(2)
-    } :+ df.schema.json)
+    } :+ dfP.schema.json)
     val commitDir = newCommitDir(dir, listVersions(path).last + 1)
-    df.write.mode("overwrite").parquet(commitDir.toString)
+    dfP.write.mode("overwrite").parquet(commitDir.toString)
     validateCommitDir(path, commitDir, fs)
-    requireMorKeyNonNull(path, df.schema, commitDir, fs)
+    requireMorKeyNonNull(path, dfP.schema, commitDir, fs)
+    val statsColsP = statsCols.map(physicalNameOf(_, mapping))
+    val bloomColsP = bloomCols.map(physicalNameOf(_, mapping))
     val stats: Seq[String] =
-      if (statsCols.isEmpty) Seq.empty
+      if (statsColsP.isEmpty) Seq.empty
       else {
-        buildZoneMap(commitDir.toString, statsCols)
+        buildZoneMap(commitDir.toString, statsColsP)
         Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
       }
     val blooms: Seq[String] =
-      if (bloomCols.isEmpty) Seq.empty
+      if (bloomColsP.isEmpty) Seq.empty
       else {
-        buildBloomIndex(commitDir.toString, bloomCols)
+        buildBloomIndex(commitDir.toString, bloomColsP)
         Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
       }
     val freshFiles = fs.listStatus(commitDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
     val additions = freshFiles ++ stats ++ blooms ++
-      rowCountLines(freshFiles) ++ Seq(s"H\t${df.schema.json}")
+      rowCountLines(freshFiles) ++ Seq(s"H\t${dfP.schema.json}")
     // an unsorted append drops a prior sort-order claim, on a branch
     // exactly as on main (the claim is table-wide)
     val removals = Seq("O\t")
@@ -1938,6 +1968,10 @@ final case class GraftStorage(
     */
   def addCheckConstraint(path: String, name: String,
       predicateSql: String): Unit = {
+    require(listVersions(path).isEmpty || !hasColumnMapping(path),
+      s"CHECK constraint on $path: the table renames/drops columns " +
+        "(column mapping) and constraint expressions name columns — " +
+        "compact (REORG) first")
     import org.apache.hadoop.fs.Path
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name must be [A-Za-z0-9_]+, got '$name'")
@@ -2372,7 +2406,7 @@ final case class GraftStorage(
     manifestEntries(path, version).filter(e =>
       e.startsWith("S\t") || e.startsWith("H\t") ||
         e.startsWith("B\t") || e.startsWith("P\t") ||
-        e.startsWith("T\t") ||
+        e.startsWith("T\t") || e.startsWith("N\t") ||
         (e.startsWith("R\t") && untouchedSet(e.split('\t')(2))))
   }
 
@@ -2646,6 +2680,7 @@ final case class GraftStorage(
       else if (e.startsWith("R\t")) None // its path is a bare entry
       else if (e.startsWith("P\t")) None // partition spec, no path
       else if (e.startsWith("W\t")) None // audit-pending marker
+      else if (e.startsWith("N\t")) None // column mapping, no path
       else Some(e)
     }
 
@@ -2716,12 +2751,32 @@ final case class GraftStorage(
         path, spec, append = false, sortedBy = sortCols,
         txn = None, carryLines = tLines, requireBase = lastV)
     } else {
-      val (sc, bc) = priorSidecarCoverage(path)
+      val (sc0, bc0) = priorSidecarCoverage(path)
       val cur = readVersioned(path, lastV)
+      // a full compact reads LOGICAL rows and rewrites them as the
+      // new physical schema — any RENAME/DROP mapping resets here, so
+      // carried sidecar/sort column names (physical) translate to
+      // their logical names (dropped columns fall away)
+      val mapping = lastV.flatMap(columnMapping(path, _))
+      def toLog(cs: Seq[String]): Seq[String] = mapping match {
+        case None => cs
+        case Some((map, dropped)) => cs.flatMap { c =>
+          if (dropped.exists(_.equalsIgnoreCase(c))) None
+          else Some(map.find(_._2.equalsIgnoreCase(c)).map(_._1)
+            .getOrElse(c))
+        }
+      }
+      val (sc, bc) = (toLog(sc0), bc0.flatMap { c =>
+        if (c.startsWith(GraftStorage.TokenBloomPrefix))
+          toLog(Seq(c.stripPrefix(GraftStorage.TokenBloomPrefix)))
+            .headOption.map(GraftStorage.TokenBloomPrefix + _)
+        else toLog(Seq(c)).headOption
+      })
+      val sortColsL = toLog(sortCols)
       val clustered =
-        if (sortCols.isEmpty) cur.coalesce(targetFiles)
-        else cur.repartitionByRange(targetFiles, sortCols.map(col): _*)
-      writeVersioned(clustered, path, append = false, sc, bc, sortCols,
+        if (sortColsL.isEmpty) cur.coalesce(targetFiles)
+        else cur.repartitionByRange(targetFiles, sortColsL.map(col): _*)
+      writeVersioned(clustered, path, append = false, sc, bc, sortColsL,
         None, tLines, lastV, None)
     }
     tagMaintenance(path, n, "compact")
@@ -2789,7 +2844,8 @@ final case class GraftStorage(
         (specKeys ++ sortCols.map(col)): _*)
     val n = vs.last + 1
     val commitDir = newCommitDir(dir, n)
-    val fresh = writeCommitData(relaid, commitDir, spec, fs)
+    val fresh = writeCommitData(relaid, commitDir, spec, fs,
+      columnMapping(path, vs.last))
     validateCommitFiles(path, fresh, commitDir, fs)
     val stats: Seq[String] =
       if (sc.isEmpty) Seq.empty
@@ -2856,6 +2912,18 @@ final case class GraftStorage(
     lazy val zones = versionedScanParts(path, v).zones
     val affected = scala.collection.mutable.Set[String]()
     dvIdx.groupBy(_._1._1).foreach { case (c, entries) =>
+      if (c == GraftStorage.PosDvCol) {
+        // POSITION DVs name their victims' files EXPLICITLY —
+        // discovery is one metadata-scale read of the DV's distinct
+        // file column, no probe, no zone lookup
+        entries.foreach { case ((_, dvFile), idx) =>
+          spark.read.parquet(dvFile).select("file").distinct()
+            .collect().foreach { r =>
+              val k = key(r.getString(0))
+              if (gen.get(k).exists(_ <= idx)) affected += k
+            }
+        }
+      } else {
       val maxIdx = entries.map(_._2).max
       // position pruning: only files BEFORE some D line of this
       // column can hold an applicably-deleted row
@@ -2888,8 +2956,8 @@ final case class GraftStorage(
           // one columnar probe: key column + file name only. A file
           // is affected iff some row's key matches a DV entry whose
           // index is at or past the file's sequence position.
-          val hit = readRawFiles(path, v, cands)
-            .select(col(c).as("__gk"), input_file_name().as("__gf"))
+          val hit = readRawFilesPhysical(path, v, cands)
+            .select(col(s"`$c`").as("__gk"), input_file_name().as("__gf"))
             .join(broadcast(keyDf), "__gk")
             .groupBy(col("__gf"))
             .agg(max(col("__gidx")).as("__gmax"))
@@ -2899,6 +2967,7 @@ final case class GraftStorage(
             if (r.getInt(1) >= gen(f)) affected += f
           }
         }
+      }
       }
     }
 
@@ -2914,12 +2983,26 @@ final case class GraftStorage(
     val spec = partitionSpec(path, v)
     val sortCols = sortSpec(path, v)
     val (sc, bc) = realSidecarCoverage(path, v)
-    val survivors = affected.toSeq.sorted
+    // PHYSICAL space end-to-end: D lines, sidecars and the carried
+    // files all store physical names — the fresh files must match
+    // (no logical round-trip, so writeCommitData gets no mapping)
+    val hasPosDvs = dvs.exists(_._1 == GraftStorage.PosDvCol)
+    def prep(d: DataFrame): DataFrame =
+      if (!hasPosDvs) d
+      else d.select((d.columns.toIndexedSeq.map(c => col(s"`$c`")) :+
+        col("_metadata.file_path").as(GraftStorage.PosFileCol) :+
+        col("_metadata.row_index").as(GraftStorage.PosIdxCol)): _*)
+    val survivors0 = affected.toSeq.sorted
       .map(f => orderedFiles.find(of => key(of._1) == f).get)
       .groupBy(_._2).toSeq.map { case (g, group) =>
-        antiJoinDvEntries(readRawFiles(path, v, group.map(_._1)),
+        antiJoinDvEntries(
+          prep(readRawFilesPhysical(path, v, group.map(_._1))),
           dvIdx.filter(_._2 >= g).map(_._1))
       }.reduce(_.unionByName(_))
+    val survivors =
+      if (hasPosDvs) survivors0.drop(GraftStorage.PosFileCol,
+        GraftStorage.PosIdxCol)
+      else survivors0
     val specKeys = spec.map { s =>
       val f = GraftStorage.parsePartField(s)
       f.keyExpr(survivors.schema(f.col).dataType)
@@ -3032,6 +3115,220 @@ final case class GraftStorage(
     * here, BEFORE the publish, by the mergeSchemaJsons gate plus an
     * explicit name check). Returns the new version.
     */
+  // ------------- COLUMN MAPPING (RENAME / DROP COLUMN) -------------
+  //
+  // Data files are immutable, so a rename cannot touch them: instead
+  // the manifest carries ONE `N` mapping line (logical→physical
+  // renames + dropped physical names — Iceberg's column-ids /
+  // Delta's name-mapping, expressed over the schema-in-log). Files
+  // keep their PHYSICAL column names forever: reads project
+  // physical→logical as the last step, writes translate
+  // logical→physical before any byte lands, and the H schema lines
+  // stay physical. RENAME and DROP are therefore metadata-only
+  // commits at any table size; time travel keeps each version's own
+  // names because the N line rides the manifest replay like every
+  // other entry. A full rewrite (compact/overwrite) writes
+  // logical-as-physical files and RESETS the mapping.
+
+  /** (logical→physical renames, dropped physical names) of a resolved
+    * entry list; None when the snapshot carries no mapping.
+    */
+  private[sources] def mappingOfEntries(entries: Seq[String])
+      : Option[(Map[String, String], Seq[String])] =
+    entries.collectFirst {
+      case e if e.startsWith("N\t") => GraftStorage.parseMapping(e.drop(2))
+    }
+
+  private[sources] def columnMapping(path: String,
+      version: Long): Option[(Map[String, String], Seq[String])] =
+    mappingOfEntries(manifestEntries(path, version))
+
+  /** Does the snapshot rename or drop any column? Mapped snapshots
+    * read through the V1 projection (the analyzer rule substitutes
+    * it under catalog scans) and reset at compact/overwrite.
+    */
+  def hasColumnMapping(path: String,
+      version: Option[Long] = None): Boolean = {
+    val vs = listVersions(path)
+    vs.nonEmpty &&
+      columnMapping(path,
+        version.getOrElse(latestVisibleVersion(path))).isDefined
+  }
+
+  /** Physical (stored) name of a logical column under a mapping. */
+  private[sources] def physicalNameOf(name: String,
+      mapping: Option[(Map[String, String], Seq[String])]): String =
+    mapping.flatMap(_._1.find(_._1.equalsIgnoreCase(name)).map(_._2))
+      .getOrElse(name)
+
+  /** READ-side projection: physical columns → logical names, dropped
+    * physical columns removed. The identity when no mapping.
+    */
+  private[sources] def toLogicalDf(df: DataFrame,
+      mapping: Option[(Map[String, String], Seq[String])]): DataFrame =
+    mapping match {
+      case None => df
+      case Some((map, dropped)) =>
+        val physToLog = map.map(_.swap)
+        df.select(df.columns.toIndexedSeq
+          .filterNot(c => dropped.exists(_.equalsIgnoreCase(c)))
+          .map(c => physToLog.find(_._1.equalsIgnoreCase(c))
+            .map(l => col(s"`$c`").as(l._2)).getOrElse(col(s"`$c`"))): _*)
+    }
+
+  private[sources] def logicalSchemaOf(
+      physical: org.apache.spark.sql.types.StructType,
+      mapping: Option[(Map[String, String], Seq[String])])
+      : org.apache.spark.sql.types.StructType =
+    mapping match {
+      case None => physical
+      case Some((map, dropped)) =>
+        val physToLog = map.map(_.swap)
+        org.apache.spark.sql.types.StructType(physical.fields.toSeq
+          .filterNot(f => dropped.exists(_.equalsIgnoreCase(f.name)))
+          .map(f => physToLog.find(_._1.equalsIgnoreCase(f.name))
+            .map(l => f.copy(name = l._2)).getOrElse(f)))
+    }
+
+  /** WRITE-side translation: logical columns → physical names, so
+    * fresh files always store the stable physical schema. A NEW
+    * column (not in the logical schema) keeps its name — unless that
+    * name is a renamed-away or dropped PHYSICAL name, which is
+    * refused loudly: re-using it would silently resurface the old
+    * files' stored values under the new column.
+    */
+  private[sources] def toPhysicalDf(df: DataFrame,
+      mapping: Option[(Map[String, String], Seq[String])],
+      what: String): DataFrame =
+    mapping match {
+      case None => df
+      case Some((map, dropped)) =>
+        val reserved = map.values.toSeq ++ dropped
+        df.select(df.columns.toIndexedSeq.map { c =>
+          map.find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, phys)) => col(s"`$c`").as(phys)
+            case None =>
+              if (reserved.exists(_.equalsIgnoreCase(c)))
+                throw new IllegalArgumentException(
+                  s"$what: column name '$c' is a renamed-away or " +
+                    "dropped physical column of this mapped table — " +
+                    "re-using it would resurface old stored values; " +
+                    "pick a different name or compact (REORG) first")
+              col(s"`$c`")
+          }
+        }: _*)
+    }
+
+  /** ALTER TABLE RENAME COLUMN — METADATA-ONLY at any table size:
+    * publishes one `N` mapping line binding the new logical name to
+    * the column's stable physical name; zero data bytes move, every
+    * pre-rename file reads correctly through the projection, and
+    * time travel keeps each version's own names. Refused on
+    * partitioned tables (path-derived keys carry the physical name),
+    * on the declared `mor_key` (unset/reset the property around the
+    * rename), and while CHECK constraints exist (their expressions
+    * name columns). Compaction resets the mapping.
+    */
+  def renameColumnVersioned(path: String, from: String,
+      to: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val v = vs.last
+    require(to.nonEmpty && !to.exists(c => c == '\t' || c == '\n'),
+      s"invalid column name '$to'")
+    require(partitionSpec(path, v).isEmpty,
+      s"RENAME COLUMN on $path: the table is partitioned — " +
+        "path-derived keys carry physical names; compact/re-partition " +
+        "instead")
+    require(checkConstraints(path).isEmpty,
+      s"RENAME COLUMN on $path: CHECK constraints reference columns " +
+        "by expression — drop them, rename, then re-add")
+    require(!tablePropertiesOf(path).get("mor_key")
+        .exists(_.equalsIgnoreCase(from)),
+      s"RENAME COLUMN on $path: '$from' is the declared mor_key — " +
+        "unset delete_mode/mor_key, rename, then re-declare")
+    val entries = manifestEntries(path, v)
+    val physSchema = GraftStorage.mergeSchemaJsons(entries.collect {
+      case e if e.startsWith("H\t") => e.drop(2)
+    }).getOrElse(throw new IllegalArgumentException(
+      s"RENAME COLUMN on $path: the table predates schema-in-log " +
+        "(no H lines) — rewrite it once (compact) first"))
+    val mapping = mappingOfEntries(entries)
+    val logical = logicalSchemaOf(physSchema, mapping)
+    require(logical.fieldNames.exists(_.equalsIgnoreCase(from)),
+      s"RENAME COLUMN on $path: '$from' is not a column " +
+        s"(${logical.fieldNames.mkString(", ")})")
+    require(!logical.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"RENAME COLUMN on $path: '$to' already exists")
+    val (map, dropped) = mapping.getOrElse((Map.empty[String, String],
+      Seq.empty[String]))
+    // guard the physical namespace too: a logical name equal to a
+    // tombstoned physical name would make a later compact ambiguous
+    require(!dropped.exists(_.equalsIgnoreCase(to)),
+      s"RENAME COLUMN on $path: '$to' is a dropped column's stored " +
+        "name; compact (REORG) first")
+    val phys = physicalNameOf(from, mapping)
+    val map1 = map.filterNot(_._1.equalsIgnoreCase(from))
+    val map2 =
+      if (phys.equalsIgnoreCase(to)) map1 // renamed back to stored name
+      else map1 + (to -> phys)
+    val n = v + 1
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishManifestDelta(fs, dir, n, Seq("N\t"),
+      if (map2.isEmpty && dropped.isEmpty) Seq.empty
+      else Seq(s"N\t${GraftStorage.renderMapping(map2, dropped)}"))
+    n
+  }
+
+  /** ALTER TABLE DROP COLUMN — METADATA-ONLY: the physical column is
+    * tombstoned in the `N` mapping line; readers stop projecting it,
+    * the stored bytes stay until a compact rewrites (and resets the
+    * mapping). Same refusals as RENAME, plus the last column and the
+    * sort/partition columns.
+    */
+  def dropColumnVersioned(path: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val v = vs.last
+    require(partitionSpec(path, v).isEmpty,
+      s"DROP COLUMN on $path: the table is partitioned — compact/" +
+        "re-partition instead")
+    require(checkConstraints(path).isEmpty,
+      s"DROP COLUMN on $path: CHECK constraints reference columns by " +
+        "expression — drop them first")
+    require(!tablePropertiesOf(path).get("mor_key")
+        .exists(_.equalsIgnoreCase(name)),
+      s"DROP COLUMN on $path: '$name' is the declared mor_key")
+    require(!sortSpec(path, v).exists(_.equalsIgnoreCase(name)),
+      s"DROP COLUMN on $path: '$name' is a declared sort column — " +
+        "re-compact without it first")
+    val entries = manifestEntries(path, v)
+    val physSchema = GraftStorage.mergeSchemaJsons(entries.collect {
+      case e if e.startsWith("H\t") => e.drop(2)
+    }).getOrElse(throw new IllegalArgumentException(
+      s"DROP COLUMN on $path: the table predates schema-in-log — " +
+        "compact first"))
+    val mapping = mappingOfEntries(entries)
+    val logical = logicalSchemaOf(physSchema, mapping)
+    require(logical.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"DROP COLUMN on $path: '$name' is not a column")
+    require(logical.fields.length > 1,
+      s"DROP COLUMN on $path: cannot drop the last column")
+    val (map, dropped) = mapping.getOrElse((Map.empty[String, String],
+      Seq.empty[String]))
+    val phys = physicalNameOf(name, mapping)
+    val map2 = map.filterNot(_._1.equalsIgnoreCase(name))
+    val n = v + 1
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publishManifestDelta(fs, dir, n, Seq("N\t"),
+      Seq(s"N\t${GraftStorage.renderMapping(map2, dropped :+ phys)}"))
+    n
+  }
+
   def addColumnsVersioned(path: String,
       cols: org.apache.spark.sql.types.StructType): Long = {
     import org.apache.hadoop.fs.Path
@@ -3041,12 +3338,21 @@ final case class GraftStorage(
     require(cols.fields.forall(_.nullable),
       "added columns must be nullable (existing rows have no values " +
         "to backfill)")
-    val existing = mergedManifestSchema(path, vs.last)
-      .map(_.fieldNames.toSet).getOrElse(Set.empty)
-    val dup = cols.fieldNames.filter(existing.contains)
+    val mapping = columnMapping(path, vs.last)
+    val physical = mergedManifestSchema(path, vs.last)
+      .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+    val logical = mergedManifestSchema(path, vs.last)
+      .map(ps => logicalSchemaOf(ps, mapping).fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    // collisions checked in BOTH namespaces: a new column re-using a
+    // renamed-away/dropped PHYSICAL name would resurface old stored
+    // values under it
+    val dup = cols.fieldNames.filter(c =>
+      logical.exists(_.equalsIgnoreCase(c)) ||
+        physical.exists(_.equalsIgnoreCase(c)))
     require(dup.isEmpty,
-      s"ADD COLUMNS name collision with existing columns: " +
-        dup.mkString(", "))
+      s"ADD COLUMNS name collision with existing (or renamed-away/" +
+        s"dropped stored) columns: ${dup.mkString(", ")}")
     // type-conflict gate (belt and braces with the name check)
     GraftStorage.mergeSchemaJsons(
       manifestEntries(path, vs.last).collect {
@@ -3173,16 +3479,20 @@ final case class GraftStorage(
     require(vs.nonEmpty, s"no versions committed under $path")
     val n: Long = vs.last + 1
     val commitDir = newCommitDir(dir, n)
+    // the DV parquet and its D line live in PHYSICAL names (the
+    // space the read-side anti-join runs in, before the mapping
+    // projection)
+    val keyColP = physicalNameOf(keyCol, columnMapping(path, vs.last))
     // DV = matching keys of the CURRENT snapshot (existing DVs apply:
     // a key deleted twice is stored once)
     readVersioned(path).filter(predicate)
-      .select(col(keyCol)).distinct()
+      .select(col(keyCol).as(keyColP)).distinct()
       .write.mode("overwrite").parquet(commitDir.toString)
     // A key-based DV cannot express a NULL-keyed victim: the reader's
     // equi anti-join never matches NULL, so the row would silently
     // survive the DELETE (and compaction would make that permanent).
     // The DV is O(deleted keys), so this readback is metadata-cheap.
-    publishDvOnlyCommit(dir, fs, commitDir, n, keyCol, txn,
+    publishDvOnlyCommit(dir, fs, commitDir, n, keyColP, txn,
       "deleteVersionedMor")
   }
 
@@ -3208,8 +3518,9 @@ final case class GraftStorage(
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    val schema = mergedManifestSchema(path, vs.last)
-      .getOrElse(readVersioned(path, Some(vs.last)).schema)
+    val mapping = columnMapping(path, vs.last)
+    val schema = logicalSchemaOf(mergedManifestSchema(path, vs.last)
+      .getOrElse(readVersioned(path, Some(vs.last)).schema), mapping)
     val tableField = schema.fields.find(_.name.equalsIgnoreCase(keyCol))
       .getOrElse(throw new IllegalArgumentException(
         s"deleteVersionedMorKeys: '$keyCol' is not a column of $path"))
@@ -3224,10 +3535,46 @@ final case class GraftStorage(
         "read-side anti-join must compare without casts")
     val n: Long = vs.last + 1
     val commitDir = newCommitDir(dir, n)
-    keys.select(col(keyCol)).distinct()
+    val keyColP = physicalNameOf(keyCol, mapping)
+    keys.select(col(keyCol).as(keyColP)).distinct()
       .write.mode("overwrite").parquet(commitDir.toString)
-    publishDvOnlyCommit(dir, fs, commitDir, n, keyCol, txn,
+    publishDvOnlyCommit(dir, fs, commitDir, n, keyColP, txn,
       "deleteVersionedMorKeys")
+  }
+
+  /** Row-level DELETE by POSITION — merge-on-read for KEYLESS tables
+    * (Iceberg's second delete form): the deletion vector holds
+    * (file, row position) pairs materialized from the scan's
+    * `_metadata` columns, so NO identifier column is required and
+    * duplicate rows delete exactly as matched. Write cost is
+    * O(matched rows) however many files the victims scatter across;
+    * readers anti-join on (file, position) — same broadcast-ceiling
+    * contract as the keyed DVs, and [[applyDeletesVersioned]] /
+    * [[compactVersioned]] fold position DVs away at O(affected
+    * files). Positions bind to EXPLICIT files, so later appends are
+    * naturally unaffected (the sequence rule is implicit). CDC across
+    * a position-delete range takes the exact snapshot-diff path.
+    */
+  def deleteVersionedMorPos(path: String, predicate: Column,
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    GraftStorage.requireTxn(txn)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val v = vs.last
+    val n: Long = v + 1
+    val commitDir = newCommitDir(dir, n)
+    // resolved snapshot (existing DVs applied) with positions; the
+    // predicate evaluates over logical columns like any DELETE
+    readResolvedEntries(path, manifestEntries(path, v), keepPos = true)
+      .filter(predicate)
+      .select(col(GraftStorage.PosFileCol).as("file"),
+        col(GraftStorage.PosIdxCol).as("pos"))
+      .write.mode("overwrite").parquet(commitDir.toString)
+    publishDvOnlyCommit(dir, fs, commitDir, n,
+      GraftStorage.PosDvCol, txn, "deleteVersionedMorPos")
   }
 
   /** Shared tail of the DV-only delete commits: NULL-key readback
@@ -3238,7 +3585,8 @@ final case class GraftStorage(
       fs: org.apache.hadoop.fs.FileSystem,
       commitDir: org.apache.hadoop.fs.Path, n: Long, keyCol: String,
       txn: Option[(String, Long)], what: String): Long = {
-    if (!spark.read.parquet(commitDir.toString)
+    if (keyCol != GraftStorage.PosDvCol &&
+        !spark.read.parquet(commitDir.toString)
         .filter(col(keyCol).isNull).isEmpty) {
       fs.delete(commitDir, true)
       throw new IllegalArgumentException(
@@ -3417,7 +3765,7 @@ final case class GraftStorage(
       .select(cur.columns.map(col).toIndexedSeq: _*)
     val fresh = writeCommitData(
       survivors.unionByName(matched).unionByName(inserts), commitDir,
-      partitionSpec(path, vs.last), fs)
+      partitionSpec(path, vs.last), fs, columnMapping(path, vs.last))
     validateCommitFiles(path, fresh, commitDir, fs)
     val meta = carriedMetaLines(path, vs.last, untouched) ++
       rowCountLines(fresh)
@@ -3470,22 +3818,59 @@ final case class GraftStorage(
     val appendShaped =
       dvsT.take(dvsF.size) == dvsF &&
         filesT.take(filesF.size) == filesF
+    val fromMapping = columnMapping(path, fromVersion)
+    val toMapping = columnMapping(path, toVersion)
+    // a RENAME/DROP landed inside the range: the two snapshots'
+    // logical spaces disagree, so the diff runs in PHYSICAL space
+    // (names are stable there) and surfaces in the TO-version's
+    // logical shape. The rename commit itself moves no rows — two
+    // physically identical snapshots diff to zero change rows.
+    if (fromMapping != toMapping) {
+      def phys(v: Long): DataFrame = readResolvedEntries(path,
+        manifestEntries(path, v).filterNot(_.startsWith("N\t")))
+      val toP = phys(toVersion)
+      val fromP0 = phys(fromVersion)
+      val fromP =
+        if (fromP0.schema.fieldNames.sameElements(
+            toP.schema.fieldNames)) fromP0
+        else fromP0.select(toP.schema.fields.map { f =>
+          if (fromP0.columns.exists(_.equalsIgnoreCase(f.name)))
+            col(s"`${f.name}`")
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      return toLogicalDf(toP.exceptAll(fromP), toMapping)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(toLogicalDf(fromP.exceptAll(toP), toMapping)
+          .withColumn("_change_type", lit("delete")))
+    }
     // change rows surface in the TO-version's shape: an ADD COLUMNS
     // commit inside the range widens the snapshot, and a pre-image
     // read at `from` lacks the new columns — align it (missing
     // columns null-filled, the same value schema-in-log gives the
     // stored rows) or the insert/delete union throws mid-stream.
+    // Target = the LOGICAL schema (the mapping is range-stable here).
     def alignedToTarget(df: DataFrame): DataFrame =
-      mergedManifestSchema(path, toVersion) match {
+      mergedManifestSchema(path, toVersion)
+        .map(logicalSchemaOf(_, toMapping)) match {
         case Some(target)
             if !df.schema.fieldNames.sameElements(target.fieldNames) =>
           df.select(target.fields.map { f =>
-            if (df.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+            if (df.columns.exists(_.equalsIgnoreCase(f.name)))
+              col(s"`${f.name}`")
             else lit(null).cast(f.dataType).as(f.name)
           }.toIndexedSeq: _*)
         case _ => df
       }
-    if (dvsT.size > dvsF.size && appendShaped) {
+    /** D-line key columns are PHYSICAL; resolved reads are logical. */
+    def logicalKeyOf(c: String): String = toMapping match {
+      case Some((map, _)) =>
+        map.find(_._2.equalsIgnoreCase(c)).map(_._1).getOrElse(c)
+      case None => c
+    }
+    if (dvsT.size > dvsF.size && appendShaped &&
+        // POSITION DVs have no key column to pre-image by — the
+        // range falls to the exact snapshot diff below
+        !dvsT.drop(dvsF.size).exists(_._1 == GraftStorage.PosDvCol)) {
       val newDvs = dvsT.zipWithIndex.drop(dvsF.size)
       val newFiles = filesT.drop(filesF.size)
       lazy val fromDf = readVersioned(path, Some(fromVersion))
@@ -3497,32 +3882,37 @@ final case class GraftStorage(
           // stats-in-log reader, so a KB-scale delete commit reads
           // only the files that can hold a matched key — not the
           // whole `from` snapshot
+          val lc = logicalKeyOf(c)
           val keys = spark.read
-            .parquet(entries.map(_._1._2): _*).select(col(c)).distinct()
-          val b = keys.agg(min(col(c)), max(col(c))).head()
+            .parquet(entries.map(_._1._2): _*)
+            .select(col(s"`$c`").as(lc)).distinct()
+          val b = keys.agg(min(col(lc)), max(col(lc))).head()
           if (b.isNullAt(0)) fromDf.limit(0)
           else readVersionedPruned(path, Some(fromVersion))
-            .filter(col(c) >= lit(b.get(0)) && col(c) <= lit(b.get(1)))
-            .join(broadcast(keys), Seq(c), "left_semi")
+            .filter(col(lc) >= lit(b.get(0)) && col(lc) <= lit(b.get(1)))
+            .join(broadcast(keys), Seq(lc), "left_semi")
         case _ =>
           // several key columns: chain semi/anti per column so a row
           // matching two columns' DVs surfaces exactly once
           byCol.foldLeft((fromDf.limit(0), fromDf)) {
             case ((acc, remaining), (c, entries)) =>
+              val lc = logicalKeyOf(c)
               val keys = entries.map { case ((_, f), _) =>
-                spark.read.parquet(f).select(col(c))
+                spark.read.parquet(f).select(col(s"`$c`").as(lc))
               }.reduce(_ union _).distinct()
               (acc.unionByName(
-                remaining.join(broadcast(keys), Seq(c), "left_semi")),
-                remaining.join(broadcast(keys), Seq(c), "left_anti"))
+                remaining.join(broadcast(keys), Seq(lc), "left_semi")),
+                remaining.join(broadcast(keys), Seq(lc), "left_anti"))
           }._1
       }
       val inserts =
         if (newFiles.isEmpty) alignedToTarget(fromDf.limit(0))
         else newFiles.groupBy(_._2).toSeq.map { case (g, group) =>
-          antiJoinDvEntries(
-            readRawFiles(path, toVersion, group.map(_._1)),
-            newDvs.filter(_._2 >= g).map(_._1))
+          // anti-join in PHYSICAL space (D lines + DV parquet store
+          // physical names), project to logical after
+          toLogicalDf(antiJoinDvEntries(
+            readRawFilesPhysical(path, toVersion, group.map(_._1)),
+            newDvs.filter(_._2 >= g).map(_._1)), toMapping)
         }.reduce(_.unionByName(_))
       return inserts.withColumn("_change_type", lit("insert"))
         .unionByName(alignedToTarget(deletes)
@@ -3732,7 +4122,7 @@ final case class GraftStorage(
       else {
         val out = writeCommitData(
           rewrite(readRawFiles(path, vs.last, affected)), commitDir,
-          partitionSpec(path, vs.last), fs)
+          partitionSpec(path, vs.last), fs, columnMapping(path, vs.last))
         validateCommitFiles(path, out, commitDir, fs)
         out
       }
@@ -3823,7 +4213,12 @@ final case class GraftStorage(
       parts.hasBlooms, parts.bloomMeta, parts.bloomLoader)
     val rel = HadoopFsRelation(index, StructType(Nil), parts.schema,
       None, new ParquetFileFormat(), readerOptions)(classic)
-    Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+    // logical projection on top: filters on logical names push
+    // through the aliases down to the physical scan, so zone/bloom
+    // pruning (keyed physical) keeps working under a mapping
+    toLogicalDf(
+      Bridge.ofRows(spark, LogicalRelation(rel, isStreaming = false)),
+      columnMapping(path, v))
   }
 
   /** Everything a pruning scan of one snapshot needs: the manifest's
@@ -3936,6 +4331,16 @@ final case class GraftStorage(
     * schema drift breaks their unions.
     */
   private def readRawFiles(path: String, v: Long,
+      files: Seq[String]): DataFrame =
+    // LOGICAL names out (file-wise callers — CoW rewrites, MERGE,
+    // CDC — work in logical space; writeCommitData translates back)
+    toLogicalDf(readRawFilesPhysical(path, v, files),
+      columnMapping(path, v))
+
+  /** Raw manifest-file read in PHYSICAL (stored) names — the space
+    * deletion vectors and sidecars live in.
+    */
+  private def readRawFilesPhysical(path: String, v: Long,
       files: Seq[String]): DataFrame = {
     val reader = mergedManifestSchema(path, v) match {
       case Some(schema) => spark.read.schema(schema)
@@ -3960,10 +4365,25 @@ final case class GraftStorage(
     * to key on).
     */
   private[sources] def readResolvedEntries(path: String,
-      entries: Seq[String], mergeSchema: Boolean = false): DataFrame = {
+      entries: Seq[String], mergeSchema: Boolean = false,
+      /** keep the `__gfile`/`__gpos` metadata columns in the output
+        * (the position-delete writer evaluates its predicate over
+        * them).
+        */
+      keepPos: Boolean = false): DataFrame = {
     val files = entries.filterNot(_.contains('\t'))
     val schemaOpt = GraftStorage.mergeSchemaJsons(entries.collect {
       case e if e.startsWith("H\t") => e.drop(2) })
+    // POSITION DVs delete by (file, row position): the scan
+    // materializes both from `_metadata` so the anti-join can run,
+    // and drops them again at the end
+    val hasPos = keepPos || entries.exists(
+      _.startsWith(s"D\t${GraftStorage.PosDvCol}\t"))
+    def prep(d: DataFrame): DataFrame =
+      if (!hasPos) d
+      else d.select((d.columns.toIndexedSeq.map(c => col(s"`$c`")) :+
+        col("_metadata.file_path").as(GraftStorage.PosFileCol) :+
+        col("_metadata.row_index").as(GraftStorage.PosIdxCol)): _*)
     // schema-in-log first (KB metadata, fills columns absent from
     // older files with nulls); footer-based mergeSchema only for
     // legacy tables without H lines
@@ -3982,7 +4402,11 @@ final case class GraftStorage(
         // deterministic first-commit dir exists to sniff
         case None => reader.parquet(path + "/data/c0").limit(0)
       }
-      else reader.parquet(files: _*)
+      else prep(reader.parquet(files: _*))
+    if (files.isEmpty)
+      // no stored rows: DVs have nothing to delete (and an empty
+      // relation carries no _metadata for a pos anti-join)
+      return toLogicalDf(base, mappingOfEntries(entries))
     // merge-on-read: anti-join away each deletion vector's keys.
     // DVs are O(deleted keys) so the build sides stay broadcast-sized
     // by construction; grouped per key column so a table deleted on
@@ -3991,24 +4415,32 @@ final case class GraftStorage(
     // files listed ABOVE it — appends after a delete resurrect their
     // keys, and a MoR upsert's fresh rows survive its own delete.
     val (orderedFiles, dvs) = GraftStorage.filesDvsOfEntries(entries)
-    if (dvs.isEmpty) base
-    else if (orderedFiles.forall(_._2 == 0) || files.isEmpty)
-      // every file precedes every DV (pure-delete history) — one
-      // segment, exactly the single-scan plan as before
-      antiJoinDvEntries(base, dvs)
-    else {
-      // mixed generations: group files by how many DVs precede them;
-      // each group anti-joins only the DVs that came AFTER it. Group
-      // count is O(MoR generations) — compaction folds them away.
-      // Reads pin one schema so segment unions cannot drift.
-      val schema = schemaOpt.getOrElse(base.schema)
-      orderedFiles.groupBy(_._2).toSeq.sortBy(_._1).map {
-        case (g, fsG) =>
-          antiJoinDvEntries(spark.read.schema(schema)
-            .options(readerOptions)
-            .parquet(fsG.map(_._1): _*), dvs.drop(g))
-      }.reduce(_ unionByName _)
-    }
+    val resolved =
+      if (dvs.isEmpty) base
+      else if (orderedFiles.forall(_._2 == 0) || files.isEmpty)
+        // every file precedes every DV (pure-delete history) — one
+        // segment, exactly the single-scan plan as before
+        antiJoinDvEntries(base, dvs)
+      else {
+        // mixed generations: group files by how many DVs precede
+        // them; each group anti-joins only the DVs that came AFTER
+        // it. Group count is O(MoR generations) — compaction folds
+        // them away. Reads pin one schema so unions cannot drift.
+        val schema = schemaOpt.getOrElse(base.schema)
+        orderedFiles.groupBy(_._2).toSeq.sortBy(_._1).map {
+          case (g, fsG) =>
+            antiJoinDvEntries(prep(spark.read.schema(schema)
+              .options(readerOptions)
+              .parquet(fsG.map(_._1): _*)), dvs.drop(g))
+        }.reduce(_ unionByName _)
+      }
+    val noPos =
+      if (hasPos && !keepPos) resolved.drop(GraftStorage.PosFileCol,
+        GraftStorage.PosIdxCol)
+      else resolved
+    // column mapping LAST: files and DVs live in physical names; the
+    // caller sees logical names with dropped columns projected away
+    toLogicalDf(noPos, mappingOfEntries(entries))
   }
 
   /** Anti-join `df` against deletion-vector entries, grouped per key
@@ -4019,13 +4451,26 @@ final case class GraftStorage(
     * diverge between surfaces.
     */
   private[sources] def antiJoinDvEntries(df: DataFrame,
-      entries: Seq[(String, String)]): DataFrame =
-    entries.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(df) {
+      entries: Seq[(String, String)]): DataFrame = {
+    val (pos, keyed) = entries.partition(_._1 == GraftStorage.PosDvCol)
+    val afterKeys = keyed.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(df) {
       case (d, (keyCol, es)) =>
         d.join(broadcast(
           spark.read.parquet(es.map(_._2): _*).distinct()),
           Seq(keyCol), "left_anti")
     }
+    if (pos.isEmpty) afterKeys
+    else {
+      // POSITION DVs anti-join on (file, row position): the left side
+      // must carry the `__gfile`/`__gpos` metadata columns — readers
+      // of pos-DV snapshots materialize them from `_metadata`
+      val dv = spark.read.parquet(pos.map(_._2): _*).distinct()
+      afterKeys.join(broadcast(dv),
+        afterKeys(GraftStorage.PosFileCol) === dv("file") &&
+          afterKeys(GraftStorage.PosIdxCol) === dv("pos"),
+        "left_anti")
+    }
+  }
 
   /** Commit-scoped OP TAG (`_manifest/v<N>.op`): row-preserving
     * maintenance rewrites (compact, z-order, apply_deletes) record
@@ -5000,6 +5445,32 @@ object GraftStorage {
     * comma would silently split into two bogus sort columns; a line
     * break would corrupt the manifest itself).
     */
+  /** D-line marker for POSITION deletion vectors: the DV parquet
+    * holds (file, pos) pairs instead of key values — row-level
+    * deletes with NO key contract (Iceberg's position deletes).
+    */
+  private[sources] val PosDvCol = "__gpos__"
+  /** Helper column names a pos-DV read materializes from _metadata. */
+  private[sources] val PosFileCol = "__gfile"
+  private[sources] val PosIdxCol = "__gidxpos"
+
+  /** One-line JSON body of the `N` column-mapping manifest line. */
+  private[sources] def renderMapping(map: Map[String, String],
+      dropped: Seq[String]): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("map" -> map) ~ ("dropped" -> dropped)))
+  }
+
+  private[sources] def parseMapping(json: String)
+      : (Map[String, String], Seq[String]) = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    ((j \ "map").extract[Map[String, String]],
+      (j \ "dropped").extract[Seq[String]])
+  }
+
   /** Property names are single path segments under `_props` — a
     * path-shaped or all-dots name ('..') would Path-normalize OUTSIDE
     * the directory and read/delete arbitrary table files.

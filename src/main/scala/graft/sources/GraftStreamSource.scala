@@ -261,6 +261,9 @@ private[sources] final class GraftMicroBatchStream(
     * retired it mid-drain (retention must cover consumer lag).
     */
   private def sliceableFiles(v: Long): Option[Seq[String]] = {
+    // a mapped snapshot cannot be file-served (stored names differ
+    // from the stream's logical schema) — deliver whole, computed
+    if (st.hasColumnMapping(path, Some(v))) return None
     val prev = st.listVersions(path)
       .filter(p => p < v && isPublished(p)).lastOption.getOrElse(-1L)
     if (prev < 0) {
@@ -316,6 +319,13 @@ private[sources] final class GraftMicroBatchStream(
         s"graft-stream on $path: the snapshot carries merge-on-read " +
           "deletion vectors; streaming raw files would resurrect " +
           "deleted rows. Run compactVersioned (REORG) first.")
+      // a RENAME/DROP mapping likewise cannot ride a raw file scan
+      // (files store physical names; the stream schema is logical)
+      require(!st.hasColumnMapping(path, Some(end)),
+        s"graft-stream on $path: the snapshot renames/drops columns " +
+          "(column mapping); raw file batches would surface stored " +
+          "names. Run compactVersioned (REORG) first, or use " +
+          "readChangeFeed=true.")
       return endFiles
     }
     // the CONSUMER's own position must still resolve: if retention
@@ -331,6 +341,10 @@ private[sources] final class GraftMicroBatchStream(
             "consumer's offset). Restart with a fresh checkpoint to " +
             "re-read the current snapshot.")
     }
+    require(!st.hasColumnMapping(path, Some(end)),
+      s"graft-stream on $path: the snapshot renames/drops columns " +
+        "(column mapping); raw file batches would surface stored " +
+        "names. Compact (REORG) first, or use readChangeFeed=true.")
     val fine =
       try {
         val published = (start + 1 to end).filter(v =>
@@ -577,7 +591,8 @@ private[sources] final class GraftMicroBatchStream(
     // so a one-shot AvailableNow drain would otherwise strand its
     // last batch's materialization until the following drain
     cleanSpentCdfDirs(s)
-    if (s < 0 && st.manifestDvs(path, e).isEmpty) {
+    if (s < 0 && st.manifestDvs(path, e).isEmpty &&
+        !st.hasColumnMapping(path, Some(e))) {
       val files = st.manifestFiles(path, e)
       if (files.isEmpty) return Array.empty
       constantScanOver(files, e).toBatch.planInputPartitions()

@@ -115,12 +115,18 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
           if rel.getTagValue(MorReadRule.NoDvsTag).isEmpty &&
             rel.getTagValue(MorReadRule.DvWrappedTag).isEmpty =>
         val st = GraftStorage(session)
+        // mapped snapshot: the delta write itself refuses (compact
+        // first), but the command's READ side must still resolve to
+        // correct logical rows so the refusal is the loudest error
+        if (st.hasColumnMapping(op.path, Some(op.version)))
+          return graftV1Plan(rel, op.path, op.version)
         val (orderedFiles, dvs) =
           st.manifestFilesDvs(op.path, op.version)
         if (dvs.isEmpty) {
           rel.setTagValue(MorReadRule.NoDvsTag, ())
           rel
-        } else if (orderedFiles.exists(_._2 > 0)) {
+        } else if (orderedFiles.exists(_._2 > 0) ||
+            dvs.exists(_._1 == GraftStorage.PosDvCol)) {
           // mixed DV generations: the op's own scan is never built
           // on this path, the V1 plan replaces the relation outright
           graftV1Plan(rel, op.path, op.version)
@@ -138,7 +144,19 @@ class MorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         val v = t.pinnedVersion
           .orElse(Option(rel.options.get("versionAsOf")).map(_.toLong))
           .getOrElse(st.latestVisibleVersion(t.path))
+        // RENAME/DROP mapping: a V2 scan cannot project stored names
+        // to logical ones — substitute the V1 projected read (which
+        // also resolves any DVs), grafted onto this relation's
+        // attribute ids. Compaction rewrites the mapping away and
+        // restores the plain V2 plan.
+        if (st.hasColumnMapping(t.path, Some(v)))
+          return graftV1Plan(rel, t.path, v)
         val (orderedFiles, dvs) = st.manifestFilesDvs(t.path, v)
+        // POSITION DVs anti-join on _metadata columns the V2 relation
+        // does not expose — the V1 plan (which materializes them)
+        // substitutes, same as mixed generations
+        if (dvs.exists(_._1 == GraftStorage.PosDvCol))
+          return graftV1Plan(rel, t.path, v)
         if (dvs.isEmpty) {
           // tag THIS plan instance so later analyzer fixpoint
           // iterations skip the version/manifest metadata round-trips

@@ -633,6 +633,101 @@ class MorDeltaSpec extends AnyFunSuite {
       .collect().toSeq == want)
   }
 
+  /** Seed a small MoR table (k BIGINT, v DOUBLE) for the race tests. */
+  private def seedRace(name: String): String = {
+    val out = fresh(name)
+    st.writeVersioned(spark.range(0, 100)
+      .select($"id".as("k"), ($"id" * 1.0).as("v")).repartition(2), out)
+    st.setTableProperty(out, "delete_mode", "merge-on-read")
+    st.setTableProperty(out, "mor_key", "k")
+    out
+  }
+
+  /** Run `UPDATE ... SET v = <gate>(v) + 1 WHERE k < 50` in another
+    * thread, execute `interleave` once the update's write tasks are
+    * inside the gate (so the table provably advances between the
+    * command's snapshot pin and its commit), then release and return
+    * the update's outcome.
+    */
+  private def raceUpdate(table: String,
+      interleave: () => Unit): Option[Throwable] = {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    MorDeltaRace.started = new CountDownLatch(1)
+    MorDeltaRace.proceed = new CountDownLatch(1)
+    val t = new Thread(() => {
+      try spark.sql(
+        s"UPDATE graft.`$table` SET v = mordelta_gate(v) + 1 " +
+          "WHERE k < 50"): Unit
+      catch { case e: Throwable => MorDeltaRace.failure = Some(e) }
+    })
+    MorDeltaRace.failure = None
+    t.start()
+    assert(MorDeltaRace.started.await(60, TimeUnit.SECONDS),
+      "update never reached the gate")
+    try interleave()
+    finally MorDeltaRace.proceed.countDown()
+    t.join(120000)
+    assert(!t.isAlive, "update thread hung")
+    MorDeltaRace.failure
+  }
+
+  test("optimistic rebase: an interleaved DISJOINT append and an " +
+    "UPDATE both land, no manual retry") {
+    val mor = seedRace("mordelta_rebase_ok")
+    spark.udf.register("mordelta_gate", (x: Double) => {
+      MorDeltaRace.started.countDown()
+      MorDeltaRace.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      x
+    })
+    val v0 = st.listVersions(mor).last
+    val err = raceUpdate(mor, () => {
+      st.writeVersioned(Seq((1000L, 7.0)).toDF("k", "v"), mor,
+        append = true): Unit
+    })
+    assert(err.isEmpty, s"update must rebase, got: $err")
+    // both commits landed: append + the rebased delta
+    assert(st.listVersions(mor).last == v0 + 2)
+    val got = st.readVersioned(mor)
+    assert(got.count() == 101)
+    assert(got.filter($"k" === 1000L && $"v" === 7.0).count() == 1,
+      "the interleaved append's row survives the rebased DV")
+    assert(got.filter($"k" < 50).agg(sum($"v")).head().getDouble(0) ==
+      (0 until 50).map(_ + 1.0).sum, "the update landed")
+  }
+
+  test("true conflicts still abort loudly: an interleaved append " +
+    "RE-USING a deleted key, and an interleaved compaction") {
+    val mor = seedRace("mordelta_rebase_conflict")
+    spark.udf.register("mordelta_gate", (x: Double) => {
+      MorDeltaRace.started.countDown()
+      MorDeltaRace.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      x
+    })
+    // an appended row whose key the UPDATE deletes: rebasing would
+    // delete the fresh row through the sequence rule — must abort
+    val v0 = st.listVersions(mor).last
+    val err = raceUpdate(mor, () => {
+      st.writeVersioned(Seq((10L, 99.0)).toDF("k", "v"), mor,
+        append = true): Unit
+    })
+    assert(err.isDefined, "overlapping append must abort the update")
+    assert(messages(err.get).exists(_.contains("conflict")),
+      s"unexpected: ${messages(err.get)}")
+    // the table holds the append only; the update left no trace
+    assert(st.listVersions(mor).last == v0 + 1)
+    val got = st.readVersioned(mor)
+    assert(got.count() == 101)
+    assert(got.filter($"k" === 10L).agg(sum($"v")).head()
+      .getDouble(0) == 10.0 + 99.0, "no update applied")
+    // an interleaved COMPACTION (files removed) is a true conflict
+    val mor2 = seedRace("mordelta_rebase_compact")
+    val err2 = raceUpdate(mor2, () => { st.compactVersioned(mor2): Unit })
+    assert(err2.isDefined && messages(err2.get)
+      .exists(_.contains("conflict")), s"unexpected: $err2")
+    assert(st.readVersioned(mor2).filter($"k" < 50)
+      .agg(sum($"v")).head().getDouble(0) == (0 until 50).map(_.toDouble).sum)
+  }
+
   test("property names are single path segments: a path-shaped or " +
     "all-dots name is refused by SET and UNSET alike") {
     val t = fresh("mordelta_prop_names")
@@ -725,4 +820,14 @@ class MorDeltaSpec extends AnyFunSuite {
       st.readVersioned(t).filter($"o_orderkey" % 17 === 3)
         .agg(sum($"o_totalprice")).head().getDouble(0))
   }
+}
+
+/** Shared gate for the delta-DML race tests: the UPDATE's write
+  * tasks block here so the test can interleave a commit between the
+  * command's snapshot pin and its manifest publish, deterministically.
+  */
+object MorDeltaRace {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var proceed: java.util.concurrent.CountDownLatch = _
+  @volatile var failure: Option[Throwable] = None
 }

@@ -71,7 +71,7 @@ class StorageFuzzSpec extends AnyFunSuite {
     for (step <- 1 to 30) {
       // a fully emptied table can only grow back (the file-wise ops
       // need at least one data file to read)
-      val op = if (cur.isEmpty) 0 else rnd.nextInt(9)
+      val op = if (cur.isEmpty) 0 else rnd.nextInt(10)
       val name = op match {
         case 0 => // append fresh keys
           val b = freshBatch(1 + rnd.nextInt(10))
@@ -140,6 +140,13 @@ class StorageFuzzSpec extends AnyFunSuite {
             cur = cur ++ back
           }
           "reinsert"
+        case 9 => // MoR delete by POSITION (keyless form): exact
+          // (file,pos) DV — duplicates-safe, no identifier contract
+          val m = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(m)
+          st.deleteVersionedMorPos(out, $"k" % m === r)
+          cur = cur.filter { case (k, _) => k % m != r }
+          "deleteMorPos"
       }
       // compact/MoR-materialize may publish intermediate versions;
       // resync the model history to the actual version list

@@ -1474,6 +1474,70 @@ class StorageSpec extends AnyFunSuite {
     assert(st.readVersioned(out3).count() == 900)
   }
 
+  test("position-delete DVs: keyless merge-on-read — duplicates " +
+    "delete exactly, zero rewrite, folds at apply_deletes/compact") {
+    import spark.implicits._
+    val out = T.scratch(SF, "mor_pos_delete")
+    val st = sources.GraftStorage(spark)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    // KEYLESS table with IDENTICAL duplicate rows — the shape a
+    // key-based DV cannot express
+    val base = (Seq((1L, 5L), (1L, 5L), (2L, 5L), (2L, 20L)) ++
+      (10L to 29L).map(k => (k, k * 10)))
+      .toDF("g", "v")
+    st.writeVersioned(base.repartition(3), out)
+    val files0 = st.manifestFiles(out, 0).toSet
+    val v1 = st.deleteVersionedMorPos(out, $"v" === 5L)
+    // zero data rewrite; a __gpos__ D line landed
+    assert(st.manifestFiles(out, v1).toSet == files0)
+    assert(manifestLines(out, v1).exists(_.startsWith("D\t__gpos__\t")))
+    // BOTH identical duplicates deleted (positions, not values)
+    val got = st.readVersioned(out)
+    assert(got.count() == base.count() - 3)
+    assert(got.filter($"v" === 5L).count() == 0)
+    assert(got.filter($"g" === 2L && $"v" === 20L).count() == 1)
+    // time travel to v0 resurrects them
+    assert(st.readVersioned(out, Some(0)).filter($"v" === 5L)
+      .count() == 3)
+    // positions stack: a second pos-delete composes with the first
+    val v2 = st.deleteVersionedMorPos(out, $"g" >= 25L)
+    assert(st.readVersioned(out, Some(v2)).count() ==
+      base.count() - 3 - 5)
+    // CDC across the pos-delete range is the exact snapshot diff
+    val ch = st.changesVersioned(out, 0, v2)
+    assert(ch.filter($"_change_type" === "delete").count() == 8)
+    assert(ch.filter($"_change_type" === "insert").count() == 0)
+    // appends after a pos-delete are untouched by it
+    st.writeVersioned(Seq((1L, 5L)).toDF("g", "v"), out, append = true)
+    assert(st.readVersioned(out).filter($"v" === 5L).count() == 1,
+      "a pos DV binds to explicit files; fresh rows survive")
+    // apply_deletes folds the position DVs at O(affected files)
+    val untouchedBefore = st.manifestFiles(out,
+      st.listVersions(out).last)
+    val vA = st.applyDeletesVersioned(out)
+    assert(!manifestLines(out, vA).exists(_.startsWith("D\t")))
+    assert(st.readVersioned(out, Some(vA)).count() ==
+      base.count() - 8 + 1)
+    assert(st.readVersioned(out).filter($"v" === 5L).count() == 1)
+    // at least the fresh append's file (no deleted rows) carried
+    assert(untouchedBefore.toSet.intersect(
+      st.manifestFiles(out, vA).toSet).nonEmpty,
+      "apply_deletes must carry unaffected files verbatim")
+    // a fresh pos-delete then a compact also folds
+    st.deleteVersionedMorPos(out, $"g" === 10L)
+    st.compactVersioned(out)
+    assert(!st.hasDeletionVectors(out))
+    assert(st.readVersioned(out).filter($"g" === 10L).count() == 0)
+    // the catalog SQL read agrees on a pos-DV snapshot (V1 plan
+    // substitution) — create one more DV to exercise it
+    sources.GraftCatalog.register(spark)
+    st.deleteVersionedMorPos(out, $"g" === 11L)
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM graft.`$out`")
+      .head().getLong(0) == st.readVersioned(out).count())
+  }
+
   test("deleteVersionedMorKeys: the keys ARE the deletion vector — " +
     "no table scan, absent keys no-op, type/NULL/column gates") {
     import spark.implicits._
