@@ -62,7 +62,16 @@ object GenScale {
     write(shift(t("lineitem"),
       "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S), "lineitem")
     write(shift(t("orders"), "o_orderkey" -> O, "o_custkey" -> C), "orders")
-    write(shift(t("customer"), "c_custkey" -> C), "customer")
+    // c_name is key-derived in the fixture ("Customer#%09d"), so it
+    // REGENERATES from the shifted key: verbatim copies would hand
+    // entity-resolution a corpus where every name exists `reps` times
+    // — its blocked pair emission is quadratic in clones BY
+    // CONSTRUCTION (same fixture artifact as the documents clone
+    // note below), where a real 10x corpus has 10x ENTITIES. Replica
+    // 0 keys are unshifted, so its names stay byte-identical.
+    write(shift(t("customer"), "c_custkey" -> C)
+      .withColumn("c_name", format_string("Customer#%09d", $"c_custkey")),
+      "customer")
     write(shift(t("part"), "p_partkey" -> P), "part")
     write(shift(t("supplier"), "s_suppkey" -> S), "supplier")
     write(t("nation"), "nation")

@@ -212,8 +212,16 @@ object Funcs extends QueryModule {
     * cannot express. The aggregate pins the full closure.
     */
   def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    T.t(s, dir, "customer").createOrReplaceTempView("g_customer")
-    s.sql(
+    // Spark guards UnionLoop with spark.sql.cteRecursionRowLimit
+    // (1M accumulated rows by default); the walk emits
+    // ~|customer| x digit-count rows, which clears 1M past sf0.5 —
+    // scale the guard in an ISOLATED child session (same pattern as
+    // withRuntimeBloomFilter: the parent session's conf is never
+    // touched). A production job sizes this conf with its data.
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+    T.t(scoped, dir, "customer").createOrReplaceTempView("g_customer")
+    val df = scoped.sql(
       """WITH RECURSIVE walk(c_custkey, node, depth) AS (
         |  SELECT c_custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
         |  FROM g_customer
@@ -223,6 +231,10 @@ object Funcs extends QueryModule {
         |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
         |FROM walk WHERE node = 0
         |GROUP BY depth ORDER BY depth""".stripMargin)
+    // the result is a ~10-row aggregate: rebuild it on the caller's
+    // session so downstream code never holds the scoped one
+    s.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
   }
 
   /** Generator/UDTF family via explode: token table from the text

@@ -1185,11 +1185,20 @@ private[sources] final class GraftRowLevelOperation(
   // the optimizer then routes to the metadata-delete hook (which on
   // a delete_mode=merge-on-read table is how DVs stack on a
   // DV-carrying snapshot); only a scan/write actually read raw files.
-  private def requireNoDvs(): Unit =
+  private def requireNoDvs(): Unit = {
     require(!st.hasDeletionVectors(path),
       s"row-level SQL on $path: snapshot carries merge-on-read " +
         "deletion vectors; run compactVersioned (REORG APPLY DELETES) " +
         "first")
+    // a RENAME/DROP mapping likewise cannot ride the group scan: it
+    // reads and rewrites PHYSICAL names while the plan's attributes
+    // are logical — fresh files and their H line would land in
+    // logical names next to the carried N mapping, poisoning reads
+    require(!st.hasColumnMapping(path),
+      s"row-level SQL on $path: the snapshot renames/drops columns " +
+        "(column mapping); compact (REORG) first, or use the Scala " +
+        "API (deleteVersioned/updateVersioned/mergeVersioned)")
+  }
   val version: Long = st.listVersions(path).last
   val allFiles: Seq[String] = st.manifestFiles(path, version)
   @volatile var scannedFiles: Seq[String] = allFiles

@@ -1672,7 +1672,12 @@ final case class GraftStorage(
     validateCommitDir(path, commitDir, fs)
     requireMorKeyNonNull(path, dfP.schema, commitDir, fs)
     val statsColsP = statsCols.map(physicalNameOf(_, mapping))
-    val bloomColsP = bloomCols.map(physicalNameOf(_, mapping))
+    val bloomColsP = bloomCols.map { c =>
+      if (c.startsWith(GraftStorage.TokenBloomPrefix))
+        GraftStorage.TokenBloomPrefix + physicalNameOf(
+          c.stripPrefix(GraftStorage.TokenBloomPrefix), mapping)
+      else physicalNameOf(c, mapping)
+    }
     val stats: Seq[String] =
       if (statsColsP.isEmpty) Seq.empty
       else {
@@ -1747,16 +1752,19 @@ final case class GraftStorage(
       val removals = body.collect { case l if l.startsWith("X\t") =>
         l.drop(2) }
       val additions = body.filterNot(_.startsWith("X\t"))
-      // type-conflict gate BEFORE the publish (a conflicting merge
-      // must not poison the log — same contract as a main append)
-      GraftStorage.mergeSchemaJsons(
-        manifestEntries(path, head).collect {
-          case e if e.startsWith("H\t") => e.drop(2)
-        } ++ additions.collect {
-          case e if e.startsWith("H\t") => e.drop(2) })
       var attempt = 0
       var published = false
       while (!published) {
+        // type-conflict gate INSIDE the retry loop: a lost race means
+        // a concurrent main commit landed — its H lines must re-gate
+        // before this delta replays on the new head, or a conflicting
+        // merge would poison the log (the exact failure the gate
+        // exists to prevent)
+        GraftStorage.mergeSchemaJsons(
+          manifestEntries(path, head).collect {
+            case e if e.startsWith("H\t") => e.drop(2)
+          } ++ additions.collect {
+            case e if e.startsWith("H\t") => e.drop(2) })
         try {
           publishManifestDelta(fs, dir, head + 1, removals, additions)
           published = true
@@ -1767,9 +1775,15 @@ final case class GraftStorage(
         }
         head = listVersions(path).last
       }
+      // retire THIS delta immediately: a mid-sequence failure (WAP
+      // gate, crash, conflicting evolution) must leave the log
+      // holding only the UNPUBLISHED suffix — a retry never
+      // double-publishes, and a discard never deletes data files a
+      // main manifest now references
+      fs.delete(d, false): Unit
     }
     // the branch pointer fast-forwards to the published head; the
-    // log retires (its data files are now owned by main manifests)
+    // (now empty) log retires
     branchVersion(path, branch, Some(head)): Unit
     fs.delete(logDir, true)
     head
@@ -3826,8 +3840,18 @@ final case class GraftStorage(
     // logical shape. The rename commit itself moves no rows — two
     // physically identical snapshots diff to zero change rows.
     if (fromMapping != toMapping) {
-      def phys(v: Long): DataFrame = readResolvedEntries(path,
-        manifestEntries(path, v).filterNot(_.startsWith("N\t")))
+      def physEntries(v: Long): Seq[String] =
+        manifestEntries(path, v).filterNot(_.startsWith("N\t"))
+      def phys(v: Long): DataFrame =
+        readResolvedEntries(path, physEntries(v))
+      // a PURE rename/drop commit leaves the physical entries
+      // byte-identical — zero change rows at METADATA cost (this is
+      // every CDF batch that spans only the mapping commit)
+      if (physEntries(fromVersion) == physEntries(toVersion)) {
+        val empty = readVersioned(path, Some(toVersion)).limit(0)
+        return empty.withColumn("_change_type", lit(""))
+          .filter(lit(false))
+      }
       val toP = phys(toVersion)
       val fromP0 = phys(fromVersion)
       val fromP =
@@ -4403,10 +4427,19 @@ final case class GraftStorage(
         case None => reader.parquet(path + "/data/c0").limit(0)
       }
       else prep(reader.parquet(files: _*))
-    if (files.isEmpty)
+    if (files.isEmpty) {
       // no stored rows: DVs have nothing to delete (and an empty
-      // relation carries no _metadata for a pos anti-join)
-      return toLogicalDf(base, mappingOfEntries(entries))
+      // relation carries no _metadata for a pos anti-join); keepPos
+      // callers still get their typed (empty) position columns
+      val shaped =
+        if (!keepPos) base
+        else base
+          .withColumn(GraftStorage.PosFileCol,
+            lit(null).cast(org.apache.spark.sql.types.StringType))
+          .withColumn(GraftStorage.PosIdxCol,
+            lit(null).cast(org.apache.spark.sql.types.LongType))
+      return toLogicalDf(shaped, mappingOfEntries(entries))
+    }
     // merge-on-read: anti-join away each deletion vector's keys.
     // DVs are O(deleted keys) so the build sides stay broadcast-sized
     // by construction; grouped per key column so a table deleted on

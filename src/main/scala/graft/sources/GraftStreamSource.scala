@@ -464,6 +464,23 @@ private[sources] final class GraftMicroBatchStream(
           .withColumn("_change_type", lit(""))
           .withColumn("_commit_version", lit(end))
       }
+    // a RENAME/DROP landing mid-stream makes the batch's change rows
+    // carry NEW logical names the stream's FIXED schema cannot
+    // surface — reading them back would silently null-fill the
+    // renamed column (a CDC replica would overwrite good data with
+    // nulls). Gate on the END version's LOGICAL schema (the batch
+    // union can null-mask the old name, so the batch's own columns
+    // are not a reliable witness); widening ADD COLUMNS is tolerated
+    // (extra columns simply don't surface until a restart).
+    val endCols = st.readVersioned(path, Some(end)).schema.fieldNames
+    val missing = dataSchemaOf(schema).fieldNames
+      .filterNot(n => endCols.exists(_.equalsIgnoreCase(n)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-stream on $path: column(s) ${missing.mkString(", ")} " +
+          "were renamed or dropped mid-stream; the stream's schema is " +
+          "fixed at start — restart with a fresh checkpoint to pick " +
+          "up the new shape.")
     // write ONCE per batch range: Spark may plan the same batch more
     // than once, and an overwrite would delete the files an earlier
     // plan's partitions still reference mid-read. The content is

@@ -635,11 +635,15 @@ object StreamOps extends QueryModule {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("o_orderkey"))
             .orderBy(col("_commit_version").desc, col("_change_type").desc)
+          // checkpoint the ranked batch ONCE: both the upsert side
+          // and the delete-keys side derive from it, so the window
+          // computation runs once per micro-batch, not twice
           val latest = batch
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn", "_commit_version")
+            .localCheckpoint()
           val ups = latest.filter(col("_change_type") === "insert")
-            .drop("_change_type").localCheckpoint()
+            .drop("_change_type")
           // delete keys stay a DATAFRAME end to end: the batch's
           // delete rows ARE the deletion vector
           // (deleteVersionedMorKeys writes them straight to the DV

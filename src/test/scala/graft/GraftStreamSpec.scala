@@ -425,6 +425,37 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(all.filter($"k" === 5L && $"w" === "W").count() == 1)
   }
 
+  test("a RENAME COLUMN mid-stream fails the CDF batch loudly " +
+    "instead of null-filling the renamed column") {
+    val src = fresh("gstream_cdf_rename")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt"),
+      src)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    // the stream DataFrame binds its schema at load() — build it
+    // BEFORE the rename so the drain runs with the old shape, like a
+    // continuously-running consumer would
+    val oldShape = st.streamVersionedChanges(src)
+    st.renameColumnVersioned(src, "amt", "price")
+    st.writeVersioned(Seq((3L, 30.0)).toDF("k", "price"), src,
+      append = true)
+    val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(oldShape, outP, ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("renamed or dropped mid-stream")),
+      s"unexpected: ${msgs(e)}")
+    // a FRESH stream picks up the new shape and serves everything
+    val ckpt2 = src + "_ckpt2"; val outP2 = src + "_out2"
+    drainTo(st.streamVersionedChanges(src), outP2, ckpt2)
+    val boot = spark.read.parquet(outP2)
+    assert(boot.columns.contains("price"))
+    assert(boot.count() == 3)
+  }
+
   test("change feed housekeeping: spent batch dirs retire at offset " +
     "commit; a vacuumed CDF offset fails with retention guidance") {
     val src = fresh("gstream_cdf_clean")

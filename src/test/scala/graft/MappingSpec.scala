@@ -123,6 +123,19 @@ class MappingSpec extends AnyFunSuite {
     // VERSION AS OF keeps the old names
     val old = spark.sql(s"SELECT * FROM graft.`$out` VERSION AS OF 0")
     assert(old.columns.toSeq == Seq("k", "v", "amt"))
+    // the group-based CoW row-level path cannot ride a mapping (it
+    // reads/writes physical names under logical attributes) — loud
+    // refusal, same as the delta path
+    val e3 = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$out` SET price = 0 WHERE k = 1")
+    }
+    assert(messages(e3).exists(_.contains("column mapping")),
+      s"unexpected: ${messages(e3)}")
+    // …while a fully-translatable DELETE takes the Scala CoW hook,
+    // which handles the mapping
+    spark.sql(s"DELETE FROM graft.`$out` WHERE k = 3")
+    assert(spark.sql(s"SELECT COUNT(*) AS c FROM graft.`$out`")
+      .head().getLong(0) == 2L)
   }
 
   test("merge-on-read interplay: MoR deletes/upserts work on a " +

@@ -1538,6 +1538,24 @@ class StorageSpec extends AnyFunSuite {
       .head().getLong(0) == st.readVersioned(out).count())
   }
 
+  test("position-delete on an EMPTY snapshot commits a no-op DV " +
+    "instead of crashing") {
+    import spark.implicits._
+    val out = T.scratch(SF, "mor_pos_empty")
+    val st = sources.GraftStorage(spark)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
+    st.deleteVersioned(out, lit(true)) // CoW delete-all: empty snapshot
+    assert(st.readVersioned(out).count() == 0)
+    val v = st.deleteVersionedMorPos(out, $"k" === 1L)
+    assert(st.readVersioned(out, Some(v)).count() == 0)
+    // and the table keeps working afterwards
+    st.writeVersioned(Seq((2L, "b")).toDF("k", "v"), out, append = true)
+    assert(st.readVersioned(out).count() == 1)
+  }
+
   test("deleteVersionedMorKeys: the keys ARE the deletion vector — " +
     "no table scan, absent keys no-op, type/NULL/column gates") {
     import spark.implicits._

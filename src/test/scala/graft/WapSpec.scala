@@ -257,4 +257,33 @@ class WapSpec extends AnyFunSuite {
     st.branchPublish(out, "dev")
     assert(st.readVersioned(out).count() == 30)
   }
+
+  test("branch publish is per-delta atomic: a mid-sequence failure " +
+    "keeps published commits safe from retry AND discard") {
+    val out = fresh("branch_write_midfail")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
+    st.branchVersion(out, "dev")
+    st.branchAppend(Seq((2L, "b")).toDF("k", "v"), out, "dev") // b0
+    st.branchAppend(Seq((3L, "c", "w3")).toDF("k", "v", "w"),
+      out, "dev")                                              // b1
+    // main evolves `w` with a CONFLICTING type after the staging —
+    // b1's type gate must fail its replay, AFTER b0 already landed
+    st.addColumnsVersioned(out, org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.IntegerType))))
+    val e = intercept[IllegalArgumentException] {
+      st.branchPublish(out, "dev")
+    }
+    assert(e.getMessage.toLowerCase.contains("conflict") ||
+      e.getMessage.contains("w"), e.getMessage)
+    // b0 landed exactly once and stays readable
+    assert(st.readVersioned(out).select($"k").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // the log holds ONLY the unpublished suffix: a discard reclaims
+    // b1's staged data without touching b0's now-main files
+    assert(st.branchDiscardWrites(out, "dev") == 1L)
+    assert(st.readVersioned(out).select($"k").as[Long]
+      .collect().toSet == Set(1L, 2L),
+      "discard after a partial publish must not delete main's files")
+  }
 }
