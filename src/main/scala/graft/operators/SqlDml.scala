@@ -260,6 +260,123 @@ object SqlDml extends QueryModule {
     statusAgg(s, out)
   }
 
+  /** Type widening (ALTER COLUMN TYPE, Iceberg's promotion set):
+    * int→bigint and float→double as METADATA-ONLY commits — stored
+    * files are immutable and re-read through the vectorized parquet
+    * reader's per-file promotion, so a 100 TB table widens in one
+    * KB-scale H-line commit. The post-widen INSERT carries a value
+    * only the wide type holds; the aggregate proves old-narrow and
+    * new-wide files read as ONE table.
+    */
+  def sqlAlterWiden(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_alter_widen")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    GraftStorage(s).writeVersioned(T.t(s, dir, "orders").select(
+      $"o_orderkey".cast("int").as("k"),
+      $"o_totalprice".cast("float").as("price")), out)
+    s.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN k TYPE BIGINT")
+    s.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN price TYPE DOUBLE")
+    s.sql(s"INSERT INTO graft.`$out` VALUES (3000000000, 1.5)")
+    // tie-free aggregates on purpose: the promoted doubles are
+    // BIT-IDENTICAL across engines (IEEE float→double), but decimal
+    // ROUNDING of exact .xx5 ties diverges (HALF_UP vs half-even),
+    // so the oracle compares exact sums/extrema, never rounded ones
+    s.sql(
+      s"""SELECT COUNT(*) AS cnt, SUM(k) AS key_sum,
+         |  MAX(price) AS max_price,
+         |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big
+         |FROM graft.`$out`""".stripMargin)
+  }
+
+  /** Metadata table `#history` ([[graft.sources.GraftMetaTables]]):
+    * the commit log as a queryable SQL table — one row per version
+    * with the inferred operation, file count, and snapshot row total,
+    * served at METADATA RATE from the manifest (LocalTableScan plan,
+    * zero data files opened). The Iceberg `table.history` / Delta
+    * `DESCRIBE HISTORY` inspection surface over the graft log.
+    */
+  def sqlMetaHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_meta_history")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val st = GraftStorage(s)
+    val base = T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    st.writeVersioned(base.filter($"o_orderkey" % 3 === 0)
+      .repartition(2), out)                                    // v0
+    st.writeVersioned(base.filter($"o_orderkey" % 3 === 1)
+      .repartition(2), out, append = true)                     // v1
+    st.writeVersioned(base.filter($"o_orderkey" % 3 === 2)
+      .repartition(3), out)                                    // v2
+    s.sql(
+      s"""SELECT version, operation, data_files, row_count
+         |FROM graft.`$out#history` ORDER BY version""".stripMargin)
+  }
+
+  /** Metadata table `#files`: the current snapshot's file inventory —
+    * data files with their manifest-recorded physical row counts, DV
+    * files as kind='delete' — aggregated per kind. The query proves
+    * the inventory is exact: 3 data files summing to the written row
+    * count plus exactly one deletion vector, with no file opened.
+    */
+  def sqlMetaFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_meta_files")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val st = GraftStorage(s)
+    st.writeVersioned(T.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .repartition(3), out)
+    st.setTableProperty(out, "delete_mode", "merge-on-read")
+    st.setTableProperty(out, "mor_key", "o_orderkey")
+    st.deleteVersionedMor(out, $"o_orderkey" % 7 === 0, "o_orderkey")
+    s.sql(
+      s"""SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  SUM(rows) AS total_rows
+         |FROM graft.`$out#files`
+         |GROUP BY kind ORDER BY kind""".stripMargin)
+  }
+
+  /** Metadata tables `#refs` + `#properties` in one query: named
+    * tags/branches with their pinned versions, unioned with declared
+    * TBLPROPERTIES (set through SQL DDL) — the full "what is this
+    * table's state" console view, all metadata-rate.
+    */
+  def sqlMetaRefs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_meta_refs")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val st = GraftStorage(s)
+    val base = T.t(s, dir, "orders").select($"o_orderkey")
+    st.writeVersioned(base.filter($"o_orderkey" % 2 === 0), out)  // v0
+    st.writeVersioned(base.filter($"o_orderkey" % 2 === 1), out,
+      append = true)                                              // v1
+    s.sql(s"CALL graft.tag('$out', 'rel1', 0)").collect()
+    s.sql(s"CALL graft.branch('$out', 'dev')").collect()
+    s.sql(s"ALTER TABLE graft.`$out` SET TBLPROPERTIES " +
+      "('team' = 'alpha', 'retention_days' = '30')")
+    s.sql(
+      s"""SELECT name, type, CAST(version AS STRING) AS detail
+         |FROM graft.`$out#refs`
+         |UNION ALL
+         |SELECT key AS name, 'property' AS type, value AS detail
+         |FROM graft.`$out#properties`
+         |ORDER BY type, name""".stripMargin)
+  }
+
   /** CREATE TABLE + INSERT INTO (append commit) + INSERT OVERWRITE
     * (replace commit) through the catalog; the result reads the final
     * snapshot back via catalog SQL (scan served by the manifest file
@@ -659,6 +776,10 @@ object SqlDml extends QueryModule {
     "sql_update_mor" -> (sqlUpdateMor(_, _)),
     "sql_merge_mor" -> (sqlMergeMor(_, _)),
     "sql_apply_deletes" -> (sqlApplyDeletes(_, _)),
+    "sql_alter_widen" -> (sqlAlterWiden(_, _)),
+    "sql_meta_history" -> (sqlMetaHistory(_, _)),
+    "sql_meta_files" -> (sqlMetaFiles(_, _)),
+    "sql_meta_refs" -> (sqlMetaRefs(_, _)),
     "sql_insert_versioned" -> (sqlInsertVersioned(_, _)),
     "sql_catalog_travel" -> (sqlCatalogTravel(_, _)),
     "sql_call_maintenance" -> (sqlCallMaintenance(_, _)),
@@ -761,6 +882,44 @@ object SqlDml extends QueryModule {
          |SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // widen = metadata-only: the result is the narrow-cast source
+    // plus the one wide row, aggregated under the wide types
+    "sql_alter_widen" ->
+      s"""WITH v AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price
+         |  FROM orders
+         |  UNION ALL SELECT 3000000000, 1.5)
+         |SELECT COUNT(*) AS cnt, SUM(k) AS key_sum,
+         |  MAX(price) AS max_price,
+         |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big
+         |FROM v""".stripMargin,
+    // #history is fully predicted: operations/file counts by
+    // construction, row totals recomputed from the source table
+    "sql_meta_history" ->
+      s"""SELECT CAST(0 AS BIGINT) AS version, 'create' AS operation,
+         |  CAST(2 AS BIGINT) AS data_files,
+         |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+         |    AS row_count
+         |UNION ALL SELECT 1, 'append', 4,
+         |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+         |UNION ALL SELECT 2, 'overwrite', 3,
+         |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 2)
+         |ORDER BY version""".stripMargin,
+    // #files: 3 data files carrying every source row (physical,
+    // pre-DV) + exactly one deletion vector
+    "sql_meta_files" ->
+      s"""SELECT 'data' AS kind, CAST(3 AS BIGINT) AS n_files,
+         |  (SELECT COUNT(*) FROM orders) AS total_rows
+         |UNION ALL SELECT 'delete', 1, CAST(NULL AS BIGINT)
+         |ORDER BY kind""".stripMargin,
+    // #refs + #properties: fully deterministic by construction
+    "sql_meta_refs" ->
+      s"""SELECT 'dev' AS name, 'branch' AS type, '1' AS detail
+         |UNION ALL SELECT 'rel1', 'tag', '0'
+         |UNION ALL SELECT 'team', 'property', 'alpha'
+         |UNION ALL SELECT 'retention_days', 'property', '30'
+         |ORDER BY type, name""".stripMargin,
     // MoR MERGE reaches the same merged state as the CoW MERGE
     "sql_merge_mor" ->
       s"""WITH base AS (

@@ -220,6 +220,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val p = pathOf(ident)
+    // `#history`/`#files`/`#refs`/`#properties` suffixes address the
+    // table's METADATA tables (GraftMetaTables) — only the known
+    // kinds dispatch, so a data path containing '#' still resolves
+    GraftMetaTables.split(p) match {
+      case Some((base, kind))
+          if GraftStorage(spark).listVersions(base).nonEmpty =>
+        return new GraftMetadataTable(base, kind)
+      case _ => ()
+    }
     if (GraftStorage(spark).listVersions(p).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, p))
@@ -366,11 +375,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft DROP COLUMN supports top-level columns only")
         dc.fieldNames.head
     }
+    val widens = changes.collect {
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "graft ALTER COLUMN TYPE supports top-level columns only")
+        (ut.fieldNames.head, ut.newDataType)
+    }
     require(adds.length + sets.length + unsets.length +
-        renames.length + drops.length == changes.length,
+        renames.length + drops.length + widens.length == changes.length,
       "graft ALTER TABLE supports ADD COLUMNS, RENAME COLUMN, DROP " +
-        "COLUMN and SET/UNSET TBLPROPERTIES only (immutable data " +
-        "files rule out type changes; constraints go through " +
+        "COLUMN, widening ALTER COLUMN TYPE, and SET/UNSET " +
+        "TBLPROPERTIES only (constraints go through " +
         "GraftStorage.addCheckConstraint)")
     // SET TBLPROPERTIES rides the validated property path: flipping
     // delete_mode=merge-on-read scans the snapshot once for NULL /
@@ -383,6 +398,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     renames.foreach { case (from, to) =>
       st.renameColumnVersioned(p, from, to): Unit }
     drops.foreach(c => st.dropColumnVersioned(p, c): Unit)
+    widens.foreach { case (c, to) =>
+      st.widenColumnVersioned(p, c, to): Unit }
     loadTable(ident)
   }
 
@@ -822,23 +839,8 @@ private[sources] final class GraftBatchWrite(
   private val physicalSchema: StructType = baseVersion match {
     case Some(v) if mode == GraftCommitMode.Append =>
       val st2 = GraftStorage(SparkSession.active)
-      st2.columnMapping(path, v) match {
-        case Some((map, dropped)) =>
-          val reserved = map.values.toSeq ++ dropped
-          StructType(writeSchema.fields.map { f =>
-            map.find(_._1.equalsIgnoreCase(f.name)) match {
-              case Some((_, phys)) => f.copy(name = phys)
-              case None =>
-                if (reserved.exists(_.equalsIgnoreCase(f.name)))
-                  throw new IllegalArgumentException(
-                    s"INSERT into $path: column '${f.name}' is a " +
-                      "renamed-away or dropped stored column — " +
-                      "compact (REORG) first")
-                f
-            }
-          })
-        case None => writeSchema
-      }
+      st2.physicalSchemaOf(writeSchema, st2.columnMapping(path, v),
+        s"INSERT into $path")
     case _ => writeSchema
   }
 

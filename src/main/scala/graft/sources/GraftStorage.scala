@@ -665,12 +665,24 @@ final case class GraftStorage(
   private[sources] def zoneSidecarFor(statDirs: Seq[String]): ZoneSidecar = {
     import org.apache.hadoop.fs.Path
     val hconf = spark.sparkContext.hadoopConfiguration
-    // sidecar part-file inventory + per-part root field names from
-    // the parquet footers — computed ONCE per provider, driver-side,
-    // a footer per sidecar part (the realSidecarCoverage footprint).
-    // Per-PART (not per-dir) because an appended stats commit can add
-    // differently-columned parts into one `_zonemap` dir.
-    lazy val partFields: Seq[(String, Set[String])] = {
+    // sidecar part-file inventory + per-part root fields (name AND
+    // Spark type) from the parquet footers — computed ONCE per
+    // provider, driver-side, a footer per sidecar part (the
+    // realSidecarCoverage footprint). Per-PART (not per-dir) because
+    // an appended stats commit can add differently-columned parts
+    // into one `_zonemap` dir. Types matter since ALTER COLUMN TYPE:
+    // stats written pre-widen store the NARROW type, and the load
+    // must request the widest so every part reads through the same
+    // per-file promotion as the data files (parquet's own mergeSchema
+    // refuses int-vs-long and would fail the whole load).
+    lazy val partFields
+        : Seq[(String, Map[String, org.apache.spark.sql.types.DataType])] = {
+      // SQLConf-based: the raw Hadoop conf lacks the SQL parquet keys
+      // the Configuration constructor parses (driver-side code, the
+      // active session's conf is the right source anyway)
+      val conv = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(
+          org.apache.spark.sql.internal.SQLConf.get)
       val thunks = statDirs.flatMap { d =>
         val p = new Path(d)
         val fs = p.getFileSystem(hconf)
@@ -686,13 +698,11 @@ final case class GraftStorage(
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, hconf))
-        val names =
-          try {
-            import scala.jdk.CollectionConverters._
-            r.getFooter.getFileMetaData.getSchema.getFields.asScala
-              .map(_.getName).toSet
-          } finally r.close()
-        st.getPath.toUri.getPath -> names
+        val fields =
+          try conv.convert(r.getFooter.getFileMetaData.getSchema)
+            .fields.map(f => f.name -> f.dataType).toMap
+          finally r.close()
+        st.getPath.toUri.getPath -> fields
       }
       // footer opens run on a bounded pool, not serially: at 10⁴
       // stats-bearing commits on an object store a serial walk is
@@ -703,15 +713,16 @@ final case class GraftStorage(
           math.min(16, thunks.size))
         try {
           import scala.jdk.CollectionConverters._
+          type PF = (String, Map[String, org.apache.spark.sql.types.DataType])
           pool.invokeAll(thunks.map(t =>
-            new java.util.concurrent.Callable[(String, Set[String])] {
-              override def call(): (String, Set[String]) = t()
+            new java.util.concurrent.Callable[PF] {
+              override def call(): PF = t()
             }).asJavaCollection).asScala.map(_.get()).toSeq
         } finally pool.shutdown()
       }
     }
     lazy val mergedFields: Set[String] =
-      partFields.iterator.flatMap(_._2).toSet
+      partFields.iterator.flatMap(_._2.keys).toSet
     // a column is loadable only when BOTH bounds exist somewhere —
     // selecting a lone `c__min`'s missing mate would throw
     lazy val allCols: Set[String] = mergedFields
@@ -723,20 +734,37 @@ final case class GraftStorage(
       statDirs.iterator.map(d =>
         fs.getContentSummary(new Path(d)).getLength).sum
     }
-    lazy val zm = spark.read.option("mergeSchema", "true")
-      .parquet(statDirs: _*)
+    // the widest observed type per field across parts (pre- and
+    // post-widen stats generations): the read requests it EXPLICITLY
+    // so narrow parts promote per file, exactly like the data scan
+    def widestOf(field: String): org.apache.spark.sql.types.DataType =
+      partFields.iterator.flatMap(_._2.get(field)).reduceLeft { (a, b) =>
+        if (a == b || GraftStorage.widens(b, a)) a
+        else if (GraftStorage.widens(a, b)) b
+        else throw new IllegalArgumentException(
+          s"zone sidecar parts disagree on '$field': " +
+            s"${a.simpleString} vs ${b.simpleString} (not a widening " +
+            "pair) — rebuild the index")
+      }
     new ZoneSidecar(
       () => allCols,
       cols => {
         val sel = cols.toSeq.sorted.filter(allCols)
         if (sel.isEmpty) Map.empty
         else {
-          // _src recovers which sidecar PART each row came from:
-          // mergeSchema surfaces a column missing from a part as
-          // null, INDISTINGUISHABLE from indexed-but-all-null — and
-          // downstream treats (null,null) as "provably all-null"
-          // (IsNotNull prune, MIN/MAX decline), so an entry is
-          // emitted ONLY for columns the row's part actually stores
+          val readSchema = org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType) +:
+            sel.flatMap(c => Seq(c + "__min", c + "__max"))
+              .map(f => org.apache.spark.sql.types.StructField(
+                f, widestOf(f))))
+          val zm = spark.read.schema(readSchema).parquet(statDirs: _*)
+          // _src recovers which sidecar PART each row came from: a
+          // schema-specified read surfaces a column missing from a
+          // part as null, INDISTINGUISHABLE from indexed-but-all-null
+          // — and downstream treats (null,null) as "provably
+          // all-null" (IsNotNull prune, MIN/MAX decline), so an entry
+          // is emitted ONLY for columns the row's part actually stores
           val proj = zm.select((col("file") +:
             input_file_name().as("__src") +:
             sel.flatMap(c =>
@@ -754,7 +782,7 @@ final case class GraftStorage(
                 try new java.net.URI(src).getPath
                 catch { case _: java.net.URISyntaxException =>
                   new Path(src).toUri.getPath }
-              coverage.getOrElse(decoded, Set.empty)
+              coverage.get(decoded).fold(Set.empty[String])(_.keySet)
             })
           val rows: Iterator[org.apache.spark.sql.Row] =
             if (totalBytes > zoneScopedThreshold) {
@@ -898,6 +926,53 @@ final case class GraftStorage(
       append: Boolean = false): Long =
     writeVersioned(df, path, append, Seq.empty)
 
+  /** Stage one append-shaped commit's DATA and sidecars into
+    * `commitDir` — the shared core of a main append ([[writeVersioned]])
+    * and a branch append ([[branchAppend]]), kept in ONE place so the
+    * two line shapes cannot drift (branch publish's "byte-identical
+    * to serial appends" contract depends on it). Writes the physical
+    * rows, validates the commit dir, enforces the mor-key identifier
+    * contract (callers that key-check their own input skip the
+    * re-read), builds zone/bloom sidecars over the PHYSICAL columns
+    * (token-bloom pseudo-columns translate their inner name), and
+    * returns (fresh data files, S/B sidecar lines).
+    */
+  private def stageAppendData(toWrite: DataFrame, path: String,
+      commitDir: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      mapping: Option[(Map[String, String], Seq[String])],
+      statsCols: Seq[String], bloomCols: Seq[String],
+      checkMorKey: Boolean): (Seq[String], Seq[String]) = {
+    import org.apache.hadoop.fs.Path
+    toWrite.write.mode("overwrite").parquet(commitDir.toString)
+    validateCommitDir(path, commitDir, fs)
+    if (checkMorKey)
+      requireMorKeyNonNull(path, toWrite.schema, commitDir, fs)
+    val statsColsP = statsCols.map(physicalNameOf(_, mapping))
+    val bloomColsP = bloomCols.map { c =>
+      if (c.startsWith(GraftStorage.TokenBloomPrefix))
+        GraftStorage.TokenBloomPrefix + physicalNameOf(
+          c.stripPrefix(GraftStorage.TokenBloomPrefix), mapping)
+      else physicalNameOf(c, mapping)
+    }
+    val stats: Seq[String] =
+      if (statsColsP.isEmpty) Seq.empty
+      else {
+        buildZoneMap(commitDir.toString, statsColsP)
+        Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
+      }
+    val blooms: Seq[String] =
+      if (bloomColsP.isEmpty) Seq.empty
+      else {
+        buildBloomIndex(commitDir.toString, bloomColsP)
+        Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
+      }
+    val freshFiles = fs.listStatus(commitDir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath)
+    (freshFiles, stats ++ blooms)
+  }
+
   /** writeVersioned with MANIFEST-LEVEL DATA SKIPPING: `statsCols`
     * asks the commit to also record per-file [min,max] for those
     * columns (a `_zonemap` table inside the commit dir, referenced by
@@ -1020,40 +1095,12 @@ final case class GraftStorage(
     val toWrite =
       if (sortedByP.isEmpty) dfP
       else dfP.sortWithinPartitions(sortedByP.map(col): _*)
-    toWrite.write.mode("overwrite").parquet(commitDir.toString)
-    validateCommitDir(path, commitDir, fs)
-    // appends AND overwrites: a replaced snapshot must honor the
-    // identifier contract too (the mergeVersionedMor path checks its
-    // own input row-by-row — morKey nonEmpty skips the re-read)
-    if (morKey.isEmpty)
-      requireMorKeyNonNull(path, dfP.schema, commitDir, fs)
-    // sidecars index the PHYSICAL (stored) columns
-    val statsColsP = statsCols.map(physicalNameOf(_, mapping))
-    val bloomColsP = bloomCols.map { c =>
-      if (c.startsWith(GraftStorage.TokenBloomPrefix))
-        GraftStorage.TokenBloomPrefix + physicalNameOf(
-          c.stripPrefix(GraftStorage.TokenBloomPrefix), mapping)
-      else physicalNameOf(c, mapping)
-    }
-    val stats: Seq[String] =
-      if (statsColsP.isEmpty) Seq.empty
-      else {
-        buildZoneMap(commitDir.toString, statsColsP)
-        Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
-      }
-    val blooms: Seq[String] =
-      if (bloomColsP.isEmpty) Seq.empty
-      else {
-        buildBloomIndex(commitDir.toString, bloomColsP)
-        Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
-      }
-    // schema-in-log: the commit records its own schema (`H` line);
-    // readers merge H lines by name instead of opening footers. The
-    // json is one line for any schema our writers produce (Spark's
-    // DataType.json emits no newlines).
-    val freshFiles = fs.listStatus(commitDir).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath)
+    // appends AND overwrites enforce the identifier contract (the
+    // mergeVersionedMor path checks its own input row-by-row —
+    // morKey nonEmpty skips the re-read)
+    val (freshFiles, sidecarLines) = stageAppendData(toWrite, path,
+      commitDir, fs, mapping, statsCols, bloomCols,
+      checkMorKey = morKey.isEmpty)
     // MoR upsert: the commit's own keys become a DV over everything
     // OLDER (D lines precede the fresh file lines — sequence rule)
     val dvLines: Seq[String] = morKeyP match {
@@ -1082,7 +1129,11 @@ final case class GraftStorage(
     }
     val order = GraftStorage.oLine(sortedByP, append,
       if (append) sortSpec(path, n - 1) else Seq.empty)
-    val fresh = dvLines ++ freshFiles ++ stats ++ blooms ++ order ++
+    // schema-in-log: the commit records its own schema (`H` line);
+    // readers merge H lines by name instead of opening footers. The
+    // json is one line for any schema our writers produce (Spark's
+    // DataType.json emits no newlines).
+    val fresh = dvLines ++ freshFiles ++ sidecarLines ++ order ++
       txn.map(t => s"T\t${t._1}\t${t._2}").toSeq ++ carryLines ++
       rowCountLines(freshFiles) ++ Seq(s"H\t${dfP.schema.json}")
     // append inherits the RAW prior entries via a LOG-STRUCTURED
@@ -1668,32 +1719,11 @@ final case class GraftStorage(
       case e if e.startsWith("H\t") => e.drop(2)
     } :+ dfP.schema.json)
     val commitDir = newCommitDir(dir, listVersions(path).last + 1)
-    dfP.write.mode("overwrite").parquet(commitDir.toString)
-    validateCommitDir(path, commitDir, fs)
-    requireMorKeyNonNull(path, dfP.schema, commitDir, fs)
-    val statsColsP = statsCols.map(physicalNameOf(_, mapping))
-    val bloomColsP = bloomCols.map { c =>
-      if (c.startsWith(GraftStorage.TokenBloomPrefix))
-        GraftStorage.TokenBloomPrefix + physicalNameOf(
-          c.stripPrefix(GraftStorage.TokenBloomPrefix), mapping)
-      else physicalNameOf(c, mapping)
-    }
-    val stats: Seq[String] =
-      if (statsColsP.isEmpty) Seq.empty
-      else {
-        buildZoneMap(commitDir.toString, statsColsP)
-        Seq(s"S\t${new Path(commitDir, "_zonemap").toUri.getPath}")
-      }
-    val blooms: Seq[String] =
-      if (bloomColsP.isEmpty) Seq.empty
-      else {
-        buildBloomIndex(commitDir.toString, bloomColsP)
-        Seq(s"B\t${new Path(commitDir, "_bloom").toUri.getPath}")
-      }
-    val freshFiles = fs.listStatus(commitDir).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath)
-    val additions = freshFiles ++ stats ++ blooms ++
+    // same staging core as a main append — the publish's
+    // "byte-identical to serial appends" contract depends on it
+    val (freshFiles, sidecarLines) = stageAppendData(dfP, path,
+      commitDir, fs, mapping, statsCols, bloomCols, checkMorKey = true)
+    val additions = freshFiles ++ sidecarLines ++
       rowCountLines(freshFiles) ++ Seq(s"H\t${dfP.schema.json}")
     // an unsorted append drops a prior sort-order claim, on a branch
     // exactly as on main (the claim is table-wide)
@@ -3209,28 +3239,42 @@ final case class GraftStorage(
     * column (not in the logical schema) keeps its name — unless that
     * name is a renamed-away or dropped PHYSICAL name, which is
     * refused loudly: re-using it would silently resurface the old
-    * files' stored values under the new column.
+    * files' stored values under the new column. This schema-level
+    * form is the single source of that contract — the DataFrame form
+    * below and the SQL write path (GraftBatchWrite) both ride it.
     */
+  private[sources] def physicalSchemaOf(
+      schema: org.apache.spark.sql.types.StructType,
+      mapping: Option[(Map[String, String], Seq[String])],
+      what: String): org.apache.spark.sql.types.StructType =
+    mapping match {
+      case None => schema
+      case Some((map, dropped)) =>
+        val reserved = map.values.toSeq ++ dropped
+        org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+          map.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, phys)) => f.copy(name = phys)
+            case None =>
+              if (reserved.exists(_.equalsIgnoreCase(f.name)))
+                throw new IllegalArgumentException(
+                  s"$what: column name '${f.name}' is a renamed-away " +
+                    "or dropped physical column of this mapped table " +
+                    "— re-using it would resurface old stored values; " +
+                    "pick a different name or compact (REORG) first")
+              f
+          }
+        })
+    }
+
   private[sources] def toPhysicalDf(df: DataFrame,
       mapping: Option[(Map[String, String], Seq[String])],
       what: String): DataFrame =
     mapping match {
       case None => df
-      case Some((map, dropped)) =>
-        val reserved = map.values.toSeq ++ dropped
-        df.select(df.columns.toIndexedSeq.map { c =>
-          map.find(_._1.equalsIgnoreCase(c)) match {
-            case Some((_, phys)) => col(s"`$c`").as(phys)
-            case None =>
-              if (reserved.exists(_.equalsIgnoreCase(c)))
-                throw new IllegalArgumentException(
-                  s"$what: column name '$c' is a renamed-away or " +
-                    "dropped physical column of this mapped table — " +
-                    "re-using it would resurface old stored values; " +
-                    "pick a different name or compact (REORG) first")
-              col(s"`$c`")
-          }
-        }: _*)
+      case Some(_) =>
+        // positional rename to the translated schema (same rows)
+        df.toDF(physicalSchemaOf(df.schema, mapping, what)
+          .fieldNames.toIndexedSeq: _*)
     }
 
   /** ALTER TABLE RENAME COLUMN — METADATA-ONLY at any table size:
@@ -3377,6 +3421,58 @@ final case class GraftStorage(
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // metadata-only DDL as a one-line delta commit
     publishManifestDelta(fs, dir, n, Seq.empty, Seq(s"H\t${cols.json}"))
+    n
+  }
+
+  /** ALTER COLUMN TYPE — widening only, METADATA-ONLY at any size:
+    * publishes one H line re-declaring the column at the wider type;
+    * the merged schema takes it and every immutable stored file
+    * re-reads through the vectorized reader's per-file promotion
+    * (int32→long, float→double — [[GraftStorage.widens]], the Iceberg
+    * type-promotion set). Zero data bytes move; time travel keeps
+    * each version's own type; narrowing/re-typing refuses loudly
+    * (that genuinely needs a rewrite). Partition key columns refuse:
+    * their values are path-derived strings parsed under the declared
+    * type, and mixed-width directory keys would split one logical
+    * partition.
+    */
+  def widenColumnVersioned(path: String, column: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.hadoop.fs.Path
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    val v = vs.last
+    val mapping = columnMapping(path, v)
+    val phys = physicalNameOf(column, mapping)
+    require(!partitionSpec(path, v).exists(spec =>
+        GraftStorage.parsePartField(spec).col.equalsIgnoreCase(phys)),
+      s"ALTER COLUMN TYPE on $path: '$column' is a partition key — " +
+        "path-derived values parse under the declared type; " +
+        "re-partition (compact) instead")
+    val merged = mergedManifestSchema(path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no schema recorded in the log of $path"))
+    val f = merged.fields.find(_.name.equalsIgnoreCase(phys)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER COLUMN TYPE on $path: no column '$column' " +
+          s"(have: ${logicalSchemaOf(merged, mapping).fieldNames
+            .mkString(", ")})"))
+    require(f.dataType != to,
+      s"'$column' is already ${to.simpleString}")
+    require(GraftStorage.widens(f.dataType, to),
+      s"ALTER COLUMN TYPE on $path: ${f.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a widening promotion — stored " +
+        "files are immutable and only byte/short/int -> wider int " +
+        "and float -> double re-read losslessly; anything else " +
+        "needs an explicit rewrite (SELECT-cast into a new table)")
+    val n = v + 1
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // metadata-only DDL as a one-line delta commit (same shape as
+    // ADD COLUMNS): the H line re-declares ONLY the widened column
+    publishManifestDelta(fs, dir, n, Seq.empty,
+      Seq("H\t" + org.apache.spark.sql.types.StructType(
+        Seq(f.copy(dataType = to))).json))
     n
   }
 
@@ -4488,8 +4584,17 @@ final case class GraftStorage(
     val (pos, keyed) = entries.partition(_._1 == GraftStorage.PosDvCol)
     val afterKeys = keyed.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(df) {
       case (d, (keyCol, es)) =>
-        d.join(broadcast(
-          spark.read.parquet(es.map(_._2): _*).distinct()),
+        // DV reads request the table's CURRENT key type (possibly
+        // WIDENED since early generations were written): the same
+        // per-file parquet promotion as data files. Footer inference
+        // would pin the first generation's type and misread wider
+        // later ones.
+        val reader = d.schema.find(_.name.equalsIgnoreCase(keyCol))
+          .map(_.dataType)
+          .fold(spark.read)(t => spark.read.schema(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(keyCol, t)))))
+        d.join(broadcast(reader.parquet(es.map(_._2): _*).distinct()),
           Seq(keyCol), "left_anti")
     }
     if (pos.isEmpty) afterKeys
@@ -5792,8 +5897,32 @@ object GraftStorage {
     b.result()
   }
 
+  /** Is `from → to` a WIDENING type promotion — one the vectorized
+    * parquet reader performs per file at scan time (Spark's
+    * IntegerToLong/FloatToDouble updaters), so immutable stored files
+    * re-read correctly under the wider requested type? The Iceberg
+    * type-promotion set: integers widen up the int ladder, float
+    * widens to double. Everything else (narrowing, re-typing,
+    * int→double) needs a rewrite and is refused.
+    */
+  private[sources] def widens(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** Merge `H`-line schema jsons by name: commit order, first-seen
-    * column order, same-name columns must agree on type.
+    * column order, same-name columns must agree on type — or stand in
+    * a WIDENING relation ([[widens]]), in which case the merged
+    * schema takes the wider type and every file reads through the
+    * parquet reader's per-file promotion.
     */
   private[sources] def mergeSchemaJsons(jsons: Seq[String])
       : Option[org.apache.spark.sql.types.StructType] = {
@@ -5805,10 +5934,16 @@ object GraftStorage {
         b.fields.foreach { f =>
           out.indexWhere(_.name == f.name) match {
             case -1 => out += f
-            case i => require(out(i).dataType == f.dataType,
-              s"schema evolution type conflict on '${f.name}': " +
-                s"${out(i).dataType.simpleString} vs " +
-                s"${f.dataType.simpleString}")
+            case i =>
+              if (out(i).dataType != f.dataType) {
+                if (widens(f.dataType, out(i).dataType)) ()
+                else if (widens(out(i).dataType, f.dataType))
+                  out(i) = out(i).copy(dataType = f.dataType)
+                else require(false,
+                  s"schema evolution type conflict on '${f.name}': " +
+                    s"${out(i).dataType.simpleString} vs " +
+                    s"${f.dataType.simpleString}")
+              }
           }
         }
         StructType(out.toSeq)

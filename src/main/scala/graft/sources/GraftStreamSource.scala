@@ -472,15 +472,31 @@ private[sources] final class GraftMicroBatchStream(
     // union can null-mask the old name, so the batch's own columns
     // are not a reliable witness); widening ADD COLUMNS is tolerated
     // (extra columns simply don't surface until a restart).
-    val endCols = st.readVersioned(path, Some(end)).schema.fieldNames
+    val endSchema = st.readVersioned(path, Some(end)).schema
     val missing = dataSchemaOf(schema).fieldNames
-      .filterNot(n => endCols.exists(_.equalsIgnoreCase(n)))
+      .filterNot(n => endSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"graft-stream on $path: column(s) ${missing.mkString(", ")} " +
           "were renamed or dropped mid-stream; the stream's schema is " +
           "fixed at start — restart with a fresh checkpoint to pick " +
           "up the new shape.")
+    // same contract for ALTER COLUMN TYPE (widening): the batch
+    // materializes under the WIDE type, and reading it back through
+    // the stream's fixed narrow schema is a parquet type mismatch —
+    // fail with guidance instead of a reader stack trace
+    val widened = dataSchemaOf(schema).fields.flatMap { f =>
+      endSchema.fields.find(_.name.equalsIgnoreCase(f.name))
+        .filter(_.dataType != f.dataType)
+        .map(e => s"${f.name} (${f.dataType.simpleString} -> " +
+          s"${e.dataType.simpleString})")
+    }
+    if (widened.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-stream on $path: column type(s) changed mid-stream: " +
+          s"${widened.mkString(", ")}; the stream's schema is fixed " +
+          "at start — restart with a fresh checkpoint to pick up " +
+          "the new types.")
     // write ONCE per batch range: Spark may plan the same batch more
     // than once, and an overwrite would delete the files an earlier
     // plan's partitions still reference mid-read. The content is

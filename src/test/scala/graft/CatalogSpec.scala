@@ -248,12 +248,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(st.readVersioned(out).filter(col("note") === "hi").count() == 1)
     // v0 still reads with the ORIGINAL shape (time travel unaffected)
     assert(st.readVersioned(out, Some(0L)).columns.length == 3)
-    // name collision and non-ADD changes are refused
+    // name collision is refused
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$out` ADD COLUMNS (note STRING)")
     }
+    // RENAME rides column mapping (metadata-only) — supported now
+    spark.sql(s"ALTER TABLE graft.`$out` RENAME COLUMN note TO memo")
+    assert(spark.sql(s"SELECT * FROM graft.`$out`")
+      .columns.contains("memo"))
+    // narrowing TYPE change and column reordering stay refused
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$out` RENAME COLUMN note TO memo")
+      spark.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN score TYPE FLOAT")
+    }
+    intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE graft.`$out` ALTER COLUMN memo AFTER o_orderkey")
     }
   }
 

@@ -454,6 +454,23 @@ class GraftStreamSpec extends AnyFunSuite {
     val boot = spark.read.parquet(outP2)
     assert(boot.columns.contains("price"))
     assert(boot.count() == 3)
+    // a WIDEN mid-stream fails with the same restart guidance (not a
+    // parquet type-mismatch stack trace)
+    val src2 = fresh("gstream_cdf_widen")
+    st.writeVersioned(Seq((1, 10.0)).toDF("k", "amt"), src2) // int key
+    drainTo(st.streamVersionedChanges(src2), src2 + "_out",
+      src2 + "_ckpt")
+    val preWiden = st.streamVersionedChanges(src2)
+    st.widenColumnVersioned(src2, "k",
+      org.apache.spark.sql.types.LongType): Unit
+    st.writeVersioned(Seq((4L, 40.0)).toDF("k", "amt"), src2,
+      append = true)
+    val e2 = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(preWiden, src2 + "_out", src2 + "_ckpt")
+    }
+    assert(msgs(e2).exists(_.contains("type(s) changed mid-stream")),
+      s"unexpected: ${msgs(e2)}")
   }
 
   test("change feed housekeeping: spent batch dirs retire at offset " +

@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, T}
+
+/** Metadata tables (`#history` / `#files` / `#refs` / `#properties`):
+  * the manifest log exposed as queryable SQL tables, served at
+  * metadata rate through a LocalScan.
+  */
+class MetaTablesSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, SF}
+  import spark.implicits._
+
+  GraftCatalog.register(spark)
+  private val st = GraftStorage(spark)
+
+  private def fresh(name: String): String = {
+    val out = T.scratch(SF, name)
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+    out
+  }
+
+  test("#history: one row per commit with inferred operations, " +
+    "file/row counts, and maintenance op tags") {
+    val out = fresh("meta_history")
+    st.writeVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(2), out)                                   // v0
+    st.writeVersioned(Seq((3L, "c")).toDF("k", "v"), out,
+      append = true)                                          // v1
+    st.setTableProperty(out, "delete_mode", "merge-on-read")
+    st.setTableProperty(out, "mor_key", "k")
+    st.deleteVersionedMor(out, $"k" === 2L, "k")              // v2 DV
+    st.compactVersioned(out, 1)                               // v3 tagged
+    val h = spark.sql(
+      s"SELECT * FROM graft.`$out#history` ORDER BY version")
+    val rows = h.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("create", "append", "merge-on-read-delete", "compact"))
+    // data_files / delete_files
+    assert(rows.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((2L, 0L), (3L, 0L), (3L, 1L), (1L, 0L)))
+    // row_count is the PHYSICAL row total (pre-DV at v2, folded at v3)
+    assert(rows.map(_.getLong(5)).toSeq == Seq(2L, 3L, 3L, 2L))
+    assert(rows.forall(!_.getBoolean(6)), "no WAP stage here")
+    // committed_at is a real non-null timestamp on every row
+    assert(rows.forall(!_.isNullAt(1)))
+  }
+
+  test("#history: wap-stage rows flag audit_pending; publish clears") {
+    val out = fresh("meta_history_wap")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
+    st.wapStage(Seq((2L, "b")).toDF("k", "v"), out, "audit1")
+    val staged = spark.sql(
+      s"SELECT operation, audit_pending FROM graft.`$out#history` " +
+        "ORDER BY version").collect()
+    assert(staged.map(_.getString(0)).toSeq == Seq("create", "wap-stage"))
+    assert(staged.map(_.getBoolean(1)).toSeq == Seq(false, true))
+    st.wapPublish(out, "audit1")
+    val pub = spark.sql(
+      s"SELECT operation, audit_pending FROM graft.`$out#history` " +
+        "ORDER BY version").collect()
+    assert(pub.map(_.getString(0)).toSeq ==
+      Seq("create", "wap-stage", "wap-publish"))
+    // the STAGED version's snapshot carries its W line forever (a
+    // time-travel read of v1 is still audit-scoped); the published
+    // head is clean
+    assert(pub.map(_.getBoolean(1)).toSeq == Seq(false, true, false))
+  }
+
+  test("#files: current snapshot's data files with rows/bytes, DV " +
+    "files as kind=delete") {
+    val out = fresh("meta_files")
+    st.writeVersioned(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(3), out)
+    st.setTableProperty(out, "delete_mode", "merge-on-read")
+    st.setTableProperty(out, "mor_key", "k")
+    st.deleteVersionedMor(out, $"k" === 1L, "k")
+    val f = spark.sql(s"SELECT * FROM graft.`$out#files`")
+    val data = f.filter($"kind" === "data").collect()
+    val dvs = f.filter($"kind" === "delete").collect()
+    assert(data.length == 3 && dvs.length == 1)
+    // physical rows pre-DV sum to the written count
+    assert(data.map(_.getLong(2)).sum == 3L)
+    assert(data.forall(_.getLong(3) > 0L), "bytes from file status")
+    assert(dvs.forall(_.isNullAt(2)), "DV rows are not tracked")
+    // every listed file actually exists
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.collect().foreach(r => assert(fs.exists(new Path(r.getString(0)))))
+  }
+
+  test("#refs and #properties list tags/branches and declared props") {
+    val out = fresh("meta_refs")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)       // v0
+    st.writeVersioned(Seq((2L, "b")).toDF("k", "v"), out,
+      append = true)                                            // v1
+    st.tagVersion(out, "rel1", Some(0L))
+    st.branchVersion(out, "dev")
+    val refs = spark.sql(
+      s"SELECT name, type, version FROM graft.`$out#refs` ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(("dev", "branch", 1L), ("rel1", "tag", 0L)))
+    st.setTableProperty(out, "owner", "teamA")
+    val props = spark.sql(
+      s"SELECT key, value FROM graft.`$out#properties` ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(props.toSeq == Seq(("owner", "teamA")))
+  }
+
+  test("metadata tables are read-only and unknown kinds stay table " +
+    "paths (loud NoSuchTable, not a silent empty result)") {
+    val out = fresh("meta_guard")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
+    // writes refuse at analysis: BATCH_READ is the only capability
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$out#history` VALUES " +
+        "(9, NULL, 'x', 0, 0, 0, false)")
+    }
+    assert(e1.getMessage.toLowerCase.contains("does not support") ||
+      e1.getMessage.toLowerCase.contains("unsupported"), e1.getMessage)
+    // '#latest' is NOT a metadata kind — it resolves as a data path
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$out#latest`").collect()
+    }
+    // (Spark then retries the unresolved name as a direct
+    // query-on-files, so the surfaced error is the datasource one)
+    def notFound(e: Exception): Boolean =
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+        e.getMessage.toLowerCase.contains("cannot be found") ||
+        e.getMessage.contains("UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY")
+    assert(notFound(e2), e2.getMessage)
+    // metadata of a nonexistent table is equally loud
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`${out}_nope#history`").collect()
+    }
+    assert(notFound(e3), e3.getMessage)
+  }
+
+  test("#history stays metadata-rate: plans as a LocalTableScan, " +
+    "zero data-file opens") {
+    val out = fresh("meta_plan")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
+    val df = spark.sql(s"SELECT version FROM graft.`$out#history`")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+  }
+}
