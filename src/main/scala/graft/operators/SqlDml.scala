@@ -443,9 +443,15 @@ object SqlDml extends QueryModule {
     s.sql(s"CALL graft.compact('$out', target_files => 2)")
     s.sql(s"CALL graft.optimize_zorder('$out', 'o_orderkey')")
     s.sql(s"CALL graft.restore('$out', 0)")
+    // orphan GC on a healthy table is a provable no-op: every file is
+    // manifest-referenced, so liveness (not age) protects it all
+    val orphanSweep = s.sql(
+      s"CALL graft.remove_orphans('$out', older_than_hours => 0)")
+      .head().getLong(0)
     val st = GraftStorage(s)
     statusAgg(s, out)
       .withColumn("n_versions", lit(st.listVersions(out).size.toLong))
+      .withColumn("orphans_removed", lit(orphanSweep))
   }
 
   /** Manifest-rate aggregate pushdown: an unfiltered COUNT(*) /
@@ -968,7 +974,8 @@ object SqlDml extends QueryModule {
     "sql_call_maintenance" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
          |  ${sqlDsum("o_totalprice")} AS total,
-         |  CAST(4 AS BIGINT) AS n_versions
+         |  CAST(4 AS BIGINT) AS n_versions,
+         |  CAST(0 AS BIGINT) AS orphans_removed
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
     // the metadata-answered aggregates must equal the data's

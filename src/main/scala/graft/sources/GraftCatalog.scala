@@ -237,18 +237,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** SQL time travel — `VERSION AS OF <v>`: the snapshot pinned to
     * one committed version (read-only: writes/DML on a historical
-    * snapshot are refused, not silently applied to latest).
+    * snapshot are refused, not silently applied to latest). A
+    * non-numeric version is a REF NAME (`VERSION AS OF 'rel1'`) and
+    * resolves through the table's tags/branches — the Iceberg
+    * branch/tag read, so consumers pin audited releases by name.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = pathOf(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft VERSION AS OF wants a numeric version, got '$version'")
-    }
-    val vs = GraftStorage(spark).listVersions(p)
+    val st = GraftStorage(spark)
+    val vs = st.listVersions(p)
     if (vs.isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, p))
+    val v = try version.toLong catch {
+      case _: NumberFormatException => st.resolveRef(p, version)
+    }
     require(vs.contains(v),
       s"version $v of $p does not exist (have $vs)")
     new GraftVersionedTable(p, Some(v))

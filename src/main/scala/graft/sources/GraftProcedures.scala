@@ -91,6 +91,13 @@ private[sources] object GraftProcedures {
       StructType(Seq(StructField("deleted_files", LongType))),
       in => Seq(GraftStorage(spark).vacuumVersioned(
         in.getUTF8String(0).toString, in.getInt(1)))),
+    Proc("remove_orphans",
+      Seq(in("path", StringType),
+        inDefault("older_than_hours", IntegerType, "72")),
+      StructType(Seq(StructField("deleted_files", LongType))),
+      in => Seq(GraftStorage(spark).removeOrphansVersioned(
+        in.getUTF8String(0).toString,
+        in.getInt(1) * 3600L * 1000L))),
     Proc("restore",
       Seq(in("path", StringType), in("version", LongType)),
       versionOut,

@@ -2715,8 +2715,12 @@ final case class GraftStorage(
     * stats directories — the liveness unit vacuum must honor.
     * (`H` schema lines pin no path.)
     */
-  private def manifestAllPaths(path: String, version: Long): Seq[String] =
-    manifestEntries(path, version).flatMap { e =>
+  /** Every filesystem path a resolved entry list references: data
+    * files (bare lines), deletion vectors (D), and sidecar dirs
+    * (S/B). The liveness primitive of vacuum and orphan removal.
+    */
+  private def entryPaths(entries: Seq[String]): Seq[String] =
+    entries.flatMap { e =>
       if (e.startsWith("D\t")) Some(e.split('\t')(2))
       else if (e.startsWith("S\t")) Some(e.split('\t')(1))
       else if (e.startsWith("B\t")) Some(e.split('\t')(1))
@@ -2727,6 +2731,101 @@ final case class GraftStorage(
       else if (e.startsWith("N\t")) None // column mapping, no path
       else Some(e)
     }
+
+  private def manifestAllPaths(path: String, version: Long): Seq[String] =
+    entryPaths(manifestEntries(path, version))
+
+  /** Remove ORPHANED files under `data/` — files NO retained
+    * manifest, WAP stage, or branch log references: the droppings of
+    * crashed writers, lost publish races, and aborted maintenance
+    * that [[vacuumVersioned]] can never see (vacuum reclaims only
+    * what retired manifests referenced; a never-published commit dir
+    * is referenced by nothing). Iceberg's remove_orphan_files
+    * contract: AGE-GATED — only files older than `olderThanMillis`
+    * (default 3 days) are candidates, so a concurrent writer staging
+    * its commit dir right now can never be swept; stale `.tmp`
+    * publish artifacts under `_manifest`/`_refs` retire on the same
+    * clock. Walks this table's own `data/` tree only. Returns the
+    * deleted file count.
+    */
+  def removeOrphansVersioned(path: String,
+      olderThanMillis: Long = 3L * 24 * 3600 * 1000): Long = {
+    import org.apache.hadoop.fs.Path
+    require(olderThanMillis >= 0, "olderThanMillis must be >= 0")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = listVersions(path)
+    require(vs.nonEmpty, s"no versions committed under $path")
+    def key(p: String): String = new Path(p).toUri.getPath
+    // liveness = every retained version (staged WAP versions are
+    // listed versions, so they count) + every branch log's resolved
+    // state (branch-staged data is live the moment its delta lands,
+    // though no main manifest references it yet)
+    val branchLive = listRefs(path).collect {
+      case (name, _) if name.startsWith("branch.") =>
+        try entryPaths(branchEntries(path, name.stripPrefix("branch.")))
+        catch { case _: IllegalArgumentException => Seq.empty }
+    }.flatten
+    val live = (vs.flatMap(manifestAllPaths(path, _)) ++ branchLive)
+      .map(key).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    def liveCovers(fkey: String): Boolean =
+      live(fkey) || live.exists(l => fkey.startsWith(l + "/"))
+    var removed = 0L
+    // `_`/`.`-prefixed markers (_SUCCESS, .crc checksum sidecars) are
+    // never manifest-referenced — skip them here; the dead-dir sweep
+    // below reclaims them with their dir once nothing real is left
+    def isMarker(n: String): Boolean =
+      n.startsWith("_") || n.startsWith(".")
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (!isMarker(st.getPath.getName) &&
+          !liveCovers(key(st.getPath.toString)) &&
+          st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false)
+        removed += 1
+      }
+    }
+    val dataDir = new Path(dir, "data")
+    if (fs.exists(dataDir)) walk(dataDir)
+    // crashed atomic publishes leave `.*.tmp` files behind
+    Seq("_manifest", "_refs").foreach { m =>
+      val md = new Path(dir, m)
+      if (fs.exists(md)) fs.listStatus(md).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(".") &&
+            st.getPath.getName.endsWith(".tmp") &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false)
+          removed += 1
+        }
+      }
+    }
+    // sweep commit dirs holding nothing but `_` markers (cosmetic):
+    // a fully-orphaned dir whose data files were just removed — but
+    // ONLY when the dir itself predates the cutoff and no live path
+    // points under it
+    // age witness = the surviving markers' own mtimes (the dir's
+    // mtime just refreshed when this very sweep deleted its files);
+    // an EMPTY dir falls back to dir mtime (a writer creates the dir
+    // fresh before its first file lands)
+    def allOldMarkers(d: Path): Boolean =
+      fs.listStatus(d).forall { st =>
+        if (st.isDirectory) allOldMarkers(st.getPath)
+        else isMarker(st.getPath.getName) &&
+          st.getModificationTime < cutoff
+      }
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { d =>
+        val dkey = key(d.getPath.toString)
+        val pinned = live.exists(p => p == dkey || p.startsWith(dkey + "/"))
+        val contents = fs.listStatus(d.getPath)
+        if (d.isDirectory && !pinned && (
+            (contents.isEmpty && d.getModificationTime < cutoff) ||
+            (contents.nonEmpty && allOldMarkers(d.getPath))))
+          fs.delete(d.getPath, true): Unit
+      }
+    removed
+  }
 
   /** SCHEMA-IN-LOG: the snapshot's read schema, merged by name across
     * every commit's `H` manifest line (in commit order, first-seen

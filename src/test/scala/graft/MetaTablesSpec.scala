@@ -111,6 +111,18 @@ class MetaTablesSpec extends AnyFunSuite {
       s"SELECT key, value FROM graft.`$out#properties` ORDER BY key")
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(props.toSeq == Seq(("owner", "teamA")))
+    // SQL time travel BY REF NAME: tags pin audited releases
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS c FROM graft.`$out` VERSION AS OF 'rel1'")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS c FROM graft.`$out` VERSION AS OF 'dev'")
+      .head().getLong(0) == 2L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$out` VERSION AS OF 'nope'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no tag or branch"), e.getMessage)
   }
 
   test("metadata tables are read-only and unknown kinds stay table " +
@@ -140,6 +152,60 @@ class MetaTablesSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM graft.`${out}_nope#history`").collect()
     }
     assert(notFound(e3), e3.getMessage)
+  }
+
+  test("remove_orphans: crashed-writer droppings retire age-gated; " +
+    "manifest-, WAP-, and branch-referenced files all survive") {
+    import org.apache.spark.sql.functions.lit
+    val out = fresh("orphan_gc")
+    st.writeVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), out)
+    st.writeVersioned(Seq((3L, "c")).toDF("k", "v"), out,
+      append = true)
+    st.wapStage(Seq((4L, "d")).toDF("k", "v"), out, "audit9")
+    st.branchVersion(out, "dev")
+    st.branchAppend(Seq((5L, "e")).toDF("k", "v"), out, "dev")
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    // a crashed writer's never-published commit dir (stale) ...
+    val orphanDir = new Path(out, "data/c9-deadbeef")
+    fs.mkdirs(orphanDir)
+    Seq("part-00000-junk.parquet", "_SUCCESS").foreach { n =>
+      val f = new Path(orphanDir, n)
+      val o = fs.create(f, true); o.write(Array[Byte](1, 2, 3)); o.close()
+      fs.setTimes(f, old, old)
+    }
+    fs.setTimes(orphanDir, old, old)
+    // ... a crashed publish's temp file ...
+    val tmp = new Path(out, "_manifest/.v99.deadbeef.tmp")
+    val to = fs.create(tmp, true); to.write(Array[Byte](0)); to.close()
+    fs.setTimes(tmp, old, old)
+    // age ALL real data older than the cutoff: liveness, not age,
+    // must be what protects it
+    def ageAll(d: Path): Unit = fs.listStatus(d).foreach { s =>
+      if (s.isDirectory) ageAll(s.getPath)
+      else fs.setTimes(s.getPath, old, old)
+    }
+    ageAll(new Path(out, "data"))
+    // ... and an IN-FLIGHT writer's staging dir, created fresh AFTER
+    // the aging pass (its youth is what must protect it)
+    val freshDir = new Path(out, "data/c9-cafef00d")
+    fs.mkdirs(freshDir)
+    val ff = new Path(freshDir, "part-00000-fresh.parquet")
+    val fo = fs.create(ff, true); fo.write(Array[Byte](9)); fo.close()
+    val removed = st.removeOrphansVersioned(out,
+      olderThanMillis = 24L * 3600 * 1000)
+    assert(removed >= 2L, s"expected the orphan + tmp gone, got $removed")
+    assert(!fs.exists(new Path(orphanDir, "part-00000-junk.parquet")))
+    assert(!fs.exists(orphanDir), "fully-dead dir swept with markers")
+    assert(!fs.exists(tmp))
+    assert(fs.exists(ff), "fresh staging file must survive the gate")
+    // every referenced surface is intact
+    assert(st.readVersioned(out).count() == 3)
+    st.wapPublish(out, "audit9")
+    assert(st.readVersioned(out).count() == 4)
+    st.branchPublish(out, "dev")
+    assert(st.readVersioned(out).count() == 5)
   }
 
   test("#history stays metadata-rate: plans as a LocalTableScan, " +
