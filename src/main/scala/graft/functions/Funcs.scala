@@ -212,6 +212,20 @@ object Funcs extends QueryModule {
     * cannot express. The aggregate pins the full closure.
     */
   def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    val df = sqlRecursiveCteScoped(s, dir)
+    // the result is a ~10-row aggregate: rebuild it on the caller's
+    // session so downstream code never holds the scoped one
+    s.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
+  /** The recursive plan on its SCOPED session, pre-collect — the
+    * UnionLoop plan PlanQualitySpec pins lives here (the public query
+    * above re-materializes the tiny aggregate on the caller's
+    * session, so its own plan is a LocalRelation by design).
+    */
+  private[graft] def sqlRecursiveCteScoped(s: SparkSession,
+      dir: String): DataFrame = {
     // Spark guards UnionLoop with spark.sql.cteRecursionRowLimit
     // (1M accumulated rows by default); the walk emits
     // ~|customer| x digit-count rows, which clears 1M past sf0.5 —
@@ -221,7 +235,7 @@ object Funcs extends QueryModule {
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     T.t(scoped, dir, "customer").createOrReplaceTempView("g_customer")
-    val df = scoped.sql(
+    scoped.sql(
       """WITH RECURSIVE walk(c_custkey, node, depth) AS (
         |  SELECT c_custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
         |  FROM g_customer
@@ -231,10 +245,6 @@ object Funcs extends QueryModule {
         |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
         |FROM walk WHERE node = 0
         |GROUP BY depth ORDER BY depth""".stripMargin)
-    // the result is a ~10-row aggregate: rebuild it on the caller's
-    // session so downstream code never holds the scoped one
-    s.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
   }
 
   /** Generator/UDTF family via explode: token table from the text

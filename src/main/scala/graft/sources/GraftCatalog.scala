@@ -250,7 +250,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, p))
     val v = try version.toLong catch {
-      case _: NumberFormatException => st.resolveRef(p, version)
+      case _: NumberFormatException =>
+        val resolved = st.resolveRef(p, version)
+        // tag wins in resolveRef; when the name is a BRANCH carrying
+        // staged (unpublished) writes, its pointer alone is NOT the
+        // branch state — serving it would silently drop the staged
+        // commits, so refuse with the two honest ways out
+        val isTag = st.listRefs(p).toMap.contains(s"tag.$version")
+        if (!isTag && st.branchPendingWrites(p, version) > 0)
+          throw new IllegalArgumentException(
+            s"branch '$version' of $p has staged unpublished writes; " +
+              "SQL time travel serves committed snapshots only — " +
+              "branchPublish it, or read the staged state via " +
+              "readVersionedBranch")
+        resolved
     }
     require(vs.contains(v),
       s"version $v of $p does not exist (have $vs)")

@@ -155,7 +155,20 @@ private[sources] object GraftMetaTables {
         "wap-publish"
       else if (tagged(cur, "N") != tagged(prev, "N")) "alter-column-mapping"
       else if (tagged(cur, "P") != tagged(prev, "P")) "alter-partition-spec"
-      else if (tagged(cur, "H") != tagged(prev, "H")) "add-columns"
+      else if (tagged(cur, "H") != tagged(prev, "H")) {
+        // a fresh H line re-declaring ONLY existing columns is a
+        // widening ALTER COLUMN TYPE; genuinely new names are ADD
+        // COLUMNS
+        import org.apache.spark.sql.types.{DataType, StructType}
+        def names(hs: Set[String]): Set[String] = hs.flatMap(h =>
+          DataType.fromJson(h.drop(2)).asInstanceOf[StructType]
+            .fieldNames)
+        val added = names(tagged(cur, "H") -- tagged(prev, "H"))
+        val prior = names(tagged(prev, "H"))
+        if (added.nonEmpty && added.forall(prior.contains))
+          "alter-column-type"
+        else "add-columns"
+      }
       else "alter-metadata"
   }
 
@@ -167,15 +180,27 @@ private[sources] object GraftMetaTables {
       st.manifestEntries(path, st.latestVisibleVersion(path))
     val rmap = entries.collect { case e if e.startsWith("R\t") =>
       val p = e.split('\t'); p(2) -> p(1).toLong }.toMap
+    val dataFiles = entries.filterNot(_.contains('\t'))
+    val dvFiles = entries.collect {
+      case e if e.startsWith("D\t") => e.split('\t')(2) }
+    // bytes via ONE directory listing per commit dir, not one
+    // FileStatus RPC per file — at 10⁵ files on an object store the
+    // per-file form is ~an hour of serial HEADs at plan time
+    def key(p: String): String = new Path(p).toUri.getPath
+    val sizes: Map[String, Long] =
+      (dataFiles ++ dvFiles).map(f => new Path(f).getParent)
+        .distinct.flatMap { d =>
+          try fs.listStatus(d).toSeq.collect {
+            case st if st.isFile => key(st.getPath.toString) -> st.getLen
+          } catch { case _: java.io.IOException => Seq.empty }
+        }.toMap
     def bytesOf(f: String): Any =
-      try fs.getFileStatus(new Path(f)).getLen
-      catch { case _: java.io.IOException => null }
-    val dataRows = entries.filterNot(_.contains('\t')).map { f =>
+      sizes.get(key(f)).fold(null: Any)(identity)
+    val dataRows = dataFiles.map { f =>
       InternalRow(UTF8String.fromString(f), UTF8String.fromString("data"),
         rmap.get(f).fold(null: Any)(identity), bytesOf(f))
     }
-    val dvRows = entries.collect { case e if e.startsWith("D\t") =>
-      val f = e.split('\t')(2)
+    val dvRows = dvFiles.map { f =>
       InternalRow(UTF8String.fromString(f), UTF8String.fromString("delete"),
         null, bytesOf(f))
     }

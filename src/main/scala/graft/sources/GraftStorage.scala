@@ -723,17 +723,6 @@ final case class GraftStorage(
     }
     lazy val mergedFields: Set[String] =
       partFields.iterator.flatMap(_._2.keys).toSet
-    // a column is loadable only when BOTH bounds exist somewhere —
-    // selecting a lone `c__min`'s missing mate would throw
-    lazy val allCols: Set[String] = mergedFields
-      .filter(_.endsWith("__min")).map(_.stripSuffix("__min"))
-      .filter(c => mergedFields(c + "__max"))
-    lazy val totalBytes: Long = {
-      val p = new Path(statDirs.head)
-      val fs = p.getFileSystem(hconf)
-      statDirs.iterator.map(d =>
-        fs.getContentSummary(new Path(d)).getLength).sum
-    }
     // the widest observed type per field across parts (pre- and
     // post-widen stats generations): the read requests it EXPLICITLY
     // so narrow parts promote per file, exactly like the data scan
@@ -746,19 +735,42 @@ final case class GraftStorage(
             s"${a.simpleString} vs ${b.simpleString} (not a widening " +
             "pair) — rebuild the index")
       }
+    // a column is loadable only when BOTH bounds exist somewhere —
+    // selecting a lone `c__min`'s missing mate would throw — and its
+    // part types agree up to widening: a corrupt/conflicted column
+    // degrades to keep-conservative (no pruning on IT) instead of
+    // failing every query on the table
+    lazy val allCols: Set[String] = mergedFields
+      .filter(_.endsWith("__min")).map(_.stripSuffix("__min"))
+      .filter(c => mergedFields(c + "__max"))
+      .filter(c => scala.util.Try {
+        widestOf(c + "__min"); widestOf(c + "__max") }.isSuccess)
+    lazy val totalBytes: Long = {
+      val p = new Path(statDirs.head)
+      val fs = p.getFileSystem(hconf)
+      statDirs.iterator.map(d =>
+        fs.getContentSummary(new Path(d)).getLength).sum
+    }
+    // ONE shared relation per provider (file listing amortizes across
+    // load calls — plan + AQE replans may load more than once), its
+    // schema requested EXPLICITLY at the widest observed types: no
+    // parquet mergeSchema job, and narrow parts promote per file
+    lazy val zmAll = {
+      val full = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType) +:
+        allCols.toSeq.sorted.flatMap(c => Seq(c + "__min", c + "__max"))
+          .map(f => org.apache.spark.sql.types.StructField(
+            f, widestOf(f))))
+      spark.read.schema(full).parquet(statDirs: _*)
+    }
     new ZoneSidecar(
       () => allCols,
       cols => {
         val sel = cols.toSeq.sorted.filter(allCols)
         if (sel.isEmpty) Map.empty
         else {
-          val readSchema = org.apache.spark.sql.types.StructType(
-            org.apache.spark.sql.types.StructField("file",
-              org.apache.spark.sql.types.StringType) +:
-            sel.flatMap(c => Seq(c + "__min", c + "__max"))
-              .map(f => org.apache.spark.sql.types.StructField(
-                f, widestOf(f))))
-          val zm = spark.read.schema(readSchema).parquet(statDirs: _*)
+          val zm = zmAll
           // _src recovers which sidecar PART each row came from: a
           // schema-specified read surfaces a column missing from a
           // part as null, INDISTINGUISHABLE from indexed-but-all-null
@@ -1824,6 +1836,19 @@ final case class GraftStorage(
     * published), and the branch pointer stays at its base. Returns
     * the number of discarded branch commits.
     */
+  /** Count of a branch's staged (unpublished) write deltas — 0 when
+    * the branch is a plain pointer. SQL `VERSION AS OF '<branch>'`
+    * gates on this: a pointer-only branch serves its pinned snapshot,
+    * while a branch carrying staged writes refuses (the pointer alone
+    * would silently drop them).
+    */
+  def branchPendingWrites(path: String, branch: String): Long = {
+    val logDir = branchLogDir(path, branch)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) 0L
+    else branchDeltas(fs, logDir).size.toLong
+  }
+
   def branchDiscardWrites(path: String, branch: String): Long = {
     import org.apache.hadoop.fs.Path
     requireBranchRef(path, branch): Unit
@@ -2761,16 +2786,26 @@ final case class GraftStorage(
     // listed versions, so they count) + every branch log's resolved
     // state (branch-staged data is live the moment its delta lands,
     // though no main manifest references it yet)
-    val branchLive = listRefs(path).collect {
+    // FAIL CLOSED: metadata this GC cannot read means it cannot
+    // prove anything dead — a branch log that fails to resolve
+    // aborts the sweep loudly instead of classifying the branch's
+    // staged files as orphans
+    val branchStates = listRefs(path).collect {
       case (name, _) if name.startsWith("branch.") =>
-        try entryPaths(branchEntries(path, name.stripPrefix("branch.")))
-        catch { case _: IllegalArgumentException => Seq.empty }
-    }.flatten
-    val live = (vs.flatMap(manifestAllPaths(path, _)) ++ branchLive)
-      .map(key).toSet
+        branchEntries(path, name.stripPrefix("branch."))
+    }
+    val allEntries =
+      vs.map(manifestEntries(path, _)) ++ branchStates
+    val live = allEntries.flatMap(entryPaths).map(key).toSet
+    // only S/B sidecar entries are DIRECTORIES — the prefix check
+    // scans just those (file-count × dir-count, not file² at 10⁵)
+    val liveDirs = allEntries.flatten.collect {
+      case e if e.startsWith("S\t") => key(e.split('\t')(1))
+      case e if e.startsWith("B\t") => key(e.split('\t')(1))
+    }.distinct
     val cutoff = System.currentTimeMillis() - olderThanMillis
     def liveCovers(fkey: String): Boolean =
-      live(fkey) || live.exists(l => fkey.startsWith(l + "/"))
+      live(fkey) || liveDirs.exists(d => fkey.startsWith(d + "/"))
     var removed = 0L
     // `_`/`.`-prefixed markers (_SUCCESS, .crc checksum sidecars) are
     // never manifest-referenced — skip them here; the dead-dir sweep
@@ -6014,6 +6049,34 @@ object GraftStorage {
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
       case _ => false
+    }
+  }
+
+  /** Widen a raw EXTERNAL stat/sidecar value to `dt`'s external
+    * class. After ALTER COLUMN TYPE, zone stats written pre-widen
+    * still carry the NARROW runtime box (java.lang.Integer under a
+    * now-LongType attribute) until a post-widen stats commit exists —
+    * converters and orderings built for `dt` would ClassCastException
+    * on the narrow box. Identity for nulls and non-numeric targets.
+    * Public because the `graftbridge` meta-aggregate path needs it
+    * too.
+    */
+  def widenValue(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => null
+      case (n: java.lang.Number, LongType) =>
+        java.lang.Long.valueOf(n.longValue())
+      case (n: java.lang.Number, IntegerType) =>
+        java.lang.Integer.valueOf(n.intValue())
+      case (n: java.lang.Number, ShortType) =>
+        java.lang.Short.valueOf(n.shortValue())
+      case (n: java.lang.Number, DoubleType) =>
+        java.lang.Double.valueOf(n.doubleValue())
+      case (n: java.lang.Number, FloatType) =>
+        java.lang.Float.valueOf(n.floatValue())
+      case _ => v
     }
   }
 

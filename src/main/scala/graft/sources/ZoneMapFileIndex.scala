@@ -250,7 +250,12 @@ final class ZoneMapFileIndex(
       a: AttributeReference, f: Expression, l: Literal)
       : Option[(Ordering[Any], Any, Any, Any)] =
     stats.get(a.name) match {
-      case Some((mn, mx)) if mn != null && mx != null && l.value != null =>
+      case Some((mn0, mx0)) if mn0 != null && mx0 != null &&
+          l.value != null =>
+        // pre-widen stats carry the narrow box under a widened
+        // attribute — promote before converting (else CCE)
+        val (mn, mx) = (GraftStorage.widenValue(mn0, a.dataType),
+          GraftStorage.widenValue(mx0, a.dataType))
         val conv = CatalystTypeConverters.createToCatalystConverter(a.dataType)
         def ev(v: Any): Any = f.transform {
           case ar: AttributeReference if ar.name == a.name =>
@@ -292,7 +297,11 @@ final class ZoneMapFileIndex(
   private def bounds(stats: Map[String, (Any, Any)],
       a: AttributeReference, l: Literal): Option[(Ordering[Any], Any, Any, Any)] =
     stats.get(a.name) match {
-      case Some((mn, mx)) if mn != null && mx != null && l.value != null =>
+      case Some((mn0, mx0)) if mn0 != null && mx0 != null &&
+          l.value != null =>
+        // promote pre-widen narrow boxes to the attribute's type
+        val (mn, mx) = (GraftStorage.widenValue(mn0, a.dataType),
+          GraftStorage.widenValue(mx0, a.dataType))
         val conv = CatalystTypeConverters.createToCatalystConverter(a.dataType)
         val ord = TypeUtils.getInterpretedOrdering(a.dataType)
           .asInstanceOf[Ordering[Any]]

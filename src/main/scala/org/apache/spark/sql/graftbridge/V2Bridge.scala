@@ -278,7 +278,9 @@ final class MetaAggScanBuilder(
       // reuse the SQL ordering: catalyst internal values of these
       // types are Comparable (Long/Int/...)
       val conv = CatalystTypeConverters.createToCatalystConverter(dt)
-      val vals = present.map(p => conv(if (isMin) p._1 else p._2))
+      // pre-widen stats carry the narrow box under a widened column
+      val vals = present.map(p => conv(graft.sources.GraftStorage
+        .widenValue(if (isMin) p._1 else p._2, dt)))
       val picked = vals.reduce { (a, b) =>
         val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
         if ((c <= 0) == isMin) a else b

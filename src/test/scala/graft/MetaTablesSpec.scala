@@ -73,6 +73,36 @@ class MetaTablesSpec extends AnyFunSuite {
     assert(pub.map(_.getBoolean(1)).toSeq == Seq(false, true, false))
   }
 
+  test("#history distinguishes ADD COLUMNS from a widening ALTER " +
+    "COLUMN TYPE, and branch time travel refuses staged writes") {
+    import org.apache.spark.sql.types._
+    val out = fresh("meta_history_ddl")
+    st.writeVersioned(Seq((1, "a")).toDF("k", "v"), out)
+    st.writeVersioned(Seq((2, "b")).toDF("k", "v"), out, append = true)
+    st.addColumnsVersioned(out, StructType(
+      Seq(StructField("w", DoubleType))))
+    st.widenColumnVersioned(out, "k", LongType)
+    val ops = spark.sql(
+      s"SELECT operation FROM graft.`$out#history` ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops ==
+      Seq("create", "append", "add-columns", "alter-column-type"))
+    // a pointer-only branch serves its pinned snapshot by name...
+    st.branchVersion(out, "qa", Some(0L))
+    assert(spark.sql(
+      s"SELECT COUNT(*) AS c FROM graft.`$out` VERSION AS OF 'qa'")
+      .head().getLong(0) == 1L)
+    // ...but once writes are staged on it, the pointer alone LIES —
+    // refuse with guidance instead of silently dropping them
+    st.branchAppend(Seq((9L, "z", 0.0)).toDF("k", "v", "w"), out, "qa")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$out` VERSION AS OF 'qa'")
+        .collect()
+    }
+    assert(e.getMessage.contains("staged unpublished writes"),
+      e.getMessage)
+  }
+
   test("#files: current snapshot's data files with rows/bytes, DV " +
     "files as kind=delete") {
     val out = fresh("meta_files")

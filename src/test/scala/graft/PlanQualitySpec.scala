@@ -371,10 +371,13 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("WITH RECURSIVE plans Spark's native UnionLoop, not a manual " +
       "unrolled union") {
-    val df = functions.Funcs.sqlRecursiveCte(spark, SF)
-    val logical = df.queryExecution.optimizedPlan.toString
+    // the scoped (pre-collect) plan carries the recursion; the public
+    // query re-materializes the tiny aggregate on the caller's session
+    val scoped = functions.Funcs.sqlRecursiveCteScoped(spark, SF)
+    val logical = scoped.queryExecution.optimizedPlan.toString
     assert(logical.contains("UnionLoop"), logical.take(2000))
     // closure is exact: one terminal row per customer
+    val df = functions.Funcs.sqlRecursiveCte(spark, SF)
     val total = df.agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
     assert(total == T.t(spark, SF, "customer").count())
   }

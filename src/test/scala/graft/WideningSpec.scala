@@ -127,6 +127,26 @@ class WideningSpec extends AnyFunSuite {
     assert(pruned.filter($"v" > 500L).count() == 1500)
   }
 
+  test("the all-narrow window right after a widen: zone pruning and " +
+    "the catalog metadata MIN/MAX promote narrow stats, no CCE") {
+    val out = fresh("widen_window")
+    st.writeVersioned((1 to 1000).map(i => (i, s"r$i")).toDF("v", "s")
+      .repartitionByRange(4, $"v"), out, append = false,
+      statsCols = Seq("v"))
+    st.widenColumnVersioned(out, "v", LongType)
+    // every zone stat is still the NARROW box here — the attribute
+    // is already long (this is the window WideningSpec's mixed test
+    // cannot catch: no post-widen stats commit exists yet)
+    val pruned = st.readVersionedPruned(out)
+    assert(pruned.schema("v").dataType == LongType)
+    assert(pruned.filter($"v" > 500L).count() == 500)
+    val r = spark.sql(
+      s"""SELECT MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS c
+         |FROM graft.`$out`""".stripMargin).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((1L, 1000L, 1000L)))
+  }
+
   test("merge-on-read interplay: a DV written against the int key " +
     "still deletes after the key widens to long") {
     val out = fresh("widen_mor")
