@@ -277,18 +277,29 @@ object SqlDml extends QueryModule {
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     GraftStorage(s).writeVersioned(T.t(s, dir, "orders").select(
       $"o_orderkey".cast("int").as("k"),
-      $"o_totalprice".cast("float").as("price")), out)
+      $"o_totalprice".cast("float").as("price"),
+      $"o_totalprice"
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("tot"),
+      $"o_orderdate".cast("date").as("d")), out)
     s.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN k TYPE BIGINT")
     s.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN price TYPE DOUBLE")
-    s.sql(s"INSERT INTO graft.`$out` VALUES (3000000000, 1.5)")
+    s.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN tot TYPE DECIMAL(20,2)")
+    s.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+    s.sql(s"INSERT INTO graft.`$out` VALUES (3000000000, 1.5, " +
+      "123456789012345678.50, TIMESTAMP_NTZ'2030-01-01 12:30:00')")
     // tie-free aggregates on purpose: the promoted doubles are
     // BIT-IDENTICAL across engines (IEEE float→double), but decimal
     // ROUNDING of exact .xx5 ties diverges (HALF_UP vs half-even),
     // so the oracle compares exact sums/extrema, never rounded ones
+    // (the decimal sum IS exact: scale-2 prices round-trip the
+    // double cleanly, nowhere near a .xx5 tie)
     s.sql(
       s"""SELECT COUNT(*) AS cnt, SUM(k) AS key_sum,
          |  MAX(price) AS max_price,
-         |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big
+         |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big,
+         |  CAST(SUM(tot) AS DOUBLE) AS tot_sum,
+         |  COUNT(CASE WHEN d >= TIMESTAMP_NTZ'1998-01-01 00:00:00'
+         |    THEN 1 END) AS n_late
          |FROM graft.`$out`""".stripMargin)
   }
 
@@ -893,12 +904,19 @@ object SqlDml extends QueryModule {
     "sql_alter_widen" ->
       s"""WITH v AS (
          |  SELECT CAST(o_orderkey AS BIGINT) AS k,
-         |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price
+         |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2))
+         |      AS DECIMAL(20,2)) AS tot,
+         |    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d
          |  FROM orders
-         |  UNION ALL SELECT 3000000000, 1.5)
+         |  UNION ALL SELECT 3000000000, 1.5,
+         |    123456789012345678.50, TIMESTAMP '2030-01-01 12:30:00')
          |SELECT COUNT(*) AS cnt, SUM(k) AS key_sum,
          |  MAX(price) AS max_price,
-         |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big
+         |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big,
+         |  CAST(SUM(tot) AS DOUBLE) AS tot_sum,
+         |  COUNT(CASE WHEN d >= TIMESTAMP '1998-01-01 00:00:00'
+         |    THEN 1 END) AS n_late
          |FROM v""".stripMargin,
     // #history is fully predicted: operations/file counts by
     // construction, row totals recomputed from the source table

@@ -3596,8 +3596,9 @@ final case class GraftStorage(
     require(GraftStorage.widens(f.dataType, to),
       s"ALTER COLUMN TYPE on $path: ${f.dataType.simpleString} -> " +
         s"${to.simpleString} is not a widening promotion — stored " +
-        "files are immutable and only byte/short/int -> wider int " +
-        "and float -> double re-read losslessly; anything else " +
+        "files are immutable and only byte/short/int -> wider int, " +
+        "float -> double, decimal(p,s) -> decimal(p+k,s), and " +
+        "date -> timestamp_ntz re-read losslessly; anything else " +
         "needs an explicit rewrite (SELECT-cast into a new table)")
     val n = v + 1
     val dir = new Path(path)
@@ -6033,11 +6034,13 @@ object GraftStorage {
 
   /** Is `from → to` a WIDENING type promotion — one the vectorized
     * parquet reader performs per file at scan time (Spark's
-    * IntegerToLong/FloatToDouble updaters), so immutable stored files
-    * re-read correctly under the wider requested type? The Iceberg
-    * type-promotion set: integers widen up the int ladder, float
-    * widens to double. Everything else (narrowing, re-typing,
-    * int→double) needs a rewrite and is refused.
+    * IntegerToLong/FloatToDouble/IntegerToDecimal/DateToTimestampNTZ
+    * updaters), so immutable stored files re-read correctly under the
+    * wider requested type? The full Iceberg type-promotion set:
+    * integers widen up the int ladder, float widens to double,
+    * decimal precision grows at fixed scale, date lifts to
+    * timestamp_ntz. Everything else (narrowing, re-typing,
+    * int→double, scale changes) needs a rewrite and is refused.
     */
   private[sources] def widens(
       from: org.apache.spark.sql.types.DataType,
@@ -6048,6 +6051,12 @@ object GraftStorage {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // decimal PRECISION growth at the same scale (every stored
+      // value representable; the reader re-scales per file)
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      // a date is midnight of itself in the wall-clock domain
+      case (DateType, TimestampNTZType) => true
       case _ => false
     }
   }
@@ -6076,6 +6085,13 @@ object GraftStorage {
         java.lang.Double.valueOf(n.doubleValue())
       case (n: java.lang.Number, FloatType) =>
         java.lang.Float.valueOf(n.floatValue())
+      // BigDecimal is precision-free externally — identity suffices
+      // for decimal widening; dates lift to their midnight for a
+      // DATE → TIMESTAMP_NTZ widen
+      case (d: java.sql.Date, TimestampNTZType) =>
+        d.toLocalDate.atStartOfDay()
+      case (d: java.time.LocalDate, TimestampNTZType) =>
+        d.atStartOfDay()
       case _ => v
     }
   }

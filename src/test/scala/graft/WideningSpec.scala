@@ -77,6 +77,62 @@ class WideningSpec extends AnyFunSuite {
       s"WHERE v > ${Int.MaxValue}").head().getLong(0) == 1L)
   }
 
+  test("decimal precision widening: decimal(12,2) files read under " +
+    "decimal(20,2), big-precision appends land, scale change refuses") {
+    val out = fresh("widen_decimal")
+    st.writeVersioned(Seq((1L, BigDecimal("12345678.25")),
+      (2L, BigDecimal("99.75"))).toDF("k", "amt")
+      .select($"k", $"amt".cast(DecimalType(12, 2)).as("amt")), out)
+    st.widenColumnVersioned(out, "amt", DecimalType(20, 2))
+    val r = st.readVersioned(out)
+    assert(r.schema("amt").dataType == DecimalType(20, 2))
+    assert(r.select(sum($"amt")).head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("12345778.00")) == 0)
+    // a value only the wide precision holds
+    st.writeVersioned(Seq((3L, BigDecimal("123456789012345678.50")))
+      .toDF("k", "amt")
+      .select($"k", $"amt".cast(DecimalType(20, 2)).as("amt")), out,
+      append = true)
+    assert(st.readVersioned(out).count() == 3)
+    assert(st.readVersioned(out).select(max($"amt")).head()
+      .getDecimal(0).compareTo(
+        new java.math.BigDecimal("123456789012345678.50")) == 0)
+    // time travel keeps the narrow precision
+    assert(st.readVersioned(out, Some(0L)).schema("amt").dataType ==
+      DecimalType(12, 2))
+    // scale change is NOT a widening
+    val e = intercept[IllegalArgumentException] {
+      st.widenColumnVersioned(out, "amt", DecimalType(22, 4))
+    }
+    assert(e.getMessage.contains("not a widening promotion"))
+  }
+
+  test("date -> timestamp_ntz widening: stored dates read as their " +
+    "midnights, zone stats promote, true timestamps append") {
+    val out = fresh("widen_date_ts")
+    st.writeVersioned(
+      Seq((1L, java.sql.Date.valueOf("2024-03-01")),
+        (2L, java.sql.Date.valueOf("2024-03-15"))).toDF("k", "d"),
+      out, append = false, statsCols = Seq("d"))
+    st.widenColumnVersioned(out, "d", TimestampNTZType)
+    val r = st.readVersioned(out).orderBy($"k")
+    assert(r.schema("d").dataType == TimestampNTZType)
+    assert(r.collect().map(_.getAs[java.time.LocalDateTime](1)).toSeq ==
+      Seq(java.time.LocalDateTime.of(2024, 3, 1, 0, 0),
+        java.time.LocalDateTime.of(2024, 3, 15, 0, 0)))
+    st.writeVersioned(Seq(
+      (3L, java.time.LocalDateTime.of(2024, 3, 20, 12, 30)))
+      .toDF("k", "d"), out, append = true, statsCols = Seq("d"))
+    // pruned read across the date-stats + timestamp-stats generations
+    // (exercises the widenValue DATE->LocalDateTime promotion)
+    val pruned = st.readVersionedPruned(out)
+    assert(pruned.filter(
+      $"d" > lit(java.time.LocalDateTime.of(2024, 3, 10, 0, 0)))
+      .count() == 2)
+    assert(st.readVersioned(out, Some(0L)).schema("d").dataType ==
+      DateType)
+  }
+
   test("refusals: narrowing, re-typing, unknown column, partition " +
     "key — all loud, nothing committed") {
     val out = fresh("widen_refuse")
