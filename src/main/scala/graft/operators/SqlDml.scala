@@ -287,17 +287,17 @@ object SqlDml extends QueryModule {
     s.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN d TYPE TIMESTAMP_NTZ")
     s.sql(s"INSERT INTO graft.`$out` VALUES (3000000000, 1.5, " +
       "123456789012345678.50, TIMESTAMP_NTZ'2030-01-01 12:30:00')")
-    // tie-free aggregates on purpose: the promoted doubles are
-    // BIT-IDENTICAL across engines (IEEE float→double), but decimal
-    // ROUNDING of exact .xx5 ties diverges (HALF_UP vs half-even),
-    // so the oracle compares exact sums/extrema, never rounded ones
-    // (the decimal sum IS exact: scale-2 prices round-trip the
-    // double cleanly, nowhere near a .xx5 tie)
+    // tie-free, conversion-free aggregates on purpose: the promoted
+    // doubles are BIT-IDENTICAL across engines (IEEE float→double),
+    // but decimal ROUNDING of .xx5 ties diverges (HALF_UP vs
+    // half-even) and decimal→double conversion itself diverges by a
+    // ulp past 2^53 (DuckDB's int128 path is not correctly rounded),
+    // so the decimal sum stays EXACT DECIMAL end to end
     s.sql(
       s"""SELECT COUNT(*) AS cnt, SUM(k) AS key_sum,
          |  MAX(price) AS max_price,
          |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big,
-         |  CAST(SUM(tot) AS DOUBLE) AS tot_sum,
+         |  CAST(SUM(tot) AS DECIMAL(38,2)) AS tot_sum,
          |  COUNT(CASE WHEN d >= TIMESTAMP_NTZ'1998-01-01 00:00:00'
          |    THEN 1 END) AS n_late
          |FROM graft.`$out`""".stripMargin)
@@ -914,7 +914,7 @@ object SqlDml extends QueryModule {
          |SELECT COUNT(*) AS cnt, SUM(k) AS key_sum,
          |  MAX(price) AS max_price,
          |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big,
-         |  CAST(SUM(tot) AS DOUBLE) AS tot_sum,
+         |  CAST(SUM(tot) AS DECIMAL(38,2)) AS tot_sum,
          |  COUNT(CASE WHEN d >= TIMESTAMP '1998-01-01 00:00:00'
          |    THEN 1 END) AS n_late
          |FROM v""".stripMargin,

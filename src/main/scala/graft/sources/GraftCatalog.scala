@@ -251,12 +251,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         Seq(catalogName, p))
     val v = try version.toLong catch {
       case _: NumberFormatException =>
-        val resolved = st.resolveRef(p, version)
-        // tag wins in resolveRef; when the name is a BRANCH carrying
-        // staged (unpublished) writes, its pointer alone is NOT the
-        // branch state — serving it would silently drop the staged
-        // commits, so refuse with the two honest ways out
-        val isTag = st.listRefs(p).toMap.contains(s"tag.$version")
+        // ONE ref listing serves both the resolve and the tag/branch
+        // discrimination (resolveRef would re-list; refs are per-file
+        // reads, a real cost on object stores). resolveRef's name
+        // validation still runs first via branchPendingWrites' path
+        // construction being gated below on a LISTED name only.
+        val refs = st.listRefs(p).toMap
+        val resolved = refs.getOrElse(s"tag.$version",
+          refs.getOrElse(s"branch.$version",
+            throw new IllegalArgumentException(
+              s"no tag or branch named '$version' under $p " +
+                s"(have: ${refs.keys.toSeq.sorted.mkString(", ")})")))
+        // tag wins (resolveRef's order); when the name is a BRANCH
+        // carrying staged (unpublished) writes, its pointer alone is
+        // NOT the branch state — serving it would silently drop the
+        // staged commits, so refuse with the two honest ways out
+        val isTag = refs.contains(s"tag.$version")
         if (!isTag && st.branchPendingWrites(p, version) > 0)
           throw new IllegalArgumentException(
             s"branch '$version' of $p has staged unpublished writes; " +

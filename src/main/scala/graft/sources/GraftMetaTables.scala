@@ -158,11 +158,13 @@ private[sources] object GraftMetaTables {
       else if (tagged(cur, "H") != tagged(prev, "H")) {
         // a fresh H line re-declaring ONLY existing columns is a
         // widening ALTER COLUMN TYPE; genuinely new names are ADD
-        // COLUMNS
+        // COLUMNS. An unparseable H payload degrades the LABEL, not
+        // the read-only inspection surface.
         import org.apache.spark.sql.types.{DataType, StructType}
         def names(hs: Set[String]): Set[String] = hs.flatMap(h =>
-          DataType.fromJson(h.drop(2)).asInstanceOf[StructType]
-            .fieldNames)
+          scala.util.Try(DataType.fromJson(h.drop(2))
+            .asInstanceOf[StructType].fieldNames.toSeq)
+            .getOrElse(Seq.empty))
         val added = names(tagged(cur, "H") -- tagged(prev, "H"))
         val prior = names(tagged(prev, "H"))
         if (added.nonEmpty && added.forall(prior.contains))

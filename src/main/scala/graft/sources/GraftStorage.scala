@@ -6075,16 +6075,22 @@ object GraftStorage {
     import org.apache.spark.sql.types._
     (v, dt) match {
       case (null, _) => null
-      case (n: java.lang.Number, LongType) =>
-        java.lang.Long.valueOf(n.longValue())
-      case (n: java.lang.Number, IntegerType) =>
-        java.lang.Integer.valueOf(n.intValue())
-      case (n: java.lang.Number, ShortType) =>
-        java.lang.Short.valueOf(n.shortValue())
-      case (n: java.lang.Number, DoubleType) =>
-        java.lang.Double.valueOf(n.doubleValue())
-      case (n: java.lang.Number, FloatType) =>
-        java.lang.Float.valueOf(n.floatValue())
+      // WIDENING arms only (source box strictly narrower-or-equal) —
+      // a WIDE box under a narrow attribute is index corruption, and
+      // silently truncating it would turn that into wrong pruning;
+      // unmatched values fall through for the downstream converter
+      // to refuse loudly
+      case (n @ (_: java.lang.Byte | _: java.lang.Short |
+          _: java.lang.Integer | _: java.lang.Long), LongType) =>
+        java.lang.Long.valueOf(n.asInstanceOf[Number].longValue())
+      case (n @ (_: java.lang.Byte | _: java.lang.Short |
+          _: java.lang.Integer), IntegerType) =>
+        java.lang.Integer.valueOf(n.asInstanceOf[Number].intValue())
+      case (n @ (_: java.lang.Byte | _: java.lang.Short), ShortType) =>
+        java.lang.Short.valueOf(n.asInstanceOf[Number].shortValue())
+      case (n @ (_: java.lang.Float | _: java.lang.Double),
+          DoubleType) =>
+        java.lang.Double.valueOf(n.asInstanceOf[Number].doubleValue())
       // BigDecimal is precision-free externally — identity suffices
       // for decimal widening; dates lift to their midnight for a
       // DATE → TIMESTAMP_NTZ widen
