@@ -303,6 +303,39 @@ object SqlDml extends QueryModule {
          |FROM graft.`$out`""".stripMargin)
   }
 
+  /** ADD COLUMN with DEFAULT (Iceberg v3 initial-default / Spark
+    * EXISTS_DEFAULT): a METADATA-ONLY commit after which every
+    * pre-ADD stored row reads the default — zero rewrite at any
+    * table size, the vectorized reader fills the absent column per
+    * file. Post-ADD inserts exercise all three shapes: explicit
+    * values, the DEFAULT keyword (CURRENT_DEFAULT through the V2
+    * catalog), and an explicit NULL (stored null stays null — the
+    * default keys off column ABSENCE, not nullness).
+    */
+  def sqlAlterAddDefault(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftCatalog.register(s)
+    val out = T.scratch(dir, "sql_alter_add_default")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    GraftStorage(s).writeVersioned(T.t(s, dir, "orders")
+      .filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("status")),
+      out)
+    s.sql(s"ALTER TABLE graft.`$out` ADD COLUMN priority INT DEFAULT 7")
+    s.sql(
+      s"ALTER TABLE graft.`$out` ADD COLUMN label STRING DEFAULT 'std'")
+    s.sql(s"INSERT INTO graft.`$out` VALUES " +
+      "(9000000001, 'Z', 3, 'hot'), " +
+      "(9000000002, 'Z', DEFAULT, DEFAULT), " +
+      "(9000000003, 'Z', NULL, 'none')")
+    s.sql(
+      s"""SELECT label, COUNT(*) AS cnt, SUM(priority) AS pri_sum,
+         |  COUNT(CASE WHEN priority IS NULL THEN 1 END) AS n_null
+         |FROM graft.`$out` GROUP BY label ORDER BY label""".stripMargin)
+  }
+
   /** Metadata table `#history` ([[graft.sources.GraftMetaTables]]):
     * the commit log as a queryable SQL table — one row per version
     * with the inferred operation, file count, and snapshot row total,
@@ -455,10 +488,16 @@ object SqlDml extends QueryModule {
     s.sql(s"CALL graft.optimize_zorder('$out', 'o_orderkey')")
     s.sql(s"CALL graft.restore('$out', 0)")
     // orphan GC on a healthy table is a provable no-op: every file is
-    // manifest-referenced, so liveness (not age) protects it all
-    val orphanSweep = s.sql(
-      s"CALL graft.remove_orphans('$out', older_than_hours => 0)")
-      .head().getLong(0)
+    // manifest-referenced, so liveness (not age) protects it all.
+    // hours=0 needs the explicit safety-floor opt-in (the default
+    // floor exists so a live deployment can't sweep a concurrent
+    // writer's staged files) — exactly the test-rig case it is for
+    s.conf.set("spark.graft.removeOrphans.minAgeMillis", "0")
+    val orphanSweep =
+      try s.sql(
+        s"CALL graft.remove_orphans('$out', older_than_hours => 0)")
+        .head().getLong(0)
+      finally s.conf.unset("spark.graft.removeOrphans.minAgeMillis")
     val st = GraftStorage(s)
     statusAgg(s, out)
       .withColumn("n_versions", lit(st.listVersions(out).size.toLong))
@@ -794,6 +833,7 @@ object SqlDml extends QueryModule {
     "sql_merge_mor" -> (sqlMergeMor(_, _)),
     "sql_apply_deletes" -> (sqlApplyDeletes(_, _)),
     "sql_alter_widen" -> (sqlAlterWiden(_, _)),
+    "sql_alter_add_default" -> (sqlAlterAddDefault(_, _)),
     "sql_meta_history" -> (sqlMetaHistory(_, _)),
     "sql_meta_files" -> (sqlMetaFiles(_, _)),
     "sql_meta_refs" -> (sqlMetaRefs(_, _)),
@@ -918,6 +958,19 @@ object SqlDml extends QueryModule {
          |  COUNT(CASE WHEN d >= TIMESTAMP '1998-01-01 00:00:00'
          |    THEN 1 END) AS n_late
          |FROM v""".stripMargin,
+    // initial-default: pre-ADD rows read the defaults; the three
+    // post-ADD inserts exercise explicit / DEFAULT-keyword / NULL
+    "sql_alter_add_default" ->
+      """WITH rows AS (
+        |  SELECT o_orderkey AS k, 7 AS priority, 'std' AS label
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL SELECT 9000000001, 3, 'hot'
+        |  UNION ALL SELECT 9000000002, 7, 'std'
+        |  UNION ALL SELECT 9000000003, NULL, 'none')
+        |SELECT label, COUNT(*) AS cnt,
+        |  CAST(SUM(priority) AS BIGINT) AS pri_sum,
+        |  COUNT(CASE WHEN priority IS NULL THEN 1 END) AS n_null
+        |FROM rows GROUP BY label ORDER BY label""".stripMargin,
     // #history is fully predicted: operations/file counts by
     // construction, row totals recomputed from the source table
     "sql_meta_history" ->

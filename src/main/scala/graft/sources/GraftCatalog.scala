@@ -222,10 +222,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = pathOf(ident)
     // `#history`/`#files`/`#refs`/`#properties` suffixes address the
     // table's METADATA tables (GraftMetaTables) — only the known
-    // kinds dispatch, so a data path containing '#' still resolves
+    // kinds dispatch, so a data path containing '#' still resolves.
+    // An EXACT-path data table always wins: '#' is legal in a
+    // filesystem name, so a real table literally named `t#files`
+    // must stay addressable even when a sibling table `t` exists
     GraftMetaTables.split(p) match {
       case Some((base, kind))
-          if GraftStorage(spark).listVersions(base).nonEmpty =>
+          if GraftStorage(spark).listVersions(p).isEmpty &&
+            GraftStorage(spark).listVersions(base).nonEmpty =>
         return new GraftMetadataTable(base, kind)
       case _ => ()
     }
@@ -373,6 +377,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * type changes/renames would invalidate immutable files, and
     * properties have a dedicated surface (addCheckConstraint).
     */
+  /** DEFAULT-valued columns are accepted (ADD COLUMN ... DEFAULT —
+    * Spark gates the DDL on this capability declaration).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val p = pathOf(ident)
@@ -382,8 +392,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.fieldNames.length == 1,
           "graft ADD COLUMNS supports top-level columns only; got " +
             a.fieldNames.mkString("."))
-        org.apache.spark.sql.types.StructField(
+        val f = org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, a.isNullable)
+        // `ADD COLUMN d INT DEFAULT 5`: the default rides the field
+        // as Spark's standard CURRENT_DEFAULT/EXISTS_DEFAULT metadata
+        // pair — addColumnsVersioned validates + constant-folds the
+        // existence value (Iceberg v3's initial-default semantics)
+        Option(a.defaultValue()) match {
+          case None => f
+          case Some(dv) =>
+            val sql = Option(dv.getSql).getOrElse(
+              throw new IllegalArgumentException(
+                "graft ADD COLUMN ... DEFAULT requires a " +
+                  "SQL-expressible default"))
+            f.copy(metadata = new org.apache.spark.sql.types
+              .MetadataBuilder()
+              .putString("CURRENT_DEFAULT", sql)
+              .putString("EXISTS_DEFAULT", sql).build())
+        }
     }
     val sets = changes.collect {
       case sp: TableChange.SetProperty => sp }

@@ -85,6 +85,23 @@ private[sources] object GraftMetaTables {
         s"(have: ${Kinds.toSeq.sorted.mkString(", ")})")
   }
 
+  /** Driver-row ceiling for the LocalScan materialization: metadata
+    * tables are manifest-sized by DESIGN (10⁴–10⁵ entries), but a
+    * 10⁷-file table's `#files` would be a driver-memory incident —
+    * refuse past the gate with guidance instead of OOMing the driver
+    * mid-plan. `spark.graft.meta.maxLocalRows` raises it knowingly.
+    */
+  private def requireLocalSized(spark: SparkSession, what: String,
+      n: Long): Unit = {
+    val max = spark.conf.getOption("spark.graft.meta.maxLocalRows")
+      .map(_.toLong).getOrElse(2000000L)
+    if (n > max) throw new IllegalStateException(
+      s"$what would materialize $n driver-local rows, over the " +
+        s"spark.graft.meta.maxLocalRows ceiling of $max — raise the " +
+        "ceiling knowingly (driver memory), or reduce the entry " +
+        "count first (compact for #files, vacuum for #history)")
+  }
+
   def rows(spark: SparkSession, path: String,
       kind: String): Array[InternalRow] = {
     val st = GraftStorage(spark)
@@ -105,74 +122,195 @@ private[sources] object GraftMetaTables {
     }
   }
 
-  private def historyRows(spark: SparkSession, st: GraftStorage,
-      path: String): Array[InternalRow] = {
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var prev: Option[Seq[String]] = None
-    st.listVersions(path).map { v =>
-      val cur = st.manifestEntries(path, v)
-      val data = cur.filterNot(_.contains('\t'))
-      val dvs = cur.count(_.startsWith("D\t"))
-      val rmap = cur.collect { case e if e.startsWith("R\t") =>
-        val p = e.split('\t'); p(2) -> p(1).toLong }.toMap
-      val rowCount: Any =
-        if (data.forall(rmap.contains)) data.map(rmap).sum else null
-      val committedAt: Any =
-        try fs.getFileStatus(
-          new Path(new Path(path), s"_manifest/v$v")).getModificationTime *
-          1000L
-        catch { case _: java.io.IOException => null }
-      val op = st.commitOpOf(path, v).getOrElse(classify(prev, cur))
-      prev = Some(cur)
-      InternalRow(v, committedAt, UTF8String.fromString(op),
-        data.size.toLong, dvs.toLong, rowCount,
-        cur.exists(_.startsWith("W\t")))
-    }.toArray
+  /** Running snapshot view for the O(delta) history walk: the
+    * resolved version's data files, DV count, per-file row tallies,
+    * and W/N/P/H tag-line sets — advanced incrementally by each
+    * version's RAW delta lines, rebuilt from the fully resolved list
+    * only at checkpoints, vacuum gaps, and claims the incremental
+    * form cannot apply exactly.
+    */
+  private final class HistState {
+    val dataSet = scala.collection.mutable.HashSet[String]()
+    val rByFile = scala.collection.mutable.HashMap[String, Long]()
+    var dvCount = 0L
+    var rMatched = 0L   // data files with an R entry
+    var rSumLive = 0L   // sum of R rows over files in dataSet
+    val wSet = scala.collection.mutable.HashSet[String]()
+    val nSet = scala.collection.mutable.HashSet[String]()
+    val pSet = scala.collection.mutable.HashSet[String]()
+    val hSet = scala.collection.mutable.LinkedHashSet[String]()
+
+    def rebuild(entries: Seq[String]): Unit = {
+      dataSet.clear(); rByFile.clear(); wSet.clear(); nSet.clear()
+      pSet.clear(); hSet.clear()
+      dvCount = 0L; rMatched = 0L; rSumLive = 0L
+      entries.foreach(addLine)
+    }
+
+    /** Apply one fresh manifest line (delta addition / checkpoint
+      * line). Resolved lists may repeat identical metadata lines
+      * across a delta chain — sets dedup them like the old
+      * full-list classifier's `.toSet` did.
+      */
+    def addLine(l: String): Unit =
+      if (!l.contains('\t')) {
+        if (dataSet.add(l)) rByFile.get(l).foreach { r =>
+          rMatched += 1; rSumLive += r
+        }
+      } else if (l.startsWith("R\t")) {
+        val p = l.split('\t')
+        val (rows, file) = (p(1).toLong, p(2))
+        val had = rByFile.put(file, rows)
+        if (dataSet.contains(file)) had match {
+          case Some(old) => rSumLive += rows - old
+          case None => rMatched += 1; rSumLive += rows
+        }
+      } else if (l.startsWith("D\t")) dvCount += 1
+      else if (l.startsWith("W\t")) { wSet += l; () }
+      else if (l.startsWith("N\t")) { nSet += l; () }
+      else if (l.startsWith("P\t")) { pSet += l; () }
+      else if (l.startsWith("H\t")) { hSet += l; () }
+
+    def rowCount: Any =
+      if (rMatched == dataSet.size) rSumLive else null
   }
 
-  /** Infer a commit's operation from the manifest diff when no
-    * maintenance op tag was recorded. Order matters: data-moving
-    * classes win over metadata-only ones.
+  private def historyRows(spark: SparkSession, st: GraftStorage,
+      path: String): Array[InternalRow] =
+    // committed_at for EVERY version from ONE `_manifest/` listing,
+    // which ALSO pre-resolves the per-version cache-validation
+    // lookups — the per-version getFileStatus form is 10⁴ serial
+    // HEADs at plan time on an object store with 10⁴ retained
+    // commits (the same per-file-RPC trap the #files bytes column
+    // avoids below). The walk itself runs at DELTA rate: each delta
+    // commit advances a running state by its raw lines; only
+    // checkpoints, vacuum gaps, and inexact removal claims pay a
+    // full resolve — the naive per-version full-list diff is
+    // O(commits × files), a measured 90 s at 10⁴ commits × 10⁴
+    // files (MetaScale), where this walk stays manifest-rate.
+    st.withManifestListing(path) { listing =>
+      val versions = st.listVersions(path)
+      requireLocalSized(spark, s"graft.`$path#history`", versions.size)
+      val state = new HistState
+      var prevV = -1L
+      versions.map { v =>
+        var addedData = false
+        var removedData = false
+        var dvAdded = false
+        var wapAdded = false
+        val prevWNonEmpty = state.wSet.nonEmpty
+        val prevN = Set.empty[String] ++ state.nSet
+        val prevP = Set.empty[String] ++ state.pSet
+        val prevH = Set.empty[String] ++ state.hSet
+        val raw =
+          if (v == prevV + 1) st.rawManifestLines(path, v)
+          else Seq.empty
+        val deltaShaped = raw.headOption
+          .exists(_.startsWith(s"G\tdelta\t$prevV\t"))
+        // claims the incremental state applies EXACTLY: whole-kind
+        // or prefix claims on tracked metadata kinds, claims on
+        // untracked kinds (T/O/S/B). Bare-path (data), R, and
+        // narrow D claims fall back to the full resolve.
+        val exact = deltaShaped && raw.drop(1).forall { l =>
+          !l.startsWith("X\t") || {
+            val c = l.drop(2)
+            c == "D\t" || c.startsWith("W\t") || c.startsWith("N\t") ||
+              c.startsWith("P\t") || c.startsWith("H\t") ||
+              c.startsWith("T\t") || c.startsWith("O\t") ||
+              c.startsWith("S\t") || c.startsWith("B\t")
+          }
+        }
+        if (exact) {
+          raw.drop(1).foreach { l =>
+            if (l.startsWith("X\t")) {
+              val c = l.drop(2)
+              if (c == "D\t") state.dvCount = 0L
+              else if (c.startsWith("W\t"))
+                state.wSet.filterInPlace(!_.startsWith(c)): Unit
+              else if (c.startsWith("N\t"))
+                state.nSet.filterInPlace(!_.startsWith(c)): Unit
+              else if (c.startsWith("P\t"))
+                state.pSet.filterInPlace(!_.startsWith(c)): Unit
+              else if (c.startsWith("H\t"))
+                state.hSet.filterInPlace(!_.startsWith(c)): Unit
+            } else {
+              if (!l.contains('\t')) {
+                if (!state.dataSet.contains(l)) addedData = true
+              } else if (l.startsWith("D\t")) dvAdded = true
+              else if (l.startsWith("W\t") && !state.wSet.contains(l))
+                wapAdded = true
+              state.addLine(l)
+            }
+          }
+        } else {
+          // checkpoint / vacuum gap / inexact claim: one full
+          // resolve, change booleans by diff against the carried
+          // state (D lines are per-file unique, so count growth
+          // witnesses fresh DVs exactly as the old set diff did)
+          val cur = st.manifestEntries(path, v)
+          val curData = scala.collection.mutable.HashSet[String]()
+          cur.foreach(l => if (!l.contains('\t')) curData += l)
+          addedData = prevV >= 0 && curData.exists(!state.dataSet(_))
+          removedData = prevV >= 0 && state.dataSet.exists(!curData(_))
+          val curD = cur.filter(_.startsWith("D\t")).toSet
+          dvAdded = prevV >= 0 && curD.size > state.dvCount
+          val curW = cur.filter(_.startsWith("W\t")).toSet
+          wapAdded = prevV >= 0 && curW.exists(!state.wSet(_))
+          state.rebuild(cur)
+        }
+        val committedAt: Any = listing.get(s"v$v")
+          .map(_.getModificationTime * 1000L).getOrElse(null)
+        val op =
+          (if (listing.contains(s"v$v.op")) st.commitOpOf(path, v)
+           else None).getOrElse {
+            if (prevV < 0 && v == versions.head) "create"
+            else classifyBools(addedData, removedData, dvAdded,
+              wapAdded, prevWNonEmpty, state.wSet.isEmpty,
+              prevN != state.nSet, prevP != state.pSet,
+              (state.hSet.toSet -- prevH).toSeq, prevH)
+          }
+        prevV = v
+        InternalRow(v, committedAt, UTF8String.fromString(op),
+          state.dataSet.size.toLong, state.dvCount, state.rowCount,
+          state.wSet.nonEmpty)
+      }.toArray
+    }
+
+  /** Infer a commit's operation from its change booleans (computed
+    * at delta rate, or by set diff at checkpoints). Order matters:
+    * data-moving classes win over metadata-only ones — the same
+    * decision ladder the original full-list classifier used.
     */
-  private def classify(prevOpt: Option[Seq[String]],
-      cur: Seq[String]): String = prevOpt match {
-    case None => "create"
-    case Some(prev) =>
-      def data(e: Seq[String]) = e.filterNot(_.contains('\t')).toSet
-      def tagged(e: Seq[String], k: String) =
-        e.filter(_.startsWith(k + "\t")).toSet
-      val added = (data(cur) -- data(prev)).nonEmpty
-      val removed = (data(prev) -- data(cur)).nonEmpty
-      val dvAdded = (tagged(cur, "D") -- tagged(prev, "D")).nonEmpty
-      if ((tagged(cur, "W") -- tagged(prev, "W")).nonEmpty) "wap-stage"
-      else if (removed && added) "overwrite"
-      else if (removed) "delete"
-      else if (dvAdded && added) "merge-on-read-upsert"
-      else if (dvAdded) "merge-on-read-delete"
-      else if (added) "append"
-      else if (tagged(prev, "W").nonEmpty && tagged(cur, "W").isEmpty)
-        "wap-publish"
-      else if (tagged(cur, "N") != tagged(prev, "N")) "alter-column-mapping"
-      else if (tagged(cur, "P") != tagged(prev, "P")) "alter-partition-spec"
-      else if (tagged(cur, "H") != tagged(prev, "H")) {
-        // a fresh H line re-declaring ONLY existing columns is a
-        // widening ALTER COLUMN TYPE; genuinely new names are ADD
-        // COLUMNS. An unparseable H payload degrades the LABEL, not
-        // the read-only inspection surface.
-        import org.apache.spark.sql.types.{DataType, StructType}
-        def names(hs: Set[String]): Set[String] = hs.flatMap(h =>
-          scala.util.Try(DataType.fromJson(h.drop(2))
-            .asInstanceOf[StructType].fieldNames.toSeq)
-            .getOrElse(Seq.empty))
-        val added = names(tagged(cur, "H") -- tagged(prev, "H"))
-        val prior = names(tagged(prev, "H"))
-        if (added.nonEmpty && added.forall(prior.contains))
-          "alter-column-type"
-        else "add-columns"
-      }
-      else "alter-metadata"
-  }
+  private def classifyBools(added: Boolean, removed: Boolean,
+      dvAdded: Boolean, wapAdded: Boolean, prevWNonEmpty: Boolean,
+      curWEmpty: Boolean, nChanged: Boolean, pChanged: Boolean,
+      hAddedLines: Seq[String], hPrev: Set[String]): String =
+    if (wapAdded) "wap-stage"
+    else if (removed && added) "overwrite"
+    else if (removed) "delete"
+    else if (dvAdded && added) "merge-on-read-upsert"
+    else if (dvAdded) "merge-on-read-delete"
+    else if (added) "append"
+    else if (prevWNonEmpty && curWEmpty) "wap-publish"
+    else if (nChanged) "alter-column-mapping"
+    else if (pChanged) "alter-partition-spec"
+    else if (hAddedLines.nonEmpty) {
+      // a fresh H line re-declaring ONLY existing columns is a
+      // widening ALTER COLUMN TYPE; genuinely new names are ADD
+      // COLUMNS. An unparseable H payload degrades the LABEL, not
+      // the read-only inspection surface.
+      import org.apache.spark.sql.types.{DataType, StructType}
+      def names(hs: Iterable[String]): Set[String] = hs.flatMap(h =>
+        scala.util.Try(DataType.fromJson(h.drop(2))
+          .asInstanceOf[StructType].fieldNames.toSeq)
+          .getOrElse(Seq.empty)).toSet
+      val addedNames = names(hAddedLines)
+      val prior = names(hPrev)
+      if (addedNames.nonEmpty && addedNames.forall(prior.contains))
+        "alter-column-type"
+      else "add-columns"
+    }
+    else "alter-metadata"
 
   private def fileRows(spark: SparkSession, st: GraftStorage,
       path: String): Array[InternalRow] = {
@@ -185,6 +323,8 @@ private[sources] object GraftMetaTables {
     val dataFiles = entries.filterNot(_.contains('\t'))
     val dvFiles = entries.collect {
       case e if e.startsWith("D\t") => e.split('\t')(2) }
+    requireLocalSized(spark, s"graft.`$path#files`",
+      dataFiles.size.toLong + dvFiles.size)
     // bytes via ONE directory listing per commit dir, not one
     // FileStatus RPC per file — at 10⁵ files on an object store the
     // per-file form is ~an hour of serial HEADs at plan time

@@ -293,63 +293,33 @@ private[sources] final class GraftMorDeltaBatchWrite(
     // conflicts (interleaved DML/compaction, or an append re-using a
     // deleted key) still abort loudly — the Delta/Iceberg
     // serializable-isolation validation for row-level commits.
+    // NO cleanup handle rides the publish: a lost put-if-absent race
+    // must leave the staged files intact for the rebase retry —
+    // passing commitDir there would delete the data the retried
+    // manifest lines reference (cleanup happens on terminal failure
+    // only). Validation is the shared row-level disjointness check
+    // ([[GraftStorage.validateDisjointRebase]] — the DV delete hooks
+    // run the identical one).
     var attempt = 0
     while (true) {
       val head = store.listVersions(op.path).last
       if (head != op.version)
-        validateRebase(s, store, fs, head, keys.size)
+        try store.validateDisjointRebase(op.path, op.version, head,
+          if (keys.isEmpty) None
+          else Some(op.key -> dvLines.map(_.split('\t')(2))),
+          "this row-level command")
+        catch { case e: Throwable => fs.delete(commitDir, true); throw e }
       try {
         store.publishManifestDelta(fs, new Path(op.path), head + 1,
-          removals, additions, Some(commitDir))
+          removals, additions, None)
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
           if (attempt > 5) { fs.delete(commitDir, true); throw e }
+        case scala.util.control.NonFatal(e) =>
+          fs.delete(commitDir, true); throw e
       }
-    }
-  }
-
-  /** Serializable-isolation validation for a rebase onto `head`:
-    * every commit in `(op.version, head]` must be PURE APPEND (no
-    * removed files — a rewrite may have rewritten our victims; no DV
-    * drift — a concurrent delete may overlap), and no appended file
-    * may hold a key this command deletes (our D lines would
-    * incorrectly delete the fresh row). O(interleaved appends) work:
-    * one key-column-only scan of the appended files semi-checked
-    * against the broadcast-sized DV.
-    */
-  private def validateRebase(s: SparkSession, store: GraftStorage,
-      fs: org.apache.hadoop.fs.FileSystem, head: Long,
-      deletedKeyCount: Int): Unit = {
-    def conflict(what: String): Nothing = {
-      fs.delete(commitDir, true)
-      throw new java.util.ConcurrentModificationException(
-        s"commit conflict: ${op.path} advanced past version " +
-          s"${op.version} while this row-level command ran, and the " +
-          s"interleaved commits are not disjoint appends ($what) — " +
-          "re-run the command")
-    }
-    val (fBase, dBase) = store.manifestFilesDvs(op.path, op.version)
-    val (fHead, dHead) = store.manifestFilesDvs(op.path, head)
-    if (dHead != dBase) conflict("deletion vectors drifted")
-    if (fHead.take(fBase.size) != fBase)
-      conflict("files were removed or reordered")
-    // fresh rows were key-rolled under the pinned version's layout
-    if (store.partitionSpec(op.path, head) != op.partCols)
-      conflict("the partition spec changed")
-    val appended = fHead.drop(fBase.size).map(_._1)
-    if (appended.nonEmpty && deletedKeyCount > 0) {
-      val keyField = rowIdSchema.head
-      val dvDf = s.read.parquet(
-        new Path(commitDir, "_dv").toString)
-      val overlap = s.read
-        .schema(StructType(Seq(StructField(op.key, keyField.dataType))))
-        .parquet(appended: _*)
-        .join(dvDf, Seq(op.key), "left_semi")
-      if (!overlap.isEmpty)
-        conflict("a concurrent append added rows whose keys this " +
-          "command deletes")
     }
   }
 

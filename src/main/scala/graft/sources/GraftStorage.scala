@@ -1593,9 +1593,24 @@ final case class GraftStorage(
     * versions survive vacuum like tags.
     */
   def branchVersion(path: String, name: String,
-      version: Option[Long] = None): Long =
+      version: Option[Long] = None): Long = {
+    // CREATION over a leftover _branchlog refuses: the stale staged
+    // deltas (an abandoned same-name branch, or a crashed discard)
+    // would silently become THIS branch's pending writes — audited
+    // and fast-forwarded into main as if freshly staged
+    if (!listRefs(path).toMap.contains(s"branch.$name")) {
+      requireRefName(name)
+      val logDir = branchLogDir(path, name)
+      val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(branchDeltas(fs, logDir).isEmpty,
+        s"cannot create branch '$name' on $path: a leftover branch " +
+          "log with staged deltas exists at " +
+          s"${logDir.toUri.getPath} — it would be resurrected as " +
+          "this branch's pending writes; remove it explicitly first")
+    }
     writeRef(path, "branch", name,
       version.getOrElse(latestVisibleVersion(path)), allowMove = true)
+  }
 
   /** All named refs of a table: `("tag.<n>" | "branch.<n>") ->
     * version`, metadata-rate.
@@ -1624,7 +1639,14 @@ final case class GraftStorage(
   }
 
   /** Drop a tag or branch (the versions it pinned become ordinary
-    * history, reclaimable by vacuum).
+    * history, reclaimable by vacuum). A branch carrying STAGED
+    * (unpublished) writes refuses: deleting just the pointer would
+    * strand its `_branchlog` — orphan GC's liveness walk only covers
+    * LISTED branches, so the stranded log's staged files would be
+    * swept while the log still references them, and a later
+    * same-name branch would silently resurrect the stale deltas.
+    * Publish or discard first; an EMPTY leftover log dir (a crashed
+    * publish's tail) is cleaned up with the pointer.
     */
   def dropRef(path: String, name: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1634,6 +1656,15 @@ final case class GraftStorage(
     val hit = Seq(s"tag.$name", s"branch.$name")
       .map(new Path(dir, _)).filter(fs.exists(_))
     require(hit.nonEmpty, s"no tag or branch named '$name' under $path")
+    if (hit.exists(_.getName == s"branch.$name")) {
+      val logDir = branchLogDir(path, name)
+      require(branchDeltas(fs, logDir).isEmpty,
+        s"branch '$name' on $path has staged (unpublished) writes — " +
+          "dropping the pointer would strand them (invisible to GC " +
+          "liveness, resurrected by a later same-name branch); run " +
+          "branchPublish or branchDiscardWrites first")
+      if (fs.exists(logDir)) fs.delete(logDir, true): Unit
+    }
     hit.foreach(fs.delete(_, false))
   }
 
@@ -2652,13 +2683,16 @@ final case class GraftStorage(
     import org.apache.hadoop.fs.Path
     val mf = new Path(new Path(path), s"_manifest/v$version")
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st =
-      try fs.getFileStatus(mf)
-      catch {
-        case _: java.io.FileNotFoundException =>
-          throw new IllegalArgumentException(
-            s"requirement failed: version $version does not exist " +
-              s"under $path")
+    val st = Option(GraftStorage.manifestListingHint.get())
+      .flatMap(_.get(mf.toUri.getPath))
+      .getOrElse {
+        try fs.getFileStatus(mf)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(
+              s"requirement failed: version $version does not exist " +
+                s"under $path")
+        }
       }
     val key = (mf.toUri.toString, st.getModificationTime, st.getLen)
     if (GraftStorage.manifestCache.size > 4096) {
@@ -2667,6 +2701,40 @@ final case class GraftStorage(
     }
     (key, GraftStorage.manifestCache.computeIfAbsent(key, _ =>
       GraftStorage.readLines(fs, mf)))
+  }
+
+  /** Run `f` with ONE `_manifest/` listing pre-resolving every
+    * version file's status: inside the scope, [[rawManifest]]'s
+    * cache-validation status lookups are served from the listing
+    * instead of issuing one getFileStatus RPC per version — the
+    * whole-history inspection surfaces (`#history`,
+    * [[historyVersioned]]) touch EVERY retained version, and at 10⁴
+    * commits on an object store the per-version form is 10⁴ serial
+    * HEADs at plan time. Sound because manifests are write-once: a
+    * listing taken at scope entry is exact for every version it
+    * contains; versions published after it simply miss and fall
+    * through to the live lookup. Scoped + thread-local, so no
+    * cross-query staleness survives. The callback receives the
+    * listing keyed by file NAME (`v<N>` → status) for its own use.
+    */
+  private[sources] def withManifestListing[A](path: String)(
+      f: Map[String, org.apache.hadoop.fs.FileStatus] => A): A = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(new Path(path), "_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed =
+      try fs.listStatus(dir).toSeq.filter(_.isFile)
+      catch { case _: java.io.IOException =>
+        Seq.empty[org.apache.hadoop.fs.FileStatus] }
+    val prev = GraftStorage.manifestListingHint.get()
+    // keyed by URI PATH: qualification (authority spelling) differs
+    // between listed statuses and caller-constructed paths, but the
+    // scope is one table's manifest dir, so the path is unambiguous
+    val byUri = listed.map(s => s.getPath.toUri.getPath -> s).toMap
+    GraftStorage.manifestListingHint.set(
+      if (prev == null) byUri else prev ++ byUri)
+    try f(listed.map(s => s.getPath.getName -> s).toMap)
+    finally GraftStorage.manifestListingHint.set(prev)
   }
 
   /** The full line list stored in `v<N>.ck`, if [[vacuumVersioned]]
@@ -2680,6 +2748,15 @@ final case class GraftStorage(
     val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(ck)) Some(GraftStorage.readLines(fs, ck)) else None
   }
+
+  /** RAW on-disk lines of one version's manifest (checkpoint full
+    * list, or delta header/X/fresh lines) — the O(delta) walk surface
+    * for whole-history consumers ([[GraftMetaTables]]'s `#history`
+    * processes 10⁴ commits at delta rate through this instead of
+    * resolving each version's full 10⁴-line list).
+    */
+  private[sources] def rawManifestLines(path: String,
+      version: Long): Seq[String] = rawManifest(path, version)._2
 
   /** Delta-chain depth of one version's manifest: 0 for a checkpoint
     * (full list), base's depth + 1 for a delta — read from the `G`
@@ -2776,7 +2853,20 @@ final case class GraftStorage(
   def removeOrphansVersioned(path: String,
       olderThanMillis: Long = 3L * 24 * 3600 * 1000): Long = {
     import org.apache.hadoop.fs.Path
-    require(olderThanMillis >= 0, "olderThanMillis must be >= 0")
+    // the age gate IS the concurrency contract ("a writer staging its
+    // commit dir right now can never be swept") — an interval shorter
+    // than any plausible write leaves in-flight staged files
+    // deletable the moment they land. Iceberg's remove_orphan_files
+    // enforces the same floor; lowering it is an explicit opt-in.
+    val minAge = spark.conf
+      .getOption("spark.graft.removeOrphans.minAgeMillis")
+      .map(_.toLong).getOrElse(3600L * 1000)
+    require(olderThanMillis >= minAge,
+      s"removeOrphans on $path: olderThanMillis=$olderThanMillis is " +
+        s"below the $minAge ms safety floor — a sweep that young can " +
+        "delete a concurrent writer's staged-but-unpublished commit " +
+        "files; set spark.graft.removeOrphans.minAgeMillis to " +
+        "override deliberately (test rigs only)")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = listVersions(path)
@@ -3521,15 +3611,55 @@ final case class GraftStorage(
     n
   }
 
+  /** ALTER TABLE ADD COLUMNS — metadata-only (one H line). A field
+    * may carry Spark's `CURRENT_DEFAULT`/`EXISTS_DEFAULT` metadata
+    * pair (`ADD COLUMN d INT DEFAULT 5`): the EXISTENCE default is
+    * validated and CONSTANT-FOLDED here at DDL time, then applied by
+    * the vectorized parquet reader to every stored row that LACKS the
+    * column — pre-ADD files read the default with ZERO rewrite at any
+    * table size (Iceberg v3's initial-default / Delta's
+    * EXISTS_DEFAULT contract), while post-ADD rows that store an
+    * explicit NULL read NULL. Documented semantics choices: the
+    * default keys off COLUMN ABSENCE in the stored file (a post-ADD
+    * subset-schema append reads the default too — exactly Spark's
+    * existence-default contract for file sources), and TIME TRAVEL to
+    * a pre-ADD version shows no column at all (each version owns its
+    * schema), never a null-fill.
+    */
   def addColumnsVersioned(path: String,
-      cols: org.apache.spark.sql.types.StructType): Long = {
+      cols0: org.apache.spark.sql.types.StructType): Long = {
     import org.apache.hadoop.fs.Path
     val vs = listVersions(path)
     require(vs.nonEmpty, s"no versions committed under $path")
-    require(cols.fields.nonEmpty, "ADD COLUMNS with no columns")
-    require(cols.fields.forall(_.nullable),
-      "added columns must be nullable (existing rows have no values " +
-        "to backfill)")
+    require(cols0.fields.nonEmpty, "ADD COLUMNS with no columns")
+    require(cols0.fields.forall(_.nullable),
+      "added columns must be nullable (rows in stored files have no " +
+        "values to backfill; an EXISTS_DEFAULT fills absent COLUMNS, " +
+        "not nullability)")
+    // validate + fold the defaults BEFORE anything publishes: a
+    // default that doesn't parse, doesn't cast to the column type, or
+    // isn't constant must fail the DDL, not every later read
+    val cols = org.apache.spark.sql.types.StructType(
+      cols0.fields.map { f =>
+        if (!f.metadata.contains("EXISTS_DEFAULT") &&
+            !f.metadata.contains("CURRENT_DEFAULT")) f
+        else {
+          val analyzed = org.apache.spark.sql.catalyst.util
+            .ResolveDefaultColumns.analyze(f, "ALTER TABLE ADD COLUMNS")
+          require(analyzed.foldable,
+            s"ADD COLUMNS on $path: DEFAULT for '${f.name}' is not a " +
+              "constant expression — existence defaults fold once at " +
+              "DDL time")
+          val folded = org.apache.spark.sql.catalyst.expressions
+            .Literal(analyzed.eval(), f.dataType)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", folded.sql)
+          if (!f.metadata.contains("CURRENT_DEFAULT"))
+            mb.putString("CURRENT_DEFAULT", folded.sql): Unit
+          f.copy(metadata = mb.build())
+        }
+      })
     val mapping = columnMapping(path, vs.last)
     val physical = mergedManifestSchema(path, vs.last)
       .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
@@ -3633,20 +3763,20 @@ final case class GraftStorage(
     * DESCRIBE HISTORY surface, also behind the `graft_history('/t')`
     * TVF.
     */
-  def historyVersioned(path: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows = listVersions(path).map { v =>
-      val files = manifestFiles(path, v)
-      val nRows = countVersionedFast(path, Some(v)).getOrElse(-1L)
-      (v,
-        fs.getFileStatus(new Path(dir, s"_manifest/v$v")).getModificationTime,
-        files.size.toLong, nRows)
+  def historyVersioned(path: String): DataFrame =
+    // ONE `_manifest/` listing serves every version's mtime AND the
+    // per-version cache-validation lookups — never one getFileStatus
+    // RPC per retained commit (see withManifestListing)
+    withManifestListing(path) { listing =>
+      val rows = listVersions(path).map { v =>
+        val files = manifestFiles(path, v)
+        val nRows = countVersionedFast(path, Some(v)).getOrElse(-1L)
+        (v, listing.get(s"v$v").map(_.getModificationTime).getOrElse(0L),
+          files.size.toLong, nRows)
+      }
+      spark.createDataFrame(rows)
+        .toDF("version", "committed_at", "n_files", "n_rows")
     }
-    spark.createDataFrame(rows)
-      .toDF("version", "committed_at", "n_files", "n_rows")
-  }
 
   def cloneVersioned(src: String, dst: String,
       version: Option[Long] = None): Long = {
@@ -3822,9 +3952,71 @@ final case class GraftStorage(
       GraftStorage.PosDvCol, txn, "deleteVersionedMorPos")
   }
 
+  /** Serializable-isolation validation for replaying a DELTA
+    * row-level commit computed against `base` on top of `head` — the
+    * OPTIMISTIC REBASE every row-level commit path shares (the SQL
+    * delta-DML UPDATE/MERGE loop in [[GraftMorDeltaBatchWrite]] and
+    * the hook DV DELETE paths via [[publishDvOnlyCommit]]): every
+    * interleaved commit in `(base, head]` must be a PURE APPEND (no
+    * removed/reordered files — a rewrite may have rewritten the
+    * victims; no DV drift — a concurrent delete may overlap; same
+    * partition spec), and for KEY-based deletes no appended file may
+    * hold a key the delta deletes (the sequence rule would make the
+    * replayed D lines delete the fresh row too). Position DVs pass
+    * `deletedKeys = None`: positions bind to EXPLICIT base files, so
+    * pure appends can never overlap them. O(interleaved appends)
+    * work: one key-column-only scan of the appended files
+    * semi-checked against the broadcast-sized DV. Throws
+    * [[java.util.ConcurrentModificationException]] on any true
+    * conflict (callers clean their staged dirs and surface it).
+    */
+  private[sources] def validateDisjointRebase(path: String, base: Long,
+      head: Long, deletedKeys: Option[(String, Seq[String])],
+      what: String): Unit = {
+    def conflict(msg: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict: $path advanced past version $base while " +
+          s"$what ran, and the interleaved commits are not disjoint " +
+          s"appends ($msg) — re-run the command")
+    val (fBase, dBase) = manifestFilesDvs(path, base)
+    val (fHead, dHead) = manifestFilesDvs(path, head)
+    if (dHead != dBase) conflict("deletion vectors drifted")
+    if (fHead.take(fBase.size) != fBase)
+      conflict("files were removed or reordered")
+    if (partitionSpec(path, head) != partitionSpec(path, base))
+      conflict("the partition spec changed")
+    val appended = fHead.drop(fBase.size).map(_._1)
+    deletedKeys.foreach { case (keyCol, dvFiles) =>
+      if (appended.nonEmpty && dvFiles.nonEmpty) {
+        val dvDf = spark.read.parquet(dvFiles: _*)
+        val keyDt = dvDf.schema.fields
+          .find(_.name.equalsIgnoreCase(keyCol)).map(_.dataType)
+          .getOrElse(conflict(
+            s"deletion vector lacks key column '$keyCol'"))
+        // explicit single-column schema: appended files missing the
+        // key column null-fill, and NULL never equi-matches
+        val overlap = spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(keyCol, keyDt))))
+          .parquet(appended: _*)
+          .join(dvDf.select(col(keyCol)), Seq(keyCol), "left_semi")
+        if (!overlap.isEmpty)
+          conflict("a concurrent append added rows whose keys this " +
+            "command deletes")
+      }
+    }
+  }
+
   /** Shared tail of the DV-only delete commits: NULL-key readback
     * gate, broadcast-ceiling gate, and the pure-delta publish (D
-    * lines + optional txn marker, everything else inherited).
+    * lines + optional txn marker, everything else inherited) — with
+    * the SAME optimistic rebase-and-retry as the SQL delta-DML
+    * commits: a table that advanced past `n - 1` while the DV was
+    * computed re-validates disjointness ([[validateDisjointRebase]])
+    * and replays on the new head instead of aborting outright, so a
+    * concurrent unrelated append never kills a hook DELETE that the
+    * UPDATE path would have rebased. True conflicts still abort
+    * loudly. Returns the PUBLISHED version.
     */
   private def publishDvOnlyCommit(dir: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -3845,13 +4037,36 @@ final case class GraftStorage(
       { fs.delete(commitDir, true); () },
       what, "deleteVersioned (copy-on-write)")
     val dvFiles = dvStatus.map(_.getPath.toUri.getPath)
+    val path = dir.toString
+    val base = n - 1
     // a MoR delete is the purest delta commit: inherit everything,
-    // add only the DV lines — O(deleted keys) metadata AND data
-    publishManifestDelta(fs, dir, n,
-      txn.map(t => s"T\t${t._1}\t").toSeq,
-      dvFiles.map(f => s"D\t$keyCol\t$f") ++
-        txn.map(t => s"T\t${t._1}\t${t._2}").toSeq, Some(commitDir))
-    n
+    // add only the DV lines — O(deleted keys) metadata AND data.
+    // NO cleanup handle rides the publish: a lost put-if-absent race
+    // must leave the staged DV intact for the rebase retry (cleanup
+    // here happens on terminal failure only).
+    var attempt = 0
+    while (true) {
+      val head = listVersions(path).last
+      if (head != base)
+        try validateDisjointRebase(path, base, head,
+          if (keyCol == GraftStorage.PosDvCol) None
+          else Some(keyCol -> dvFiles), what)
+        catch { case e: Throwable => fs.delete(commitDir, true); throw e }
+      try {
+        publishManifestDelta(fs, dir, head + 1,
+          txn.map(t => s"T\t${t._1}\t").toSeq,
+          dvFiles.map(f => s"D\t$keyCol\t$f") ++
+            txn.map(t => s"T\t${t._1}\t${t._2}").toSeq, None)
+        return head + 1
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) { fs.delete(commitDir, true); throw e }
+        case scala.util.control.NonFatal(e) =>
+          fs.delete(commitDir, true); throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Guard the 'DVs are broadcast-sized by construction' invariant
@@ -4332,6 +4547,24 @@ final case class GraftStorage(
   def streamVersionedChanges(path: String): DataFrame =
     spark.readStream.format("graft-stream")
       .option("readChangeFeed", "true")
+      .load(path)
+
+  /** Stream pinned to a NAMED REF (tag or branch): the drain target
+    * resolves through the ref instead of the latest published
+    * version, and — unlike a default stream — WAP-STAGED versions at
+    * or below the ref's pin are delivered: pinning a branch at a
+    * staged commit is the explicit audit opt-in (an audit pipeline
+    * CDC-follows the staged data BEFORE publish while default
+    * consumers stay shielded). A tag ref gives a bounded drain (up
+    * to the tag, then idle); a branch ref follows the pointer as it
+    * advances. A branch carrying staged branch-log writes refuses,
+    * same as batch `VERSION AS OF '<branch>'`.
+    */
+  def streamVersionedRef(path: String, ref: String,
+      changeFeed: Boolean = false): DataFrame =
+    spark.readStream.format("graft-stream")
+      .option("ref", ref)
+      .option("readChangeFeed", changeFeed.toString)
       .load(path)
 
   /** Shared copy-on-write core: split the latest snapshot's file list
@@ -5958,6 +6191,13 @@ object GraftStorage {
   private[sources] val manifestResolvedCache =
     new java.util.concurrent.ConcurrentHashMap[
       (String, Long, Long), Seq[String]]()
+
+  /** Scoped listing-backed status lookups for [[rawManifest]] — set
+    * only inside [[GraftStorage.withManifestListing]]; keyed by full
+    * manifest-file URI.
+    */
+  private[sources] val manifestListingHint =
+    new ThreadLocal[Map[String, org.apache.hadoop.fs.FileStatus]]
 
   /** Replay one delta file over its base's resolved lines: inherited
     * lines matching any `X` prefix drop, fresh lines append (same

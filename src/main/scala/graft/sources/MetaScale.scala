@@ -58,6 +58,23 @@ object MetaScale {
     // warm resolve (writer-loop shape)
     val (_, warmMs) = timeMs(st.manifestEntries(t1, n.toLong))
 
+    // ---- 1b. metadata tables over the 10⁴-commit / 10⁴-file log ----
+    // #history touches EVERY retained version (entries + mtime); the
+    // round-10 one-listing fix makes committed_at a single listStatus
+    // instead of 10⁴ serial getFileStatus RPCs. #files reads the tip
+    // manifest once (bytes via one listing per data dir; the synthetic
+    // dirs don't exist, so bytes are null — the manifest walk is what
+    // is under test).
+    clearCaches()
+    val (hrows, histColdMs) =
+      timeMs(GraftMetaTables.rows(spark, t1, "history"))
+    require(hrows.length == n + 1)
+    val (_, histWarmMs) =
+      timeMs(GraftMetaTables.rows(spark, t1, "history"))
+    val (frows, filesMs) =
+      timeMs(GraftMetaTables.rows(spark, t1, "files"))
+    require(frows.length == n + 1)
+
     // ---- 2. same tip via a 500-deep delta chain (no checkpoint) ----
     val t2 = s"$base/chain500"
     val dir2 = new Path(t2)
@@ -101,6 +118,9 @@ object MetaScale {
       s"""{"files":$n,"log_build_10k_appends_ms":${buildMs.round},""" +
       s""""cold_resolve_checkpointed_ms":${coldCkMs.round},""" +
       s""""warm_resolve_ms":${warmMs.round},""" +
+      s""""history_table_cold_ms":${histColdMs.round},""" +
+      s""""history_table_warm_ms":${histWarmMs.round},""" +
+      s""""files_table_ms":${filesMs.round},""" +
       s""""cold_resolve_chain500_ms":${coldChainMs.round},""" +
       s""""zone_load_1of8_cols_ms":${scopedMs.round},""" +
       s""""zone_load_8of8_cols_ms":${fullMs.round}}""")

@@ -246,4 +246,99 @@ class MetaTablesSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LocalTableScan"), plan)
   }
+
+  test("#history committed_at comes from ONE _manifest listing — " +
+    "never a getFileStatus RPC per retained version") {
+    spark.sparkContext.hadoopConfiguration.set("fs.graftmeta.impl",
+      classOf[MetaCountingFileSystem].getName)
+    val out = "graftmeta://" + fresh("meta_one_listing")
+    (0 until 6).foreach { i =>
+      st.writeVersioned(Seq((i.toLong, s"r$i")).toDF("k", "v"), out,
+        append = i > 0)
+    }
+    // first query warms the entry-resolve cache (reading each
+    // manifest's CONTENT once is inherent); the pin is that the
+    // mtime column adds ZERO per-version status RPCs on top — the
+    // cached re-query must resolve committed_at from one listing
+    def history() = spark.sql(
+      s"SELECT version, committed_at FROM graft.`$out#history`").collect()
+    val rows = history()
+    assert(rows.length == 6)
+    assert(rows.forall(!_.isNullAt(1)), "every commit gets an mtime")
+    MetaCountingFileSystem.manifestStatusCalls.set(0)
+    assert(history().length == 6)
+    assert(MetaCountingFileSystem.manifestStatusCalls.get() == 0,
+      s"#history issued ${MetaCountingFileSystem.manifestStatusCalls.get()} " +
+        "per-version getFileStatus RPCs — must resolve mtimes from " +
+        "one _manifest listing")
+  }
+
+  test("metadata tables refuse past the driver-row ceiling with " +
+    "guidance (no silent driver-memory incident)") {
+    val out = fresh("meta_gate")
+    st.writeVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(2), out)
+    spark.conf.set("spark.graft.meta.maxLocalRows", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        spark.sql(s"SELECT * FROM graft.`$out#files`").collect()
+      }
+      assert(e.getMessage.contains("maxLocalRows"), e.getMessage)
+      st.writeVersioned(Seq((3L, "c")).toDF("k", "v"), out,
+        append = true)
+      val e2 = intercept[IllegalStateException] {
+        spark.sql(s"SELECT * FROM graft.`$out#history`").collect()
+      }
+      assert(e2.getMessage.contains("maxLocalRows"), e2.getMessage)
+    } finally spark.conf.unset("spark.graft.meta.maxLocalRows")
+    // back under the ceiling: both serve normally
+    assert(spark.sql(s"SELECT * FROM graft.`$out#files`").count() >= 2)
+  }
+
+  test("an exact-path data table literally named 't#files' wins over " +
+    "metadata dispatch for sibling table 't'") {
+    val base = fresh("meta_shadow")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), base)
+    val literal = base + "#files"
+    st.writeVersioned(Seq((42L, "z"), (43L, "y")).toDF("k", "v"), literal)
+    // the literal table's own data, not base's file inventory
+    val got = spark.sql(s"SELECT k FROM graft.`$literal` ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(42L, 43L))
+    // metadata dispatch still works when no literal table shadows it
+    assert(spark.sql(s"SELECT * FROM graft.`$base#history`").count() == 1)
+  }
+}
+
+/** RawLocalFileSystem on its own scheme counting getFileStatus calls
+  * that target individual manifest version files — the RPC pattern
+  * `#history` must never emit (see the one-listing test above).
+  */
+class MetaCountingFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftmeta:///")
+  override def getScheme: String = "graftmeta"
+  // RawLocalFileSystem.listStatus fans out to getFileStatus per child
+  // (a local-impl detail, one syscall — NOT a remote RPC): suppress
+  // counting inside a listing so the counter models object-store
+  // semantics, where one LIST call returns every child's status
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    MetaCountingFileSystem.inListing.set(true)
+    try super.listStatus(f)
+    finally MetaCountingFileSystem.inListing.set(false)
+  }
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    if (!MetaCountingFileSystem.inListing.get() &&
+        f.getName.matches("v\\d+") &&
+        Option(f.getParent).exists(_.getName == "_manifest"))
+      MetaCountingFileSystem.manifestStatusCalls.incrementAndGet(): Unit
+    super.getFileStatus(f)
+  }
+}
+
+object MetaCountingFileSystem {
+  val manifestStatusCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val inListing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
 }

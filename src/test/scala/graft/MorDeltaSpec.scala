@@ -650,24 +650,33 @@ class MorDeltaSpec extends AnyFunSuite {
     * the update's outcome.
     */
   private def raceUpdate(table: String,
+      interleave: () => Unit): Option[Throwable] =
+    race(() => spark.sql(
+      s"UPDATE graft.`$table` SET v = mordelta_gate(v) + 1 " +
+        "WHERE k < 50"): Unit, interleave)
+
+  /** Run `cmd` in another thread, execute `interleave` once the
+    * command's tasks are inside the `mordelta_gate` UDF (so the
+    * table provably advances between the command's snapshot pin and
+    * its commit), then release and return the command's outcome.
+    */
+  private def race(cmd: () => Unit,
       interleave: () => Unit): Option[Throwable] = {
     import java.util.concurrent.{CountDownLatch, TimeUnit}
     MorDeltaRace.started = new CountDownLatch(1)
     MorDeltaRace.proceed = new CountDownLatch(1)
     val t = new Thread(() => {
-      try spark.sql(
-        s"UPDATE graft.`$table` SET v = mordelta_gate(v) + 1 " +
-          "WHERE k < 50"): Unit
+      try cmd()
       catch { case e: Throwable => MorDeltaRace.failure = Some(e) }
     })
     MorDeltaRace.failure = None
     t.start()
     assert(MorDeltaRace.started.await(60, TimeUnit.SECONDS),
-      "update never reached the gate")
+      "command never reached the gate")
     try interleave()
     finally MorDeltaRace.proceed.countDown()
     t.join(120000)
-    assert(!t.isAlive, "update thread hung")
+    assert(!t.isAlive, "command thread hung")
     MorDeltaRace.failure
   }
 
@@ -726,6 +735,68 @@ class MorDeltaSpec extends AnyFunSuite {
       .exists(_.contains("conflict")), s"unexpected: $err2")
     assert(st.readVersioned(mor2).filter($"k" < 50)
       .agg(sum($"v")).head().getDouble(0) == (0 until 50).map(_.toDouble).sum)
+  }
+
+  test("optimistic rebase on the hook DV DELETE path: an interleaved " +
+    "DISJOINT append and a MoR DELETE both land, no manual retry") {
+    val mor = seedRace("mordelta_rebase_del_ok")
+    spark.udf.register("mordelta_gate", (x: Double) => {
+      MorDeltaRace.started.countDown()
+      MorDeltaRace.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      x
+    })
+    val v0 = st.listVersions(mor).last
+    val err = race(
+      () => st.deleteVersionedMor(mor,
+        expr("mordelta_gate(v) >= 0") && $"k" < 50, "k"): Unit,
+      () => st.writeVersioned(Seq((1000L, 7.0)).toDF("k", "v"), mor,
+        append = true): Unit)
+    assert(err.isEmpty, s"the DELETE must rebase, got: $err")
+    // both commits landed: append + the rebased DV delete
+    assert(st.listVersions(mor).last == v0 + 2)
+    val got = st.readVersioned(mor)
+    assert(got.count() == 51, "100 - 50 deleted + 1 appended")
+    assert(got.filter($"k" === 1000L && $"v" === 7.0).count() == 1,
+      "the interleaved append's row survives the rebased DV")
+    assert(got.filter($"k" < 50).count() == 0, "the delete landed")
+  }
+
+  test("hook DV DELETE: an append RE-USING a deleted key aborts " +
+    "loudly; a POSITION delete rebases over any disjoint append") {
+    val mor = seedRace("mordelta_rebase_del_conflict")
+    spark.udf.register("mordelta_gate", (x: Double) => {
+      MorDeltaRace.started.countDown()
+      MorDeltaRace.proceed.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      x
+    })
+    val v0 = st.listVersions(mor).last
+    val err = race(
+      () => st.deleteVersionedMor(mor,
+        expr("mordelta_gate(v) >= 0") && $"k" < 50, "k"): Unit,
+      () => st.writeVersioned(Seq((10L, 99.0)).toDF("k", "v"), mor,
+        append = true): Unit)
+    assert(err.isDefined, "overlapping append must abort the delete")
+    assert(messages(err.get).exists(_.contains("conflict")),
+      s"unexpected: ${messages(err.get)}")
+    // the table holds the append only; the delete left no trace
+    assert(st.listVersions(mor).last == v0 + 1)
+    assert(st.readVersioned(mor).count() == 101)
+    // POSITION deletes bind to explicit base files — an interleaved
+    // append (even one re-using a "deleted" key) can never overlap,
+    // so the rebase lands and the appended row survives in full
+    val pos = fresh("mordelta_rebase_pos")
+    st.writeVersioned(spark.range(0, 100)
+      .select($"id".as("k"), ($"id" * 1.0).as("v")).repartition(2), pos)
+    val errP = race(
+      () => st.deleteVersionedMorPos(pos,
+        expr("mordelta_gate(v) >= 0") && $"k" < 50): Unit,
+      () => st.writeVersioned(Seq((10L, 99.0)).toDF("k", "v"), pos,
+        append = true): Unit)
+    assert(errP.isEmpty, s"the position delete must rebase, got: $errP")
+    val gotP = st.readVersioned(pos)
+    assert(gotP.count() == 51)
+    assert(gotP.filter($"k" === 10L && $"v" === 99.0).count() == 1,
+      "the appended row must survive a rebased position delete")
   }
 
   test("property names are single path segments: a path-shaped or " +

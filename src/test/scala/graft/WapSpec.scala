@@ -286,4 +286,50 @@ class WapSpec extends AnyFunSuite {
       .collect().toSet == Set(1L, 2L),
       "discard after a partial publish must not delete main's files")
   }
+
+  test("dropRef refuses a branch with staged writes, and a leftover " +
+    "branch log blocks same-name re-creation (no resurrection)") {
+    val out = fresh("branch_drop_staged")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
+    st.branchVersion(out, "dev")
+    st.branchAppend(Seq((2L, "b")).toDF("k", "v"), out, "dev")
+    // dropping the pointer would strand the staged delta: refuse
+    val e = intercept[IllegalArgumentException] {
+      st.dropRef(out, "dev")
+    }
+    assert(e.getMessage.contains("staged"), e.getMessage)
+    // simulate the pre-fix stranding: pointer gone, log left behind
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out, "_refs/branch.dev"), false)
+    // re-creating the branch must NOT resurrect the stale delta
+    val e2 = intercept[IllegalArgumentException] {
+      st.branchVersion(out, "dev")
+    }
+    assert(e2.getMessage.contains("leftover"), e2.getMessage)
+    // after an explicit clean, creation works and sees no stale rows
+    fs.delete(new Path(out, "_branchlog/dev"), true)
+    st.branchVersion(out, "dev")
+    assert(st.branchPendingWrites(out, "dev") == 0L)
+    assert(st.readVersionedBranch(out, "dev").count() == 1L)
+    // a CLEAN drop reclaims pointer + (empty) log dir in one go
+    st.branchAppend(Seq((3L, "c")).toDF("k", "v"), out, "dev")
+    st.branchPublish(out, "dev")
+    st.dropRef(out, "dev")
+    assert(!fs.exists(new Path(out, "_branchlog/dev")))
+    assert(st.listRefs(out).isEmpty)
+  }
+
+  test("removeOrphans enforces the minimum-age safety floor unless " +
+    "explicitly overridden") {
+    val out = fresh("orphan_floor")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
+    val e = intercept[IllegalArgumentException] {
+      st.removeOrphansVersioned(out, olderThanMillis = 0L)
+    }
+    assert(e.getMessage.contains("safety floor"), e.getMessage)
+    spark.conf.set("spark.graft.removeOrphans.minAgeMillis", "0")
+    try assert(st.removeOrphansVersioned(out, 0L) == 0L)
+    finally spark.conf.unset("spark.graft.removeOrphans.minAgeMillis")
+  }
 }
