@@ -60,8 +60,14 @@ final class GraftStreamSource extends TableProvider
     val spark = SparkSession.active
     val st = GraftStorage(spark)
     val path = pathOf(options)
-    val base =
-      st.readVersioned(path, Some(st.latestVisibleVersion(path))).schema
+    // `ref` pins the stream to a named tag/branch: the schema (and
+    // every drain target) resolves through the ref, which may point
+    // at a WAP-staged version — the audit-follow opt-in
+    val v = Option(options.get("ref")) match {
+      case Some(r) => GraftStreamSource.resolveStreamRef(st, path, r)
+      case None => st.latestVisibleVersion(path)
+    }
+    val base = st.readVersioned(path, Some(v)).schema
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
       GraftStreamSource.cdfSchema(base)
     else base
@@ -86,6 +92,30 @@ private[sources] object GraftStreamSource {
         org.apache.spark.sql.types.StringType) :+
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType))
+
+  /** Resolve the stream's `ref` option: a tag pins its version; a
+    * branch follows the (forward-moving) pointer. A branch carrying
+    * staged branch-log WRITES refuses — the pointer alone would
+    * silently drop them (the batch `VERSION AS OF '<branch>'`
+    * contract); WAP-staged MAIN versions, by contrast, are exactly
+    * what a ref-pinned audit stream exists to see.
+    */
+  def resolveStreamRef(st: GraftStorage, path: String,
+      ref: String): Long = {
+    val refs = st.listRefs(path).toMap
+    refs.get(s"tag.$ref").getOrElse {
+      val v = refs.getOrElse(s"branch.$ref",
+        throw new IllegalArgumentException(
+          s"graft-stream on $path: no tag or branch named '$ref' " +
+            s"(have: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+      require(st.branchPendingWrites(path, ref) == 0,
+        s"graft-stream on $path: branch '$ref' carries staged " +
+          "(unpublished) branch-log writes — streaming the pointer " +
+          "alone would silently drop them; branchPublish or " +
+          "branchDiscardWrites first")
+      v
+    }
+  }
 }
 
 private[sources] final class GraftStreamTable(
@@ -130,7 +160,8 @@ private[sources] final class GraftStreamTable(
                 s"maxFilesPerTrigger must be positive, got $n " +
                   "(a non-positive cap would freeze the stream)")
               n
-            })
+            },
+          refName = Option(options.get("ref")))
     }
   }
 }
@@ -140,13 +171,38 @@ private[sources] final class GraftMicroBatchStream(
     maxVersionsPerTrigger: Option[Int],
     changeFeed: Boolean = false,
     checkpointLocation: String = "",
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    refName: Option[String] = None)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
   private def st = GraftStorage(spark)
   private def classic = spark
     .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  /** The stream's drain target: the latest PUBLISHED version, or —
+    * under the `ref` option — the named tag/branch's pinned version,
+    * which MAY be WAP-staged (the audit-follow contract: pinning a
+    * branch at a staged commit is the explicit opt-in that makes
+    * staged versions visible to THIS stream while default consumers
+    * stay shielded). A branch carrying staged branch-log WRITES
+    * refuses, same as batch `VERSION AS OF '<branch>'` — the pointer
+    * alone would silently drop them.
+    */
+  private def resolvedTarget: Long = refName match {
+    case None => st.latestVisibleVersion(path)
+    case Some(r) => GraftStreamSource.resolveStreamRef(st, path, r)
+  }
+
+  /** Version admission: default streams skip audit-pending (WAP
+    * staged) commits — offsets must land only on published versions,
+    * or the next diff would read a manifest default readers never
+    * saw. A ref-pinned stream admits staged versions at or below its
+    * target: the ref IS the audit opt-in, and the publish commit
+    * (W-line removal, zero file delta) then contributes nothing.
+    */
+  private def admissible(v: Long): Boolean =
+    refName.isDefined || isPublished(v)
 
   /** Offset = (version, files-consumed-of-that-version). `f == 0`
     * means version `v` is FULLY consumed (the classic shape, and the
@@ -175,7 +231,7 @@ private[sources] final class GraftMicroBatchStream(
   override def stop(): Unit = ()
 
   override def latestOffset(): Offset =
-    VOffset(st.latestVisibleVersion(path))
+    VOffset(resolvedTarget)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -186,7 +242,7 @@ private[sources] final class GraftMicroBatchStream(
     */
   @volatile private var availableTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableTarget = Some(st.latestVisibleVersion(path))
+    availableTarget = Some(resolvedTarget)
 
   private def isPublished(v: Long): Boolean =
     !st.manifestEntries(path, v).exists(_.startsWith("W\t"))
@@ -201,8 +257,7 @@ private[sources] final class GraftMicroBatchStream(
     */
   override def latestOffset(startOffset: Offset, limit: ReadLimit)
       : Offset = {
-    val latest = availableTarget
-      .getOrElse(st.latestVisibleVersion(path))
+    val latest = availableTarget.getOrElse(resolvedTarget)
     val start = startOffset.asInstanceOf[VOffset]
     maxFilesPerTrigger match {
       case Some(mf) => fileSteppedOffset(start, latest, mf)
@@ -214,7 +269,7 @@ private[sources] final class GraftMicroBatchStream(
           case Some(n) =>
             val pub = st.listVersions(path).iterator
               .filter(v => v > start.v && v <= latest)
-              .filter(isPublished).take(n).toSeq
+              .filter(admissible).take(n).toSeq
             if (pub.isEmpty) start.v else pub.last
           case _ => latest
         }
@@ -242,7 +297,7 @@ private[sources] final class GraftMicroBatchStream(
     } else {
       st.listVersions(path).iterator
         .filter(v => v > start.v && v <= latest)
-        .filter(isPublished).take(1).toSeq.headOption match {
+        .filter(admissible).take(1).toSeq.headOption match {
         case None => start
         case Some(v) =>
           sliceableFiles(v) match {
@@ -261,11 +316,11 @@ private[sources] final class GraftMicroBatchStream(
     * retired it mid-drain (retention must cover consumer lag).
     */
   private def sliceableFiles(v: Long): Option[Seq[String]] = {
-    // a mapped snapshot cannot be file-served (stored names differ
-    // from the stream's logical schema) — deliver whole, computed
-    if (st.hasColumnMapping(path, Some(v))) return None
+    // mapped snapshots file-serve like any other: the slice scan
+    // requests PHYSICAL column names ([[tableScanOver]] /
+    // [[constantScanOver]]), so stored names never leak
     val prev = st.listVersions(path)
-      .filter(p => p < v && isPublished(p)).lastOption.getOrElse(-1L)
+      .filter(p => p < v && admissible(p)).lastOption.getOrElse(-1L)
     if (prev < 0) {
       if (st.manifestDvs(path, v).isEmpty)
         Some(st.manifestFiles(path, v))
@@ -314,17 +369,13 @@ private[sources] final class GraftMicroBatchStream(
       // initial snapshot: a merge-on-read table cannot stream as a
       // raw file scan — the DV anti-join would be silently skipped
       // and deleted rows re-delivered as live (same refusal as the
-      // V1 front door). REORG/compact first.
+      // V1 front door). REORG/compact first. (A RENAME/DROP-mapped
+      // snapshot, by contrast, streams fine: the scan requests
+      // physical names — [[tableScanOver]].)
       require(st.manifestDvs(path, end).isEmpty,
         s"graft-stream on $path: the snapshot carries merge-on-read " +
           "deletion vectors; streaming raw files would resurrect " +
-          "deleted rows. Run compactVersioned (REORG) first.")
-      // a RENAME/DROP mapping likewise cannot ride a raw file scan
-      // (files store physical names; the stream schema is logical)
-      require(!st.hasColumnMapping(path, Some(end)),
-        s"graft-stream on $path: the snapshot renames/drops columns " +
-          "(column mapping); raw file batches would surface stored " +
-          "names. Run compactVersioned (REORG) first, or use " +
+          "deleted rows. Run compactVersioned (REORG) first, or use " +
           "readChangeFeed=true.")
       return endFiles
     }
@@ -341,14 +392,11 @@ private[sources] final class GraftMicroBatchStream(
             "consumer's offset). Restart with a fresh checkpoint to " +
             "re-read the current snapshot.")
     }
-    require(!st.hasColumnMapping(path, Some(end)),
-      s"graft-stream on $path: the snapshot renames/drops columns " +
-        "(column mapping); raw file batches would surface stored " +
-        "names. Compact (REORG) first, or use readChangeFeed=true.")
     val fine =
       try {
-        val published = (start + 1 to end).filter(v =>
-          !st.manifestEntries(path, v).exists(_.startsWith("W\t")))
+        val committed = st.listVersions(path).toSet
+        val published = (start + 1 to end)
+          .filter(committed).filter(admissible)
         var prevSet = st.manifestFiles(path, start).toSet
         var prevDvs = st.manifestDvs(path, start).toSet
         val out = Seq.newBuilder[String]
@@ -442,7 +490,7 @@ private[sources] final class GraftMicroBatchStream(
         }
         val committed = st.listVersions(path).toSet
         val published = (start + 1 to end)
-          .filter(committed).filter(isPublished)
+          .filter(committed).filter(admissible)
           // row-preserving maintenance rewrites (compact / z-order /
           // apply_deletes leave a commit op tag) contribute ZERO
           // change rows by construction — skip them outright instead
@@ -464,39 +512,6 @@ private[sources] final class GraftMicroBatchStream(
           .withColumn("_change_type", lit(""))
           .withColumn("_commit_version", lit(end))
       }
-    // a RENAME/DROP landing mid-stream makes the batch's change rows
-    // carry NEW logical names the stream's FIXED schema cannot
-    // surface — reading them back would silently null-fill the
-    // renamed column (a CDC replica would overwrite good data with
-    // nulls). Gate on the END version's LOGICAL schema (the batch
-    // union can null-mask the old name, so the batch's own columns
-    // are not a reliable witness); widening ADD COLUMNS is tolerated
-    // (extra columns simply don't surface until a restart).
-    val endSchema = st.readVersioned(path, Some(end)).schema
-    val missing = dataSchemaOf(schema).fieldNames
-      .filterNot(n => endSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"graft-stream on $path: column(s) ${missing.mkString(", ")} " +
-          "were renamed or dropped mid-stream; the stream's schema is " +
-          "fixed at start — restart with a fresh checkpoint to pick " +
-          "up the new shape.")
-    // same contract for ALTER COLUMN TYPE (widening): the batch
-    // materializes under the WIDE type, and reading it back through
-    // the stream's fixed narrow schema is a parquet type mismatch —
-    // fail with guidance instead of a reader stack trace
-    val widened = dataSchemaOf(schema).fields.flatMap { f =>
-      endSchema.fields.find(_.name.equalsIgnoreCase(f.name))
-        .filter(_.dataType != f.dataType)
-        .map(e => s"${f.name} (${f.dataType.simpleString} -> " +
-          s"${e.dataType.simpleString})")
-    }
-    if (widened.nonEmpty)
-      throw new IllegalStateException(
-        s"graft-stream on $path: column type(s) changed mid-stream: " +
-          s"${widened.mkString(", ")}; the stream's schema is fixed " +
-          "at start — restart with a fresh checkpoint to pick up " +
-          "the new types.")
     // write ONCE per batch range: Spark may plan the same batch more
     // than once, and an overwrite would delete the files an earlier
     // plan's partitions still reference mid-read. The content is
@@ -542,6 +557,9 @@ private[sources] final class GraftMicroBatchStream(
     } catch { case _: Exception => () }
   }
 
+  /** Scan over MATERIALIZED change-row parquet (logical column names
+    * + the CDF metadata pair, exactly as [[changeRows]] wrote them).
+    */
   private def parquetScanOver(files: Seq[String])
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
     val index = new InMemoryFileIndex(classic,
@@ -552,12 +570,58 @@ private[sources] final class GraftMicroBatchStream(
         .v2.parquet.ParquetScan]
   }
 
-  /** The table's own columns — the CDF metadata pair is synthesized,
-    * never read from data files.
+  /** The table's own columns — in change-feed mode the synthesized
+    * CDF metadata pair is stripped; a RAW stream's schema IS the
+    * table's (a user column literally named `_change_type` must not
+    * be dropped there).
     */
   private def dataSchemaOf(full: StructType): StructType =
-    StructType(full.fields.filterNot(f =>
+    if (!changeFeed) full
+    else StructType(full.fields.filterNot(f =>
       f.name == "_change_type" || f.name == "_commit_version"))
+
+  /** The stream's data columns renamed to their stable PHYSICAL
+    * (stored) names under `mapping` — identical types and order, so
+    * rows read under this schema are POSITIONALLY the stream's
+    * logical rows.
+    */
+  private def physicalized(
+      mapping: Option[(Map[String, String], Seq[String])]): StructType =
+    StructType(dataSchemaOf(schema).fields.map(f =>
+      f.copy(name = st.physicalNameOf(f.name, mapping))))
+
+  /** The physical binding the stream's reader factory serves under —
+    * resolved ONCE (data files keep their physical names forever, so
+    * the binding of columns that survive the stream's whole life is
+    * version-invariant); [[requireStablePhysical]] re-derives it per
+    * batch and fails LOUDLY on any divergence (a mapping reset via
+    * compact under ignoreChanges, or a replay racing a re-rename) —
+    * a stale binding must never silently null-fill.
+    */
+  private lazy val physData: StructType =
+    physicalized(st.columnMapping(path, resolvedTarget))
+
+  /** ZERO-COPY scan over the TABLE'S OWN data files — raw (non-CDF)
+    * batches. Files store physical column names (column mapping), so
+    * the requested schema is [[physData]]: the parquet reader looks
+    * columns up by PHYSICAL name per file and returns rows
+    * positionally equal to the stream's logical schema — a
+    * RENAME/DROP-mapped snapshot streams from its own files, zero
+    * projection, zero copy (batch reads achieve the same through
+    * MorReadRule's V1 substitution; a stream scan has no analyzer to
+    * rewrite it, so the physical request IS the projection). Widened
+    * snapshots ride the vectorized reader's per-file type promotion
+    * exactly like the batch path.
+    */
+  private def tableScanOver(files: Seq[String])
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val index = new InMemoryFileIndex(classic,
+      files.map(new Path(_)), Map.empty, Some(physData))
+    ParquetScanBuilder(classic, index, physData, physData,
+      CaseInsensitiveStringMap.empty()).build()
+      .asInstanceOf[org.apache.spark.sql.execution.datasources
+        .v2.parquet.ParquetScan]
+  }
 
   /** ZERO-COPY CDF bootstrap scan: the snapshot's OWN data files with
     * `_change_type='insert'` / `_commit_version=<version>` riding the
@@ -566,8 +630,11 @@ private[sources] final class GraftMicroBatchStream(
     * them per batch, and NOT ONE ROW is copied into the checkpoint
     * (the old path rewrote the full table under `_graft_cdf/` before
     * the first change row flowed — a full-table copy at 100 TB).
-    * Only legal when the snapshot carries no deletion vectors (a DV
-    * bootstrap is a computed anti-join plan and still materializes).
+    * Data columns are requested under their PHYSICAL names (see
+    * [[tableScanOver]]), so column-mapped snapshots bootstrap
+    * zero-copy too. Only legal when the snapshot carries no deletion
+    * vectors (a DV bootstrap is a computed anti-join plan and still
+    * materializes).
     */
   private def constantScanOver(files: Seq[String], version: Long)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
@@ -576,14 +643,73 @@ private[sources] final class GraftMicroBatchStream(
     val values = new GenericInternalRow(Array[Any](
       UTF8String.fromString("insert"), version))
     val index = new ConstantPartitionIndex(classic,
-      files.map(new Path(_)), dataSchemaOf(schema), cdfCols, values)
-    val b = ParquetScanBuilder(classic, index, schema,
-      dataSchemaOf(schema), CaseInsensitiveStringMap.empty())
-    // the full CDF schema is "required": readDataSchema resolves to
-    // the data columns, readPartitionSchema to the synthesized pair
-    b.pruneColumns(schema)
+      files.map(new Path(_)), physData, cdfCols, values)
+    val physFull = StructType(physData.fields ++ cdfCols.fields)
+    val b = ParquetScanBuilder(classic, index, physFull,
+      physData, CaseInsensitiveStringMap.empty())
+    // the full (physical data + CDF pair) schema is "required":
+    // readDataSchema resolves to the physical data columns,
+    // readPartitionSchema to the synthesized pair — output rows are
+    // positionally the stream's CDF schema
+    b.pruneColumns(physFull)
     b.build().asInstanceOf[org.apache.spark.sql.execution.datasources
       .v2.parquet.ParquetScan]
+  }
+
+  /** Mid-stream schema-evolution gate, shared by every serving path
+    * (it runs at PLAN time, so even the raw-file mode fails with
+    * restart guidance instead of a vectorized-reader type-mismatch
+    * stack trace): a RENAME/DROP of a stream column makes the batch
+    * carry names the stream's FIXED schema cannot surface (reading
+    * them back would silently null-fill — a CDC replica would
+    * overwrite good data with nulls), and an ALTER COLUMN TYPE makes
+    * the wide data unreadable through the fixed narrow schema. Gate
+    * on the END version's LOGICAL schema (a change-feed batch union
+    * can null-mask an old name, so batch columns are not a reliable
+    * witness); widening ADD COLUMNS is tolerated (extra columns
+    * simply don't surface until a restart).
+    */
+  private def requireStableSchema(end: Long): Unit = {
+    val endSchema = st.readVersioned(path, Some(end)).schema
+    val missing = dataSchemaOf(schema).fieldNames
+      .filterNot(n => endSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-stream on $path: column(s) ${missing.mkString(", ")} " +
+          "were renamed or dropped mid-stream; the stream's schema is " +
+          "fixed at start — restart with a fresh checkpoint to pick " +
+          "up the new shape.")
+    val widened = dataSchemaOf(schema).fields.flatMap { f =>
+      endSchema.fields.find(_.name.equalsIgnoreCase(f.name))
+        .filter(_.dataType != f.dataType)
+        .map(e => s"${f.name} (${f.dataType.simpleString} -> " +
+          s"${e.dataType.simpleString})")
+    }
+    if (widened.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-stream on $path: column type(s) changed mid-stream: " +
+          s"${widened.mkString(", ")}; the stream's schema is fixed " +
+          "at start — restart with a fresh checkpoint to pick up " +
+          "the new types.")
+  }
+
+  /** Zero-copy serving additionally pins the PHYSICAL binding: the
+    * reader factory resolved [[physData]] once, and a batch whose end
+    * version binds stream columns to different stored names (a
+    * mapping reset by compact under ignoreChanges, or a replayed
+    * batch racing a re-rename) must fail loudly — the factory's
+    * stale request would silently null-fill from the new files.
+    * Change-feed MATERIALIZED batches don't ride physData and skip
+    * this (a reset there is benign: logical names are preserved).
+    */
+  private def requireStablePhysical(end: Long): Unit = {
+    val now = physicalized(st.columnMapping(path, end))
+    if (now != physData)
+      throw new IllegalStateException(
+        s"graft-stream on $path: the column mapping changed " +
+          "mid-stream (a compact/overwrite reset it, or columns were " +
+          "re-renamed) — the stream's physical column binding is " +
+          "fixed at start; restart with a fresh checkpoint.")
   }
 
   override def planInputPartitions(start: Offset, end: Offset)
@@ -591,11 +717,13 @@ private[sources] final class GraftMicroBatchStream(
     val so = start.asInstanceOf[VOffset]
     val eo = end.asInstanceOf[VOffset]
     if (reached(eo, so)) return Array.empty
+    requireStableSchema(eo.v)
     // SLICED batch (maxFilesPerTrigger): the range sits inside one
     // version's file delta — a deterministic manifest-order slice,
     // served zero-copy (CDF rows get the synthesized constants, the
     // slice is pure-append by construction so inserts-only is exact)
     if (so.f > 0 || eo.f > 0) {
+      requireStablePhysical(eo.v)
       val fl = sliceableFiles(eo.v).getOrElse(
         throw new IllegalStateException(
           s"graft-stream on $path: offset ${eo.json()} slices a " +
@@ -608,14 +736,15 @@ private[sources] final class GraftMicroBatchStream(
       return if (changeFeed)
         constantScanOver(slice, eo.v).toBatch.planInputPartitions()
           .map(p => CdfPartition(p, boot = true): InputPartition)
-      else parquetScanOver(slice).toBatch.planInputPartitions()
+      else tableScanOver(slice).toBatch.planInputPartitions()
     }
     val s = so.v
     val e = eo.v
     if (!changeFeed) {
+      requireStablePhysical(e)
       val files = deltaFiles(s, e)
       if (files.isEmpty) return Array.empty
-      return parquetScanOver(files).toBatch.planInputPartitions()
+      return tableScanOver(files).toBatch.planInputPartitions()
     }
     // housekeeping at plan time too: ranges ending at or before this
     // batch's START offset are durably committed (the engine logged
@@ -624,8 +753,10 @@ private[sources] final class GraftMicroBatchStream(
     // so a one-shot AvailableNow drain would otherwise strand its
     // last batch's materialization until the following drain
     cleanSpentCdfDirs(s)
-    if (s < 0 && st.manifestDvs(path, e).isEmpty &&
-        !st.hasColumnMapping(path, Some(e))) {
+    if (s < 0 && st.manifestDvs(path, e).isEmpty) {
+      // zero-copy bootstrap — column-mapped snapshots included (the
+      // constant scan requests physical names)
+      requireStablePhysical(e)
       val files = st.manifestFiles(path, e)
       if (files.isEmpty) return Array.empty
       constantScanOver(files, e).toBatch.planInputPartitions()
@@ -646,7 +777,7 @@ private[sources] final class GraftMicroBatchStream(
     */
   override def createReaderFactory(): PartitionReaderFactory =
     if (!changeFeed)
-      parquetScanOver(Seq.empty).toBatch.createReaderFactory()
+      tableScanOver(Seq.empty).toBatch.createReaderFactory()
     else new CdfReaderFactory(
       constantScanOver(Seq.empty, 0L).toBatch.createReaderFactory(),
       parquetScanOver(Seq.empty).toBatch.createReaderFactory())

@@ -585,6 +585,59 @@ object StreamOps extends QueryModule {
   }
 
 
+  /** REF-PINNED STREAMING — the audit-follow contract: a streaming
+    * consumer pinned to a named branch (`option("ref", ...)`) drains
+    * toward the BRANCH POINTER instead of the latest published
+    * version, and WAP-STAGED commits at or below the pin are
+    * delivered — an audit pipeline CDC-follows staged data BEFORE
+    * publish, while every default consumer stays shielded until the
+    * audit publishes. The query runs both consumers side by side:
+    * the 'audit' stream (branch advanced onto a staged commit) sees
+    * the full data set; the 'default' stream sees only the published
+    * prefix. Publish itself is a zero-file-delta commit, so the
+    * audit stream re-drains to ZERO new rows after it — staged data
+    * is never double-delivered.
+    */
+  def streamRefFollow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val st = graft.sources.GraftStorage(s)
+    val src = T.scratch(dir, "stream_ref_src")
+    val outA = T.scratch(dir, "stream_ref_out_audit")
+    val outD = T.scratch(dir, "stream_ref_out_default")
+    val ckA = outA + "_ckpt"; val ckD = outD + "_ckpt"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(hconf)
+    Seq(src, outA, outD, ckA, ckD).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val nat = T.t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    def drain(df: DataFrame, outP: String, ck: String): Unit = {
+      val q = df.writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .format("parquet").option("path", outP)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    st.writeVersioned(nat.filter(col("n_regionkey") < 3), src) // v0
+    st.branchVersion(src, "audit"): Unit                       // @ v0
+    drain(st.streamVersionedRef(src, "audit"), outA, ckA)
+    // stage the rest under a WAP audit and advance the branch onto it
+    val staged = st.wapStage(
+      nat.filter(col("n_regionkey") >= 3), src, "night")
+    st.branchVersion(src, "audit", Some(staged)): Unit
+    drain(st.streamVersionedRef(src, "audit"), outA, ckA) // staged rows
+    drain(st.streamVersioned(src), outD, ckD)             // shielded
+    st.wapPublish(src, "night"): Unit
+    val audit = s.read.parquet(outA).withColumn("consumer", lit("audit"))
+    val dflt = s.read.parquet(outD)
+      .withColumn("consumer", lit("default"))
+    audit.unionByName(dflt)
+      .groupBy(col("consumer"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"))
+      .orderBy(col("consumer"))
+  }
+
   /** END-TO-END CDC REPLICATION — the loop the whole MoR family
     * exists for: a `readChangeFeed` stream over the SOURCE table
     * net-applies each micro-batch into a REPLICA with O(churn)
@@ -889,6 +942,7 @@ object StreamOps extends QueryModule {
     "stream_dedup_watermark" -> (streamDedupWatermark(_, _)),
     "stream_versioned_source" -> (streamVersionedSource(_, _)),
     "stream_cdf" -> (streamCdf(_, _)),
+    "stream_ref_follow" -> (streamRefFollow(_, _)),
     "stream_cdc_replica" -> (streamCdcReplica(_, _)),
     "stream_versioned_sink" -> (streamVersionedSink(_, _)),
     "stream_upsert_mor" -> (streamUpsertMor(_, _)),
@@ -981,6 +1035,17 @@ object StreamOps extends QueryModule {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+    // the audit consumer (branch advanced onto the staged commit)
+    // sees everything; the default consumer only the published prefix
+    "stream_ref_follow" ->
+      """WITH feeds AS (
+        |  SELECT 'audit' AS consumer, n_nationkey FROM nation
+        |  UNION ALL
+        |  SELECT 'default' AS consumer, n_nationkey FROM nation
+        |  WHERE n_regionkey < 3)
+        |SELECT consumer, COUNT(*) AS cnt,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |FROM feeds GROUP BY consumer ORDER BY consumer""".stripMargin,
     "stream_mv_refresh" ->
       s"""SELECT event_type, COUNT(*) AS cnt,
          |  ${sqlDsum("value", 6)} AS sum_value

@@ -27,8 +27,10 @@ class GraftStreamSpec extends AnyFunSuite {
     val fs = new Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the sink/checkpoint dirs too — stale state from a prior run
-    // would alias a replayed offset log onto a fresh table
-    Seq(out, out + "_out", out + "_ckpt").foreach(p =>
+    // would alias a replayed offset log onto a fresh table (every
+    // suffix any test derives, incl. second-consumer/second-stream)
+    Seq(out, out + "_out", out + "_ckpt", out + "_out2",
+      out + "_ckpt2", out + "_outd", out + "_ckptd").foreach(p =>
       fs.delete(new Path(p), true))
     out
   }
@@ -504,5 +506,169 @@ class GraftStreamSpec extends AnyFunSuite {
       else String.valueOf(t.getMessage) +: msgs(t.getCause)
     assert(msgs(e).exists(_.contains("retention must cover consumer")),
       s"unexpected: ${msgs(e)}")
+  }
+
+  private def msgsOf(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else String.valueOf(t.getMessage) +: msgsOf(t.getCause)
+
+  test("CDF bootstrap of a RENAMEd (column-mapped) table is " +
+    "ZERO-COPY: logical columns from the table's own files") {
+    val src = fresh("gstream_cdf_mapped_boot")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt"),
+      src)
+    st.renameColumnVersioned(src, "amt", "price")
+    st.writeVersioned(Seq((3L, 30.0)).toDF("k", "price"), src,
+      append = true)
+    // files store the PHYSICAL name 'amt'; the stream must surface
+    // 'price' — and without copying one row into the checkpoint
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val fs = new Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cdfDir = new Path(ckpt, "sources/0/_graft_cdf")
+    assert(!fs.exists(cdfDir) || fs.listStatus(cdfDir).isEmpty,
+      "a DV-free mapped bootstrap must serve the table's own files — " +
+        "zero _graft_cdf bytes")
+    val boot = spark.read.parquet(outP)
+    assert(boot.columns.toSet ==
+      Set("k", "price", "_change_type", "_commit_version"))
+    assert(boot.select($"k", $"price").collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(boot.filter($"_change_type" =!= "insert").count() == 0)
+    // incremental appends after the mapped bootstrap still flow
+    st.writeVersioned(Seq((4L, 40.0)).toDF("k", "price"), src,
+      append = true)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == 4)
+  }
+
+  test("raw-file streaming of a RENAMEd (column-mapped) snapshot: " +
+    "logical columns, zero-copy, appends flow; a mid-stream rename " +
+    "stays loud") {
+    val src = fresh("gstream_raw_mapped")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt"),
+      src)
+    st.renameColumnVersioned(src, "amt", "price")
+    // a fresh checkpoint AFTER the rename bootstraps from the
+    // table's own (physically-named) files with logical columns —
+    // no REORG required
+    drainTo(st.streamVersioned(src), outP, ckpt)
+    val boot = spark.read.parquet(outP)
+    assert(boot.columns.toSet == Set("k", "price"))
+    assert(boot.select($"k", $"price").collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+    // post-rename appends (their files ALSO store 'amt' — writes
+    // translate logical->physical) deliver incrementally
+    st.writeVersioned(Seq((3L, 30.0)).toDF("k", "price"), src,
+      append = true)
+    drainTo(st.streamVersioned(src), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == 3)
+    // the MID-STREAM rename gate stays loud: a running consumer's
+    // fixed schema cannot surface the new name
+    val oldShape = st.streamVersioned(src)
+    st.renameColumnVersioned(src, "price", "cost")
+    st.writeVersioned(Seq((4L, 40.0)).toDF("k", "cost"), src,
+      append = true)
+    val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(oldShape, outP, ckpt)
+    }
+    assert(msgsOf(e).exists(_.contains("renamed or dropped mid-stream")),
+      s"unexpected: ${msgsOf(e)}")
+  }
+
+  test("raw-file streaming: a mid-stream ALTER COLUMN TYPE fails at " +
+    "PLAN time with restart guidance, not a reader type mismatch") {
+    val src = fresh("gstream_raw_widen")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(Seq((1, 10.0)).toDF("k", "amt"), src) // int key
+    drainTo(st.streamVersioned(src), outP, ckpt)
+    val preWiden = st.streamVersioned(src)
+    st.widenColumnVersioned(src, "k",
+      org.apache.spark.sql.types.LongType): Unit
+    st.writeVersioned(Seq((4L, 40.0)).toDF("k", "amt"), src,
+      append = true)
+    val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTo(preWiden, outP, ckpt)
+    }
+    assert(msgsOf(e).exists(_.contains("type(s) changed mid-stream")),
+      s"unexpected: ${msgsOf(e)}")
+    // a fresh stream reads the widened snapshot (old narrow files
+    // ride the per-file promotion)
+    drainTo(st.streamVersioned(src), src + "_out2", src + "_ckpt2")
+    assert(spark.read.parquet(src + "_out2").count() == 2)
+  }
+
+  test("ref-pinned streaming: a stream on branch 'audit' sees " +
+    "WAP-staged commits that default consumers do not") {
+    val src = fresh("gstream_ref")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    val outD = src + "_outd"; val ckptD = src + "_ckptd"
+    // fresh() cleans only the canonical suffixes — the second
+    // consumer's dirs must reset too or a prior run's offsets alias
+    val fs2 = new Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(outD, ckptD).foreach(p => fs2.delete(new Path(p), true))
+    st.writeVersioned(nation.filter($"n_nationkey" < 10), src) // v0
+    st.branchVersion(src, "audit")                             // @ v0
+    drainTo(st.streamVersionedRef(src, "audit"), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == 10)
+    // stage v1 under audit, advance the branch pointer onto it
+    val staged = st.wapStage(
+      nation.filter($"n_nationkey" >= 10 && $"n_nationkey" < 15),
+      src, "night")
+    st.branchVersion(src, "audit", Some(staged))
+    // the audit stream drains the STAGED commit...
+    drainTo(st.streamVersionedRef(src, "audit"), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == 15,
+      "the ref-pinned stream must deliver the staged commit")
+    // ...while a default consumer stays shielded
+    drainTo(st.streamVersioned(src), outD, ckptD)
+    assert(spark.read.parquet(outD).count() == 10,
+      "staged rows leaked to a default streaming consumer")
+    // publish: the audit stream sees ZERO new rows (W-line removal
+    // carries no file delta); the default consumer catches up
+    val pub = st.wapPublish(src, "night")
+    st.branchVersion(src, "audit", Some(pub))
+    drainTo(st.streamVersionedRef(src, "audit"), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == 15)
+    drainTo(st.streamVersioned(src), outD, ckptD)
+    assert(spark.read.parquet(outD).count() == 15)
+  }
+
+  test("ref-pinned streaming: a TAG bounds the drain; a branch with " +
+    "staged branch-log writes refuses; unknown refs fail loudly") {
+    val src = fresh("gstream_ref_tag")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.filter($"n_nationkey" < 10), src) // v0
+    st.tagVersion(src, "rel1")
+    st.writeVersioned(nation.filter($"n_nationkey" >= 10), src,
+      append = true)                                           // v1
+    // the tag-pinned stream drains UP TO the tag and idles there
+    drainTo(st.streamVersionedRef(src, "rel1"), outP, ckpt)
+    assert(spark.read.parquet(outP).count() == 10,
+      "a tag-pinned stream must not drain past its tag")
+    val e = intercept[Exception] {
+      st.streamVersionedRef(src, "nope").writeStream
+        .format("noop").start().awaitTermination()
+    }
+    assert(msgsOf(e).exists(_.contains("no tag or branch")),
+      s"unexpected: ${msgsOf(e)}")
+    // a branch carrying staged branch-log writes refuses (the
+    // pointer alone would drop them — batch VERSION AS OF contract)
+    st.branchVersion(src, "dev")
+    st.branchAppend(nation.limit(1), src, "dev")
+    val e2 = intercept[Exception] {
+      st.streamVersionedRef(src, "dev").writeStream
+        .format("noop").start().awaitTermination()
+    }
+    assert(msgsOf(e2).exists(_.contains("staged")),
+      s"unexpected: ${msgsOf(e2)}")
+    st.branchDiscardWrites(src, "dev"): Unit
   }
 }
