@@ -46,7 +46,7 @@ object Bench {
     // dividing per-query deltas by calib_sec separates real
     // regressions from co-tenant noise. Min-of-3, same estimator as
     // the queries.
-    val calibSec = (1 to 3).map { _ =>
+    def calibProbe(): Double = {
       val t0 = System.nanoTime()
       // modulo keeps the ANSI sum far from Long overflow; the work
       // is the 400M xxhash64 evaluations
@@ -54,7 +54,20 @@ object Bench {
         .selectExpr("sum(xxhash64(id, id * 7919) % 1000000) as h")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    val calibSec = (1 to 3).map(_ => calibProbe()).min
+    // INTERLEAVED calibration (round-9 lesson: a start-of-run probe
+    // cannot see co-tenant load that arrives mid-board — the r9 board
+    // read 1.23x r8 raw and needed an hour of manual A/B re-runs to
+    // prove it was machine noise). One single-shot probe every
+    // `calibEvery` queries, per pass, emitted as `calib_series`;
+    // tools/board_diff.py normalizes each query by its nearest probe
+    // so cross-round deltas are adjudicable from the artifacts alone.
+    // ~16 probes x ~0.3 s per pass: <2% of board wall time.
+    val calibEvery =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "20").toInt
+    val calibSeries =
+      scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
     // Repeat-min protocol (BASELINE.md): each query runs `passes`
     // times and reports the per-query MINIMUM. Local-machine noise is
     // one-sided — GC pauses, JIT recompilation, and co-tenant
@@ -72,10 +85,12 @@ object Bench {
     // carries an explicit "failed" list — in r03 the 29 events-family
     // failures read as 0.05 s timings and the board looked green.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def runAll(): Seq[(String, Double)] =
+    def runAll(pass: Int): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
-        .map { case (name, fn) =>
+        .zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx % calibEvery == 0)
+          calibSeries += ((pass, idx, calibProbe()))
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -91,7 +106,7 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         name -> dt
       }
-    val perPass = (1 to passes).map(_ => runAll())
+    val perPass = (1 to passes).map(p => runAll(p))
     val results = perPass.reduce { (a, b) =>
       a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
     }
@@ -101,6 +116,12 @@ object Bench {
     val qs = qjson(results)
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // calib_series: [{"pass":p,"i":<query slot the probe ran BEFORE>,
+    // "sec":s}, ...] — board_diff.py normalizes each query by its
+    // nearest probe (see BASELINE.md "Interleaved calibration")
+    val calibJson = calibSeries.map { case (p, i, s) =>
+      s"""{"pass":$p,"i":$i,"sec":$s}"""
+    }.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"prepare_sec":$prepSec,"passes":$passes,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_rN capture keeps only the stdout tail (~60
@@ -112,7 +133,8 @@ object Bench {
     try {
       val full = s"""{"calib_sec":$calibSec,"prepare_sec":$prepSec,""" +
         s""""passes":$passes,"total_sec":$total,"sf":"$sfDir",""" +
-        s""""failed":$failedJson,"queries":$qs,""" +
+        s""""failed":$failedJson,"calib_series":$calibJson,""" +
+        s""""queries":$qs,""" +
         s""""passes_raw":${perPass.map(qjson).mkString("[", ",", "]")}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         full.getBytes("UTF-8"))
