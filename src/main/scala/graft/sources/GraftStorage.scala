@@ -3757,26 +3757,30 @@ final case class GraftStorage(
 
   /** Commit history — (version, committed_at epoch-millis, n_files,
     * n_rows) per version, newest last. committed_at is the manifest
-    * publish instant (the atomic rename's mtime); n_rows comes from
-    * the manifest's R lines when complete, −1 otherwise (unknown
-    * without a scan — history stays strictly metadata-rate). The
-    * DESCRIBE HISTORY surface, also behind the `graft_history('/t')`
-    * TVF.
+    * publish instant (the atomic rename's mtime); n_rows is the
+    * PHYSICAL (pre-deletion-vector) total from the manifest's R
+    * lines when complete, −1 otherwise (unknown without a scan —
+    * history stays strictly metadata-rate, same contract as
+    * `#history`.row_count). The DESCRIBE HISTORY surface, also
+    * behind the `graft_history('/t')` TVF.
     */
-  def historyVersioned(path: String): DataFrame =
-    // ONE `_manifest/` listing serves every version's mtime AND the
-    // per-version cache-validation lookups — never one getFileStatus
-    // RPC per retained commit (see withManifestListing)
-    withManifestListing(path) { listing =>
-      val rows = listVersions(path).map { v =>
-        val files = manifestFiles(path, v)
-        val nRows = countVersionedFast(path, Some(v)).getOrElse(-1L)
-        (v, listing.get(s"v$v").map(_.getModificationTime).getOrElse(0L),
-          files.size.toLong, nRows)
+  def historyVersioned(path: String): DataFrame = {
+    // the metadata-table walk does the heavy lifting at DELTA rate
+    // (one `_manifest/` listing for every mtime + cache validation,
+    // running state instead of a full per-version resolve — the
+    // naive form is O(commits × files)); this surface just reshapes
+    // its richer rows to the original (version, committed_at millis,
+    // n_files, n_rows) schema, with -1 for unknown row counts
+    val rows = GraftMetaTables.rows(spark, path, "history").toSeq
+      .map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1) / 1000L,
+          r.getLong(3),
+          if (r.isNullAt(5)) -1L else r.getLong(5))
       }
-      spark.createDataFrame(rows)
-        .toDF("version", "committed_at", "n_files", "n_rows")
-    }
+    spark.createDataFrame(rows)
+      .toDF("version", "committed_at", "n_files", "n_rows")
+  }
 
   def cloneVersioned(src: String, dst: String,
       version: Option[Long] = None): Long = {

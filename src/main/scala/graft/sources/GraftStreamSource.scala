@@ -247,13 +247,14 @@ private[sources] final class GraftMicroBatchStream(
   private def isPublished(v: Long): Boolean =
     !st.manifestEntries(path, v).exists(_.startsWith("W\t"))
 
-  /** Admission control: at most `maxVersionsPerTrigger` PUBLISHED
+  /** Admission control: at most `maxVersionsPerTrigger` ADMISSIBLE
     * commits per micro-batch (one batch per commit with the value
-    * 1). Offsets only ever take published-version values — a
-    * checkpoint landing ON a staged version would seed the next
+    * 1). For a default stream that means PUBLISHED versions only —
+    * a checkpoint landing ON a staged version would seed the next
     * batch's diff from a manifest default readers never saw (staged
     * rows silently lost at publish, discards misread as change
-    * commits).
+    * commits); a ref-pinned stream admits staged versions at or
+    * below its pin (see [[admissible]]).
     */
   override def latestOffset(startOffset: Offset, limit: ReadLimit)
       : Offset = {
@@ -670,7 +671,15 @@ private[sources] final class GraftMicroBatchStream(
     * simply don't surface until a restart).
     */
   private def requireStableSchema(end: Long): Unit = {
-    val endSchema = st.readVersioned(path, Some(end)).schema
+    // schema-in-log first: the gate runs per MICRO-BATCH, and
+    // building a readVersioned relation just for .schema would list
+    // every snapshot file each trigger (real planning cost at 10⁴
+    // files); the merged H lines + mapping give the same logical
+    // schema at metadata rate. Legacy tables without H lines fall
+    // back to the relation (footer inference).
+    val endSchema = st.mergedManifestSchema(path, end)
+      .map(ps => st.logicalSchemaOf(ps, st.columnMapping(path, end)))
+      .getOrElse(st.readVersioned(path, Some(end)).schema)
     val missing = dataSchemaOf(schema).fieldNames
       .filterNot(n => endSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
     if (missing.nonEmpty)

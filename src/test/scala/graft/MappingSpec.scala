@@ -139,7 +139,8 @@ class MappingSpec extends AnyFunSuite {
   }
 
   test("merge-on-read interplay: MoR deletes/upserts work on a " +
-    "mapped table; CDC spans the rename; streams are gated") {
+    "mapped table; CDC spans the rename; streams serve logical " +
+    "columns") {
     val out = fresh("map_mor")
     st.writeVersioned(Seq((1L, "a", 10.0), (2L, "b", 20.0),
       (3L, "c", 30.0)).toDF("k", "v", "amt"), out)
@@ -174,23 +175,28 @@ class MappingSpec extends AnyFunSuite {
     st.deleteVersionedMor(out2, $"key_id" === 1L, "key_id")
     assert(st.readVersioned(out2).select($"key_id").as[Long]
       .collect().toSeq == Seq(2L))
-    // raw-file streaming refuses mapped snapshots loudly (DV-free
-    // table, so the MAPPING gate is the one that fires)…
+    // raw-file streaming of a mapped snapshot serves LOGICAL columns
+    // zero-copy (round 10: the scan requests physical names per
+    // file) — no REORG, no refusal…
     val out3 = fresh("map_stream_gate")
+    val fs3 = new org.apache.hadoop.fs.Path(out3).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(out3 + "_out", out3 + "_ckpt").foreach(p =>
+      fs3.delete(new org.apache.hadoop.fs.Path(p), true))
     st.writeVersioned(Seq((1L, 10.0)).toDF("id", "amt"), out3)
     st.renameColumnVersioned(out3, "amt", "price")
-    val e = intercept[Exception] {
-      val ckpt = out3 + "_ckpt"
-      val q = st.streamVersioned(out3).writeStream
-        .option("checkpointLocation", ckpt)
-        .format("parquet").option("path", out3 + "_out")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    assert(messages(e).exists(_.contains("column mapping")),
-      s"unexpected: ${messages(e)}")
-    // …and SQL delta DML points at REORG
+    val q = st.streamVersioned(out3).writeStream
+      .option("checkpointLocation", out3 + "_ckpt")
+      .format("parquet").option("path", out3 + "_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out3 + "_out")
+    assert(streamed.columns.toSeq == Seq("id", "price"),
+      streamed.columns.toSeq.toString)
+    assert(streamed.as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0)))
+    // …while SQL delta DML still points at REORG
     val e2 = intercept[Exception] {
       spark.sql(s"UPDATE graft.`$out` SET price = 1 WHERE k = 1")
     }
