@@ -64,6 +64,7 @@ object Bench {
     // tools/board_diff.py normalizes each query by its nearest probe
     // so cross-round deltas are adjudicable from the artifacts alone.
     // ~16 probes x ~0.3 s per pass: <2% of board wall time.
+    // <= 0 disables interleaved probes (start-of-run calib_sec only)
     val calibEvery =
       sys.env.getOrElse("SPARK_GRAFT_CALIB_EVERY", "20").toInt
     val calibSeries =
@@ -89,7 +90,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .zipWithIndex.map { case ((name, fn), idx) =>
-        if (idx % calibEvery == 0)
+        if (calibEvery > 0 && idx % calibEvery == 0)
           calibSeries += ((pass, idx, calibProbe()))
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

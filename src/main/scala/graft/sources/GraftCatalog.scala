@@ -370,19 +370,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftVersionedTable(p)
   }
 
-  /** `ALTER TABLE graft.`/p` ADD COLUMNS (...)` — a metadata-only
-    * commit (one new `H` schema line rides the manifest; zero data
-    * bytes move, readers surface the columns as NULL on existing
-    * files). Every other change kind is refused with guidance —
-    * type changes/renames would invalidate immutable files, and
-    * properties have a dedicated surface (addCheckConstraint).
-    */
   /** DEFAULT-valued columns are accepted (ADD COLUMN ... DEFAULT —
     * Spark gates the DDL on this capability declaration).
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
+  /** The supported ALTER TABLE kinds, each a METADATA-ONLY commit:
+    * ADD COLUMNS (one new `H` schema line; existing files surface
+    * the columns as NULL, or as the declared DEFAULT), RENAME/DROP
+    * COLUMN (an `N` mapping line), widening ALTER COLUMN TYPE (an
+    * `H` re-declaration), and SET/UNSET TBLPROPERTIES. Anything
+    * else is refused with guidance (constraints have a dedicated
+    * surface, addCheckConstraint).
+    */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val p = pathOf(ident)

@@ -191,6 +191,15 @@ private[sources] object GraftMetaTables {
     st.withManifestListing(path) { listing =>
       val versions = st.listVersions(path)
       requireLocalSized(spark, s"graft.`$path#history`", versions.size)
+      // a commit can land between the listing and listVersions: any
+      // version NEWER than the listing snapshot falls back to live
+      // per-version lookups (mtime + op tag) — the rare raced tail,
+      // never the 10⁴-commit bulk
+      val maxListed = listing.keys
+        .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+        .maxOption.getOrElse(-1L)
+      val fs = new Path(new Path(path), "_manifest")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val state = new HistState
       var prevV = -1L
       versions.map { v =>
@@ -259,9 +268,16 @@ private[sources] object GraftMetaTables {
           state.rebuild(cur)
         }
         val committedAt: Any = listing.get(s"v$v")
-          .map(_.getModificationTime * 1000L).getOrElse(null)
+          .map(_.getModificationTime * 1000L)
+          .orElse(if (v <= maxListed) None
+            else try Some(fs.getFileStatus(new Path(
+              new Path(path), s"_manifest/v$v"))
+              .getModificationTime * 1000L)
+            catch { case _: java.io.IOException => None })
+          .getOrElse(null)
         val op =
-          (if (listing.contains(s"v$v.op")) st.commitOpOf(path, v)
+          (if (listing.contains(s"v$v.op") || v > maxListed)
+            st.commitOpOf(path, v)
            else None).getOrElse {
             if (prevV < 0 && v == versions.head) "create"
             else classifyBools(addedData, removedData, dvAdded,

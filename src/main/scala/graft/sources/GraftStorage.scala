@@ -2722,9 +2722,13 @@ final case class GraftStorage(
     import org.apache.hadoop.fs.Path
     val dir = new Path(new Path(path), "_manifest")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a MISSING dir is a legitimate empty listing (0-version table);
+    // any other listing failure propagates — silently serving an
+    // empty hint would make every version's committed_at read null
+    // where the old per-version form surfaced real mtimes or threw
     val listed =
       try fs.listStatus(dir).toSeq.filter(_.isFile)
-      catch { case _: java.io.IOException =>
+      catch { case _: java.io.FileNotFoundException =>
         Seq.empty[org.apache.hadoop.fs.FileStatus] }
     val prev = GraftStorage.manifestListingHint.get()
     // keyed by URI PATH: qualification (authority spelling) differs
@@ -3644,8 +3648,14 @@ final case class GraftStorage(
         if (!f.metadata.contains("EXISTS_DEFAULT") &&
             !f.metadata.contains("CURRENT_DEFAULT")) f
         else {
+          // analyze() reads ONE metadata key — point it at whichever
+          // the field actually carries (an EXISTS-only field would
+          // otherwise die on a raw key-not-found, not the loud gate)
+          val key = if (f.metadata.contains("CURRENT_DEFAULT"))
+            "CURRENT_DEFAULT" else "EXISTS_DEFAULT"
           val analyzed = org.apache.spark.sql.catalyst.util
-            .ResolveDefaultColumns.analyze(f, "ALTER TABLE ADD COLUMNS")
+            .ResolveDefaultColumns.analyze(f,
+              "ALTER TABLE ADD COLUMNS", key)
           require(analyzed.foldable,
             s"ADD COLUMNS on $path: DEFAULT for '${f.name}' is not a " +
               "constant expression — existence defaults fold once at " +

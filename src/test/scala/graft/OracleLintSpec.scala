@@ -116,7 +116,7 @@ class OracleLintSpec extends AnyFunSuite {
     "decimal->double sum conversion outside the dsum shape, no dsum " +
     "over float-derived values") {
     // float SOURCE columns, discovered from the test data itself
-    val dir = "/root/testdata/sf0.001"
+    val dir = SparkTestSession.SF
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val floatCols: Set[String] = fs.listStatus(

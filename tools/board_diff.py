@@ -20,12 +20,21 @@ run calib_sec (the pre-round-10 method, start-load-blind).
 import json
 import sys
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+argv = sys.argv[1:]
+args = []
 thr = 1.5
-for a in sys.argv[1:]:
+i = 0
+while i < len(argv):
+    a = argv[i]
     if a.startswith("--threshold"):
-        thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[
-            sys.argv.index(a) + 1])
+        if "=" in a:
+            thr = float(a.split("=", 1)[1])
+        else:
+            i += 1
+            thr = float(argv[i])
+    else:
+        args.append(a)
+    i += 1
 if len(args) < 2:
     sys.exit(__doc__)
 old = json.load(open(args[0]))
@@ -33,18 +42,26 @@ new = json.load(open(args[1]))
 
 
 def calib_at(board, names):
-    """name -> calibration estimate (sec) from the nearest probe."""
+    """name -> calibration estimate (sec) from the nearest probe.
+
+    Probe slots were recorded against the BOARD'S OWN sorted query
+    list, so nearest-probe matching must index each query there —
+    indexing into the cross-board intersection would shift every
+    query after an added/removed name by its offset.
+    """
     series = board.get("calib_series") or []
     fallback = board.get("calib_sec", 1.0)
     if not series:
         return {n: fallback for n in names}
+    own_index = {n: i for i, n in enumerate(sorted(board["queries"]))}
     by_pass = {}
     for e in series:
         by_pass.setdefault(e["pass"], []).append((e["i"], e["sec"]))
     for v in by_pass.values():
         v.sort()
     out = {}
-    for idx, n in enumerate(sorted(names)):
+    for n in names:
+        idx = own_index.get(n, 0)
         per_pass = []
         for probes in by_pass.values():
             nearest = min(probes, key=lambda p: abs(p[0] - idx))
