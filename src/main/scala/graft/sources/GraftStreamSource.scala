@@ -591,16 +591,39 @@ private[sources] final class GraftMicroBatchStream(
     StructType(dataSchemaOf(schema).fields.map(f =>
       f.copy(name = st.physicalNameOf(f.name, mapping))))
 
-  /** The physical binding the stream's reader factory serves under —
-    * resolved ONCE (data files keep their physical names forever, so
-    * the binding of columns that survive the stream's whole life is
-    * version-invariant); [[requireStablePhysical]] re-derives it per
-    * batch and fails LOUDLY on any divergence (a mapping reset via
-    * compact under ignoreChanges, or a replay racing a re-rename) —
-    * a stale binding must never silently null-fill.
+  /** The physical binding the stream's reader factory serves under,
+    * plus the version it resolved at (the stream's effective START
+    * version) — resolved ONCE: data files keep their physical names
+    * forever, so the binding of columns that survive the stream's
+    * whole life is version-invariant. [[requireStablePhysical]]
+    * checks each batch's end version against it and fails LOUDLY
+    * when the binding broke (a mapping reset via compact, or a
+    * re-rename) — a stale binding must never silently null-fill.
     */
-  private lazy val physData: StructType =
-    physicalized(st.columnMapping(path, resolvedTarget))
+  private lazy val physBinding: (StructType, Long) = {
+    val target = resolvedTarget
+    val dataCols = dataSchemaOf(schema)
+    // the binding anchors to the latest version whose LOGICAL schema
+    // matches the stream's FIXED schema — not blindly to the current
+    // head: this lazy val resolves at first batch PLANNING, and by
+    // then a rename/widen may already have landed past the schema
+    // the stream was built with (the walk is one manifest-rate check
+    // in the steady state; it only steps back across the evolution
+    // commits themselves)
+    def matches(v: Long): Boolean =
+      st.mergedManifestSchema(path, v) match {
+        case None => true // legacy no-H table: no mapping either
+        case Some(ps) =>
+          val logical = st.logicalSchemaOf(ps, st.columnMapping(path, v))
+          dataCols.fields.forall(f => logical.fields.exists(lf =>
+            lf.name.equalsIgnoreCase(f.name) &&
+              lf.dataType == f.dataType))
+      }
+    val v = st.listVersions(path).filter(_ <= target)
+      .reverse.find(matches).getOrElse(target)
+    (physicalized(st.columnMapping(path, v)), v)
+  }
+  private def physData: StructType = physBinding._1
 
   /** ZERO-COPY scan over the TABLE'S OWN data files — raw (non-CDF)
     * batches. Files store physical column names (column mapping), so
@@ -671,6 +694,13 @@ private[sources] final class GraftMicroBatchStream(
     * simply don't surface until a restart).
     */
   private def requireStableSchema(end: Long): Unit = {
+    // the gate exists for evolution landing AFTER the stream's start
+    // — version-stepped admission also walks HISTORICAL versions,
+    // whose logical schemas legitimately differ (a pre-rename
+    // version's column carries its old name; physical names are
+    // stable, so serving it under the stream's binding is exact —
+    // [[requireStablePhysical]] is the soundness check there)
+    if (end <= physBinding._2) return
     // schema-in-log first: the gate runs per MICRO-BATCH, and
     // building a readVersioned relation just for .schema would list
     // every snapshot file each trigger (real planning cost at 10⁴
@@ -703,23 +733,40 @@ private[sources] final class GraftMicroBatchStream(
   }
 
   /** Zero-copy serving additionally pins the PHYSICAL binding: the
-    * reader factory resolved [[physData]] once, and a batch whose end
-    * version binds stream columns to different stored names (a
-    * mapping reset by compact under ignoreChanges, or a replayed
-    * batch racing a re-rename) must fail loudly — the factory's
-    * stale request would silently null-fill from the new files.
-    * Change-feed MATERIALIZED batches don't ride physData and skip
-    * this (a reset there is benign: logical names are preserved).
+    * reader factory resolved [[physData]] once, and a batch is only
+    * servable when every stream column it requests either exists in
+    * the batch version's PHYSICAL space under that stored name, or
+    * does not exist at that version AT ALL (a column added later —
+    * files null-fill/default exactly like a batch read). The broken
+    * case — the column exists LOGICALLY at the version but under a
+    * DIFFERENT stored name (a mapping reset by compact under
+    * ignoreChanges, or a re-rename) — fails loudly: the factory's
+    * stale request would silently null-fill real data. Change-feed
+    * MATERIALIZED batches don't ride physData and skip this (a reset
+    * there is benign: logical names are preserved).
     */
-  private def requireStablePhysical(end: Long): Unit = {
-    val now = physicalized(st.columnMapping(path, end))
-    if (now != physData)
-      throw new IllegalStateException(
-        s"graft-stream on $path: the column mapping changed " +
-          "mid-stream (a compact/overwrite reset it, or columns were " +
-          "re-renamed) — the stream's physical column binding is " +
-          "fixed at start; restart with a fresh checkpoint.")
-  }
+  private def requireStablePhysical(end: Long): Unit =
+    st.mergedManifestSchema(path, end).foreach { physE =>
+      val logicalE =
+        st.logicalSchemaOf(physE, st.columnMapping(path, end))
+      val data = dataSchemaOf(schema)
+      val broken = data.fields.indices.flatMap { i =>
+        val physName = physData.fields(i).name
+        val physPresent =
+          physE.fieldNames.exists(_.equalsIgnoreCase(physName))
+        val logicalPresent = logicalE.fieldNames
+          .exists(_.equalsIgnoreCase(data.fields(i).name))
+        if (!physPresent && logicalPresent) Some(data.fields(i).name)
+        else None
+      }
+      if (broken.nonEmpty)
+        throw new IllegalStateException(
+          s"graft-stream on $path: column(s) " +
+            s"${broken.mkString(", ")} changed their stored " +
+            "(physical) binding mid-stream (a compact/overwrite " +
+            "reset the mapping, or columns were re-renamed) — " +
+            "restart with a fresh checkpoint.")
+    }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {

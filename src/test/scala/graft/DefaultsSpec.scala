@@ -107,6 +107,52 @@ class DefaultsSpec extends AnyFunSuite {
     assert(got.getLong(0) == 7L)
   }
 
+  test("defaults compose with column mapping: renaming a defaulted " +
+    "column keeps the fill; mapped tables accept defaulted adds") {
+    val out = fresh("default_mapped")
+    st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
+    st.addColumnsVersioned(out, StructType(Seq(
+      withDefault("pri", IntegerType, "7"))))
+    // rename the DEFAULTED column: the mapping renames the logical
+    // name, the H line keeps the physical field + its metadata
+    st.renameColumnVersioned(out, "pri", "rank")
+    val got = st.readVersioned(out).select($"k", $"rank").head()
+    assert(got.getInt(1) == 7, "default lost across the rename")
+    // a defaulted ADD on an ALREADY-mapped table
+    st.renameColumnVersioned(out, "v", "label")
+    st.addColumnsVersioned(out, StructType(Seq(
+      withDefault("score", DoubleType, "1.5"))))
+    val row = st.readVersioned(out)
+      .select($"k", $"label", $"rank", $"score").head()
+    assert(row.getString(1) == "a" && row.getInt(2) == 7 &&
+      row.getDouble(3) == 1.5)
+  }
+
+  test("defaults flow through streaming: a raw-stream bootstrap " +
+    "after ADD COLUMN DEFAULT fills pre-ADD files") {
+    val out = fresh("default_stream")
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(out + "_out", out + "_ckpt").foreach(p =>
+      fs.delete(new Path(p), true))
+    st.writeVersioned(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), out)
+    st.addColumnsVersioned(out, StructType(Seq(
+      withDefault("pri", IntegerType, "7"))))
+    st.writeVersioned(Seq((3L, "c", java.lang.Integer.valueOf(9)))
+      .toDF("k", "v", "pri"), out, append = true)
+    val q = st.streamVersioned(out).writeStream
+      .option("checkpointLocation", out + "_ckpt")
+      .format("parquet").option("path", out + "_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out + "_out").orderBy($"k")
+      .select($"k", $"pri").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(streamed == Seq((1L, 7), (2L, 7), (3L, 9)),
+      streamed.toString)
+  }
+
   test("bad defaults fail the DDL loudly, not every later read") {
     val out = fresh("default_bad")
     st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)

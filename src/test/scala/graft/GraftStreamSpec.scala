@@ -604,6 +604,54 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(src + "_out2").count() == 2)
   }
 
+  test("column-mapped CDF bootstrap under maxFilesPerTrigger: " +
+    "sliced batches stay zero-copy with logical columns") {
+    val src = fresh("gstream_mapped_sliced")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(spark.range(0, 40)
+      .select($"id".as("k"), ($"id" * 1.0).as("amt"))
+      .repartition(8), src)
+    st.renameColumnVersioned(src, "amt", "price")
+    val q = st.streamVersionedChanges(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outP)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fs = new Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the same bootstrap SLICED: a second fresh checkpoint with the
+    // file cap (8 files / cap 3 -> several v#f batches)
+    val ckpt2 = src + "_ckpt2"; val outP2 = src + "_out2"
+    val q2 = spark.readStream.format("graft-stream")
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "3")
+      .load(src)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt2)
+      .format("parquet").option("path", outP2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // the BOOTSTRAP ranges (b-1_*) must never materialize — the
+    // rename commit's own (zero-row) change batch may legitimately
+    // strand its dir until the next drain's housekeeping
+    for (cp <- Seq(ckpt, ckpt2)) {
+      val cdfDir = new Path(cp, "sources/0/_graft_cdf")
+      val dirs = if (!fs.exists(cdfDir)) Seq.empty
+        else fs.listStatus(cdfDir).toSeq.map(_.getPath.getName)
+      assert(!dirs.exists(_.startsWith("b-1_")),
+        s"mapped bootstrap under $cp materialized: $dirs")
+    }
+    for (o <- Seq(outP, outP2)) {
+      val got = spark.read.parquet(o)
+      assert(got.columns.toSet ==
+        Set("k", "price", "_change_type", "_commit_version"))
+      assert(got.count() == 40, s"$o: ${got.count()}")
+      assert(got.agg(sum($"price")).head().getDouble(0) ==
+        (0 until 40).map(_.toDouble).sum)
+    }
+  }
+
   test("ref-pinned streaming: a stream on branch 'audit' sees " +
     "WAP-staged commits that default consumers do not") {
     val src = fresh("gstream_ref")
