@@ -153,6 +153,21 @@ class DefaultsSpec extends AnyFunSuite {
       streamed.toString)
   }
 
+  test("CREATE TABLE with DEFAULT columns: declared defaults serve " +
+    "the DEFAULT keyword and column-list INSERTs from day one") {
+    val out = fresh("default_create")
+    spark.sql(s"CREATE TABLE graft.`$out` (k BIGINT, v STRING, " +
+      "pri INT DEFAULT 7) USING graft")
+    spark.sql(s"INSERT INTO graft.`$out` VALUES (1, 'a', DEFAULT)")
+    // column-list INSERT omitting the defaulted column entirely
+    spark.sql(s"INSERT INTO graft.`$out` (k, v) VALUES (2, 'b')")
+    spark.sql(s"INSERT INTO graft.`$out` VALUES (3, 'c', 9)")
+    val got = spark.sql(
+      s"SELECT k, pri FROM graft.`$out` ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 7), (2L, 7), (3L, 9)), got.toString)
+  }
+
   test("bad defaults fail the DDL loudly, not every later read") {
     val out = fresh("default_bad")
     st.writeVersioned(Seq((1L, "a")).toDF("k", "v"), out)
