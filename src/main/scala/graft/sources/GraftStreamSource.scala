@@ -471,7 +471,7 @@ private[sources] final class GraftMicroBatchStream(
         // is a computed plan); a DV-free snapshot never reaches here —
         // planInputPartitions serves it zero-copy from the table's
         // own files with the CDF columns synthesized as constants
-        st.readVersioned(path, Some(end))
+        toStreamNames(st.readVersioned(path, Some(end)), end)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(end))
       else {
@@ -499,7 +499,7 @@ private[sources] final class GraftMicroBatchStream(
           .filter(v => st.commitOpOf(path, v).isEmpty)
         var prev = start
         val parts = published.map { v =>
-          val d = st.changesVersioned(path, prev, v)
+          val d = toStreamNames(st.changesVersioned(path, prev, v), v)
             .withColumn("_commit_version", lit(v))
           prev = v
           d
@@ -525,6 +525,33 @@ private[sources] final class GraftMicroBatchStream(
     fs.listStatus(outDir).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.getPath)
+  }
+
+  /** Translate a change DataFrame in version `v`'s LOGICAL column
+    * names to the STREAM's logical names through the stable physical
+    * namespace (v's logical → physical via the mapping at `v` →
+    * stream logical via the anchored binding). Identity when no
+    * rename is involved; makes HISTORY replays across a rename exact
+    * — a restarted stream's stepped batch over pre-rename commits
+    * surfaces their change rows under the stream's names instead of
+    * silently null-filling the renamed column. Columns with no
+    * stream counterpart keep their names (tolerated ADD COLUMNS —
+    * the fixed read schema simply ignores them); the CDF metadata
+    * pair passes through.
+    */
+  private def toStreamNames(df: org.apache.spark.sql.DataFrame,
+      v: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val mappingV = st.columnMapping(path, v)
+    val data = dataSchemaOf(schema)
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val byPhys = physData.fields.map(f => lc(f.name))
+      .zip(data.fields.map(_.name)).toMap
+    df.select(df.columns.toIndexedSeq.map { c =>
+      if (c == "_change_type" || c == "_commit_version") col(s"`$c`")
+      else col(s"`$c`").as(
+        byPhys.getOrElse(lc(st.physicalNameOf(c, mappingV)), c))
+    }: _*)
   }
 
   /** Spent change-feed batch dirs retire once the engine commits the
@@ -610,17 +637,26 @@ private[sources] final class GraftMicroBatchStream(
     // the stream was built with (the walk is one manifest-rate check
     // in the steady state; it only steps back across the evolution
     // commits themselves)
+    val targetHasH = st.mergedManifestSchema(path, target).isDefined
     def matches(v: Long): Boolean =
       st.mergedManifestSchema(path, v) match {
-        case None => true // legacy no-H table: no mapping either
+        // a pre-H LEGACY version can only anchor a fully-legacy
+        // table (then there is no mapping anywhere); on a table
+        // whose TARGET has H lines, walking back into the pre-H era
+        // means nothing matched — fall through to the target anchor
+        case None => !targetHasH
         case Some(ps) =>
           val logical = st.logicalSchemaOf(ps, st.columnMapping(path, v))
           dataCols.fields.forall(f => logical.fields.exists(lf =>
             lf.name.equalsIgnoreCase(f.name) &&
               lf.dataType == f.dataType))
       }
+    // bounded walk: the anchor only ever sits a few evolution
+    // commits behind the head (schema inference to first planning);
+    // an externally-supplied schema matching NO version must not
+    // scan 10⁴ manifests before falling back
     val v = st.listVersions(path).filter(_ <= target)
-      .reverse.find(matches).getOrElse(target)
+      .reverse.take(64).find(matches).getOrElse(target)
     (physicalized(st.columnMapping(path, v)), v)
   }
   private def physData: StructType = physBinding._1
@@ -734,30 +770,35 @@ private[sources] final class GraftMicroBatchStream(
 
   /** Zero-copy serving additionally pins the PHYSICAL binding: the
     * reader factory resolved [[physData]] once, and a batch is only
-    * servable when every stream column it requests either exists in
-    * the batch version's PHYSICAL space under that stored name, or
-    * does not exist at that version AT ALL (a column added later —
-    * files null-fill/default exactly like a batch read). The broken
-    * case — the column exists LOGICALLY at the version but under a
-    * DIFFERENT stored name (a mapping reset by compact under
-    * ignoreChanges, or a re-rename) — fails loudly: the factory's
-    * stale request would silently null-fill real data. Change-feed
-    * MATERIALIZED batches don't ride physData and skip this (a reset
-    * there is benign: logical names are preserved).
+    * servable when every stream column that exists LOGICALLY at the
+    * batch's end version binds to the SAME stored name the factory
+    * requests (a column absent logically is the benign added-later /
+    * pre-rename-history case: serving its stable physical name
+    * null-fills, defaults, or reads the same column's pre-rename
+    * bytes — exactly the batch-read semantics). Anything else — a
+    * mapping reset by compact under ignoreChanges, a re-rename, or
+    * a logical-name SWAP cycle re-using another column's stored
+    * name — fails loudly: the factory's stale request would
+    * silently serve wrong or null data. Change-feed MATERIALIZED
+    * batches don't ride physData and skip this (changeRows
+    * translates to stream names per commit instead).
     */
   private def requireStablePhysical(end: Long): Unit =
     st.mergedManifestSchema(path, end).foreach { physE =>
-      val logicalE =
-        st.logicalSchemaOf(physE, st.columnMapping(path, end))
+      val mappingE = st.columnMapping(path, end)
+      val logicalE = st.logicalSchemaOf(physE, mappingE)
       val data = dataSchemaOf(schema)
       val broken = data.fields.indices.flatMap { i =>
-        val physName = physData.fields(i).name
-        val physPresent =
-          physE.fieldNames.exists(_.equalsIgnoreCase(physName))
+        val anchored = physData.fields(i).name
         val logicalPresent = logicalE.fieldNames
           .exists(_.equalsIgnoreCase(data.fields(i).name))
-        if (!physPresent && logicalPresent) Some(data.fields(i).name)
-        else None
+        if (!logicalPresent) None
+        else {
+          val nowPhys =
+            st.physicalNameOf(data.fields(i).name, mappingE)
+          if (nowPhys.equalsIgnoreCase(anchored)) None
+          else Some(data.fields(i).name)
+        }
       }
       if (broken.nonEmpty)
         throw new IllegalStateException(

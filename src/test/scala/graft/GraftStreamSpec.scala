@@ -652,6 +652,66 @@ class GraftStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("restarted CDF stream replays PRE-rename commits under the " +
+    "new logical names — no silent null-fill of the renamed column") {
+    val src = fresh("gstream_cdf_replay_rename")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(Seq((1L, 10.0)).toDF("k", "amt"), src)  // v0
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    // lag: an append lands (v1), then the rename (v2), BEFORE the
+    // consumer restarts — the replayed range holds a pre-rename
+    // commit whose change rows carry the OLD logical name
+    st.writeVersioned(Seq((2L, 20.0), (3L, 30.0)).toDF("k", "amt"),
+      src, append = true)                                     // v1
+    st.renameColumnVersioned(src, "amt", "price")             // v2
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val all = spark.read.option("mergeSchema", "true").parquet(outP)
+    assert(all.columns.contains("price"))
+    val replayed = all.filter($"k".isin(2L, 3L))
+    assert(replayed.count() == 2)
+    assert(replayed.filter($"price".isNull).count() == 0,
+      "pre-rename change rows must surface under the stream's new " +
+        "logical name, not null-fill")
+    assert(replayed.agg(sum($"price")).head().getDouble(0) == 50.0)
+  }
+
+  test("a logical-name SWAP landing mid-RUN (after the binding " +
+    "anchored) fails loudly, never serves swapped values; a restart " +
+    "re-anchors to the post-swap semantics") {
+    val src = fresh("gstream_swap")
+    st.writeVersioned(Seq((1.0, 100.0)).toDF("a", "b"), src) // v0
+    // a RUNNING stream: bind the micro-batch stream directly and
+    // force the anchor (reader factory) BEFORE the swap — the
+    // deterministic stand-in for 'the swap lands between triggers'
+    val schema = st.readVersioned(src).schema
+    val mbs = new GraftMicroBatchStream(src, schema,
+      ignoreChanges = false, maxVersionsPerTrigger = None)
+    mbs.createReaderFactory(): Unit // resolves physBinding at v0
+    // a->tmp, b->a, tmp->b: the logical name SET and types are
+    // unchanged (the name/type gate alone cannot see it), but the
+    // stored bindings swapped underneath
+    st.renameColumnVersioned(src, "a", "tmp")
+    st.renameColumnVersioned(src, "b", "a")
+    st.renameColumnVersioned(src, "tmp", "b")
+    st.writeVersioned(Seq((2.0, 200.0)).toDF("a", "b"), src,
+      append = true)                                          // v4
+    val e = intercept[IllegalStateException] {
+      mbs.planInputPartitions(mbs.deserializeOffset("0"),
+        mbs.deserializeOffset("4"))
+    }
+    assert(e.getMessage.contains("physical"), e.getMessage)
+    // a FRESH stream (restart) re-anchors post-swap and serves the
+    // CURRENT logical semantics correctly
+    val out2 = src + "_out2"; val ckpt2 = src + "_ckpt2"
+    drainTo(st.streamVersioned(src), out2, ckpt2)
+    val got = spark.read.parquet(out2)
+    // post-swap: logical 'a' is the old 'b' data (100) plus the new
+    // row's a=2.0; logical 'b' the old 'a' (1.0) plus b=200.0
+    assert(got.agg(sum($"a"), sum($"b")).head() match {
+      case r => r.getDouble(0) == 102.0 && r.getDouble(1) == 201.0
+    })
+  }
+
   test("ref-pinned streaming: a stream on branch 'audit' sees " +
     "WAP-staged commits that default consumers do not") {
     val src = fresh("gstream_ref")
