@@ -37,6 +37,24 @@ object Graph extends QueryModule {
   private def np(s: SparkSession): Int =
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Iteration-layout width, derived from the INPUT SIZE (guide §2:
+    * scale-adaptive partitioning, never a constant tuned for one
+    * deployment): ~1M edge rows per cached partition, sized from a
+    * metadata-rate estimate of the raw rows (counting the built edge
+    * set itself would cost a materialization — the triangles layout
+    * note measured +40% from exactly that). Every per-round stage of
+    * the iterative loops runs over this layout, so its width is the
+    * task count the loop pays 2·iters times: the 1M-row data term
+    * dominates at scale (sf1 ≈ 12-way, 100 TB ≫ any core count), and
+    * the floor of 8 keeps a small graph's rounds parallel without
+    * launching a full core-count of tasks per KB-sized stage
+    * (measured at sf0.1: 32-way → 8-way halves per-iteration wall,
+    * identical plans, because each round's stages are task-launch
+    * bound, not data bound).
+    */
+  private def graphParts(s: SparkSession, edgeEstimate: Long): Int =
+    math.max(8, math.min(20000L, edgeEstimate / 1000000L).toInt)
+
   private[graft] def pagerankEdges(s: SparkSession, edgesIn: DataFrame,
       iters: Int = Iters): DataFrame =
     pagerankEdges(s, edgesIn, iters, 0L)
@@ -52,7 +70,11 @@ object Graph extends QueryModule {
     * without it Catalyst re-analyzes a plan that doubles per round).
     */
   private[graft] def pagerankEdges(s: SparkSession, edgesIn: DataFrame,
-      iters: Int, tolPpb: Long): DataFrame = {
+      iters: Int, tolPpb: Long): DataFrame =
+    pagerankEdges(s, edgesIn, iters, tolPpb, np(s))
+
+  private[graft] def pagerankEdges(s: SparkSession, edgesIn: DataFrame,
+      iters: Int, tolPpb: Long, parts: Int): DataFrame = {
     import s.implicits._
     // Edges are partitioned ON THE JOIN KEY once and cached: an
     // InMemoryRelation advertises its outputPartitioning (a
@@ -62,46 +84,55 @@ object Graph extends QueryModule {
     // drops from O(|E|) to O(|V|) — at 100 TB the edge set shuffles
     // exactly once per query, the textbook Pregel layout.
     val edges = edgesIn.select($"src", $"dst").distinct()
-      .repartition(np(s), $"src").cache()
+      .repartition(parts, $"src").cache()
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct().localCheckpoint()
     val n = nodes.count() // driver scalar: graph order, sets the base
     val base = (Scale * 15 / 100) / n
     val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    var ranks = nodes.select($"node", lit(Scale / n).as("rank"))
+    // The rank state CARRIES out-degree (null = dangling): the
+    // per-iteration ranks⋈deg join and the dangling anti-join of the
+    // naive loop collapse into a filter over the state — two fewer
+    // |V|-row exchanges per round. `nd` (node ⋈ deg, node-partitioned,
+    // cached) is built once and serves as the next-state outer side
+    // in place every round: contrib aggregates land already
+    // node-partitioned at the same count, so the per-round next-state
+    // join is exchange-free on both sides.
+    val nd = nodes.join(deg, Seq("node"), "left_outer")
+      .repartition(parts, $"node").cache()
+    var state = nd.select($"node", lit(Scale / n).as("rank"), $"deg")
       .localCheckpoint()
     var it = 0
     var converged = false
     while (it < iters && !converged) {
       it += 1
       val contrib = edges
-        .join(ranks.join(deg, "node").withColumnRenamed("node", "src"),
-          "src")
+        .join(state.filter($"deg".isNotNull)
+          .select($"node".as("src"), $"rank", $"deg"), "src")
         .select($"dst".as("node"), expr("rank div deg").as("c"))
         .groupBy($"node").agg(sum($"c").as("inflow"))
       // dangling nodes hold rank with nowhere to go: redistribute
       // uniformly (one-row aggregate, cross-joined — no collect)
-      val dang = ranks.join(deg, Seq("node"), "left_anti")
+      val dang = state.filter($"deg".isNull)
         .agg(coalesce(sum($"rank"), lit(0L)).as("dsum"))
-      val next = nodes
+      val next = nd
         .join(contrib, Seq("node"), "left_outer")
         .crossJoin(dang)
         .select($"node",
           (lit(base) + expr(
             s"(850 * (coalesce(inflow, 0L) + (dsum div $n))) div 1000"))
-            .as("rank"))
+            .as("rank"), $"deg")
         .localCheckpoint()
       if (tolPpb > 0) {
         // one |V|-row join, driver receives ONE scalar
         val delta = next.join(
-            ranks.select($"node", $"rank".as("prev")), "node")
+            state.select($"node", $"rank".as("prev")), "node")
           .agg(max(abs($"rank" - $"prev"))).head().getLong(0)
         converged = delta <= tolPpb
       }
-      ranks = next
+      state = next
     }
-    ranks.select($"node", $"rank".as("rank_ppb"))
+    state.select($"node", $"rank".as("rank_ppb"))
   }
 
   /** PageRank over the supplier↔part supply graph (both directions of
@@ -111,11 +142,14 @@ object Graph extends QueryModule {
     */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // metadata-rate row count sizes the iteration layout (see
+    // graphParts); the edge set is ≤ 2 pairs per lineitem row
+    val liRows = T.t(s, dir, "lineitem").count()
     val li = T.t(s, dir, "lineitem")
       .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
     val edges = li.select($"s".as("src"), $"p".as("dst"))
       .union(li.select($"p".as("src"), $"s".as("dst")))
-    pagerankEdges(s, edges)
+    pagerankEdges(s, edges, Iters, 0L, graphParts(s, liRows * 2))
       .orderBy($"rank_ppb".desc, $"node")
       .limit(100)
   }
@@ -200,6 +234,8 @@ object Graph extends QueryModule {
     */
   def bfs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // metadata-rate row count sizes the level layout (see graphParts)
+    val liRows = T.t(s, dir, "lineitem").count()
     val li = T.t(s, dir, "lineitem")
       .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
     // src-partitioned cached edges: every level's frontier expansion
@@ -207,7 +243,7 @@ object Graph extends QueryModule {
     // (≤|V| rows) shuffles per level
     val edges = li.select($"s".as("src"), $"p".as("dst"))
       .union(li.select($"p".as("src"), $"s".as("dst")))
-      .distinct().repartition(np(s), $"src").cache()
+      .distinct().repartition(graphParts(s, liRows * 2), $"src").cache()
     var visited = Seq((2L, 0)).toDF("node", "dist").localCheckpoint()
     var frontier = visited
     var level = 0
@@ -248,11 +284,14 @@ object Graph extends QueryModule {
     */
   def labelProp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // metadata-rate row count sizes the voting layout (see graphParts)
+    val liRows = T.t(s, dir, "lineitem").count()
     val li = T.t(s, dir, "lineitem")
       .select(($"l_suppkey" * 2).as("s"), ($"l_partkey" * 2 + 1).as("p"))
     val edges = li.select($"s".as("src"), $"p".as("dst"))
       .union(li.select($"p".as("src"), $"s".as("dst")))
-    labelPropEdges(s, edges, LpIters, stopWhenStable = false)
+    labelPropEdges(s, edges, LpIters, stopWhenStable = false,
+      graphParts(s, liRows * 2))
       .groupBy($"label")
       .agg(count(lit(1)).as("size"),
         min($"node").as("min_node"), max($"node").as("max_node"))
@@ -268,13 +307,17 @@ object Graph extends QueryModule {
     * (the pagerank discipline).
     */
   private[graft] def labelPropEdges(s: SparkSession, edgesIn: DataFrame,
-      iters: Int, stopWhenStable: Boolean): DataFrame = {
+      iters: Int, stopWhenStable: Boolean): DataFrame =
+    labelPropEdges(s, edgesIn, iters, stopWhenStable, np(s))
+
+  private[graft] def labelPropEdges(s: SparkSession, edgesIn: DataFrame,
+      iters: Int, stopWhenStable: Boolean, parts: Int): DataFrame = {
     import s.implicits._
     // dst-partitioned cached edges: each voting round's label join
     // reads the edge blocks in place (the pagerank discipline — only
     // the |V|-row label side shuffles per round)
     val edges = edgesIn.select($"src", $"dst")
-      .distinct().repartition(np(s), $"dst").cache()
+      .distinct().repartition(parts, $"dst").cache()
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label")).localCheckpoint()
     var it = 0
