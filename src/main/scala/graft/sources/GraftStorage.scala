@@ -1119,12 +1119,13 @@ final case class GraftStorage(
       case Some(k) =>
         val dvDir = new Path(commitDir, "_dv")
         // keys re-read from the COMMITTED files, not the input plan:
-        // one deterministic pass over exactly what landed
-        spark.read.schema(dfP.schema).parquet(freshFiles: _*)
-          .select(col(k)).distinct()
-          .write.mode("overwrite").parquet(dvDir.toString)
-        if (!spark.read.parquet(dvDir.toString)
-            .filter(col(k).isNull).isEmpty) {
+        // one deterministic pass over exactly what landed. The
+        // NULL-key gate rides the SAME job as an observed metric —
+        // the per-commit readback job the previous shape paid is gone
+        if (writeDvCountingNulls(
+            spark.read.schema(dfP.schema).parquet(freshFiles: _*)
+              .select(col(k)).distinct(),
+            k, dvDir.toString) > 0) {
           fs.delete(commitDir, true)
           throw new IllegalArgumentException(
             s"mergeVersionedMor: updates carry a NULL '$k' — a " +
@@ -2279,6 +2280,29 @@ final case class GraftStorage(
     * Costs one O(delta) pass over the commit's own files, and only on
     * tables that opted into MoR.
     */
+  /** Write a deletion-vector DataFrame as parquet while counting its
+    * NULL keys IN THE SAME JOB (`Dataset.observe` rides the write
+    * action): the NULL-key safety gate every key-based DV commit
+    * runs, without the extra re-read job the gate used to cost per
+    * commit. Returns the observed NULL-key count (task retries can
+    * only over-count a real NULL — the >0 gate is retry-safe; a
+    * completed write has run every partition, so a present NULL is
+    * always counted).
+    */
+  private def writeDvCountingNulls(dv: DataFrame, keyColP: String,
+      outDir: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    dv.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when(col(keyColP).isNull,
+            org.apache.spark.sql.functions.lit(1))).as("null_keys"))
+      .write.mode("overwrite").parquet(outDir)
+    obs.get("null_keys") match {
+      case l: java.lang.Long => l.longValue()
+      case x => String.valueOf(x).toLong
+    }
+  }
+
   private def requireMorKeyNonNull(path: String,
       writeSchema: org.apache.spark.sql.types.StructType,
       commitDir: org.apache.hadoop.fs.Path,
@@ -3873,16 +3897,14 @@ final case class GraftStorage(
     // projection)
     val keyColP = physicalNameOf(keyCol, columnMapping(path, vs.last))
     // DV = matching keys of the CURRENT snapshot (existing DVs apply:
-    // a key deleted twice is stored once)
-    readVersioned(path).filter(predicate)
-      .select(col(keyCol).as(keyColP)).distinct()
-      .write.mode("overwrite").parquet(commitDir.toString)
-    // A key-based DV cannot express a NULL-keyed victim: the reader's
-    // equi anti-join never matches NULL, so the row would silently
-    // survive the DELETE (and compaction would make that permanent).
-    // The DV is O(deleted keys), so this readback is metadata-cheap.
+    // a key deleted twice is stored once). The NULL-key gate rides
+    // the same job as an observed metric (see publishDvOnlyCommit).
+    val nulls = writeDvCountingNulls(
+      readVersioned(path).filter(predicate)
+        .select(col(keyCol).as(keyColP)).distinct(),
+      keyColP, commitDir.toString)
     publishDvOnlyCommit(dir, fs, commitDir, n, keyColP, txn,
-      "deleteVersionedMor")
+      "deleteVersionedMor", nullKeys = nulls)
   }
 
   /** Keyed MoR DELETE from a KEYS DataFrame — the CDC-apply shape:
@@ -3925,10 +3947,11 @@ final case class GraftStorage(
     val n: Long = vs.last + 1
     val commitDir = newCommitDir(dir, n)
     val keyColP = physicalNameOf(keyCol, mapping)
-    keys.select(col(keyCol).as(keyColP)).distinct()
-      .write.mode("overwrite").parquet(commitDir.toString)
+    val nulls = writeDvCountingNulls(
+      keys.select(col(keyCol).as(keyColP)).distinct(),
+      keyColP, commitDir.toString)
     publishDvOnlyCommit(dir, fs, commitDir, n, keyColP, txn,
-      "deleteVersionedMorKeys")
+      "deleteVersionedMorKeys", nullKeys = nulls)
   }
 
   /** Row-level DELETE by POSITION — merge-on-read for KEYLESS tables
@@ -3963,7 +3986,8 @@ final case class GraftStorage(
         col(GraftStorage.PosIdxCol).as("pos"))
       .write.mode("overwrite").parquet(commitDir.toString)
     publishDvOnlyCommit(dir, fs, commitDir, n,
-      GraftStorage.PosDvCol, txn, "deleteVersionedMorPos")
+      GraftStorage.PosDvCol, txn, "deleteVersionedMorPos",
+      nullKeys = 0L)
   }
 
   /** Serializable-isolation validation for replaying a DELTA
@@ -4035,10 +4059,14 @@ final case class GraftStorage(
   private def publishDvOnlyCommit(dir: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem,
       commitDir: org.apache.hadoop.fs.Path, n: Long, keyCol: String,
-      txn: Option[(String, Long)], what: String): Long = {
-    if (keyCol != GraftStorage.PosDvCol &&
-        !spark.read.parquet(commitDir.toString)
-        .filter(col(keyCol).isNull).isEmpty) {
+      txn: Option[(String, Long)], what: String,
+      /** NULL keys observed while the DV was WRITTEN
+        * ([[writeDvCountingNulls]] — the gate rides the write job;
+        * the previous shape re-read the DV parquet per commit).
+        * Position DVs pass 0 (positions cannot be NULL).
+        */
+      nullKeys: Long): Long = {
+    if (nullKeys > 0) {
       fs.delete(commitDir, true)
       throw new IllegalArgumentException(
         s"$what: matching rows carry a NULL '$keyCol' — a " +

@@ -382,6 +382,35 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(outP).count() == 32)
   }
 
+  test("a PURE-APPEND CDF step is ZERO-COPY: the batch reads the " +
+    "appended files directly, nothing materialized under _graft_cdf") {
+    val src = fresh("gstream_cdf_appendzc")
+    val outP = src + "_out"; val ckpt = src + "_ckpt"
+    st.writeVersioned(nation.repartition(2), src)
+    drainTo(st.streamVersionedChanges(src), outP, ckpt) // bootstrap
+    val appended = nation.filter($"n_nationkey" < 7)
+    st.writeVersioned(appended, src, append = true) // v1: pure append
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val fs = new Path(src).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cdfDir = new Path(ckpt, "sources/0/_graft_cdf")
+    assert(!fs.exists(cdfDir) || fs.listStatus(cdfDir).isEmpty,
+      "a pure-append step must serve the appended files zero-copy, " +
+        "not copy them into the checkpoint")
+    val step = spark.read.parquet(outP).filter($"_commit_version" === 1L)
+    assert(step.count() == appended.count())
+    assert(step.filter($"_change_type" =!= "insert").count() == 0)
+    assert(step.select($"n_nationkey", $"n_name")
+      .exceptAll(appended.select($"n_nationkey", $"n_name")).count() == 0)
+    // a DV step after the zero-copy append still takes the exact
+    // materialized diff: deletes surface, nothing is lost
+    st.deleteVersionedMor(src, $"n_nationkey" === 3, "n_nationkey")
+    drainTo(st.streamVersionedChanges(src), outP, ckpt)
+    val del = spark.read.parquet(outP).filter($"_commit_version" === 2L)
+    assert(del.filter($"_change_type" === "delete").count() == 2,
+      "both stored copies of the deleted key surface as delete rows")
+  }
+
   test("CDF bootstrap of a DV-carrying snapshot resolves the DVs " +
     "(materialized path): deleted rows never surface") {
     val src = fresh("gstream_cdf_dvboot")
