@@ -541,8 +541,8 @@ object Knn extends QueryModule {
     */
   def knnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val expl = pqExpl(s, dir)
-    pqProbe(s, pqDists(s, expl, pqCb0(s, expl)))
+    val sub = pqSub(s, dir)
+    pqProbe(s, pqDists(s, sub, pqCb0(s, sub)))
   }
 
   /** PQ with REFIT codebooks: one declarative per-subspace Lloyd pass
@@ -555,19 +555,30 @@ object Knn extends QueryModule {
     */
   def knnPqTrained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val expl = pqExpl(s, dir)
-    val cb0 = pqCb0(s, expl)
+    val sub = pqSub(s, dir)
+    val cb0 = pqCb0(s, sub)
     val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
-    val codes0 = pqDists(s, expl, cb0)
+    val codes0 = pqDists(s, sub, cb0)
       .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
       .select($"vec_id", $"m", $"c")
-    val refit = codes0.join(expl, Seq("vec_id", "m"))
+    // refit over the members' components: posexplode(sv) recovers the
+    // (d, x) rows the former component table held — same decimal-exact
+    // per-dimension mean, built only where the refit needs it
+    val refit = codes0.join(sub, Seq("vec_id", "m"))
+      .select($"m", $"c", posexplode($"sv").as(Seq("d", "x")))
       .groupBy($"m", $"c", $"d")
       .agg((sum($"x".cast(DecimalType(30, 15))).cast(DoubleType) /
         count(lit(1))).as("ncv"))
-    val cb1 = cb0.join(refit, Seq("m", "c", "d"), "left")
-      .select($"c", $"m", $"d", coalesce($"ncv", $"cv").as("cv"))
-    pqProbe(s, pqDists(s, expl, cb1))
+    // refit codewords back to ARRAY form (order pinned by d via the
+    // sorted struct list — collect_list alone is order-free)
+    val cb1 = cb0
+      .select($"c", $"m", posexplode($"cv").as(Seq("d", "cv0")))
+      .join(refit, Seq("m", "c", "d"), "left")
+      .groupBy($"c", $"m")
+      .agg(sort_array(collect_list(struct($"d",
+        coalesce($"ncv", $"cv0").as("cv")))).as("dc"))
+      .select($"c", $"m", transform($"dc", x => x("cv")).as("cv"))
+    pqProbe(s, pqDists(s, sub, cb1))
   }
 
   /** IVF-PQ composite (FAISS's IVFADC shape, no-residual variant):
@@ -586,8 +597,8 @@ object Knn extends QueryModule {
   def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cand = ivfCandidates(s, dir)
-    val expl = pqExpl(s, dir)
-    val dists = pqDists(s, expl, pqCb0(s, expl))
+    val sub = pqSub(s, dir)
+    val dists = pqDists(s, sub, pqCb0(s, sub))
     val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
     val codes = dists
       .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
@@ -635,35 +646,38 @@ object Knn extends QueryModule {
     ivfCandidates(s, dir).as[(Long, Long)].collect().toSet
   }
 
-  /** (vec_id, subspace m, intra-dim d, component x) rows — feeds the
-    * codebook pick and every distance scan, so materialized once.
+  /** (vec_id, subspace m, subvector sv) rows — a pure MAP over the
+    * stored arrays (slice per subspace, no component explode): feeds
+    * the codebook pick and every distance scan, so materialized once.
     */
-  private def pqExpl(s: SparkSession, dir: String): DataFrame = {
+  private def pqSub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    base(s, dir).select($"vec_id", posexplode($"v").as(Seq("pos", "x")))
-      .select($"vec_id", ($"pos" / PqSubDim).cast("int").as("m"),
-        pmod($"pos", lit(PqSubDim)).as("d"), $"x")
+    base(s, dir)
+      .select($"vec_id", posexplode(array((0 until PqM).map(m =>
+        slice($"v", m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sv")))
       .localCheckpoint()
   }
 
-  private def pqCb0(s: SparkSession, expl: DataFrame): DataFrame = {
+  private def pqCb0(s: SparkSession, sub: DataFrame): DataFrame = {
     import s.implicits._
-    expl.filter($"vec_id" < PqCodes)
-      .select($"vec_id".as("c"), $"m", $"d", $"x".as("cv"))
+    sub.filter($"vec_id" < PqCodes)
+      .select($"vec_id".as("c"), $"m", $"sv".as("cv"))
   }
 
   /** Squared distance of every vector's every subvector to every
-    * codeword: components ⋈ broadcast codebook → DECIMAL-exact agg.
+    * codeword: subvectors ⋈ broadcast codebook, distance as ONE fused
+    * DECIMAL-exact kernel ([[graft.functions.SqDistQ15]] — value- and
+    * type-identical to the former per-component explode + decimal
+    * aggregate, which cost a 2M-row join plus a shuffle per pass;
+    * this shape is a broadcast-join map stage, no exchange).
     */
-  private def pqDists(s: SparkSession, expl: DataFrame,
+  private def pqDists(s: SparkSession, sub: DataFrame,
       cb: DataFrame): DataFrame = {
     import s.implicits._
-    expl
-      .join(broadcast(cb), Seq("m", "d"))
-      .withColumn("sq",
-        (($"x" - $"cv") * ($"x" - $"cv")).cast(DecimalType(30, 15)))
-      .groupBy($"vec_id", $"m", $"c")
-      .agg(sum($"sq").as("dist"))
+    sub
+      .join(broadcast(cb), Seq("m"))
+      .select($"vec_id", $"m", $"c",
+        graft.functions.SqDistQ15.sq_dist_q15($"sv", $"cv").as("dist"))
       .localCheckpoint() // reused as encode input and query LUT
   }
 
