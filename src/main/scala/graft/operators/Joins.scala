@@ -585,10 +585,14 @@ object Joins extends QueryModule {
     val c = T.t(s, dir, "customer")
       .select($"c_custkey", $"c_name", $"c_nationkey",
         substring($"c_name", 1, 16).as("blk"))
+    // thresholded levenshtein (3-arg, Spark 3.5+): the banded DP
+    // early-exits past the bound — O(len·k) per comparison instead of
+    // O(len²), on every blocked pair; returns -1 past the threshold,
+    // so `>= 0` is exactly the old `<= 1` pair set
     c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") &&
           col("a.c_custkey") < col("b.c_custkey") &&
-          levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+          levenshtein(col("a.c_name"), col("b.c_name"), 1) >= 0)
       .groupBy(col("a.c_nationkey").as("c_nationkey"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy($"c_nationkey")

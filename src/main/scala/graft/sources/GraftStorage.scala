@@ -1227,16 +1227,27 @@ final case class GraftStorage(
     }
     val n: Long = vs.lastOption.map(_ + 1).getOrElse(0L)
     val commitDir = newCommitDir(dir, n)
+    // HASH-DISTRIBUTE by the layout keys before the write (Iceberg's
+    // write.distribution-mode=hash, the partitioned-table default —
+    // guide §6): every partition dir is written by ONE task, so a
+    // commit lands one file per dir instead of (input tasks × dirs)
+    // small files, and the per-dir writers run in parallel across
+    // the cluster instead of serially inside each input task.
+    // Skew caveat (documented Iceberg hash-mode property): one giant
+    // day funnels into one write task — pre-split such layouts with
+    // an extra bucket(n, col) partition field.
+    val keyCols = partCols.map { sp =>
+      val f = GraftStorage.parsePartField(sp)
+      f.keyExpr(df.schema(f.col).dataType)
+    }
+    val distributed = df.repartition(keyCols: _*)
     // sort by (layout keys, sortedBy) within each task: rows of one
     // partition dir are then contiguous AND internally ordered, so
     // every per-dir file the task rolls is sorted by sortedBy
     val toWrite =
-      if (sortedBy.isEmpty) df
-      else df.sortWithinPartitions(
-        (partCols.map { s =>
-          val f = GraftStorage.parsePartField(s)
-          f.keyExpr(df.schema(f.col).dataType)
-        } ++ sortedBy.map(col)): _*)
+      if (sortedBy.isEmpty) distributed
+      else distributed.sortWithinPartitions(
+        (keyCols ++ sortedBy.map(col)): _*)
     val freshFiles = writeCommitData(toWrite, commitDir, partCols, fs)
     validateCommitFiles(path, freshFiles, commitDir, fs)
     requireMorKeyNonNull(path, df.schema, commitDir, fs,
@@ -2380,7 +2391,23 @@ final case class GraftStorage(
     * manifests alone.
     */
   private[sources] def rowCountLines(files: Seq[String]): Seq[String] =
-    files.map(f => s"R\t${footerRowCount(f)}\t$f")
+    if (files.size <= 1)
+      files.map(f => s"R\t${footerRowCount(f)}\t$f")
+    else {
+      // parallel footer opens (the fixed-8 pool the index merger
+      // uses): serial reads cost ~0.2 s per 30-file commit locally
+      // and a round trip per file on an object store
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, files.size))
+      try {
+        val futs = files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String = s"R\t${footerRowCount(f)}\t$f"
+          })
+        }
+        futs.map(_.get())
+      } finally pool.shutdown()
+    }
 
   /** COUNT(*) at metadata rate: when every data file of the snapshot
     * carries an `R` row-count line and no deletion vector is in play,

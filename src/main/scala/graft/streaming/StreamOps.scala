@@ -704,12 +704,16 @@ object StreamOps extends QueryModule {
           // never scanned to apply a delete
           val delKeys = latest.filter(col("_change_type") === "delete")
             .select(col("o_orderkey"))
+          // ONE per-type census over the checkpointed batch answers
+          // both branch guards (two isEmpty probes = two jobs before)
+          val counts = latest.groupBy(col("_change_type")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           // the txn marker rides the batch's LAST commit: delete-only
           // batches mark the delete itself; mixed batches mark the
           // merge (a replay between the two re-runs the delete —
           // content-idempotent, the DV names already-deleted keys)
-          val upsEmpty = ups.isEmpty
-          if (!delKeys.isEmpty)
+          val upsEmpty = counts.getOrElse("insert", 0L) == 0L
+          if (counts.getOrElse("delete", 0L) > 0L)
             st.deleteVersionedMorKeys(dst, delKeys, "o_orderkey",
               if (upsEmpty) Some("cdc_replica" -> id) else None): Unit
           if (!upsEmpty) {
