@@ -1233,6 +1233,10 @@ final case class GraftStorage(
     // commit lands one file per dir instead of (input tasks × dirs)
     // small files, and the per-dir writers run in parallel across
     // the cluster instead of serially inside each input task.
+    // The exchange width is EXPLICIT (writeTasks): an AQE-managed
+    // repartition coalesces a small commit's distribution to one
+    // task, which then serializes every per-dir parquet writer it
+    // feeds (measured 0.85s vs 0.15s for a 25k-row 30-dir commit).
     // Skew caveat (documented Iceberg hash-mode property): one giant
     // day funnels into one write task — pre-split such layouts with
     // an extra bucket(n, col) partition field.
@@ -1240,7 +1244,7 @@ final case class GraftStorage(
       val f = GraftStorage.parsePartField(sp)
       f.keyExpr(df.schema(f.col).dataType)
     }
-    val distributed = df.repartition(keyCols: _*)
+    val distributed = df.repartition(writeTasks(df), keyCols: _*)
     // sort by (layout keys, sortedBy) within each task: rows of one
     // partition dir are then contiguous AND internally ordered, so
     // every per-dir file the task rolls is sorted by sortedBy
@@ -1376,6 +1380,26 @@ final case class GraftStorage(
     0L
   }
 
+  /** Width of the hash-distribution exchange feeding a partitioned
+    * commit. Scale-adaptive, never a local constant: the data term
+    * (plan-stats bytes over a ~64 MB write-task target) governs large
+    * commits, and a cluster-parallelism floor keeps a small commit's
+    * per-dir writers CONCURRENT — an AQE-coalesced exchange collapses
+    * them into one task that opens each dir's parquet writer serially.
+    * Unknown stats (no file-backed source) fall back to the plan's own
+    * partitioning.
+    */
+  private[sources] def writeTasks(df: DataFrame): Int = {
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = 64L << 20
+    val byData =
+      if (est <= 0 || est >= BigInt(1L << 50)) // default/unknown stat
+        df.rdd.getNumPartitions.toLong
+      else ((est + target - 1) / target).toLong
+    math.min(math.max(cores, byData), 1L << 20).toInt
+  }
+
   /** Write one commit's data files honoring the table's partition
     * layout — identity `__gp_` dirs when `partCols` is non-empty,
     * flat otherwise — and return the normalized fresh file list.
@@ -1384,7 +1408,7 @@ final case class GraftStorage(
     * here, so a partitioned table's replacement files stay key-pure
     * and the storage-partitioned join survives maintenance and DML.
     */
-  private def writeCommitData(df: DataFrame,
+  private[sources] def writeCommitData(df: DataFrame,
       commitDir: org.apache.hadoop.fs.Path, partCols: Seq[String],
       fs: org.apache.hadoop.fs.FileSystem,
       /** column mapping of the snapshot being rewritten: a PARTIAL
@@ -1394,8 +1418,17 @@ final case class GraftStorage(
       mapping: Option[(Map[String, String], Seq[String])] = None)
       : Seq[String] = {
     val out = toPhysicalDf(df, mapping, "partial rewrite")
+    // Commit-protocol v2: tasks rename their files straight into the
+    // destination; job commit skips the driver's serial per-dir
+    // mergePaths walk (measured 0.3-0.4s per 30-dir commit). Safe
+    // here BY CONSTRUCTION: commitDir is a fresh version-private dir
+    // and the manifest line that makes its files visible is only
+    // published after this write returns — a failed job leaves
+    // unreferenced files for removeOrphans, never a torn snapshot.
     if (partCols.isEmpty) {
-      out.write.mode("overwrite").parquet(commitDir.toString)
+      out.write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .parquet(commitDir.toString)
       fs.listStatus(commitDir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toUri.getPath)
@@ -1408,6 +1441,7 @@ final case class GraftStorage(
       val pdf = fields.foldLeft(out)((d, f) =>
         d.withColumn(f.dirName, f.keyExpr(out.schema(f.col).dataType)))
       pdf.write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         .partitionBy(fields.map(_.dirName): _*)
         .parquet(commitDir.toString)
       listParquetRecursive(fs, commitDir)
@@ -2314,7 +2348,7 @@ final case class GraftStorage(
     }
   }
 
-  private def requireMorKeyNonNull(path: String,
+  private[sources] def requireMorKeyNonNull(path: String,
       writeSchema: org.apache.spark.sql.types.StructType,
       commitDir: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem,
