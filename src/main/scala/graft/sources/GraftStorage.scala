@@ -396,6 +396,61 @@ final case class GraftStorage(
     }
   }
 
+  /** (min, max) of one column across `files`, decoded from parquet
+    * FOOTER stats — metadata-rate, no Spark job. Returns
+    * `None` when any footer lacks usable stats (caller falls back to
+    * an aggregate job), `Some(None)` when every file is empty or
+    * all-null, `Some(Some((mn, mx)))` otherwise. Bounds are used for
+    * PRUNING only, so decodeStat's conservative widening (NANOS
+    * floor/ceil) stays sound.
+    */
+  private[sources] def footerColumnBounds(files: Seq[String],
+      column: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[Option[(Any, Any)]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val perFile: Seq[Option[Option[(Any, Any)]]] = files.map { f =>
+      try {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val decoded = blocks.map { b =>
+            val ch = b.getColumns.asScala
+              .find(_.getPath.toDotString == column).orNull
+            if (ch == null) null
+            else {
+              val st = ch.getStatistics
+              if (st == null || st.isEmpty) null
+              else if (!st.hasNonNullValue) Some(None)
+              else decodeStat(st, ch.getPrimitiveType, dt)
+                .map(mm => Some(Some(mm))).getOrElse(null)
+            }
+          }
+          if (decoded.contains(null)) None
+          else {
+            val present = decoded.collect { case Some(Some(mm)) => mm }
+            if (present.isEmpty) Some(None)
+            else {
+              implicit val ord: Ordering[Any] = externalOrdering(dt)
+              Some(Some((present.map(_._1).min, present.map(_._2).max)))
+            }
+          }
+        } finally reader.close()
+      } catch { case _: Exception => None }
+    }
+    if (perFile.contains(None)) None
+    else {
+      val present = perFile.collect { case Some(Some(mm)) => mm }
+      if (present.isEmpty) Some(None)
+      else {
+        implicit val ord: Ordering[Any] = externalOrdering(dt)
+        Some(Some((present.map(_._1).min, present.map(_._2).max)))
+      }
+    }
+  }
+
   /** Natural ordering for decoded external stat values. */
   private def externalOrdering(
       dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
@@ -956,7 +1011,11 @@ final case class GraftStorage(
       statsCols: Seq[String], bloomCols: Seq[String],
       checkMorKey: Boolean): (Seq[String], Seq[String]) = {
     import org.apache.hadoop.fs.Path
-    toWrite.write.mode("overwrite").parquet(commitDir.toString)
+    // v2 committer — same safety argument as writeCommitData: the
+    // version-private dir only becomes visible via the manifest
+    toWrite.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(commitDir.toString)
     validateCommitDir(path, commitDir, fs)
     if (checkMorKey)
       requireMorKeyNonNull(path, toWrite.schema, commitDir, fs)
@@ -2341,7 +2400,9 @@ final case class GraftStorage(
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.when(col(keyColP).isNull,
             org.apache.spark.sql.functions.lit(1))).as("null_keys"))
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(outDir)
     obs.get("null_keys") match {
       case l: java.lang.Long => l.longValue()
       case x => String.valueOf(x).toLong
@@ -4045,7 +4106,9 @@ final case class GraftStorage(
       .filter(predicate)
       .select(col(GraftStorage.PosFileCol).as("file"),
         col(GraftStorage.PosIdxCol).as("pos"))
-      .write.mode("overwrite").parquet(commitDir.toString)
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(commitDir.toString)
     publishDvOnlyCommit(dir, fs, commitDir, n,
       GraftStorage.PosDvCol, txn, "deleteVersionedMorPos",
       nullKeys = 0L)
@@ -4454,16 +4517,28 @@ final case class GraftStorage(
           // pre-image scan prunes by the DV key RANGE through the
           // stats-in-log reader, so a KB-scale delete commit reads
           // only the files that can hold a matched key — not the
-          // whole `from` snapshot
+          // whole `from` snapshot. The range comes from the DV
+          // files' own FOOTER stats (metadata-rate — they are this
+          // engine's parquet, stats always present) instead of a
+          // min/max aggregate job per CDC step; an unusable footer
+          // falls back to the job.
           val lc = logicalKeyOf(c)
           val keys = spark.read
             .parquet(entries.map(_._1._2): _*)
             .select(col(s"`$c`").as(lc)).distinct()
-          val b = keys.agg(min(col(lc)), max(col(lc))).head()
-          if (b.isNullAt(0)) fromDf.limit(0)
-          else readVersionedPruned(path, Some(fromVersion))
-            .filter(col(lc) >= lit(b.get(0)) && col(lc) <= lit(b.get(1)))
-            .join(broadcast(keys), Seq(lc), "left_semi")
+          val bounds: Option[(Any, Any)] =
+            footerColumnBounds(entries.map(_._1._2), c,
+              keys.schema(lc).dataType).getOrElse {
+              val b = keys.agg(min(col(lc)), max(col(lc))).head()
+              if (b.isNullAt(0)) None else Some((b.get(0), b.get(1)))
+            }
+          bounds match {
+            case None => fromDf.limit(0)
+            case Some((mn, mx)) =>
+              readVersionedPruned(path, Some(fromVersion))
+                .filter(col(lc) >= lit(mn) && col(lc) <= lit(mx))
+                .join(broadcast(keys), Seq(lc), "left_semi")
+          }
         case _ =>
           // several key columns: chain semi/anti per column so a row
           // matching two columns' DVs surfaces exactly once

@@ -554,7 +554,12 @@ private[sources] final class GraftMicroBatchStream(
     // a torn dir from a crashed attempt (no _SUCCESS) rewrites.
     this.synchronized {
       if (!fs.exists(new Path(outDir, "_SUCCESS")))
-        df.write.mode("overwrite").parquet(outDir.toString)
+        // v2 committer: tasks rename straight into the dir — the
+        // _SUCCESS marker (still written) remains the completion
+        // gate, so a torn attempt rewrites exactly as before
+        df.write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .parquet(outDir.toString)
     }
     val files = listFiles()
     cdfBatchFiles.put((start, end), files)
