@@ -14,8 +14,14 @@ object Dedup extends QueryModule {
 
   /** Distinct word-3-gram shingles in ROW form: (doc_id, tok).
     *
-    * Built by the native `ngrams` expression + explode — a pure MAP
-    * stage: no exchange exists until the consumer's own aggregation.
+    * Built by the native `ngrams` expression + per-doc
+    * `array_distinct` + explode — a pure MAP stage END TO END: no
+    * exchange exists until the consumer's own aggregation. `doc_id`
+    * is the corpus key (one row per doc), so deduping INSIDE each
+    * doc's gram array is exactly the old global
+    * `.distinct()` over (doc_id, tok) — minus the full-corpus
+    * shuffle + hash aggregate that distinct cost every one of the
+    * ~20 dedup/retrieval queries built on this helper.
     * The two rejected formulations, for the record: an array-lambda
     * re-evaluates split(text) per element (Catalyst inlines
     * single-use aliases into lambdas — quadratic per doc, measured
@@ -24,10 +30,23 @@ object Dedup extends QueryModule {
     * passes before the first gram existed. Row form feeds the
     * inverted index and the MinHash aggregate with no re-shaping.
     */
-  def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(graft.functions.NgramFunctions.ngrams(col("text"), 3)).as("tok"))
-      .distinct()
+  def shingleRows(docs: DataFrame): DataFrame = {
+    // parallelism guard: the corpus scan may be narrower than the
+    // cluster (one parquet file locally), and with no downstream
+    // exchange left the explode and everything checkpointed from it
+    // would inherit that width. Widening shuffles the DOCS (rows =
+    // corpus docs) — the bytes the old global distinct shuffled were
+    // the exploded SHINGLES, ~two orders of magnitude more rows. A
+    // corpus already wider than the cluster passes through.
+    val spark = docs.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val wide =
+      if (docs.rdd.getNumPartitions >= cores) docs
+      else docs.repartition(cores)
+    wide.select(col("doc_id"),
+      explode(array_distinct(
+        graft.functions.NgramFunctions.ngrams(col("text"), 3))).as("tok"))
+  }
 
   /** Exact dedup: content-hash cardinality (dropDuplicates analogue,
     * reduced to a checkable summary).
