@@ -666,16 +666,18 @@ object SqlDml extends QueryModule {
     Seq(a, b).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
     val st = GraftStorage(s)
+    // no caller-side bucket repartition: writeVersionedPartitioned
+    // hash-distributes by the layout keys itself (the same
+    // pmod(hash(k), 8) expression), so pre-shuffling here was a
+    // second full exchange of each side
     st.writeVersionedPartitioned(
       T.t(s, dir, "orders")
-        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-        .repartition(8, pmod(hash($"o_orderkey"), lit(8))),
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"),
       a, Seq("bucket(8,o_orderkey)"), append = false,
       sortedBy = Seq("o_orderkey"))
     st.writeVersionedPartitioned(
       T.t(s, dir, "lineitem").groupBy($"l_orderkey")
-        .agg(count(lit(1)).as("n_lines"))
-        .repartition(8, pmod(hash($"l_orderkey"), lit(8))),
+        .agg(count(lit(1)).as("n_lines")),
       b, Seq("bucket(8,l_orderkey)"), append = false,
       sortedBy = Seq("l_orderkey"))
     s.sql(
