@@ -557,7 +557,9 @@ object Knn extends QueryModule {
     import s.implicits._
     val sub = pqSub(s, dir)
     val cb0 = pqCb0(s, sub)
-    val codes0 = pqArgmin(pqDists(s, sub, cb0))
+    val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
+    val codes0 = pqDists(s, sub, cb0)
+      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
       .select($"vec_id", $"m", $"c")
     // refit over the members' components: posexplode(sv) recovers the
     // (d, x) rows the former component table held — same decimal-exact
@@ -597,7 +599,9 @@ object Knn extends QueryModule {
     val cand = ivfCandidates(s, dir)
     val sub = pqSub(s, dir)
     val dists = pqDists(s, sub, pqCb0(s, sub))
-    val codes = pqArgmin(dists)
+    val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
+    val codes = dists
+      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
       .select($"vec_id".as("nid"), $"m", $"c".as("code"))
     val lut = dists.filter($"vec_id" < NQueries)
       .select($"vec_id".as("qid"), $"m", $"c".as("code"), $"dist")
@@ -677,24 +681,12 @@ object Knn extends QueryModule {
       .localCheckpoint() // reused as encode input and query LUT
   }
 
-  /** Per-(vector, subspace) argmin codeword as ONE hash aggregate:
-    * min over struct(dist, c) is lexicographic, i.e. exactly the
-    * row_number()-over-(dist, c)-ASC pick the former window made --
-    * but with map-side partial mins instead of the window's two
-    * sorts around the exchange (guide §2.2: shuffle one row per
-    * group, not every candidate row).
-    */
-  private def pqArgmin(dists: DataFrame): DataFrame = {
-    import dists.sparkSession.implicits._
-    dists.groupBy($"vec_id", $"m")
-      .agg(min(struct($"dist", $"c")).as("w"))
-      .select($"vec_id", $"m", $"w.c".as("c"))
-  }
-
   /** Encode (WindowGroupLimit argmin) + asymmetric-distance top-k. */
   private def pqProbe(s: SparkSession, dists: DataFrame): DataFrame = {
     import s.implicits._
-    val codes = pqArgmin(dists)
+    val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
+    val codes = dists
+      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
       .select($"vec_id".as("nid"), $"m", $"c".as("code"))
     val lut = dists.filter($"vec_id" < NQueries)
       .select($"vec_id".as("qid"), $"m", $"c".as("code"), $"dist")
