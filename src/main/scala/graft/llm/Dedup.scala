@@ -42,7 +42,11 @@ object Dedup extends QueryModule {
     val cores = spark.sparkContext.defaultParallelism
     val wide =
       if (docs.rdd.getNumPartitions >= cores) docs
-      else docs.repartition(cores)
+      // keyed BY doc_id, not round-robin: the localCheckpoint every
+      // consumer takes preserves the hash partitioning, so their
+      // per-doc stages (size/minhash groupBy(doc_id), the PPJoin
+      // prefix-rank window) read it exchange-free
+      else docs.repartition(cores, col("doc_id"))
     wide.select(col("doc_id"),
       explode(array_distinct(
         graft.functions.NgramFunctions.ngrams(col("text"), 3))).as("tok"))
