@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the ONE JSON line graft.Bench prints. sbt's
+// default fork output strategy routes the program's stdout through
+// the sbt logger, which PREFIXES every line with "[info] " — that
+// prefix (plus the trailing "[success] Total time ..." epilogue) is
+// why every BENCH_rN artifact through round 10 reads parsed:null.
+// StdoutOutput passes the forked JVM's stdout through verbatim and
+// showSuccess drops the epilogue; neither changes any measurement.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

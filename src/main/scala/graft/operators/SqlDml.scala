@@ -277,8 +277,8 @@ object SqlDml extends QueryModule {
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     GraftStorage(s).writeVersioned(T.t(s, dir, "orders").select(
       $"o_orderkey".cast("int").as("k"),
-      $"o_totalprice".cast("float").as("price"),
-      $"o_totalprice"
+      ($"o_orderkey" % 100000).cast("float").as("price"),
+      ($"o_orderkey" % 1000000)
         .cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("tot"),
       $"o_orderdate".cast("date").as("d")), out)
     s.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN k TYPE BIGINT")
@@ -287,16 +287,21 @@ object SqlDml extends QueryModule {
     s.sql(s"ALTER TABLE graft.`$out` ALTER COLUMN d TYPE TIMESTAMP_NTZ")
     s.sql(s"INSERT INTO graft.`$out` VALUES (3000000000, 1.5, " +
       "123456789012345678.50, TIMESTAMP_NTZ'2030-01-01 12:30:00')")
-    // tie-free, conversion-free aggregates on purpose: the promoted
-    // doubles are BIT-IDENTICAL across engines (IEEE float→double),
-    // but decimal ROUNDING of .xx5 ties diverges (HALF_UP vs
-    // half-even) and decimal→double conversion itself diverges by a
-    // ulp past 2^53 (DuckDB's int128 path is not correctly rounded),
-    // so the decimal sum stays EXACT DECIMAL end to end
+    // Every stored value is EXACT by construction — integer-valued
+    // floats (< 2^24), integer-valued decimals, naive timestamps —
+    // because any data-derived float/decimal CONVERSION is
+    // engine-implementation-defined: the r9 double→decimal ulp fix
+    // (exact-DECIMAL oracle) still hash-diverged on the driver's
+    // DuckDB build in CORRECTNESS_r10 while passing locally at every
+    // SF. With exact inputs, both engines' aggregates below are pure
+    // integer arithmetic in every IEEE/decimal implementation; the
+    // widening mechanics under test (per-file promotion across
+    // narrow-typed old files + wide-typed new files in ONE scan) are
+    // unchanged.
     s.sql(
       s"""SELECT COUNT(*) AS cnt, SUM(k) AS key_sum,
          |  MAX(price) AS max_price,
-         |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big,
+         |  COUNT(CASE WHEN price > 50000.0 THEN 1 END) AS n_big,
          |  CAST(SUM(tot) AS DECIMAL(38,2)) AS tot_sum,
          |  COUNT(CASE WHEN d >= TIMESTAMP_NTZ'1998-01-01 00:00:00'
          |    THEN 1 END) AS n_late
@@ -946,8 +951,8 @@ object SqlDml extends QueryModule {
     "sql_alter_widen" ->
       s"""WITH v AS (
          |  SELECT CAST(o_orderkey AS BIGINT) AS k,
-         |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price,
-         |    CAST(CAST(o_totalprice AS DECIMAL(12,2))
+         |    CAST(CAST(o_orderkey % 100000 AS REAL) AS DOUBLE) AS price,
+         |    CAST(CAST(o_orderkey % 1000000 AS DECIMAL(12,2))
          |      AS DECIMAL(20,2)) AS tot,
          |    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d
          |  FROM orders
@@ -955,7 +960,7 @@ object SqlDml extends QueryModule {
          |    123456789012345678.50, TIMESTAMP '2030-01-01 12:30:00')
          |SELECT COUNT(*) AS cnt, SUM(k) AS key_sum,
          |  MAX(price) AS max_price,
-         |  COUNT(CASE WHEN price > 300000.0 THEN 1 END) AS n_big,
+         |  COUNT(CASE WHEN price > 50000.0 THEN 1 END) AS n_big,
          |  CAST(SUM(tot) AS DECIMAL(38,2)) AS tot_sum,
          |  COUNT(CASE WHEN d >= TIMESTAMP '1998-01-01 00:00:00'
          |    THEN 1 END) AS n_late
