@@ -50,6 +50,7 @@ object Dev {
       case "devp" => graft.sources.DevP.run(spark, dir)
       case "psink2" => psink2(spark, dir)
       case "cdc" => cdc(spark, dir)
+      case "pq" => pq(spark, dir)
       case "shingle_explain" =>
         val docs = T.t(spark, dir, "documents")
         val mode = org.apache.spark.sql.execution.ExplainMode
@@ -65,6 +66,83 @@ object Dev {
       case m => println(s"unknown mode $m")
     }
     spark.stop()
+  }
+
+  /** llm_knn_pq_trained phase breakdown (mirrors Knn.knnPqTrained). */
+  def pq(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val PqM = 8; val PqDim = 64; val PqSubDim = PqDim / PqM
+    val NQueries = 20; val K = 5
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    (1 to 3).foreach { rep =>
+      println(s"=== rep $rep ===")
+      val b = T.t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val wide = sys.env.contains("DEV_PQ_WIDE")
+      val sub = time("sub ckpt") {
+        val s0 = b.select($"vec_id", posexplode(array((0 until PqM).map(m =>
+          slice($"v", m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sv")))
+        (if (wide) s0.repartition(32, $"vec_id", $"m") else s0)
+          .localCheckpoint() }
+      val cb0 = sub.filter($"vec_id" < 16)
+        .select($"vec_id".as("c"), $"m", $"sv".as("cv"))
+      val argminAgg = sys.env.contains("DEV_PQ_AGG")
+      def mkDists(cb: org.apache.spark.sql.DataFrame) =
+        if (argminAgg)
+          sub.join(broadcast(cb), Seq("m"))
+            .select($"vec_id", $"m", $"c",
+              graft.functions.SqDistQ15.sq_dist_q15_long($"sv", $"cv").as("dl"))
+            .withColumn("dist", graft.functions.SqDistQ15.decimal_q15($"dl"))
+        else
+          sub.join(broadcast(cb), Seq("m"))
+            .select($"vec_id", $"m", $"c",
+              graft.functions.SqDistQ15.sq_dist_q15($"sv", $"cv").as("dist"))
+      val dists0 = time("pqDists(cb0) ckpt") { mkDists(cb0).localCheckpoint() }
+      val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
+      def argmin(dists: org.apache.spark.sql.DataFrame) =
+        if (argminAgg)
+          dists.groupBy($"vec_id", $"m")
+            .agg(min($"dl" * 16 + $"c").as("pk"))
+            .select($"vec_id", $"m", ($"pk" % 16).as("c"))
+        else
+          dists.withColumn("rn", row_number().over(wCode))
+            .filter($"rn" === 1).select($"vec_id", $"m", $"c")
+      val codes0 = argmin(dists0)
+      time("codes0 argmin (noop)") { noop(codes0) }
+      val refit = codes0.join(sub, Seq("vec_id", "m"))
+        .select($"m", $"c", posexplode($"sv").as(Seq("d", "x")))
+        .groupBy($"m", $"c", $"d")
+        .agg((sum($"x".cast(DecimalType(30, 15))).cast(DoubleType) /
+          count(lit(1))).as("ncv"))
+      val cb1 = cb0
+        .select($"c", $"m", posexplode($"cv").as(Seq("d", "cv0")))
+        .join(refit, Seq("m", "c", "d"), "left")
+        .groupBy($"c", $"m")
+        .agg(sort_array(collect_list(struct($"d",
+          coalesce($"ncv", $"cv0").as("cv")))).as("dc"))
+        .select($"c", $"m", transform($"dc", x => x("cv")).as("cv"))
+      val dists1 = time("pqDists(cb1) ckpt [incl refit]") {
+        mkDists(cb1).localCheckpoint() }
+      time("probe (noop)") {
+        val codes = argmin(dists1)
+          .select($"vec_id".as("nid"), $"m", $"c".as("code"))
+        val lut = dists1.filter($"vec_id" < NQueries)
+          .select($"vec_id".as("qid"), $"m", $"c".as("code"), $"dist")
+        val wTop = Window.partitionBy($"qid").orderBy($"adc", $"nid")
+        noop(codes.join(broadcast(lut), Seq("m", "code"))
+          .filter($"nid" =!= $"qid")
+          .groupBy($"qid", $"nid")
+          .agg(sum($"dist").as("adc"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter($"rn" <= K)
+          .select($"qid", $"nid",
+            round($"adc".cast(DoubleType), 4).as("adc_dist"), $"rn")
+          .orderBy($"qid", $"rn"))
+      }
+    }
   }
 
   /** stream_cdc_replica phase breakdown. */

@@ -127,6 +127,56 @@ case class SqDistQ15(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SqDistQ15]]'s accumulator WITHOUT the Decimal wrapper: the same
+  * quantized squared distance as its raw unscaled long (value ×10¹⁵).
+  * Orders identically to the DECIMAL(38,15) form (same scale, same
+  * sign) and converts back exactly via MakeDecimal — lets argmin run
+  * as a packed-long `min()` HASH aggregate (mutable long buffer,
+  * map-side partial min) where a decimal-bearing struct would demote
+  * to SortAggregate (measured, round 10 item 9).
+  */
+case class SqDistQ15Long(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += SqDistQ15.q15(d * d)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += graft.functions.SqDistQ15.q15($d * $d);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SqDistQ15 {
   /** `CAST(v AS DECIMAL(30,15))` as an unscaled long — delegates to
     * Spark's own Decimal conversion so the rounding (HALF_UP over the
@@ -143,6 +193,18 @@ object SqDistQ15 {
   def sq_dist_q15(a: Column, b: Column): Column =
     Bridge.column(SqDistQ15(
       Bridge.expression(a), Bridge.expression(b)))
+
+  def sq_dist_q15_long(a: Column, b: Column): Column =
+    Bridge.column(SqDistQ15Long(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** Unscaled long (×10¹⁵) → the exact DECIMAL(38,15) [[SqDistQ15]]
+    * returns — Spark's own MakeDecimal, so round-tripping through the
+    * long kernel is value- and type-identical to the decimal kernel.
+    */
+  def decimal_q15(v: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+      Bridge.expression(v), 38, 15, nullOnOverflow = false))
 }
 
 object VectorFunctions {

@@ -31,8 +31,23 @@ object Knn extends QueryModule {
 
   private def base(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    T.t(s, dir, "embeddings")
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val raw = T.t(s, dir, "embeddings")
+    // parallelism guard (the shingleRows pattern): the embeddings scan
+    // may be narrower than the cluster (one parquet file locally), and
+    // the family's pipelines are broadcast-join map stages with NO
+    // downstream exchange — every localCheckpoint and distance kernel
+    // inherits the scan's width, so a 1-file corpus ran the whole PQ
+    // distance pass on ONE task (measured: pqDists 1.34 s → 0.22 s at
+    // sf0.1 once widened). Keyed by vec_id: checkpoints preserve the
+    // hash partitioning, so per-vector groupBy/window stages
+    // downstream run exchange-free. A corpus already wider than the
+    // cluster passes through untouched — at 100 TB this branch never
+    // fires.
+    val cores = s.sparkContext.defaultParallelism
+    val wide =
+      if (raw.rdd.getNumPartitions >= cores) raw
+      else raw.repartition(cores, $"vec_id")
+    wide.select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", norm($"v"))
   }
 
@@ -557,10 +572,7 @@ object Knn extends QueryModule {
     import s.implicits._
     val sub = pqSub(s, dir)
     val cb0 = pqCb0(s, sub)
-    val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
-    val codes0 = pqDists(s, sub, cb0)
-      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
-      .select($"vec_id", $"m", $"c")
+    val codes0 = pqArgmin(s, pqDists(s, sub, cb0))
     // refit over the members' components: posexplode(sv) recovers the
     // (d, x) rows the former component table held — same decimal-exact
     // per-dimension mean, built only where the refit needs it
@@ -599,9 +611,7 @@ object Knn extends QueryModule {
     val cand = ivfCandidates(s, dir)
     val sub = pqSub(s, dir)
     val dists = pqDists(s, sub, pqCb0(s, sub))
-    val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
-    val codes = dists
-      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+    val codes = pqArgmin(s, dists)
       .select($"vec_id".as("nid"), $"m", $"c".as("code"))
     val lut = dists.filter($"vec_id" < NQueries)
       .select($"vec_id".as("qid"), $"m", $"c".as("code"), $"dist")
@@ -677,16 +687,35 @@ object Knn extends QueryModule {
     sub
       .join(broadcast(cb), Seq("m"))
       .select($"vec_id", $"m", $"c",
-        graft.functions.SqDistQ15.sq_dist_q15($"sv", $"cv").as("dist"))
+        graft.functions.SqDistQ15.sq_dist_q15_long($"sv", $"cv").as("dl"))
       .localCheckpoint() // reused as encode input and query LUT
+      // the checkpoint stores the 8-byte unscaled long; the exact
+      // DECIMAL(38,15) the old kernel returned is re-derived as a
+      // free map (MakeDecimal), value- and type-identical
+      .withColumn("dist", graft.functions.SqDistQ15.decimal_q15($"dl"))
+  }
+
+  /** Per-(vector, subspace) argmin over the distance rows as ONE
+    * hash aggregate: (dl, c) packed into a single long — dl ≤ ~3·10¹⁶
+    * here (≤ PqSubDim · q15(maxΔ²) ≈ 8·4·10¹⁵), c < PqCodes, so
+    * dl·PqCodes + c stays far under 2⁶³ and min(packed) IS the
+    * lexicographic (dist, c) minimum the former rank-1 window
+    * computed (both non-negative). The aggregate's long buffer gets
+    * map-side partial min + whole-stage codegen, where the window
+    * paid a full-width shuffle + sort per pass — and a decimal or
+    * struct form would demote to SortAggregate (round-10 item 9).
+    */
+  private def pqArgmin(s: SparkSession, dists: DataFrame): DataFrame = {
+    import s.implicits._
+    dists.groupBy($"vec_id", $"m")
+      .agg(min($"dl" * PqCodes + $"c").as("pk"))
+      .select($"vec_id", $"m", ($"pk" % PqCodes).as("c"))
   }
 
   /** Encode (WindowGroupLimit argmin) + asymmetric-distance top-k. */
   private def pqProbe(s: SparkSession, dists: DataFrame): DataFrame = {
     import s.implicits._
-    val wCode = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"c")
-    val codes = dists
-      .withColumn("rn", row_number().over(wCode)).filter($"rn" === 1)
+    val codes = pqArgmin(s, dists)
       .select($"vec_id".as("nid"), $"m", $"c".as("code"))
     val lut = dists.filter($"vec_id" < NQueries)
       .select($"vec_id".as("qid"), $"m", $"c".as("code"), $"dist")
