@@ -51,6 +51,7 @@ object Dev {
       case "psink2" => psink2(spark, dir)
       case "cdc" => cdc(spark, dir)
       case "pq" => pq(spark, dir)
+      case "ppjoin" => ppjoin(spark, dir)
       case "shingle_explain" =>
         val docs = T.t(spark, dir, "documents")
         val mode = org.apache.spark.sql.execution.ExplainMode
@@ -66,6 +67,63 @@ object Dev {
       case m => println(s"unknown mode $m")
     }
     spark.stop()
+  }
+
+  /** llm_dedup_ppjoin_stored phase breakdown (mirrors Dedup). */
+  def ppjoin(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val tau = 0.5
+    (1 to 3).foreach { rep =>
+      println(s"=== rep $rep ===")
+      val docs = T.t(s, dir, "documents")
+      val cut = time("cut agg") { docs.agg(max($"doc_id")).head().getLong(0) / 2 }
+      val idxDir = graft.Fixtures.ensure(dir, "ppjoin_index")(_ => ())
+      val bt = time("bt shingles ckpt") {
+        graft.llm.Dedup.shingleRows(docs.filter($"doc_id" > cut))
+          .localCheckpoint() }
+      val bsz = bt.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val bprefix = bt
+        .join(s.read.parquet(s"$idxDir/df"), Seq("tok"), "left_outer")
+        .withColumn("df", coalesce($"df", lit(0L)))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
+        .join(bsz, "doc_id")
+        .filter($"pos" <= $"n" - ceil(lit(tau) * $"n") + 1)
+        .select($"doc_id", $"tok", $"df", $"pos", $"n")
+      time("bprefix (noop)") { noop(bprefix) }
+      val dfCap = time("dfCap head") {
+        s.read.parquet(s"$idxDir/meta").head().getAs[Long]("df_cap") }
+      val aPrefix = s.read.parquet(s"$idxDir/prefix")
+      val rareA = aPrefix.filter($"df" <= dfCap)
+      val rareB = bprefix.filter($"df" <= dfCap)
+      val candExact = rareA.as("a")
+        .join(rareB.as("b"), "tok")
+        .filter($"a.n" >= lit(tau) * $"b.n" && $"b.n" >= lit(tau) * $"a.n")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(min(struct($"a.df".as("df"), $"tok",
+          $"a.pos".as("pa"), $"b.pos".as("pb"),
+          $"a.n".as("na"), $"b.n".as("nb"))).as("w"))
+        .filter(least($"w.na" - $"w.pa", $"w.nb" - $"w.pb") + 1 >=
+          ceil(lit(tau / (1 + tau)) * ($"w.na" + $"w.nb")))
+        .select($"doc_a", $"doc_b")
+      time("candExact (noop)") { noop(candExact) }
+      val satA = aPrefix.filter($"df" > dfCap).select($"doc_id").distinct()
+      val satB = bprefix.filter($"df" > dfCap).select($"doc_id").distinct()
+      val bandsA = s.read.parquet(s"$idxDir/bands").join(satA, "doc_id")
+      val bandsB = graft.llm.Dedup.bandRows(
+        graft.llm.Dedup.minhashSigs(bt.join(satB, "doc_id")))
+      val candLsh = bandsA.as("a").join(bandsB.as("b"), Seq("band", "bh"))
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      time("candLsh (noop)") { noop(candLsh) }
+      val candidates = candExact.unionByName(candLsh).distinct()
+      time("full verify (noop)") {
+        noop(graft.llm.Dedup.devVerifyPairs(s, candidates,
+          s.read.parquet(s"$idxDir/shingles").unionByName(bt)))
+      }
+    }
   }
 
   /** llm_knn_pq_trained phase breakdown (mirrors Knn.knnPqTrained). */

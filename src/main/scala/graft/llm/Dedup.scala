@@ -126,13 +126,40 @@ object Dedup extends QueryModule {
     * shingle rows (no array reshaping) — shared by the batch and
     * streaming candidate generators.
     */
+  private[graft] def devVerifyPairs(s: SparkSession, candidates: DataFrame,
+      shingles: DataFrame): DataFrame = verifyPairs(s, candidates, shingles)
+
   private def verifyPairs(s: SparkSession, candidates: DataFrame,
       shingles: DataFrame): DataFrame = {
     import s.implicits._
-    val sz = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(shingles.as("ta"), $"ta.doc_id" === $"doc_a")
-      .join(shingles.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.tok" === $"tb.tok")
+    // Verification cost must scale with the CANDIDATES, not the
+    // corpus: the plain shape shuffles EVERY shingle row three times
+    // (size aggregate + both join sides) to verify a few hundred
+    // pairs. Past the size gate, the shingle stream is pruned to the
+    // docs that appear in some pair FIRST — a semi-join the planner
+    // runs as a broadcast (the doc set is ≤ 2·|pairs| ids) — so the
+    // exact intersection joins and the size aggregate all run over
+    // the candidates' own shingles; per-doc counts over the pruned
+    // stream are identical because pruning keeps every shingle of a
+    // kept doc. The candidate set is then checkpointed once (it feeds
+    // two plan branches, and its upstream is the expensive part).
+    // GATED because the prune only pays once corpus-wide shuffles
+    // dominate: at sf0.1 (~40 MB of shingles) the extra checkpoint
+    // barrier + semi-join stages measured a net LOSS (ppjoin_stored
+    // 3.2-3.9 s → 4.2-4.7 s solo), while at 100 TB the three
+    // corpus-wide exchanges are the scale-killer the prune removes.
+    val shBytes = shingles.queryExecution.optimizedPlan.stats.sizeInBytes
+    val prune = shBytes > BigInt(1L << 30)
+    val cand = if (prune) candidates.localCheckpoint() else candidates
+    val sh = if (prune) {
+      val docs = cand
+        .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+      shingles.join(docs, Seq("doc_id"), "left_semi")
+    } else shingles
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("ta"), $"ta.doc_id" === $"doc_a")
+      .join(sh.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.tok" === $"tb.tok")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("i"))
     inter

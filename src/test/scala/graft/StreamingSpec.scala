@@ -715,4 +715,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.txnCommitted(outP, "txn_spec", 1L),
       "TRUNCATE dropped the txn markers")
   }
+
+  test("cdcApplyBatch: single-commit fast paths and the exact " +
+    "rank path net-apply identically") {
+    val st = sources.GraftStorage(spark)
+    val dst = T.scratch(SF, "cdc_apply_spec")
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    st.writeVersioned(Seq.empty[(Long, String)].toDF("k", "v"), dst)
+    def apply(id: Long, rows: (Long, String, String, Long)*): Unit =
+      streaming.StreamOps.cdcApplyBatch(st, dst, "k",
+        rows.toDF("k", "v", "_change_type", "_commit_version"), id, "spec")
+    def state(): Set[(Long, String)] =
+      st.readVersioned(dst).as[(Long, String)].collect().toSet
+    // pure-insert single commit: the bootstrap fast path (no ranking)
+    apply(0, (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L))
+    assert(state() == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // pure-delete single commit: the DV fast path
+    apply(1, (2L, "b", "delete", 2L))
+    assert(state() == Set(1L -> "a", 3L -> "c"))
+    // mixed single commit (an UPDATE's pre-image delete + post-image
+    // insert of the SAME key): the exact rank path nets them — the
+    // post-image wins, the pre-image must not delete the key
+    apply(2, (3L, "c", "delete", 3L), (3L, "C", "insert", 3L),
+      (4L, "d", "insert", 3L))
+    assert(state() == Set(1L -> "a", 3L -> "C", 4L -> "d"))
+    // multi-commit batch: later commit supersedes earlier per key
+    // (k=5 inserted @v4 then deleted @v5 -> absent; k=1 updated @v5)
+    apply(3, (5L, "e", "insert", 4L), (5L, "e", "delete", 5L),
+      (1L, "a", "delete", 5L), (1L, "A", "insert", 5L))
+    assert(state() == Set(1L -> "A", 3L -> "C", 4L -> "d"))
+    // replay of a committed batch id is a no-op (txn marker)
+    apply(3, (9L, "x", "insert", 6L))
+    assert(state() == Set(1L -> "A", 3L -> "C", 4L -> "d"))
+    // empty batch commits nothing
+    apply(4)
+    assert(state() == Set(1L -> "A", 3L -> "C", 4L -> "d"))
+  }
 }
