@@ -572,7 +572,12 @@ object Knn extends QueryModule {
     import s.implicits._
     val sub = pqSub(s, dir)
     val cb0 = pqCb0(s, sub)
-    val codes0 = pqArgmin(s, pqDists(s, sub, cb0))
+    // the pass-0 distance table has exactly ONE consumer (this
+    // argmin), so it skips pqDists' localCheckpoint — no reuse to
+    // protect, and the materialization was a full extra pass
+    val codes0 = pqArgmin(s, sub.join(broadcast(cb0), Seq("m"))
+      .select($"vec_id", $"m", $"c",
+        graft.functions.SqDistQ15.sq_dist_q15_long($"sv", $"cv").as("dl")))
     // refit over the members' components: posexplode(sv) recovers the
     // (d, x) rows the former component table held — same decimal-exact
     // per-dimension mean, built only where the refit needs it
