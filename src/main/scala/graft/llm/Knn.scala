@@ -516,11 +516,17 @@ object Knn extends QueryModule {
       .orderBy($"cid")
   }
 
-  /** Vector norms (oracled array-numeric sanity query). */
+  /** Vector norms (oracled array-numeric sanity query). Reads the
+    * raw scan, NOT [[base]]: this is a pure map + global sort, so
+    * base()'s narrow-scan widening exchange is pure overhead here
+    * (measured +0.2 s on a 0.22 s query).
+    */
   def vectorNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    base(s, dir)
-      .select($"vec_id", round($"nrm", 4).as("norm"),
+    val v = $"embedding".cast("array<double>").as("v")
+    T.t(s, dir, "embeddings")
+      .select($"vec_id", v)
+      .select($"vec_id", round(norm($"v"), 4).as("norm"),
         size($"v").as("dim"))
       .orderBy($"vec_id")
   }
